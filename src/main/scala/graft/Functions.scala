@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Column-level API over the engine's custom Catalyst expressions, plus
+  * SQL-registry registration so every function is also callable from SQL
+  * text (`SELECT vec_cosine(a, b) ...`).
+  */
+object Functions {
+  private def c2e(c: Column): Expression = Shims.expression(c)
+  private def e2c(e: Expression): Column = Shims.column(e)
+
+  def vecDot(a: Column, b: Column): Column = e2c(VectorDot(c2e(a), c2e(b)))
+  def vecL2(a: Column, b: Column): Column = e2c(VectorL2(c2e(a), c2e(b)))
+  def vecCosine(a: Column, b: Column): Column = e2c(VectorCosine(c2e(a), c2e(b)))
+  def vecNorm(a: Column): Column = e2c(VectorNorm(c2e(a)))
+  def hammingDistance(a: Column, b: Column): Column =
+    e2c(HammingDistance(c2e(a), c2e(b)))
+  def sparseIp(a: Column, b: Column): Column =
+    e2c(SparseInnerProduct(c2e(a), c2e(b)))
+  def stContains(geo: Column, other: Column): Column =
+    e2c(StContains(c2e(geo), c2e(other)))
+
+  /** Distance/similarity column for a Milvus metric name. Also reports
+    * whether larger values rank closer (similarity) or smaller do
+    * (distance) — callers use it to orient ORDER BY.
+    */
+  def metric(name: String, a: Column, b: Column): (Column, Boolean) =
+    name.toUpperCase match {
+      case "L2"      => (vecL2(a, b), false)
+      case "IP"      => (vecDot(a, b), true)
+      case "COSINE"  => (vecCosine(a, b), true)
+      case "HAMMING" => (hammingDistance(a, b), false)
+      case other     => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+
+  private val registryEntries: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args => VectorDot(args(0), args(1)) },
+    "vec_l2" -> { args => VectorL2(args(0), args(1)) },
+    "vec_cosine" -> { args => VectorCosine(args(0), args(1)) },
+    "vec_norm" -> { args => VectorNorm(args(0)) },
+    "hamming_distance" -> { args => HammingDistance(args(0), args(1)) },
+    "sparse_ip" -> { args => SparseInnerProduct(args(0), args(1)) },
+    "st_contains" -> { args => StContains(args(0), args(1)) },
+  )
+
+  def register(spark: SparkSession): Unit =
+    registryEntries.foreach { case (name, builder) =>
+      Shims.registerFunction(spark, name, builder)
+    }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * These settings are chosen for the 100 TB design point and merely
+  * capped for local testing: AQE handles runtime re-planning and skew
+  * joins on a real cluster; shuffle partitions are sized to the local
+  * core count here but would be `2-3x total executor cores` (or left to
+  * AQE coalescing) on a cluster.
+  */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,226 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector distance metrics.
+  *
+  * Reference semantics (metrics L2 / IP / COSINE / HAMMING, see
+  * /root/reference/milvus-bricks/2.6/common.py:882-898 and
+  * milvus_client/common/workload.py:126-131): these are the scoring
+  * functions of the ANN-search operator family. Implemented as
+  * `BinaryExpression`s with `doGenCode` so the distance computation stays
+  * inside whole-stage codegen — on a 100 TB scan this is the innermost
+  * loop, and a Scala UDF here would pay boxing + serialization per row.
+  *
+  * All dense variants take `array<double>` and rely on implicit input
+  * casts to lift `array<float>` storage columns; computation is float64.
+  */
+abstract class DenseVectorBinary extends BinaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Java statements computing the result into `result` given double[]
+    * locals `x` and `y` and int local `n` (common length).
+    */
+  protected def javaKernel(x: String, y: String, n: String, result: String): String
+  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    scalaKernel(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $res = 0.0;
+         |${javaKernel(x, y, n, res)}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+}
+
+/** Inner product <x, y>. Milvus metric IP (similarity: larger = closer). */
+case class VectorDot(left: Expression, right: Expression) extends DenseVectorBinary {
+  override def prettyName: String = "vec_dot"
+  protected def javaKernel(x: String, y: String, n: String, res: String): String =
+    s"for (int i = 0; i < $n; i++) $res += $x[i] * $y[i];"
+  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i) * y(i); i += 1 }; s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Euclidean distance ||x - y||_2. Milvus metric L2 (smaller = closer).
+  * Milvus actually ranks on squared L2; we expose the true distance and
+  * rank order is identical.
+  */
+case class VectorL2(left: Expression, right: Expression) extends DenseVectorBinary {
+  override def prettyName: String = "vec_l2"
+  protected def javaKernel(x: String, y: String, n: String, res: String): String =
+    s"""for (int i = 0; i < $n; i++) { double d = $x[i] - $y[i]; $res += d * d; }
+       |$res = Math.sqrt($res);""".stripMargin
+  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = math.min(x.length, y.length)
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity <x,y> / (||x|| ||y||); 0.0 when either norm is 0.
+  * Milvus metric COSINE (larger = closer); equals IP on L2-normalized
+  * vectors (reference normalizes its float vectors,
+  * 2.6/common.py:347-350).
+  */
+case class VectorCosine(left: Expression, right: Expression) extends DenseVectorBinary {
+  override def prettyName: String = "vec_cosine"
+  protected def javaKernel(x: String, y: String, n: String, res: String): String =
+    s"""double nx = 0.0, ny = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  $res += $x[i] * $y[i]; nx += $x[i] * $x[i]; ny += $y[i] * $y[i];
+       |}
+       |double denom = Math.sqrt(nx) * Math.sqrt(ny);
+       |$res = denom == 0.0 ? 0.0 : $res / denom;""".stripMargin
+  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else s / denom
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a single vector (reference: common/data.py:18-24). */
+case class VectorNorm(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def prettyName: String = "vec_norm"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      val s = ctx.freshName("s")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double $s = 0.0;
+         |for (int i = 0; i < $x.length; i++) $s += $x[i] * $x[i];
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Hamming distance between packed-bit binary vectors (BinaryType), the
+  * Milvus BINARY_VECTOR metric (reference packs bits with np.packbits,
+  * 2.6/common.py:317-325).
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+  override def prettyName: String = "hamming_distance"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    var s = 0L; var i = 0; val n = math.min(x.length, y.length)
+    while (i < n) { s += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff); i += 1 }
+    // Length mismatch: count remaining bits as differing (defensive; the
+    // engine always compares same-dim vectors).
+    var j = n
+    val longer = if (x.length > y.length) x else y
+    while (j < longer.length) { s += java.lang.Integer.bitCount(longer(j) & 0xff); j += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val longer = ctx.freshName("longer")
+      s"""
+         |long $s = 0L;
+         |int $n = Math.min($a.length, $b.length);
+         |for (int i = 0; i < $n; i++) $s += Integer.bitCount(($a[i] ^ $b[i]) & 0xff);
+         |byte[] $longer = $a.length > $b.length ? $a : $b;
+         |for (int i = $n; i < $longer.length; i++) $s += Integer.bitCount($longer[i] & 0xff);
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Inner product of sparse vectors stored as map<int, double> (Milvus
+  * SPARSE_FLOAT_VECTOR, dict idx->val; reference generator
+  * 2.6/common.py:278-295). Iterates the smaller map and probes the
+  * larger; empty maps (generated by the reference) yield 0.0.
+  */
+case class SparseInnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+  override def prettyName: String = "sparse_ip"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(MapType(IntegerType, DoubleType), MapType(IntegerType, DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ma = a.asInstanceOf[MapData]
+    val mb = b.asInstanceOf[MapData]
+    val (small, big) = if (ma.numElements() <= mb.numElements()) (ma, mb) else (mb, ma)
+    // Build an index over the larger map once per row; sparse vectors in
+    // the reference have <= 16 nnz so this is a tiny linear probe.
+    val bigKeys = big.keyArray().toIntArray()
+    val bigVals = big.valueArray().toDoubleArray()
+    val smallKeys = small.keyArray().toIntArray()
+    val smallVals = small.valueArray().toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < smallKeys.length) {
+      var j = 0
+      while (j < bigKeys.length) {
+        if (bigKeys(j) == smallKeys(i)) s += smallVals(i) * bigVals(j)
+        j += 1
+      }
+      i += 1
+    }
+    s
+  }
+  // nnz <= 16 in the reference data model; interpreted eval is fine here
+  // and keeps surrounding operators in codegen via CodegenFallback-style
+  // wrapping done by Spark automatically? No — implement genCode via eval.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("sparseIp", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = (double) (Double) $expr.nullSafeEvalPublic($a, $b);"
+    })
+  }
+  def nullSafeEvalPublic(a: Any, b: Any): Any = nullSafeEval(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Functions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Exact top-k vector search — the reference's core operator family
+  * (ANN `search`, reference milvus_client/search_permanently.py:137-189
+  * and go_bench/search_horizon_perf_3.go:549-605). Our engine computes
+  * EXACT results; Milvus' index-approximate recall is a lower bound on
+  * ours, so result-completeness SLOs (hits >= topk * ratio) hold by
+  * construction.
+  *
+  * Scale design: queries arrive as a small DataFrame (nq rows) that is
+  * BROADCAST against the collection scan, so the big side is read once
+  * for the whole batch with no shuffle. The per-query top-k uses
+  * `row_number` over (qid) which Spark 3.5+/4.x executes with a partial
+  * WindowGroupLimit below the shuffle — each task keeps only its local
+  * top-k per qid before exchanging, so shuffle volume is O(nq * k), not
+  * O(rows). Single-query searches go through `orderBy(..).limit(k)` =
+  * TakeOrderedAndProject (no full sort, no wide shuffle).
+  */
+object Knn {
+
+  /** Search `data` for the top-k neighbors of each row in `queries`.
+    *
+    * @param data       collection DataFrame
+    * @param queries    small DataFrame with columns (qidCol, qvecCol)
+    * @param vecCol     vector column in `data`
+    * @param idCol      entity primary-key column in `data` (tiebreak + output)
+    * @param metricName L2 | IP | COSINE | HAMMING
+    * @param k          topk (reference exercises up to 15000)
+    * @param filter     optional pre-filter (Milvus filtered search is
+    *                   approximate; ours is exact and strictly stronger)
+    * @param offset     pagination offset (reference hybrid/search offset param)
+    * @param outputCols entity columns to carry into results
+    * @return columns: qid, <outputCols>, score, rank (rank is 1-based
+    *         after offset removal)
+    */
+  def search(
+      data: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metricName: String,
+      k: Int,
+      filter: Option[Column] = None,
+      offset: Int = 0,
+      outputCols: Seq[String] = Seq.empty,
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val filtered = filter.map(data.filter).getOrElse(data)
+    val (score, similarityLike) =
+      Functions.metric(metricName, col(vecCol), col(qvecCol))
+    val ord = orderFor(similarityLike, idCol)
+    val cols = outputCandidates(data, idCol, outputCols)
+    val scored = filtered
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
+    val w = Window.partitionBy(qidCol).orderBy(ord: _*)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") > offset && col("rank") <= offset + k)
+      .withColumn("rank", col("rank") - offset)
+  }
+
+  /** Group-by search (reference `group_by_field`,
+    * milvus_client/issues.py:79-86): keep each group's best hit, then
+    * the global top-k groups per query. Two window passes; both benefit
+    * from partial group limits.
+    */
+  def searchGroupBy(
+      data: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      groupByField: String,
+      metricName: String,
+      k: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty,
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val filtered = filter.map(data.filter).getOrElse(data)
+    val (score, similarityLike) =
+      Functions.metric(metricName, col(vecCol), col(qvecCol))
+    val ord = orderFor(similarityLike, idCol)
+    val cols = outputCandidates(data, idCol, outputCols :+ groupByField)
+    val scored = filtered
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
+    val perGroup = Window.partitionBy(qidCol, groupByField).orderBy(ord: _*)
+    val perQuery = Window.partitionBy(qidCol).orderBy(ord: _*)
+    scored
+      .withColumn("_gr", row_number().over(perGroup))
+      .filter(col("_gr") === 1)
+      .drop("_gr")
+      .withColumn("rank", row_number().over(perQuery))
+      .filter(col("rank") <= k)
+  }
+
+  /** Range search (Milvus 3.0 surface, feature-inventory doc §1-2): all
+    * entities within a score threshold of each query. Pure filter — no
+    * top-k, no shuffle beyond the scan.
+    */
+  def rangeSearch(
+      data: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      metricName: String,
+      threshold: Double,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty,
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val filtered = filter.map(data.filter).getOrElse(data)
+    val (score, similarityLike) =
+      Functions.metric(metricName, col(vecCol), col(qvecCol))
+    val keep = if (similarityLike) score >= lit(threshold) else score <= lit(threshold)
+    val cols = outputCandidates(data, idCol, outputCols)
+    filtered
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
+      .filter(keep)
+  }
+
+  /** Single-query top-k through TakeOrderedAndProject (orderBy+limit):
+    * preferred physical shape when nq == 1.
+    */
+  def searchOne(
+      data: DataFrame,
+      queryVec: Seq[Float],
+      vecCol: String,
+      idCol: String,
+      metricName: String,
+      k: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val filtered = filter.map(data.filter).getOrElse(data)
+    val qv = lit(queryVec.map(_.toDouble).toArray)
+    val (score, similarityLike) = Functions.metric(metricName, col(vecCol), qv)
+    val cols = outputCandidates(data, idCol, outputCols)
+    val scored = filtered.select(cols.map(col) :+ score.as("score"): _*)
+    val ord = orderFor(similarityLike, idCol)
+    scored.orderBy(ord: _*).limit(k)
+  }
+
+  private def orderFor(similarityLike: Boolean, idCol: String): Seq[Column] = {
+    val primary = if (similarityLike) col("score").desc else col("score").asc
+    // Deterministic tiebreak on the entity id.
+    Seq(primary, col(idCol).asc)
+  }
+
+  private def outputCandidates(
+      data: DataFrame, idCol: String, outputCols: Seq[String]): Seq[String] =
+    (idCol +: outputCols).distinct
+}

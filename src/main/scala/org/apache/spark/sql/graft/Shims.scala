@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Bridge into Spark's `private[sql]` classic-API surface.
+  *
+  * Spark 4 split `Column` from catalyst `Expression` (Spark Connect); the
+  * supported conversion lives in `org.apache.spark.sql.classic.ExpressionUtils`
+  * which is package-private to `org.apache.spark.sql`. This object is the one
+  * place in the codebase allowed to reach it.
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a builder under `name` in the session's function registry so
+    * the expression is usable from SQL text and `call_function`.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val info = new ExpressionInfo("graft", name)
+    registry.registerFunction(FunctionIdentifier(name), info, builder)
+  }
+}
