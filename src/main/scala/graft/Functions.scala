@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions._
+import org.apache.spark.sql.graft.functions._
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.{Column, SparkSession}

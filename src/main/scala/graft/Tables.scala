@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-provided deterministic parquet tables
@@ -12,8 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    // as LongType nanos — convert to a real timestamp (micro precision,
+    // matching what DuckDB sees after its own nanos handling).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else df
+  }
 
   /** Register every table as a temp view so `spark.sql` text queries and
     * the DuckDB oracle see the same relation names.

@@ -1,4 +1,6 @@
-package graft.functions
+// In the org.apache.spark.sql namespace because the expressions extend
+// private[sql] Catalyst surface (AbstractDataType, ImplicitCastInputTypes).
+package org.apache.spark.sql.graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
