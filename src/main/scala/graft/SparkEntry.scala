@@ -1,13 +1,391 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Fusion, Knn, QueryOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` on the same
+  * parquet tables. Every query is deterministically ordered so the
+  * driver's hash compare is stable regardless of row-order handling.
+  *
+  * Determinism notes baked into every entry:
+  *  - sums/avgs go through DECIMAL(18,2) (exact, partitioning-order
+  *    independent) and are cast back to double for a stable schema;
+  *  - distances are computed in float64 on both sides (DuckDB casts
+  *    `embedding::DOUBLE[]`), so scores agree bit-for-bit and ranks
+  *    agree including tiebreaks (secondary sort on the id column);
+  *  - no raw float aggregation, no nondeterministic limits.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Query-side embedding lookup (nq is tiny; a driver-side fetch of one
+    * row is the reference's own shape — queries arrive from outside).
+    */
+  private def vecOf(s: SparkSession, dir: String, id: Long): Seq[Float] = {
+    val r = tbl(s, dir, "embeddings").filter(col("vec_id") === id)
+      .select("embedding").head()
+    r.getSeq[Float](0)
+  }
+
+  private def queryDf(s: SparkSession, dir: String, ids: Seq[Int]): DataFrame =
+    tbl(s, dir, "embeddings")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Flagship query on sf=0.001: filtered cosine top-10 with metadata
+    * join-back — the reference's `search(filter=..., output_fields=...)`
+    * shape. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = tbl(spark, dir, "embeddings")
+    Knn.searchOne(emb, vecOf(spark, dir, 0), "embedding", "vec_id",
+      "COSINE", 10, filter = Some(col("label") >= 0), outputCols = Seq("label"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1: count(*) with filter --------------------------------------
+    "a1_count_filter" -> { (s, dir) =>
+      QueryOps.countStar(tbl(s, dir, "lineitem"), Some(col("l_quantity") > 30))
+    },
+    // ---- A2: count-distribution buckets --------------------------------
+    "a2_buckets" -> { (s, dir) =>
+      QueryOps.buckets(tbl(s, dir, "orders"), col("o_totalprice"),
+        Seq(100000.0, 200000.0, 300000.0),
+        Seq("0-99999", "100000-199999", "200000-299999", "300000+"))
+        .orderBy("bucket")
+    },
+    // ---- A4: min/max/sum/avg with group_by ------------------------------
+    "a4_agg_group" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          round((sum(col("l_quantity").cast("decimal(18,2)")) / count(lit(1)))
+            .cast("double"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+    "a4_agg_events" -> { (s, dir) =>
+      tbl(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    // ---- A5: ORDER BY ----------------------------------------------------
+    "a5_orderby" -> { (s, dir) =>
+      QueryOps.query(tbl(s, dir, "orders"), None,
+        Seq("o_orderkey", "o_totalprice"),
+        orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        limit = Some(10))
+    },
+    // ---- Q1: query(filter, output_fields, limit, offset) ----------------
+    "q1_query_proj_limit_offset" -> { (s, dir) =>
+      QueryOps.query(tbl(s, dir, "lineitem"),
+        Some(col("l_returnflag") === "A" && col("l_quantity") > 25),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // sort on the full projection for a total, deterministic order.
+        orderBy = Seq(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc, col("l_extendedprice").asc),
+        limit = Some(100), offset = 10)
+    },
+    // ---- Q2: get by PK ---------------------------------------------------
+    "q2_get_by_pk" -> { (s, dir) =>
+      QueryOps.query(tbl(s, dir, "orders"),
+        Some(col("o_orderkey").isin(1, 7, 32, 100, 9999)),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+        orderBy = Seq(col("o_orderkey").asc))
+    },
+    // ---- Q3: PK range scan (batched window) ------------------------------
+    "q3_pk_range" -> { (s, dir) =>
+      QueryOps.query(tbl(s, dir, "orders"),
+        Some(col("o_orderkey") >= 100 && col("o_orderkey") <= 600),
+        Seq("o_orderkey", "o_totalprice"),
+        orderBy = Seq(col("o_orderkey").asc),
+        limit = Some(200))
+    },
+    // ---- Q5: full scan ---------------------------------------------------
+    "q5_full_scan" -> { (s, dir) =>
+      QueryOps.query(tbl(s, dir, "nation"), None, Seq("*"),
+        orderBy = Seq(col("n_nationkey").asc))
+    },
+    // ---- Q6/T3: keyset (iterator) pagination ----------------------------
+    "q6_keyset_page" -> { (s, dir) =>
+      QueryOps.keysetPage(tbl(s, dir, "orders"), "o_orderkey",
+        afterPk = Some(1000), batchSize = 50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    // ---- V1: exact kNN, single query, three metrics ----------------------
+    "v1_knn_l2_one" -> { (s, dir) =>
+      Knn.searchOne(tbl(s, dir, "embeddings"), vecOf(s, dir, 0),
+        "embedding", "vec_id", "L2", 10).select("vec_id")
+    },
+    "v1_knn_cosine_one" -> { (s, dir) =>
+      Knn.searchOne(tbl(s, dir, "embeddings"), vecOf(s, dir, 7),
+        "embedding", "vec_id", "COSINE", 5).select("vec_id")
+    },
+    "v1_knn_ip_one" -> { (s, dir) =>
+      Knn.searchOne(tbl(s, dir, "embeddings"), vecOf(s, dir, 3),
+        "embedding", "vec_id", "IP", 5).select("vec_id")
+    },
+    // ---- V1: batched nq=3 kNN -------------------------------------------
+    "v1_knn_batch_l2" -> { (s, dir) =>
+      Knn.search(tbl(s, dir, "embeddings"), queryDf(s, dir, Seq(0, 1, 2)),
+        "embedding", "vec_id", "L2", 5)
+        .select("qid", "vec_id", "rank").orderBy("qid", "rank")
+    },
+    // ---- V3: filtered search --------------------------------------------
+    "v3_filtered_search" -> { (s, dir) =>
+      Knn.search(tbl(s, dir, "embeddings"), queryDf(s, dir, Seq(0)),
+        "embedding", "vec_id", "COSINE", 5,
+        filter = Some(col("label") === 3))
+        .select("qid", "vec_id", "rank").orderBy("qid", "rank")
+    },
+    // ---- V5: group_by search --------------------------------------------
+    "v5_group_by_search" -> { (s, dir) =>
+      Knn.searchGroupBy(tbl(s, dir, "embeddings"), queryDf(s, dir, Seq(0)),
+        "embedding", "vec_id", "label", "COSINE", 5)
+        .select("label", "vec_id", "rank").orderBy("rank")
+    },
+    // ---- V7: RRF fusion ---------------------------------------------------
+    "v7_rrf_fusion" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = queryDf(s, dir, Seq(0))
+      val r1 = Knn.search(emb, q, "embedding", "vec_id", "COSINE", 10)
+      val r2 = Knn.search(emb, q, "embedding", "vec_id", "L2", 10)
+      Fusion.rrf(Seq(r1, r2), Seq("vec_id"), k = 60, limit = 5)
+        .select(col("vec_id"), round(col("fused_score"), 6).as("fused_score"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    },
+    // ---- V7: weighted fusion ----------------------------------------------
+    "v7_weighted_fusion" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = queryDf(s, dir, Seq(0))
+      val r1 = Knn.search(emb, q, "embedding", "vec_id", "COSINE", 10)
+      val r2 = Knn.search(emb, q, "embedding", "vec_id", "L2", 10)
+      Fusion.weighted(Seq(r1, r2), Seq(0.7, 0.3), Seq("vec_id"), limit = 5,
+        similarityLike = Seq(true, false))
+        .select(col("vec_id"), round(col("fused_score"), 6).as("fused_score"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    },
+    // ---- V12: range search ------------------------------------------------
+    "v12_range_search" -> { (s, dir) =>
+      Knn.rangeSearch(tbl(s, dir, "embeddings"), queryDf(s, dir, Seq(0)),
+        "embedding", "vec_id", "L2", threshold = 1.2)
+        .select("vec_id").orderBy("vec_id")
+    },
+    // ---- S9: upsert view (latest version per PK wins) ---------------------
+    "s9_latest_per_key" -> { (s, dir) =>
+      QueryOps.latestPerKey(tbl(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    },
+    // ---- S10: delete by filter -------------------------------------------
+    "s10_delete_by_filter" -> { (s, dir) =>
+      QueryOps.countStar(
+        QueryOps.deleteByFilter(tbl(s, dir, "orders"),
+          col("o_orderstatus") === "F"),
+        None)
+    },
+    // ---- V2 extras: hamming / sparse_ip / geo as constant fixtures --------
+    "v2_hamming" -> { (s, dir) =>
+      val rows = Seq(("ab_ad", "ab", "ad"), ("00_ff", "00", "ff"),
+        ("ffff_0000", "ffff", "0000"))
+      import s.implicits._
+      rows.toDF("name", "xhex", "yhex")
+        .select(col("name"),
+          Functions.hammingDistance(unhex(col("xhex")), unhex(col("yhex")))
+            .as("hd"))
+        .orderBy("name")
+    },
+    "v2_sparse_ip" -> { (s, dir) =>
+      import s.implicits._
+      Seq(("one_key", Map(1 -> 2.0), Map(1 -> 4.0, 2 -> 1.0)),
+        ("disjoint", Map(1 -> 2.0), Map(3 -> 4.0)),
+        ("two_keys", Map(1 -> 1.5, 2 -> 2.0), Map(1 -> 2.0, 2 -> 0.5)))
+        .toDF("name", "x", "y")
+        .select(col("name"), Functions.sparseIp(col("x"), col("y")).as("ip"))
+        .orderBy("name")
+    },
+    "geo_st_contains" -> { (s, dir) =>
+      import s.implicits._
+      val poly = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+      Seq(("inside", "POINT (5 5)"), ("outside", "POINT (15 5)"),
+        ("edge", "POINT (10 5)"), ("vertex", "POINT (0 0)"))
+        .toDF("name", "pt")
+        .select(col("name"),
+          Functions.stContains(lit(poly), col("pt")).as("contained"))
+        .orderBy("name")
+    },
+  )
+
+  def oracleSql: Map[String, String] = {
+    val qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = %d)"
+    def q0 = qvec.format(0)
+    Map(
+      "a1_count_filter" ->
+        "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30",
+      "a2_buckets" ->
+        """SELECT CASE WHEN o_totalprice < 100000 THEN '0-99999'
+          |            WHEN o_totalprice < 200000 THEN '100000-199999'
+          |            WHEN o_totalprice < 300000 THEN '200000-299999'
+          |            ELSE '300000+' END AS bucket, count(*) AS cnt
+          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "a4_agg_group" ->
+        """SELECT l_returnflag, min(l_quantity) AS min_qty,
+          |  max(l_quantity) AS max_qty,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) AS DOUBLE), 4) AS avg_qty,
+          |  count(*) AS cnt
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "a4_agg_events" ->
+        """SELECT event_type, count(*) AS cnt,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "a5_orderby" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+      "q1_query_proj_limit_offset" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 25
+          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |LIMIT 100 OFFSET 10""".stripMargin,
+      "q2_get_by_pk" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+          |WHERE o_orderkey IN (1, 7, 32, 100, 9999)
+          |ORDER BY o_orderkey""".stripMargin,
+      "q3_pk_range" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_orderkey >= 100 AND o_orderkey <= 600
+          |ORDER BY o_orderkey LIMIT 200""".stripMargin,
+      "q5_full_scan" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      "q6_keyset_page" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 50""".stripMargin,
+      "v1_knn_l2_one" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_distance(embedding::DOUBLE[], $q0), vec_id
+           |LIMIT 10""".stripMargin,
+      "v1_knn_cosine_one" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(7)}) DESC, vec_id
+           |LIMIT 5""".stripMargin,
+      "v1_knn_ip_one" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_inner_product(embedding::DOUBLE[], ${qvec.format(3)}) DESC, vec_id
+           |LIMIT 5""".stripMargin,
+      "v1_knn_batch_l2" ->
+        """SELECT qid, vec_id, rank FROM (
+          |  SELECT q.vec_id AS qid, e.vec_id,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) AS INT) AS rank
+          |  FROM embeddings e
+          |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2)) q
+          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+      "v3_filtered_search" ->
+        s"""SELECT qid, vec_id, rank FROM (
+           |  SELECT 0::BIGINT AS qid, vec_id,
+           |    CAST(row_number() OVER (
+           |      ORDER BY list_cosine_similarity(embedding::DOUBLE[], $q0) DESC, vec_id) AS INT) AS rank
+           |  FROM embeddings WHERE label = 3
+           |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+      "v5_group_by_search" ->
+        s"""WITH scored AS (
+           |  SELECT vec_id, label,
+           |    list_cosine_similarity(embedding::DOUBLE[], $q0) AS s
+           |  FROM embeddings
+           |), best AS (
+           |  SELECT label, vec_id, s,
+           |    row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT label, vec_id, rank FROM (
+           |  SELECT label, vec_id,
+           |    CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank
+           |  FROM best WHERE rn = 1
+           |) WHERE rank <= 5 ORDER BY rank""".stripMargin,
+      "v7_rrf_fusion" ->
+        s"""WITH r1 AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_cosine_similarity(embedding::DOUBLE[], $q0) DESC, vec_id) AS INT) AS rank
+           |  FROM embeddings QUALIFY rank <= 10
+           |), r2 AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(embedding::DOUBLE[], $q0), vec_id) AS INT) AS rank
+           |  FROM embeddings QUALIFY rank <= 10
+           |), u AS (
+           |  SELECT vec_id, 1.0 / (60 + rank) AS c FROM r1
+           |  UNION ALL SELECT vec_id, 1.0 / (60 + rank) AS c FROM r2
+           |), f AS (SELECT vec_id, sum(c) AS fs FROM u GROUP BY vec_id)
+           |SELECT vec_id, round(fs, 6) AS fused_score, fused_rank FROM (
+           |  SELECT vec_id, fs, CAST(row_number() OVER (ORDER BY fs DESC, vec_id) AS INT) AS fused_rank
+           |  FROM f
+           |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      "v7_weighted_fusion" ->
+        s"""WITH r1 AS (
+           |  SELECT vec_id, s, CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank
+           |  FROM (SELECT vec_id,
+           |          list_cosine_similarity(embedding::DOUBLE[], $q0) AS s
+           |        FROM embeddings) QUALIFY rank <= 10
+           |), r2 AS (
+           |  SELECT vec_id, s, CAST(row_number() OVER (ORDER BY s ASC, vec_id) AS INT) AS rank
+           |  FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], $q0) AS s
+           |        FROM embeddings) QUALIFY rank <= 10
+           |), n1 AS (
+           |  SELECT vec_id, CASE WHEN max(s) OVER () - min(s) OVER () = 0 THEN 1.0
+           |    ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END * 0.7 AS c
+           |  FROM r1
+           |), n2 AS (
+           |  SELECT vec_id, (1.0 - CASE WHEN max(s) OVER () - min(s) OVER () = 0 THEN 1.0
+           |    ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END) * 0.3 AS c
+           |  FROM r2
+           |), u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2),
+           |f AS (SELECT vec_id, sum(c) AS fs FROM u GROUP BY vec_id)
+           |SELECT vec_id, round(fs, 6) AS fused_score, fused_rank FROM (
+           |  SELECT vec_id, fs, CAST(row_number() OVER (ORDER BY fs DESC, vec_id) AS INT) AS fused_rank
+           |  FROM f
+           |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      "v12_range_search" ->
+        s"""SELECT vec_id FROM embeddings
+           |WHERE list_distance(embedding::DOUBLE[], $q0) <= 1.2
+           |ORDER BY vec_id""".stripMargin,
+      "s9_latest_per_key" ->
+        """SELECT user_id, event_id, event_type FROM (
+          |  SELECT user_id, event_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events
+          |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "s10_delete_by_filter" ->
+        "SELECT count(*) AS cnt FROM orders WHERE NOT coalesce(o_orderstatus = 'F', false)",
+      "v2_hamming" ->
+        """SELECT name, hd FROM (VALUES
+          |  ('ab_ad', CAST(2 AS BIGINT)), ('00_ff', CAST(8 AS BIGINT)),
+          |  ('ffff_0000', CAST(16 AS BIGINT))) AS t(name, hd)
+          |ORDER BY name""".stripMargin,
+      "v2_sparse_ip" ->
+        """SELECT name, ip FROM (VALUES
+          |  ('one_key', CAST(8.0 AS DOUBLE)), ('disjoint', CAST(0.0 AS DOUBLE)),
+          |  ('two_keys', CAST(4.0 AS DOUBLE))) AS t(name, ip)
+          |ORDER BY name""".stripMargin,
+      "geo_st_contains" ->
+        """SELECT name, contained FROM (VALUES
+          |  ('inside', true), ('outside', false), ('edge', true),
+          |  ('vertex', true)) AS t(name, contained)
+          |ORDER BY name""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's dumped
+parquet results against the oracle SQL in oracle_sql.json via DuckDB and
+compare values with columns sorted by name (the driver's compare rule).
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json, sys, glob, os
+import duckdb
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    res_dir = f"{out_dir}/{name}"
+    files = glob.glob(f"{res_dir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no result parquet")
+        n_fail += 1
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        n_fail += 1
+        continue
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        n_fail += 1
+        continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+        n_fail += 1
+        continue
+    # Compare row-by-row in result order (strictest interpretation).
+    mismatch = None
+    for c in got.columns:
+        a, b = got[c].tolist(), want[c].tolist()
+        if a != b:
+            mismatch = (c, next((i, x, y) for i, (x, y) in
+                                enumerate(zip(a, b)) if x != y))
+            break
+    if mismatch:
+        c, (i, x, y) = mismatch
+        print(f"FAIL {name}: col {c} row {i}: got {x!r} want {y!r}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+print(f"\n{n_pass} pass / {n_fail} fail")
+sys.exit(1 if n_fail else 0)
