@@ -1,5 +1,6 @@
 package graft
 
+import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -219,6 +220,75 @@ object SparkEntry {
         .select(col("name"), Functions.sparseIp(col("x"), col("y")).as("ip"))
         .orderBy("name")
     },
+    // ---- §2.6: Milvus filter-expression compiler, string → Column ---------
+    // Every filter below is COMPILED FROM ITS STRING FORM via MilvusExpr.
+    "x1_expr_range_and" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "lineitem"),
+        "l_quantity > 30 and l_discount <= 0.05"), None)
+    },
+    "x2_expr_chained_range" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "lineitem"),
+        "10 <= l_quantity <= 20"), None)
+    },
+    "x3_expr_in_list" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "orders"),
+        "o_orderstatus in ['F', 'P']"), None)
+    },
+    "x4_expr_like" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "documents"),
+        "text like \"%data%\""), None)
+    },
+    "x5_expr_like_underscore" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "documents"),
+        "lang like \"_n\""), None)
+    },
+    "x6_expr_json_path" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "events"),
+        "props[\"k\"] >= 50"), None)
+    },
+    "x7_expr_arith_mod" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "lineitem"),
+        "l_orderkey % 10 == 3"), None)
+    },
+    "x8_expr_not_or" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "lineitem"),
+        "not (l_returnflag == \"A\") and (l_quantity < 5 or l_quantity > 45)"),
+        None)
+    },
+    "x9_expr_text_match" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "documents"),
+        "TEXT_MATCH(text, \"vector stream\")"), None)
+    },
+    "x10_expr_array_contains" -> { (s, dir) =>
+      import s.implicits._
+      val fixture = Seq(
+        (1L, Seq(10L, 20L), Seq("a", "b"), """{"tags": ["p", "q"]}"""),
+        (2L, Seq(30L, 40L), Seq("b", "c"), """{"tags": ["q", "r"]}"""),
+        (3L, Seq(50L, 20L), Seq("c", "d"), """{"tags": ["r", "s"]}"""))
+        .toDF("id", "arr_i", "arr_s", "js")
+      MilvusExpr.filter(fixture,
+        "ARRAY_CONTAINS(arr_i, 20) and ARRAY_CONTAINS_ANY(arr_s, [\"b\", \"d\"])")
+        .select("id").orderBy("id")
+    },
+    "x11_expr_json_contains" -> { (s, dir) =>
+      import s.implicits._
+      val fixture = Seq(
+        (1L, """{"tags": ["p", "q"]}"""),
+        (2L, """{"tags": ["q", "r"]}"""),
+        (3L, """{"tags": ["r", "s"]}"""))
+        .toDF("id", "js")
+      MilvusExpr.filter(fixture,
+        "JSON_CONTAINS_ALL(js[\"tags\"], [\"q\"]) AND NOT JSON_CONTAINS(js[\"tags\"], \"p\")")
+        .select("id").orderBy("id")
+    },
+    "x12_expr_st_contains" -> { (s, dir) =>
+      import s.implicits._
+      val fixture = Seq(("inside", "POINT (5 5)"), ("outside", "POINT (15 5)"),
+        ("edge", "POINT (10 5)")).toDF("name", "location")
+      MilvusExpr.filter(fixture,
+        "ST_CONTAINS(location, 'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')")
+        .select("name").orderBy("name")
+    },
     "geo_st_contains" -> { (s, dir) =>
       import s.implicits._
       val poly = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
@@ -381,6 +451,33 @@ object SparkEntry {
           |  ('one_key', CAST(8.0 AS DOUBLE)), ('disjoint', CAST(0.0 AS DOUBLE)),
           |  ('two_keys', CAST(4.0 AS DOUBLE))) AS t(name, ip)
           |ORDER BY name""".stripMargin,
+      "x1_expr_range_and" ->
+        "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05",
+      "x2_expr_chained_range" ->
+        "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20",
+      "x3_expr_in_list" ->
+        "SELECT count(*) AS cnt FROM orders WHERE o_orderstatus IN ('F', 'P')",
+      "x4_expr_like" ->
+        "SELECT count(*) AS cnt FROM documents WHERE text LIKE '%data%'",
+      "x5_expr_like_underscore" ->
+        "SELECT count(*) AS cnt FROM documents WHERE lang LIKE '_n'",
+      "x6_expr_json_path" ->
+        """SELECT count(*) AS cnt FROM events
+          |WHERE CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) >= 50""".stripMargin,
+      "x7_expr_arith_mod" ->
+        "SELECT count(*) AS cnt FROM lineitem WHERE l_orderkey % 10 = 3",
+      "x8_expr_not_or" ->
+        """SELECT count(*) AS cnt FROM lineitem
+          |WHERE NOT (l_returnflag = 'A') AND (l_quantity < 5 OR l_quantity > 45)""".stripMargin,
+      "x9_expr_text_match" ->
+        """SELECT count(*) AS cnt FROM documents
+          |WHERE regexp_matches(text, '\b(vector|stream)\b')""".stripMargin,
+      "x10_expr_array_contains" ->
+        "SELECT id FROM (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT))) t(id) ORDER BY id",
+      "x11_expr_json_contains" ->
+        "SELECT id FROM (VALUES (CAST(2 AS BIGINT))) t(id) ORDER BY id",
+      "x12_expr_st_contains" ->
+        "SELECT name FROM (VALUES ('edge'), ('inside')) t(name) ORDER BY name",
       "geo_st_contains" ->
         """SELECT name, contained FROM (VALUES
           |  ('inside', true), ('outside', false), ('edge', true),
