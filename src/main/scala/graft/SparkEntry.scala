@@ -2,6 +2,8 @@ package graft
 
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
+import graft.store.{Catalog, CollectionDef, FieldDef}
+import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -199,6 +201,54 @@ object SparkEntry {
         QueryOps.deleteByFilter(tbl(s, dir, "orders"),
           col("o_orderstatus") === "F"),
         None)
+    },
+    // ---- S1/S8/S9/S10: collection store end-to-end DML scenario -----------
+    // upsert3.py:184-226 shape: insert -> versioned upserts -> partial
+    // update -> delete; the final snapshot is a deterministic constant.
+    "s8_dml_scenario" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-dml").toString)
+      val c = cat.createCollection(CollectionDef("dml", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("category", LongType),
+        FieldDef("content", StringType),
+        FieldDef("version", LongType))))
+      c.insert(s, (0L until 6L).map(i => (i, i * 10, s"v0_$i", 0L))
+        .toDF("id", "category", "content", "version"))
+      c.upsert(s, (0L until 3L).map(i => (i, i * 10 + 1, s"v1_$i", 1L))
+        .toDF("id", "category", "content", "version"))
+      c.upsert(s, Seq((3L, 999L)).toDF("id", "category"), partialUpdate = true)
+      c.delete(s, "id == 4")
+      c.read(s).orderBy("id")
+    },
+    // ---- S3: explicit partitions with pk-routing and pruning --------------
+    "s3_partition_prune" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-part").toString)
+      val c = cat.createCollection(CollectionDef("parts", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("v", LongType)), partitions = Seq("p0", "p1", "p2")))
+      c.insert(s, (0L until 9L).map(i => (i, i * 2)).toDF("id", "v"))
+      c.read(s, partitionNames = Seq("p0", "p2")).orderBy("id").select("id", "v")
+    },
+    // ---- S13: alias swap --------------------------------------------------
+    "s13_alias_swap" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-alias").toString)
+      val a = cat.createCollection(CollectionDef("coll_a", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true))))
+      val b = cat.createCollection(CollectionDef("coll_b", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true))))
+      a.insert(s, (0L until 3L).map(Tuple1(_)).toDF("id"))
+      b.insert(s, (0L until 7L).map(Tuple1(_)).toDF("id"))
+      cat.createAlias("hot", "coll_a")
+      val before = cat.collection("hot").numEntities(s)
+      cat.alterAlias("hot", "coll_b")
+      val after = cat.collection("hot").numEntities(s)
+      Seq((before, after)).toDF("cnt_before", "cnt_after")
     },
     // ---- V2 extras: hamming / sparse_ip / geo as constant fixtures --------
     "v2_hamming" -> { (s, dir) =>
@@ -451,6 +501,20 @@ object SparkEntry {
           |  ('one_key', CAST(8.0 AS DOUBLE)), ('disjoint', CAST(0.0 AS DOUBLE)),
           |  ('two_keys', CAST(4.0 AS DOUBLE))) AS t(name, ip)
           |ORDER BY name""".stripMargin,
+      "s8_dml_scenario" ->
+        """SELECT id, category, content, version FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'v1_0', CAST(1 AS BIGINT)),
+          |  (CAST(1 AS BIGINT), CAST(11 AS BIGINT), 'v1_1', CAST(1 AS BIGINT)),
+          |  (CAST(2 AS BIGINT), CAST(21 AS BIGINT), 'v1_2', CAST(1 AS BIGINT)),
+          |  (CAST(3 AS BIGINT), CAST(999 AS BIGINT), 'v0_3', CAST(0 AS BIGINT)),
+          |  (CAST(5 AS BIGINT), CAST(50 AS BIGINT), 'v0_5', CAST(0 AS BIGINT))
+          |) t(id, category, content, version) ORDER BY id""".stripMargin,
+      "s3_partition_prune" ->
+        """SELECT id, id * 2 AS v FROM (VALUES (CAST(0 AS BIGINT)), (CAST(2 AS BIGINT)),
+          |  (CAST(3 AS BIGINT)), (CAST(5 AS BIGINT)), (CAST(6 AS BIGINT)),
+          |  (CAST(8 AS BIGINT))) t(id) ORDER BY id""".stripMargin,
+      "s13_alias_swap" ->
+        "SELECT CAST(3 AS BIGINT) AS cnt_before, CAST(7 AS BIGINT) AS cnt_after",
       "x1_expr_range_and" ->
         "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05",
       "x2_expr_chained_range" ->

@@ -1,0 +1,191 @@
+package graft.store
+
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.JavaConverters._
+
+/** Field declaration for a collection — mirrors the reference's
+  * FieldSchema / FieldSpec surface (milvus_client/common/schema.py:13-63,
+  * 2.6/common.py:932-1016): exactly one primary key, optional auto_id,
+  * optional partition-key field, per-field max_length/dim.
+  */
+final case class FieldDef(
+    name: String,
+    dataType: DataType,
+    nullable: Boolean = true,
+    isPrimary: Boolean = false,
+    autoId: Boolean = false,
+    isPartitionKey: Boolean = false,
+    maxLength: Option[Int] = None,
+    dim: Option[Int] = None)
+
+/** Index declaration — metadata only: the exact engine scans, and the
+  * ANN module consults these to pick an accelerated path
+  * (manifests/schema_matrix_2_6.yaml:30-81).
+  */
+final case class IndexDef(
+    field: String,
+    indexType: String,
+    metricType: Option[String] = None,
+    params: Map[String, String] = Map.empty)
+
+/** Collection schema + properties. Validation mirrors
+  * validate_schema_matrix (common/schema.py:175-269).
+  */
+final case class CollectionDef(
+    name: String,
+    fields: Seq[FieldDef],
+    enableDynamicField: Boolean = false,
+    partitions: Seq[String] = Seq.empty,
+    numPartitions: Option[Int] = None, // partition-key hash buckets
+    ttlSeconds: Option[Long] = None,
+    shardsNum: Int = 1,
+    indexes: Seq[IndexDef] = Seq.empty,
+    description: String = "") {
+
+  def primaryField: FieldDef = fields.find(_.isPrimary).get
+  def partitionKeyField: Option[FieldDef] = fields.find(_.isPartitionKey)
+
+  def validate(): Unit = {
+    val primaries = fields.filter(_.isPrimary)
+    require(primaries.length == 1,
+      s"exactly one primary field required, got ${primaries.map(_.name)}")
+    val pk = primaries.head
+    require(pk.dataType == LongType || pk.dataType == StringType,
+      s"primary field must be INT64 or VARCHAR, got ${pk.dataType}")
+    require(!pk.nullable, "primary field cannot be nullable")
+    fields.filter(_.autoId).foreach(f =>
+      require(f.isPrimary, s"auto_id only allowed on the primary field (${f.name})"))
+    val pkeys = fields.filter(_.isPartitionKey)
+    require(pkeys.length <= 1, "at most one partition-key field")
+    pkeys.foreach { f =>
+      require(f.dataType == LongType || f.dataType == StringType,
+        s"partition key must be INT64 or VARCHAR, got ${f.dataType}")
+      require(partitions.isEmpty,
+        "partition key is mutually exclusive with explicit partitions")
+      require(!f.isPrimary, "partition key cannot be the primary field")
+    }
+    fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          require(f.dim.isDefined || !isVectorName(f), "")
+        case _ => ()
+      }
+    }
+    val names = fields.map(_.name)
+    require(names.distinct.length == names.length, "duplicate field names")
+    indexes.foreach(ix => require(names.contains(ix.field),
+      s"index references undeclared field ${ix.field}"))
+  }
+
+  private def isVectorName(f: FieldDef): Boolean = f.dim.isDefined
+
+  /** User-visible Spark schema (no engine-internal columns). */
+  def structType: StructType =
+    StructType(fields.map(f => StructField(f.name, f.dataType, f.nullable)))
+}
+
+private[store] final case class CatalogMeta(
+    d: CollectionDef, seq: Long, loadState: String)
+
+/** File-backed collection catalog. One directory per collection under
+  * `root`, holding `meta.json` plus sequenced parquet delta directories
+  * (see [[Collection]]). Aliases are catalog-level pointers
+  * (alter_alias.py:69-98: atomic swap of the collection behind a name).
+  */
+final class Catalog(val root: String) {
+  private val rootPath: Path = {
+    val p = Paths.get(root)
+    Files.createDirectories(p)
+    p
+  }
+
+  private def dir(name: String): Path = rootPath.resolve(name)
+  private def metaFile(name: String): Path = dir(name).resolve("meta.json")
+  private def aliasFile: Path = rootPath.resolve("_aliases.json")
+
+  def createCollection(d: CollectionDef): Collection = {
+    d.validate()
+    require(!hasCollection(d.name), s"collection ${d.name} already exists")
+    Files.createDirectories(dir(d.name))
+    writeMeta(d.name, CatalogMeta(d, seq = 0L, loadState = "NotLoad"))
+    new Collection(this, d.name)
+  }
+
+  def hasCollection(name: String): Boolean = Files.exists(metaFile(resolve(name)))
+
+  def dropCollection(name: String): Unit = {
+    val n = resolve(name)
+    if (Files.exists(dir(n))) deleteRecursively(dir(n))
+  }
+
+  def describeCollection(name: String): CollectionDef = readMeta(resolve(name)).d
+
+  def listCollections(): Seq[String] =
+    Files.list(rootPath).iterator.asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def collection(name: String): Collection = {
+    val n = resolve(name)
+    require(Files.exists(metaFile(n)), s"no such collection $name")
+    new Collection(this, n)
+  }
+
+  // --- aliases (S13) ----------------------------------------------------
+  def createAlias(alias: String, collection: String): Unit = {
+    val m = readAliases
+    require(!m.contains(alias), s"alias $alias already exists")
+    writeAliases(m + (alias -> collection))
+  }
+  def alterAlias(alias: String, collection: String): Unit =
+    writeAliases(readAliases + (alias -> collection))
+  def dropAlias(alias: String): Unit = writeAliases(readAliases - alias)
+  def listAliases(): Map[String, String] = readAliases
+
+  /** Resolve an alias to its target (identity for real names). */
+  def resolve(name: String): String = readAliases.getOrElse(name, name)
+
+  // --- internal metadata ------------------------------------------------
+  private[store] def readMeta(name: String): CatalogMeta =
+    MetaJson.read(new String(Files.readAllBytes(metaFile(name))))
+
+  private[store] def writeMeta(name: String, m: CatalogMeta): Unit =
+    Files.write(metaFile(name), MetaJson.write(m).getBytes)
+
+  /** Allocate the next write sequence number for a collection. Single
+    * driver process — file-backed counter is sufficient; on a real
+    * deployment this becomes a metastore transaction.
+    */
+  private[store] def nextSeq(name: String): Long = this.synchronized {
+    val m = readMeta(name)
+    val next = m.seq + 1
+    writeMeta(name, m.copy(seq = next))
+    next
+  }
+
+  private[store] def setLoadState(name: String, state: String): Unit =
+    this.synchronized {
+      writeMeta(name, readMeta(name).copy(loadState = state))
+    }
+  private[store] def updateDef(name: String, d: CollectionDef): Unit =
+    this.synchronized {
+      writeMeta(name, readMeta(name).copy(d = d))
+    }
+
+  private[store] def collectionDir(name: String): Path = dir(name)
+
+  private def readAliases: Map[String, String] =
+    if (!Files.exists(aliasFile)) Map.empty
+    else MetaJson.readAliases(new String(Files.readAllBytes(aliasFile)))
+
+  private def writeAliases(m: Map[String, String]): Unit =
+    Files.write(aliasFile, MetaJson.writeAliases(m).getBytes)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator.asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

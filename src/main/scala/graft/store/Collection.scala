@@ -1,0 +1,347 @@
+package graft.store
+
+import graft.expr.MilvusExpr
+import graft.operators.QueryOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** A schema'd, mutable collection over sequenced parquet deltas —
+  * merge-on-read (the Spark-native equivalent of the reference's
+  * insert/upsert/delete surface, 2.6/common.py:804-856, :202-238).
+  *
+  * Storage layout under `<catalog>/<name>/data/`:
+  * one parquet directory per write batch, each row carrying
+  *   `_seq`   — monotonically increasing write-batch sequence,
+  *   `_del`   — tombstone flag,
+  *   `_ts`    — insert wall-clock (millis) for TTL expiry,
+  *   `_part`  — partition name (explicit partitions or partition-key hash).
+  *
+  * Read = union of deltas → last `_seq` per PK wins → drop tombstones →
+  * TTL filter. At 100 TB this is the standard LSM-on-object-store shape:
+  * the per-PK window shuffles once on the PK (hash-partitioned, AQE
+  * sized), `_part` is a physical partition column so partition_names
+  * prune directories at the scan, and compaction (`compact()`) folds
+  * deltas back to a single base to bound read amplification.
+  *
+  * `partial_update` upserts (2.6/common.py:824-827) are resolved at
+  * WRITE time: the incoming batch is joined against the current
+  * snapshot and absent columns are coalesced from the old row
+  * (upsert3.py:184-226 semantics), so the read path stays pure
+  * last-write-wins.
+  */
+final class Collection(catalog: Catalog, val name: String) {
+
+  def definition: CollectionDef = catalog.describeCollection(name)
+
+  private def dataDir = catalog.collectionDir(name).resolve("data")
+
+  private val SEQ = "_seq"
+  private val DEL = "_del"
+  private val TS = "_ts"
+  private val PART = "_part"
+  private val DEFAULT_PART = "_default"
+
+  // ---- DDL-ish ---------------------------------------------------------
+
+  def createPartition(p: String): Unit = {
+    val d = definition
+    require(d.partitionKeyField.isEmpty, "collection uses a partition key")
+    if (!d.partitions.contains(p))
+      catalog.updateDef(name, d.copy(partitions = d.partitions :+ p))
+  }
+
+  def dropPartition(spark: SparkSession, p: String): Unit = {
+    val d = definition
+    require(d.partitions.contains(p), s"no partition $p")
+    // Drop = tombstone every live row in the partition.
+    val live = read(spark, partitionNames = Seq(p))
+    delete(spark, col(PART) === lit(p), preFiltered = Some(live))
+    catalog.updateDef(name, d.copy(partitions = d.partitions.filterNot(_ == p)))
+  }
+
+  def listPartitions(): Seq[String] = {
+    val d = definition
+    if (d.partitions.nonEmpty) d.partitions
+    else d.numPartitions.map(n => (0 until n).map(i => s"_bucket_$i"))
+      .getOrElse(Seq(DEFAULT_PART))
+  }
+
+  // ---- index metadata (S4-S6: recorded, consulted by the ANN module) ----
+
+  def createIndex(ix: IndexDef): Unit = {
+    val d = definition
+    require(d.fields.exists(_.name == ix.field), s"no field ${ix.field}")
+    catalog.updateDef(name,
+      d.copy(indexes = d.indexes.filterNot(_.field == ix.field) :+ ix))
+  }
+
+  def dropIndex(field: String): Unit = {
+    val d = definition
+    catalog.updateDef(name, d.copy(indexes = d.indexes.filterNot(_.field == field)))
+  }
+
+  def listIndexes(): Seq[IndexDef] = definition.indexes
+
+  // ---- schema evolution (schema_evolution_workload.py:44-124) -----------
+
+  def addField(f: FieldDef): Unit = {
+    val d = definition
+    require(f.nullable, "added fields must be nullable")
+    require(!d.fields.exists(_.name == f.name), s"field ${f.name} exists")
+    catalog.updateDef(name, d.copy(fields = d.fields :+ f))
+  }
+
+  def dropField(fieldName: String): Unit = {
+    val d = definition
+    val f = d.fields.find(_.name == fieldName)
+      .getOrElse(throw new IllegalArgumentException(s"no field $fieldName"))
+    require(!f.isPrimary, "cannot drop the primary field")
+    catalog.updateDef(name, d.copy(fields = d.fields.filterNot(_.name == fieldName)))
+  }
+
+  // ---- DML --------------------------------------------------------------
+
+  /** Insert a batch. Missing nullable columns are filled with null;
+    * auto_id primary keys are assigned `(seq << 40) | row_index`
+    * (unique across batches without driver coordination). Returns the
+    * inserted PK values (insert_entities returns ids,
+    * validate_phase_dml_dql.py:92-102).
+    */
+  def insert(spark: SparkSession, rows: DataFrame,
+      partition: Option[String] = None): Seq[Any] = {
+    val d = definition
+    val seq = catalog.nextSeq(name)
+    val pk = d.primaryField
+    var df = conformToSchema(rows, d, allowMissingPk = pk.autoId)
+    if (pk.autoId) {
+      require(!rows.columns.contains(pk.name),
+        "auto_id collection must not supply primary keys")
+      df = df.withColumn(pk.name,
+        lit(seq << 40) + monotonically_increasing_id())
+    }
+    writeDelta(spark, df, d, seq, partition, deleted = false)
+    df.select(pk.name).collect().map(_.get(0)).toSeq
+  }
+
+  /** Upsert: replace-by-PK (full rows), or `partialUpdate` column
+    * coalesce against the current snapshot.
+    */
+  def upsert(spark: SparkSession, rows: DataFrame,
+      partialUpdate: Boolean = false,
+      partition: Option[String] = None): Unit = {
+    val d = definition
+    val pk = d.primaryField.name
+    require(rows.columns.contains(pk), "upsert rows must carry the primary key")
+    val batch =
+      if (!partialUpdate) conformToSchema(rows, d, allowMissingPk = false)
+      else {
+        // partial_update: fill columns absent from the batch from the
+        // live row (left join on PK; new values win where provided).
+        val current = read(spark)
+        val provided = rows.columns.toSet
+        val joined = rows.alias("n")
+          .join(current.alias("o"), col(s"n.$pk") === col(s"o.$pk"), "left")
+        val cols = d.fields.map { f =>
+          if (f.name == pk) col(s"n.$pk").as(pk)
+          else if (provided.contains(f.name))
+            coalesce(col(s"n.${f.name}"), col(s"o.${f.name}")).as(f.name)
+          else col(s"o.${f.name}").as(f.name)
+        }
+        joined.select(cols: _*)
+      }
+    val seq = catalog.nextSeq(name)
+    writeDelta(spark, batch, d, seq, partition, deleted = false)
+  }
+
+  /** Delete by filter expression (string, compiled via MilvusExpr) —
+    * 2.6/common.py:202-238. Writes PK tombstones for currently-matching
+    * rows.
+    */
+  def delete(spark: SparkSession, filterExpr: String): Long =
+    delete(spark, MilvusExpr.compile(filterExpr, read(spark)), None)
+
+  def delete(spark: SparkSession, pred: Column,
+      preFiltered: Option[DataFrame] = None): Long = {
+    val d = definition
+    val pk = d.primaryField.name
+    val victims = preFiltered.getOrElse(read(spark).filter(pred))
+      .select(pk).distinct()
+    val seq = catalog.nextSeq(name)
+    val tombstones = victims
+      .withColumn(SEQ, lit(seq))
+      .withColumn(DEL, lit(true))
+      .withColumn(TS, lit(System.currentTimeMillis()))
+      .withColumn(PART, lit(DEFAULT_PART))
+    val out = dataDir.resolve(f"delta_$seq%012d").toString
+    tombstones.write.mode("overwrite").parquet(out)
+    victims.count()
+  }
+
+  /** Flush is a no-op: parquet writes are atomic per job (S11). */
+  def flush(): Unit = ()
+
+  // ---- memory residency (S12) ------------------------------------------
+
+  @volatile private var cached: Option[DataFrame] = None
+
+  def load(spark: SparkSession): Unit = {
+    val df = read(spark).cache()
+    df.count() // materialize
+    cached = Some(df)
+    catalog.setLoadState(name, "Loaded")
+  }
+
+  def release(): Unit = {
+    cached.foreach(_.unpersist())
+    cached = None
+    catalog.setLoadState(name, "NotLoad")
+  }
+
+  def loadState: String = catalog.readMeta(name).loadState
+
+  // ---- read path --------------------------------------------------------
+
+  /** Merge-on-read snapshot. Column pruning/pushdown still applies —
+    * callers filter/select on the returned DataFrame and Catalyst pushes
+    * through the window where legal.
+    */
+  def read(spark: SparkSession, partitionNames: Seq[String] = Seq.empty,
+      asOfMillis: Option[Long] = None): DataFrame = {
+    cached match {
+      case Some(df) if partitionNames.isEmpty && asOfMillis.isEmpty => df
+      case _ => assemble(spark, partitionNames, asOfMillis)
+    }
+  }
+
+  private def assemble(spark: SparkSession, partitionNames: Seq[String],
+      asOfMillis: Option[Long]): DataFrame = {
+    val d = definition
+    if (!Files.exists(dataDir) || !Files.list(dataDir).iterator().hasNext)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.structType)
+    val pk = d.primaryField.name
+    var df = spark.read
+      .schema(deltaSchema(d))
+      .parquet(dataDir.resolve("delta_*").toString)
+    if (partitionNames.nonEmpty)
+      // Keep tombstones regardless of partition: a delete must still
+      // suppress rows when reading a partition subset.
+      df = df.filter(col(PART).isin(partitionNames: _*) || col(DEL))
+    // Last write per PK wins; tombstones drop the key.
+    val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
+    var out = df
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col(DEL))
+    d.ttlSeconds.foreach { ttl =>
+      val now = asOfMillis.getOrElse(System.currentTimeMillis())
+      out = out.filter(col(TS) >= lit(now - ttl * 1000L))
+    }
+    out.select(d.fields.map(f => col(f.name)): _*)
+  }
+
+  /** Fold all deltas into a single base delta (bounds read
+    * amplification; the LSM "major compaction").
+    */
+  def compact(spark: SparkSession): Unit = {
+    val snapshot = assemble(spark, Seq.empty, None)
+    val d = definition
+    val seq = catalog.nextSeq(name)
+    val staging = dataDir.resolve(s"_staging_$seq").toString
+    withInternals(snapshot, d, seq).write.mode("overwrite").parquet(staging)
+    // Swap: remove old deltas, rename staging in.
+    import scala.collection.JavaConverters._
+    Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("delta_"))
+      .toSeq.foreach(p => deleteRecursively(p))
+    Files.move(java.nio.file.Paths.get(staging),
+      dataDir.resolve(f"delta_$seq%012d"))
+  }
+
+  def numEntities(spark: SparkSession): Long = read(spark).count()
+
+  /** query with Milvus-expression filter + partition_names (Q1/Q6). */
+  def query(spark: SparkSession, filterExpr: String = "",
+      outputFields: Seq[String] = Seq("*"),
+      partitionNames: Seq[String] = Seq.empty,
+      orderBy: Seq[Column] = Seq.empty,
+      limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+    val base = read(spark, partitionNames)
+    val pred =
+      if (filterExpr.trim.isEmpty) None
+      else Some(MilvusExpr.compile(filterExpr, base,
+        dynamicField = if (definition.enableDynamicField) Some("_dynamic") else None))
+    QueryOps.query(base, pred, outputFields, orderBy, limit, offset)
+  }
+
+  // ---- internals --------------------------------------------------------
+
+  private def deltaSchema(d: CollectionDef): StructType =
+    // All user fields nullable here: tombstone deltas carry only the PK,
+    // so every other column reads back as null for those rows.
+    StructType(d.structType.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField(SEQ, LongType, nullable = false),
+      StructField(DEL, BooleanType, nullable = false),
+      StructField(TS, LongType, nullable = false),
+      StructField(PART, StringType, nullable = false)))
+
+  private def conformToSchema(rows: DataFrame, d: CollectionDef,
+      allowMissingPk: Boolean): DataFrame = {
+    val present = rows.columns.toSet
+    val cols = d.fields.flatMap { f =>
+      if (present.contains(f.name))
+        Some(col(f.name).cast(f.dataType).as(f.name))
+      else if (f.isPrimary && allowMissingPk) None
+      else if (f.nullable) Some(lit(null).cast(f.dataType).as(f.name))
+      else throw new IllegalArgumentException(
+        s"missing non-nullable column ${f.name}")
+    }
+    rows.select(cols: _*)
+  }
+
+  private def partitionColumn(d: CollectionDef, df: DataFrame,
+      explicit: Option[String]): Column =
+    explicit.map(lit).getOrElse {
+      d.partitionKeyField match {
+        case Some(pkf) =>
+          val n = d.numPartitions.getOrElse(16)
+          concat(lit("_bucket_"), pmod(hash(col(pkf.name)), lit(n)).cast(StringType))
+        case None =>
+          if (d.partitions.nonEmpty) {
+            // pk % len(partitions) routing (validate_phase_dml_dql.py:105-108)
+            val pkCol = col(d.primaryField.name)
+            val idx =
+              if (d.primaryField.dataType == LongType) pmod(pkCol, lit(d.partitions.length.toLong))
+              else pmod(hash(pkCol), lit(d.partitions.length))
+            element_at(typedlit(d.partitions), (idx + 1).cast(IntegerType))
+          } else lit(DEFAULT_PART)
+      }
+    }
+
+  private def withInternals(df: DataFrame, d: CollectionDef, seq: Long,
+      explicitPart: Option[String] = None): DataFrame =
+    df.withColumn(SEQ, lit(seq))
+      .withColumn(DEL, lit(false))
+      .withColumn(TS, lit(System.currentTimeMillis()))
+      .withColumn(PART, partitionColumn(d, df, explicitPart))
+
+  private def writeDelta(spark: SparkSession, batch: DataFrame,
+      d: CollectionDef, seq: Long, partition: Option[String],
+      deleted: Boolean): Unit = {
+    partition.foreach(p => require(listPartitions().contains(p),
+      s"no such partition $p"))
+    val out = dataDir.resolve(f"delta_$seq%012d").toString
+    withInternals(batch, d, seq, partition)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.collection.JavaConverters._
+    if (Files.isDirectory(p))
+      Files.list(p).iterator.asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,290 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class StoreSpec extends SparkSpec {
+
+  private def freshCatalog(): Catalog =
+    new Catalog(Files.createTempDirectory("graft-store").toString)
+
+  private def simpleDef(name: String,
+      partitions: Seq[String] = Seq.empty,
+      ttl: Option[Long] = None,
+      autoId: Boolean = false): CollectionDef =
+    CollectionDef(name,
+      fields = Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true, autoId = autoId),
+        FieldDef("category", LongType),
+        FieldDef("content", StringType),
+        FieldDef("version", LongType)),
+      partitions = partitions, ttlSeconds = ttl)
+
+  test("schema validation mirrors the reference rules") {
+    // no primary
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(FieldDef("a", LongType))).validate()
+    }
+    // two primaries
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(
+        FieldDef("a", LongType, nullable = false, isPrimary = true),
+        FieldDef("b", LongType, nullable = false, isPrimary = true))).validate()
+    }
+    // auto_id on non-primary
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(
+        FieldDef("a", LongType, nullable = false, isPrimary = true),
+        FieldDef("b", LongType, autoId = true))).validate()
+    }
+    // float primary
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(
+        FieldDef("a", DoubleType, nullable = false, isPrimary = true))).validate()
+    }
+    // partition key + explicit partitions are mutually exclusive
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(
+        FieldDef("a", LongType, nullable = false, isPrimary = true),
+        FieldDef("g", LongType, isPartitionKey = true)),
+        partitions = Seq("p0")).validate()
+    }
+    // index on undeclared field
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(
+        FieldDef("a", LongType, nullable = false, isPrimary = true)),
+        indexes = Seq(IndexDef("nope", "INVERTED"))).validate()
+    }
+  }
+
+  test("create / has / describe / list / drop collection") {
+    val cat = freshCatalog()
+    cat.createCollection(simpleDef("c1"))
+    cat.createCollection(simpleDef("c2"))
+    assert(cat.hasCollection("c1"))
+    assert(cat.listCollections() == Seq("c1", "c2"))
+    assert(cat.describeCollection("c1").fields.map(_.name) ==
+      Seq("id", "category", "content", "version"))
+    intercept[IllegalArgumentException](cat.createCollection(simpleDef("c1")))
+    cat.dropCollection("c1")
+    assert(!cat.hasCollection("c1"))
+    assert(cat.listCollections() == Seq("c2"))
+  }
+
+  test("insert returns pks; read returns inserted rows; num_entities") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("ins"))
+    val ids = c.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
+      .toDF("id", "category", "content", "version"))
+    assert(ids.toSet == Set(1L, 2L))
+    assert(c.numEntities(s) == 2)
+    val rows = c.read(s).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getString(2)).toSeq == Seq("a", "b"))
+  }
+
+  test("auto_id assigns unique pks across batches") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("auto", autoId = true))
+    val df = Seq((10L, "x", 0L), (20L, "y", 0L))
+      .toDF("category", "content", "version")
+    val ids1 = c.insert(s, df)
+    val ids2 = c.insert(s, df)
+    assert((ids1 ++ ids2).distinct.length == 4)
+    assert(c.numEntities(s) == 4)
+    // supplying pk to an auto_id collection is an error
+    intercept[IllegalArgumentException] {
+      c.insert(s, Seq((99L, 1L, "z", 0L)).toDF("id", "category", "content", "version"))
+    }
+  }
+
+  test("upsert3-style version replacement: last write wins per pk") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("ups"))
+    // round 0: insert 6 rows at version 0
+    c.insert(s, (0L until 6L).map(i => (i, i * 10, s"v0_$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    // rounds 1..3: upsert all rows, bumping version (upsert3.py:184-226)
+    (1L to 3L).foreach { v =>
+      c.upsert(s, (0L until 6L).map(i => (i, i * 10 + v, s"v${v}_$i", v))
+        .toDF("id", "category", "content", "version"))
+    }
+    val rows = c.read(s).orderBy("id").collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(3) == 3L), "all rows must be at version 3")
+    assert(rows.map(_.getString(2)).forall(_.startsWith("v3_")))
+  }
+
+  test("partial_update coalesces absent/null columns from the live row") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("pup"))
+    c.insert(s, Seq((1L, 10L, "orig", 0L), (2L, 20L, "keep", 0L))
+      .toDF("id", "category", "content", "version"))
+    // update only category for pk 1; content column absent entirely
+    c.upsert(s, Seq((1L, 99L)).toDF("id", "category"), partialUpdate = true)
+    val r1 = c.read(s).filter($"id" === 1).head()
+    assert(r1.getLong(1) == 99L)
+    assert(r1.getString(2) == "orig") // carried over
+    val r2 = c.read(s).filter($"id" === 2).head()
+    assert(r2.getLong(1) == 20L)
+  }
+
+  test("delete by filter expression writes tombstones") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("del"))
+    c.insert(s, (0L until 10L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    val n = c.delete(s, "category >= 7")
+    assert(n == 3)
+    assert(c.numEntities(s) == 7)
+    // delete by pk list (2.6/common.py:229 shape)
+    val n2 = c.delete(s, "id in [0, 1]")
+    assert(n2 == 2)
+    assert(c.read(s).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (2L to 6L))
+    // re-insert a deleted pk resurrects it (newer seq wins over tombstone)
+    c.insert(s, Seq((0L, 0L, "back", 1L)).toDF("id", "category", "content", "version"))
+    assert(c.read(s).filter($"id" === 0).head().getString(2) == "back")
+  }
+
+  test("explicit partitions route by pk and prune on read") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("parts", partitions = Seq("p0", "p1", "p2")))
+    c.insert(s, (0L until 9L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    // pk % 3 routing: p0 = {0,3,6}, p1 = {1,4,7}, p2 = {2,5,8}
+    assert(c.read(s, partitionNames = Seq("p0")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L, 6L))
+    assert(c.read(s, partitionNames = Seq("p1", "p2")).count() == 6)
+    // deletes suppress rows in partition-scoped reads too
+    c.delete(s, "id == 3")
+    assert(c.read(s, partitionNames = Seq("p0")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 6L))
+    // create/drop partition
+    c.createPartition("p3")
+    assert(c.listPartitions() == Seq("p0", "p1", "p2", "p3"))
+    c.dropPartition(s, "p2")
+    assert(c.listPartitions() == Seq("p0", "p1", "p3"))
+    assert(c.read(s).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 4L, 6L, 7L))
+  }
+
+  test("TTL expiry filters aged rows at read time") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("ttl", ttl = Some(60L)))
+    c.insert(s, Seq((1L, 1L, "fresh", 0L)).toDF("id", "category", "content", "version"))
+    assert(c.numEntities(s) == 1)
+    // pretend we read 2 minutes in the future: row expired
+    val future = System.currentTimeMillis() + 120 * 1000L
+    assert(c.read(s, asOfMillis = Some(future)).count() == 0)
+  }
+
+  test("aliases: create, swap, drop (alter_alias.py)") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c1 = cat.createCollection(simpleDef("coll_a"))
+    cat.createCollection(simpleDef("coll_b"))
+    c1.insert(s, Seq((1L, 1L, "a", 0L)).toDF("id", "category", "content", "version"))
+    cat.createAlias("hot", "coll_a")
+    assert(cat.collection("hot").numEntities(s) == 1)
+    cat.alterAlias("hot", "coll_b")
+    assert(cat.collection("hot").numEntities(s) == 0)
+    intercept[IllegalArgumentException](cat.createAlias("hot", "coll_a"))
+    cat.dropAlias("hot")
+    assert(cat.listAliases().isEmpty)
+  }
+
+  test("load/release lifecycle and load_state") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("ld"))
+    c.insert(s, Seq((1L, 1L, "a", 0L)).toDF("id", "category", "content", "version"))
+    assert(c.loadState == "NotLoad")
+    c.load(s)
+    assert(c.loadState == "Loaded")
+    assert(c.numEntities(s) == 1)
+    c.release()
+    assert(c.loadState == "NotLoad")
+  }
+
+  test("index metadata create/drop/list (S4-S6)") {
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("ix"))
+    c.createIndex(IndexDef("category", "INVERTED"))
+    c.createIndex(IndexDef("content", "NGRAM", params = Map("min_gram" -> "2")))
+    assert(c.listIndexes().map(_.field).sorted == Seq("category", "content"))
+    c.dropIndex("category")
+    assert(c.listIndexes().map(_.field) == Seq("content"))
+    intercept[IllegalArgumentException](c.createIndex(IndexDef("nope", "TRIE")))
+  }
+
+  test("schema evolution: add nullable field, drop field") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("evo"))
+    c.insert(s, Seq((1L, 1L, "a", 0L)).toDF("id", "category", "content", "version"))
+    c.addField(FieldDef("extra", StringType))
+    // old rows read back with null in the new column
+    val r = c.read(s).head()
+    assert(r.schema.fieldNames.contains("extra") && r.isNullAt(r.fieldIndex("extra")))
+    // new writes can fill it
+    c.upsert(s, Seq((1L, "filled")).toDF("id", "extra"), partialUpdate = true)
+    assert(c.read(s).head().getString(4) == "filled")
+    c.dropField("extra")
+    assert(!c.read(s).columns.contains("extra"))
+    intercept[IllegalArgumentException](c.addField(FieldDef("x", LongType, nullable = false)))
+    intercept[IllegalArgumentException](c.dropField("id"))
+  }
+
+  test("compaction folds deltas and preserves the snapshot") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("cmp"))
+    c.insert(s, (0L until 5L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.upsert(s, Seq((2L, 99L, "upd", 1L)).toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 4")
+    val before = c.read(s).orderBy("id").collect().map(_.toSeq).toSeq
+    c.compact(s)
+    val after = c.read(s).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(before == after)
+    assert(c.read(s).filter($"id" === 2).head().getString(2) == "upd")
+    assert(c.numEntities(s) == 4)
+  }
+
+  test("query with Milvus filter string + partition_names") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("qf", partitions = Seq("p0", "p1")))
+    c.insert(s, (0L until 8L).map(i => (i, i * 10, s"doc_$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    assert(c.query(s, "category >= 40").count() == 4)
+    assert(c.query(s, "content like \"doc_%\"").count() == 8)
+    // pk % 2 routing: p0 = evens
+    assert(c.query(s, "category >= 0", partitionNames = Seq("p0")).count() == 4)
+    assert(c.query(s, "", outputFields = Seq("id", "content")).columns.toSeq ==
+      Seq("id", "content"))
+  }
+}
