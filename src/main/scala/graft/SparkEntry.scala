@@ -2,7 +2,10 @@ package graft
 
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
+import graft.dedup.Dedup
 import graft.store.{Catalog, CollectionDef, FieldDef}
+import graft.text.{Bm25, TextOps}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -250,6 +253,59 @@ object SparkEntry {
       val after = cat.collection("hot").numEntities(s)
       Seq((before, after)).toDF("cnt_before", "cnt_after")
     },
+    // ---- V8: BM25 full-text top-k ----------------------------------------
+    "v8_bm25_topk" -> { (s, dir) =>
+      val top = Bm25.topK(tbl(s, dir, "documents"), "text", "doc_id",
+        "vector stream", 10)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select("doc_id", "rank").orderBy("rank")
+    },
+    // ---- LLM pipeline: dedup family ---------------------------------------
+    "d1_dedup_exact" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      // Plant duplicates: re-append the first three documents.
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") < 3)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      QueryOps.countStar(Dedup.exact(planted, "text", "doc_id"), None)
+    },
+    "d2_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashNearDups(dedupFixture(s), "text", "doc_id",
+        threshold = 0.5, shingleSize = 3, numHashes = 64, bands = 16)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    "d3_dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "embedding",
+        "vec_id", threshold = 0.45, exact = true)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    },
+    "d4_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearDups(dedupFixture(s), "text", "doc_id", maxHamming = 6)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    },
+    // ---- LLM pipeline: text analysis --------------------------------------
+    "t1_text_features" -> { (s, dir) =>
+      import s.implicits._
+      Seq(
+        ("a", "the cat sat on the mat and it was good"),
+        ("b", "el perro y la casa de que los"),
+        ("c", "der hund und die katze ist nicht von"),
+        ("d", "one two three four five"))
+        .toDF("name", "t")
+        .select(col("name"), TextOps.langId(col("t")).as("lang"),
+          TextOps.tokenCount(col("t")).as("n_tokens"),
+          length(col("t")).as("n_chars"))
+        .orderBy("name")
+    },
+    "t2_token_stats" -> { (s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(TextOps.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy("lang")
+    },
     // ---- V2 extras: hamming / sparse_ip / geo as constant fixtures --------
     "v2_hamming" -> { (s, dir) =>
       val rows = Seq(("ab_ad", "ab", "ad"), ("00_ff", "00", "ff"),
@@ -350,6 +406,21 @@ object SparkEntry {
         .orderBy("name")
     },
   )
+
+  /** Near-dup fixture shared by d2/d4: docs 1/2/5 identical after
+    * normalization, doc 3 one word off, docs 4/6 unrelated.
+    */
+  private def dedupFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different text about database systems and query planning"),
+      (5L, "THE  QUICK  Brown fox jumps over the lazy dog near the river bank today"),
+      (6L, "another unrelated document discussing machine learning models"))
+      .toDF("doc_id", "text")
+  }
 
   def oracleSql: Map[String, String] = {
     val qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = %d)"
@@ -501,6 +572,62 @@ object SparkEntry {
           |  ('one_key', CAST(8.0 AS DOUBLE)), ('disjoint', CAST(0.0 AS DOUBLE)),
           |  ('two_keys', CAST(4.0 AS DOUBLE))) AS t(name, ip)
           |ORDER BY name""".stripMargin,
+      "v8_bm25_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+          |  FROM documents
+          |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |       WHERE term IN ('vector', 'stream') GROUP BY doc_id, term),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+          |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |    sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+          |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+          |  GROUP BY tf.doc_id)
+          |SELECT doc_id, rank FROM (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+          |  FROM scored) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "d1_dedup_exact" ->
+        """SELECT count(*) AS cnt FROM (
+          |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+          |  FROM (SELECT text FROM documents
+          |        UNION ALL SELECT text FROM documents WHERE doc_id < 3))""".stripMargin,
+      "d2_dedup_minhash" ->
+        """SELECT id_a, id_b, jaccard FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE)),
+          |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0.846154 AS DOUBLE)),
+          |  (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(1.0 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0.846154 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(1.0 AS DOUBLE)),
+          |  (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(0.846154 AS DOUBLE))
+          |) t(id_a, id_b, jaccard) ORDER BY id_a, id_b""".stripMargin,
+      "d3_dedup_embedding" ->
+        """SELECT id_a, id_b FROM (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM embeddings a, embeddings b
+          |  WHERE a.vec_id < b.vec_id
+          |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45)
+          |ORDER BY id_a, id_b""".stripMargin,
+      "d4_dedup_simhash" ->
+        """SELECT id_a, id_b FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT)), (CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+          |  (CAST(1 AS BIGINT), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+          |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(5 AS BIGINT))
+          |) t(id_a, id_b) ORDER BY id_a, id_b""".stripMargin,
+      "t1_text_features" ->
+        """SELECT name, lang, n_tokens, n_chars FROM (VALUES
+          |  ('a', 'en', 10, 38), ('b', 'es', 8, 29),
+          |  ('c', 'de', 8, 36), ('d', 'und', 5, 23)
+          |) t(name, lang, n_tokens, n_chars) ORDER BY name""".stripMargin,
+      "t2_token_stats" ->
+        """SELECT lang, count(*) AS cnt,
+          |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "s8_dml_scenario" ->
         """SELECT id, category, content, version FROM (VALUES
           |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'v1_0', CAST(1 AS BIGINT)),

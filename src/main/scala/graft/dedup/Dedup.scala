@@ -1,0 +1,206 @@
+package graft.dedup
+
+import graft.Functions
+import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for LLM training-data pipelines. Every
+  * near-dup variant is bucketed (LSH bands / hash chunks) so candidate
+  * generation is an equi-join on bucket keys — never an all-pairs cross
+  * join — followed by an exact verification on the candidates only.
+  * That is the shape that survives 100 TB: the joins shuffle on bucket
+  * keys with data-proportional volume, and verification touches only
+  * the (tiny) candidate set.
+  */
+object Dedup {
+
+  // --- exact -------------------------------------------------------------
+
+  /** Exact dedup on normalized text: keep the lowest-id document per
+    * fingerprint. One hash-shuffle; no text comparison.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("_fp").orderBy(col(idCol).asc)
+    docs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Exact-dup groups: fingerprints appearing more than once, with
+    * their member ids (for reporting / CORRECTNESS).
+    */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .groupBy("_fp")
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("cnt") > 1)
+
+  // --- MinHash + banded LSH ---------------------------------------------
+
+  /** MinHash signatures over word n-gram shingles.
+    * numHashes independent hash functions h_i(s) = xxhash64(i, s); the
+    * signature row i is min over the doc's shingles. Computed with one
+    * explode + groupBy (shuffle on id, partial min map-side).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(col(textCol), shingleSize)))
+        .as("_shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("_shingle"))).as(s"_h$i"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*)
+        .as("signature"))
+  }
+
+  /** Candidate pairs via banded LSH: split the signature into
+    * `bands` bands of `rows` hashes; docs sharing any band bucket are
+    * candidates. Equi-join on (band, bucketHash) — shuffle volume is
+    * O(docs × bands), never quadratic.
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      bands: Int, rows: Int): DataFrame = {
+    val buckets = signatures.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws("_",
+          (0 until rows).map(r => col("signature")(b * rows + r)): _*))): _*))
+        .as(Seq("band", "bucket")))
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity over distinct shingle sets, computed for
+    * given pairs only (posting-list join, no cross product).
+    */
+  def jaccardVerify(docs: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame, shingleSize: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("_id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("_set"))
+    pairs
+      .join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "_sa"), "id_a")
+      .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "_sb"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          size(array_union(col("_sa"), col("_sb"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidate
+    * join → exact Jaccard verification → pairs ≥ threshold.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, numHashes)
+    val pairs = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+    jaccardVerify(docs, textCol, idCol, pairs, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** N-gram Jaccard similarity of two text columns (scalar, for direct
+    * scoring / tests).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val (sa, sb) = (array_distinct(TextOps.shingles(a, n)),
+      array_distinct(TextOps.shingles(b, n)))
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+  }
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
+    * sign of Σ_tokens (±1 by token-hash bit j). Pure aggregation —
+    * explode tokens, sum per bit, reassemble.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(graft.text.Analyzer.standard(col(textCol))).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_b$j"))
+    toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j =>
+          when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dups: candidates share at least one of 4 16-bit
+    * chunks (any pair within Hamming distance 3 must agree on ≥1 chunk),
+    * verified with the exact popcount distance.
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val chunks = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("chunk", "val")))
+    val a = chunks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("val"))
+    val b = chunks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("val"))
+    a.join(b, Seq("chunk", "val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // --- embedding cosine near-dup ----------------------------------------
+
+  /** Embedding near-dup pairs with cosine ≥ threshold.
+    *
+    * exact=true: block-nested join (for oracles/small data).
+    * exact=false: random-hyperplane LSH buckets (sign sketch) as the
+    * scale path — candidates must share the full sign signature, then
+    * exact cosine verifies. Deterministic hyperplanes from xxhash64.
+    */
+  def embeddingNearDups(embs: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, exact: Boolean = false,
+      planes: Int = 16): DataFrame = {
+    if (exact) {
+      val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+      val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Functions.vecCosine(col("_va"), col("_vb")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    } else {
+      val withSig = embs.withColumn("_sig", signSketch(col(vecCol), planes))
+      val a = withSig.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("_sig"))
+      val b = withSig.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("_sig"))
+      a.join(b, "_sig")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Functions.vecCosine(col("_va"), col("_vb")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+  }
+
+  /** Random-hyperplane sign sketch: bit p = sign(<v, r_p>) where r_p is
+    * a deterministic pseudo-random ±1 vector derived from xxhash64(p, i).
+    */
+  private def signSketch(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1),
+            i => when(xxhash64(lit(p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
+          (v, r) => v * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+}

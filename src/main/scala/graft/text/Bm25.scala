@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** BM25 full-text search (reference V8: Milvus `Function(BM25)` +
+  * text-as-query search, common/workload.py:230-234,
+  * manifests/schema_matrix_2_6.yaml:65-69; Turbopuffer
+  * `RankByTextBM25`, tpuffer/fts_query.go:397-407).
+  *
+  * Spark-first shape — an inverted-index join, not a scan-and-score:
+  *   1. postings: explode(doc tokens) → tf per (doc, term)   [one shuffle]
+  *   2. df per term + (N, avgdl) corpus stats                [aggregation]
+  *   3. semi-join postings ⋈ query terms (broadcast)          [prunes to
+  *      docs sharing ≥1 query term — the inverted-index lookup]
+  *   4. per-doc score aggregation → top-k                     [tiny]
+  *
+  * At 100 TB the expensive parts are the postings build (linear, one
+  * shuffle on term) and stats — both are offline-index work that
+  * [[Bm25Index]] materializes once and every query reuses; a query then
+  * touches only the postings of its terms (partition-pruned scan when
+  * the postings table is written bucketed by term).
+  *
+  * Scoring (Lucene/Milvus BM25):
+  *   idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
+  *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+  */
+object Bm25 {
+
+  final case class Params(k1: Double = 1.2, b: Double = 0.75,
+      analyzer: String = "standard")
+
+  /** Materialized index: postings (id, term, tf, dl) + df table + corpus
+    * stats. Build once, search many times.
+    */
+  final case class Bm25Index(
+      postings: DataFrame, // idCol, term, tf, dl
+      docFreq: DataFrame,  // term, df
+      numDocs: Long,
+      avgdl: Double,
+      idCol: String,
+      params: Params)
+
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String,
+      params: Params = Params()): Bm25Index = {
+    val tokenize = Analyzer.byName(params.analyzer)
+    val toks = docs
+      .select(col(idCol), tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+    val postings = toks.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"))
+    val stats = docs.select(
+      count(lit(1)).as("n"),
+      avg(size(tokenize(col(textCol)))).as("avgdl")).head()
+    Bm25Index(postings, docFreq, stats.getLong(0), stats.getDouble(1),
+      idCol, params)
+  }
+
+  /** Score one text query against the index; returns (idCol, score)
+    * for every doc sharing at least one query term.
+    */
+  def score(index: Bm25Index, query: String): DataFrame = {
+    val terms = tokenizeQuery(query, index.params.analyzer)
+    val p = index.params
+    // Query terms with per-term idf — tiny, broadcast into the join.
+    val termDf = index.docFreq
+      .filter(col("term").isin(terms: _*))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(index.numDocs.toDouble) - col("df") + 0.5)
+          / (col("df") + 0.5)))
+    val contrib = index.postings
+      .join(broadcast(termDf), "term")
+      .withColumn("_score",
+        col("idf") * (col("tf") * (p.k1 + 1)) /
+          (col("tf") + lit(p.k1) * (lit(1 - p.b) + lit(p.b) * col("dl") / index.avgdl)))
+    contrib.groupBy(index.idCol)
+      .agg(sum("_score").as("score"))
+  }
+
+  /** One-shot text top-k over a document DataFrame (builds the index
+    * inline — use [[buildIndex]] + [[score]] for repeated queries).
+    */
+  def topK(docs: DataFrame, textCol: String, idCol: String, query: String,
+      k: Int, params: Params = Params(),
+      filter: Option[Column] = None): DataFrame = {
+    val base = filter.map(docs.filter).getOrElse(docs)
+    val index = buildIndex(base, textCol, idCol, params)
+    score(index, query)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  private[text] def tokenizeQuery(query: String, analyzer: String): Seq[String] =
+    analyzer.toLowerCase match {
+      case "standard" =>
+        query.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq.distinct
+      case "whitespace" => query.split("\\s+").filter(_.nonEmpty).toSeq.distinct
+      case other => throw new IllegalArgumentException(s"unknown analyzer $other")
+    }
+}

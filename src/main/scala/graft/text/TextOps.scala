@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: language
+  * ID, quality scoring, token counting, document fingerprinting. All
+  * pure Column expressions (codegen'd, no UDFs) so they survive a
+  * 100 TB scan inside whole-stage codegen.
+  */
+object TextOps {
+
+  /** Normalized text: lowercase, collapse whitespace, trim — the
+    * canonical form used by fingerprints and exact dedup.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Deterministic document fingerprint: 128-bit md5 of the normalized
+    * text (hex). Stable across engines — DuckDB's md5() agrees.
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c).cast("binary"))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64 of normalized text) for
+    * cheap joins; engine-internal (not portable across engines).
+    */
+  def fingerprint64(c: Column): Column = xxhash64(normalize(c))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(Analyzer.whitespace(c))
+
+  /** BPE-ish subword count approximation: word-piece regex splitting
+    * words, numbers, and punctuation runs — the usual ~chars/4 heuristic
+    * is replaced by counting actual segments.
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(
+      split(c, "(?<=[\\p{L}\\p{N}])(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}\\s])(?=[\\p{L}\\p{N}])|\\s+"),
+      t => t =!= ""))
+
+  // --- language ID -------------------------------------------------------
+
+  /** Tiny per-language stopword profiles (top function words). Public
+    * knowledge; enough for a coarse n-gram/stopword heuristic.
+    */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "sie", "ist", "des", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+  )
+
+  /** Heuristic language ID: CJK character ratio decides "zh"; otherwise
+    * the language whose stopword profile overlaps the token set most.
+    * Returns "und" (undetermined) when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val toks = Analyzer.standard(c)
+    val cjk = size(filter(split(c, ""), ch => ch.rlike("[\\u4e00-\\u9fff]")))
+    val total = greatest(length(c), lit(1))
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, lit(words.toArray))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(cjk * 5 > total, lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  private val enStopwords =
+    Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+      "on", "are", "as", "with", "at", "be", "this", "have", "from", "or")
+
+  /** Length / punctuation / stopword-ratio quality features
+    * (the standard pre-training quality-filter feature set).
+    */
+  def qualityFeatures(c: Column): Column = {
+    val toks = Analyzer.whitespace(c)
+    val n = greatest(size(toks), lit(1))
+    val punct = size(filter(split(c, ""), ch => ch.rlike("[\\p{Punct}]")))
+    val stop = size(array_intersect(
+      transform(toks, t => lower(t)), lit(enStopwords.toArray)))
+    struct(
+      length(c).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(length(c).cast("double") / n, 4).as("mean_token_len"),
+      round(punct.cast("double") / greatest(length(c), lit(1)), 4).as("punct_ratio"),
+      round(stop.cast("double") / n, 4).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / n, 4).as("distinct_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * vocabulary diversity, penalizes extreme punctuation and degenerate
+    * token lengths.
+    */
+  def qualityScore(c: Column): Column = {
+    val f = qualityFeatures(c)
+    val lenOk = when(f.getField("n_tokens").between(5, 100000), 1.0).otherwise(0.2)
+    val punctOk = when(f.getField("punct_ratio") <= 0.2, 1.0)
+      .when(f.getField("punct_ratio") <= 0.5, 0.5)
+      .otherwise(0.0)
+    val stopOk = least(f.getField("stopword_ratio") * 5.0, lit(1.0))
+    val divOk = least(f.getField("distinct_ratio") * 1.25, lit(1.0))
+    round((lenOk * 0.3 + punctOk * 0.2 + stopOk * 0.2 + divOk * 0.3), 4)
+  }
+
+  /** Word n-gram shingles of the normalized text (for MinHash/Jaccard). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = Analyzer.standard(c)
+    val idxs = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(idxs, i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+      (4L, "completely different text about database systems and query planning"),
+      (5L, "THE  QUICK  Brown fox jumps over the lazy dog near the river bank today"), // normalized dup of 1
+      (6L, "another unrelated document discussing machine learning models"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per normalized fingerprint") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 6L)) // 2 and 5 collapse into 1
+  }
+
+  test("exact-dup groups report members") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g.head.getSeq[Long](g.head.fieldIndex("ids")) == Seq(1L, 2L, 5L))
+  }
+
+  test("minhash-LSH finds near-dups and verifies exact Jaccard") {
+    val out = Dedup.minhashNearDups(docs, "text", "doc_id",
+      threshold = 0.5, shingleSize = 3, numHashes = 64, bands = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // near-dup pairs among {1,2,5 (identical), 3 (one word off)}
+    assert(out.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L), (1L, 3L), (2L, 3L), (3L, 5L)))
+    assert(out((1L, 2L)) == 1.0)
+    // doc 3 differs in the last word: 14 tokens -> 12 trigram windows,
+    // only the window containing the final word differs -> 11 shared,
+    // union 13 -> J = 11/13
+    assert(math.abs(out((1L, 3L)) - 11.0 / 13.0) < 1e-9)
+  }
+
+  test("jaccard matches a hand-computed value") {
+    val s = spark
+    import s.implicits._
+    val j = Seq(("a b c d", "a b c e"))
+      .toDF("x", "y").select(Dedup.ngramJaccard($"x", $"y", 2)).head().getDouble(0)
+    // bigrams x: {a b, b c, c d}; y: {a b, b c, c e}; J = 2/4
+    assert(j == 0.5)
+  }
+
+  test("simhash near-dups: identical docs distance 0, near-dups close") {
+    val out = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) == 0L)
+    assert(out((1L, 5L)) == 0L)
+    assert(out.contains((1L, 3L)), s"near-dup 1-3 missed: $out")
+    assert(!out.contains((1L, 4L)) && !out.contains((1L, 6L)))
+  }
+
+  test("embedding near-dups: exact and LSH paths agree on planted dups") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 8).map(i => math.sin(i * 1.7).toFloat)
+    val near = base.updated(0, base(0) + 0.01f)
+    val far = (0 until 8).map(i => math.cos(i * 2.3).toFloat)
+    val embs = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(embs, "embedding", "vec_id",
+      threshold = 0.99, exact = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = Dedup.embeddingNearDups(embs, "embedding", "vec_id",
+      threshold = 0.99, exact = false, planes = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+}

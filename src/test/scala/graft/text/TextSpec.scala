@@ -1,0 +1,130 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+
+  test("standard analyzer tokenizes, lowercases, drops empties") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("Hello, World!  foo_bar 42")
+      .toDF("t").select(Analyzer.standard($"t")).head().getSeq[String](0)
+    assert(out == Seq("hello", "world", "foo", "bar", "42"))
+  }
+
+  test("shingles produce word n-grams; short docs collapse to one") {
+    val s = spark
+    import s.implicits._
+    val sh3 = Seq("a b c d e").toDF("t")
+      .select(TextOps.shingles($"t", 3)).head().getSeq[String](0)
+    assert(sh3 == Seq("a b c", "b c d", "c d e"))
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.shingles($"t", 3)).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint is md5 of normalized text") {
+    val s = spark
+    import s.implicits._
+    val fps = Seq("  Hello   WORLD ", "hello world", "other")
+      .toDF("t").select(TextOps.fingerprint($"t")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    // normalized form is "hello world"
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes).map("%02x".format(_)).mkString
+    assert(fps(0) == expect)
+  }
+
+  test("token and subword counts") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("one two three").toDF("t")
+      .select(TextOps.tokenCount($"t"), TextOps.subwordCount($"t")).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 3)
+    val sub = Seq("don't stop-me now2day").toDF("t")
+      .select(TextOps.subwordCount($"t")).head().getInt(0)
+    assert(sub > 3) // punctuation splits add segments
+  }
+
+  test("langId picks profile languages and CJK") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("the cat sat on the mat and it was good", "en"),
+      ("el perro y la casa de que los", "es"),
+      ("der hund und die katze ist nicht von", "de"),
+      ("le chat et les maisons est une du que", "fr"),
+      ("你好世界这是中文", "zh"),
+      ("zzz qqq xxx", "und"))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextOps.langId($"t")).collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("quality features and composite score") {
+    val s = spark
+    import s.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and it was good to see"
+    val bad = "!!! ??? !!! ??? !!!"
+    val rows = Seq(good, bad).toDF("t")
+      .select(TextOps.qualityScore($"t").as("q")).collect().map(_.getDouble(0))
+    assert(rows(0) > 0.8, s"good text scored ${rows(0)}")
+    assert(rows(1) < 0.5, s"garbage scored ${rows(1)}")
+  }
+
+  test("BM25 ranks term-bearing docs; recomputed-in-Scala oracle") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark query engine with vector search"),
+      (2L, "vector vector vector everywhere"),
+      (3L, "completely unrelated text about cats"),
+      (4L, "a very long document about many things including vector topics and much more filler filler filler"),
+    ).toDF("doc_id", "text")
+    val got = Bm25.topK(docs, "text", "doc_id", "vector search", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 3 shares no term: absent
+    assert(!got.map(_._1).contains(3L))
+    // Scala oracle: recompute BM25 for the same corpus.
+    val corpus = Map(
+      1L -> "spark query engine with vector search",
+      2L -> "vector vector vector everywhere",
+      4L -> "a very long document about many things including vector topics and much more filler filler filler")
+    val all = corpus + (3L -> "completely unrelated text about cats")
+    def toks(t: String) = t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    val n = all.size.toDouble
+    val avgdl = all.values.map(toks(_).length).sum / n
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long, q: Seq[String]): Double = {
+      val ts = toks(all(id))
+      q.map { term =>
+        val df = all.values.count(toks(_).contains(term)).toDouble
+        if (!ts.contains(term)) 0.0
+        else {
+          val tf = ts.count(_ == term).toDouble
+          val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * ts.length / avgdl))
+        }
+      }.sum
+    }
+    got.foreach { case (id, sc) =>
+      assert(math.abs(sc - score(id, Seq("vector", "search"))) < 1e-9,
+        s"doc $id: got $sc want ${score(id, Seq("vector", "search"))}")
+    }
+    // ordering: doc 1 has both terms
+    assert(got.head._1 == 1L)
+  }
+
+  test("BM25 index reuse across queries") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val ix = Bm25.buildIndex(docs, "text", "doc_id")
+    assert(Bm25.score(ix, "alpha").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Bm25.score(ix, "gamma").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+}
