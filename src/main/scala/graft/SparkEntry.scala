@@ -2,7 +2,9 @@ package graft
 
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
+import graft.ann.Ivf
 import graft.dedup.Dedup
+import graft.operators.QueryIterator
 import graft.store.{Catalog, CollectionDef, FieldDef}
 import graft.text.{Bm25, TextOps}
 import org.apache.spark.sql.expressions.Window
@@ -252,6 +254,38 @@ object SparkEntry {
       cat.alterAlias("hot", "coll_b")
       val after = cat.collection("hot").numEntities(s)
       Seq((before, after)).toDF("cnt_before", "cnt_after")
+    },
+    // ---- V1 scale path: IVF ANN recall vs exact top-k ---------------------
+    "v1_ann_ivf_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val model = Ivf.train(emb, "embedding", k = 8, sampleSize = 1000)
+      val assigned = Ivf.assign(emb, "embedding", model)
+      val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
+      // Uniform-random synthetic vectors are the worst case for IVF
+      // (no cluster structure), so recall here is a determinism check
+      // and a lower bound, not representative of real embeddings.
+      val recall = Ivf.recallAtK(emb, assigned, model, queries,
+        "embedding", "vec_id", k = 10, nprobe = 4)
+      Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
+    },
+    // ---- Q6: iterator with checkpoint resume ------------------------------
+    "q6_iterator_resume" -> { (s, dir) =>
+      import s.implicits._
+      val orders = tbl(s, dir, "orders")
+      val cp = java.nio.file.Files.createTempDirectory("graft-itcp")
+        .resolve("cp.json").toString
+      val it1 = new QueryIterator(orders, "o_orderkey", batchSize = 4000,
+        checkpointFile = Some(cp))
+      val first = it1.next()
+      // crash after the first batch; a fresh iterator resumes from cp
+      val it2 = new QueryIterator(orders, "o_orderkey", batchSize = 4000,
+        checkpointFile = Some(cp))
+      val rest = Iterator.continually(it2.next()).takeWhile(_.nonEmpty)
+        .flatten.toVector
+      val pks = (first ++ rest).map(_.getLong(0))
+      Seq((pks.length.toLong, pks.distinct.length.toLong))
+        .toDF("total", "distinct_pks")
     },
     // ---- V8: BM25 full-text top-k ----------------------------------------
     "v8_bm25_topk" -> { (s, dir) =>
@@ -572,6 +606,11 @@ object SparkEntry {
           |  ('one_key', CAST(8.0 AS DOUBLE)), ('disjoint', CAST(0.0 AS DOUBLE)),
           |  ('two_keys', CAST(4.0 AS DOUBLE))) AS t(name, ip)
           |ORDER BY name""".stripMargin,
+      "v1_ann_ivf_recall" ->
+        "SELECT CAST(0.7667 AS DOUBLE) AS recall",
+      "q6_iterator_resume" ->
+        """SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_pks
+          |FROM orders""".stripMargin,
       "v8_bm25_topk" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(

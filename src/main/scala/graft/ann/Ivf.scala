@@ -1,0 +1,139 @@
+package graft.ann
+
+import graft.Functions
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** IVF-style ANN acceleration: coarse-quantize every vector to its
+  * nearest centroid, search only the `nprobe` closest cells, re-rank
+  * exactly with the existing distance expressions.
+  *
+  * This is the scale path for V1 (reference index types IVF_FLAT /
+  * IVF_SQ8 / AUTOINDEX, 2.6/common.py:882-898): brute-force kNN scans
+  * the full table per query batch; with IVF the scan touches only
+  * ~nprobe/k of the data. The augmented table (`_cid` column) is meant
+  * to be persisted `partitionBy("_cid")`, turning the probe filter into
+  * directory-level partition pruning at 100 TB.
+  *
+  * Training is FAISS-shaped: k-means on a driver-side sample
+  * (deterministic: seeded sample, first-k init, fixed iterations), so
+  * index builds are reproducible.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]], metric: String) {
+    def k: Int = centroids.length
+
+    /** Nearest-centroid ids for a query vector, best first. */
+    def probes(q: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (dist(q, c), i) }
+        .sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+    private def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+  }
+
+  /** Train centroids on a sample (Lloyd's k-means, L2 cell geometry —
+    * the standard IVF coarse quantizer for every metric; re-ranking
+    * uses the true metric).
+    */
+  def train(df: DataFrame, vecCol: String, k: Int,
+      sampleSize: Int = 10000, iters: Int = 10,
+      metric: String = "L2", seed: Long = 42L): Model = {
+    val n = df.count()
+    val fraction = math.min(1.0, sampleSize.toDouble / math.max(n, 1))
+    // Sort the collected sample so training is independent of scan
+    // partitioning/order — index builds reproduce bit-for-bit anywhere.
+    val sample = df.sample(withReplacement = false, fraction, seed)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .sortBy(_.mkString(","))
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    var centroids = sample.take(k).map(_.clone)
+    val dim = centroids(0).length
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    Model(centroids, metric)
+  }
+
+  private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var s = 0.0
+      var i = 0
+      val cc = centroids(c)
+      while (i < v.length) { val d = v(i) - cc(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Column computing the nearest-centroid id of `vec` — a single
+    * codegen'd projection, no join, no shuffle.
+    */
+  def cellId(model: Model, vec: Column): Column = {
+    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(Functions.vecL2(vec, lit(c)).as("d"), lit(i).as("cid"))
+    }
+    array_min(array(cells: _*)).getField("cid")
+  }
+
+  /** Augment a table with its IVF cell assignment. Persist this
+    * `partitionBy("_cid")` to get pruning on disk.
+    */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("_cid", cellId(model, col(vecCol)))
+
+  /** ANN top-k for one query: probe `nprobe` cells, exact re-rank
+    * inside them (existing Knn machinery — results are exact within the
+    * probed cells).
+    */
+  def searchOne(assigned: DataFrame, model: Model, queryVec: Seq[Float],
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val q = queryVec.map(_.toDouble).toArray
+    val cells = model.probes(q, nprobe)
+    val pruned = assigned.filter(col("_cid").isin(cells: _*))
+    Knn.searchOne(pruned, queryVec, vecCol, idCol, model.metric, k,
+      filter, outputCols)
+  }
+
+  /** Recall@k of the ANN path against exact brute force, averaged over
+    * a query set (the standard index-quality oracle).
+    */
+  def recallAtK(data: DataFrame, assigned: DataFrame, model: Model,
+      queries: Seq[(Long, Seq[Float])], vecCol: String, idCol: String,
+      k: Int, nprobe: Int): Double = {
+    val recalls = queries.map { case (_, qv) =>
+      val exact = Knn.searchOne(data, qv, vecCol, idCol, model.metric, k)
+        .select(idCol).collect().map(_.get(0)).toSet
+      val approx = searchOne(assigned, model, qv, vecCol, idCol, k, nprobe)
+        .select(idCol).collect().map(_.get(0)).toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    recalls.sum / recalls.length
+  }
+}

@@ -58,12 +58,32 @@ object Knn {
     val scored = filtered
       .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
+    // Two-level top-k for large k: the single-window plan funnels
+    // tasks × (offset+k) rows per qid into ONE reducer — at the
+    // reference's k=15000 design point on a wide scan that is a
+    // straggler by construction. Pre-prune per (qid, salt) so the final
+    // reducer sees at most fanout × (offset+k) rows per qid.
+    val need = offset + k
+    val pruned =
+      if (need < twoLevelThreshold) scored
+      else {
+        val w1 = Window.partitionBy(col(qidCol), col("_salt")).orderBy(ord: _*)
+        scored
+          .withColumn("_salt", spark_partition_id() % twoLevelFanout)
+          .withColumn("_r1", row_number().over(w1))
+          .filter(col("_r1") <= need)
+          .drop("_salt", "_r1")
+      }
     val w = Window.partitionBy(qidCol).orderBy(ord: _*)
-    scored
+    pruned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") > offset && col("rank") <= offset + k)
       .withColumn("rank", col("rank") - offset)
   }
+
+  /** k at which batched search switches to the two-level merge. */
+  private val twoLevelThreshold = 1000
+  private val twoLevelFanout = 32
 
   /** Group-by search (reference `group_by_field`,
     * milvus_client/issues.py:79-86): keep each group's best hit, then

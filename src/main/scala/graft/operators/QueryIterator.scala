@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Resumable batched scan — the reference's `query_iterator` with
+  * `iterator_cp_file` checkpointing
+  * (milvus_client/query_iterator.py:104-163).
+  *
+  * Keyset pagination on the PK (each batch is `pk > lastSeen ORDER BY
+  * pk LIMIT batch`), so a page costs one pruned range scan instead of
+  * an OFFSET re-scan. The checkpoint file persists (lastPk, a hash of
+  * the filter + table identity); a new iterator pointed at the same
+  * file resumes after the last completed batch, across JVM restarts.
+  * Checkpoint writes are atomic (temp file + move), mirroring the
+  * reference's crash-safe cp-file behavior.
+  */
+final class QueryIterator(
+    df: DataFrame,
+    pkCol: String,
+    batchSize: Int,
+    filter: Option[Column] = None,
+    checkpointFile: Option[String] = None,
+    outputFields: Seq[String] = Seq("*")) {
+
+  private val filterSig: String = {
+    val f = filter.map(_.toString).getOrElse("")
+    Integer.toHexString((f + "|" + pkCol + "|" + batchSize).hashCode)
+  }
+
+  private var lastPk: Option[Any] = loadCheckpoint()
+  private var exhausted = false
+
+  /** Next batch of rows (empty when the scan is complete). Advances and
+    * checkpoints only after the batch is fully materialized.
+    */
+  def next(): Seq[Row] = {
+    if (exhausted) return Seq.empty
+    val page = QueryOps.keysetPage(df, pkCol, lastPk, batchSize, filter)
+    val projected =
+      if (outputFields == Seq("*")) page
+      else page.select((outputFields :+ pkCol).distinct.map(col): _*)
+    val rows = projected.collect().toSeq
+    if (rows.isEmpty) { exhausted = true; Seq.empty }
+    else {
+      lastPk = Some(rows.last.get(rows.last.fieldIndex(pkCol)))
+      saveCheckpoint()
+      rows
+    }
+  }
+
+  def hasNext: Boolean = !exhausted
+
+  def close(): Unit = ()
+
+  /** Drop the checkpoint (after a fully consumed scan). */
+  def clearCheckpoint(): Unit =
+    checkpointFile.foreach(f => Files.deleteIfExists(Paths.get(f)))
+
+  private def saveCheckpoint(): Unit = checkpointFile.foreach { f =>
+    val body = s"""{"sig": "$filterSig", "lastPk": ${pkJson(lastPk.get)}}"""
+    val tmp = Paths.get(f + ".tmp")
+    Files.write(tmp, body.getBytes)
+    Files.move(tmp, Paths.get(f), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def pkJson(v: Any): String = v match {
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other => other.toString
+  }
+
+  private def loadCheckpoint(): Option[Any] = checkpointFile.flatMap { f =>
+    val p = Paths.get(f)
+    if (!Files.exists(p)) None
+    else {
+      val body = new String(Files.readAllBytes(p))
+      val sig = "\"sig\": \"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+      if (!sig.contains(filterSig))
+        throw new IllegalStateException(
+          s"checkpoint $f was written for a different query (sig ${sig.orNull} != $filterSig)")
+      val m = "\"lastPk\": (.+)}".r.findFirstMatchIn(body).map(_.group(1).trim)
+      m.map { s =>
+        if (s.startsWith("\""))
+          s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+        else if (s.contains('.')) s.toDouble
+        else s.toLong
+      }
+    }
+  }
+}

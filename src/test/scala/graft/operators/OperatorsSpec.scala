@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{GraftSession, SparkSpec, Tables}
+import graft.ann.Ivf
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class OperatorsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("two-level top-k path returns the same rows as the single-window path") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val q = emb.filter($"vec_id".isin(0, 1))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // k=1200 crosses the two-level threshold (1000); compare against an
+    // exact reference computed with searchOne (TakeOrdered) per query.
+    val big = Knn.search(emb, q, "embedding", "vec_id", "L2", 1200)
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val expected = Seq(0L, 1L).flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0)
+      Knn.searchOne(emb, qv, "embedding", "vec_id", "L2", 1200)
+        .select("vec_id").collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1) }
+    }.sorted
+    assert(big == expected)
+  }
+
+  test("IVF: assignment cells partition the data; probes cover the query cell") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val model = Ivf.train(emb, "embedding", k = 8, sampleSize = 500)
+    assert(model.centroids.length == 8)
+    val assigned = Ivf.assign(emb, "embedding", model).cache()
+    val cells = assigned.groupBy("_cid").count().collect()
+    assert(cells.map(_.getLong(1)).sum == 500)
+    assert(cells.length > 1, "k-means collapsed to one cell")
+    // nprobe=k probes everything -> identical to exact search
+    val qv = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val exact = Knn.searchOne(emb, qv, "embedding", "vec_id", "L2", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val full = Ivf.searchOne(assigned, model, qv, "embedding", "vec_id",
+      k = 10, nprobe = 8).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+  }
+
+  test("IVF recall@10 with nprobe=2 of 8 is usable and self-hit is found") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings").cache()
+    val model = Ivf.train(emb, "embedding", k = 8, sampleSize = 500)
+    val assigned = Ivf.assign(emb, "embedding", model).cache()
+    val queries = Seq(0L, 7L, 42L).map { id =>
+      id -> emb.filter($"vec_id" === id).select("embedding").head().getSeq[Float](0)
+    }
+    val recall = Ivf.recallAtK(emb, assigned, model, queries,
+      "embedding", "vec_id", k = 10, nprobe = 2)
+    assert(recall >= 0.5, s"recall@10 nprobe=2: $recall")
+    // the query's own vector is always in the probed cell
+    queries.foreach { case (id, qv) =>
+      val top1 = Ivf.searchOne(assigned, model, qv, "embedding", "vec_id",
+        k = 1, nprobe = 1).select("vec_id").head().getLong(0)
+      assert(top1 == id)
+    }
+  }
+
+  test("query iterator pages the full scan exactly once, in pk order") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val it = new QueryIterator(orders, "o_orderkey", batchSize = 400)
+    val seen = Iterator.continually(it.next()).takeWhile(_.nonEmpty)
+      .flatten.map(_.getLong(0)).toVector
+    assert(seen.length == orders.count())
+    assert(seen == seen.sorted)
+    assert(seen.distinct.length == seen.length)
+  }
+
+  test("query iterator resumes from the checkpoint across instances") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val cp = Files.createTempDirectory("graft-it").resolve("cp.json").toString
+    val it1 = new QueryIterator(orders, "o_orderkey", batchSize = 600,
+      checkpointFile = Some(cp))
+    val first = it1.next()
+    assert(first.nonEmpty)
+    // simulate a crash: new iterator, same checkpoint
+    val it2 = new QueryIterator(orders, "o_orderkey", batchSize = 600,
+      checkpointFile = Some(cp))
+    val rest = Iterator.continually(it2.next()).takeWhile(_.nonEmpty)
+      .flatten.map(_.getLong(0)).toVector
+    val all = first.map(_.getLong(0)).toVector ++ rest
+    assert(all.length == orders.count())
+    assert(all.distinct.length == all.length, "resume must not re-read rows")
+  }
+
+  test("query iterator rejects a checkpoint from a different query") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val cp = Files.createTempDirectory("graft-it2").resolve("cp.json").toString
+    val it1 = new QueryIterator(orders, "o_orderkey", batchSize = 100,
+      filter = Some(col("o_orderstatus") === "F"), checkpointFile = Some(cp))
+    it1.next()
+    intercept[IllegalStateException] {
+      new QueryIterator(orders, "o_orderkey", batchSize = 100,
+        filter = Some(col("o_orderstatus") === "O"), checkpointFile = Some(cp))
+    }
+  }
+
+  test("iterator honors filter and output fields") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val it = new QueryIterator(orders, "o_orderkey", batchSize = 1000,
+      filter = Some(col("o_orderstatus") === "F"),
+      outputFields = Seq("o_orderkey", "o_totalprice"))
+    val rows = Iterator.continually(it.next()).takeWhile(_.nonEmpty).flatten.toVector
+    val expected = orders.filter(col("o_orderstatus") === "F").count()
+    assert(rows.length == expected)
+    assert(rows.head.schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice"))
+  }
+}
