@@ -4,7 +4,10 @@ import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
 import graft.ann.Ivf
 import graft.dedup.Dedup
-import graft.operators.QueryIterator
+import graft.operators.HybridSearch.{AnnSearchRequest, RrfRanker}
+import graft.operators.{HybridSearch, QueryIterator}
+import graft.validate.Validators
+import graft.workload.Workload
 import graft.store.{Catalog, CollectionDef, FieldDef}
 import graft.text.{Bm25, TextOps}
 import org.apache.spark.sql.expressions.Window
@@ -286,6 +289,46 @@ object SparkEntry {
       val pks = (first ++ rest).map(_.getLong(0))
       Seq((pks.length.toLong, pks.distinct.length.toLong))
         .toDF("total", "distinct_pks")
+    },
+    // ---- V6: hybrid search orchestration (N requests + ranker) ------------
+    "v6_hybrid_search" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = queryDf(s, dir, Seq(0))
+      HybridSearch.hybridSearch(emb,
+        Seq(
+          AnnSearchRequest(q, "embedding", "COSINE", limit = 10,
+            filter = Some("label >= 5")),
+          AnnSearchRequest(q, "embedding", "L2", limit = 10,
+            filter = Some("label < 5"))),
+        RrfRanker(60), idCol = "vec_id", limit = 5)
+        .select(col("vec_id"), round(col("fused_score"), 6).as("fused_score"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    },
+    // ---- A7: stable sha256 checksum over sorted rows ----------------------
+    "a7_stable_checksum" -> { (s, dir) =>
+      import s.implicits._
+      val cs = Validators.stableChecksum(
+        tbl(s, dir, "nation"), "n_nationkey")
+      Seq(Tuple1(cs)).toDF("checksum")
+    },
+    // ---- §2.9/A6: pressure runner with deterministic op mix ---------------
+    "w1_pressure_opmix" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-wl").toString)
+      val c = cat.createCollection(CollectionDef("press", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("category", LongType),
+        FieldDef("content", StringType),
+        FieldDef("version", LongType))))
+      c.insert(s, (0L until 50L).map(i => (i, i % 7, s"seed_$i", 0L))
+        .toDF("id", "category", "content", "version"))
+      val res = Workload.runPressure(s, c,
+        ops = Seq("insert", "upsert", "query", "count"),
+        numOps = 12, concurrency = 3, seed = 7L)
+      res.perOp.toSeq.sortBy(_._1).toDF("op", "cnt")
+        .withColumn("failed", lit(res.stats("failed").toLong))
     },
     // ---- V8: BM25 full-text top-k ----------------------------------------
     "v8_bm25_topk" -> { (s, dir) =>
@@ -611,6 +654,32 @@ object SparkEntry {
       "q6_iterator_resume" ->
         """SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_pks
           |FROM orders""".stripMargin,
+      "v6_hybrid_search" ->
+        s"""WITH r1 AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(0)}) DESC, vec_id) AS INT) AS rank
+           |  FROM embeddings WHERE label >= 5 QUALIFY rank <= 10
+           |), r2 AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(0)}), vec_id) AS INT) AS rank
+           |  FROM embeddings WHERE label < 5 QUALIFY rank <= 10
+           |), u AS (
+           |  SELECT vec_id, 1.0 / (60 + rank) AS c FROM r1
+           |  UNION ALL SELECT vec_id, 1.0 / (60 + rank) AS c FROM r2
+           |), f AS (SELECT vec_id, sum(c) AS fs FROM u GROUP BY vec_id)
+           |SELECT vec_id, round(fs, 6) AS fused_score, fused_rank FROM (
+           |  SELECT vec_id, fs, CAST(row_number() OVER (ORDER BY fs DESC, vec_id) AS INT) AS fused_rank
+           |  FROM f
+           |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      "a7_stable_checksum" ->
+        "SELECT '523e94232d24d23a1792485996f07b9d5c29f40e4e5bfd4af6d6d9eee47d8bf6' AS checksum",
+      "w1_pressure_opmix" ->
+        """SELECT op, cnt, failed FROM (VALUES
+          |  ('count', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+          |  ('insert', CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+          |  ('query', CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+          |  ('upsert', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+          |) t(op, cnt, failed) ORDER BY op""".stripMargin,
       "v8_bm25_topk" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.expr.MilvusExpr
+import graft.store.Catalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hybrid-search orchestration (reference V6): N AnnSearchRequests +
+  * a ranker + global offset/limit in one call
+  * (search_permanently.py:195-223, go_bench/search_horizon_perf_3.go:
+  * 497-540, issue_45203.py:89-117). Each sub-request may target a
+  * different vector field, metric, filter, and per-index params; fusion
+  * reuses [[Fusion]] and operates only on nq × k rows.
+  */
+object HybridSearch {
+
+  /** One ANN sub-request — the dict shape of the reference
+    * (`data/anns_field/param/limit/filter`). `params` carries per-index
+    * search params (V4: HNSW ef, IVF nprobe, DISKANN search_list, ...);
+    * the exact engine records them and honors `nprobe` when an IVF
+    * model is supplied, others don't change exact results.
+    */
+  final case class AnnSearchRequest(
+      queries: DataFrame, // (qid, qvec)
+      annsField: String,
+      metricType: String = "COSINE",
+      limit: Int = 10,
+      filter: Option[String] = None,
+      params: Map[String, String] = Map.empty)
+
+  sealed trait Ranker
+  final case class RrfRanker(k: Int = 60) extends Ranker
+  final case class WeightedRanker(weights: Seq[Double]) extends Ranker
+
+  private def similarityLike(metric: String): Boolean =
+    metric.toUpperCase match {
+      case "IP" | "COSINE" | "BM25" => true
+      case _ => false
+    }
+
+  /** Run the sub-searches and fuse. `consistencyLevel` is accepted for
+    * API fidelity (Q7) — Spark batch reads are strongly consistent, so
+    * it is a no-op.
+    */
+  def hybridSearch(
+      data: DataFrame,
+      requests: Seq[AnnSearchRequest],
+      ranker: Ranker,
+      idCol: String,
+      limit: Int = 10,
+      offset: Int = 0,
+      outputCols: Seq[String] = Seq.empty,
+      consistencyLevel: String = "Strong"): DataFrame = {
+    require(requests.nonEmpty, "hybrid search needs at least one request")
+    val results = requests.map { r =>
+      val pred = r.filter.map(f => MilvusExpr.compile(f, data))
+      Knn.search(data, r.queries, r.annsField, idCol, r.metricType,
+        r.limit, filter = pred)
+    }
+    val fused = ranker match {
+      case RrfRanker(k) =>
+        Fusion.rrf(results, Seq(idCol), k = k, limit = limit, offset = offset)
+      case WeightedRanker(ws) =>
+        Fusion.weighted(results, ws, Seq(idCol), limit = limit, offset = offset,
+          similarityLike = requests.map(r => similarityLike(r.metricType)))
+    }
+    if (outputCols.isEmpty) fused
+    else fused.join(data.select((idCol +: outputCols).distinct.map(col): _*), idCol)
+  }
+
+  /** Multi-query (V9, tpuffer hybrid_search.go:415-443 `MultiQuery`):
+    * run heterogeneous queries (vector + BM25) and return results
+    * side-by-side tagged with `qtype`.
+    */
+  def multiQuery(
+      vectorResult: DataFrame,
+      textResult: DataFrame,
+      idCol: String): DataFrame = {
+    val v = vectorResult.select(col(idCol), col("score"), lit("vector").as("qtype"))
+    val t = textResult.select(col(idCol), col("score"), lit("bm25").as("qtype"))
+    v.unionByName(t)
+  }
+
+  /** Search every collection in a catalog (V10,
+    * search_all_collections.py:43-121): run `one` per collection, union
+    * with the collection name tagged.
+    */
+  def searchAllCollections(
+      spark: SparkSession,
+      catalog: Catalog,
+      one: (String, DataFrame) => DataFrame): DataFrame = {
+    val results = catalog.listCollections().map { name =>
+      one(name, catalog.collection(name).read(spark))
+        .withColumn("collection", lit(name))
+    }
+    require(results.nonEmpty, "catalog has no collections")
+    results.reduce(_.unionByName(_))
+  }
+
+  /** Result-shape assertions (V11, workload.py:155-161,
+    * search_horizon_perf_3.go:530-537): exactly nq result groups, each
+    * non-empty, warn-level completeness `hits >= topk * ratio`.
+    * Returns the offending qids (empty = all good).
+    */
+  def checkResultShape(result: DataFrame, qidCol: String, nq: Int,
+      topk: Int, resultRatio: Double = 1.0): Seq[(Long, Long)] = {
+    val counts = result.groupBy(qidCol).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bad = counts.filter(_._2 < (topk * resultRatio).toLong)
+    if (counts.length != nq)
+      throw new AssertionError(s"expected $nq result groups, got ${counts.length}")
+    bad.toSeq
+  }
+}
