@@ -6,8 +6,12 @@ import graft.ann.Ivf
 import graft.dedup.Dedup
 import graft.operators.HybridSearch.{AnnSearchRequest, RrfRanker}
 import graft.operators.{HybridSearch, QueryIterator}
+import graft.datagen.StableGen
+import graft.multimodal.Multimodal
+import graft.sources.Npy
 import graft.validate.Validators
 import graft.workload.Workload
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.store.{Catalog, CollectionDef, FieldDef}
 import graft.text.{Bm25, TextOps}
 import org.apache.spark.sql.expressions.Window
@@ -329,6 +333,39 @@ object SparkEntry {
         numOps = 12, concurrency = 3, seed = 7L)
       res.perOp.toSeq.sortBy(_._1).toDF("op", "cnt")
         .withColumn("failed", lit(res.stats("failed").toLong))
+    },
+    // ---- multimodal: modality stats over deterministic synthetic assets ---
+    "m1_multimodal_stats" -> { (s, dir) =>
+      Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
+    },
+    // ---- §2.10: deterministic datagen + checksum --------------------------
+    "g1_stable_datagen" -> { (s, dir) =>
+      import s.implicits._
+      val d = CollectionDef("gen", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("category", LongType),
+        FieldDef("content", StringType),
+        FieldDef("emb", ArrayType(FloatType), dim = Some(8))))
+      val rows = StableGen.generateRows(s, d, seed = 42, startPk = 0, count = 100)
+      Seq(Tuple1(Validators.stableChecksum(rows, "id"))).toDF("checksum")
+    },
+    // ---- S18: npy -> DataFrame round-trip ---------------------------------
+    "s18_npy_read" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-npy")
+      val path = tmp.resolve("v.npy").toString
+      val header = "{'descr': '<f4', 'fortran_order': False, 'shape': (3, 4), }"
+      val pad = 64 - (10 + header.length + 1) % 64
+      val full = header + " " * pad + "\n"
+      val buf = java.nio.ByteBuffer.allocate(10 + full.length + 48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(0x93.toByte).put("NUMPY".getBytes("ISO-8859-1"))
+        .put(1.toByte).put(0.toByte).putShort(full.length.toShort)
+      buf.put(full.getBytes("ISO-8859-1"))
+      (0 until 12).foreach(i => buf.putFloat(i * 0.5f))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+      Npy.read(s, path).select(col("row_id"),
+        col("values")(0).as("v0"), col("values")(3).as("v3"))
+        .orderBy("row_id")
     },
     // ---- V8: BM25 full-text top-k ----------------------------------------
     "v8_bm25_topk" -> { (s, dir) =>
@@ -680,6 +717,20 @@ object SparkEntry {
           |  ('query', CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
           |  ('upsert', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
           |) t(op, cnt, failed) ORDER BY op""".stripMargin,
+      "m1_multimodal_stats" ->
+        """SELECT modality, cnt, total_bytes, distinct_blobs FROM (VALUES
+          |  ('audio', CAST(10 AS BIGINT), CAST(1589 AS BIGINT), CAST(10 AS BIGINT)),
+          |  ('image', CAST(10 AS BIGINT), CAST(1411 AS BIGINT), CAST(10 AS BIGINT)),
+          |  ('video', CAST(10 AS BIGINT), CAST(1575 AS BIGINT), CAST(10 AS BIGINT))
+          |) t(modality, cnt, total_bytes, distinct_blobs) ORDER BY modality""".stripMargin,
+      "g1_stable_datagen" ->
+        "SELECT 'ee4c37f8d2e009247c451c9643c66a7a7cbd92b771cb134fe9c11f36adbd2425' AS checksum",
+      "s18_npy_read" ->
+        """SELECT row_id, v0, v3 FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1.5 AS DOUBLE)),
+          |  (CAST(1 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(3.5 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE), CAST(5.5 AS DOUBLE))
+          |) t(row_id, v0, v3) ORDER BY row_id""".stripMargin,
       "v8_bm25_topk" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(

@@ -1,0 +1,144 @@
+package graft.misc
+
+import graft.SparkSpec
+import graft.datagen.StableGen
+import graft.multimodal.Multimodal
+import graft.sources.{JsonlExpressions, Npy}
+import graft.store.{CollectionDef, FieldDef}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+class MiscSpec extends SparkSpec {
+
+  // ---- multimodal -------------------------------------------------------
+
+  test("synthetic assets are deterministic and schema'd") {
+    val a = Multimodal.syntheticAssets(spark, 30)
+    val b = Multimodal.syntheticAssets(spark, 30)
+    assert(a.schema == Multimodal.assetSchema)
+    val (ca, cb) = (a.orderBy("asset_id").collect(), b.orderBy("asset_id").collect())
+    assert(ca.zip(cb).forall { case (x, y) =>
+      x.getAs[Array[Byte]]("bytes").sameElements(y.getAs[Array[Byte]]("bytes"))
+    })
+  }
+
+  test("feature extraction produces normalized fixed-dim embeddings per asset") {
+    val assets = Multimodal.syntheticAssets(spark, 12)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == 12)
+    feats.foreach { r =>
+      val emb = r.getSeq[Float](2)
+      assert(emb.length == 16)
+      val norm = math.sqrt(emb.map(x => x * x.toDouble).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+  }
+
+  test("frame sampling explodes only video assets at the requested stride") {
+    val assets = Multimodal.syntheticAssets(spark, 12)
+    val frames = Multimodal.sampleFrames(assets, everyN = 2, frameSize = 32)
+    val byAsset = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // videos are asset_id % 3 == 2
+    assert(byAsset.keySet.forall(_ % 3 == 2))
+    assert(frames.select("frame_no").collect().forall(_.getInt(0) % 2 == 0))
+  }
+
+  test("modality stats and resize metadata") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val stats = Multimodal.modalityStats(assets).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(stats.map(_.getLong(1)).sum == 30)
+    val resized = Multimodal.resizeMeta(assets, maxSide = 16)
+      .select(col("resized_meta.width"), col("resized_meta.height")).collect()
+    assert(resized.forall(r => r.getInt(0) <= 16 && r.getInt(1) <= 16))
+  }
+
+  // ---- datagen ----------------------------------------------------------
+
+  test("stable generators are pure functions of (seed, pk)") {
+    val v1 = StableGen.floatVector(42, 7, 16)
+    val v2 = StableGen.floatVector(42, 7, 16)
+    assert(v1.sameElements(v2))
+    assert(!StableGen.floatVector(42, 8, 16).sameElements(v1))
+    val norm = math.sqrt(v1.map(x => x * x.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(StableGen.sparseVector(42, 7).size <= 16)
+    assert(StableGen.binaryVector(42, 7, 64).length == 8)
+  }
+
+  test("generateRows is distributed, deterministic, nullable at pk%10==0") {
+    val d = CollectionDef("gen", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("category", LongType),
+      FieldDef("content", StringType),
+      FieldDef("emb", ArrayType(FloatType), dim = Some(8))))
+    val df1 = StableGen.generateRows(spark, d, seed = 42, startPk = 0, count = 40)
+    val df2 = StableGen.generateRows(spark, d, seed = 42, startPk = 0, count = 40)
+    assert(df1.count() == 40)
+    val r1 = df1.orderBy("id").collect()
+    assert(r1.sameElements(df2.orderBy("id").collect()))
+    assert(r1.filter(_.getLong(0) % 10 == 0).forall(_.isNullAt(1)))
+    assert(r1.filter(_.getLong(0) % 10 != 0).forall(!_.isNullAt(1)))
+  }
+
+  // ---- npy reader -------------------------------------------------------
+
+  test("npy reader round-trips a float32 2-D array written by numpy") {
+    // hand-write an npy v1.0 file: 3x4 float32, C order, little endian
+    val dir = Files.createTempDirectory("graft-npy")
+    val path = dir.resolve("t.npy").toString
+    val header = "{'descr': '<f4', 'fortran_order': False, 'shape': (3, 4), }"
+    val padLen = 64 - (10 + header.length + 1) % 64
+    val fullHeader = header + " " * padLen + "\n"
+    val buf = java.nio.ByteBuffer.allocate(10 + fullHeader.length + 3 * 4 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x93.toByte).put("NUMPY".getBytes("ISO-8859-1"))
+      .put(1.toByte).put(0.toByte)
+      .putShort(fullHeader.length.toShort)
+    buf.put(fullHeader.getBytes("ISO-8859-1"))
+    val data = (0 until 12).map(i => i * 0.5f)
+    data.foreach(buf.putFloat)
+    Files.write(Paths.get(path), buf.array())
+
+    val df = Npy.read(spark, path, parallelism = 2)
+    val rows = df.orderBy("row_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getSeq[Double](1) == Seq(0.0, 0.5, 1.0, 1.5))
+    assert(rows(2).getSeq[Double](1) == Seq(4.0, 4.5, 5.0, 5.5))
+    val h = Npy.readHeader(path)
+    assert(h.dtype == "<f4" && h.shape == Seq(3, 4))
+  }
+
+  // ---- jsonl -> expression converter ------------------------------------
+
+  test("jsonl query objects convert to the reference's expression forms") {
+    assert(JsonlExpressions.convert(
+      """{"timestamp": {"$gte": 1000, "$lte": 2000}}""")
+      == "1000 <= timestamp <= 2000")
+    assert(JsonlExpressions.convert(
+      """{"device_id": {"$in": ["a", "b"]}}""")
+      == """device_id in ["a", "b"]""")
+    assert(JsonlExpressions.convert(
+      """{"tag_id": {"$in": ["t1"]}}""", arrayFields = Set("tag_id"))
+      == """ARRAY_CONTAINS_ANY(tag_id, ["t1"])""")
+    assert(JsonlExpressions.convert(
+      """{"tag_id": {"contains_all": ["t1", "t2"]}}""", arrayFields = Set("tag_id"))
+      == """ARRAY_CONTAINS_ALL(tag_id, ["t1", "t2"])""")
+    assert(JsonlExpressions.convert(
+      """{"sensor": {"$not_in": ["x", "y"]}}""")
+      == """sensor != "x" and sensor != "y"""")
+    assert(JsonlExpressions.convert(
+      """{"expert_collected": true, "type_model": "M5"}""")
+      == """expert_collected == true and type_model == "M5"""")
+    // the converted strings must themselves parse
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1500L, "a")).toDF("id", "timestamp", "device_id")
+    val expr = JsonlExpressions.convert(
+      """{"timestamp": {"$gte": 1000, "$lte": 2000}, "device_id": {"$in": ["a"]}}""")
+    assert(graft.expr.MilvusExpr.filter(df, expr).count() == 1)
+  }
+}
