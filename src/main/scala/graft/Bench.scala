@@ -13,7 +13,8 @@ object Bench {
     Functions.register(spark)
 
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val all = SparkEntry.queries ++ SparkEntry.benchQueries
+    val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -521,6 +521,86 @@ object SparkEntry {
     },
   )
 
+  /** Bench-only workloads (not part of the correctness contract): the
+    * reference's performance shapes at scale — topk sweep
+    * (go_bench/search_horizon_perf_3.go:855: 100/500/1000/15000),
+    * scalar query/count load, BM25, dedup over the full documents
+    * table, IVF probe path. Run by [[Bench]] alongside `queries`.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def knnSweep(k: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
+      Knn.search(tbl(s, dir, "embeddings"),
+        queryDf(s, dir, (0 until 10).toSeq),
+        "embedding", "vec_id", "L2", k)
+    }
+    Map(
+      "bench_topk10" -> knnSweep(10),
+      "bench_topk100" -> knnSweep(100),
+      "bench_topk1000" -> knnSweep(1000),
+      "bench_topk15000" -> knnSweep(15000),
+      // every vector vs every vector: nq = full table
+      "bench_knn_selfjoin_top5" -> { (s, dir) =>
+        val emb = tbl(s, dir, "embeddings")
+        Knn.search(emb,
+          emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "embedding", "vec_id", "COSINE", 5)
+      },
+      "bench_scalar_query" -> { (s, dir) =>
+        QueryOps.query(tbl(s, dir, "lineitem"),
+          Some(MilvusExpr.compile(
+            "l_quantity > 10 and l_returnflag == \"A\" and l_shipdate is not null",
+            tbl(s, dir, "lineitem"))),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice"),
+          orderBy = Seq(col("l_orderkey").asc), limit = Some(1000))
+      },
+      "bench_count_filter" -> { (s, dir) =>
+        QueryOps.countStar(tbl(s, dir, "lineitem"),
+          Some(col("l_extendedprice") > 1000 && col("l_discount") < 0.08))
+      },
+      "bench_agg_group" -> { (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+      },
+      "bench_expr_json" -> { (s, dir) =>
+        QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "events"),
+          "props[\"k\"] >= 50 and event_type in ['click', 'purchase']"), None)
+      },
+      "bench_bm25" -> { (s, dir) =>
+        Bm25.topK(tbl(s, dir, "documents"), "text", "doc_id",
+          "vector stream spark", 100)
+      },
+      "bench_dedup_exact" -> { (s, dir) =>
+        QueryOps.countStar(
+          Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id"), None)
+      },
+      "bench_dedup_minhash" -> { (s, dir) =>
+        Dedup.minhashNearDups(tbl(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.7, shingleSize = 3, numHashes = 64, bands = 16)
+      },
+      "bench_hybrid_rrf" -> { (s, dir) =>
+        val emb = tbl(s, dir, "embeddings")
+        val q = queryDf(s, dir, (0 until 10).toSeq)
+        HybridSearch.hybridSearch(emb,
+          Seq(AnnSearchRequest(q, "embedding", "COSINE", limit = 100),
+            AnnSearchRequest(q, "embedding", "L2", limit = 100)),
+          RrfRanker(60), idCol = "vec_id", limit = 10)
+      },
+      "bench_ivf_build_search" -> { (s, dir) =>
+        import s.implicits._
+        val emb = tbl(s, dir, "embeddings")
+        val model = Ivf.train(emb, "embedding", k = 16, sampleSize = 2000)
+        val assigned = Ivf.assign(emb, "embedding", model).cache()
+        val hits = (0 until 10).map { i =>
+          Ivf.searchOne(assigned, model, vecOf(s, dir, i.toLong), "embedding",
+            "vec_id", k = 10, nprobe = 4).count()
+        }.sum
+        assigned.unpersist()
+        Seq(Tuple1(hits)).toDF("total_hits")
+      },
+    )
+  }
+
   /** Near-dup fixture shared by d2/d4: docs 1/2/5 identical after
     * normalization, doc 3 one word off, docs 4/6 unrelated.
     */
