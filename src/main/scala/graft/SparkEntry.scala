@@ -334,6 +334,29 @@ object SparkEntry {
       res.perOp.toSeq.sortBy(_._1).toDF("op", "cnt")
         .withColumn("failed", lit(res.stats("failed").toLong))
     },
+    // ---- §2.9: streaming ingest (MemoryStream -> collection deltas) -------
+    "st1_streaming_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-sti").toString)
+      val c = cat.createCollection(CollectionDef("stream_in", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("category", LongType),
+        FieldDef("content", StringType),
+        FieldDef("version", LongType))))
+      implicit val sq = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val stream = mem.toDF()
+        .select(col("value").as("id"), (col("value") % 10).as("category"),
+          concat(lit("s_"), col("value")).as("content"), lit(0L).as("version"))
+      mem.addData(0L until 25L: _*)
+      val cp = java.nio.file.Files.createTempDirectory("graft-sti-cp").toString
+      val q = graft.streaming.StreamingOps.startIngest(stream, c, cp,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      c.read(s).agg(count(lit(1)).as("cnt"),
+        sum("id").cast("long").as("sum_id"))
+    },
     // ---- multimodal: modality stats over deterministic synthetic assets ---
     "m1_multimodal_stats" -> { (s, dir) =>
       Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
@@ -797,6 +820,8 @@ object SparkEntry {
           |  ('query', CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
           |  ('upsert', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
           |) t(op, cnt, failed) ORDER BY op""".stripMargin,
+      "st1_streaming_ingest" ->
+        "SELECT CAST(25 AS BIGINT) AS cnt, CAST(300 AS BIGINT) AS sum_id",
       "m1_multimodal_stats" ->
         """SELECT modality, cnt, total_bytes, distinct_blobs FROM (VALUES
           |  ('audio', CAST(10 AS BIGINT), CAST(1589 AS BIGINT), CAST(10 AS BIGINT)),

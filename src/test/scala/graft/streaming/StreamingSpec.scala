@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.HalfFloat
+import graft.operators.CollectionSearch
+import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming ingest appends micro-batches into a collection") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-si").toString)
+    val c = cat.createCollection(CollectionDef("stream_in", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("category", LongType),
+      FieldDef("content", StringType),
+      FieldDef("version", LongType))))
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF()
+      .select(col("value").as("id"), (col("value") % 10).as("category"),
+        concat(lit("s_"), col("value")).as("content"), lit(0L).as("version"))
+    val cp = Files.createTempDirectory("graft-si-cp").toString
+    // AvailableNow snapshots offsets at start: feed data first.
+    mem.addData(0L until 25L: _*)
+    val q = StreamingOps.startIngest(stream, c, cp, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(c.numEntities(s) == 25)
+    // second run picks up only new data (checkpointed offsets)
+    mem.addData(25L until 40L: _*)
+    val q2 = StreamingOps.startIngest(stream, c, cp, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(c.numEntities(s) == 40)
+  }
+
+  test("windowed counts with watermark over a memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val out = StreamingOps.windowedCounts(events, "ts", "event_type",
+      windowDur = "1 minute", watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    def t(min: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    mem.addData((t(0, 10), "click"), (t(0, 40), "click"), (t(1, 5), "view"))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT event_type, cnt FROM wc ORDER BY window_start, event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(rows == Seq(("click", 2L), ("view", 1L)))
+  }
+
+  test("sessionize keeps O(1) per-key state and counts events per user") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val out = StreamingOps.sessionize(events, gapMs = 60000, useTimeout = false)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:30")
+    mem.addData((1L, t0), (1L, t1), (2L, t0))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT userId, events, durationMs FROM sess ORDER BY userId")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(rows == Seq((1L, 2L, 30000L), (2L, 1L, 0L)))
+  }
+
+  test("index-aware collection search uses IVF when declared, exact otherwise") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-cs").toString)
+    val c = cat.createCollection(CollectionDef("vecs", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(8))),
+      indexes = Seq(IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "4")))))
+    val rows = (0L until 64L).map(i =>
+      (i, graft.datagen.StableGen.floatVector(7, i, 8).toSeq))
+    c.insert(s, rows.toDF("id", "embedding"))
+    val qv = rows(5)._2.map(x => x: Float)
+    // exact path (no nprobe): top-1 is the vector itself
+    val exact = CollectionSearch.search(s, c, "embedding", qv, k = 3)
+    assert(exact.select("id").head().getLong(0) == 5L)
+    // IVF path with nprobe honors the declared index; self-hit guaranteed
+    val ivf = CollectionSearch.search(s, c, "embedding", qv, k = 3,
+      searchParams = Map("nprobe" -> "1"))
+    assert(ivf.select("id").head().getLong(0) == 5L)
+    // search-by-PK (3.0 surface)
+    val byPk = CollectionSearch.searchByPk(s, c, "embedding", 9L, k = 1)
+    assert(byPk.select("id").head().getLong(0) == 9L)
+  }
+
+  test("fp16/bf16 round-trips preserve the stored bit pattern") {
+    val v = Array(1.5f, -0.25f, 3.1415927f, 0.0f, 1e-3f)
+    val bf = HalfFloat.unpackBf16(HalfFloat.packBf16(v))
+    // bf16 keeps ~7 bits of mantissa
+    v.zip(bf).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.abs(a) * 0.01 + 1e-6, s"$a vs $b")
+    }
+    val fp = HalfFloat.unpackFp16(HalfFloat.packFp16(v))
+    v.zip(fp).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.abs(a) * 0.001 + 1e-6, s"$a vs $b")
+    }
+    // pack/unpack is byte-stable (checksum fidelity)
+    val bytes = HalfFloat.packBf16(v)
+    assert(HalfFloat.packBf16(HalfFloat.unpackBf16(bytes)).sameElements(bytes))
+  }
+}
