@@ -138,9 +138,12 @@ object Compiler {
       Concrete(f(numeric(tv)), DoubleType)
     }
 
-    /** Numeric view of a value: JSON leaves cast to double. */
+    /** Numeric view of a value: JSON leaves cast to double. try_cast:
+      * a malformed/non-numeric JSON value must mean "no match" (Milvus
+      * null semantics), not an ANSI runtime error.
+      */
     private def numeric(tv: TV): Column = tv match {
-      case j: JsonVal => j.column.cast(DoubleType)
+      case j: JsonVal => j.column.try_cast(DoubleType)
       case other => other.column
     }
 
@@ -191,11 +194,11 @@ object Compiler {
     }
 
     private def castJson(j: JsonVal, other: TV): Column = other match {
-      case Lit(_, IntLit(_)) | Lit(_, FloatLit(_)) => j.column.cast(DoubleType)
-      case Lit(_, BoolLit(_)) => j.column.cast(BooleanType)
+      case Lit(_, IntLit(_)) | Lit(_, FloatLit(_)) => j.column.try_cast(DoubleType)
+      case Lit(_, BoolLit(_)) => j.column.try_cast(BooleanType)
       case Lit(_, StrLit(_)) => j.column
-      case Concrete(_, dt: NumericType) => j.column.cast(DoubleType)
-      case Concrete(_, BooleanType) => j.column.cast(BooleanType)
+      case Concrete(_, _: NumericType) => j.column.try_cast(DoubleType)
+      case Concrete(_, BooleanType) => j.column.try_cast(BooleanType)
       case _ => j.column
     }
 
@@ -221,7 +224,7 @@ object Compiler {
         case j: JsonVal =>
           val numericList = list.items.forall(isNumericLit)
           if (numericList)
-            j.column.cast(DoubleType)
+            j.column.try_cast(DoubleType)
               .isin(values.map(v => v.toString.toDouble): _*)
           else j.column.isin(values: _*)
         case other => other.column.isin(values: _*)

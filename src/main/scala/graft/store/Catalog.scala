@@ -174,6 +174,16 @@ final class Catalog(val root: String) {
       writeMeta(name, readMeta(name).copy(d = d))
     }
 
+  /** Atomic read-modify-write of a collection definition — concurrent
+    * metadata changes (e.g. parallel create_index, S7) must not lose
+    * updates.
+    */
+  private[store] def mutateDef(name: String)(f: CollectionDef => CollectionDef): Unit =
+    this.synchronized {
+      val m = readMeta(name)
+      writeMeta(name, m.copy(d = f(m.d)))
+    }
+
   private[store] def collectionDir(name: String): Path = dir(name)
 
   private def readAliases: Map[String, String] =

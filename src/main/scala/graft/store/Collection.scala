@@ -47,12 +47,12 @@ final class Collection(catalog: Catalog, val name: String) {
 
   // ---- DDL-ish ---------------------------------------------------------
 
-  def createPartition(p: String): Unit = {
-    val d = definition
-    require(d.partitionKeyField.isEmpty, "collection uses a partition key")
-    if (!d.partitions.contains(p))
-      catalog.updateDef(name, d.copy(partitions = d.partitions :+ p))
-  }
+  def createPartition(p: String): Unit =
+    catalog.mutateDef(name) { d =>
+      require(d.partitionKeyField.isEmpty, "collection uses a partition key")
+      if (d.partitions.contains(p)) d
+      else d.copy(partitions = d.partitions :+ p)
+    }
 
   def dropPartition(spark: SparkSession, p: String): Unit = {
     val d = definition
@@ -72,36 +72,34 @@ final class Collection(catalog: Catalog, val name: String) {
 
   // ---- index metadata (S4-S6: recorded, consulted by the ANN module) ----
 
-  def createIndex(ix: IndexDef): Unit = {
-    val d = definition
-    require(d.fields.exists(_.name == ix.field), s"no field ${ix.field}")
-    catalog.updateDef(name,
-      d.copy(indexes = d.indexes.filterNot(_.field == ix.field) :+ ix))
-  }
+  def createIndex(ix: IndexDef): Unit =
+    catalog.mutateDef(name) { d =>
+      require(d.fields.exists(_.name == ix.field), s"no field ${ix.field}")
+      d.copy(indexes = d.indexes.filterNot(_.field == ix.field) :+ ix)
+    }
 
-  def dropIndex(field: String): Unit = {
-    val d = definition
-    catalog.updateDef(name, d.copy(indexes = d.indexes.filterNot(_.field == field)))
-  }
+  def dropIndex(field: String): Unit =
+    catalog.mutateDef(name)(d =>
+      d.copy(indexes = d.indexes.filterNot(_.field == field)))
 
   def listIndexes(): Seq[IndexDef] = definition.indexes
 
   // ---- schema evolution (schema_evolution_workload.py:44-124) -----------
 
-  def addField(f: FieldDef): Unit = {
-    val d = definition
-    require(f.nullable, "added fields must be nullable")
-    require(!d.fields.exists(_.name == f.name), s"field ${f.name} exists")
-    catalog.updateDef(name, d.copy(fields = d.fields :+ f))
-  }
+  def addField(f: FieldDef): Unit =
+    catalog.mutateDef(name) { d =>
+      require(f.nullable, "added fields must be nullable")
+      require(!d.fields.exists(_.name == f.name), s"field ${f.name} exists")
+      d.copy(fields = d.fields :+ f)
+    }
 
-  def dropField(fieldName: String): Unit = {
-    val d = definition
-    val f = d.fields.find(_.name == fieldName)
-      .getOrElse(throw new IllegalArgumentException(s"no field $fieldName"))
-    require(!f.isPrimary, "cannot drop the primary field")
-    catalog.updateDef(name, d.copy(fields = d.fields.filterNot(_.name == fieldName)))
-  }
+  def dropField(fieldName: String): Unit =
+    catalog.mutateDef(name) { d =>
+      val f = d.fields.find(_.name == fieldName)
+        .getOrElse(throw new IllegalArgumentException(s"no field $fieldName"))
+      require(!f.isPrimary, "cannot drop the primary field")
+      d.copy(fields = d.fields.filterNot(_.name == fieldName))
+    }
 
   // ---- DML --------------------------------------------------------------
 
@@ -268,7 +266,10 @@ final class Collection(catalog: Catalog, val name: String) {
       outputFields: Seq[String] = Seq("*"),
       partitionNames: Seq[String] = Seq.empty,
       orderBy: Seq[Column] = Seq.empty,
-      limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+      limit: Option[Int] = None, offset: Int = 0,
+      consistencyLevel: String = "Strong"): DataFrame = {
+    // consistencyLevel accepted for API fidelity (Q7): Spark batch
+    // reads are snapshot-consistent, so every level behaves as Strong.
     val base = read(spark, partitionNames)
     val pred =
       if (filterExpr.trim.isEmpty) None

@@ -1,0 +1,115 @@
+package graft.workload
+
+import graft.validate.Validators.ValidationReport
+import org.json4s.JsonDSL._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** The brick result/checkpoint protocol (reference
+  * docs/plans/2026-07-07-milvus-client-bricks-expansion.md:100-133 and
+  * common/args.py:29-42): a unified result JSON per brick run and
+  * phase checkpoints persisted between engine restarts
+  * (validate_phase_dml_dql.py:775-957).
+  */
+object BrickProtocol {
+
+  /** The common brick argument set (common/args.py:29-42). */
+  final case class BrickArgs(
+      uri: String = "local",
+      dbName: String = "default",
+      collectionPrefix: String = "qa_brick",
+      durationSec: Int = 60,
+      seed: Long = 42L,
+      featureSet: String = "compat_2_6",
+      compatMode: String = "rollback_safe",
+      lifecyclePhase: String = "steady_state",
+      checkpointDir: Option[String] = None,
+      outputJson: Option[String] = None)
+
+  final case class BrickResult(
+      brick: String,
+      args: BrickArgs,
+      status: String, // passed | failed | skipped
+      startedAt: Instant,
+      finishedAt: Instant,
+      metrics: Map[String, Double],
+      failures: Seq[String],
+      skipReason: Option[String] = None,
+      checkpointPath: Option[String] = None)
+
+  def fromReport(brick: String, args: BrickArgs, started: Instant,
+      report: ValidationReport): BrickResult =
+    BrickResult(brick, args,
+      status = if (report.passed) "passed" else "failed",
+      startedAt = started, finishedAt = Instant.now(),
+      metrics = report.metrics, failures = report.failures)
+
+  private val iso = DateTimeFormatter.ISO_OFFSET_DATE_TIME.withZone(ZoneOffset.UTC)
+
+  /** Render the unified result JSON (same field set as the spec). */
+  def resultJson(r: BrickResult): String = {
+    val json: JObject =
+      ("brick" -> r.brick) ~
+      ("feature_set" -> r.args.featureSet) ~
+      ("compat_mode" -> r.args.compatMode) ~
+      ("lifecycle_phase" -> r.args.lifecyclePhase) ~
+      ("status" -> r.status) ~
+      ("started_at" -> iso.format(r.startedAt)) ~
+      ("finished_at" -> iso.format(r.finishedAt)) ~
+      ("target" ->
+        (("uri" -> r.args.uri) ~
+         ("db_name" -> r.args.dbName) ~
+         ("collection_prefix" -> r.args.collectionPrefix))) ~
+      ("metrics" -> r.metrics.map { case (k, v) =>
+        k -> (if (v == v.floor && !v.isInfinite) JLong(v.toLong) else JDouble(v))
+      }) ~
+      ("failures" -> r.failures) ~
+      ("capabilities" ->
+        (("server_version" -> "graft-spark") ~
+         ("sdk_version" -> "graft-0.1") ~
+         ("supported" -> Seq.empty[String]) ~
+         ("unsupported" -> Seq.empty[String]))) ~
+      ("skip_reason" -> r.skipReason) ~
+      ("artifacts" -> Seq.empty[String]) ~
+      ("checkpoint" -> r.checkpointPath.map(p =>
+        (("path" -> p) ~ ("version" -> 1)): JObject))
+    JsonMethods.pretty(JsonMethods.render(json))
+  }
+
+  /** Write the result JSON to `args.outputJson` (atomic). */
+  def writeResult(r: BrickResult): Unit =
+    r.args.outputJson.foreach { out =>
+      val p = Paths.get(out)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      val tmp = Paths.get(out + ".tmp")
+      Files.write(tmp, resultJson(r).getBytes("UTF-8"))
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Phase checkpoint (validate_phase_dml_dql.py:775-796): arbitrary
+    * string→value state persisted under `<dir>/<phase>.json`, read back
+    * after an engine restart for cross-phase validation.
+    */
+  def writePhaseCheckpoint(dir: String, phase: String,
+      state: Map[String, String]): String = {
+    Files.createDirectories(Paths.get(dir))
+    val path = Paths.get(dir, s"$phase.json")
+    val json: JObject = ("phase" -> phase) ~ ("version" -> 1) ~ ("state" -> state)
+    val tmp = Paths.get(path.toString + ".tmp")
+    Files.write(tmp, JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8"))
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+    path.toString
+  }
+
+  def readPhaseCheckpoint(dir: String, phase: String): Map[String, String] = {
+    implicit val fmt: Formats = DefaultFormats
+    val path = Paths.get(dir, s"$phase.json")
+    require(Files.exists(path), s"no checkpoint for phase $phase in $dir")
+    val j = JsonMethods.parse(new String(Files.readAllBytes(path), "UTF-8"))
+    (j \ "state").extract[Map[String, String]]
+  }
+}

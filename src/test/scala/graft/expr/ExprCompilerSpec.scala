@@ -134,6 +134,13 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ids("TEXT_MATCH(content, \"stars cone\")") == Seq(3, 4))
   }
 
+  test("non-numeric JSON compared to a number is no-match, not an ANSI error") {
+    // json_content["name"] holds strings; ANSI cast would throw,
+    // Milvus semantics want zero matching rows.
+    assert(ids("json_content[\"name\"] > 5") == Seq.empty)
+    assert(ids("json_content[\"name\"] in [1, 2]") == Seq.empty)
+  }
+
   test("is null / is not null") {
     assert(ids("json_content[\"missing\"] is null") == Seq(1, 2, 3, 4))
     assert(ids("content is not null") == Seq(1, 2, 3, 4))
