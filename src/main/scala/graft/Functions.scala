@@ -37,6 +37,24 @@ object Functions {
       case other     => throw new IllegalArgumentException(s"unknown metric $other")
     }
 
+  /** Type-aware metric routing: the Milvus metric name is resolved
+    * against the vector column's storage type — SPARSE_FLOAT_VECTOR
+    * (map<int,double>) under IP routes to the sparse dot product,
+    * BINARY_VECTOR (binary) to Hamming — so hybrid sparse+dense
+    * searches compose through the one entry point.
+    */
+  def metricFor(name: String, dt: org.apache.spark.sql.types.DataType,
+      a: Column, b: Column): (Column, Boolean) = {
+    import org.apache.spark.sql.types.{BinaryType, MapType}
+    (dt, name.toUpperCase) match {
+      case (_: MapType, "IP" | "SPARSE" | "SPARSE_IP") => (sparseIp(a, b), true)
+      case (_: MapType, other) =>
+        throw new IllegalArgumentException(s"sparse vectors support IP, not $other")
+      case (BinaryType, "HAMMING" | "JACCARD") => (hammingDistance(a, b), false)
+      case _ => metric(name, a, b)
+    }
+  }
+
   private val registryEntries: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VectorDot(args(0), args(1)) },
     "vec_l2" -> { args => VectorL2(args(0), args(1)) },

@@ -194,6 +194,28 @@ object SparkEntry {
           col("fused_rank"))
         .orderBy("fused_rank")
     },
+    // ---- T2: offset pagination on search ----------------------------------
+    "t2_knn_offset" -> { (s, dir) =>
+      Knn.search(tbl(s, dir, "embeddings"), queryDf(s, dir, Seq(0)),
+        "embedding", "vec_id", "L2", k = 3, offset = 2)
+        .select("qid", "vec_id", "rank").orderBy("rank")
+    },
+    // ---- V2: sparse / binary single-query top-k ---------------------------
+    "v2_sparse_topk" -> { (s, dir) =>
+      import s.implicits._
+      val data = Seq(
+        (1L, Map(1 -> 2.0, 5 -> 1.0)), (2L, Map(1 -> 4.0)),
+        (3L, Map(9 -> 7.0)), (4L, Map(1 -> 1.0, 9 -> 1.0)))
+        .toDF("id", "vec")
+      Knn.searchOneSparse(data, Map(1 -> 1.0, 9 -> 2.0), "vec", "id", 3)
+    },
+    "v2_binary_topk" -> { (s, dir) =>
+      import s.implicits._
+      val data = Seq(("1", "0f00"), ("2", "0e00"), ("3", "ffff"), ("4", "0f01"))
+        .toDF("ids", "hex")
+        .select(col("ids").cast("long").as("id"), unhex(col("hex")).as("vec"))
+      Knn.searchOneBinary(data, Array[Byte](0x0f, 0x00), "vec", "id", 3)
+    },
     // ---- V12: range search ------------------------------------------------
     "v12_range_search" -> { (s, dir) =>
       Knn.rangeSearch(tbl(s, dir, "embeddings"), queryDf(s, dir, Seq(0)),
@@ -767,6 +789,25 @@ object SparkEntry {
            |  SELECT vec_id, fs, CAST(row_number() OVER (ORDER BY fs DESC, vec_id) AS INT) AS fused_rank
            |  FROM f
            |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      "t2_knn_offset" ->
+        s"""SELECT qid, vec_id, rank - 2 AS rank FROM (
+           |  SELECT 0::BIGINT AS qid, vec_id,
+           |    CAST(row_number() OVER (
+           |      ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(0)}), vec_id) AS INT) AS rank
+           |  FROM embeddings
+           |) WHERE rank > 2 AND rank <= 5 ORDER BY rank""".stripMargin,
+      "v2_sparse_topk" ->
+        """SELECT id, score FROM (VALUES
+          |  (CAST(3 AS BIGINT), CAST(14.0 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE)),
+          |  (CAST(4 AS BIGINT), CAST(3.0 AS DOUBLE))
+          |) t(id, score) ORDER BY score DESC, id""".stripMargin,
+      "v2_binary_topk" ->
+        """SELECT id, score FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+          |  (CAST(4 AS BIGINT), CAST(1 AS BIGINT))
+          |) t(id, score) ORDER BY score, id""".stripMargin,
       "v12_range_search" ->
         s"""SELECT vec_id FROM embeddings
            |WHERE list_distance(embedding::DOUBLE[], $q0) <= 1.2

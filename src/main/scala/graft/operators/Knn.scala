@@ -51,8 +51,8 @@ object Knn {
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
     val filtered = filter.map(data.filter).getOrElse(data)
-    val (score, similarityLike) =
-      Functions.metric(metricName, col(vecCol), col(qvecCol))
+    val (score, similarityLike) = Functions.metricFor(
+      metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val ord = orderFor(similarityLike, idCol)
     val cols = outputCandidates(data, idCol, outputCols)
     val scored = filtered
@@ -103,8 +103,8 @@ object Knn {
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
     val filtered = filter.map(data.filter).getOrElse(data)
-    val (score, similarityLike) =
-      Functions.metric(metricName, col(vecCol), col(qvecCol))
+    val (score, similarityLike) = Functions.metricFor(
+      metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val ord = orderFor(similarityLike, idCol)
     val cols = outputCandidates(data, idCol, outputCols :+ groupByField)
     val scored = filtered
@@ -136,8 +136,8 @@ object Knn {
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
     val filtered = filter.map(data.filter).getOrElse(data)
-    val (score, similarityLike) =
-      Functions.metric(metricName, col(vecCol), col(qvecCol))
+    val (score, similarityLike) = Functions.metricFor(
+      metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val keep = if (similarityLike) score >= lit(threshold) else score <= lit(threshold)
     val cols = outputCandidates(data, idCol, outputCols)
     filtered
@@ -160,11 +160,46 @@ object Knn {
       outputCols: Seq[String] = Seq.empty): DataFrame = {
     val filtered = filter.map(data.filter).getOrElse(data)
     val qv = lit(queryVec.map(_.toDouble).toArray)
-    val (score, similarityLike) = Functions.metric(metricName, col(vecCol), qv)
+    val (score, similarityLike) = Functions.metricFor(
+      metricName, data.schema(vecCol).dataType, col(vecCol), qv)
     val cols = outputCandidates(data, idCol, outputCols)
     val scored = filtered.select(cols.map(col) :+ score.as("score"): _*)
     val ord = orderFor(similarityLike, idCol)
     scored.orderBy(ord: _*).limit(k)
+  }
+
+  /** Single-query top-k over BINARY_VECTOR columns (Hamming). */
+  def searchOneBinary(
+      data: DataFrame,
+      queryBytes: Array[Byte],
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val filtered = filter.map(data.filter).getOrElse(data)
+    val score = Functions.hammingDistance(col(vecCol), lit(queryBytes))
+    val cols = outputCandidates(data, idCol, outputCols)
+    filtered.select(cols.map(col) :+ score.as("score"): _*)
+      .orderBy(col("score").asc, col(idCol).asc).limit(k)
+  }
+
+  /** Single-query top-k over SPARSE_FLOAT_VECTOR columns (sparse IP). */
+  def searchOneSparse(
+      data: DataFrame,
+      query: Map[Int, Double],
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val filtered = filter.map(data.filter).getOrElse(data)
+    val qv = map(query.toSeq.sortBy(_._1).flatMap {
+      case (i, v) => Seq(lit(i), lit(v)) }: _*)
+    val score = Functions.sparseIp(col(vecCol), qv)
+    val cols = outputCandidates(data, idCol, outputCols)
+    filtered.select(cols.map(col) :+ score.as("score"): _*)
+      .orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
 
   private def orderFor(similarityLike: Boolean, idCol: String): Seq[Column] = {

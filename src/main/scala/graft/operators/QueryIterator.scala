@@ -53,6 +53,38 @@ final class QueryIterator(
 
   def hasNext: Boolean = !exhausted
 
+  /** Export the remaining scan to parquet, `batchesPerFile` iterator
+    * batches per output file (reference S17,
+    * query_iterator.py:225-260: iterator batches → parquet every 100
+    * batches). Returns the number of rows exported.
+    */
+  def exportParquet(outDir: String, batchesPerFile: Int = 100): Long = {
+    val spark = df.sparkSession
+    var fileNo = 0
+    var total = 0L
+    var buffer = Vector.empty[Row]
+    def flush(): Unit = if (buffer.nonEmpty) {
+      val schema = buffer.head.schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(buffer, 1), schema)
+        .write.mode("overwrite")
+        .parquet(f"$outDir/part_$fileNo%05d")
+      fileNo += 1
+      buffer = Vector.empty
+    }
+    var batches = 0
+    var batch = next()
+    while (batch.nonEmpty) {
+      buffer ++= batch
+      total += batch.length
+      batches += 1
+      if (batches % batchesPerFile == 0) flush()
+      batch = next()
+    }
+    flush()
+    total
+  }
+
   def close(): Unit = ()
 
   /** Drop the checkpoint (after a fully consumed scan). */

@@ -36,6 +36,9 @@ abstract class DenseVectorBinary extends BinaryExpression
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ (${x.length} vs ${y.length})")
     scalaKernel(x, y)
   }
 
@@ -48,7 +51,10 @@ abstract class DenseVectorBinary extends BinaryExpression
       s"""
          |double[] $x = $a.toDoubleArray();
          |double[] $y = $b.toDoubleArray();
-         |int $n = Math.min($x.length, $y.length);
+         |if ($x.length != $y.length)
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dimensions differ (" + $x.length + " vs " + $y.length + ")");
+         |int $n = $x.length;
          |double $res = 0.0;
          |${javaKernel(x, y, n, res)}
          |${ev.value} = $res;
@@ -152,26 +158,22 @@ case class HammingDistance(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    var s = 0L; var i = 0; val n = math.min(x.length, y.length)
-    while (i < n) { s += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff); i += 1 }
-    // Length mismatch: count remaining bits as differing (defensive; the
-    // engine always compares same-dim vectors).
-    var j = n
-    val longer = if (x.length > y.length) x else y
-    while (j < longer.length) { s += java.lang.Integer.bitCount(longer(j) & 0xff); j += 1 }
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"hamming_distance: byte lengths differ (${x.length} vs ${y.length})")
+    var s = 0L; var i = 0
+    while (i < x.length) { s += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff); i += 1 }
     s
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val s = ctx.freshName("s")
-      val n = ctx.freshName("n")
-      val longer = ctx.freshName("longer")
       s"""
+         |if ($a.length != $b.length)
+         |  throw new IllegalArgumentException(
+         |    "hamming_distance: byte lengths differ (" + $a.length + " vs " + $b.length + ")");
          |long $s = 0L;
-         |int $n = Math.min($a.length, $b.length);
-         |for (int i = 0; i < $n; i++) $s += Integer.bitCount(($a[i] ^ $b[i]) & 0xff);
-         |byte[] $longer = $a.length > $b.length ? $a : $b;
-         |for (int i = $n; i < $longer.length; i++) $s += Integer.bitCount($longer[i] & 0xff);
+         |for (int i = 0; i < $a.length; i++) $s += Integer.bitCount(($a[i] ^ $b[i]) & 0xff);
          |${ev.value} = $s;
        """.stripMargin
     })

@@ -112,6 +112,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("iterator exports batches to parquet files (S17)") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val out = Files.createTempDirectory("graft-export").toString
+    val it = new QueryIterator(orders, "o_orderkey", batchSize = 300)
+    val n = it.exportParquet(out, batchesPerFile = 2)
+    assert(n == orders.count())
+    val readBack = s.read.parquet(s"$out/part_*")
+    assert(readBack.count() == n)
+    assert(readBack.select("o_orderkey").distinct().count() == n)
+  }
+
+  test("sparse and binary single-query search route through typed metrics") {
+    val s = spark
+    import s.implicits._
+    val sparse = Seq(
+      (1L, Map(1 -> 2.0, 5 -> 1.0)), (2L, Map(1 -> 4.0)), (3L, Map(9 -> 7.0)))
+      .toDF("id", "vec")
+    val topSparse = Knn.searchOneSparse(sparse, Map(1 -> 1.0), "vec", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topSparse == Seq((2L, 4.0), (1L, 2.0)))
+    val bin = Seq(
+      (1L, Array[Byte](0x0f, 0x00)), (2L, Array[Byte](0x0e, 0x00)),
+      (3L, Array[Byte](-1, -1)))
+      .toDF("id", "vec")
+    val topBin = Knn.searchOneBinary(bin, Array[Byte](0x0f, 0x00), "vec", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(topBin == Seq((1L, 0L), (2L, 1L)))
+    // batched search on a sparse column with metric IP routes to sparse_ip
+    val q = Seq((0L, Map(1 -> 1.0))).toDF("qid", "qvec")
+    assert(Knn.search(sparse, q, "vec", "id", "IP", 2)
+      .select("id", "rank").orderBy("rank")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
+  }
+
+  test("dimension mismatch is a hard error (reference schema dim validation)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      df.select(graft.Functions.vecL2($"vec", lit(Array(1.0, 2.0, 3.0)))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("iterator honors filter and output fields") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")
