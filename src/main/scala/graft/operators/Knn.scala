@@ -50,13 +50,14 @@ object Knn {
       outputCols: Seq[String] = Seq.empty,
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
-    val filtered = filter.map(data.filter).getOrElse(data)
+    val filtered = densify(filter.map(data.filter).getOrElse(data), vecCol)
     val (score, similarityLike) = Functions.metricFor(
       metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val ord = orderFor(similarityLike, idCol)
     val cols = outputCandidates(data, idCol, outputCols)
     val scored = filtered
-      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .crossJoin(broadcast(
+        densify(queries.select(col(qidCol), col(qvecCol)), qvecCol)))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
     // Two-level top-k for large k: the single-window plan funnels
     // tasks × (offset+k) rows per qid into ONE reducer — at the
@@ -102,13 +103,14 @@ object Knn {
       outputCols: Seq[String] = Seq.empty,
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
-    val filtered = filter.map(data.filter).getOrElse(data)
+    val filtered = densify(filter.map(data.filter).getOrElse(data), vecCol)
     val (score, similarityLike) = Functions.metricFor(
       metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val ord = orderFor(similarityLike, idCol)
     val cols = outputCandidates(data, idCol, outputCols :+ groupByField)
     val scored = filtered
-      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .crossJoin(broadcast(
+        densify(queries.select(col(qidCol), col(qvecCol)), qvecCol)))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
     val perGroup = Window.partitionBy(qidCol, groupByField).orderBy(ord: _*)
     val perQuery = Window.partitionBy(qidCol).orderBy(ord: _*)
@@ -135,13 +137,14 @@ object Knn {
       outputCols: Seq[String] = Seq.empty,
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
-    val filtered = filter.map(data.filter).getOrElse(data)
+    val filtered = densify(filter.map(data.filter).getOrElse(data), vecCol)
     val (score, similarityLike) = Functions.metricFor(
       metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val keep = if (similarityLike) score >= lit(threshold) else score <= lit(threshold)
     val cols = outputCandidates(data, idCol, outputCols)
     filtered
-      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .crossJoin(broadcast(
+        densify(queries.select(col(qidCol), col(qvecCol)), qvecCol)))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
       .filter(keep)
   }
@@ -201,6 +204,19 @@ object Knn {
     filtered.select(cols.map(col) :+ score.as("score"): _*)
       .orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
+
+
+  /** Pre-cast a dense vector column to array<double> so the float →
+    * double Cast runs once per ROW in the projection, not once per
+    * (row, query) PAIR inside the distance expression.
+    */
+  private def densify(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        df.withColumn(c, col(c).cast("array<double>"))
+      case _ => df
+    }
 
   private def orderFor(similarityLike: Boolean, idCol: String): Seq[Column] = {
     val primary = if (similarityLike) col("score").desc else col("score").asc

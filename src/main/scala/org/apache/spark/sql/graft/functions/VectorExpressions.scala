@@ -27,36 +27,35 @@ abstract class DenseVectorBinary extends BinaryExpression
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  /** Java statements computing the result into `result` given double[]
-    * locals `x` and `y` and int local `n` (common length).
+  /** Java statements computing the result into `result` given
+    * `ArrayData` locals `x` and `y` and int local `n` (common length).
+    * Kernels index with `getDouble(i)` — no per-row double[] copy; for
+    * UnsafeArrayData that is a direct word load, which matters when the
+    * expression runs once per (row, query) pair in a batched search.
     */
   protected def javaKernel(x: String, y: String, n: String, result: String): String
-  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double
+  protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    if (x.length != y.length)
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
       throw new IllegalArgumentException(
-        s"$prettyName: vector dimensions differ (${x.length} vs ${y.length})")
-    scalaKernel(x, y)
+        s"$prettyName: vector dimensions differ (${x.numElements()} vs ${y.numElements()})")
+    scalaKernel(x, y, x.numElements())
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
       val n = ctx.freshName("n")
       val res = ctx.freshName("res")
       s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
-         |if ($x.length != $y.length)
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements())
          |  throw new IllegalArgumentException(
-         |    "$prettyName: vector dimensions differ (" + $x.length + " vs " + $y.length + ")");
-         |int $n = $x.length;
+         |    "$prettyName: vector dimensions differ (" + $n + " vs " + $b.numElements() + ")");
          |double $res = 0.0;
-         |${javaKernel(x, y, n, res)}
+         |${javaKernel(a, b, n, res)}
          |${ev.value} = $res;
        """.stripMargin
     })
@@ -66,10 +65,10 @@ abstract class DenseVectorBinary extends BinaryExpression
 case class VectorDot(left: Expression, right: Expression) extends DenseVectorBinary {
   override def prettyName: String = "vec_dot"
   protected def javaKernel(x: String, y: String, n: String, res: String): String =
-    s"for (int i = 0; i < $n; i++) $res += $x[i] * $y[i];"
-  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double = {
-    var s = 0.0; var i = 0; val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i) * y(i); i += 1 }; s
+    s"for (int i = 0; i < $n; i++) $res += $x.getDouble(i) * $y.getDouble(i);"
+  protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }; s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -82,11 +81,11 @@ case class VectorDot(left: Expression, right: Expression) extends DenseVectorBin
 case class VectorL2(left: Expression, right: Expression) extends DenseVectorBinary {
   override def prettyName: String = "vec_l2"
   protected def javaKernel(x: String, y: String, n: String, res: String): String =
-    s"""for (int i = 0; i < $n; i++) { double d = $x[i] - $y[i]; $res += d * d; }
+    s"""for (int i = 0; i < $n; i++) { double d = $x.getDouble(i) - $y.getDouble(i); $res += d * d; }
        |$res = Math.sqrt($res);""".stripMargin
-  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double = {
-    var s = 0.0; var i = 0; val n = math.min(x.length, y.length)
-    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+  protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -103,14 +102,17 @@ case class VectorCosine(left: Expression, right: Expression) extends DenseVector
   protected def javaKernel(x: String, y: String, n: String, res: String): String =
     s"""double nx = 0.0, ny = 0.0;
        |for (int i = 0; i < $n; i++) {
-       |  $res += $x[i] * $y[i]; nx += $x[i] * $x[i]; ny += $y[i] * $y[i];
+       |  double xv = $x.getDouble(i); double yv = $y.getDouble(i);
+       |  $res += xv * yv; nx += xv * xv; ny += yv * yv;
        |}
        |double denom = Math.sqrt(nx) * Math.sqrt(ny);
        |$res = denom == 0.0 ? 0.0 : $res / denom;""".stripMargin
-  protected def scalaKernel(x: Array[Double], y: Array[Double]): Double = {
+  protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      s += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) 0.0 else s / denom
   }
