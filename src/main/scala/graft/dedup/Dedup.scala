@@ -41,17 +41,23 @@ object Dedup {
   // --- MinHash + banded LSH ---------------------------------------------
 
   /** MinHash signatures over word n-gram shingles.
-    * numHashes independent hash functions h_i(s) = xxhash64(i, s); the
-    * signature row i is min over the doc's shingles. Computed with one
-    * explode + groupBy (shuffle on id, partial min map-side).
+    *
+    * Each shingle is hashed ONCE to a 64-bit base (xxhash64 of the
+    * string); the numHashes functions re-hash only the 8-byte base
+    * (h_i = xxhash64(i, base)) — far cheaper than hashing the string
+    * numHashes times, and safe under ANSI mode (an affine a·base+b
+    * family would overflow-error, not wrap). One explode + groupBy;
+    * min() combines map-side.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(array_distinct(TextOps.shingles(col(textCol), shingleSize)))
         .as("_shingle"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("_shingle"))).as(s"_h$i"))
+      .withColumn("_base", xxhash64(col("_shingle")))
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("_base"))).as(s"_h$i")
+    }
     sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*)
         .as("signature"))
@@ -81,8 +87,14 @@ object Dedup {
     */
   def jaccardVerify(docs: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, shingleSize: Int): DataFrame = {
-    val sets = docs.select(col(idCol).as("_id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("_set"))
+    // Prune to docs actually referenced by candidate pairs BEFORE
+    // computing shingle sets — otherwise both join branches re-shingle
+    // the whole corpus to verify a handful of candidates.
+    val wanted = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sets = docs.join(wanted, Seq(idCol), "left_semi")
+      .select(col(idCol).as("_id"),
+        array_distinct(TextOps.shingles(col(textCol), shingleSize)).as("_set"))
     pairs
       .join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "_sa"), "id_a")
       .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "_sb"), "id_b")

@@ -52,9 +52,12 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
     val docFreq = postings.groupBy("term")
       .agg(countDistinct(col(idCol)).as("df"))
-    val stats = docs.select(
-      count(lit(1)).as("n"),
-      avg(size(tokenize(col(textCol)))).as("avgdl")).head()
+    // Corpus stats from the postings (one row per doc after distinct) —
+    // avoids re-tokenizing the corpus in a second scan. Zero-token docs
+    // don't appear in postings; they can't match any term, and avgdl
+    // over scoreable docs is the consistent normalizer.
+    val stats = postings.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     Bm25Index(postings, docFreq, stats.getLong(0), stats.getDouble(1),
       idCol, params)
   }
