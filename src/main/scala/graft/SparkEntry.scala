@@ -51,15 +51,22 @@ object SparkEntry {
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  /** Flagship query on sf=0.001: filtered cosine top-10 with metadata
-    * join-back — the reference's `search(filter=..., output_fields=...)`
-    * shape. Driver smoke-checks rows>0.
+  /** Flagship query on sf=0.001: the reference's headline shape —
+    * hybrid search (two metrics over the same field), each sub-request
+    * carrying a string filter COMPILED by the expression language,
+    * fused with RRF, with output fields joined back. Driver
+    * smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val emb = tbl(spark, dir, "embeddings")
-    Knn.searchOne(emb, vecOf(spark, dir, 0), "embedding", "vec_id",
-      "COSINE", 10, filter = Some(col("label") >= 0), outputCols = Seq("label"))
+    val q = queryDf(spark, dir, Seq(0))
+    HybridSearch.hybridSearch(emb,
+      Seq(
+        AnnSearchRequest(q, "embedding", "COSINE", limit = 10,
+          filter = Some("label >= 0 and vec_id >= 0")),
+        AnnSearchRequest(q, "embedding", "L2", limit = 10)),
+      RrfRanker(60), idCol = "vec_id", limit = 10, outputCols = Seq("label"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

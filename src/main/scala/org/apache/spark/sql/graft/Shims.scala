@@ -17,6 +17,33 @@ object Shims {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Apply a SparkSessionExtensions configurator and return the names
+    * it registered, resolving one function to prove the builder wiring
+    * (test hook: `registerFunctions`/`FunctionRegistry` are
+    * private[sql], and `spark.sql.extensions` is a static conf that a
+    * same-JVM second session cannot exercise).
+    */
+  def extensionFunctionNames(
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit): Seq[String] = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    val registry =
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(registry)
+    registry.listFunction().map(_.funcName)
+  }
+
+  def evalRegistered(
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit,
+      name: String, args: Seq[Expression]): Any = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    val registry =
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(registry)
+    registry.lookupFunction(FunctionIdentifier(name), args).eval(null)
+  }
+
   /** Register a builder under `name` in the session's function registry so
     * the expression is usable from SQL text and `call_function`.
     */
