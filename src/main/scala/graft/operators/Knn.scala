@@ -50,14 +50,13 @@ object Knn {
       outputCols: Seq[String] = Seq.empty,
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
-    val filtered = densify(filter.map(data.filter).getOrElse(data), vecCol)
+    val filtered = filter.map(data.filter).getOrElse(data)
     val (score, similarityLike) = Functions.metricFor(
       metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val ord = orderFor(similarityLike, idCol)
     val cols = outputCandidates(data, idCol, outputCols)
     val scored = filtered
-      .crossJoin(broadcast(
-        densify(queries.select(col(qidCol), col(qvecCol)), qvecCol)))
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
     // Two-level top-k for large k: the single-window plan funnels
     // tasks × (offset+k) rows per qid into ONE reducer — at the
@@ -103,14 +102,13 @@ object Knn {
       outputCols: Seq[String] = Seq.empty,
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
-    val filtered = densify(filter.map(data.filter).getOrElse(data), vecCol)
+    val filtered = filter.map(data.filter).getOrElse(data)
     val (score, similarityLike) = Functions.metricFor(
       metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val ord = orderFor(similarityLike, idCol)
     val cols = outputCandidates(data, idCol, outputCols :+ groupByField)
     val scored = filtered
-      .crossJoin(broadcast(
-        densify(queries.select(col(qidCol), col(qvecCol)), qvecCol)))
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
     val perGroup = Window.partitionBy(qidCol, groupByField).orderBy(ord: _*)
     val perQuery = Window.partitionBy(qidCol).orderBy(ord: _*)
@@ -137,14 +135,13 @@ object Knn {
       outputCols: Seq[String] = Seq.empty,
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
-    val filtered = densify(filter.map(data.filter).getOrElse(data), vecCol)
+    val filtered = filter.map(data.filter).getOrElse(data)
     val (score, similarityLike) = Functions.metricFor(
       metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val keep = if (similarityLike) score >= lit(threshold) else score <= lit(threshold)
     val cols = outputCandidates(data, idCol, outputCols)
     filtered
-      .crossJoin(broadcast(
-        densify(queries.select(col(qidCol), col(qvecCol)), qvecCol)))
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
       .filter(keep)
   }
@@ -206,17 +203,6 @@ object Knn {
   }
 
 
-  /** Pre-cast a dense vector column to array<double> so the float →
-    * double Cast runs once per ROW in the projection, not once per
-    * (row, query) PAIR inside the distance expression.
-    */
-  private def densify(df: DataFrame, c: String): DataFrame =
-    df.schema(c).dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType, _) =>
-        df.withColumn(c, col(c).cast("array<double>"))
-      case _ => df
-    }
 
   private def orderFor(similarityLike: Boolean, idCol: String): Seq[Column] = {
     val primary = if (similarityLike) col("score").desc else col("score").asc

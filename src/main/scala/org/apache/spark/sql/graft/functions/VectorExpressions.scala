@@ -17,21 +17,38 @@ import org.apache.spark.sql.types._
   * inside whole-stage codegen — on a 100 TB scan this is the innermost
   * loop, and a Scala UDF here would pay boxing + serialization per row.
   *
-  * All dense variants take `array<double>` and rely on implicit input
-  * casts to lift `array<float>` storage columns; computation is float64.
+  * All dense variants accept `array<float>` AND `array<double>`
+  * natively (per side, independently): float storage columns are read
+  * element-wise with `getFloat` — no per-row cast/copy anywhere on the
+  * hot path. Computation is always float64.
   */
 abstract class DenseVectorBinary extends BinaryExpression
     with ImplicitCastInputTypes with Serializable {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  // def, not val: TypeCollection is not serializable and must not be
+  // captured as expression state shipped to executors.
+  private def denseVec = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(denseVec, denseVec)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  /** Element accessor specialized to the side's stored type — a direct
+    * word load on UnsafeArrayData, widened to double.
+    */
+  protected def elemJava(side: Expression, arr: String, i: String): String =
+    side.dataType match {
+      case ArrayType(FloatType, _) => s"((double) $arr.getFloat($i))"
+      case _ => s"$arr.getDouble($i)"
+    }
+
+  protected def elem(side: Expression, arr: ArrayData, i: Int): Double =
+    side.dataType match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+
   /** Java statements computing the result into `result` given
     * `ArrayData` locals `x` and `y` and int local `n` (common length).
-    * Kernels index with `getDouble(i)` — no per-row double[] copy; for
-    * UnsafeArrayData that is a direct word load, which matters when the
-    * expression runs once per (row, query) pair in a batched search.
+    * Kernels must read elements via `elemJava(left/right, ...)`.
     */
   protected def javaKernel(x: String, y: String, n: String, result: String): String
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double
@@ -65,10 +82,10 @@ abstract class DenseVectorBinary extends BinaryExpression
 case class VectorDot(left: Expression, right: Expression) extends DenseVectorBinary {
   override def prettyName: String = "vec_dot"
   protected def javaKernel(x: String, y: String, n: String, res: String): String =
-    s"for (int i = 0; i < $n; i++) $res += $x.getDouble(i) * $y.getDouble(i);"
+    s"for (int i = 0; i < $n; i++) $res += ${elemJava(left, x, "i")} * ${elemJava(right, y, "i")};"
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }; s
+    while (i < n) { s += elem(left, x, i) * elem(right, y, i); i += 1 }; s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -81,11 +98,11 @@ case class VectorDot(left: Expression, right: Expression) extends DenseVectorBin
 case class VectorL2(left: Expression, right: Expression) extends DenseVectorBinary {
   override def prettyName: String = "vec_l2"
   protected def javaKernel(x: String, y: String, n: String, res: String): String =
-    s"""for (int i = 0; i < $n; i++) { double d = $x.getDouble(i) - $y.getDouble(i); $res += d * d; }
+    s"""for (int i = 0; i < $n; i++) { double d = ${elemJava(left, x, "i")} - ${elemJava(right, y, "i")}; $res += d * d; }
        |$res = Math.sqrt($res);""".stripMargin
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var i = 0
-    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    while (i < n) { val d = elem(left, x, i) - elem(right, y, i); s += d * d; i += 1 }
     math.sqrt(s)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -102,7 +119,7 @@ case class VectorCosine(left: Expression, right: Expression) extends DenseVector
   protected def javaKernel(x: String, y: String, n: String, res: String): String =
     s"""double nx = 0.0, ny = 0.0;
        |for (int i = 0; i < $n; i++) {
-       |  double xv = $x.getDouble(i); double yv = $y.getDouble(i);
+       |  double xv = ${elemJava(left, x, "i")}; double yv = ${elemJava(right, y, "i")};
        |  $res += xv * yv; nx += xv * xv; ny += yv * yv;
        |}
        |double denom = Math.sqrt(nx) * Math.sqrt(ny);
@@ -110,7 +127,7 @@ case class VectorCosine(left: Expression, right: Expression) extends DenseVector
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = elem(left, x, i); val yv = elem(right, y, i)
       s += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
     }
     val denom = math.sqrt(nx) * math.sqrt(ny)
