@@ -121,6 +121,48 @@ object Ivf {
       filter, outputCols)
   }
 
+  /** Batched ANN search: per-query probe cells, one pass over the
+    * union of probed cells with a per-pair cell-membership guard, then
+    * the standard batched exact top-k. The scan touches only cells
+    * probed by SOME query (partition-pruned when `_cid` is a physical
+    * partition), and each (row, query) pair is scored only when the
+    * row's cell is in that query's probe set.
+    */
+  def search(assigned: DataFrame, model: Model, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    // nq is small (the reference's batch shape): probe cells computed
+    // driver-side per query, shipped with the broadcast query table.
+    val qRows = queries.select(col(qidCol), col(qvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getSeq[Double](1).toArray))
+    val probes = qRows.map { case (qid, qv) =>
+      (qid, qv, model.probes(qv, nprobe).toArray)
+    }.toSeq
+    val allCells = probes.flatMap(_._3).distinct
+    val probeDf = probes.toDF("_qid_str", qvecCol, "_probes")
+    // Scan only cells probed by some query; guard each (row, query)
+    // pair on that query's probe set BEFORE scoring/ranking.
+    val pruned = filter.foldLeft(
+      assigned.filter(col("_cid").isin(allCells: _*)))(_ filter _)
+    val (score, similarityLike) = graft.Functions.metricFor(
+      model.metric, assigned.schema(vecCol).dataType, col(vecCol), col(qvecCol))
+    val cols = (idCol +: outputCols).distinct.map(col)
+    val scored = pruned
+      .crossJoin(broadcast(probeDf))
+      .filter(array_contains(col("_probes"), col("_cid")))
+      .select((col("_qid_str").as(qidCol) +: cols) :+ score.as("score"): _*)
+    val primary = if (similarityLike) col("score").desc else col("score").asc
+    val w = Window.partitionBy(qidCol).orderBy(primary, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Recall@k of the ANN path against exact brute force, averaged over
     * a query set (the standard index-quality oracle).
     */

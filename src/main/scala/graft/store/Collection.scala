@@ -336,6 +336,9 @@ final class Collection(catalog: Catalog, val name: String) {
       s"no such partition $p"))
     val out = dataDir.resolve(f"delta_$seq%012d").toString
     withInternals(batch, d, seq, partition)
+      // PK-sorted row groups give parquet min/max stats real selectivity
+      // for PK lookups/range scans (the engine's STL_SORT equivalent).
+      .sortWithinPartitions(d.primaryField.name)
       .write.mode("overwrite").parquet(out)
   }
 

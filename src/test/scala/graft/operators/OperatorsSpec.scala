@@ -70,6 +70,59 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("batched IVF search matches per-query single IVF searches") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings").cache()
+    val model = Ivf.train(emb, "embedding", k = 8, sampleSize = 500)
+    val assigned = Ivf.assign(emb, "embedding", model).cache()
+    val qids = Seq(0L, 7L, 42L)
+    val q = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val batched = Ivf.search(assigned, model, q, "embedding", "vec_id",
+      k = 5, nprobe = 2)
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val singles = qids.flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0)
+      Ivf.searchOne(assigned, model, qv, "embedding", "vec_id",
+        k = 5, nprobe = 2).select("vec_id").collect().zipWithIndex
+        .map { case (r, i) => (qid.toString, r.getLong(0), i + 1) }
+    }.sorted
+    assert(batched == singles)
+  }
+
+  test("schema matrix YAML loads the reference's 2.6 manifest") {
+    val m = graft.store.SchemaMatrix.load(
+      "/root/reference/milvus-bricks/milvus_client/manifests/schema_matrix_2_6.yaml")
+    assert(m.version == "2.6")
+    assert(m.entries.map(_.collection.name) == Seq(
+      "scalar_dynamic_partition_key", "vector_autoid_bm25",
+      "explicit_partitions_nullable"))
+    val e1 = m.entries.head.collection
+    assert(e1.enableDynamicField)
+    assert(e1.numPartitions.contains(16))
+    assert(e1.partitionKeyField.map(_.name).contains("partition_key"))
+    assert(e1.fields.find(_.name == "embedding").flatMap(_.dim).contains(128))
+    assert(e1.indexes.exists(ix => ix.field == "varchar_ngram" &&
+      ix.params.get("min_gram").contains("2")))
+    val e2 = m.entries(1)
+    assert(e2.collection.primaryField.autoId)
+    assert(e2.functions.exists(f => f.functionType == "BM25" &&
+      f.outputFields == Seq("sparse_bm25")))
+    // BM25 output fields are engine-computed -> nullable for inserts
+    assert(e2.collection.fields.find(_.name == "sparse_bm25").exists(_.nullable))
+    import org.apache.spark.sql.types._
+    assert(e2.collection.fields.find(_.name == "sparse_manual")
+      .map(_.dataType).contains(MapType(IntegerType, DoubleType)))
+    assert(e2.collection.fields.find(_.name == "binary_ivf")
+      .map(_.dataType).contains(BinaryType))
+    val e3 = m.entries(2).collection
+    assert(e3.partitions == Seq("p0", "p1", "p2", "p3"))
+    assert(e3.primaryField.dataType == StringType)
+  }
+
   test("query iterator pages the full scan exactly once, in pk order") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")
