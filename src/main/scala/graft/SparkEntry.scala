@@ -311,11 +311,11 @@ object SparkEntry {
       val orders = tbl(s, dir, "orders")
       val cp = java.nio.file.Files.createTempDirectory("graft-itcp")
         .resolve("cp.json").toString
-      val it1 = new QueryIterator(orders, "o_orderkey", batchSize = 4000,
+      val it1 = new QueryIterator(orders, "o_orderkey", batchSize = 8000,
         checkpointFile = Some(cp))
       val first = it1.next()
       // crash after the first batch; a fresh iterator resumes from cp
-      val it2 = new QueryIterator(orders, "o_orderkey", batchSize = 4000,
+      val it2 = new QueryIterator(orders, "o_orderkey", batchSize = 8000,
         checkpointFile = Some(cp))
       val rest = Iterator.continually(it2.next()).takeWhile(_.nonEmpty)
         .flatten.toVector
@@ -643,10 +643,9 @@ object SparkEntry {
         val emb = tbl(s, dir, "embeddings")
         val model = Ivf.train(emb, "embedding", k = 16, sampleSize = 2000)
         val assigned = Ivf.assign(emb, "embedding", model).cache()
-        val hits = (0 until 10).map { i =>
-          Ivf.searchOne(assigned, model, vecOf(s, dir, i.toLong), "embedding",
-            "vec_id", k = 10, nprobe = 4).count()
-        }.sum
+        val hits = Ivf.search(assigned, model,
+          queryDf(s, dir, (0 until 10).toSeq), "embedding", "vec_id",
+          k = 10, nprobe = 4).count()
         assigned.unpersist()
         Seq(Tuple1(hits)).toDF("total_hits")
       },
