@@ -100,6 +100,7 @@ object Knn {
       k: Int,
       filter: Option[Column] = None,
       outputCols: Seq[String] = Seq.empty,
+      groupSize: Int = 1,
       qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
     val filtered = filter.map(data.filter).getOrElse(data)
@@ -110,14 +111,25 @@ object Knn {
     val scored = filtered
       .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
+    // group_size hits per group (Milvus 2.5 group_size param; default 1),
+    // then the top-k GROUPS per query, ranked by each group's BEST hit
+    // (a strong group's 2nd hit must not evict another group's best).
+    // Group rank is assigned to the leader row (sorting leaders first
+    // makes row_number give 1..numGroups deterministically, idCol
+    // tiebreaks included) and window-propagated to the group's rows.
     val perGroup = Window.partitionBy(qidCol, groupByField).orderBy(ord: _*)
-    val perQuery = Window.partitionBy(qidCol).orderBy(ord: _*)
+    val leadersFirst = Window.partitionBy(qidCol)
+      .orderBy(col("_gr").asc +: ord: _*)
     scored
       .withColumn("_gr", row_number().over(perGroup))
-      .filter(col("_gr") === 1)
-      .drop("_gr")
-      .withColumn("rank", row_number().over(perQuery))
-      .filter(col("rank") <= k)
+      .filter(col("_gr") <= groupSize)
+      .withColumn("_lr", when(col("_gr") === 1, row_number().over(leadersFirst)))
+      .withColumn("_group_rank",
+        max(col("_lr")).over(Window.partitionBy(qidCol, groupByField)))
+      .filter(col("_group_rank") <= k)
+      .withColumn("rank", row_number().over(Window.partitionBy(qidCol)
+        .orderBy(col("_group_rank").asc, col("_gr").asc)))
+      .drop("_gr", "_lr", "_group_rank")
   }
 
   /** Range search (Milvus 3.0 surface, feature-inventory doc §1-2): all

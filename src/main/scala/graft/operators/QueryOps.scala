@@ -27,6 +27,10 @@ object QueryOps {
       orderBy: Seq[Column] = Seq.empty,
       limit: Option[Int] = None,
       offset: Int = 0): DataFrame = {
+    // `output_fields=["count(*)"]` IS the reference's count API
+    // (common/validators.py:61-65) — route to the aggregate.
+    if (outputFields == Seq("count(*)"))
+      return countStar(data, filter).withColumnRenamed("cnt", "count(*)")
     var df = filter.map(data.filter).getOrElse(data)
     if (outputFields.nonEmpty && outputFields != Seq("*"))
       df = df.select(outputFields.map(col): _*)

@@ -123,6 +123,40 @@ class OperatorsSpec extends SparkSpec {
     assert(e3.primaryField.dataType == StringType)
   }
 
+  test("group-by search: group_size>1 keeps per-group hits; groups ranked by best") {
+    val s = spark
+    import s.implicits._
+    // group A has the 1st and 2nd best hits; group B the 3rd; group C far.
+    val data = Seq(
+      (1L, "A", Seq(1.0f, 0.0f)), (2L, "A", Seq(0.9f, 0.1f)),
+      (3L, "B", Seq(0.5f, 0.5f)), (4L, "C", Seq(0.0f, 1.0f)),
+      (5L, "B", Seq(0.4f, 0.6f)))
+      .toDF("id", "grp", "vec")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Knn.searchGroupBy(data, q, "vec", "id", "grp", "COSINE",
+      k = 2, groupSize = 2)
+      .select("grp", "id", "rank").orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // top-2 groups = A (best 1.0) then B; 2 hits each, group-contiguous
+    assert(out == Seq(("A", 1L, 1), ("A", 2L, 2), ("B", 3L, 3), ("B", 5L, 4)))
+    // default group_size=1 matches the original per-group-best semantics
+    val one = Knn.searchGroupBy(data, q, "vec", "id", "grp", "COSINE", k = 3)
+      .select("grp", "id").orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(one == Seq(("A", 1L), ("B", 3L), ("C", 4L)))
+  }
+
+  test("output_fields=[count(*)] routes to the count aggregate") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val r = QueryOps.query(orders,
+      Some(org.apache.spark.sql.functions.col("o_orderstatus") === "F"),
+      Seq("count(*)"))
+    assert(r.columns.toSeq == Seq("count(*)"))
+    assert(r.head().getLong(0) ==
+      orders.filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count())
+  }
+
   test("query iterator pages the full scan exactly once, in pk order") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")
