@@ -531,6 +531,10 @@ object SparkEntry {
       QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "documents"),
         "TEXT_MATCH(text, \"vector stream\")"), None)
     },
+    "x13_expr_phrase_match" -> { (s, dir) =>
+      QueryOps.countStar(MilvusExpr.filter(tbl(s, dir, "documents"),
+        "PHRASE_MATCH(text, \"vector stream\")"), None)
+    },
     "x10_expr_array_contains" -> { (s, dir) =>
       import s.implicits._
       val fixture = Seq(
@@ -974,6 +978,9 @@ object SparkEntry {
       "x9_expr_text_match" ->
         """SELECT count(*) AS cnt FROM documents
           |WHERE regexp_matches(text, '\b(vector|stream)\b')""".stripMargin,
+      "x13_expr_phrase_match" ->
+        """SELECT count(*) AS cnt FROM documents
+          |WHERE regexp_matches(text, '\bvector stream\b')""".stripMargin,
       "x10_expr_array_contains" ->
         "SELECT id FROM (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT))) t(id) ORDER BY id",
       "x11_expr_json_contains" ->

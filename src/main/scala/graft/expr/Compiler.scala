@@ -297,6 +297,43 @@ object Compiler {
         }
         val terms = query.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
         Concrete(arrays_overlap(fieldToks, lit(terms)), BooleanType)
+      case "phrase_match" =>
+        // PHRASE_MATCH(field, "a b c"[, slop]) — 3.0 text surface
+        // (feature-inventory doc §3): query tokens appear in order
+        // within a window of |Q| + slop field tokens. Pure Column
+        // machinery: exists over window starts, with an aggregate()
+        // pointer walking the query subsequence inside the window.
+        if (c.args.length < 2 || c.args.length > 3)
+          throw new ParseException("PHRASE_MATCH takes (field, phrase[, slop])")
+        val slop = c.args.lift(2).map {
+          case IntLit(v) => v.toInt
+          case other => throw new ParseException(s"slop must be an int, got $other")
+        }.getOrElse(0)
+        val qToks = c.args(1) match {
+          case StrLit(s) =>
+            s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+          case other => throw new ParseException(s"PHRASE_MATCH needs a string, got $other")
+        }
+        if (qToks.isEmpty) Concrete(lit(true), BooleanType)
+        else {
+          val qLit = lit(qToks)
+          val win = qToks.length + slop
+          val fieldToks =
+            filter(split(lower(stringOf(eval(c.args(0)))), "[^\\p{L}\\p{N}]+"),
+              t => t =!= "")
+          val matched = Concrete(
+            exists(
+              transform(
+                sequence(lit(1), greatest(size(fieldToks) - win + 1, lit(1))),
+                p =>
+                  aggregate(slice(fieldToks, p, lit(win)), lit(0),
+                    (done, t) => when(
+                      done < qToks.length && t === element_at(qLit, done + 1),
+                      done + 1).otherwise(done))),
+              cnt => cnt === qToks.length),
+            BooleanType)
+          matched
+        }
       case "exists" =>
         Concrete(eval(c.args(0)).column.isNotNull, BooleanType)
       case other =>

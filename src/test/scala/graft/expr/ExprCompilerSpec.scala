@@ -141,6 +141,26 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ids("json_content[\"name\"] in [1, 2]") == Seq.empty)
   }
 
+  test("PHRASE_MATCH with and without slop") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the brown quick fox"),
+      (3L, "quick red agile brown thing"),
+      (4L, "nothing relevant here"))
+      .toDF("id", "t")
+    def m(e: String) = MilvusExpr.filter(d, e)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // exact phrase: adjacent, in order
+    assert(m("PHRASE_MATCH(t, \"quick brown\")") == Seq(1))
+    // slop 2 allows two interleaved tokens, order preserved
+    assert(m("phrase_match(t, \"quick brown\", 2)") == Seq(1, 3))
+    // order matters: "brown quick" only in doc 2
+    assert(m("PHRASE_MATCH(t, \"brown quick\")") == Seq(2))
+    assert(m("PHRASE_MATCH(t, \"missing phrase\")") == Seq.empty)
+  }
+
   test("is null / is not null") {
     assert(ids("json_content[\"missing\"] is null") == Seq(1, 2, 3, 4))
     assert(ids("content is not null") == Seq(1, 2, 3, 4))
