@@ -358,9 +358,37 @@ object Compiler {
 object MilvusExpr {
   def parse(input: String): Node = Parser.parse(input)
 
+  /** Field names referenced by an expression (top-level identifiers;
+    * subscripts report their base field). Used for pushdown decisions —
+    * e.g. a predicate touching only the PK may run below a
+    * merge-on-read window.
+    */
+  def referencedFields(input: String): Set[String] = {
+    def walk(n: Node): Set[String] = n match {
+      case Ident(name) => Set(name)
+      case Subscript(t, _) => walk(t)
+      case ListLit(items) => items.flatMap(walk).toSet
+      case Un(_, e) => walk(e)
+      case Bin(_, l, r) => walk(l) ++ walk(r)
+      case Cmp(operands, _) => operands.flatMap(walk).toSet
+      case In(e, list, _) => walk(e) ++ walk(list)
+      case Like(e, _, _) => walk(e)
+      case RegexMatch(e, _) => walk(e)
+      case IsNull(e, _) => walk(e)
+      case Call(_, args) => args.flatMap(walk).toSet
+      case _ => Set.empty
+    }
+    val trimmed = input.trim
+    if (trimmed.isEmpty) Set.empty else walk(Parser.parse(trimmed))
+  }
+
   def compile(input: String, df: DataFrame,
       dynamicField: Option[String] = None): Column =
     Compiler.compile(input, df, dynamicField)
+
+  def compile(input: String, schema: StructType,
+      dynamicField: Option[String]): Column =
+    Compiler.compile(input, schema, dynamicField)
 
   def filter(df: DataFrame, input: String,
       dynamicField: Option[String] = None): DataFrame =

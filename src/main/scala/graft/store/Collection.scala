@@ -174,9 +174,19 @@ final class Collection(catalog: Catalog, val name: String) {
       .withColumn(DEL, lit(true))
       .withColumn(TS, lit(System.currentTimeMillis()))
       .withColumn(PART, lit(DEFAULT_PART))
-    val out = dataDir.resolve(f"delta_$seq%012d").toString
-    tombstones.write.mode("overwrite").parquet(out)
+    commitDelta(tombstones, seq)
     victims.count()
+  }
+
+  /** Write a delta through a staging directory + atomic rename, so
+    * concurrent readers' `delta_*` glob never sees a half-written
+    * directory (the pressure runner reads while writers commit).
+    */
+  private def commitDelta(rows: DataFrame, seq: Long): Unit = {
+    val staging = dataDir.resolve(f"_staging_delta_$seq%012d")
+    rows.write.mode("overwrite").parquet(staging.toString)
+    Files.move(staging, dataDir.resolve(f"delta_$seq%012d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Flush is a no-op: parquet writes are atomic per job (S11). */
@@ -208,27 +218,54 @@ final class Collection(catalog: Catalog, val name: String) {
     * through the window where legal.
     */
   def read(spark: SparkSession, partitionNames: Seq[String] = Seq.empty,
-      asOfMillis: Option[Long] = None): DataFrame = {
+      asOfMillis: Option[Long] = None): DataFrame =
+    read(spark, partitionNames, asOfMillis, None)
+
+  /** `pkPrefilter` is applied BELOW the merge window: safe only for
+    * predicates over the PK alone (they keep or drop whole PK groups,
+    * so last-writer-wins and tombstone resolution are unaffected) — and
+    * exactly what turns a point lookup into a row-group-pruned scan
+    * instead of a full merge. Collection.query derives it automatically.
+    */
+  private[store] def read(spark: SparkSession, partitionNames: Seq[String],
+      asOfMillis: Option[Long], pkPrefilter: Option[Column]): DataFrame = {
     cached match {
-      case Some(df) if partitionNames.isEmpty && asOfMillis.isEmpty => df
-      case _ => assemble(spark, partitionNames, asOfMillis)
+      case Some(df) if partitionNames.isEmpty && asOfMillis.isEmpty &&
+        pkPrefilter.isEmpty => df
+      case _ => assemble(spark, partitionNames, asOfMillis, pkPrefilter)
     }
   }
 
   private def assemble(spark: SparkSession, partitionNames: Seq[String],
-      asOfMillis: Option[Long]): DataFrame = {
+      asOfMillis: Option[Long], pkPrefilter: Option[Column] = None): DataFrame = {
     val d = definition
-    if (!Files.exists(dataDir) || !Files.list(dataDir).iterator().hasNext)
+    // Enumerate COMMITTED deltas explicitly (atomic-renamed into place)
+    // rather than globbing: a glob can race a concurrent writer whose
+    // staging directory makes dataDir non-empty while `delta_*` matches
+    // nothing yet.
+    val deltas: Seq[String] =
+      if (!Files.exists(dataDir)) Seq.empty
+      else {
+        val stream = Files.list(dataDir)
+        try {
+          import scala.collection.JavaConverters._
+          stream.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("delta_"))
+            .map(_.toString).toSeq.sorted
+        } finally stream.close()
+      }
+    if (deltas.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.structType)
     val pk = d.primaryField.name
     var df = spark.read
       .schema(deltaSchema(d))
-      .parquet(dataDir.resolve("delta_*").toString)
+      .parquet(deltas: _*)
     if (partitionNames.nonEmpty)
       // Keep tombstones regardless of partition: a delete must still
       // suppress rows when reading a partition subset.
       df = df.filter(col(PART).isin(partitionNames: _*) || col(DEL))
+    pkPrefilter.foreach(p => df = df.filter(p))
     // Last write per PK wins; tombstones drop the key.
     val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
     var out = df
@@ -270,7 +307,16 @@ final class Collection(catalog: Catalog, val name: String) {
       consistencyLevel: String = "Strong"): DataFrame = {
     // consistencyLevel accepted for API fidelity (Q7): Spark batch
     // reads are snapshot-consistent, so every level behaves as Strong.
-    val base = read(spark, partitionNames)
+    val pk = definition.primaryField.name
+    // PK-only predicates are safe below the merge window (whole PK
+    // groups are kept or dropped) — push them into the delta scan so a
+    // point lookup prunes row groups instead of merging the table.
+    val pkOnly = filterExpr.trim.nonEmpty &&
+      MilvusExpr.referencedFields(filterExpr) == Set(pk)
+    val prefilter =
+      if (pkOnly) Some(MilvusExpr.compile(filterExpr, definition.structType, None))
+      else None
+    val base = read(spark, partitionNames, None, prefilter)
     val pred =
       if (filterExpr.trim.isEmpty) None
       else Some(MilvusExpr.compile(filterExpr, base,
@@ -334,12 +380,12 @@ final class Collection(catalog: Catalog, val name: String) {
       deleted: Boolean): Unit = {
     partition.foreach(p => require(listPartitions().contains(p),
       s"no such partition $p"))
-    val out = dataDir.resolve(f"delta_$seq%012d").toString
-    withInternals(batch, d, seq, partition)
-      // PK-sorted row groups give parquet min/max stats real selectivity
-      // for PK lookups/range scans (the engine's STL_SORT equivalent).
-      .sortWithinPartitions(d.primaryField.name)
-      .write.mode("overwrite").parquet(out)
+    commitDelta(
+      withInternals(batch, d, seq, partition)
+        // PK-sorted row groups give parquet min/max stats real
+        // selectivity for PK lookups/range scans (STL_SORT equivalent).
+        .sortWithinPartitions(d.primaryField.name),
+      seq)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

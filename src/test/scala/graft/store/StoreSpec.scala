@@ -273,6 +273,33 @@ class StoreSpec extends SparkSpec {
     assert(c.numEntities(s) == 4)
   }
 
+  test("PK-only predicates push below the merge window and stay correct") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("pkpush"))
+    c.insert(s, (0L until 20L).map(i => (i, i, s"v0_$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.upsert(s, Seq((5L, 99L, "upd", 1L)).toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 7")
+    // point lookup sees the upserted version, not the stale row
+    val r = c.query(s, "id == 5").collect()
+    assert(r.length == 1 && r.head.getString(2) == "upd")
+    // deleted pk stays deleted through the pushed path
+    assert(c.query(s, "id == 7").isEmpty)
+    // range over pk matches the unpushed equivalent
+    assert(c.query(s, "id >= 3 and id <= 8").count() ==
+      c.read(s).filter($"id" >= 3 && $"id" <= 8).count())
+    // the pushed predicate reaches the parquet scan
+    val plan = c.query(s, "id == 5").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,5)]"),
+      s"pk predicate not pushed:\n$plan")
+    // non-pk filters must NOT prefilter (they'd see stale versions)
+    val r2 = c.query(s, "category == 5").collect()
+    assert(r2.isEmpty, "stale category value resurfaced") // 5 was upserted to 99
+    assert(c.query(s, "category == 99").count() == 1)
+  }
+
   test("query with Milvus filter string + partition_names") {
     val s = spark
     import s.implicits._
