@@ -70,6 +70,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment persisted partitionBy(_cid) prunes partitions on probe") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val model = Ivf.train(emb, "embedding", k = 8, sampleSize = 500)
+    val out = Files.createTempDirectory("graft-ivf-disk").toString
+    Ivf.assign(emb, "embedding", model)
+      .write.partitionBy("_cid").mode("overwrite").parquet(out)
+    val onDisk = s.read.parquet(out)
+    val probed = onDisk.filter(col("_cid").isin(0, 3))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cid"),
+      s"probe filter did not become a partition filter:\n$plan")
+    // pruned read returns exactly the probed cells' rows
+    val expected = Ivf.assign(emb, "embedding", model)
+      .filter(col("_cid").isin(0, 3)).count()
+    assert(probed.count() == expected)
+  }
+
   test("batched IVF search matches per-query single IVF searches") {
     val s = spark
     import s.implicits._
