@@ -102,6 +102,32 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")
     },
+    // ---- A8: event-time tumbling-window aggregation (batch) ---------------
+    "a8_window_agg" -> { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("day"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy("day", "event_type")
+    },
+    // ---- J1: relational join + aggregation (beyond the reference's
+    // surface — free on Spark, shows the engine is a full analytics
+    // engine, with the small dimension broadcast) ---------------------------
+    "j1_join_agg" -> { (s, dir) =>
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+      val nation = tbl(s, dir, "nation")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("n_name")
+    },
     // ---- A5: ORDER BY ----------------------------------------------------
     "a5_orderby" -> { (s, dir) =>
       QueryOps.query(tbl(s, dir, "orders"), None,
@@ -360,6 +386,9 @@ object SparkEntry {
       val res = Workload.runPressure(s, c,
         ops = Seq("insert", "upsert", "query", "count"),
         numOps = 12, concurrency = 3, seed = 7L)
+      // surface op errors in the driver log — a failed count here is
+      // otherwise invisible in the hashed result
+      res.errors.foreach(e => System.err.println(s"[w1_pressure] $e"))
       res.perOp.toSeq.sortBy(_._1).toDF("op", "cnt")
         .withColumn("failed", lit(res.stats("failed").toLong))
     },
@@ -695,6 +724,17 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "a8_window_agg" ->
+        """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+      "j1_join_agg" ->
+        """SELECT n_name, count(*) AS order_cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
       "a5_orderby" ->
         """SELECT o_orderkey, o_totalprice FROM orders
           |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
