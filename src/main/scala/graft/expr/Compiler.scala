@@ -321,18 +321,23 @@ object Compiler {
           val fieldToks =
             filter(split(lower(stringOf(eval(c.args(0)))), "[^\\p{L}\\p{N}]+"),
               t => t =!= "")
-          val matched = Concrete(
-            exists(
-              transform(
-                sequence(lit(1), greatest(size(fieldToks) - win + 1, lit(1))),
-                p =>
-                  aggregate(slice(fieldToks, p, lit(win)), lit(0),
-                    (done, t) => when(
-                      done < qToks.length && t === element_at(qLit, done + 1),
-                      done + 1).otherwise(done))),
-              cnt => cnt === qToks.length),
-            BooleanType)
-          matched
+          // Bind the token array to a lambda variable: Catalyst does no
+          // CSE across lambda bodies, so referencing the tokenizer
+          // inside the window lambda would re-tokenize per window start
+          // (same trap as TextOps.shingles; measured ~10x).
+          val matched = element_at(
+            transform(array(fieldToks), toks =>
+              exists(
+                transform(
+                  sequence(lit(1), greatest(size(toks) - win + 1, lit(1))),
+                  p =>
+                    aggregate(slice(toks, p, lit(win)), lit(0),
+                      (done, t) => when(
+                        done < qToks.length && t === element_at(qLit, done + 1),
+                        done + 1).otherwise(done))),
+                cnt => cnt === qToks.length)),
+            1)
+          Concrete(matched, BooleanType)
         }
       case "exists" =>
         Concrete(eval(c.args(0)).column.isNotNull, BooleanType)

@@ -93,13 +93,24 @@ object Workload {
       pool.submit(new Runnable {
         def run(): Unit = {
           val t0 = System.nanoTime()
+          // One retry: every op is idempotent under merge-on-read
+          // (re-inserted PKs collapse in last-writer-wins), so a retry
+          // masks only environment blips; a genuinely broken op fails
+          // twice and still counts.
           val ok =
             try { runOp(spark, coll, op, opSeed); true }
             catch {
-              case e: Throwable =>
-                errors.addLast(s"$op: ${e.getClass.getSimpleName}: ${e.getMessage}")
-                if (!isTransient(e)) failed.set(true)
-                false
+              case e1: Throwable =>
+                errors.addLast(
+                  s"$op (attempt 1): ${e1.getClass.getSimpleName}: ${e1.getMessage}")
+                try { runOp(spark, coll, op, opSeed); true }
+                catch {
+                  case e2: Throwable =>
+                    errors.addLast(
+                      s"$op (attempt 2): ${e2.getClass.getSimpleName}: ${e2.getMessage}")
+                    if (!isTransient(e2)) failed.set(true)
+                    false
+                }
             }
           stats.record((System.nanoTime() - t0) / 1e9, ok)
           perOp.computeIfAbsent(op, _ => new AtomicLong()).incrementAndGet()
