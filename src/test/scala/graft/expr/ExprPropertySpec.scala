@@ -82,6 +82,42 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("random like patterns match Spark SQL LIKE semantics") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("content", "contour", "cone", "stars", "star light",
+      "parade", "hostel", "store front", "a_b%c", "", "co")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "w")
+    df.createOrReplaceTempView("like_fixture")
+    val piece = Gen.oneOf("co", "n", "t", "%", "_", "s", "o", "e", "ar")
+    val patGen = Gen.listOfN(4, piece).map(_.mkString)
+    (0 until 40).foreach { i =>
+      val pat = patGen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val viaCompiler = MilvusExpr.filter(df, s"""w like "$pat"""")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val viaSql = spark.sql(
+        s"SELECT id FROM like_fixture WHERE w LIKE '$pat'")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaCompiler == viaSql, s"pattern: $pat")
+    }
+  }
+
+  test("json-path accesses agree with get_json_object over random keys") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 30L).map { i =>
+      (i, s"""{"k$i": ${i * 2}, "s": "v$i", "nested": {"deep": ${i % 5}}}""")
+    }.toDF("id", "js")
+    (0L until 30L).foreach { i =>
+      val hit = MilvusExpr.filter(df, s"""js["k$i"] == ${i * 2}""").count()
+      assert(hit == 1, s"k$i numeric access")
+    }
+    assert(MilvusExpr.filter(df, """js["nested"]["deep"] == 3""").count() == 6)
+    assert(MilvusExpr.filter(df, """js["s"] == "v7"""").count() == 1)
+    assert(MilvusExpr.filter(df, """js["absent"] == 1""").count() == 0)
+  }
+
   test("parser accepts every corpus shape from the reference") {
     // One per construct in SURVEY.md §2.6's corpus table.
     val corpus = Seq(
