@@ -27,7 +27,16 @@ final class QueryIterator(
 
   private val filterSig: String = {
     val f = filter.map(_.toString).getOrElse("")
-    Integer.toHexString((f + "|" + pkCol + "|" + batchSize).hashCode)
+    // Table identity = semantic hash of the analyzed plan (canonicalized
+    // — stable for the same source/projection regardless of expression
+    // ids), so a checkpoint written against one collection cannot
+    // silently resume a scan of a different one that happens to share
+    // the (filter, pk, batch) shape.
+    val tableId = df.queryExecution.analyzed.semanticHash()
+    val raw = s"$tableId|$f|$pkCol|$batchSize"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
   }
 
   private var lastPk: Option[Any] = loadCheckpoint()

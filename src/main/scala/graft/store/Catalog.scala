@@ -151,8 +151,19 @@ final class Catalog(val root: String) {
   private[store] def readMeta(name: String): CatalogMeta =
     MetaJson.read(new String(Files.readAllBytes(metaFile(name))))
 
-  private[store] def writeMeta(name: String, m: CatalogMeta): Unit =
-    Files.write(metaFile(name), MetaJson.write(m).getBytes)
+  /** Atomic: temp file + same-directory ATOMIC_MOVE, so a concurrent
+    * readMeta (queries race writers under the pressure runner) never
+    * observes an empty or torn meta.json — the same discipline as
+    * Collection.commitDelta.
+    */
+  private[store] def writeMeta(name: String, m: CatalogMeta): Unit = {
+    val tmp = dir(name).resolve(
+      s"meta.json.tmp.${Thread.currentThread().getId}")
+    Files.write(tmp, MetaJson.write(m).getBytes)
+    Files.move(tmp, metaFile(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Allocate the next write sequence number for a collection. Single
     * driver process — file-backed counter is sufficient; on a real

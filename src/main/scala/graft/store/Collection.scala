@@ -9,6 +9,24 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import java.nio.file.Files
 
+/** Result of [[Collection.insert]]: the committed row count plus the
+  * written primary keys as a LAZY DataFrame read back from the
+  * committed delta files — returned ids are provably the written ids
+  * (no nondeterministic recompute) and bulk ETL never collects an
+  * unbounded id list to the driver.
+  */
+final case class InsertResult(count: Long, ids: DataFrame) {
+  /** Driver-side ids for validator-scale batches (the reference's
+    * insert_entities returns ids, validate_phase_dml_dql.py:92-102).
+    * Guarded so a bulk load can't OOM the driver by accident.
+    */
+  def idSeq(maxRows: Int = 1000000): Seq[Any] = {
+    require(count <= maxRows,
+      s"insert wrote $count rows; use .ids (DataFrame) for bulk loads")
+    ids.collect().map(_.get(0)).toSeq
+  }
+}
+
 /** A schema'd, mutable collection over sequenced parquet deltas —
   * merge-on-read (the Spark-native equivalent of the reference's
   * insert/upsert/delete surface, 2.6/common.py:804-856, :202-238).
@@ -104,13 +122,16 @@ final class Collection(catalog: Catalog, val name: String) {
   // ---- DML --------------------------------------------------------------
 
   /** Insert a batch. Missing nullable columns are filled with null;
-    * auto_id primary keys are assigned `(seq << 40) | row_index`
-    * (unique across batches without driver coordination). Returns the
-    * inserted PK values (insert_entities returns ids,
+    * auto_id primary keys are assigned `(seq << 40) | batch_row_index`
+    * (unique across batches without driver coordination; each batch
+    * owns a dense 2^40 id space, so ids can never spill into the next
+    * batch's range the way partition-encoded ids would at >=128 input
+    * partitions). Returns an [[InsertResult]] whose ids are read back
+    * from the committed delta (insert_entities returns ids,
     * validate_phase_dml_dql.py:92-102).
     */
   def insert(spark: SparkSession, rows: DataFrame,
-      partition: Option[String] = None): Seq[Any] = {
+      partition: Option[String] = None): InsertResult = {
     val d = definition
     val seq = catalog.nextSeq(name)
     val pk = d.primaryField
@@ -118,11 +139,21 @@ final class Collection(catalog: Catalog, val name: String) {
     if (pk.autoId) {
       require(!rows.columns.contains(pk.name),
         "auto_id collection must not supply primary keys")
-      df = df.withColumn(pk.name,
-        lit(seq << 40) + monotonically_increasing_id())
+      require(pk.dataType == LongType, "auto_id requires an INT64 primary key")
+      // zipWithIndex: dense per-batch row numbering (one extra job to
+      // size partitions — a write-path cost, not a query-path one).
+      val base = seq << 40
+      val schema = StructType(df.schema.fields :+
+        StructField(pk.name, LongType, nullable = false))
+      df = spark.createDataFrame(
+        df.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base | i))
+        }, schema)
+        .select(d.fields.map(f => col(f.name)): _*)
     }
-    writeDelta(spark, df, d, seq, partition, deleted = false)
-    df.select(pk.name).collect().map(_.get(0)).toSeq
+    val deltaPath = writeDelta(spark, df, d, seq, partition, deleted = false)
+    val written = spark.read.parquet(deltaPath).select(pk.name)
+    InsertResult(written.count(), written)
   }
 
   /** Upsert: replace-by-PK (full rows), or `partialUpdate` column
@@ -181,12 +212,18 @@ final class Collection(catalog: Catalog, val name: String) {
   /** Write a delta through a staging directory + atomic rename, so
     * concurrent readers' `delta_*` glob never sees a half-written
     * directory (the pressure runner reads while writers commit).
+    * Returns the committed delta path. A loaded (cached) snapshot is
+    * refreshed so DML on a Loaded collection stays visible, matching
+    * the reference's read-your-writes behavior.
     */
-  private def commitDelta(rows: DataFrame, seq: Long): Unit = {
+  private def commitDelta(rows: DataFrame, seq: Long): String = {
     val staging = dataDir.resolve(f"_staging_delta_$seq%012d")
     rows.write.mode("overwrite").parquet(staging.toString)
-    Files.move(staging, dataDir.resolve(f"delta_$seq%012d"),
+    val target = dataDir.resolve(f"delta_$seq%012d")
+    Files.move(staging, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    refreshCachedSnapshot(rows.sparkSession)
+    target.toString
   }
 
   /** Flush is a no-op: parquet writes are atomic per job (S11). */
@@ -209,7 +246,26 @@ final class Collection(catalog: Catalog, val name: String) {
     catalog.setLoadState(name, "NotLoad")
   }
 
+  /** Re-cache the snapshot after a committed write (no-op unless
+    * load()ed): keeps a Loaded collection's reads consistent with DML.
+    */
+  private def refreshCachedSnapshot(spark: SparkSession): Unit =
+    this.synchronized {
+      cached.foreach { old =>
+        old.unpersist()
+        val df = assemble(spark, Seq.empty, None).cache()
+        df.count()
+        cached = Some(df)
+      }
+    }
+
   def loadState: String = catalog.readMeta(name).loadState
+
+  /** Current write sequence — changes on every committed DML batch, so
+    * it doubles as the collection's snapshot/index version (index
+    * caches key on it to self-invalidate after DML).
+    */
+  def currentSeq: Long = catalog.readMeta(name).seq
 
   // ---- read path --------------------------------------------------------
 
@@ -294,6 +350,7 @@ final class Collection(catalog: Catalog, val name: String) {
       .toSeq.foreach(p => deleteRecursively(p))
     Files.move(java.nio.file.Paths.get(staging),
       dataDir.resolve(f"delta_$seq%012d"))
+    refreshCachedSnapshot(spark)
   }
 
   def numEntities(spark: SparkSession): Long = read(spark).count()
@@ -377,7 +434,7 @@ final class Collection(catalog: Catalog, val name: String) {
 
   private def writeDelta(spark: SparkSession, batch: DataFrame,
       d: CollectionDef, seq: Long, partition: Option[String],
-      deleted: Boolean): Unit = {
+      deleted: Boolean): String = {
     partition.foreach(p => require(listPartitions().contains(p),
       s"no such partition $p"))
     commitDelta(

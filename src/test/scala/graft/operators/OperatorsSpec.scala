@@ -218,6 +218,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("query iterator rejects a checkpoint from a different table (same shape)") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val cp = Files.createTempDirectory("graft-it3").resolve("cp.json").toString
+    val it1 = new QueryIterator(orders.select(col("o_orderkey")),
+      "o_orderkey", batchSize = 100, checkpointFile = Some(cp))
+    it1.next()
+    // a DIFFERENT table whose pk column shares the name and shape
+    val other = Tables.load(s, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"))
+    intercept[IllegalStateException] {
+      new QueryIterator(other, "o_orderkey", batchSize = 100,
+        checkpointFile = Some(cp))
+    }
+  }
+
   test("iterator exports batches to parquet files (S17)") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")

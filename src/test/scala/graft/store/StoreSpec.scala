@@ -79,9 +79,10 @@ class StoreSpec extends SparkSpec {
     import s.implicits._
     val cat = freshCatalog()
     val c = cat.createCollection(simpleDef("ins"))
-    val ids = c.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
+    val res = c.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
       .toDF("id", "category", "content", "version"))
-    assert(ids.toSet == Set(1L, 2L))
+    assert(res.count == 2)
+    assert(res.idSeq().toSet == Set(1L, 2L))
     assert(c.numEntities(s) == 2)
     val rows = c.read(s).orderBy("id").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
@@ -95,8 +96,8 @@ class StoreSpec extends SparkSpec {
     val c = cat.createCollection(simpleDef("auto", autoId = true))
     val df = Seq((10L, "x", 0L), (20L, "y", 0L))
       .toDF("category", "content", "version")
-    val ids1 = c.insert(s, df)
-    val ids2 = c.insert(s, df)
+    val ids1 = c.insert(s, df).idSeq()
+    val ids2 = c.insert(s, df).idSeq()
     assert((ids1 ++ ids2).distinct.length == 4)
     assert(c.numEntities(s) == 4)
     // supplying pk to an auto_id collection is an error
@@ -298,6 +299,61 @@ class StoreSpec extends SparkSpec {
     val r2 = c.query(s, "category == 5").collect()
     assert(r2.isEmpty, "stale category value resurfaced") // 5 was upserted to 99
     assert(c.query(s, "category == 99").count() == 1)
+  }
+
+  test("auto_id ids stay in the batch's space at high input partition counts") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("auto_wide", autoId = true))
+    // 200 partitions: monotonically_increasing_id would put partition
+    // 128+ ids at >= 2^40, colliding with the NEXT batch's space.
+    val df = s.range(0, 2000).repartition(200)
+      .select((col("id") % 50).as("category"),
+        concat(lit("c"), col("id")).as("content"), lit(0L).as("version"))
+    val r1 = c.insert(s, df)
+    val r2 = c.insert(s, df)
+    assert(r1.count == 2000 && r2.count == 2000)
+    val batchSpace = (ids: InsertResult) =>
+      ids.ids.select((col("id") / 1099511627776L).cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet
+    assert(batchSpace(r1) != batchSpace(r2), "batches must own disjoint id spaces")
+    assert(c.numEntities(s) == 4000, "colliding auto_ids merged rows")
+  }
+
+  test("bulk insert: ids stay a lazy DataFrame, no unbounded driver collect") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("bulk", autoId = true))
+    val n = 1000000L
+    val res = c.insert(s, s.range(0, n)
+      .select((col("id") % 97).as("category"),
+        concat(lit("d"), col("id")).as("content"), lit(0L).as("version")))
+    assert(res.count == n)
+    // distributed distinct over the id DataFrame — never collected
+    assert(res.ids.distinct().count() == n)
+    intercept[IllegalArgumentException](res.idSeq(maxRows = 1000))
+  }
+
+  test("DML on a loaded collection is visible (cache refresh)") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("loaded"))
+    c.insert(s, (0L until 5L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.load(s)
+    assert(c.loadState == "Loaded")
+    assert(c.numEntities(s) == 5)
+    c.insert(s, Seq((10L, 1L, "new", 0L)).toDF("id", "category", "content", "version"))
+    assert(c.numEntities(s) == 6, "insert invisible on a Loaded collection")
+    c.upsert(s, Seq((10L, 2L, "upd", 1L)).toDF("id", "category", "content", "version"))
+    assert(c.read(s).filter($"id" === 10L).head().getString(2) == "upd")
+    c.delete(s, "id == 10")
+    assert(c.numEntities(s) == 5, "delete invisible on a Loaded collection")
+    c.release()
+    assert(c.loadState == "NotLoad")
   }
 
   test("query with Milvus filter string + partition_names") {
