@@ -12,7 +12,8 @@ import graft.sources.Npy
 import graft.validate.Validators
 import graft.workload.Workload
 import org.apache.spark.sql.types.{ArrayType, FloatType}
-import graft.store.{Catalog, CollectionDef, FieldDef}
+import graft.operators.CollectionSearch
+import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef}
 import graft.text.{Bm25, TextOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -448,6 +449,41 @@ object SparkEntry {
         col("values")(0).as("v0"), col("values")(3).as("v3"))
         .orderBy("row_id")
     },
+    // ---- S4-S6 + V1: index lifecycle through the store --------------------
+    // create_index materializes a persisted IVF build (data partitioned
+    // by cell); DML invalidates it; the post-DML search (nprobe = nlist
+    // ⇒ exact within the index) must reflect the delete — verified
+    // against DuckDB computing exact kNN over the same surviving rows.
+    "s4_index_lifecycle" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ixl").toString)
+      val c = cat.createCollection(CollectionDef("vecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("label", LongType),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "label", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "8")))
+      c.delete(s, "vec_id % 10 == 3")
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7), 10,
+        searchParams = Map("nprobe" -> "8"))
+        .select("vec_id")
+    },
+    // ---- V8: BM25 through the store's PERSISTED postings index ------------
+    // (build-once-query-many; same oracle as the inline v8 entry)
+    "v8_bm25_persisted" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-bmp").toString)
+      val c = cat.createCollection(CollectionDef("docs", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text"))
+      c.createIndex(s, IndexDef("text", "BM25"))
+      CollectionSearch.searchText(s, c, "text", "vector stream", 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select("doc_id", "rank").orderBy("rank")
+    },
     // ---- V8: BM25 full-text top-k ----------------------------------------
     "v8_bm25_topk" -> { (s, dir) =>
       val top = Bm25.topK(tbl(s, dir, "documents"), "text", "doc_id",
@@ -654,6 +690,22 @@ object SparkEntry {
       "bench_bm25" -> { (s, dir) =>
         Bm25.topK(tbl(s, dir, "documents"), "text", "doc_id",
           "vector stream spark", 100)
+      },
+      // Build-once-query-many BM25: ONE postings build (bucketed on
+      // disk), then 10 queries that each touch only their terms'
+      // bucket directories — per-query cost is value/10 and must be
+      // far below the inline bench_bm25 build-per-query shape.
+      "bench_bm25_indexed" -> { (s, dir) =>
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bmb").toString
+        val persisted = Bm25.writeIndex(
+          Bm25.buildIndex(tbl(s, dir, "documents"), "text", "doc_id"), tmp)
+        val queries = Seq("vector stream", "table scan", "hash join",
+          "query plan", "batch window", "merge sort", "row group",
+          "data column", "filter value", "spark agg")
+        val total = queries.map(q =>
+          Bm25.topKPersisted(s, persisted, q, 100).count()).sum
+        Seq(Tuple1(total)).toDF("total_hits")
       },
       "bench_dedup_exact" -> { (s, dir) =>
         QueryOps.countStar(
@@ -927,6 +979,31 @@ object SparkEntry {
           |  (CAST(1 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(3.5 AS DOUBLE)),
           |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE), CAST(5.5 AS DOUBLE))
           |) t(row_id, v0, v3) ORDER BY row_id""".stripMargin,
+      "s4_index_lifecycle" ->
+        s"""SELECT vec_id FROM embeddings
+           |WHERE NOT vec_id % 10 = 3
+           |ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(7)}), vec_id
+           |LIMIT 10""".stripMargin,
+      "v8_bm25_persisted" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+          |  FROM documents
+          |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |       WHERE term IN ('vector', 'stream') GROUP BY doc_id, term),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+          |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |    sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+          |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+          |  GROUP BY tf.doc_id)
+          |SELECT doc_id, rank FROM (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+          |  FROM scored) WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "v8_bm25_topk" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(

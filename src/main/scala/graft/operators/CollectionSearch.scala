@@ -2,34 +2,25 @@ package graft.operators
 
 import graft.ann.Ivf
 import graft.expr.MilvusExpr
-import graft.store.Collection
+import graft.store.{Collection, IndexStore}
+import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Index-aware search over a store collection: consults the declared
   * IndexDefs (S4) and per-query search params (V4) to pick the
-  * physical path — IVF probe + exact re-rank when an IVF index is
+  * physical path — a PERSISTED IVF index (probe cells prune parquet
+  * partition directories) + exact re-rank when an IVF index is
   * declared and `nprobe` given, exact scan otherwise. Metric defaults
   * to the index's declared metric_type (workload.py:126-131 default
   * COSINE).
   *
-  * IVF models are trained once per (collection, field) and cached —
-  * the catalog-recorded index is the contract that the model can be
-  * rebuilt deterministically.
+  * Index freshness is delegated to [[IndexStore]]: builds are keyed on
+  * the collection's write-seq, so DML invalidates automatically and
+  * the first search after a write rebuilds (then every later query
+  * reuses the persisted build).
   */
 object CollectionSearch {
-
-  private val models =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Ivf.Model]()
-
-  private def ivfModel(spark: SparkSession, coll: Collection, field: String,
-      metric: String, nlist: Int): Ivf.Model =
-    models.computeIfAbsent((coll.name, field), _ =>
-      Ivf.train(coll.read(spark), field, k = nlist, metric = metric))
-
-  /** Invalidate cached models (call after heavy DML/compaction). */
-  def invalidate(collName: String): Unit =
-    models.keySet.removeIf(_._1 == collName)
 
   def search(
       spark: SparkSession,
@@ -48,22 +39,49 @@ object CollectionSearch {
     val metric = searchParams.get("metric_type")
       .orElse(index.flatMap(_.metricType))
       .getOrElse("COSINE")
-    val data = coll.read(spark, partitionNames)
-    val pred =
-      if (filterExpr.trim.isEmpty) None
-      else Some(MilvusExpr.compile(filterExpr, data))
     val ivfDeclared = index.exists(ix =>
       ix.indexType.toUpperCase.startsWith("IVF") ||
         ix.indexType.toUpperCase == "AUTOINDEX")
     searchParams.get("nprobe").map(_.toInt) match {
-      case Some(nprobe) if ivfDeclared =>
+      case Some(nprobe) if ivfDeclared && partitionNames.isEmpty =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
-        val model = ivfModel(spark, coll, vecField, metric, nlist)
-        Ivf.searchOne(Ivf.assign(data, vecField, model), model, queryVec,
-          vecField, pk, k, nprobe, pred, outputFields)
+        val build = IndexStore.ensureIvf(spark, coll, vecField, metric, nlist)
+        // Serve from the persisted build: `_cid` is a physical
+        // partition column, so the probe filter inside Ivf.searchOne
+        // prunes directories at the scan.
+        val assigned = spark.read.parquet(build.dataPath)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, assigned))
+        Ivf.searchOne(assigned, build.model, queryVec, vecField, pk, k,
+          nprobe, pred, outputFields)
       case _ =>
+        val data = coll.read(spark, partitionNames)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, data))
         Knn.searchOne(data, queryVec, vecField, pk, metric, k, pred, outputFields)
     }
+  }
+
+  /** BM25 full-text search against the collection's persisted postings
+    * index (built/maintained by [[IndexStore]]): the scan touches only
+    * the query terms' bucket directories, never the corpus.
+    */
+  def searchText(
+      spark: SparkSession,
+      coll: Collection,
+      textField: String,
+      query: String,
+      k: Int,
+      params: Bm25.Params = Bm25.Params(),
+      outputFields: Seq[String] = Seq.empty): DataFrame = {
+    val pk = coll.definition.primaryField.name
+    val build = IndexStore.ensureBm25(spark, coll, textField, params)
+    val top = Bm25.topKPersisted(spark, build.persisted, query, k)
+    if (outputFields.isEmpty) top
+    else top.join(coll.read(spark), pk)
+      .select((pk +: outputFields :+ "score").distinct.map(col): _*)
   }
 
   /** Search-by-PK (3.0 surface, feature-inventory doc §1-2): fetch the

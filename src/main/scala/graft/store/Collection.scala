@@ -51,7 +51,7 @@ final case class InsertResult(count: Long, ids: DataFrame) {
   * (upsert3.py:184-226 semantics), so the read path stays pure
   * last-write-wins.
   */
-final class Collection(catalog: Catalog, val name: String) {
+final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   def definition: CollectionDef = catalog.describeCollection(name)
 
@@ -88,7 +88,7 @@ final class Collection(catalog: Catalog, val name: String) {
       .getOrElse(Seq(DEFAULT_PART))
   }
 
-  // ---- index metadata (S4-S6: recorded, consulted by the ANN module) ----
+  // ---- index lifecycle (S4-S6): metadata + physical build ---------------
 
   def createIndex(ix: IndexDef): Unit =
     catalog.mutateDef(name) { d =>
@@ -96,9 +96,27 @@ final class Collection(catalog: Catalog, val name: String) {
       d.copy(indexes = d.indexes.filterNot(_.field == ix.field) :+ ix)
     }
 
-  def dropIndex(field: String): Unit =
+  /** create_index with eager physical materialization (IVF data
+    * partitioned by cell / BM25 postings bucketed by term — see
+    * [[IndexStore]]). The metadata-only overload defers the build to
+    * the first search.
+    */
+  def createIndex(spark: SparkSession, ix: IndexDef): Unit = {
+    createIndex(ix)
+    IndexStore.materialize(spark, this, ix)
+  }
+
+  def dropIndex(field: String): Unit = {
     catalog.mutateDef(name)(d =>
       d.copy(indexes = d.indexes.filterNot(_.field == field)))
+    IndexStore.drop(this, field)
+  }
+
+  /** Rebuild the physical index at the current snapshot
+    * (scalar_index_cycle.py:124-174 drop/recreate cycle).
+    */
+  def rebuildIndex(spark: SparkSession, field: String): Unit =
+    IndexStore.rebuild(spark, this, field)
 
   def listIndexes(): Seq[IndexDef] = definition.indexes
 

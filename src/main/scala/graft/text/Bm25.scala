@@ -1,7 +1,8 @@
 package graft.text
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.json4s.JsonDSL._
 
 /** BM25 full-text search (reference V8: Milvus `Function(BM25)` +
   * text-as-query search, common/workload.py:230-234,
@@ -67,19 +68,25 @@ object Bm25 {
     */
   def score(index: Bm25Index, query: String): DataFrame = {
     val terms = tokenizeQuery(query, index.params.analyzer)
-    val p = index.params
+    scoreJoin(index.postings, index.docFreq, terms, index.numDocs,
+      index.avgdl, index.idCol, index.params)
+  }
+
+  private def scoreJoin(postings: DataFrame, docFreq: DataFrame,
+      terms: Seq[String], numDocs: Long, avgdl: Double, idCol: String,
+      p: Params): DataFrame = {
     // Query terms with per-term idf — tiny, broadcast into the join.
-    val termDf = index.docFreq
+    val termDf = docFreq
       .filter(col("term").isin(terms: _*))
       .withColumn("idf",
-        log(lit(1.0) + (lit(index.numDocs.toDouble) - col("df") + 0.5)
+        log(lit(1.0) + (lit(numDocs.toDouble) - col("df") + 0.5)
           / (col("df") + 0.5)))
-    val contrib = index.postings
+    val contrib = postings
       .join(broadcast(termDf), "term")
       .withColumn("_score",
         col("idf") * (col("tf") * (p.k1 + 1)) /
-          (col("tf") + lit(p.k1) * (lit(1 - p.b) + lit(p.b) * col("dl") / index.avgdl)))
-    contrib.groupBy(index.idCol)
+          (col("tf") + lit(p.k1) * (lit(1 - p.b) + lit(p.b) * col("dl") / avgdl)))
+    contrib.groupBy(idCol)
       .agg(sum("_score").as("score"))
   }
 
@@ -94,6 +101,85 @@ object Bm25 {
     score(index, query)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** On-disk index handle: postings partitioned by a term-hash bucket
+    * (`_tb`), so a query's scan prunes to the directories of ITS terms
+    * — build once, query many (tpuffer/fts_query.go:397-407 shape).
+    */
+  final case class PersistedBm25(
+      postingsPath: String, docFreqPath: String,
+      numDocs: Long, avgdl: Double, idCol: String,
+      params: Params, numBuckets: Int)
+
+  /** Materialize an index under `dir`: `postings/` (partitionBy(_tb)),
+    * `docfreq/`, `stats.json`. One linear shuffle-on-bucket job.
+    */
+  def writeIndex(index: Bm25Index, dir: String,
+      numBuckets: Int = 64): PersistedBm25 = {
+    val postingsPath = s"$dir/postings"
+    val docFreqPath = s"$dir/docfreq"
+    index.postings
+      .withColumn("_tb", pmod(hash(col("term")), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy("_tb").parquet(postingsPath)
+    index.docFreq.write.mode("overwrite").parquet(docFreqPath)
+    val stats = ("numDocs" -> index.numDocs) ~ ("avgdl" -> index.avgdl) ~
+      ("idCol" -> index.idCol) ~ ("numBuckets" -> numBuckets)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "stats.json"),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(stats)).getBytes)
+    PersistedBm25(postingsPath, docFreqPath, index.numDocs, index.avgdl,
+      index.idCol, index.params, numBuckets)
+  }
+
+  def readIndexMeta(dir: String, params: Params = Params()): PersistedBm25 = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "stats.json"))))
+    PersistedBm25(s"$dir/postings", s"$dir/docfreq",
+      (j \ "numDocs").extract[Long], (j \ "avgdl").extract[Double],
+      (j \ "idCol").extract[String], params,
+      (j \ "numBuckets").extract[Int])
+  }
+
+  /** Score a query against a persisted index. The postings scan is
+    * pruned twice: `_tb IN (buckets of the query's terms)` is a
+    * DIRECTORY-level partition filter, and `term IN (...)` a row-group
+    * filter inside the surviving buckets — per-query cost scales with
+    * the query's posting lists, not the corpus.
+    */
+  def scorePersisted(spark: SparkSession, p: PersistedBm25,
+      query: String): DataFrame = {
+    val terms = tokenizeQuery(query, p.params.analyzer)
+    if (terms.isEmpty)
+      return spark.range(0).select(col("id").as(p.idCol),
+        lit(0.0).as("score"))
+    val buckets = termBuckets(spark, terms, p.numBuckets)
+    val postings = spark.read.parquet(p.postingsPath)
+      .filter(col("_tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val docFreq = spark.read.parquet(p.docFreqPath)
+    scoreJoin(postings, docFreq, terms, p.numDocs, p.avgdl, p.idCol, p.params)
+  }
+
+  /** Top-k against a persisted index (ORDER BY + LIMIT =
+    * TakeOrderedAndProject over the pruned aggregation).
+    */
+  def topKPersisted(spark: SparkSession, p: PersistedBm25, query: String,
+      k: Int): DataFrame =
+    scorePersisted(spark, p, query)
+      .orderBy(col("score").desc, col(p.idCol).asc)
+      .limit(k)
+
+  /** Spark-hash term buckets, evaluated through the same `hash()`
+    * expression the writer used (a LocalTableScan — no job).
+    */
+  private def termBuckets(spark: SparkSession, terms: Seq[String],
+      numBuckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
   }
 
   private[text] def tokenizeQuery(query: String, analyzer: String): Seq[String] =
