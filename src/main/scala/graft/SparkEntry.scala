@@ -13,7 +13,8 @@ import graft.validate.Validators
 import graft.workload.Workload
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.operators.CollectionSearch
-import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef}
+import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef, IndexStore}
+import graft.workload.ResourceGroups
 import graft.text.{Bm25, TextOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -317,6 +318,266 @@ object SparkEntry {
       cat.alterAlias("hot", "coll_b")
       val after = cat.collection("hot").numEntities(s)
       Seq((before, after)).toDF("cnt_before", "cnt_after")
+    },
+    // ---- S2: drop/has/describe/list collection ----------------------------
+    // Hand-derivable constants: every output value follows directly from
+    // the five catalog calls in this scenario (validate_phase_dml_dql.py:
+    // 189-226 introspection shape) — nothing is learned from a run.
+    "s2_describe_collection" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-desc").toString)
+      cat.createCollection(CollectionDef("main_c", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("emb", ArrayType(FloatType), dim = Some(8)),
+        FieldDef("tag", StringType)),
+        enableDynamicField = true, description = "primary collection"))
+      cat.createCollection(CollectionDef("other_c", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true))))
+      val d = cat.describeCollection("main_c")
+      val before = cat.listCollections().mkString(",")
+      cat.dropCollection("other_c")
+      Seq((d.name, d.fields.length.toLong, d.primaryField.name,
+        d.enableDynamicField, before, cat.listCollections().mkString(","),
+        cat.hasCollection("other_c")))
+        .toDF("name", "num_fields", "pk", "dynamic", "before_drop",
+          "after_drop", "has_dropped")
+    },
+    // ---- S5: scalar index + query through it (real oracle) ----------------
+    // INVERTED on a varchar field: recorded in the catalog; the physical
+    // equivalent is PK-sorted row groups + parquet min/max/dictionary
+    // pushdown (SURVEY S5). The query result is verified against DuckDB.
+    "s5_scalar_index" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-scix").toString)
+      val c = cat.createCollection(CollectionDef("ord", Seq(
+        FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("o_orderstatus", StringType),
+        FieldDef("o_totalprice", org.apache.spark.sql.types.DoubleType))))
+      c.insert(s, tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      c.createIndex(s, IndexDef("o_orderstatus", "INVERTED"))
+      c.query(s, "o_orderstatus == \"F\" and o_totalprice > 300000",
+        outputFields = Seq("o_orderkey"),
+        orderBy = Seq(col("o_orderkey").asc))
+    },
+    // ---- S6: drop/list/rebuild index cycle (scalar_index_cycle.py) --------
+    "s6_index_cycle" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ixc").toString)
+      val c = cat.createCollection(CollectionDef("cyc", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("label", LongType),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "label", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "4")))
+      c.createIndex(IndexDef("label", "INVERTED"))
+      val nAfterCreate = c.listIndexes().length.toLong
+      val persisted1 = IndexStore.persistedFields(c).mkString(",")
+      c.dropIndex("label")
+      val nAfterDrop = c.listIndexes().length.toLong
+      c.rebuildIndex(s, "embedding")
+      val persisted2 = IndexStore.persistedFields(c).mkString(",")
+      Seq((nAfterCreate, persisted1, nAfterDrop, persisted2))
+        .toDF("n_after_create", "persisted", "n_after_drop", "persisted_after_rebuild")
+    },
+    // ---- S7: concurrent index builds (catalog RMW must not lose one) ------
+    "s7_concurrent_index" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-cix").toString)
+      val c = cat.createCollection(CollectionDef("conc", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("f1", LongType), FieldDef("f2", LongType),
+        FieldDef("f3", StringType), FieldDef("f4", StringType))))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val fields = Seq("f1", "f2", "f3", "f4")
+      fields.foreach { f =>
+        pool.submit(new Runnable {
+          def run(): Unit = c.createIndex(IndexDef(f, "INVERTED"))
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+      Seq((c.listIndexes().length.toLong,
+        c.listIndexes().map(_.field).sorted.mkString(",")))
+        .toDF("n_indexes", "fields")
+    },
+    // ---- S11: flush is a visibility no-op (writes are atomic) -------------
+    "s11_flush" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-fl").toString)
+      val c = cat.createCollection(CollectionDef("fl", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      c.flush()
+      Seq(Tuple1(c.numEntities(s))).toDF("cnt")
+    },
+    // ---- S12: load / release / load_state + DML visibility while loaded ---
+    "s12_load_release" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-lr").toString)
+      val c = cat.createCollection(CollectionDef("lr", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      c.load(s)
+      val st1 = c.loadState
+      val cntLoaded = c.numEntities(s)
+      c.insert(s, Seq((9999L, "ATLANTIS")).toDF("n_nationkey", "n_name"))
+      val cntAfterDml = c.numEntities(s) // must see the write while Loaded
+      c.release()
+      Seq((st1, cntLoaded, cntAfterDml, c.loadState))
+        .toDF("state_loaded", "cnt_loaded", "cnt_after_dml", "state_released")
+    },
+    // ---- S14: resource groups → fair-scheduler pools -----------------------
+    "s14_resource_groups" -> { (s, dir) =>
+      import s.implicits._
+      ResourceGroups.create("vrg_hot")
+      ResourceGroups.create("vrg_cold")
+      val cnt = ResourceGroups.withGroup(s, "vrg_hot") {
+        tbl(s, dir, "region").count()
+      }
+      val listed = ResourceGroups.list().filter(_.startsWith("vrg_"))
+        .mkString(",")
+      ResourceGroups.drop("vrg_cold")
+      val after = ResourceGroups.list().filter(_.startsWith("vrg_"))
+        .mkString(",")
+      Seq((listed, cnt, after)).toDF("groups", "cnt_under_pool", "after_drop")
+    },
+    // ---- S15: collection TTL expiry (read-time filter) ---------------------
+    "s15_ttl_expiry" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ttl").toString)
+      val c = cat.createCollection(CollectionDef("ttl", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType)), ttlSeconds = Some(60)))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      val visible = c.read(s).count()
+      val expired = c.read(s, asOfMillis =
+        Some(System.currentTimeMillis() + 120000L)).count()
+      Seq((visible, expired)).toDF("visible_now", "visible_after_ttl")
+    },
+    // ---- S17: export query → parquet via iterator batches, re-read --------
+    "s17_export_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-exp").toString
+      val it = new QueryIterator(tbl(s, dir, "orders"), "o_orderkey",
+        batchSize = 5000)
+      it.exportParquet(out, batchesPerFile = 2)
+      s.read.parquet(s"$out/part_*")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey")).cast("long").as("sum_pk"),
+          countDistinct(col("o_orderkey")).as("distinct_pks"))
+    },
+    // ---- S19: namespace ops (list / row-count metadata / delete) ----------
+    "s19_namespace_ops" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ns").toString)
+      val ns1 = cat.createCollection(CollectionDef("ns_events", Seq(
+        FieldDef("r_regionkey", LongType, nullable = false, isPrimary = true))))
+      val ns2 = cat.createCollection(CollectionDef("ns_logs", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true))))
+      ns1.insert(s, tbl(s, dir, "region").select("r_regionkey"))
+      ns2.insert(s, tbl(s, dir, "nation").select("n_nationkey"))
+      val meta = cat.listCollections()
+        .map(n => (n, cat.collection(n).numEntities(s)))
+      cat.dropCollection("ns_events")
+      val remaining = cat.listCollections().mkString(",")
+      meta.toDF("ns", "cnt").withColumn("remaining", lit(remaining))
+        .orderBy("ns")
+    },
+    // ---- Q7: consistency levels all read the post-DML snapshot ------------
+    "q7_consistency_levels" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-cl").toString)
+      val c = cat.createCollection(CollectionDef("cl", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_regionkey", LongType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_regionkey"))
+      c.delete(s, "n_nationkey % 5 == 0")
+      Seq("Bounded", "Eventually", "Session", "Strong")
+        .map(lvl => (lvl,
+          c.query(s, "n_regionkey >= 0", consistencyLevel = lvl).count()))
+        .toDF("lvl", "cnt").orderBy("lvl")
+    },
+    // ---- V4: per-index search params (nprobe honored; ef/metric_type
+    // accepted and applied) — nprobe=nlist over the persisted IVF index
+    // must equal DuckDB's exact top-k with the overridden metric -------------
+    "v4_search_params" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-sp").toString)
+      val c = cat.createCollection(CollectionDef("sp", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("COSINE"),
+        Map("nlist" -> "8")))
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7), 10,
+        searchParams = Map("nprobe" -> "8", "ef" -> "64",
+          "search_list" -> "100", "metric_type" -> "L2"))
+        .select("vec_id")
+    },
+    // ---- V9: multi-query — vector + BM25 side-by-side, qtype-tagged -------
+    "v9_multi_query" -> { (s, dir) =>
+      val v = Knn.searchOne(tbl(s, dir, "embeddings"), vecOf(s, dir, 0),
+        "embedding", "vec_id", "COSINE", 5)
+        .select(col("vec_id").as("id"), col("score"))
+      val t = Bm25.topK(tbl(s, dir, "documents"), "text", "doc_id",
+        "vector stream", 5)
+        .select(col("doc_id").as("id"), col("score"))
+      HybridSearch.multiQuery(v, t, "id")
+        .select(col("qtype"), col("id"), round(col("score"), 6).as("score"))
+        .orderBy("qtype", "id")
+    },
+    // ---- V10: search all collections in a catalog --------------------------
+    "v10_search_all_collections" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-sac").toString)
+      def mk(name: String, pred: Column): Unit = {
+        val c = cat.createCollection(CollectionDef(name, Seq(
+          FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+        c.insert(s, tbl(s, dir, "embeddings").filter(pred)
+          .select("vec_id", "embedding")): Unit
+      }
+      mk("shard_lo", col("vec_id") < 250)
+      mk("shard_hi", col("vec_id") >= 250)
+      HybridSearch.searchAllCollections(s, cat, (_, df) =>
+        Knn.searchOne(df, vecOf(s, dir, 0), "embedding", "vec_id", "L2", 3))
+        .select("collection", "vec_id")
+        .orderBy(col("collection"), col("vec_id"))
+    },
+    // ---- V11: result-shape assertions (nq groups, completeness ratio) -----
+    // Constants are hand-derivable: nq=3 queries over >=k rows ⇒ 3 full
+    // groups and zero incomplete ones.
+    "v11_result_shape" -> { (s, dir) =>
+      import s.implicits._
+      val res = Knn.search(tbl(s, dir, "embeddings"),
+        queryDf(s, dir, Seq(0, 1, 2)), "embedding", "vec_id", "L2", 5)
+      val bad = HybridSearch.checkResultShape(res, "qid", nq = 3, topk = 5)
+      Seq((bad.length.toLong, 3L, bad.isEmpty))
+        .toDF("n_incomplete", "nq", "all_complete")
+    },
+    // ---- A3: num_entities / stats before and after DML ---------------------
+    "a3_num_entities" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ne").toString)
+      val c = cat.createCollection(CollectionDef("ne", Seq(
+        FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("o_orderstatus", StringType))))
+      c.insert(s, tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus"))
+      val total = c.numEntities(s)
+      c.delete(s, "o_orderstatus == \"F\"")
+      Seq((total, c.numEntities(s))).toDF("total", "after_delete")
     },
     // ---- V1 scale path: IVF ANN recall vs exact top-k ---------------------
     "v1_ann_ivf_recall" -> { (s, dir) =>
@@ -1074,6 +1335,107 @@ object SparkEntry {
           |  (CAST(8 AS BIGINT))) t(id) ORDER BY id""".stripMargin,
       "s13_alias_swap" ->
         "SELECT CAST(3 AS BIGINT) AS cnt_before, CAST(7 AS BIGINT) AS cnt_after",
+      // S2/S6/S7/S12/S14/V11 oracles are hand-derivable VALUES tables:
+      // each value follows directly from the scenario's API calls (e.g.
+      // "create 2 collections, drop 1" ⇒ listing strings), never from a
+      // prior run of the engine.
+      "s2_describe_collection" ->
+        """SELECT name, num_fields, pk, dynamic, before_drop, after_drop, has_dropped
+          |FROM (VALUES ('main_c', CAST(3 AS BIGINT), 'id', true,
+          |  'main_c,other_c', 'main_c', false))
+          |t(name, num_fields, pk, dynamic, before_drop, after_drop, has_dropped)""".stripMargin,
+      "s5_scalar_index" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+          |ORDER BY o_orderkey""".stripMargin,
+      "s6_index_cycle" ->
+        """SELECT n_after_create, persisted, n_after_drop, persisted_after_rebuild
+          |FROM (VALUES (CAST(2 AS BIGINT), 'embedding', CAST(1 AS BIGINT), 'embedding'))
+          |t(n_after_create, persisted, n_after_drop, persisted_after_rebuild)""".stripMargin,
+      "s7_concurrent_index" ->
+        """SELECT n_indexes, fields FROM (VALUES
+          |  (CAST(4 AS BIGINT), 'f1,f2,f3,f4')) t(n_indexes, fields)""".stripMargin,
+      "s11_flush" ->
+        "SELECT count(*) AS cnt FROM nation",
+      "s12_load_release" ->
+        """SELECT 'Loaded' AS state_loaded,
+          |  (SELECT count(*) FROM nation) AS cnt_loaded,
+          |  (SELECT count(*) FROM nation) + 1 AS cnt_after_dml,
+          |  'NotLoad' AS state_released""".stripMargin,
+      "s14_resource_groups" ->
+        """SELECT 'vrg_cold,vrg_hot' AS groups,
+          |  (SELECT count(*) FROM region) AS cnt_under_pool,
+          |  'vrg_hot' AS after_drop""".stripMargin,
+      "s15_ttl_expiry" ->
+        """SELECT (SELECT count(*) FROM nation) AS visible_now,
+          |  CAST(0 AS BIGINT) AS visible_after_ttl""".stripMargin,
+      "s17_export_roundtrip" ->
+        """SELECT count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_pk,
+          |  count(DISTINCT o_orderkey) AS distinct_pks FROM orders""".stripMargin,
+      "s19_namespace_ops" ->
+        """SELECT ns, cnt, remaining FROM (
+          |  SELECT 'ns_events' AS ns, (SELECT count(*) FROM region) AS cnt,
+          |    'ns_logs' AS remaining
+          |  UNION ALL
+          |  SELECT 'ns_logs', (SELECT count(*) FROM nation), 'ns_logs'
+          |) ORDER BY ns""".stripMargin,
+      "q7_consistency_levels" ->
+        """SELECT lvl, (SELECT count(*) FROM nation WHERE NOT n_nationkey % 5 = 0) AS cnt
+          |FROM (VALUES ('Bounded'), ('Eventually'), ('Session'), ('Strong')) t(lvl)
+          |ORDER BY lvl""".stripMargin,
+      "v4_search_params" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(7)}), vec_id
+           |LIMIT 10""".stripMargin,
+      "v9_multi_query" ->
+        s"""WITH v AS (
+           |  SELECT vec_id AS id,
+           |    list_cosine_similarity(embedding::DOUBLE[], $q0) AS score,
+           |    row_number() OVER (ORDER BY list_cosine_similarity(embedding::DOUBLE[], $q0) DESC, vec_id) AS rn
+           |  FROM embeddings QUALIFY rn <= 5
+           |), tok AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents
+           |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           |       WHERE term IN ('vector', 'stream') GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+           |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+           |                 (SELECT avg(dl) FROM dl) AS avgdl),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+           |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+           |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           |  GROUP BY tf.doc_id),
+           |t AS (
+           |  SELECT doc_id AS id, score,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+           |  FROM scored QUALIFY rn <= 5
+           |)
+           |SELECT qtype, id, score FROM (
+           |  SELECT 'vector' AS qtype, id, round(score, 6) AS score FROM v
+           |  UNION ALL
+           |  SELECT 'bm25', id, round(score, 6) FROM t
+           |) ORDER BY qtype, id""".stripMargin,
+      "v10_search_all_collections" ->
+        s"""SELECT collection, vec_id FROM (
+           |  SELECT 'shard_lo' AS collection, vec_id,
+           |    row_number() OVER (ORDER BY list_distance(embedding::DOUBLE[], $q0), vec_id) AS rn
+           |  FROM embeddings WHERE vec_id < 250 QUALIFY rn <= 3
+           |  UNION ALL
+           |  SELECT 'shard_hi', vec_id,
+           |    row_number() OVER (ORDER BY list_distance(embedding::DOUBLE[], $q0), vec_id) AS rn
+           |  FROM embeddings WHERE vec_id >= 250 QUALIFY rn <= 3
+           |) ORDER BY collection, vec_id""".stripMargin,
+      "v11_result_shape" ->
+        """SELECT n_incomplete, nq, all_complete FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), true))
+          |t(n_incomplete, nq, all_complete)""".stripMargin,
+      "a3_num_entities" ->
+        """SELECT (SELECT count(*) FROM orders) AS total,
+          |  (SELECT count(*) FROM orders WHERE NOT o_orderstatus = 'F') AS after_delete""".stripMargin,
       "x1_expr_range_and" ->
         "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05",
       "x2_expr_chained_range" ->
