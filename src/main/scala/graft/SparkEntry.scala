@@ -493,6 +493,22 @@ object SparkEntry {
       meta.toDF("ns", "cnt").withColumn("remaining", lit(remaining))
         .orderBy("ns")
     },
+    // ---- S20: dynamic-field ingestion end-to-end ---------------------------
+    // Undeclared insert columns land in the `_dynamic` JSON blob
+    // (common/data.py:216-221 $meta) and unknown names in filters
+    // resolve through it (search_permanently.py:128-132).
+    "s20_dynamic_field" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-dyn").toString)
+      val c = cat.createCollection(CollectionDef("dynf", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("category", LongType)), enableDynamicField = true))
+      c.insert(s, (0L until 20L).map(i => (i, i % 7, s"user_${i % 5}", i % 3))
+        .toDF("id", "category", "Tenant", "dyn_bucket"))
+      c.query(s, "Tenant == \"user_2\" and dyn_bucket >= 1",
+        outputFields = Seq("id"), orderBy = Seq(col("id").asc))
+    },
     // ---- Q7: consistency levels all read the post-DML snapshot ------------
     "q7_consistency_levels" -> { (s, dir) =>
       import s.implicits._
@@ -1422,6 +1438,11 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT 'ns_logs', (SELECT count(*) FROM nation), 'ns_logs'
           |) ORDER BY ns""".stripMargin,
+      // COMPUTED oracle: membership re-derived from the generator spec
+      // (Tenant = user_{i%5}, dyn_bucket = i%3 over ids 0..19).
+      "s20_dynamic_field" ->
+        """SELECT i AS id FROM generate_series(0, 19) t(i)
+          |WHERE i % 5 = 2 AND i % 3 >= 1 ORDER BY id""".stripMargin,
       "q7_consistency_levels" ->
         """SELECT lvl, (SELECT count(*) FROM nation WHERE NOT n_nationkey % 5 = 0) AS cnt
           |FROM (VALUES ('Bounded'), ('Eventually'), ('Session'), ('Strong')) t(lvl)

@@ -62,6 +62,12 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   private val TS = "_ts"
   private val PART = "_part"
   private val DEFAULT_PART = "_default"
+  /** Dynamic-field column: undeclared insert columns are packed into a
+    * JSON object here (the reference's `$meta`, common/data.py:216-221);
+    * the expression compiler resolves unknown names through it
+    * (search_permanently.py:128-132 `Tenant == "user_17"` filters).
+    */
+  private val DYN = "_dynamic"
 
   // ---- DDL-ish ---------------------------------------------------------
 
@@ -167,7 +173,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         df.rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base | i))
         }, schema)
-        .select(d.fields.map(f => col(f.name)): _*)
+        .select(userColumns(d).map(col): _*)
     }
     val deltaPath = writeDelta(spark, df, d, seq, partition, deleted = false)
     val written = spark.read.parquet(deltaPath).select(pk.name)
@@ -198,7 +204,22 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
             coalesce(col(s"n.${f.name}"), col(s"o.${f.name}")).as(f.name)
           else col(s"o.${f.name}").as(f.name)
         }
-        joined.select(cols: _*)
+        // Dynamic blob: replaced wholesale when the batch carries
+        // undeclared columns, kept otherwise (the reference's $meta is
+        // a single JSON field — partial update swaps the whole object).
+        val dynCols =
+          if (!d.enableDynamicField) Nil
+          else {
+            val declared = d.fields.map(_.name).toSet
+            val extras = rows.columns
+              .filterNot(c => declared.contains(c) || c == DYN).toSeq
+            if (rows.columns.contains(DYN))
+              Seq(coalesce(col(s"n.$DYN"), col(s"o.$DYN")).as(DYN))
+            else if (extras.nonEmpty)
+              Seq(to_json(struct(extras.sorted.map(e => col(s"n.$e")): _*)).as(DYN))
+            else Seq(col(s"o.$DYN").as(DYN))
+          }
+        joined.select(cols ++ dynCols: _*)
       }
     val seq = catalog.nextSeq(name)
     writeDelta(spark, batch, d, seq, partition, deleted = false)
@@ -349,7 +370,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       val now = asOfMillis.getOrElse(System.currentTimeMillis())
       out = out.filter(col(TS) >= lit(now - ttl * 1000L))
     }
-    out.select(d.fields.map(f => col(f.name)): _*)
+    out.select(userColumns(d).map(col): _*)
   }
 
   /** Fold all deltas into a single base delta (bounds read
@@ -401,14 +422,22 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   // ---- internals --------------------------------------------------------
 
+  /** User-visible column names: declared fields plus `_dynamic` when
+    * the collection enables dynamic fields.
+    */
+  private def userColumns(d: CollectionDef): Seq[String] =
+    d.fields.map(_.name) ++ (if (d.enableDynamicField) Seq(DYN) else Nil)
+
   private def deltaSchema(d: CollectionDef): StructType =
     // All user fields nullable here: tombstone deltas carry only the PK,
     // so every other column reads back as null for those rows.
-    StructType(d.structType.fields.map(_.copy(nullable = true)) ++ Seq(
-      StructField(SEQ, LongType, nullable = false),
-      StructField(DEL, BooleanType, nullable = false),
-      StructField(TS, LongType, nullable = false),
-      StructField(PART, StringType, nullable = false)))
+    StructType(d.structType.fields.map(_.copy(nullable = true)) ++
+      (if (d.enableDynamicField) Seq(StructField(DYN, StringType)) else Nil) ++
+      Seq(
+        StructField(SEQ, LongType, nullable = false),
+        StructField(DEL, BooleanType, nullable = false),
+        StructField(TS, LongType, nullable = false),
+        StructField(PART, StringType, nullable = false)))
 
   private def conformToSchema(rows: DataFrame, d: CollectionDef,
       allowMissingPk: Boolean): DataFrame = {
@@ -421,7 +450,22 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       else throw new IllegalArgumentException(
         s"missing non-nullable column ${f.name}")
     }
-    rows.select(cols: _*)
+    if (!d.enableDynamicField) rows.select(cols: _*)
+    else rows.select(cols :+ dynamicColumn(rows, d): _*)
+  }
+
+  /** Pack undeclared columns into the `_dynamic` JSON object. A batch
+    * already carrying `_dynamic` (e.g. a conformed re-insert) passes it
+    * through.
+    */
+  private def dynamicColumn(rows: DataFrame, d: CollectionDef): Column = {
+    val declared = d.fields.map(_.name).toSet
+    if (rows.columns.contains(DYN)) col(DYN).cast(StringType).as(DYN)
+    else {
+      val extras = rows.columns.filterNot(declared.contains).toSeq
+      if (extras.isEmpty) lit("{}").as(DYN)
+      else to_json(struct(extras.sorted.map(col): _*)).as(DYN)
+    }
   }
 
   private def partitionColumn(d: CollectionDef, df: DataFrame,

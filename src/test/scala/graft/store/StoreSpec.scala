@@ -356,6 +356,32 @@ class StoreSpec extends SparkSpec {
     assert(c.loadState == "NotLoad")
   }
 
+  test("dynamic fields: undeclared columns ingest into _dynamic and filter") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("dynt", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("category", LongType)), enableDynamicField = true))
+    c.insert(s, Seq(
+      (1L, 10L, "user_a", 5L), (2L, 20L, "user_b", 9L), (3L, 30L, "user_a", 2L))
+      .toDF("id", "category", "Tenant", "score"))
+    // read exposes the blob; unknown filter names resolve through it
+    assert(c.read(s).columns.contains("_dynamic"))
+    assert(c.query(s, "Tenant == \"user_a\"").count() == 2)
+    assert(c.query(s, "score >= 5").count() == 2)
+    assert(c.query(s, "Tenant == \"user_a\" and score < 3").count() == 1)
+    // full upsert replaces the blob; partial update without extras keeps it
+    c.upsert(s, Seq((1L, 11L, "user_z", 7L)).toDF("id", "category", "Tenant", "score"))
+    assert(c.query(s, "Tenant == \"user_z\"").count() == 1)
+    c.upsert(s, Seq((1L, 12L)).toDF("id", "category"), partialUpdate = true)
+    assert(c.query(s, "Tenant == \"user_z\" and category == 12").count() == 1)
+    // rows without extras carry an empty blob and never match
+    c.insert(s, Seq((9L, 90L)).toDF("id", "category"))
+    assert(c.query(s, "Tenant == \"user_z\"").count() == 1)
+    assert(c.numEntities(s) == 4)
+  }
+
   test("query with Milvus filter string + partition_names") {
     val s = spark
     import s.implicits._
