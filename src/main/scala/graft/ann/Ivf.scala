@@ -106,6 +106,49 @@ object Ivf {
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("_cid", cellId(model, col(vecCol)))
 
+  /** Per-row probe set: the `nprobe` nearest cell ids of `vec`, as an
+    * array column — a single codegen'd projection (array_sort over
+    * nlist (dist, cid) structs), no join, no shuffle.
+    */
+  def probeCells(model: Model, vec: Column, nprobe: Int): Column = {
+    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(Functions.vecL2(vec, lit(c)).as("d"), lit(i).as("cid"))
+    }
+    transform(slice(array_sort(array(cells: _*)), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
+  /** ANN self-join: EVERY row is a query (the reference's all-pairs
+    * kNN bench shape). Instead of broadcasting the full table as the
+    * query side and scoring all N² pairs, each query row explodes to
+    * its `nprobe` probe cells and equi-joins the cell-assigned data —
+    * a plain shuffle join on the cell id that scores only
+    * ~nprobe/nlist of the pairs and never broadcasts anything. At
+    * 1000 executors this is the only shape that survives: both sides
+    * hash-partition on the cell id, and per-qid top-k goes through the
+    * same partial WindowGroupLimit as batched search.
+    *
+    * Results are exact within the probed cells (recall <1 only from
+    * cell misses; raise `nprobe` to trade time for recall).
+    */
+  def selfJoin(df: DataFrame, model: Model, vecCol: String, idCol: String,
+      k: Int, nprobe: Int, includeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assign(df, vecCol, model)
+    val queries = df
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("_probe", explode(probeCells(model, col("qvec"), nprobe)))
+    val (score, similarityLike) = Functions.metricFor(
+      model.metric, df.schema(vecCol).dataType, col(vecCol), col("qvec"))
+    val scored0 = assigned.join(queries, col("_cid") === col("_probe"))
+      .select(col("qid"), col(idCol), score.as("score"))
+    val scored =
+      if (includeSelf) scored0 else scored0.filter(col("qid") =!= col(idCol))
+    val primary = if (similarityLike) col("score").desc else col("score").asc
+    val w = Window.partitionBy("qid").orderBy(primary, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k for one query: probe `nprobe` cells, exact re-rank
     * inside them (existing Knn machinery — results are exact within the
     * probed cells).

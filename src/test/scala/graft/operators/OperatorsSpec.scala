@@ -176,6 +176,33 @@ class OperatorsSpec extends SparkSpec {
       orders.filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count())
   }
 
+  test("ANN self-join: cell-blocked join beats all-pairs with recall >= 0.95") {
+    val s = spark
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val n = emb.count()
+    val k = 5
+    val exact = Knn.search(emb,
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "embedding", "vec_id", "COSINE", k)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var ann = Set.empty[(Long, Long)]
+    var recall = 0.0
+    for ((nlist, nprobe) <- Seq((16, 10), (16, 12), (32, 16), (32, 20), (32, 24))) {
+      val model = Ivf.train(emb, "embedding", k = nlist, sampleSize = 2000,
+        metric = "COSINE")
+      ann = Ivf.selfJoin(emb, model, "embedding", "vec_id", k, nprobe = nprobe)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      recall = (ann intersect exact).size.toDouble / exact.size
+      info(f"nlist=$nlist nprobe=$nprobe recall@$k = $recall%.4f over $n queries")
+    }
+    assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
+    // every query present, self-hit always found (its own cell is probed)
+    assert(ann.map(_._1).size.toLong == n * k)
+    assert((0L until n).forall(i => ann.contains((i, i))))
+  }
+
   test("query iterator pages the full scan exactly once, in pk order") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")
