@@ -198,8 +198,10 @@ class OperatorsSpec extends SparkSpec {
       info(f"nlist=$nlist nprobe=$nprobe recall@$k = $recall%.4f over $n queries")
     }
     assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
-    // every query present, self-hit always found (its own cell is probed)
-    assert(ann.map(_._1).size.toLong == n * k)
+    // every query returns exactly k hits, and every query is present
+    assert(ann.size.toLong == n * k)
+    assert(ann.map(_._1).size.toLong == n)
+    // self-hit always found (its own cell is probed)
     assert((0L until n).forall(i => ann.contains((i, i))))
   }
 
