@@ -81,9 +81,10 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def dropPartition(spark: SparkSession, p: String): Unit = {
     val d = definition
     require(d.partitions.contains(p), s"no partition $p")
-    // Drop = tombstone every live row in the partition.
+    // Drop = tombstone every live row in the partition (the partition-
+    // scoped read below is a directory-pruned scan).
     val live = read(spark, partitionNames = Seq(p))
-    delete(spark, col(PART) === lit(p), preFiltered = Some(live))
+    delete(spark, lit(true), preFiltered = Some(live))
     catalog.updateDef(name, d.copy(partitions = d.partitions.filterNot(_ == p)))
   }
 
@@ -239,11 +240,20 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val victims = preFiltered.getOrElse(read(spark).filter(pred))
       .select(pk).distinct()
     val seq = catalog.nextSeq(name)
-    val tombstones = victims
+    // Tombstone every (pk, _part) the key has rows in — deltas are
+    // physically partitioned by _part, and co-locating each tombstone
+    // with the rows it suppresses lets a partition-scoped read resolve
+    // deletes with a PURE partition filter (directory prune, no
+    // tombstone-visibility OR-clause defeating the pruning). Cost: one
+    // semi-join on the delete (write) path, bounded by rows-per-pk.
+    val targets = rawDeltas(spark, d)
+      .map(_.select(col(pk), col(PART))
+        .join(victims, Seq(pk), "left_semi").distinct())
+      .getOrElse(victims.withColumn(PART, lit(DEFAULT_PART)))
+    val tombstones = targets
       .withColumn(SEQ, lit(seq))
       .withColumn(DEL, lit(true))
       .withColumn(TS, lit(System.currentTimeMillis()))
-      .withColumn(PART, lit(DEFAULT_PART))
     commitDelta(tombstones, seq)
     victims.count()
   }
@@ -257,7 +267,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   private def commitDelta(rows: DataFrame, seq: Long): String = {
     val staging = dataDir.resolve(f"_staging_delta_$seq%012d")
-    rows.write.mode("overwrite").parquet(staging.toString)
+    // partitionBy(_part): partition_names reads become directory-pruned
+    // scans (PartitionFilters at the FileSourceScan, asserted in
+    // StoreSpec) — at 100 TB a partition-scoped query must not touch
+    // the other partitions' files at all.
+    rows.write.mode("overwrite").partitionBy(PART).parquet(staging.toString)
     val target = dataDir.resolve(f"delta_$seq%012d")
     Files.move(staging, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -306,6 +320,18 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   def currentSeq: Long = catalog.readMeta(name).seq
 
+  /** Highest COMMITTED delta seq — the snapshot version actually
+    * visible to readers. `catalog.nextSeq` reserves (and persists) the
+    * counter BEFORE the delta lands, so `currentSeq` can briefly run
+    * ahead of the committed state; index freshness keys on THIS value,
+    * otherwise a search racing a DML could build (and cache-validate)
+    * an index against a snapshot missing the in-flight delta and serve
+    * stale results until the next write.
+    */
+  def committedSeq: Long = deltaPaths.lastOption
+    .map(_.getFileName.toString.stripPrefix("delta_").toLong)
+    .getOrElse(0L)
+
   // ---- read path --------------------------------------------------------
 
   /** Merge-on-read snapshot. Column pruning/pushdown still applies —
@@ -331,35 +357,62 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     }
   }
 
+  /** Committed delta directories in seq order. Enumerated explicitly
+    * (atomic-renamed into place) rather than globbed: a glob can race a
+    * concurrent writer whose staging directory makes dataDir non-empty
+    * while `delta_*` matches nothing yet.
+    */
+  private def deltaPaths: Seq[java.nio.file.Path] =
+    if (!Files.exists(dataDir)) Seq.empty
+    else {
+      val stream = Files.list(dataDir)
+      try {
+        import scala.collection.JavaConverters._
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("delta_"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally stream.close()
+    }
+
+  /** Raw committed-delta scan (below the merge window), or None for an
+    * empty collection. Each delta is `partitionBy(_part)`, so `_part`
+    * predicates on this frame are partition (directory) filters.
+    */
+  private def rawDeltas(spark: SparkSession,
+      d: CollectionDef): Option[DataFrame] = {
+    val deltas = deltaPaths.map(_.toString)
+    if (deltas.isEmpty) None
+    else Some(deltas
+      // One scan per delta root, unioned: multi-root reads can't share
+      // a Hive-style partition spec (`delta_N/` sits between the base
+      // and `_part=`), but a `_part` predicate pushes through the Union
+      // into EVERY branch as a partition (directory) filter, which is
+      // the pruning that matters. Compaction bounds the branch count.
+      .map(p => spark.read.schema(deltaSchema(d)).parquet(p))
+      .reduce(_ union _))
+  }
+
   private def assemble(spark: SparkSession, partitionNames: Seq[String],
-      asOfMillis: Option[Long], pkPrefilter: Option[Column] = None): DataFrame = {
+      asOfMillis: Option[Long], pkPrefilter: Option[Column] = None,
+      keepInternals: Boolean = false): DataFrame = {
     val d = definition
-    // Enumerate COMMITTED deltas explicitly (atomic-renamed into place)
-    // rather than globbing: a glob can race a concurrent writer whose
-    // staging directory makes dataDir non-empty while `delta_*` matches
-    // nothing yet.
-    val deltas: Seq[String] =
-      if (!Files.exists(dataDir)) Seq.empty
-      else {
-        val stream = Files.list(dataDir)
-        try {
-          import scala.collection.JavaConverters._
-          stream.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("delta_"))
-            .map(_.toString).toSeq.sorted
-        } finally stream.close()
-      }
-    if (deltas.isEmpty)
+    val outCols = userColumns(d) ++ (if (keepInternals) Seq(PART, TS) else Nil)
+    val raw = rawDeltas(spark, d)
+    if (raw.isEmpty) {
+      val st =
+        if (!keepInternals) d.structType
+        else StructType(outCols.map(c => deltaSchema(d).apply(c)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.structType)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
     val pk = d.primaryField.name
-    var df = spark.read
-      .schema(deltaSchema(d))
-      .parquet(deltas: _*)
+    var df = raw.get
     if (partitionNames.nonEmpty)
-      // Keep tombstones regardless of partition: a delete must still
-      // suppress rows when reading a partition subset.
-      df = df.filter(col(PART).isin(partitionNames: _*) || col(DEL))
+      // Pure partition filter → directory pruning at the scan.
+      // Tombstones are co-located with the rows they suppress (delete
+      // writes one per (pk, _part)), so no cross-partition OR-clause
+      // is needed for delete visibility.
+      df = df.filter(col(PART).isin(partitionNames: _*))
     pkPrefilter.foreach(p => df = df.filter(p))
     // Last write per PK wins; tombstones drop the key.
     val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
@@ -370,18 +423,26 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       val now = asOfMillis.getOrElse(System.currentTimeMillis())
       out = out.filter(col(TS) >= lit(now - ttl * 1000L))
     }
-    out.select(userColumns(d).map(col): _*)
+    out.select(outCols.map(col): _*)
   }
 
   /** Fold all deltas into a single base delta (bounds read
     * amplification; the LSM "major compaction").
     */
   def compact(spark: SparkSession): Unit = {
-    val snapshot = assemble(spark, Seq.empty, None)
     val d = definition
+    // keepInternals: the fold preserves each row's original `_part`
+    // (physical partition — re-deriving would re-route explicitly
+    // placed rows) and `_ts` (TTL clock — restamping would reset
+    // expiry on every compaction).
+    val snapshot = assemble(spark, Seq.empty, None, None, keepInternals = true)
     val seq = catalog.nextSeq(name)
     val staging = dataDir.resolve(s"_staging_$seq").toString
-    withInternals(snapshot, d, seq).write.mode("overwrite").parquet(staging)
+    snapshot
+      .withColumn(SEQ, lit(seq))
+      .withColumn(DEL, lit(false))
+      .sortWithinPartitions(d.primaryField.name)
+      .write.mode("overwrite").partitionBy(PART).parquet(staging)
     // Swap: remove old deltas, rename staging in.
     import scala.collection.JavaConverters._
     Files.list(dataDir).iterator().asScala

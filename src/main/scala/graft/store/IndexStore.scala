@@ -24,7 +24,10 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *
   * Freshness contract: a build is valid only for the collection
   * write-seq it was built at. Searches call `ensure*`, which reuses the
-  * persisted build when `builtSeq == coll.currentSeq` and rebuilds
+  * persisted build when `builtSeq == coll.committedSeq` (the max
+  * COMMITTED delta seq — not the catalog counter, which is reserved
+  * before the delta lands and would let a build racing a DML validate
+  * against a snapshot missing the in-flight delta) and rebuilds
   * otherwise (lazy rebuild-on-first-search-after-DML — the rebuild is
   * the same linear offline job the reference schedules explicitly, and
   * its cost amortizes across every query until the next write). This
@@ -57,13 +60,22 @@ object IndexStore {
   private def indexDir(coll: Collection, field: String): Path =
     coll.catalog.collectionDir(coll.name).resolve("index").resolve(field)
 
+  /** Version dirs encode the build params, not just the seq: a
+    * same-seq rebuild with different params (e.g. another nlist) gets
+    * its own immutable directory instead of overwriting the parquet a
+    * still-cached build points at.
+    */
+  private def versionDir(dir: Path, seq: Long, kind: String,
+      metric: String, nlist: Int): Path =
+    dir.resolve(s"v_${seq}_${kind}_${metric}_$nlist")
+
   /** Ensure a fresh persisted IVF index for `field`; reuse when the
     * on-disk build matches the collection's current write-seq, rebuild
     * otherwise.
     */
   def ensureIvf(spark: SparkSession, coll: Collection,
       field: String, metric: String, nlist: Int): IvfBuild = {
-    val seq = coll.currentSeq
+    val seq = coll.committedSeq
     val key = (coll.name, field, metric, nlist, seq)
     ivfCache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._5 != seq)
@@ -76,7 +88,7 @@ object IndexStore {
 
   def ensureBm25(spark: SparkSession, coll: Collection,
       field: String, params: Bm25.Params): Bm25Build = {
-    val seq = coll.currentSeq
+    val seq = coll.committedSeq
     val key = (coll.name, field, params.analyzer, seq)
     bm25Cache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._4 != seq)
@@ -139,7 +151,7 @@ object IndexStore {
       field: String, metric: String, nlist: Int, seq: Long): IvfBuild = {
     val snapshot = coll.read(spark)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
-    val vdir = dir.resolve(s"v_$seq")
+    val vdir = versionDir(dir, seq, "ivf", metric, nlist)
     val dataPath = vdir.resolve("data").toString
     Ivf.assign(snapshot, field, model)
       .write.mode("overwrite").partitionBy("_cid").parquet(dataPath)
@@ -157,7 +169,7 @@ object IndexStore {
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "ivf" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
-      val vdir = dir.resolve(s"v_$seq")
+      val vdir = versionDir(dir, seq, "ivf", metric, nlist)
       val j = JsonMethods.parse(
         new String(Files.readAllBytes(vdir.resolve("centroids.json"))))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
@@ -172,7 +184,7 @@ object IndexStore {
       field: String, params: Bm25.Params, seq: Long): Bm25Build = {
     val snapshot = coll.read(spark)
     val pk = coll.definition.primaryField.name
-    val vdir = dir.resolve(s"v_$seq")
+    val vdir = versionDir(dir, seq, "bm25", params.analyzer, 0)
     val persisted = Bm25.writeIndex(
       Bm25.buildIndex(snapshot, field, pk, params), vdir.toString)
     commitPointer(dir, seq, "bm25", params.analyzer, 0)
@@ -183,7 +195,8 @@ object IndexStore {
       seq: Long): Option[Bm25Build] =
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "bm25" &&
       p.metric == params.analyzer).map { _ =>
-      Bm25Build(Bm25.readIndexMeta(dir.resolve(s"v_$seq").toString, params), seq)
+      Bm25Build(Bm25.readIndexMeta(
+        versionDir(dir, seq, "bm25", params.analyzer, 0).toString, params), seq)
     }
 
   // ---- pointer ------------------------------------------------------------
@@ -200,17 +213,34 @@ object IndexStore {
     Files.write(tmp, body.getBytes)
     Files.move(tmp, dir.resolve("current.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    // GC builds older than this one (keep only the version just built:
-    // immutable dirs, single-process driver — nothing holds older ones
-    // past the pointer swap).
+    // GC: keep this build AND the most recent other one. An in-flight
+    // lazy scan from a search that started before the pointer swap can
+    // still be reading the previous build's parquet (queries racing
+    // DML, the pressure-runner shape); deleting it mid-collect fails
+    // that scan with FileNotFoundException. Anything older than the
+    // previous build has survived two pointer swaps and is removed.
     import scala.collection.JavaConverters._
+    val current = versionDir(dir, seq, kind, metric, nlist)
+      .getFileName.toString
     val s = Files.list(dir)
-    try s.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v_") &&
-        p.getFileName.toString != s"v_$seq")
-      .toSeq.foreach(deleteRecursively)
-    finally s.close()
+    try {
+      val others = s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v_") &&
+          p.getFileName.toString != current)
+        .toSeq
+        .sortBy(p => versionSeq(p.getFileName.toString))(Ordering[Long].reverse)
+      others.drop(1).foreach(deleteRecursively)
+    } finally s.close()
   }
+
+  /** Leading seq of a `v_<seq>[_...]` build-dir name (legacy `v_<seq>`
+    * names parse too).
+    */
+  private def versionSeq(name: String): Long =
+    name.stripPrefix("v_").takeWhile(_.isDigit) match {
+      case "" => -1L
+      case n  => n.toLong
+    }
 
   private def readPointer(dir: Path): Option[Pointer] = {
     val f = dir.resolve("current.json")

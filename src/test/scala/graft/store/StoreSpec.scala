@@ -185,6 +185,27 @@ class StoreSpec extends SparkSpec {
       Seq(0L, 1L, 4L, 6L, 7L))
   }
 
+  test("partition_names reads prune delta directories at the scan") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("prune", partitions = Seq("p0", "p1", "p2")))
+    c.insert(s, (0L until 9L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 6")
+    val scoped = c.read(s, partitionNames = Seq("p0"))
+    // deltas are partitionBy(_part): the scope must arrive at the scan
+    // as a PARTITION (directory) filter, same standard as _cid/_tb in
+    // IndexLifecycleSpec — at scale the other partitions' files are
+    // never listed, let alone read.
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"partition scope did not reach the scan as a partition filter:\n$plan")
+    // pk % 3 routing puts {0,3,6} in p0; the tombstone for 6 is
+    // co-located in p0, so the pruned read still sees the delete.
+    assert(scoped.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L))
+  }
+
   test("TTL expiry filters aged rows at read time") {
     val s = spark
     import s.implicits._
