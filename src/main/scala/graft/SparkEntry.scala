@@ -693,6 +693,47 @@ object SparkEntry {
       c.read(s).agg(count(lit(1)).as("cnt"),
         sum("id").cast("long").as("sum_id"))
     },
+    // ---- §2.9: capability gate — probe -> supported/unsupported ->
+    // skip-not-fail (common/capability.py:19-65, --capability-probe /
+    // --skip-unsupported flags of common/args.py:29-42) ---------------------
+    "w2_capability_gate" -> { (s, dir) =>
+      import s.implicits._
+      val required = Seq("QueryAggregation", "OrderBy", "EntityTTL",
+        "StorageV3", "TimeTravel")
+      val ev = graft.workload.Capability.evaluate(required)
+      // a brick requiring an unsupported capability must SKIP, not run
+      val gated = graft.workload.BrickProtocol.gated("probe_brick",
+        graft.workload.BrickProtocol.BrickArgs(), required) {
+        throw new IllegalStateException("gated brick body must not run")
+      }
+      required.map(id => (id,
+        if (ev.supported.contains(id)) "supported" else "unsupported",
+        gated.status))
+        .toDF("capability", "status", "brick_status").orderBy("capability")
+    },
+    // ---- S21: function add/drop lifecycle (schema_evolution_workload
+    // .py:93-124): BM25 output served while bound, gone after drop ----------
+    "s21_function_lifecycle" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-fnl").toString)
+      val c = cat.createCollection(CollectionDef("fnl", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200))
+      c.addFunction(graft.store.FunctionDef("fts", "BM25",
+        Seq("text"), Seq("sparse_emb")))
+      val servedAdded = c.read(s).columns.contains("sparse_emb")
+      val added = c.read(s)
+        .agg(count(lit(1)).as("docs"),
+          sum(size(col("sparse_emb"))).cast("long").as("sum_dims")).head()
+      c.dropFunction("fts")
+      val servedDropped = c.read(s).columns.contains("sparse_emb")
+      Seq(("added", servedAdded, added.getLong(0), added.getLong(1)),
+          ("dropped", servedDropped, c.numEntities(s), 0L))
+        .toDF("phase", "served", "docs", "sum_dims").orderBy("phase")
+    },
     // ---- multimodal: modality stats over deterministic synthetic assets ---
     "m1_multimodal_stats" -> { (s, dir) =>
       Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
@@ -1257,6 +1298,46 @@ object SparkEntry {
       // count/sum from the same range spec.
       "st1_streaming_ingest" ->
         "SELECT count(*) AS cnt, CAST(sum(i) AS BIGINT) AS sum_id FROM generate_series(0, 24) t(i)",
+      // COMPUTED oracle: the catalog semantics (capability.py:47-65)
+      // re-derived in SQL — version-gated ids compare the server version
+      // tuple against the catalog minimum; probe-only and unknown ids
+      // are unsupported. brick_status 'skipped' is the gate contract:
+      // required contains unsupported ids, so the gated brick must skip.
+      "w2_capability_gate" ->
+        """WITH catalog(id, vmaj, vmnr, vpat, probe_only) AS (VALUES
+          |    ('QueryAggregation', 3, 0, 0, false),
+          |    ('OrderBy', 3, 0, 0, false),
+          |    ('EntityTTL', 3, 0, 0, false),
+          |    ('StorageV3', NULL, NULL, NULL, true)),
+          |  required(id) AS (VALUES ('QueryAggregation'), ('OrderBy'),
+          |    ('EntityTTL'), ('StorageV3'), ('TimeTravel')),
+          |  server(maj, mnr, pat) AS (VALUES (3, 0, 0))
+          |SELECT r.id AS capability,
+          |  CASE WHEN c.id IS NULL THEN 'unsupported'
+          |       WHEN c.probe_only THEN 'unsupported'
+          |       WHEN (s.maj, s.mnr, s.pat) >= (c.vmaj, c.vmnr, c.vpat)
+          |         THEN 'supported'
+          |       ELSE 'unsupported' END AS status,
+          |  'skipped' AS brick_status
+          |FROM required r LEFT JOIN catalog c ON r.id = c.id
+          |CROSS JOIN server s
+          |ORDER BY capability""".stripMargin,
+      // COMPUTED oracle: sum_dims = per-doc distinct token count summed
+      // (the BM25 sparse output keys one dimension per distinct term),
+      // re-derived from the corpus with the same standard analyzer.
+      "s21_function_lifecycle" ->
+        """SELECT phase, served, docs, sum_dims FROM (
+          |  SELECT 'added' AS phase, true AS served,
+          |    (SELECT count(*) FROM documents WHERE doc_id < 200) AS docs,
+          |    (SELECT CAST(sum(len(list_distinct(list_filter(
+          |       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |       x -> x <> '')))) AS BIGINT)
+          |     FROM documents WHERE doc_id < 200) AS sum_dims
+          |  UNION ALL
+          |  SELECT 'dropped', false,
+          |    (SELECT count(*) FROM documents WHERE doc_id < 200),
+          |    CAST(0 AS BIGINT)
+          |) ORDER BY phase""".stripMargin,
       // COMPUTED oracle: DuckDB re-derives counts/bytes from the
       // generator SPEC (modality = i%3, size = 64 + (i*37)%192 for
       // i in 0..29); distinct_blobs = cnt because each blob's xorshift

@@ -33,6 +33,15 @@ final case class IndexDef(
 /** Collection schema + properties. Validation mirrors
   * validate_schema_matrix (common/schema.py:175-269).
   */
+/** A schema-bound function (the reference's `Function` objects, e.g.
+  * BM25 VARCHAR -> SPARSE_FLOAT_VECTOR, common/schema.py functions
+  * blocks; add/drop cycled by schema_evolution_workload.py:93-124).
+  * The output field is engine-computed — never inserted, served as a
+  * derived column while the function is bound.
+  */
+final case class FunctionDef(name: String, functionType: String,
+    inputFields: Seq[String], outputFields: Seq[String])
+
 final case class CollectionDef(
     name: String,
     fields: Seq[FieldDef],
@@ -42,7 +51,11 @@ final case class CollectionDef(
     ttlSeconds: Option[Long] = None,
     shardsNum: Int = 1,
     indexes: Seq[IndexDef] = Seq.empty,
+    functions: Seq[FunctionDef] = Seq.empty,
     description: String = "") {
+
+  /** Names of engine-computed function-output fields. */
+  def functionOutputFields: Set[String] = functions.flatMap(_.outputFields).toSet
 
   def primaryField: FieldDef = fields.find(_.isPrimary).get
   def partitionKeyField: Option[FieldDef] = fields.find(_.isPartitionKey)

@@ -144,6 +144,83 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       d.copy(fields = d.fields.filterNot(_.name == fieldName))
     }
 
+  // ---- function lifecycle (schema_evolution_workload.py:93-124) ---------
+
+  /** Bind a function (BM25 text -> sparse vector). Output fields are
+    * engine-computed: declared if missing, never inserted, and served
+    * as derived columns while the function is bound
+    * (add_collection_function semantics).
+    */
+  def addFunction(f: FunctionDef): Unit =
+    catalog.mutateDef(name) { d =>
+      require(f.functionType.toUpperCase == "BM25",
+        s"unsupported function type ${f.functionType}")
+      require(!d.functions.exists(_.name == f.name),
+        s"function ${f.name} exists")
+      require(f.inputFields.nonEmpty && f.outputFields.nonEmpty,
+        "function needs input and output fields")
+      f.inputFields.foreach { in =>
+        val fd = d.fields.find(_.name == in).getOrElse(
+          throw new IllegalArgumentException(s"no input field $in"))
+        require(fd.dataType == StringType, s"BM25 input $in must be VARCHAR")
+      }
+      val extra = f.outputFields.filterNot(o => d.fields.exists(_.name == o))
+        .map(o => FieldDef(o, MapType(IntegerType, DoubleType)))
+      d.copy(fields = d.fields ++ extra, functions = d.functions :+ f)
+    }
+
+  /** Unbind a function: its output fields stop being served (dropped
+    * from the schema — drop_collection_function + drop_function_field
+    * semantics) and indexes touching its input/output fields are
+    * invalidated, so a dropped function's output can't keep serving
+    * from a stale build.
+    */
+  def dropFunction(fn: String): Unit = {
+    val f = definition.functions.find(_.name == fn).getOrElse(
+      throw new IllegalArgumentException(s"no function $fn"))
+    catalog.mutateDef(name) { d =>
+      d.copy(
+        functions = d.functions.filterNot(_.name == fn),
+        fields = d.fields.filterNot(fd => f.outputFields.contains(fd.name)),
+        indexes = d.indexes.filterNot(ix =>
+          f.outputFields.contains(ix.field) || f.inputFields.contains(ix.field)))
+    }
+    (f.inputFields ++ f.outputFields).distinct
+      .foreach(IndexStore.drop(this, _))
+  }
+
+  /** Engine-computed function output columns: BM25 maps the tokenized
+    * input to a sparse term-frequency vector — `hash(term) -> tf` for
+    * the conventional MapType(Int, Double) sparse encoding (collisions
+    * merge by summed tf, so duplicate map keys are impossible), or
+    * `term -> tf` when the declared output type is string-keyed. Bound
+    * through a single-element transform so tokenization runs once per
+    * row (Catalyst does no CSE across lambda bodies).
+    */
+  private def functionOutputColumns(d: CollectionDef): Map[String, Column] =
+    d.functions.filter(_.functionType.toUpperCase == "BM25").flatMap { f =>
+      val in = col(f.inputFields.head)
+      val toks = graft.text.Analyzer.standard(in)
+      f.outputFields.map { o =>
+        val stringKeyed = d.fields.find(_.name == o).map(_.dataType).exists {
+          case MapType(StringType, _, _) => true
+          case _ => false
+        }
+        val sparse =
+          if (stringKeyed)
+            element_at(transform(array(toks), ts =>
+              map_from_entries(transform(array_distinct(ts), t =>
+                struct(t, size(filter(ts, x => x === t)).cast(DoubleType))))), 1)
+          else
+            element_at(transform(array(toks), ts =>
+              map_from_entries(
+                transform(array_distinct(transform(ts, t => hash(t))), h =>
+                  struct(h, size(filter(ts, x => hash(x) === h))
+                    .cast(DoubleType))))), 1)
+        o -> when(in.isNotNull, sparse)
+      }
+    }.toMap
+
   // ---- DML --------------------------------------------------------------
 
   /** Insert a batch. Missing nullable columns are filled with null;
@@ -423,7 +500,8 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       val now = asOfMillis.getOrElse(System.currentTimeMillis())
       out = out.filter(col(TS) >= lit(now - ttl * 1000L))
     }
-    out.select(outCols.map(col): _*)
+    val derived = functionOutputColumns(d)
+    out.select(outCols.map(c => derived.get(c).map(_.as(c)).getOrElse(col(c))): _*)
   }
 
   /** Fold all deltas into a single base delta (bounds read

@@ -38,6 +38,12 @@ private[store] object MetaJson {
         ("indexType" -> ix.indexType) ~
         ("metricType" -> ix.metricType) ~
         ("params" -> ix.params)
+      }) ~
+      ("functions" -> d.functions.map { f =>
+        ("name" -> f.name) ~
+        ("functionType" -> f.functionType) ~
+        ("inputFields" -> f.inputFields) ~
+        ("outputFields" -> f.outputFields)
       })
     JsonMethods.pretty(JsonMethods.render(json))
   }
@@ -63,6 +69,14 @@ private[store] object MetaJson {
         metricType = (ij \ "metricType").extractOpt[String],
         params = (ij \ "params").extract[Map[String, String]])
     }
+    val functions = (j \ "functions").extractOpt[Seq[JValue]]
+      .getOrElse(Seq.empty).map { fj =>
+        FunctionDef(
+          name = (fj \ "name").extract[String],
+          functionType = (fj \ "functionType").extract[String],
+          inputFields = (fj \ "inputFields").extract[Seq[String]],
+          outputFields = (fj \ "outputFields").extract[Seq[String]])
+      }
     val d = CollectionDef(
       name = (j \ "name").extract[String],
       fields = fields,
@@ -72,6 +86,7 @@ private[store] object MetaJson {
       ttlSeconds = (j \ "ttlSeconds").extractOpt[Long],
       shardsNum = (j \ "shardsNum").extract[Int],
       indexes = indexes,
+      functions = functions,
       description = (j \ "description").extract[String])
     CatalogMeta(d, (j \ "seq").extract[Long], (j \ "loadState").extract[String])
   }

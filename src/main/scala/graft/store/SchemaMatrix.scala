@@ -21,9 +21,6 @@ import scala.collection.JavaConverters._
   */
 object SchemaMatrix {
 
-  final case class FunctionDef(name: String, functionType: String,
-      inputFields: Seq[String], outputFields: Seq[String])
-
   final case class MatrixEntry(
       collection: CollectionDef,
       featureTags: Seq[String],
@@ -139,6 +136,7 @@ object SchemaMatrix {
       partitions = strSeq("partitions"),
       numPartitions = m.get("num_partitions").map(v => String.valueOf(v).toInt),
       indexes = indexes,
+      functions = functions,
       description = str("description"))
     d.validate()
     MatrixEntry(d, strSeq("feature_tags"), str("compat_mode", "rollback_safe"),

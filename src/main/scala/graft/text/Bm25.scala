@@ -153,8 +153,11 @@ object Bm25 {
       query: String): DataFrame = {
     val terms = tokenizeQuery(query, p.params.analyzer)
     if (terms.isEmpty)
-      return spark.range(0).select(col("id").as(p.idCol),
-        lit(0.0).as("score"))
+      // Empty result keeps the PERSISTED id type (a VARCHAR-pk
+      // collection must not get a LongType id that pollutes downstream
+      // joins with casts).
+      return spark.read.parquet(p.postingsPath)
+        .select(col(p.idCol), lit(0.0).as("score")).limit(0)
     val buckets = termBuckets(spark, terms, p.numBuckets)
     val postings = spark.read.parquet(p.postingsPath)
       .filter(col("_tb").isin(buckets: _*) && col("term").isin(terms: _*))

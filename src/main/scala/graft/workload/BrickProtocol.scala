@@ -27,6 +27,8 @@ object BrickProtocol {
       featureSet: String = "compat_2_6",
       compatMode: String = "rollback_safe",
       lifecyclePhase: String = "steady_state",
+      capabilityProbe: Boolean = true,   // --capability-probe
+      skipUnsupported: Boolean = true,   // --skip-unsupported
       checkpointDir: Option[String] = None,
       outputJson: Option[String] = None)
 
@@ -39,7 +41,33 @@ object BrickProtocol {
       metrics: Map[String, Double],
       failures: Seq[String],
       skipReason: Option[String] = None,
-      checkpointPath: Option[String] = None)
+      checkpointPath: Option[String] = None,
+      capabilities: Option[Capability.Evaluation] = None)
+
+  /** Run a brick behind the capability gate (the reference's
+    * probe -> supported/unsupported -> skip-not-fail protocol,
+    * common/capability.py + requests/create_schema_matrix.py:98-113):
+    * with `--capability-probe`, required capabilities are evaluated
+    * first; any unsupported one yields a `skipped` result (with the
+    * evaluation attached) when `--skip-unsupported`, instead of
+    * running the brick to a failure.
+    */
+  def gated(brick: String, args: BrickArgs, required: Seq[String])
+      (run: => BrickResult): BrickResult = {
+    if (!args.capabilityProbe) run
+    else {
+      val ev = Capability.evaluate(required)
+      if (ev.unsupported.nonEmpty && args.skipUnsupported) {
+        val now = Instant.now()
+        BrickResult(brick, args, status = "skipped",
+          startedAt = now, finishedAt = now,
+          metrics = Map.empty, failures = Seq.empty,
+          skipReason = Some(
+            s"unsupported capabilities: ${ev.unsupported.mkString(", ")}"),
+          capabilities = Some(ev))
+      } else run.copy(capabilities = Some(ev))
+    }
+  }
 
   def fromReport(brick: String, args: BrickArgs, started: Instant,
       report: ValidationReport): BrickResult =
@@ -69,10 +97,11 @@ object BrickProtocol {
       }) ~
       ("failures" -> r.failures) ~
       ("capabilities" ->
-        (("server_version" -> "graft-spark") ~
+        (("server_version" ->
+           r.capabilities.map(_.serverVersion).getOrElse(Capability.engineVersion)) ~
          ("sdk_version" -> "graft-0.1") ~
-         ("supported" -> Seq.empty[String]) ~
-         ("unsupported" -> Seq.empty[String]))) ~
+         ("supported" -> r.capabilities.map(_.supported).getOrElse(Seq.empty)) ~
+         ("unsupported" -> r.capabilities.map(_.unsupported).getOrElse(Seq.empty)))) ~
       ("skip_reason" -> r.skipReason) ~
       ("artifacts" -> Seq.empty[String]) ~
       ("checkpoint" -> r.checkpointPath.map(p =>

@@ -278,6 +278,41 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.dropField("id"))
   }
 
+  test("function add/drop lifecycle: output field served while bound, gone after drop") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("fn"))
+    c.insert(s, Seq((1L, 1L, "hello hello world", 0L), (2L, 2L, "spark spark spark", 0L))
+      .toDF("id", "category", "content", "version"))
+    // add: BM25 content -> sparse; output field auto-declared and served
+    c.addFunction(FunctionDef("fts", "BM25", Seq("content"), Seq("sparse")))
+    assert(c.definition.functions.map(_.name) == Seq("fts"))
+    assert(c.read(s).columns.contains("sparse"))
+    val m1 = c.read(s).filter($"id" === 1L)
+      .select("sparse").head().getMap[Int, Double](0)
+    assert(m1.size == 2, "two distinct terms in doc 1")
+    assert(m1.values.toSeq.sorted == Seq(1.0, 2.0), "tf 2 for 'hello', 1 for 'world'")
+    // validation: unknown input / non-text input / duplicate name
+    intercept[IllegalArgumentException](
+      c.addFunction(FunctionDef("bad", "BM25", Seq("nope"), Seq("o"))))
+    intercept[IllegalArgumentException](
+      c.addFunction(FunctionDef("bad", "BM25", Seq("category"), Seq("o"))))
+    intercept[IllegalArgumentException](
+      c.addFunction(FunctionDef("fts", "BM25", Seq("content"), Seq("o"))))
+    // drop: binding and output field disappear (drop_function_field)
+    c.dropFunction("fts")
+    assert(c.definition.functions.isEmpty)
+    assert(!c.read(s).columns.contains("sparse"))
+    intercept[IllegalArgumentException](c.dropFunction("fts"))
+    // re-add serves again — the schema_evolution_workload cycle
+    c.addFunction(FunctionDef("fts", "BM25", Seq("content"), Seq("sparse")))
+    assert(c.read(s).filter($"id" === 2L)
+      .select("sparse").head().getMap[Int, Double](0).values.toSeq == Seq(3.0))
+    // function outputs survive the catalog round-trip (MetaJson)
+    assert(cat.describeCollection("fn").functions.map(_.name) == Seq("fts"))
+  }
+
   test("compaction folds deltas and preserves the snapshot") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,68 @@ class BrickSpec extends SparkSpec {
       BrickProtocol.readPhaseCheckpoint(dir, "nope"))
   }
 
+  test("capability evaluation mirrors the reference gate semantics") {
+    // Never assume an unimplemented probe passes (test_capability.py).
+    val catalog = Map(
+      "StorageV3" -> Capability.CapabilitySpec("StorageV3",
+        Map("config_probe" -> "common.storage.useLoonFFI")),
+      "NoProbe" -> Capability.CapabilitySpec("NoProbe"),
+      "Versioned" -> Capability.CapabilitySpec("Versioned",
+        Map("server_version_min" -> "3.0.0")))
+    val ev = Capability.evaluate(
+      Seq("StorageV3", "NoProbe", "Versioned", "Bogus"), catalog, "3.0.0")
+    assert(ev.unsupported.contains("StorageV3"))
+    assert(ev.supported.contains("NoProbe"))
+    assert(ev.supported.contains("Versioned"))
+    assert(ev.unsupported.contains("Bogus"), "unknown id must be unsupported")
+    // version comparison (parse_version/version_at_least semantics)
+    assert(Capability.versionAtLeast("3.0.0", "3.0.0"))
+    assert(Capability.versionAtLeast("v3.1-beta", "3.0.9"))
+    assert(!Capability.versionAtLeast("2.6.4", "3.0.0"))
+    assert(!Capability.versionAtLeast("", "3.0.0"))
+    assert(Capability.versionAtLeast("3", "3.0.0"), "3 pads to 3.0.0")
+  }
+
+  test("capability gate skips (not fails) bricks requiring unsupported features") {
+    val args = BrickProtocol.BrickArgs()
+    var ran = false
+    // StorageV3 has a config-only probe -> unsupported -> skipped
+    val r = BrickProtocol.gated("needs_loon", args, Seq("StorageV3")) {
+      ran = true
+      BrickProtocol.fromReport("needs_loon", args, Instant.now(),
+        Validators.report(Seq.empty))
+    }
+    assert(!ran, "gated brick body must not run when skipped")
+    assert(r.status == "skipped")
+    assert(r.skipReason.exists(_.contains("StorageV3")))
+    val body = BrickProtocol.resultJson(r)
+    assert(body.contains("\"status\" : \"skipped\""))
+    assert(body.contains("StorageV3"))
+    // supported requirements run and carry the evaluation in the result
+    val ok = BrickProtocol.gated("orderby_brick", args,
+      Seq("OrderBy", "EntityTTL")) {
+      BrickProtocol.fromReport("orderby_brick", args, Instant.now(),
+        Validators.report(Seq.empty))
+    }
+    assert(ok.status == "passed")
+    assert(ok.capabilities.exists(_.supported == Seq("OrderBy", "EntityTTL")))
+    // --capability-probe=false bypasses the gate entirely
+    val bypass = BrickProtocol.gated("raw", args.copy(capabilityProbe = false),
+      Seq("StorageV3")) {
+      BrickProtocol.fromReport("raw", args, Instant.now(),
+        Validators.report(Seq.empty))
+    }
+    assert(bypass.status == "passed")
+    // --skip-unsupported=false: the brick runs (and may fail on its own)
+    val strict = BrickProtocol.gated("strict",
+      args.copy(skipUnsupported = false), Seq("StorageV3")) {
+      BrickProtocol.fromReport("strict", args, Instant.now(),
+        Validators.report(Seq("probe failed")))
+    }
+    assert(strict.status == "failed")
+    assert(strict.capabilities.exists(_.unsupported == Seq("StorageV3")))
+  }
+
   test("concurrent index builds are consistent (S7)") {
     val cat = new Catalog(Files.createTempDirectory("graft-cix").toString)
     val c = cat.createCollection(CollectionDef("cix", Seq(
