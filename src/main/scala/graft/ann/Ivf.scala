@@ -90,15 +90,24 @@ object Ivf {
     best
   }
 
+  /** `(distance, cid)` structs for every centroid, nearest first. The
+    * centroid matrix is ONE 2-D literal looped by `transform`, so the
+    * expression tree stays O(1) in nlist — the previous shape (an
+    * unrolled nlist-way `array()` of distance subtrees) grew linearly
+    * and pushed large-nlist projections out of whole-stage codegen
+    * (observed 4× slowdown going 16→32 cells at constant work).
+    */
+  private def sortedCells(model: Model, vec: Column): Column = {
+    val cents = typedlit(model.centroids.map(_.toSeq).toSeq)
+    array_sort(zip_with(cents, sequence(lit(0), lit(model.k - 1)),
+      (c, i) => struct(Functions.vecL2(vec, c).as("d"), i.as("cid"))))
+  }
+
   /** Column computing the nearest-centroid id of `vec` — a single
     * codegen'd projection, no join, no shuffle.
     */
-  def cellId(model: Model, vec: Column): Column = {
-    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(Functions.vecL2(vec, lit(c)).as("d"), lit(i).as("cid"))
-    }
-    array_min(array(cells: _*)).getField("cid")
-  }
+  def cellId(model: Model, vec: Column): Column =
+    element_at(sortedCells(model, vec), 1).getField("cid")
 
   /** Augment a table with its IVF cell assignment. Persist this
     * `partitionBy("_cid")` to get pruning on disk.
@@ -110,13 +119,9 @@ object Ivf {
     * array column — a single codegen'd projection (array_sort over
     * nlist (dist, cid) structs), no join, no shuffle.
     */
-  def probeCells(model: Model, vec: Column, nprobe: Int): Column = {
-    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(Functions.vecL2(vec, lit(c)).as("d"), lit(i).as("cid"))
-    }
-    transform(slice(array_sort(array(cells: _*)), 1, nprobe),
+  def probeCells(model: Model, vec: Column, nprobe: Int): Column =
+    transform(slice(sortedCells(model, vec), 1, nprobe),
       s => s.getField("cid"))
-  }
 
   /** ANN self-join: EVERY row is a query (the reference's all-pairs
     * kNN bench shape). Instead of broadcasting the full table as the
@@ -140,7 +145,10 @@ object Ivf {
       .withColumn("_probe", explode(probeCells(model, col("qvec"), nprobe)))
     val (score, similarityLike) = Functions.metricFor(
       model.metric, df.schema(vecCol).dataType, col(vecCol), col("qvec"))
-    val scored0 = assigned.join(queries, col("_cid") === col("_probe"))
+    // Hash join, not sort-merge: the equi-key is a low-cardinality
+    // cell id — sorting millions of scored pairs on it buys nothing.
+    val scored0 = assigned.join(queries.hint("shuffle_hash"),
+        col("_cid") === col("_probe"))
       .select(col("qid"), col(idCol), score.as("score"))
     val scored =
       if (includeSelf) scored0 else scored0.filter(col("qid") =!= col(idCol))
