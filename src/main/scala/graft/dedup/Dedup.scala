@@ -46,8 +46,17 @@ object Dedup {
     * string); the numHashes functions re-hash only the 8-byte base
     * (h_i = xxhash64(i, base)) — far cheaper than hashing the string
     * numHashes times, and safe under ANSI mode (an affine a·base+b
-    * family would overflow-error, not wrap). One explode + groupBy;
-    * min() combines map-side.
+    * family would overflow-error, not wrap).
+    *
+    * Shape note (measured, round 4): building the signature row-locally
+    * with nested transform()/array_min() — no explode, no shuffle —
+    * is ~2x SLOWER than this explode + numHashes min() aggs shape,
+    * because higher-order functions are interpreted (not codegen'd):
+    * the 64·shingles hash evals per doc leave whole-stage codegen,
+    * while min-agg input expressions stay inside it. The hash-agg
+    * exchange is cheaper than interpreting the loop. So: explode +
+    * codegen'd min aggs IS the right Spark shape; "batch the min-aggs
+    * into one array aggregate" is a dead end until Spark codegens HOFs.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
