@@ -711,6 +711,31 @@ object SparkEntry {
         gated.status))
         .toDF("capability", "status", "brick_status").orderBy("capability")
     },
+    // ---- §2.9: upgrade/rollback gate verdict over brick result JSONs
+    // (generate_workflow_report.py:24-190: required-validation list from
+    // the config toggles, missing results injected as failures, statuses
+    // outside {passed, skipped} fail, pressure failures warn/fail) ------
+    "w3_gate_verdict" -> { (s, dir) =>
+      import s.implicits._
+      import graft.workload.Gates
+      val c = Gates.GateConfig()
+      val names = (Gates.requiredValidationNames(c) ++
+        Gates.requiredServiceabilityNames(c))
+      val complete = names.map(_ -> "passed").toMap
+      val pass = Gates.evaluate(c, complete)
+      val failed = Gates.evaluate(c,
+        complete + ("validate_after_upgrade" -> "failed"))
+      val missing = Gates.evaluate(c, complete - "validate_after_rollback")
+      val warn = Gates.evaluate(c, complete,
+        pressureFailed = 3, pressureFailOnError = false)
+      Seq(
+        ("complete", pass.status, names.length.toLong),
+        ("failed_brick", failed.status, failed.failedResults.size.toLong),
+        ("missing_validation", missing.status,
+          missing.missingValidations.size.toLong),
+        ("pressure_warning", warn.status, 0L))
+        .toDF("run", "status", "n").orderBy("run")
+    },
     // ---- S21: function add/drop lifecycle (schema_evolution_workload
     // .py:93-124): BM25 output served while bound, gone after drop ----------
     "s21_function_lifecycle" -> { (s, dir) =>
@@ -1346,6 +1371,34 @@ object SparkEntry {
           |FROM required r LEFT JOIN catalog c ON r.id = c.id
           |CROSS JOIN server s
           |ORDER BY capability""".stripMargin,
+      // COMPUTED oracle: the required-result count is re-derived from
+      // the toggle rules (generate_workflow_report.py:24-72) in SQL;
+      // statuses are the rule outcomes (failed brick / missing required
+      // validation fail the gate; pressure failures downgrade to
+      // warning without fail-on-error).
+      "w3_gate_verdict" ->
+        """WITH cfg(fw, rb, rbf, ic, ph) AS (VALUES (false, true, false, true, true)),
+          |req AS (SELECT count(*) AS n FROM (
+          |  SELECT 1 FROM cfg WHERE true
+          |  UNION ALL SELECT 1 FROM cfg WHERE true
+          |  UNION ALL SELECT 1 FROM cfg WHERE fw
+          |  UNION ALL SELECT 1 FROM cfg WHERE fw
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb AND ic
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb AND ph
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb AND ic
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb AND ph
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb AND fw AND rbf
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb AND fw AND rbf
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb
+          |  UNION ALL SELECT 1 FROM cfg WHERE rb AND fw AND rbf))
+          |SELECT run, status, n FROM (
+          |  SELECT 'complete' AS run, 'passed' AS status,
+          |    (SELECT CAST(n AS BIGINT) FROM req) AS n
+          |  UNION ALL SELECT 'failed_brick', 'failed', 1
+          |  UNION ALL SELECT 'missing_validation', 'failed', 1
+          |  UNION ALL SELECT 'pressure_warning', 'warning', 0
+          |) ORDER BY run""".stripMargin,
       // COMPUTED oracle: sum_dims = per-doc distinct token count summed
       // (the BM25 sparse output keys one dimension per distinct term),
       // re-derived from the corpus with the same standard analyzer.
