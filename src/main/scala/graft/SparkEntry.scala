@@ -759,6 +759,50 @@ object SparkEntry {
           ("dropped", servedDropped, c.numEntities(s), 0L))
         .toDF("phase", "served", "docs", "sum_dims").orderBy("phase")
     },
+    // ---- S22: object-store ingestion (horizonPoc/insert_horizon_from_oss
+    // .py): prefix listing -> file batches -> cycled location/scalars
+    // merge -> WKT validation w/ deterministic fallback -> retried
+    // chunked insert. file:// here; s3a://-style URIs take the same path.
+    "s22_object_store_ingest" -> { (s, dir) =>
+      import graft.sources.ObjectStoreIngest
+      val root = java.nio.file.Files.createTempDirectory("graft-ossr").toString
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("feature"))
+      val n = emb.count()
+      // three deterministic "objects" split by id range, rows id-ordered
+      Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).zipWithIndex
+        .foreach { case ((lo, hi), k) =>
+          emb.filter(col("id") >= lo && col("id") < hi).orderBy("id")
+            .coalesce(1).write.parquet(s"$root/feat/part$k.parquet")
+        }
+      // every 3rd nation row carries an invalid (non-POINT) WKT
+      tbl(s, dir, "nation").orderBy("n_nationkey")
+        .select(when(col("n_nationkey") % 3 === 0, lit("LINESTRING (0 0, 1 1)"))
+          .otherwise(concat(lit("POINT ("), col("n_nationkey").cast("string"),
+            lit(" "), col("n_regionkey").cast("string"), lit(")")))
+          .as("location"))
+        .coalesce(1).write.parquet(s"$root/loc/l0.parquet")
+      tbl(s, dir, "region").orderBy("r_regionkey")
+        .select(col("r_name").as("region_name"))
+        .coalesce(1).write.parquet(s"$root/sc/s0.parquet")
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ossc").toString)
+      val c = cat.createCollection(CollectionDef("horizon", Seq(
+        FieldDef("id", StringType, nullable = false, isPrimary = true),
+        FieldDef("feature", ArrayType(FloatType), dim = Some(64)),
+        FieldDef("timestamp", LongType),
+        FieldDef("url", StringType),
+        FieldDef("device_id", StringType),
+        FieldDef("location", StringType)), enableDynamicField = true))
+      val p = ObjectStoreIngest.plan(s, root, "feat/", "loc/", "sc/",
+        featureFilesPerBatch = 2)
+      ObjectStoreIngest.ingest(s, c, p, nowMillis = 0L): Unit
+      c.read(s).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("id").cast("long")).cast("long").as("sum_id"),
+        count(when(not(col("location").startsWith("POINT (-7")), 1))
+          .as("valid_points"))
+    },
     // ---- multimodal: modality stats over deterministic synthetic assets ---
     "m1_multimodal_stats" -> { (s, dir) =>
       Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
@@ -1415,6 +1459,21 @@ object SparkEntry {
           |    (SELECT count(*) FROM documents WHERE doc_id < 200),
           |    CAST(0 AS BIGINT)
           |) ORDER BY phase""".stripMargin,
+      // COMPUTED oracle: positional index i = id rank (objects are
+      // id-ordered); the cycled location row is i % |nation| and is a
+      // valid POINT unless its nationkey % 3 = 0 (the fixture's
+      // invalid-WKT cadence) — fallbacks re-derived by the same rule.
+      "s22_object_store_ingest" ->
+        """WITH ei AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i FROM embeddings),
+          |loc AS (
+          |  SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS li,
+          |    (n_nationkey % 3 <> 0) AS valid FROM nation)
+          |SELECT (SELECT count(*) FROM embeddings) AS cnt,
+          |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM embeddings) AS sum_id,
+          |  (SELECT CAST(count(*) FILTER (WHERE l.valid) AS BIGINT)
+          |   FROM ei JOIN loc l
+          |     ON l.li = ei.i % (SELECT count(*) FROM nation)) AS valid_points""".stripMargin,
       // COMPUTED oracle: DuckDB re-derives counts/bytes from the
       // generator SPEC (modality = i%3, size = 64 + (i*37)%192 for
       // i in 0..29); distinct_blobs = cnt because each blob's xorshift
