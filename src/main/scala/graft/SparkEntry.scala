@@ -759,6 +759,21 @@ object SparkEntry {
           ("dropped", servedDropped, c.numEntities(s), 0L))
         .toDF("phase", "served", "docs", "sum_dims").orderBy("phase")
     },
+    // ---- V13: BM25 text highlighter (3.0 text surface: query-term
+    // tagging, fragment config, highlighter score) over the top-k ------
+    "v13_text_highlight" -> { (s, dir) =>
+      import graft.text.Highlight
+      val docs = tbl(s, dir, "documents")
+      val top = Bm25.topK(docs, "text", "doc_id", "vector stream", 5)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      Highlight.withHighlights(top, "text", "vector stream")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"),
+          coalesce(element_at(col("fragments"), 1), lit("")).as("frag"),
+          col("highlight_score"))
+        .orderBy("rank")
+    },
     // ---- S22: object-store ingestion (horizonPoc/insert_horizon_from_oss
     // .py): prefix listing -> file batches -> cycled location/scalars
     // merge -> WKT validation w/ deterministic fallback -> retried
@@ -1459,6 +1474,42 @@ object SparkEntry {
           |    (SELECT count(*) FROM documents WHERE doc_id < 200),
           |    CAST(0 AS BIGINT)
           |) ORDER BY phase""".stripMargin,
+      // COMPUTED oracle: BM25 top-5 re-scored with the v8 recipe; the
+      // tagging/fragment/score rules re-run in DuckDB with the same
+      // regexes (both engines: \b over [A-Za-z0-9_], '.' excludes
+      // newline, greedy-longest leftmost fragment window).
+      "v13_text_highlight" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+          |  FROM documents
+          |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |       WHERE term IN ('vector', 'stream') GROUP BY doc_id, term),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+          |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |    sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+          |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+          |  GROUP BY tf.doc_id),
+          |top AS (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+          |  FROM scored QUALIFY rank <= 5),
+          |toks AS (
+          |  SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM documents)
+          |SELECT t.doc_id, t.rank,
+          |  regexp_extract(
+          |    regexp_replace(d.text, '(?i)\b(vector|stream)\b', '<em>\1</em>', 'g'),
+          |    '(?i).{0,40}<em>(?:vector|stream)</em>.{0,40}', 0) AS frag,
+          |  (CAST(list_contains(k.ts, 'vector') AS INT) +
+          |   CAST(list_contains(k.ts, 'stream') AS INT)) / 2.0 AS highlight_score
+          |FROM top t JOIN documents d USING (doc_id) JOIN toks k USING (doc_id)
+          |ORDER BY rank""".stripMargin,
       // COMPUTED oracle: positional index i = id rank (objects are
       // id-ordered); the cycled location row is i % |nation| and is a
       // valid POINT unless its nationkey % 3 = 0 (the fixture's

@@ -62,10 +62,28 @@ final class QueryIterator(
 
   def hasNext: Boolean = !exhausted
 
+  /** Distributed export of the remaining scan — the engine-native fast
+    * path when resumability is NOT needed: one parallel range-filtered
+    * write instead of driver-funneled iterator pages. Emits a single
+    * `part_00000` directory so re-reads glob the same way as the
+    * iterator export. Returns the number of rows exported.
+    */
+  def exportParquetDirect(outDir: String): Long = {
+    var out = filter.foldLeft(df)(_ filter _)
+    lastPk.foreach(pk => out = out.filter(col(pkCol) > lit(pk)))
+    if (outputFields != Seq("*"))
+      out = out.select((outputFields :+ pkCol).distinct.map(col): _*)
+    out.write.mode("overwrite").parquet(f"$outDir/part_${0}%05d")
+    exhausted = true
+    df.sparkSession.read.parquet(f"$outDir/part_${0}%05d").count()
+  }
+
   /** Export the remaining scan to parquet, `batchesPerFile` iterator
     * batches per output file (reference S17,
     * query_iterator.py:225-260: iterator batches → parquet every 100
-    * batches). Returns the number of rows exported.
+    * batches; the driver funnel is the reference's own client-side
+    * shape — use [[exportParquetDirect]] when resumability isn't
+    * needed). Returns the number of rows exported.
     */
   def exportParquet(outDir: String, batchesPerFile: Int = 100): Long = {
     val spark = df.sparkSession

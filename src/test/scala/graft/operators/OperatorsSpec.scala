@@ -275,6 +275,23 @@ class OperatorsSpec extends SparkSpec {
     assert(readBack.select("o_orderkey").distinct().count() == n)
   }
 
+  test("direct export matches the iterator export and resumes mid-scan") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val out = Files.createTempDirectory("graft-export-d").toString
+    val it = new QueryIterator(orders, "o_orderkey", batchSize = 300)
+    // consume one page first: direct export must cover only the REST
+    val first = it.next()
+    val n = it.exportParquetDirect(out)
+    assert(n == orders.count() - first.length)
+    assert(!it.hasNext)
+    val readBack = s.read.parquet(s"$out/part_*")
+    assert(readBack.count() == n)
+    val minExported = readBack.agg(min("o_orderkey")).head().getLong(0)
+    assert(minExported > first.last.getLong(0),
+      "exported rows must start after the consumed page")
+  }
+
   test("sparse and binary single-query search route through typed metrics") {
     val s = spark
     import s.implicits._

@@ -118,6 +118,61 @@ class TextSpec extends SparkSpec {
     assert(got.head._1 == 1L)
   }
 
+  test("highlighter: term tagging, fragment config, score, run_analyzer") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The Vector stream processes a vector per batch."),
+      (2L, "No matching terms here at all."),
+      (3L, (("x " * 60) + "vector wins ") + ("y " * 60)))
+      .toDF("doc_id", "text")
+    val cfg = Highlight.FragmentConfig(preTag = "<b>", postTag = "</b>",
+      fragmentContext = 10, numFragments = 2)
+    val out = Highlight.withHighlights(docs, "text", "vector stream", cfg)
+      .orderBy("doc_id").collect()
+    // term tagging: case-insensitive, both terms, word boundaries
+    assert(out(0).getAs[String]("highlight") ==
+      "The <b>Vector</b> <b>stream</b> processes a <b>vector</b> per batch.")
+    assert(out(1).getAs[String]("highlight") == out(1).getAs[String]("text"),
+      "no terms -> untouched text")
+    // fragments: bounded context windows around matches, capped count
+    val frags0 = out(0).getSeq[String](out(0).fieldIndex("fragments"))
+    assert(frags0.nonEmpty && frags0.length <= 2)
+    assert(frags0.head.contains("<b>Vector</b>"))
+    assert(out(1).getSeq[String](out(1).fieldIndex("fragments")).isEmpty)
+    val frags2 = out(2).getSeq[String](out(2).fieldIndex("fragments"))
+    assert(frags2.length == 1)
+    assert(frags2.head.length <= cfg.fragmentContext * 2 +
+      "<b></b>".length + "vector".length)
+    // highlighter score: fraction of query terms present
+    assert(out(0).getAs[Double]("highlight_score") == 1.0)
+    assert(out(1).getAs[Double]("highlight_score") == 0.0)
+    assert(out(2).getAs[Double]("highlight_score") == 0.5)
+    // run_analyzer: (id, pos, token) stream
+    val toks = Highlight.runAnalyzer(docs.filter($"doc_id" === 1L),
+      "text", "doc_id").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(toks == Seq((0, "the"), (1, "vector"), (2, "stream"),
+      (3, "processes"), (4, "a"), (5, "vector"), (6, "per"), (7, "batch")))
+  }
+
+  test("BM25 top-k with highlights: per-result projection only") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "vector stream engine"), (2L, "stream table"),
+      (3L, "plain text"), (4L, "vector index"))
+      .toDF("doc_id", "text")
+    val top = Bm25.topK(docs, "text", "doc_id", "vector stream", 2)
+      .join(docs, "doc_id")
+    val hl = Highlight.withHighlights(top, "text", "vector stream")
+      .orderBy(col("score").desc)
+    val rows = hl.collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("highlight")
+      .contains("<em>vector</em> <em>stream</em>"))
+    assert(rows.forall(_.getAs[Double]("highlight_score") > 0.0))
+  }
+
   test("BM25 index reuse across queries") {
     val s = spark
     import s.implicits._
