@@ -759,6 +759,45 @@ object SparkEntry {
           ("dropped", servedDropped, c.numEntities(s), 0L))
         .toDF("phase", "served", "docs", "sum_dims").orderBy("phase")
     },
+    // ---- S23: TruncateCollection (3.0 API): all entities dropped,
+    // schema/partitions/index metadata kept, immediately writable ------
+    "s23_truncate" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-tr").toString)
+      val c = cat.createCollection(CollectionDef("tr", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      val before = c.numEntities(s)
+      c.truncate(s)
+      val after = c.numEntities(s)
+      c.insert(s, tbl(s, dir, "region")
+        .select(col("r_regionkey").as("n_nationkey"), col("r_name").as("n_name")))
+      Seq((before, after, c.numEntities(s)))
+        .toDF("before_truncate", "after_truncate", "after_reinsert")
+    },
+    // ---- T3: ngram tokenizer with token_chars (3.0 analyzer; NGRAM
+    // index params min_gram/max_gram, schema_matrix_2_6.yaml:39) --------
+    "t3_ngram_analyzer" -> { (s, dir) =>
+      tbl(s, dir, "region")
+        .select(col("r_regionkey"),
+          explode(graft.text.Analyzer.ngram(2, 3)(col("r_name"))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("cnt"),
+          sum("r_regionkey").cast("long").as("sum_key"))
+        .orderBy("gram")
+    },
+    // ---- T4: synonym token filter (3.0 analyzer surface) --------------
+    "t4_synonym_filter" -> { (s, dir) =>
+      val an = graft.text.Analyzer.withSynonyms(graft.text.Analyzer.standard,
+        Map("vector" -> "embedding", "stream" -> "flow"))
+      tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(explode(an(col("text"))).as("tok"))
+        .filter(col("tok").isin("embedding", "flow", "table"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy("tok")
+    },
     // ---- V13: BM25 text highlighter (3.0 text surface: query-term
     // tagging, fragment config, highlighter score) over the top-k ------
     "v13_text_highlight" -> { (s, dir) =>
@@ -1474,6 +1513,37 @@ object SparkEntry {
           |    (SELECT count(*) FROM documents WHERE doc_id < 200),
           |    CAST(0 AS BIGINT)
           |) ORDER BY phase""".stripMargin,
+      "s23_truncate" ->
+        """SELECT (SELECT count(*) FROM nation) AS before_truncate,
+          |  CAST(0 AS BIGINT) AS after_truncate,
+          |  (SELECT count(*) FROM region) AS after_reinsert""".stripMargin,
+      // COMPUTED oracle: n-gram emission re-derived in SQL — runs of
+      // [a-z0-9]+ at least min_gram long, every substring of length
+      // n in [2,3] starting at each valid position.
+      "t3_ngram_analyzer" ->
+        """WITH runs AS (
+          |  SELECT r_regionkey, unnest(list_filter(
+          |    regexp_split_to_array(lower(r_name), '[^a-z0-9]+'),
+          |    x -> len(x) >= 2)) AS run
+          |  FROM region),
+          |grams AS (
+          |  SELECT r_regionkey, substring(run, CAST(i AS INT), CAST(n AS INT)) AS gram
+          |  FROM runs, generate_series(2, 3) t(n), generate_series(1, 64) s(i)
+          |  WHERE len(run) >= n AND i <= len(run) - n + 1)
+          |SELECT gram, count(*) AS cnt, CAST(sum(r_regionkey) AS BIGINT) AS sum_key
+          |FROM grams GROUP BY gram ORDER BY gram""".stripMargin,
+      // COMPUTED oracle: same tokenization, synonym map as CASE.
+      "t4_synonym_filter" ->
+        """WITH tok AS (
+          |  SELECT unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          |  FROM documents WHERE doc_id < 100),
+          |mapped AS (
+          |  SELECT CASE t WHEN 'vector' THEN 'embedding'
+          |                WHEN 'stream' THEN 'flow' ELSE t END AS tok FROM tok)
+          |SELECT tok, count(*) AS cnt FROM mapped
+          |WHERE tok IN ('embedding', 'flow', 'table')
+          |GROUP BY tok ORDER BY tok""".stripMargin,
       // COMPUTED oracle: BM25 top-5 re-scored with the v8 recipe; the
       // tagging/fragment/score rules re-run in DuckDB with the same
       // regexes (both engines: \b over [A-Za-z0-9_], '.' excludes

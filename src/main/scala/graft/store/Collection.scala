@@ -359,6 +359,19 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   /** Flush is a no-op: parquet writes are atomic per job (S11). */
   def flush(): Unit = ()
 
+  /** TruncateCollection (3.0 API, feature-inventory plan §4): drop all
+    * entities, keep the schema, partitions, indexes, and functions.
+    * Removes every committed delta and invalidates persisted index
+    * builds (they describe data that no longer exists); the next
+    * search rebuilds against the empty snapshot.
+    */
+  def truncate(spark: SparkSession): Unit = {
+    deltaPaths.foreach(deleteRecursively)
+    definition.indexes.foreach(ix => IndexStore.drop(this, ix.field))
+    catalog.nextSeq(name): Unit // bump: caches keyed on seq self-invalidate
+    refreshCachedSnapshot(spark)
+  }
+
   // ---- memory residency (S12) ------------------------------------------
 
   @volatile private var cached: Option[DataFrame] = None

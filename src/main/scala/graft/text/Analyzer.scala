@@ -23,4 +23,46 @@ object Analyzer {
     case "whitespace" => whitespace
     case other => throw new IllegalArgumentException(s"unknown analyzer $other")
   }
+
+  /** Character n-gram tokenizer with `token_chars` classes (the 3.0
+    * `ngram` analyzer / NGRAM index params `min_gram`/`max_gram`,
+    * schema_matrix_2_6.yaml:39): text lowercases, splits into runs of
+    * allowed characters, and each run emits every n-gram for
+    * n in [minGram, maxGram]. Runs shorter than minGram emit nothing.
+    */
+  def ngram(minGram: Int, maxGram: Int,
+      tokenChars: Seq[String] = Seq("letter", "digit")): Column => Column = {
+    require(0 < minGram && minGram <= maxGram, "need 0 < min_gram <= max_gram")
+    val classes = tokenChars.map {
+      case "letter" => "\\p{L}"
+      case "digit" => "\\p{N}"
+      case "whitespace" => "\\s"
+      case "punctuation" => "\\p{P}"
+      case "symbol" => "\\p{S}"
+      case other => throw new IllegalArgumentException(
+        s"unknown token_chars class $other")
+    }.mkString
+    c =>
+      flatten(transform(
+        filter(split(lower(c), s"[^$classes]+"), r => length(r) >= minGram),
+        run => flatten(transform(
+          sequence(lit(minGram), lit(maxGram)),
+          // sequence() descends when stop < start, so clamp to 1 and
+          // filter out starts past the last valid n-gram position
+          // (covers runs shorter than n for n > minGram).
+          n => transform(
+            filter(sequence(lit(1), greatest(length(run) - n + 1, lit(1))),
+              i => i <= length(run) - n + 1),
+            i => substring(run, i, n))))))
+  }
+
+  /** Synonym token filter (3.0 analyzer `synonym` filter): tokens
+    * rewrite to their canonical form through the mapping; unmapped
+    * tokens pass through. Applied AFTER a base tokenizer.
+    */
+  def withSynonyms(base: Column => Column,
+      synonyms: Map[String, String]): Column => Column = {
+    val m = typedlit(synonyms)
+    c => transform(base(c), t => coalesce(element_at(m, t), t))
+  }
 }

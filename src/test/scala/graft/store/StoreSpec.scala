@@ -313,6 +313,27 @@ class StoreSpec extends SparkSpec {
     assert(cat.describeCollection("fn").functions.map(_.name) == Seq("fts"))
   }
 
+  test("truncate drops all entities, keeps schema and index metadata") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("trunc", partitions = Seq("p0", "p1")))
+    c.createIndex(IndexDef("category", "INVERTED"))
+    c.insert(s, (0L until 10L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 3")
+    assert(c.numEntities(s) == 9)
+    c.truncate(s)
+    assert(c.numEntities(s) == 0)
+    assert(c.read(s).columns.contains("content"), "schema survives")
+    assert(c.listPartitions() == Seq("p0", "p1"), "partitions survive")
+    assert(c.listIndexes().map(_.field) == Seq("category"), "index defs survive")
+    // collection is immediately writable again
+    c.insert(s, Seq((42L, 1L, "back", 0L)).toDF("id", "category", "content", "version"))
+    assert(c.numEntities(s) == 1)
+    assert(c.read(s).head().getLong(0) == 42L)
+  }
+
   test("compaction folds deltas and preserves the snapshot") {
     val s = spark
     import s.implicits._

@@ -173,6 +173,37 @@ class TextSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("highlight_score") > 0.0))
   }
 
+  test("ngram tokenizer: runs by token_chars, n-grams in [min,max]") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("ab-cde", "x1 y")).toDF("t", "u")
+    val tok23 = Analyzer.ngram(2, 3)(col("t"))
+    assert(df.select(tok23).head().getSeq[String](0) ==
+      Seq("ab", "cd", "de", "cde"))
+    // min=max=2, digits count as token chars by default
+    assert(df.select(Analyzer.ngram(2, 2)(col("u"))).head().getSeq[String](0) ==
+      Seq("x1"))
+    // letters-only token_chars splits the digit out
+    assert(df.select(
+      Analyzer.ngram(1, 2, Seq("letter"))(col("u"))).head().getSeq[String](0) ==
+      Seq("x", "y"))
+    // runs shorter than min_gram emit nothing
+    assert(df.select(Analyzer.ngram(4, 5)(col("t"))).head().getSeq[String](0)
+      .isEmpty)
+    intercept[IllegalArgumentException](Analyzer.ngram(3, 2))
+    intercept[IllegalArgumentException](Analyzer.ngram(1, 2, Seq("emoji")))
+  }
+
+  test("synonym filter rewrites tokens to canonical forms") {
+    val s = spark
+    import s.implicits._
+    val an = Analyzer.withSynonyms(Analyzer.standard,
+      Map("vec" -> "vector", "strm" -> "stream"))
+    val toks = Seq(Tuple1("Vec and strm and plain")).toDF("t")
+      .select(an(col("t"))).head().getSeq[String](0)
+    assert(toks == Seq("vector", "and", "stream", "and", "plain"))
+  }
+
   test("BM25 index reuse across queries") {
     val s = spark
     import s.implicits._
