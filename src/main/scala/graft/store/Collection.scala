@@ -322,11 +322,17 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     // with the rows it suppresses lets a partition-scoped read resolve
     // deletes with a PURE partition filter (directory prune, no
     // tombstone-visibility OR-clause defeating the pruning). Cost: one
-    // semi-join on the delete (write) path, bounded by rows-per-pk.
-    val targets = rawDeltas(spark, d)
-      .map(_.select(col(pk), col(PART))
-        .join(victims, Seq(pk), "left_semi").distinct())
-      .getOrElse(victims.withColumn(PART, lit(DEFAULT_PART)))
+    // semi-join on the delete (write) path, bounded by rows-per-pk —
+    // skipped entirely for unpartitioned collections, where every row
+    // lives in the single default partition.
+    val unpartitioned = d.partitions.isEmpty &&
+      d.partitionKeyField.isEmpty && d.numPartitions.isEmpty
+    val targets =
+      if (unpartitioned) victims.withColumn(PART, lit(DEFAULT_PART))
+      else rawDeltas(spark, d)
+        .map(_.select(col(pk), col(PART))
+          .join(victims, Seq(pk), "left_semi").distinct())
+        .getOrElse(victims.withColumn(PART, lit(DEFAULT_PART)))
     val tombstones = targets
       .withColumn(SEQ, lit(seq))
       .withColumn(DEL, lit(true))
