@@ -813,6 +813,27 @@ object SparkEntry {
           col("highlight_score"))
         .orderBy("rank")
     },
+    // ---- V14: semantic highlighter (3.0 text surface) — sentences
+    // ranked by embedding cosine; the deterministic hashed-BoW encoder
+    // makes cosine == term-frequency cosine when token hashing is
+    // injective (dims=4096 over this fixture's ~26-word vocabulary,
+    // which the oracle's exact tf-cosine recomputation validates) ------
+    "v14_semantic_highlight" -> { (s, dir) =>
+      import s.implicits._
+      import graft.text.Highlight
+      val fixture = Seq(
+        (1L, "Vector streams power search. Cats nap all day. The stream of vector data grows."),
+        (2L, "Tables join rows. A vector index prunes the scan!"),
+        (3L, "Nothing relevant here. Plain words only."))
+        .toDF("doc_id", "text")
+      fixture.select(col("doc_id"),
+          element_at(Highlight.semanticFragments(col("text"), "vector stream",
+            dims = 4096), 1).as("best"))
+        .select(col("doc_id"),
+          round(col("best.score"), 6).as("best_score"),
+          col("best.sentence").as("best_sentence"))
+        .orderBy("doc_id")
+    },
     // ---- S22: object-store ingestion (horizonPoc/insert_horizon_from_oss
     // .py): prefix listing -> file batches -> cycled location/scalars
     // merge -> WKT validation w/ deterministic fallback -> retried
@@ -1172,6 +1193,15 @@ object SparkEntry {
           Bm25.topKPersisted(s, persisted, q, 100).count()).sum
         Seq(Tuple1(total)).toDF("total_hits")
       },
+      // Distributed export fast path vs the iterator funnel
+      // (s17_export_roundtrip): same rows, one parallel write.
+      "bench_export_direct" -> { (s, dir) =>
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft-expd").toString
+        val it = new QueryIterator(tbl(s, dir, "orders"), "o_orderkey",
+          batchSize = 5000)
+        Seq(Tuple1(it.exportParquetDirect(out))).toDF("rows")
+      },
       "bench_dedup_exact" -> { (s, dir) =>
         QueryOps.countStar(
           Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id"), None)
@@ -1513,6 +1543,50 @@ object SparkEntry {
           |    (SELECT count(*) FROM documents WHERE doc_id < 200),
           |    CAST(0 AS BIGINT)
           |) ORDER BY phase""".stripMargin,
+      // COMPUTED oracle: exact tf-cosine per sentence over the same
+      // fixture (equals the hashed-BoW cosine absent hash collisions;
+      // a collision would fail this row and flag the dims choice).
+      "v14_semantic_highlight" ->
+        """WITH docs(doc_id, text) AS (VALUES
+          |  (1, 'Vector streams power search. Cats nap all day. The stream of vector data grows.'),
+          |  (2, 'Tables join rows. A vector index prunes the scan!'),
+          |  (3, 'Nothing relevant here. Plain words only.')),
+          |sent AS (
+          |  SELECT DISTINCT doc_id, trim(s) AS sentence
+          |  FROM docs, unnest(regexp_split_to_array(text, '[.!?]+\s*')) u(s)
+          |  WHERE trim(s) <> ''),
+          |stf AS (
+          |  SELECT doc_id, sentence, t, count(*) AS tf FROM (
+          |    SELECT doc_id, sentence, unnest(list_filter(
+          |      regexp_split_to_array(lower(sentence), '[^a-z0-9]+'),
+          |      x -> x <> '')) AS t
+          |    FROM sent) GROUP BY doc_id, sentence, t),
+          |qtf AS (SELECT t, count(*) AS tf
+          |        FROM (SELECT unnest(['vector', 'stream']) AS t) GROUP BY t),
+          |qn AS (SELECT sqrt(sum(tf * tf)) AS v FROM qtf),
+          |snorm AS (
+          |  SELECT se.doc_id, se.sentence,
+          |    coalesce(sqrt(sum(f.tf * f.tf)), 0) AS n
+          |  FROM sent se LEFT JOIN stf f
+          |    ON f.doc_id = se.doc_id AND f.sentence = se.sentence
+          |  GROUP BY se.doc_id, se.sentence),
+          |dots AS (
+          |  SELECT f.doc_id, f.sentence, sum(f.tf * q.tf) AS dot
+          |  FROM stf f JOIN qtf q USING (t) GROUP BY f.doc_id, f.sentence),
+          |scored AS (
+          |  SELECT n.doc_id, n.sentence,
+          |    CASE WHEN n.n > 0
+          |      THEN coalesce(d.dot, 0) / (n.n * (SELECT v FROM qn))
+          |      ELSE 0 END AS score
+          |  FROM snorm n LEFT JOIN dots d
+          |    ON d.doc_id = n.doc_id AND d.sentence = n.sentence)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |  round(score, 6) AS best_score, sentence AS best_sentence
+          |FROM (SELECT doc_id, sentence, score,
+          |        row_number() OVER (PARTITION BY doc_id
+          |          ORDER BY score DESC, sentence) AS rn
+          |      FROM scored)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "s23_truncate" ->
         """SELECT (SELECT count(*) FROM nation) AS before_truncate,
           |  CAST(0 AS BIGINT) AS after_truncate,

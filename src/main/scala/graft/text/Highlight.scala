@@ -89,6 +89,48 @@ object Highlight {
       .withColumn("highlight_score",
         highlightScore(col(textCol), query, analyzer))
 
+  /** Deterministic feature-hashed bag-of-words embedding, L2-normalized
+    * (the sandbox stand-in for a model encoder — same contract: text →
+    * fixed-dim normalized vector; swap in a real encoder column for
+    * production semantic highlighting). dims large vs the vocabulary ⇒
+    * cosine equals term-frequency cosine, which is what the oracle
+    * recomputes.
+    */
+  def hashedBow(text: Column, dims: Int): Column = {
+    val toks = Analyzer.standard(text)
+    val counts = transform(sequence(lit(0), lit(dims - 1)), d =>
+      size(filter(toks,
+        t => pmod(xxhash64(t), lit(dims.toLong)) === d.cast("long")))
+        .cast("double"))
+    element_at(transform(array(counts), cs =>
+      transform(cs, x =>
+        when(aggregate(cs, lit(0.0), (a, y) => a + y * y) > 0,
+          x / sqrt(aggregate(cs, lit(0.0), (a, y) => a + y * y)))
+          .otherwise(lit(0.0)))), 1)
+  }
+
+  /** Semantic highlighter (feature-inventory §3): sentences ranked by
+    * embedding cosine against the query, best first — up to `topK`
+    * `(score, sentence)` structs. The sentence rule `[.!?]+\s*` is
+    * lookbehind-free so independent engines can reproduce it.
+    */
+  def semanticFragments(text: Column, query: String, dims: Int = 256,
+      topK: Int = 3): Column = {
+    val qv = hashedBow(lit(query), dims)
+    val sentences =
+      filter(transform(split(text, "[.!?]+\\s*"), s => trim(s)),
+        s => s =!= "")
+    val scored = transform(sentences, sEl =>
+      struct(
+        (lit(0.0) - aggregate(
+          zip_with(hashedBow(sEl, dims), qv, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)).as("neg"),
+        sEl.as("sentence")))
+    transform(slice(array_sort(scored), 1, topK), x =>
+      struct((lit(0.0) - x.getField("neg")).as("score"),
+        x.getField("sentence").as("sentence")))
+  }
+
   /** run_analyzer: the token stream an analyzer produces for each row
     * — (row id, position, token), the inspection API the reference
     * plan gates text features on.

@@ -204,6 +204,27 @@ class TextSpec extends SparkSpec {
     assert(toks == Seq("vector", "and", "stream", "and", "plain"))
   }
 
+  test("semantic highlighter ranks sentences by embedding cosine") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L,
+      "Vector streams power search. Cats nap all day. The stream of vector data grows."))
+      .toDF("id", "t")
+    val frags = df.select(
+      Highlight.semanticFragments(col("t"), "vector stream", topK = 3).as("f"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(frags.length == 3)
+    val ordered = frags.map(r => (r.getDouble(0), r.getString(1)))
+    // both query-term sentences outrank the cat sentence
+    assert(ordered(0)._1 >= ordered(1)._1 && ordered(1)._1 > ordered(2)._1)
+    assert(ordered.take(2).map(_._2).forall(t =>
+      t.toLowerCase.contains("vector")))
+    assert(ordered(2)._2 == "Cats nap all day")
+    assert(ordered(2)._1 == 0.0, "no shared terms -> zero cosine")
+    // scores bounded to [0, 1]
+    assert(ordered.forall { case (sc, _) => sc >= 0.0 && sc <= 1.0 })
+  }
+
   test("BM25 index reuse across queries") {
     val s = spark
     import s.implicits._
