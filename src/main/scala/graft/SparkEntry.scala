@@ -736,6 +736,29 @@ object SparkEntry {
         ("pressure_warning", warn.status, 0L))
         .toDF("run", "status", "n").orderBy("run")
     },
+    // ---- §2.9: seed-checkpoint data-integrity cycle (seed_data.py /
+    // validate_data_integrity.py): fingerprint at seed time; count,
+    // pk samples, and stable checksum re-derived at validate time ------
+    "w4_data_integrity" -> { (s, dir) =>
+      import s.implicits._
+      import graft.workload.DataIntegrity
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-w4").toString)
+      val c = cat.createCollection(CollectionDef("integ", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType),
+        FieldDef("n_regionkey", LongType))))
+      c.insert(s, tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey"))
+      val cp = java.nio.file.Files.createTempDirectory("graft-w4cp").toString
+      DataIntegrity.seedCheckpoint(s, c, cp)
+      val clean = DataIntegrity.validate(s, c, cp)
+      c.delete(s, "n_nationkey == 0") // the min-pk sample
+      val drift = DataIntegrity.validate(s, c, cp)
+      Seq(("clean", clean.passed, clean.failures.length.toLong),
+          ("drift", drift.passed, drift.failures.length.toLong))
+        .toDF("run", "passed", "failures").orderBy("run")
+    },
     // ---- S21: function add/drop lifecycle (schema_evolution_workload
     // .py:93-124): BM25 output served while bound, gone after drop ----------
     "s21_function_lifecycle" -> { (s, dir) =>
@@ -1587,6 +1610,14 @@ object SparkEntry {
           |          ORDER BY score DESC, sentence) AS rn
           |      FROM scored)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      // RULE-DERIVED oracle: clean must pass with 0 failures; deleting
+      // the min-pk sample trips exactly the three independent checks
+      // (range count, min-pk sample, checksum).
+      "w4_data_integrity" ->
+        """SELECT run, passed, failures FROM (VALUES
+          |  ('clean', true, CAST(0 AS BIGINT)),
+          |  ('drift', false, CAST(3 AS BIGINT))) t(run, passed, failures)
+          |ORDER BY run""".stripMargin,
       "s23_truncate" ->
         """SELECT (SELECT count(*) FROM nation) AS before_truncate,
           |  CAST(0 AS BIGINT) AS after_truncate,

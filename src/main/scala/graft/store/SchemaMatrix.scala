@@ -55,6 +55,22 @@ object SchemaMatrix {
       case other => throw new IllegalArgumentException(s"unknown dtype $other")
     }
 
+  /** Schemas that cannot be REQUIRED after rolling back to
+    * `rollbackVersion` (common/schema.py:272-296): any entry not
+    * `rollback_safe` whose matrix version exceeds the rollback target
+    * — or whose version strings fail to parse at all.
+    */
+  def rollbackIncompatible(m: Matrix,
+      rollbackVersion: String): Seq[MatrixEntry] = {
+    def parses(v: String): Boolean =
+      try { graft.workload.Gates.versionFamily(v); true }
+      catch { case _: IllegalArgumentException => false }
+    m.entries.filterNot(_.compatMode == "rollback_safe").filter { _ =>
+      !parses(rollbackVersion) || !parses(m.version) ||
+        !graft.workload.Capability.versionAtLeast(rollbackVersion, m.version)
+    }
+  }
+
   def load(path: String): Matrix = {
     val payload = new Yaml().load[java.util.Map[String, Any]](
       new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))

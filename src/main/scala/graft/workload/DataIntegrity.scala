@@ -1,0 +1,106 @@
+package graft.workload
+
+import graft.store.Collection
+import graft.validate.Validators
+import graft.validate.Validators.ValidationReport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Seed-checkpoint data-integrity cycle — the reference's
+  * `seed_data.py` / `validate_data_integrity.py` pair: at seed time a
+  * collection's integrity fingerprint (expected count, pk range, pk
+  * samples, stable scalar checksum) is persisted as a phase
+  * checkpoint; after an engine restart/upgrade the validator re-derives
+  * each quantity and reports count mismatches, missing sample pks, and
+  * checksum drift (validate_data_integrity.py:60-101 over
+  * common/validators.py count/pk/checksum primitives).
+  */
+object DataIntegrity {
+
+  val Phase = "seed_data"
+
+  /** Record the integrity fingerprint (seed_data.py). `checksumFields`
+    * defaults to every non-vector scalar column.
+    */
+  def seedCheckpoint(spark: SparkSession, coll: Collection,
+      checkpointDir: String,
+      checksumFields: Seq[String] = Seq.empty): Map[String, String] = {
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val df = coll.read(spark)
+    val fields =
+      if (checksumFields.nonEmpty) checksumFields
+      else d.fields.filterNot(f =>
+        f.dataType.typeName.contains("array") ||
+          f.dataType.typeName.contains("map") ||
+          f.dataType.typeName.contains("binary")).map(_.name)
+    val stats = df.agg(count(lit(1)), min(col(pk)), max(col(pk))).head()
+    val (cnt, minPk, maxPk) =
+      (stats.getLong(0), stats.get(1), stats.get(2))
+    // Sample pks that actually exist: min, the first at/after the
+    // midpoint, max (the reference seeds dense ranges; ours may not be
+    // dense, so the mid sample snaps to a real key).
+    val midTarget = (minPk, maxPk) match {
+      case (a: Long, b: Long) => Some(a + (b - a) / 2)
+      case _ => None
+    }
+    val midPk = midTarget.map(t =>
+      df.filter(col(pk) >= t).agg(min(col(pk))).head().get(0)).getOrElse(minPk)
+    val checksum = Validators.stableChecksum(
+      df.select((pk +: fields).distinct.map(col): _*), pk)
+    val state = Map(
+      "collection" -> coll.name,
+      "expected_count" -> cnt.toString,
+      "primary_field" -> pk,
+      "min_pk" -> String.valueOf(minPk),
+      "mid_pk" -> String.valueOf(midPk),
+      "max_pk" -> String.valueOf(maxPk),
+      "checksum" -> checksum,
+      "checksum_fields" -> fields.mkString(","))
+    BrickProtocol.writePhaseCheckpoint(checkpointDir, s"${Phase}_${coll.name}",
+      state)
+    state
+  }
+
+  /** Re-derive and compare (validate_data_integrity.py:60-101):
+    * count over the checkpointed pk range, each sample pk present,
+    * stable checksum over the checkpointed fields.
+    */
+  def validate(spark: SparkSession, coll: Collection,
+      checkpointDir: String): ValidationReport = {
+    val state = BrickProtocol.readPhaseCheckpoint(checkpointDir,
+      s"${Phase}_${coll.name}")
+    val pk = state("primary_field")
+    val df = coll.read(spark)
+    val failures = Seq.newBuilder[String]
+
+    val expected = state("expected_count").toLong
+    // Range/sample comparisons in the pk's own type (a string compare
+    // would order "9" after "10" for numeric pks).
+    val pkType = df.schema(pk).dataType
+    def pkLit(v: String) = lit(v).cast(pkType)
+    val actual = df.filter(
+      col(pk) >= pkLit(state("min_pk")) && col(pk) <= pkLit(state("max_pk")))
+      .count()
+    if (actual != expected)
+      failures += s"COUNT_MISMATCH: expected $expected rows in " +
+        s"[${state("min_pk")}, ${state("max_pk")}], found $actual"
+
+    Seq("min_pk", "mid_pk", "max_pk").foreach { k =>
+      val v = state(k)
+      if (df.filter(col(pk) === pkLit(v)).limit(1).isEmpty)
+        failures += s"MISSING_PK: sample $k=$v absent"
+    }
+
+    val fields = state("checksum_fields").split(",").toSeq
+    val checksum = Validators.stableChecksum(
+      df.select((pk +: fields).distinct.map(col): _*), pk)
+    if (checksum != state("checksum"))
+      failures += s"CHECKSUM_MISMATCH: expected ${state("checksum")}, " +
+        s"computed $checksum"
+
+    Validators.report(failures.result(), Map(
+      "expected_count" -> expected.toDouble,
+      "actual_count" -> actual.toDouble))
+  }
+}

@@ -299,6 +299,26 @@ object Gates {
     }
   }
 
+  /** Forward-workload rollback safety (validate_resolved_gate_scenario
+    * :339-368): when the scenario runs forward workloads, rolls back,
+    * and validates them after rollback, the forward schema matrix must
+    * contain no rollback-incompatible entries for the rollback
+    * version. Takes the LOADED matrix — scenario paths may point at
+    * deployment-repo files this engine cannot resolve.
+    */
+  def validateForwardRollback(s: ResolvedScenario,
+      forwardMatrix: graft.store.SchemaMatrix.Matrix): Unit = {
+    if (s.config.rollbackEnabled && s.config.forwardWorkloadEnabled &&
+      s.config.rollbackForwardValidationEnabled) {
+      val bad = graft.store.SchemaMatrix.rollbackIncompatible(
+        forwardMatrix, s.rollback.version)
+      require(bad.isEmpty,
+        s"${s.id}: forward schemas cannot be required after rollback to " +
+          s"${s.rollback.version}; incompatible schemas: " +
+          bad.map(_.collection.name).mkString(", "))
+    }
+  }
+
   /** validate_no_gate_placeholders: a runnable scenario must not carry
     * placeholder images, and a runnable GATE only immutable ones.
     */

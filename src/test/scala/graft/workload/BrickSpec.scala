@@ -109,6 +109,44 @@ class BrickSpec extends SparkSpec {
     assert(strict.capabilities.exists(_.unsupported == Seq("StorageV3")))
   }
 
+  test("data integrity: seed checkpoint validates clean, flags drift") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-di").toString)
+    val c = cat.createCollection(CollectionDef("di", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("category", LongType),
+      FieldDef("content", StringType))))
+    c.insert(s, (0L until 50L).map(i => (i, i % 7, s"c$i"))
+      .toDF("id", "category", "content"))
+    val dir = Files.createTempDirectory("graft-di-cp").toString
+    val state = DataIntegrity.seedCheckpoint(s, c, dir)
+    assert(state("expected_count") == "50")
+    assert(state("min_pk") == "0" && state("max_pk") == "49")
+    // clean validation passes (including across a 'restart': re-read
+    // the checkpoint from disk, fresh collection handle)
+    val r1 = DataIntegrity.validate(s, cat.collection("di"), dir)
+    assert(r1.passed, r1.failures.mkString("; "))
+    // drift: delete the min sample pk -> count + sample + checksum fail
+    c.delete(s, "id == 0")
+    val r2 = DataIntegrity.validate(s, c, dir)
+    assert(!r2.passed)
+    assert(r2.failures.exists(_.startsWith("COUNT_MISMATCH")))
+    assert(r2.failures.exists(_.startsWith("MISSING_PK")))
+    assert(r2.failures.exists(_.startsWith("CHECKSUM_MISMATCH")))
+    // scalar mutation only: count passes, checksum catches it
+    val c2 = cat.createCollection(CollectionDef("di2", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("category", LongType))))
+    c2.insert(s, (0L until 20L).map(i => (i, i)).toDF("id", "category"))
+    DataIntegrity.seedCheckpoint(s, c2, dir)
+    c2.upsert(s, Seq((5L, 999L)).toDF("id", "category"))
+    val r3 = DataIntegrity.validate(s, c2, dir)
+    assert(!r3.passed)
+    assert(r3.failures.forall(_.startsWith("CHECKSUM_MISMATCH")),
+      r3.failures.mkString("; "))
+  }
+
   test("concurrent index builds are consistent (S7)") {
     val cat = new Catalog(Files.createTempDirectory("graft-cix").toString)
     val c = cat.createCollection(CollectionDef("cix", Seq(

@@ -140,6 +140,34 @@ class GatesSpec extends AnyFunSuite {
       Seq("wait_rollback_serviceability"))
   }
 
+  test("forward rollback safety: non-rollback_safe schemas block downgrades") {
+    import graft.store.{CollectionDef, FieldDef, SchemaMatrix}
+    import org.apache.spark.sql.types.LongType
+    def entry(name: String, mode: String) = SchemaMatrix.MatrixEntry(
+      CollectionDef(name, Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true))),
+      Seq.empty, mode, Seq.empty, Seq.empty)
+    val m30 = SchemaMatrix.Matrix("3.0",
+      Seq(entry("safe", "rollback_safe"), entry("fwd", "forward_only")))
+    // rolling back to 2.6: the forward_only 3.0 schema is incompatible
+    assert(SchemaMatrix.rollbackIncompatible(m30, "2.6.4")
+      .map(_.collection.name) == Seq("fwd"))
+    // rolling back within 3.0: fine
+    assert(SchemaMatrix.rollbackIncompatible(m30, "3.0.1").isEmpty)
+    // unparseable versions are conservatively incompatible
+    assert(SchemaMatrix.rollbackIncompatible(m30, "latest")
+      .map(_.collection.name) == Seq("fwd"))
+    // wired into the resolved-scenario validation
+    val manifest = Gates.parseManifest(manifestYaml
+      .replace("forward_workload_enabled: false",
+        "forward_workload_enabled: true\n    rollback_forward_validation_enabled: true"))
+    val sc = Gates.resolveScenario(manifest, "up-down-gate")
+    intercept[IllegalArgumentException](
+      Gates.validateForwardRollback(sc, m30)) // rollback is 2.6
+    Gates.validateForwardRollback(sc,
+      SchemaMatrix.Matrix("2.6", Seq(entry("fwd", "forward_only"))))
+  }
+
   test("gate verdict: missing/failed results fail; skipped passes; pressure warns") {
     val c = Gates.GateConfig()
     val complete = (Gates.requiredValidationNames(c) ++
