@@ -76,6 +76,33 @@ object BrickProtocol {
       startedAt = started, finishedAt = Instant.now(),
       metrics = report.metrics, failures = report.failures)
 
+  /** Connection precheck (requests/precheck.py): list collections,
+    * probe the engine version, and fail on a version-FAMILY mismatch
+    * against the expected phase version — the first brick every gate
+    * workflow runs per phase.
+    */
+  def precheck(catalog: graft.store.Catalog, args: BrickArgs,
+      expectedServerVersion: String = ""): BrickResult = {
+    val started = Instant.now()
+    val collections = catalog.listCollections()
+    val family = Gates.versionFamily(Capability.engineVersion)
+    val failures =
+      if (expectedServerVersion.isEmpty) Seq.empty
+      else {
+        val expected = Gates.versionFamily(expectedServerVersion)
+        if (expected != family)
+          Seq(s"SERVER_VERSION_MISMATCH: expected family $expected, " +
+            s"actual $family (version ${Capability.engineVersion})")
+        else Seq.empty
+      }
+    BrickResult("precheck", args,
+      status = if (failures.isEmpty) "passed" else "failed",
+      startedAt = started, finishedAt = Instant.now(),
+      metrics = Map("collections_total" -> collections.size.toDouble),
+      failures = failures,
+      capabilities = Some(Capability.evaluate(Seq.empty)))
+  }
+
   private val iso = DateTimeFormatter.ISO_OFFSET_DATE_TIME.withZone(ZoneOffset.UTC)
 
   /** Render the unified result JSON (same field set as the spec). */

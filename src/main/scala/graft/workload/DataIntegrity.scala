@@ -62,6 +62,38 @@ object DataIntegrity {
     state
   }
 
+  /** Poll the integrity validation until it passes or the deadline
+    * (wait_data_serviceability.py:91-190) — the post-rollback
+    * serviceability wait whose `wait_*` result JSON the gate verdict
+    * requires. Spark batch reads have no async loading phase, so the
+    * first poll normally passes; the loop exists for protocol fidelity
+    * and for stores fronted by eventually-visible object listings.
+    */
+  def waitServiceability(spark: SparkSession, coll: Collection,
+      checkpointDir: String, args: BrickProtocol.BrickArgs,
+      timeoutSec: Int = 900,
+      intervalMs: Long = 200L): BrickProtocol.BrickResult = {
+    require(timeoutSec >= 0, "timeout must be non-negative")
+    val started = java.time.Instant.now()
+    val deadline = System.nanoTime() + timeoutSec.toLong * 1000000000L
+    var report = validate(spark, coll, checkpointDir)
+    var polls = 1
+    while (!report.passed && System.nanoTime() < deadline) {
+      Thread.sleep(intervalMs)
+      report = validate(spark, coll, checkpointDir)
+      polls += 1
+    }
+    BrickProtocol.BrickResult("wait_data_serviceability", args,
+      status = if (report.passed) "passed" else "failed",
+      startedAt = started, finishedAt = java.time.Instant.now(),
+      metrics = report.metrics ++ Map(
+        "polls" -> polls.toDouble, "timeout_sec" -> timeoutSec.toDouble),
+      failures =
+        if (report.passed) Seq.empty
+        else ("SERVICEABILITY_TIMEOUT: checkpoint data did not become " +
+          "query-serviceable before timeout") +: report.failures)
+  }
+
   /** Re-derive and compare (validate_data_integrity.py:60-101):
     * count over the checkpointed pk range, each sample pk present,
     * stable checksum over the checkpointed fields.

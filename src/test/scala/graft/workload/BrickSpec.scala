@@ -147,6 +147,44 @@ class BrickSpec extends SparkSpec {
       r3.failures.mkString("; "))
   }
 
+  test("precheck gates on version family; serviceability wait polls to verdict") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-pc").toString)
+    cat.createCollection(CollectionDef("pc1", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true))))
+    val args = BrickProtocol.BrickArgs()
+    val ok = BrickProtocol.precheck(cat, args, expectedServerVersion = "3.0.1")
+    assert(ok.status == "passed")
+    assert(ok.metrics("collections_total") == 1.0)
+    val bad = BrickProtocol.precheck(cat, args, expectedServerVersion = "2.6.18")
+    assert(bad.status == "failed")
+    assert(bad.failures.exists(_.startsWith("SERVER_VERSION_MISMATCH")))
+    // serviceability: passes immediately on intact data, times out on drift
+    val c = cat.collection("pc1")
+    c.insert(s, (0L until 10L).map(i => Tuple1(i)).toDF("id"))
+    val cp = Files.createTempDirectory("graft-pc-cp").toString
+    DataIntegrity.seedCheckpoint(s, c, cp)
+    val w1 = DataIntegrity.waitServiceability(s, c, cp, args, timeoutSec = 5)
+    assert(w1.status == "passed" && w1.metrics("polls") == 1.0)
+    c.delete(s, "id == 0")
+    val w2 = DataIntegrity.waitServiceability(s, c, cp, args,
+      timeoutSec = 0, intervalMs = 1)
+    assert(w2.status == "failed")
+    assert(w2.failures.head.startsWith("SERVICEABILITY_TIMEOUT"))
+    // the wait result feeds the gate verdict's serviceability slot
+    val rd = Files.createTempDirectory("graft-pc-res").toString
+    val c2names = Gates.requiredValidationNames(Gates.GateConfig())
+    c2names.foreach { n =>
+      BrickProtocol.writeResult(BrickProtocol.BrickResult(n,
+        args.copy(outputJson = Some(s"$rd/$n.json")), "passed",
+        Instant.now(), Instant.now(), Map.empty, Seq.empty))
+    }
+    BrickProtocol.writeResult(w1.copy(args =
+      args.copy(outputJson = Some(s"$rd/wait_rollback_serviceability.json"))))
+    assert(Gates.evaluateResultsDir(Gates.GateConfig(), rd).status == "passed")
+  }
+
   test("concurrent index builds are consistent (S7)") {
     val cat = new Catalog(Files.createTempDirectory("graft-cix").toString)
     val c = cat.createCollection(CollectionDef("cix", Seq(
