@@ -49,6 +49,12 @@ object Bm25 {
       .select(col(idCol), tokenize(col(textCol)).as("_toks"))
       .select(col(idCol), size(col("_toks")).as("dl"),
         explode(col("_toks")).as("term"))
+    // NOTE (measured, round 4): persisting postings here is a
+    // pessimization — the stats/docFreq/write consumers share the
+    // groupBy's shuffle stage, which Spark already skips on re-execution
+    // (shuffle files are reused across jobs on an identical lineage),
+    // so a cache only adds serialization overhead (~10% on the indexed
+    // BM25 bench).
     val postings = toks.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val docFreq = postings.groupBy("term")
