@@ -21,6 +21,27 @@ object Functions {
     e2c(HammingDistance(c2e(a), c2e(b)))
   def sparseIp(a: Column, b: Column): Column =
     e2c(SparseInnerProduct(c2e(a), c2e(b)))
+  /** WKT square polygon of `areaSqKm` centered at (lon, lat) — the
+    * reference's geo helper (2.6/cal_polygon_by_point.py:20-56):
+    * 111.195 km per degree of latitude, cos(lat)-scaled longitude,
+    * corners SW→SE→NE→NW→SW. Pairs with ST_CONTAINS for
+    * area-around-a-point filters.
+    */
+  def squarePolygonWkt(lon: Column, lat: Column, areaSqKm: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val half = sqrt(areaSqKm) / 2.0
+    val latOff = half / 111.195
+    val lonOff = half / (cos(radians(lat)) * 111.195)
+    def pt(x: Column, y: Column) =
+      concat(x.cast("string"), lit(" "), y.cast("string"))
+    concat(lit("POLYGON(("),
+      pt(lon - lonOff, lat - latOff), lit(", "),
+      pt(lon + lonOff, lat - latOff), lit(", "),
+      pt(lon + lonOff, lat + latOff), lit(", "),
+      pt(lon - lonOff, lat + latOff), lit(", "),
+      pt(lon - lonOff, lat - latOff), lit("))"))
+  }
+
   def stContains(geo: Column, other: Column): Column =
     e2c(StContains(c2e(geo), c2e(other)))
 

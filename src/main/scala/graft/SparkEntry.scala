@@ -821,6 +821,49 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy("tok")
     },
+    // ---- S24: ARRAY_APPEND / ARRAY_REMOVE partial update (3.0 DML
+    // family, feature-inventory plan §4) --------------------------------
+    "s24_array_update" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-au").toString)
+      val c = cat.createCollection(CollectionDef("au", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("vals", ArrayType(LongType)))))
+      c.insert(s, tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("id"),
+          array(col("n_regionkey")).as("vals")))
+      c.updateArrays(s, tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("id"),
+          (col("n_nationkey") % 3).as("vals")),
+        Map("vals" -> "ARRAY_APPEND"))
+      c.updateArrays(s, tbl(s, dir, "nation")
+        .filter(col("n_nationkey") % 2 === 0)
+        .select(col("n_nationkey").as("id"), col("n_regionkey").as("vals")),
+        Map("vals" -> "ARRAY_REMOVE"))
+      c.read(s).select(col("id"), size(col("vals")).as("n"),
+        coalesce(aggregate(col("vals"), lit(0L), (a, x) => a + x), lit(0L))
+          .as("sum_vals"))
+        .orderBy("id")
+    },
+    // ---- G2: geodesic square polygon around a point + ST_CONTAINS
+    // (2.6/cal_polygon_by_point.py) -------------------------------------
+    "g2_square_polygon" -> { (s, dir) =>
+      val df = tbl(s, dir, "nation").select(col("n_nationkey").as("id"),
+        (col("n_nationkey").cast("double") - 74.0).as("lon"),
+        (col("n_regionkey").cast("double") * 10.0 + 1.5).as("lat"))
+      def point(lonC: Column, latC: Column) =
+        concat(lit("POINT ("), lonC.cast("string"), lit(" "),
+          latC.cast("string"), lit(")"))
+      val poly = Functions.squarePolygonWkt(col("lon"), col("lat"), lit(9.0))
+      df.select(col("id"),
+          Functions.stContains(poly, point(col("lon"), col("lat")))
+            .as("inside"),
+          // one degree of latitude >> the 1.5 km half-side
+          Functions.stContains(poly, point(col("lon"), col("lat") + 1.0))
+            .as("outside"))
+        .orderBy("id")
+    },
     // ---- V13: BM25 text highlighter (3.0 text surface: query-term
     // tagging, fragment config, highlighter score) over the top-k ------
     "v13_text_highlight" -> { (s, dir) =>
@@ -1618,6 +1661,25 @@ object SparkEntry {
           |  ('clean', true, CAST(0 AS BIGINT)),
           |  ('drift', false, CAST(3 AS BIGINT))) t(run, passed, failures)
           |ORDER BY run""".stripMargin,
+      // COMPUTED oracle: the append/remove outcome re-derived from the
+      // op sequence — start [r], append id%3, then for even ids remove
+      // every occurrence of r.
+      "s24_array_update" ->
+        """SELECT n_nationkey AS id,
+          |  CAST(CASE WHEN n_nationkey % 2 = 0
+          |    THEN CASE WHEN n_regionkey = n_nationkey % 3 THEN 0 ELSE 1 END
+          |    ELSE 2 END AS INT) AS n,
+          |  CAST(CASE WHEN n_nationkey % 2 = 0
+          |    THEN CASE WHEN n_regionkey = n_nationkey % 3 THEN 0
+          |         ELSE n_nationkey % 3 END
+          |    ELSE n_regionkey + n_nationkey % 3 END AS BIGINT) AS sum_vals
+          |FROM nation ORDER BY id""".stripMargin,
+      // RULE-DERIVED oracle: the generating point lies inside its own
+      // polygon; a point one degree of latitude away (~111 km) lies
+      // outside the 3 km square.
+      "g2_square_polygon" ->
+        """SELECT n_nationkey AS id, true AS inside, false AS outside
+          |FROM nation ORDER BY id""".stripMargin,
       "s23_truncate" ->
         """SELECT (SELECT count(*) FROM nation) AS before_truncate,
           |  CAST(0 AS BIGINT) AS after_truncate,

@@ -303,6 +303,57 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     writeDelta(spark, batch, d, seq, partition, deleted = false)
   }
 
+  /** 3.0 partial-update array operation family (feature-inventory plan
+    * §4: `ARRAY_APPEND` / `ARRAY_REMOVE` partial update): per-row
+    * mutation of array fields against the live row. `rows` carries the
+    * pk plus one column per mutated field holding the OPERAND element;
+    * `ops` names the operation per field. APPEND adds the element at
+    * the end; REMOVE drops every occurrence (Spark `array_remove`
+    * semantics). Untouched fields carry over — same
+    * join-against-snapshot write shape as partial_update upsert.
+    */
+  def updateArrays(spark: SparkSession, rows: DataFrame,
+      ops: Map[String, String]): Unit = {
+    val d = definition
+    val pk = d.primaryField.name
+    require(rows.columns.contains(pk), "array update rows must carry the pk")
+    val elemTypes = ops.map { case (f, op) =>
+      val fd = d.fields.find(_.name == f).getOrElse(
+        throw new IllegalArgumentException(s"no field $f"))
+      val at = fd.dataType match {
+        case a: ArrayType => a
+        case other => throw new IllegalArgumentException(
+          s"$f is not an ARRAY field (got ${other.simpleString})")
+      }
+      require(Set("ARRAY_APPEND", "ARRAY_REMOVE").contains(op.toUpperCase),
+        s"unknown array op $op")
+      require(rows.columns.contains(f), s"rows must carry an operand for $f")
+      f -> at
+    }
+    val joined = rows.alias("n")
+      .join(read(spark).alias("o"), col(s"n.$pk") === col(s"o.$pk"), "inner")
+    val cols = d.fields.map { fd =>
+      if (fd.name == pk) col(s"o.$pk").as(pk)
+      else ops.get(fd.name) match {
+        case Some(op) =>
+          val at = elemTypes(fd.name)
+          val old = coalesce(col(s"o.${fd.name}"),
+            array().cast(at))
+          val operand = col(s"n.${fd.name}").cast(at.elementType)
+          (op.toUpperCase match {
+            case "ARRAY_APPEND" => concat(old, array(operand))
+            case "ARRAY_REMOVE" => array_remove(old, operand)
+          }).as(fd.name)
+        case None => col(s"o.${fd.name}").as(fd.name)
+      }
+    }
+    val dynCols =
+      if (d.enableDynamicField) Seq(col(s"o.$DYN").as(DYN)) else Nil
+    val seq = catalog.nextSeq(name)
+    writeDelta(spark, joined.select(cols ++ dynCols: _*), d, seq, None,
+      deleted = false)
+  }
+
   /** Delete by filter expression (string, compiled via MilvusExpr) —
     * 2.6/common.py:202-238. Writes PK tombstones for currently-matching
     * rows.

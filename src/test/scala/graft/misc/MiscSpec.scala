@@ -86,6 +86,28 @@ class MiscSpec extends SparkSpec {
 
   // ---- npy reader -------------------------------------------------------
 
+  test("square polygon around a point contains it; corners at the right offsets") {
+    val s = spark
+    import s.implicits._
+    import graft.Functions
+    val df = Seq((-73.982102, 40.73629, 4.0)).toDF("lon", "lat", "area")
+    val wkt = df.select(Functions.squarePolygonWkt(
+      col("lon"), col("lat"), col("area")).as("p")).head().getString(0)
+    assert(wkt.startsWith("POLYGON((") && wkt.endsWith("))"))
+    // ring closes: first and last corner identical
+    val corners = wkt.stripPrefix("POLYGON((").stripSuffix("))").split(", ")
+    assert(corners.length == 5 && corners.head == corners.last)
+    // the generating point is inside its own polygon
+    val contained = df.select(Functions.stContains(
+      Functions.squarePolygonWkt(col("lon"), col("lat"), col("area")),
+      concat(lit("POINT ("), col("lon").cast("string"), lit(" "),
+        col("lat").cast("string"), lit(")"))).as("c")).head().getBoolean(0)
+    assert(contained)
+    // side length: 2 km square -> lat span = 2 / 111.195 degrees
+    val lats = corners.dropRight(1).map(_.split(" ")(1).toDouble)
+    assert(math.abs((lats.max - lats.min) - 2.0 / 111.195) < 1e-9)
+  }
+
   test("npy reader round-trips a float32 2-D array written by numpy") {
     // hand-write an npy v1.0 file: 3x4 float32, C order, little endian
     val dir = Files.createTempDirectory("graft-npy")

@@ -334,6 +334,45 @@ class StoreSpec extends SparkSpec {
     assert(c.read(s).head().getLong(0) == 42L)
   }
 
+  test("ARRAY_APPEND / ARRAY_REMOVE partial update mutates live arrays") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("arr", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("tags", ArrayType(StringType)),
+      FieldDef("scores", ArrayType(LongType)))))
+    c.insert(s, Seq(
+      (1L, Seq("a", "b"), Seq(1L, 2L)),
+      (2L, Seq("b"), Seq(9L)))
+      .toDF("id", "tags", "scores"))
+    // append to tags for row 1, remove from scores for row 2
+    c.updateArrays(s, Seq((1L, "c")).toDF("id", "tags"),
+      Map("tags" -> "ARRAY_APPEND"))
+    c.updateArrays(s, Seq((2L, 9L)).toDF("id", "scores"),
+      Map("scores" -> "ARRAY_REMOVE"))
+    val rows = c.read(s).orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) == Seq("a", "b", "c"))
+    assert(rows(0).getSeq[Long](2) == Seq(1L, 2L), "untouched field carries over")
+    assert(rows(1).getSeq[String](1) == Seq("b"))
+    assert(rows(1).getSeq[Long](2).isEmpty, "REMOVE drops every occurrence")
+    // append again: duplicates allowed, order preserved
+    c.updateArrays(s, Seq((1L, "a")).toDF("id", "tags"),
+      Map("tags" -> "ARRAY_APPEND"))
+    assert(c.read(s).filter($"id" === 1L).head().getSeq[String](1) ==
+      Seq("a", "b", "c", "a"))
+    // validation
+    intercept[IllegalArgumentException](
+      c.updateArrays(s, Seq((1L, "x")).toDF("id", "nope"),
+        Map("nope" -> "ARRAY_APPEND")))
+    intercept[IllegalArgumentException](
+      c.updateArrays(s, Seq((1L, "x")).toDF("id", "tags"),
+        Map("tags" -> "ARRAY_SHUFFLE")))
+    intercept[IllegalArgumentException]( // non-array field
+      c.updateArrays(s, Seq((1L, "x")).toDF("id", "id"),
+        Map("id" -> "ARRAY_APPEND")))
+  }
+
   test("compaction folds deltas and preserves the snapshot") {
     val s = spark
     import s.implicits._
