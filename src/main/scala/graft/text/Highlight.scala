@@ -102,11 +102,15 @@ object Highlight {
       size(filter(toks,
         t => pmod(xxhash64(t), lit(dims.toLong)) === d.cast("long")))
         .cast("double"))
+    // Bind counts AND the norm through single-element transforms:
+    // Catalyst does no CSE across lambda bodies, so an inline norm
+    // aggregate would re-run its O(dims) fold twice per ELEMENT —
+    // O(dims²) per row (measured: 18s for a 3-doc fixture at 4096).
     element_at(transform(array(counts), cs =>
-      transform(cs, x =>
-        when(aggregate(cs, lit(0.0), (a, y) => a + y * y) > 0,
-          x / sqrt(aggregate(cs, lit(0.0), (a, y) => a + y * y)))
-          .otherwise(lit(0.0)))), 1)
+      element_at(transform(
+        array(sqrt(aggregate(cs, lit(0.0), (a, y) => a + y * y))), norm =>
+        transform(cs, x =>
+          when(norm > 0, x / norm).otherwise(lit(0.0)))), 1)), 1)
   }
 
   /** Semantic highlighter (feature-inventory §3): sentences ranked by
