@@ -21,6 +21,8 @@ object Functions {
     e2c(HammingDistance(c2e(a), c2e(b)))
   def sparseIp(a: Column, b: Column): Column =
     e2c(SparseInnerProduct(c2e(a), c2e(b)))
+  def dictTokenize(text: Column, words: Seq[String]): Column =
+    e2c(DictTokenize(c2e(text), words))
   /** WKT square polygon of `areaSqKm` centered at (lon, lat) — the
     * reference's geo helper (2.6/cal_polygon_by_point.py:20-56):
     * 111.195 km per degree of latitude, cos(lat)-scaled longitude,

@@ -811,6 +811,17 @@ object SparkEntry {
           sum("r_regionkey").cast("long").as("sum_key"))
         .orderBy("gram")
     },
+    // ---- T5: custom-dictionary tokenizer (3.0 "jieba/custom dictionary
+    // file resource" analyzer): greedy longest-match segmentation ------
+    "t5_dict_tokenizer" -> { (s, dir) =>
+      import s.implicits._
+      val an = graft.text.Analyzer.dictionary(
+        Seq("database", "data", "stream", "base"))
+      Seq((1L, "Databasestream x data!"), (2L, "qdata"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(an(col("text"))).as(Seq("ord", "tok")))
+        .orderBy("doc_id", "ord")
+    },
     // ---- T4: synonym token filter (3.0 analyzer surface) --------------
     "t4_synonym_filter" -> { (s, dir) =>
       val an = graft.text.Analyzer.withSynonyms(graft.text.Analyzer.standard,
@@ -1699,6 +1710,32 @@ object SparkEntry {
           |  WHERE len(run) >= n AND i <= len(run) - n + 1)
           |SELECT gram, count(*) AS cnt, CAST(sum(r_regionkey) AS BIGINT) AS sum_key
           |FROM grams GROUP BY gram ORDER BY gram""".stripMargin,
+      // COMPUTED oracle: the greedy longest-match walk re-run as a
+      // recursive CTE — at each position the longest dictionary word
+      // wins, unmatched alphanumerics emit singly, other chars skip.
+      "t5_dict_tokenizer" ->
+        """WITH RECURSIVE
+          |dict(w) AS (SELECT * FROM (VALUES ('database'), ('data'),
+          |  ('stream'), ('base')) t(w)),
+          |input(doc_id, s) AS (VALUES (CAST(1 AS BIGINT), 'Databasestream x data!'),
+          |  (CAST(2 AS BIGINT), 'qdata')),
+          |walk(doc_id, pos, tok) AS (
+          |  SELECT doc_id, 1, CAST(NULL AS VARCHAR) FROM input
+          |  UNION ALL
+          |  SELECT doc_id, pos + GREATEST(len(tok2), 1), tok2 FROM (
+          |    SELECT w.doc_id, w.pos,
+          |      COALESCE(
+          |        (SELECT d.w FROM dict d
+          |         WHERE substr(lower(i.s), w.pos, len(d.w)) = d.w
+          |         ORDER BY len(d.w) DESC LIMIT 1),
+          |        CASE WHEN regexp_matches(substr(lower(i.s), w.pos, 1), '[a-z0-9]')
+          |          THEN substr(lower(i.s), w.pos, 1) END) AS tok2
+          |    FROM walk w JOIN input i USING (doc_id)
+          |    WHERE w.pos <= len(i.s)))
+          |SELECT doc_id,
+          |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS ord,
+          |  tok
+          |FROM walk WHERE tok IS NOT NULL ORDER BY doc_id, ord""".stripMargin,
       // COMPUTED oracle: same tokenization, synonym map as CASE.
       "t4_synonym_filter" ->
         """WITH tok AS (

@@ -56,6 +56,16 @@ object Analyzer {
             i => substring(run, i, n))))))
   }
 
+  /** Custom-dictionary tokenizer (the 3.0 plan's "jieba/custom
+    * dictionary file resource" analyzer): greedy longest-match
+    * segmentation against a user-supplied word list — load the list
+    * from a dictionary file resource and pass it here. Unmatched
+    * alphanumerics emit as single-character tokens (unknown-CJK-char
+    * behavior); other characters separate.
+    */
+  def dictionary(words: Seq[String]): Column => Column =
+    c => graft.Functions.dictTokenize(c, words)
+
   /** Synonym token filter (3.0 analyzer `synonym` filter): tokens
     * rewrite to their canonical form through the mapping; unmapped
     * tokens pass through. Applied AFTER a base tokenizer.

@@ -194,6 +194,30 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Analyzer.ngram(1, 2, Seq("emoji")))
   }
 
+  test("dictionary tokenizer: greedy longest match from a file resource") {
+    val s = spark
+    import s.implicits._
+    // dictionary file resource: one word per line
+    val dictFile = java.nio.file.Files.createTempFile("graft-dict", ".txt")
+    java.nio.file.Files.write(dictFile,
+      "database\ndata\nstream\nbase\n".getBytes("UTF-8"))
+    val words = new String(java.nio.file.Files.readAllBytes(dictFile), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    val an = Analyzer.dictionary(words)
+    val toks = Seq(Tuple1("Databasestream x data!")).toDF("t")
+      .select(an(col("t"))).head().getSeq[String](0)
+    // longest match wins at each position: database > data; then stream
+    assert(toks == Seq("database", "stream", "x", "data"))
+    // unmatched alnum chars emit singly; punctuation separates
+    val t2 = Seq(Tuple1("qdata")).toDF("t")
+      .select(an(col("t"))).head().getSeq[String](0)
+    assert(t2 == Seq("q", "data"))
+    // composes with the synonym filter
+    val canon = Analyzer.withSynonyms(an, Map("database" -> "db"))
+    assert(Seq(Tuple1("database")).toDF("t")
+      .select(canon(col("t"))).head().getSeq[String](0) == Seq("db"))
+  }
+
   test("synonym filter rewrites tokens to canonical forms") {
     val s = spark
     import s.implicits._
