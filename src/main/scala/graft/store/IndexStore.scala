@@ -154,6 +154,10 @@ object IndexStore {
     val vdir = versionDir(dir, seq, "ivf", metric, nlist)
     val dataPath = vdir.resolve("data").toString
     Ivf.assign(snapshot, field, model)
+      // One shuffle to co-locate cells -> one file per cell directory,
+      // instead of every task writing into every cell (tasks x nlist
+      // small files).
+      .repartition(col("_cid"))
       .write.mode("overwrite").partitionBy("_cid").parquet(dataPath)
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~

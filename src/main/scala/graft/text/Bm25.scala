@@ -127,6 +127,11 @@ object Bm25 {
     val docFreqPath = s"$dir/docfreq"
     index.postings
       .withColumn("_tb", pmod(hash(col("term")), lit(numBuckets)))
+      // Co-locate each bucket before the partitioned write: without
+      // this, every task writes a file into every bucket directory
+      // (tasks x buckets small files — ~2k at local settings, far worse
+      // on a cluster); with it, one shuffle yields one file per bucket.
+      .repartition(col("_tb"))
       .write.mode("overwrite").partitionBy("_tb").parquet(postingsPath)
     index.docFreq.write.mode("overwrite").parquet(docFreqPath)
     val stats = ("numDocs" -> index.numDocs) ~ ("avgdl" -> index.avgdl) ~
