@@ -589,6 +589,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     snapshot
       .withColumn(SEQ, lit(seq))
       .withColumn(DEL, lit(false))
+      // Co-locate partitions for the full rewrite: one file per
+      // partition directory instead of tasks x partitions. Small DML
+      // deltas skip this (an extra shuffle per insert would tax the
+      // pressure path); compaction is where layout gets repaired.
+      .repartition(col(PART))
       .sortWithinPartitions(d.primaryField.name)
       .write.mode("overwrite").partitionBy(PART).parquet(staging)
     // Swap: remove old deltas, rename staging in.
