@@ -129,20 +129,24 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   // ---- schema evolution (schema_evolution_workload.py:44-124) -----------
 
-  def addField(f: FieldDef): Unit =
+  def addField(f: FieldDef): Unit = {
     catalog.mutateDef(name) { d =>
       require(f.nullable, "added fields must be nullable")
       require(!d.fields.exists(_.name == f.name), s"field ${f.name} exists")
       d.copy(fields = d.fields :+ f)
     }
+    refreshCachedSchema()
+  }
 
-  def dropField(fieldName: String): Unit =
+  def dropField(fieldName: String): Unit = {
     catalog.mutateDef(name) { d =>
       val f = d.fields.find(_.name == fieldName)
         .getOrElse(throw new IllegalArgumentException(s"no field $fieldName"))
       require(!f.isPrimary, "cannot drop the primary field")
       d.copy(fields = d.fields.filterNot(_.name == fieldName))
     }
+    refreshCachedSchema()
+  }
 
   // ---- function lifecycle (schema_evolution_workload.py:93-124) ---------
 
@@ -151,7 +155,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * as derived columns while the function is bound
     * (add_collection_function semantics).
     */
-  def addFunction(f: FunctionDef): Unit =
+  def addFunction(f: FunctionDef): Unit = {
     catalog.mutateDef(name) { d =>
       require(f.functionType.toUpperCase == "BM25",
         s"unsupported function type ${f.functionType}")
@@ -168,6 +172,9 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         .map(o => FieldDef(o, MapType(IntegerType, DoubleType)))
       d.copy(fields = d.fields ++ extra, functions = d.functions :+ f)
     }
+    refreshCachedSchema()
+  }
+
 
   /** Unbind a function: its output fields stop being served (dropped
     * from the schema — drop_collection_function + drop_function_field
@@ -187,6 +194,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     }
     (f.inputFields ++ f.outputFields).distinct
       .foreach(IndexStore.drop(this, _))
+    refreshCachedSchema()
   }
 
   /** Engine-computed function output columns: BM25 maps the tokenized
@@ -444,6 +452,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     cached.foreach(_.unpersist())
     cached = None
     catalog.setLoadState(name, "NotLoad")
+  }
+
+  /** Re-cache after a SCHEMA change (add/drop field or function) —
+    * no-op unless load()ed. Without this, a Loaded collection kept
+    * serving the pre-change column set until the next DML.
+    */
+  private def refreshCachedSchema(): Unit = this.synchronized {
+    cached.foreach(old => refreshCachedSnapshot(old.sparkSession))
   }
 
   /** Re-cache the snapshot after a committed write (no-op unless

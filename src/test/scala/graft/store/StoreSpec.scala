@@ -373,6 +373,31 @@ class StoreSpec extends SparkSpec {
         Map("id" -> "ARRAY_APPEND")))
   }
 
+  test("schema changes refresh a Loaded collection's cached snapshot") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("ldschema"))
+    c.insert(s, Seq((1L, 1L, "hello world", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.load(s)
+    assert(c.loadState == "Loaded")
+    c.addField(FieldDef("extra", StringType))
+    assert(c.read(s).columns.contains("extra"),
+      "added field invisible on a Loaded collection")
+    c.addFunction(FunctionDef("fts", "BM25", Seq("content"), Seq("sparse")))
+    assert(c.read(s).columns.contains("sparse"),
+      "function output invisible on a Loaded collection")
+    assert(c.read(s).head().getMap[Int, Double](
+      c.read(s).columns.indexOf("sparse")).size == 2)
+    c.dropFunction("fts")
+    assert(!c.read(s).columns.contains("sparse"),
+      "dropped function output still served on a Loaded collection")
+    c.dropField("extra")
+    assert(!c.read(s).columns.contains("extra"))
+    c.release()
+  }
+
   test("compaction folds deltas and preserves the snapshot") {
     val s = spark
     import s.implicits._
