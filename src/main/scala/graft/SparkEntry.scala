@@ -1279,6 +1279,23 @@ object SparkEntry {
           batchSize = 5000)
         Seq(Tuple1(it.exportParquetDirect(out))).toDF("rows")
       },
+      // Partition-scoped queries over the physically-partitioned store
+      // (parkey_query_n_search.py:141-202 measures this speedup): 8
+      // scoped queries each prune to 1/16 of the delta directories; if
+      // pruning regressed to row filters this entry's cost multiplies.
+      "bench_partition_scoped_query" -> { (s, dir) =>
+        import s.implicits._
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-bpq").toString)
+        val c = cat.createCollection(CollectionDef("pq", Seq(
+          FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+          FieldDef("o_custkey", LongType)),
+          partitions = (0 until 16).map(i => s"p$i")))
+        c.insert(s, tbl(s, dir, "orders").select("o_orderkey", "o_custkey"))
+        val scoped = (0 until 8).map(i =>
+          c.query(s, "o_custkey >= 0", partitionNames = Seq(s"p$i")).count()).sum
+        Seq(Tuple1(scoped)).toDF("rows")
+      },
       "bench_dedup_exact" -> { (s, dir) =>
         QueryOps.countStar(
           Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id"), None)
