@@ -729,8 +729,21 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       deleted: Boolean): String = {
     partition.foreach(p => require(listPartitions().contains(p),
       s"no such partition $p"))
+    val internal = withInternals(batch, d, seq, partition)
+    // Bulk writes into a multi-partition collection route rows to
+    // their partition first: without it every task writes into every
+    // partition directory (tasks x partitions small files per delta).
+    // Small batches (single input partition — the pressure-DML shape)
+    // skip the shuffle.
+    val multiPart = d.partitions.length > 1 ||
+      d.partitionKeyField.isDefined || d.numPartitions.exists(_ > 1)
+    val routed =
+      if (multiPart && partition.isEmpty &&
+        internal.rdd.getNumPartitions > 1)
+        internal.repartition(col(PART))
+      else internal
     commitDelta(
-      withInternals(batch, d, seq, partition)
+      routed
         // PK-sorted row groups give parquet min/max stats real
         // selectivity for PK lookups/range scans (STL_SORT equivalent).
         .sortWithinPartitions(d.primaryField.name),
