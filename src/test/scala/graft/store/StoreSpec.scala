@@ -311,6 +311,12 @@ class StoreSpec extends SparkSpec {
       .select("sparse").head().getMap[Int, Double](0).values.toSeq == Seq(3.0))
     // function outputs survive the catalog round-trip (MetaJson)
     assert(cat.describeCollection("fn").functions.map(_.name) == Seq("fts"))
+    // queries that don't project the output must not pay for it:
+    // column pruning eliminates the derived tokenize/hash expressions
+    val plan = c.query(s, "", outputFields = Seq("id"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("xxhash64"),
+      s"unprojected function output not pruned:\n$plan")
   }
 
   test("truncate drops all entities, keeps schema and index metadata") {
