@@ -955,6 +955,24 @@ object SparkEntry {
         count(when(not(col("location").startsWith("POINT (-7")), 1))
           .as("valid_points"))
     },
+    // ---- §2.9: stateful streaming dedup (flatMapGroupsWithState) ------
+    // First doc per content fingerprint passes; later arrivals flag as
+    // duplicates of it; state per key is O(1).
+    "st2_streaming_dedup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val docs = mem.toDF().select(col("value").as("doc_id"),
+        concat(lit("doc_"), (col("value") % 10).cast("string")).as("text"))
+      mem.addData(0L until 30L: _*)
+      val out = graft.streaming.StreamingOps.dedupStream(docs, "text", "doc_id")
+      val q = out.writeStream.format("memory").queryName("st2_dedup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.sql("""SELECT docId AS doc_id, isDuplicate AS is_duplicate,
+        |firstId AS first_id FROM st2_dedup ORDER BY doc_id""".stripMargin)
+    },
     // ---- multimodal: modality stats over deterministic synthetic assets ---
     "m1_multimodal_stats" -> { (s, dir) =>
       Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
@@ -1816,6 +1834,11 @@ object SparkEntry {
           |  (SELECT CAST(count(*) FILTER (WHERE l.valid) AS BIGINT)
           |   FROM ei JOIN loc l
           |     ON l.li = ei.i % (SELECT count(*) FROM nation)) AS valid_points""".stripMargin,
+      // COMPUTED oracle: text = doc_{i%10} over ids 0..29, so ids >= 10
+      // are duplicates of id % 10 (the min-id canonical rule).
+      "st2_streaming_dedup" ->
+        """SELECT i AS doc_id, i >= 10 AS is_duplicate, i % 10 AS first_id
+          |FROM generate_series(0, 29) t(i) ORDER BY doc_id""".stripMargin,
       // COMPUTED oracle: DuckDB re-derives counts/bytes from the
       // generator SPEC (modality = i%3, size = 64 + (i*37)%192 for
       // i in 0..29); distinct_blobs = cnt because each blob's xorshift

@@ -56,6 +56,53 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
 
+  final case class DedupInput(fp: Long, docId: Long)
+  final case class DedupState(firstId: Long, dups: Long)
+  final case class DedupOutput(docId: Long, fp: Long, isDuplicate: Boolean,
+      firstId: Long)
+
+  /** Streaming exact dedup over a document stream: keyed by content
+    * fingerprint via flatMapGroupsWithState — the first document per
+    * fingerprint emits as unique, later arrivals emit flagged as
+    * duplicates of it. Within one micro-batch the smallest doc id
+    * becomes canonical (deterministic regardless of partition order).
+    * State per key is O(1) — first id + duplicate count, never
+    * buffered documents — so state scales with DISTINCT content, not
+    * stream length; bound it further with a state TTL matched to the
+    * dedup window when the corpus is unbounded.
+    */
+  def dedupStream(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        xxhash64(graft.text.TextOps.fingerprint(col(textCol))).as("fp"),
+        col(idCol).cast("long").as("docId"))
+      .as[DedupInput]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[DedupInput], state: GroupState[DedupState]) =>
+          val batch = rows.toSeq.sortBy(_.docId)
+          val out = Seq.newBuilder[DedupOutput]
+          var s = state.getOption
+          batch.foreach { r =>
+            s match {
+              case None =>
+                s = Some(DedupState(r.docId, 0L))
+                out += DedupOutput(r.docId, fp, isDuplicate = false, r.docId)
+              case Some(st) =>
+                s = Some(st.copy(dups = st.dups + 1))
+                out += DedupOutput(r.docId, fp, isDuplicate = true, st.firstId)
+            }
+          }
+          s.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   final case class SessionInput(userId: Long, ts: java.sql.Timestamp)
   final case class SessionState(count: Long, startMs: Long, lastMs: Long)
   final case class SessionOutput(userId: Long, events: Long, durationMs: Long,

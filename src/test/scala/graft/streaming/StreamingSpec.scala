@@ -60,6 +60,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming dedup: first doc per fingerprint unique, later ones flagged") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.dedupStream(docs, "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    // batch 1: two copies of A (min id canonical), one B
+    mem.addData((2L, "doc A"), (1L, "doc A"), (3L, "doc B"))
+    q.processAllAvailable()
+    // batch 2: another A (dup of 1, state crosses batches), new C
+    mem.addData((4L, "doc A"), (5L, "doc C"))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT docId, isDuplicate, firstId FROM sd ORDER BY docId")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(rows == Seq(
+      (1L, false, 1L), (2L, true, 1L), (3L, false, 3L),
+      (4L, true, 1L), (5L, false, 5L)))
+    // whitespace-normalized variants share a fingerprint
+    val mem2 = MemoryStream[(Long, String)]
+    val out2 = StreamingOps.dedupStream(mem2.toDF().toDF("doc_id", "text"),
+      "text", "doc_id")
+    val q2 = out2.writeStream.format("memory").queryName("sd2")
+      .outputMode("append").start()
+    mem2.addData((1L, "Hello  World"), (2L, "hello world"))
+    q2.processAllAvailable()
+    val dups = s.sql("SELECT count(*) FROM sd2 WHERE isDuplicate").head().getLong(0)
+    q2.stop()
+    assert(dups == 1L)
+  }
+
   test("sessionize keeps O(1) per-key state and counts events per user") {
     val s = spark
     import s.implicits._
