@@ -875,6 +875,23 @@ object SparkEntry {
             .as("outside"))
         .orderBy("id")
     },
+    // ---- S25: JSON-path index (3.0 "JSON Path Index", Sort kind):
+    // value predicate served from a range-partitioned sorted (pk, _v)
+    // materialization, matching pks semi-joined below the merge read --
+    "s25_json_path_index" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-jp").toString)
+      val c = cat.createCollection(CollectionDef("ev", Seq(
+        FieldDef("event_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("props", StringType))))
+      c.insert(s, tbl(s, dir, "events").select("event_id", "props"))
+      c.createIndex(s, IndexDef("props", "JSON_PATH",
+        params = Map("path" -> "$.k", "cast" -> "long")))
+      c.queryJsonPath(s, "props", "$.k", "long", v => v >= 90,
+        outputFields = Seq("event_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("event_id").cast("long").as("sum_id"))
+    },
     // ---- V13: BM25 text highlighter (3.0 text surface: query-term
     // tagging, fragment config, highlighter score) over the top-k ------
     "v13_text_highlight" -> { (s, dir) =>
@@ -1726,6 +1743,10 @@ object SparkEntry {
       "g2_square_polygon" ->
         """SELECT n_nationkey AS id, true AS inside, false AS outside
           |FROM nation ORDER BY id""".stripMargin,
+      "s25_json_path_index" ->
+        """SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
+          |FROM events
+          |WHERE TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) >= 90""".stripMargin,
       "s23_truncate" ->
         """SELECT (SELECT count(*) FROM nation) AS before_truncate,
           |  CAST(0 AS BIGINT) AS after_truncate,

@@ -557,7 +557,8 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   private def assemble(spark: SparkSession, partitionNames: Seq[String],
       asOfMillis: Option[Long], pkPrefilter: Option[Column] = None,
-      keepInternals: Boolean = false): DataFrame = {
+      keepInternals: Boolean = false,
+      pkSemi: Option[DataFrame] = None): DataFrame = {
     val d = definition
     val outCols = userColumns(d) ++ (if (keepInternals) Seq(PART, TS) else Nil)
     val raw = rawDeltas(spark, d)
@@ -577,6 +578,10 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       // is needed for delete visibility.
       df = df.filter(col(PART).isin(partitionNames: _*))
     pkPrefilter.foreach(p => df = df.filter(p))
+    // Candidate-pk semi-join BELOW the merge window — same
+    // whole-group-safe shape as pkPrefilter (every delta row of a pk
+    // is kept or dropped together), used by secondary-index lookups.
+    pkSemi.foreach(p => df = df.join(p, Seq(pk), "left_semi"))
     // Last write per PK wins; tombstones drop the key.
     val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
     var out = df
@@ -648,6 +653,38 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       else Some(MilvusExpr.compile(filterExpr, base,
         dynamicField = if (definition.enableDynamicField) Some("_dynamic") else None))
     QueryOps.query(base, pred, outputFields, orderBy, limit, offset)
+  }
+
+  /** Query accelerated by a persisted JSON-path index (3.0 "JSON Path
+    * Index", Sort kind): `valuePred` runs against the index's typed
+    * `_v` column, where the scan prunes whole index files via min/max
+    * stats (the index is range-partitioned and sorted on `_v`);
+    * only the matching pks' delta rows then go through the merge read
+    * (semi-join below the window). Without a declared JSON_PATH index
+    * for the path, falls back to the full expression filter.
+    */
+  def queryJsonPath(spark: SparkSession, field: String, path: String,
+      castType: String, valuePred: Column => Column,
+      outputFields: Seq[String] = Seq("*")): DataFrame = {
+    val d = definition
+    val pk = d.primaryField.name
+    val declared = d.indexes.find(ix =>
+      ix.field == field && ix.indexType.toUpperCase == "JSON_PATH" &&
+        ix.params.get("path").contains(path))
+    val base = declared match {
+      case Some(ix) =>
+        val b = IndexStore.ensureJsonPath(spark, this, field, path,
+          ix.params.getOrElse("cast", castType))
+        val pks = spark.read.parquet(b.dataPath)
+          .filter(valuePred(col("_v"))).select(col(pk))
+        assemble(spark, Seq.empty, None, None, keepInternals = false,
+          pkSemi = Some(pks))
+      case None =>
+        val casted = expr(
+          s"try_cast(get_json_object($field, '$path') AS $castType)")
+        read(spark).filter(valuePred(casted))
+    }
+    QueryOps.query(base, None, outputFields, Seq.empty, None, 0)
   }
 
   // ---- internals --------------------------------------------------------

@@ -57,6 +57,12 @@ object IndexStore {
   private val bm25Cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), Bm25Build]()
 
+  final case class JsonPathBuild(dataPath: String, path: String,
+      castType: String, builtSeq: Long)
+
+  private val jsonPathCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String, Long), JsonPathBuild]()
+
   private def indexDir(coll: Collection, field: String): Path =
     coll.catalog.collectionDir(coll.name).resolve("index").resolve(field)
 
@@ -99,6 +105,55 @@ object IndexStore {
     })
   }
 
+  /** Ensure a fresh persisted JSON-path index (3.0 "JSON Path Index",
+    * Sort kind): the extracted, typed path value is materialized as a
+    * (pk, _v) table range-partitioned AND sorted on `_v`, so a value
+    * predicate prunes whole files via parquet min/max stats — the
+    * columnar equivalent of a sorted secondary index.
+    */
+  def ensureJsonPath(spark: SparkSession, coll: Collection,
+      field: String, path: String, castType: String): JsonPathBuild = {
+    val seq = coll.committedSeq
+    val key = (coll.name, field, path, castType, seq)
+    jsonPathCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._3 == path && k._5 != seq)
+    jsonPathCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      val pathTag = jsonPathTag(path)
+      loadJsonPath(dir, path, castType, seq).getOrElse {
+        val pk = coll.definition.primaryField.name
+        val vdir = versionDir(dir, seq, pathTag, castType, 0)
+        val dataPath = vdir.resolve("data").toString
+        coll.read(spark)
+          .select(col(pk),
+            expr(s"try_cast(get_json_object($field, '$path') AS $castType)")
+              .as("_v"))
+          // Range partition + sort on the value: each file owns a value
+          // range, so a predicate on _v prunes whole files via min/max
+          // stats (nulls sort first into the lowest range).
+          .repartitionByRange(col("_v"))
+          .sortWithinPartitions("_v")
+          .write.mode("overwrite").parquet(dataPath)
+        Files.write(vdir.resolve("path.json"), JsonMethods.compact(
+          JsonMethods.render(("path" -> path) ~ ("cast" -> castType))).getBytes)
+        commitPointer(dir, seq, pathTag, castType, 0)
+        JsonPathBuild(dataPath, path, castType, seq)
+      }
+    })
+  }
+
+  private def jsonPathTag(path: String): String =
+    s"jp${(path.hashCode.toLong & 0xffffffffL).toString}"
+
+  private def loadJsonPath(dir: Path, path: String, castType: String,
+      seq: Long): Option[JsonPathBuild] =
+    readPointer(dir).filter(p => p.builtSeq == seq &&
+      p.kind == jsonPathTag(path) && p.metric == castType).map { _ =>
+      JsonPathBuild(
+        versionDir(dir, seq, jsonPathTag(path), castType, 0)
+          .resolve("data").toString, path, castType, seq)
+    }
+
   /** Force a rebuild at the current seq (reference rebuild-index op). */
   def rebuild(spark: SparkSession, coll: Collection,
       field: String): Unit = {
@@ -119,6 +174,11 @@ object IndexStore {
         ix.metricType.getOrElse("COSINE"), nlist): Unit
     } else if (t == "BM25" || t == "INVERTED_TEXT") {
       ensureBm25(spark, coll, ix.field, Bm25.Params()): Unit
+    } else if (t == "JSON_PATH") {
+      ensureJsonPath(spark, coll, ix.field,
+        ix.params.getOrElse("path",
+          throw new IllegalArgumentException("JSON_PATH index needs a path")),
+        ix.params.getOrElse("cast", "string")): Unit
     }
     // scalar INVERTED/STL_SORT/TRIE: PK-sorted row groups + parquet
     // min/max stats already serve these (Collection.writeDelta)
@@ -128,6 +188,7 @@ object IndexStore {
   def drop(coll: Collection, field: String): Unit = {
     ivfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     deleteRecursively(indexDir(coll, field))
   }
 

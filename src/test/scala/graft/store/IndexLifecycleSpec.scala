@@ -126,4 +126,39 @@ class IndexLifecycleSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(after.contains(990000L), "new doc missing: stale BM25 index")
   }
+
+  test("JSON-path index: pruned value scan, correct vs fallback, DML-fresh") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-jpix").toString)
+    val c = cat.createCollection(CollectionDef("jp", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("props", StringType))))
+    c.insert(s, (0L until 500L).map(i => (i, s"{\"k\": ${i % 100}}"))
+      .toDF("id", "props"))
+    c.createIndex(s, IndexDef("props", "JSON_PATH",
+      params = Map("path" -> "$.k", "cast" -> "long")))
+    val viaIndex = c.queryJsonPath(s, "props", "$.k", "long",
+      v => v >= 95, outputFields = Seq("id"))
+    // correctness: equals the expression-filter fallback
+    val fallback = c.read(s)
+      .filter(expr("try_cast(get_json_object(props, '$.k') AS long) >= 95"))
+      .select("id")
+    assert(viaIndex.collect().map(_.getLong(0)).sorted.toSeq ==
+      fallback.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(viaIndex.count() == 25) // k in 95..99, 5 ids each
+    // the value predicate reaches the INDEX scan as a pushed filter
+    val plan = c.queryJsonPath(s, "props", "$.k", "long", v => v >= 95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("_v"),
+      s"value predicate did not reach the index scan:\n$plan")
+    // DML invalidates: a new row with k=99 appears on the next query
+    c.insert(s, Seq((1000L, "{\"k\": 99}")).toDF("id", "props"))
+    assert(c.queryJsonPath(s, "props", "$.k", "long", v => v === 99)
+      .count() == 6)
+    // undeclared path falls back to the expression filter
+    assert(c.queryJsonPath(s, "props", "$.missing", "long",
+      v => v.isNotNull).count() == 0)
+  }
 }
