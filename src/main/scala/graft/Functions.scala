@@ -19,6 +19,8 @@ object Functions {
   def vecNorm(a: Column): Column = e2c(VectorNorm(c2e(a)))
   def hammingDistance(a: Column, b: Column): Column =
     e2c(HammingDistance(c2e(a), c2e(b)))
+  def centeredSignBits(vec: Column, center: Column): Column =
+    e2c(CenteredSignBits(c2e(vec), c2e(center)))
   def sparseIp(a: Column, b: Column): Column =
     e2c(SparseInnerProduct(c2e(a), c2e(b)))
   def dictTokenize(text: Column, words: Seq[String]): Column =
@@ -84,6 +86,7 @@ object Functions {
     "vec_cosine" -> { args => VectorCosine(args(0), args(1)) },
     "vec_norm" -> { args => VectorNorm(args(0)) },
     "hamming_distance" -> { args => HammingDistance(args(0), args(1)) },
+    "centered_sign_bits" -> { args => CenteredSignBits(args(0), args(1)) },
     "sparse_ip" -> { args => SparseInnerProduct(args(0), args(1)) },
     "st_contains" -> { args => StContains(args(0), args(1)) },
   )

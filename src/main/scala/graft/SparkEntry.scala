@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
-import graft.ann.Ivf
+import graft.ann.{Ivf, RaBitQ}
 import graft.dedup.Dedup
 import graft.operators.HybridSearch.{AnnSearchRequest, RrfRanker}
 import graft.operators.{HybridSearch, QueryIterator}
@@ -17,7 +17,7 @@ import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef, IndexStore}
 import graft.workload.ResourceGroups
 import graft.text.{Bm25, TextOps}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -609,6 +609,42 @@ object SparkEntry {
         "embedding", "vec_id", k = 10, nprobe = 4)
       Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
     },
+    // ---- V15: RaBitQ (1-bit quantized IVF, reference index type
+    // IVF_RABITQ) through the full collection route: create_index →
+    // persisted cell-partitioned codes → two-phase search. nprobe =
+    // nlist probes every cell and k*refine_k = 500 covers every sf0.01
+    // row, which makes the quantized path PROVABLY exact — so DuckDB's
+    // exact top-k is a genuine independent oracle for the whole
+    // encode→estimate→rerank pipeline (any bit error in the code,
+    // estimator, or re-rank ordering breaks the match).
+    "v15_rabitq_exact" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rbq").toString)
+      val c = cat.createCollection(CollectionDef("rbq", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_RABITQ", Some("L2"),
+        Map("nlist" -> "8")))
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7), 10,
+        searchParams = Map("nprobe" -> "8", "refine_k" -> "50"))
+        .select("vec_id")
+    },
+    // ---- V15 recall: the OPERATING point (narrow refine) — recall is
+    // a pinned deterministic value (seeded train/encode; uniform
+    // synthetic vectors are the estimator's worst case, so this is a
+    // lower bound, not representative of real embeddings). Exactness
+    // of the machinery is covered by v15_rabitq_exact above.
+    "v15_rabitq_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val model = Ivf.train(emb, "embedding", k = 8, sampleSize = 1000)
+      val enc = RaBitQ.encode(emb, "embedding", model)
+      val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
+      val recall = RaBitQ.recallAtK(emb, enc, model, queries,
+        "embedding", "vec_id", k = 10, nprobe = 4, refine = 4)
+      Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
+    },
     // ---- Q6: iterator with checkpoint resume ------------------------------
     "q6_iterator_resume" -> { (s, dir) =>
       import s.implicits._
@@ -891,6 +927,71 @@ object SparkEntry {
         outputFields = Seq("event_id"))
         .agg(count(lit(1)).as("cnt"),
           sum("event_id").cast("long").as("sum_id"))
+    },
+    // ---- W5: pressure availability analytics (common/pressure_
+    // maintenance.py:59-235): failed-metric summation, rollout-window
+    // vs steady-state slicing, synthetic samples for missing results.
+    // The fixture is deterministic; every number is hand-derivable
+    // (and re-derived in the oracle's VALUES). -----------------------
+    "w5_availability_summary" -> { (s, dir) =>
+      import s.implicits._
+      import java.time.Instant
+      def sm(f: String, b: String, st: String, a: String, z: String,
+          m: Map[String, Double]) =
+        graft.workload.Availability.Sample(f, b, st,
+          Some(Instant.parse(a)), Some(Instant.parse(z)), m, Seq.empty)
+      val samples = Seq(
+        sm("a.json", "search_pressure", "passed",
+          "2026-01-01T00:00:00Z", "2026-01-01T00:05:00Z",
+          Map("operations_total" -> 100.0)),
+        sm("b.json", "query_pressure", "passed",
+          "2026-01-01T00:12:00Z", "2026-01-01T00:18:00Z",
+          Map("operations_total" -> 50.0, "failed_query" -> 5.0)),
+        sm("c.json", "upsert_pressure", "failed",
+          "2026-01-01T00:30:00Z", "2026-01-01T00:35:00Z",
+          Map("operations_total" -> 20.0, "requests_failed" -> 20.0)),
+        graft.workload.Availability.syntheticSample(
+          "d.json", "count_pressure", "missing", "no result json"))
+      val windows = Seq(graft.workload.Availability.Window(
+        "upgrade-rollout",
+        Instant.parse("2026-01-01T00:10:00Z"),
+        Instant.parse("2026-01-01T00:20:00Z")))
+      val sum = graft.workload.Availability.summary(samples, windows)
+      def row(scope: String, st: graft.workload.Availability.Stats) =
+        (scope, st.sampleCount, st.operationsTotal, st.requestsFailed,
+          st.successRate.getOrElse(-1.0), st.failedSampleCount,
+          st.impactedBricks.mkString(","))
+      (Seq(row("overall", sum.overall),
+        row("steady_state", sum.steadyState)) ++
+        sum.rolloutWindows.map { case (w, st) =>
+          row(s"window:${w.label}", st) })
+        .toDF("scope", "samples", "ops_total", "requests_failed",
+          "success_rate", "failed_samples", "impacted")
+        .orderBy("scope")
+    },
+    // ---- S26: insert-until-denied write quota (create_n_insert_until_
+    // denied.py:119-147): quota.rows=100 with 40-row batches — 40 and 80
+    // are under the high-water mark, the batch landing at 120 crosses
+    // it, then two denies ("memory quota exceeded") stop the loop. The
+    // oracle derives entities AND the max inserted pk from the same
+    // orders slice, so the check is data-derived, not a constant pin. --
+    "s26_insert_until_denied" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-quo").toString)
+      val c = cat.createCollection(CollectionDef("quo", Seq(
+        FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("o_totalprice", DoubleType)),
+        properties = Map("quota.rows" -> "100")))
+      val numbered = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("_rn", row_number().over(Window.orderBy("o_orderkey")))
+      def batch(r: Int) = numbered
+        .filter(col("_rn") > r * 40 && col("_rn") <= (r + 1) * 40).drop("_rn")
+      val res = Workload.insertUntilDenied(s, c, batch, maxDenyTimes = 2)
+      val maxPk = c.read(s).agg(max("o_orderkey")).head().getLong(0)
+      Seq((res.batchesInserted, res.denyTimes, res.entities, maxPk))
+        .toDF("batches", "deny_times", "entities", "max_pk")
     },
     // ---- V13: BM25 text highlighter (3.0 text surface: query-term
     // tagging, fragment config, highlighter score) over the top-k ------
@@ -1358,6 +1459,22 @@ object SparkEntry {
         assigned.unpersist()
         Seq(Tuple1(hits)).toDF("total_hits")
       },
+      // Quantized two-phase search (same shape as bench_ivf_build_search
+      // for comparison): the estimate pass scans 1-bit codes instead of
+      // float vectors — at scale that's 1/32 of the vector bytes read.
+      "bench_rabitq_build_search" -> { (s, dir) =>
+        import s.implicits._
+        val emb = tbl(s, dir, "embeddings")
+        val model = Ivf.train(emb, "embedding", k = 16, sampleSize = 2000)
+        val enc = RaBitQ.encode(emb, "embedding", model).cache()
+        val queries = (0 until 10).map { i =>
+          (i.toString, vecOf(s, dir, i.toLong).map(_.toDouble).toArray)
+        }
+        val hits = RaBitQ.search(enc, model, queries, "embedding", "vec_id",
+          k = 10, nprobe = 4, refine = 4).count()
+        enc.unpersist()
+        Seq(Tuple1(hits)).toDF("total_hits")
+      },
     )
   }
 
@@ -1562,6 +1679,18 @@ object SparkEntry {
       // s4_index_lifecycle / v4_search_params (nprobe = nlist ⇒ exact).
       "v1_ann_ivf_recall" ->
         "SELECT CAST(0.7667 AS DOUBLE) AS recall",
+      // GENUINE independent oracle: with nprobe = nlist and refine_k
+      // covering every row, the quantized two-phase path must equal
+      // exact brute-force top-k (see the v15_rabitq_exact comment).
+      "v15_rabitq_exact" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(7)}), vec_id
+           |LIMIT 10""".stripMargin,
+      // DETERMINISM PIN (irreducible, same status as v1_ann_ivf_recall):
+      // quantized recall at the narrow operating point; exactness of the
+      // machinery is independently verified by v15_rabitq_exact.
+      "v15_rabitq_recall" ->
+        "SELECT CAST(0.5667 AS DOUBLE) AS recall",
       "q6_iterator_resume" ->
         """SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_pks
           |FROM orders""".stripMargin,
@@ -1743,6 +1872,29 @@ object SparkEntry {
       "g2_square_polygon" ->
         """SELECT n_nationkey AS id, true AS inside, false AS outside
           |FROM nation ORDER BY id""".stripMargin,
+      // Hand-derived from the deterministic fixture: overall =
+      // 100+50+20 ops / 5+20 failed (3 failing samples incl. the
+      // synthetic missing-result one); steady_state = a+c (b overlaps
+      // the rollout window, d is unstamped); the window sees only b.
+      "w5_availability_summary" ->
+        """SELECT * FROM (VALUES
+          |  ('overall', 4, CAST(170 AS BIGINT), CAST(25 AS BIGINT),
+          |   CAST(0.852941 AS DOUBLE), 3,
+          |   'count_pressure,query_pressure,upsert_pressure'),
+          |  ('steady_state', 2, CAST(120 AS BIGINT), CAST(20 AS BIGINT),
+          |   CAST(0.833333 AS DOUBLE), 1, 'upsert_pressure'),
+          |  ('window:upgrade-rollout', 1, CAST(50 AS BIGINT), CAST(5 AS BIGINT),
+          |   CAST(0.9 AS DOUBLE), 1, 'query_pressure')
+          |) t(scope, samples, ops_total, requests_failed, success_rate,
+          |    failed_samples, impacted)
+          |ORDER BY scope""".stripMargin,
+      // Quota arithmetic is hand-derivable (100-row quota, 40-row
+      // batches, high-water deny); entities and max_pk are computed
+      // from the same ordered orders slice the loop inserted.
+      "s26_insert_until_denied" ->
+        """SELECT 3 AS batches, 2 AS deny_times,
+          |  CAST(120 AS BIGINT) AS entities, max(o_orderkey) AS max_pk
+          |FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 120)""".stripMargin,
       "s25_json_path_index" ->
         """SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
           |FROM events

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ann.Ivf
+import graft.ann.{Ivf, RaBitQ}
 import graft.expr.MilvusExpr
 import graft.store.{Collection, IndexStore}
 import graft.text.Bm25
@@ -39,10 +39,24 @@ object CollectionSearch {
     val metric = searchParams.get("metric_type")
       .orElse(index.flatMap(_.metricType))
       .getOrElse("COSINE")
-    val ivfDeclared = index.exists(ix =>
+    val rabitqDeclared =
+      index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
+    val ivfDeclared = !rabitqDeclared && index.exists(ix =>
       ix.indexType.toUpperCase.startsWith("IVF") ||
         ix.indexType.toUpperCase == "AUTOINDEX")
     searchParams.get("nprobe").map(_.toInt) match {
+      case Some(nprobe) if rabitqDeclared && partitionNames.isEmpty =>
+        // Quantized path: Hamming-estimate candidates over the probed
+        // cells' narrow code columns, exact re-rank of k*refine_k.
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
+        val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
+        val build = IndexStore.ensureRabitq(spark, coll, vecField, metric, nlist)
+        val encoded = spark.read.parquet(build.dataPath)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, encoded))
+        RaBitQ.searchOne(encoded, build.model, queryVec, vecField, pk, k,
+          nprobe, refine, metric, pred, outputFields)
       case Some(nprobe) if ivfDeclared && partitionNames.isEmpty =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
         val build = IndexStore.ensureIvf(spark, coll, vecField, metric, nlist)

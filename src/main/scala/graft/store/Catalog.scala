@@ -52,7 +52,13 @@ final case class CollectionDef(
     shardsNum: Int = 1,
     indexes: Seq[IndexDef] = Seq.empty,
     functions: Seq[FunctionDef] = Seq.empty,
-    description: String = "") {
+    description: String = "",
+    // Collection properties (table-properties surface). Quota keys
+    // mirror the server-side write quotas the reference's deny loops
+    // exercise (create_n_insert_until_denied.py:122-144 retries on
+    // "memory quota exceeded"): `quota.rows` / `quota.bytes` deny DML
+    // once the committed store crosses the high-water mark.
+    properties: Map[String, String] = Map.empty) {
 
   /** Names of engine-computed function-output fields. */
   def functionOutputFields: Set[String] = functions.flatMap(_.outputFields).toSet
@@ -202,6 +208,16 @@ final class Catalog(val root: String) {
     * metadata changes (e.g. parallel create_index, S7) must not lose
     * updates.
     */
+  /** Merge collection properties (alter_collection_properties surface;
+    * set a key to "" to clear it). Quota keys take effect on the next
+    * DML call.
+    */
+  def alterCollectionProperties(name: String, props: Map[String, String]): Unit =
+    mutateDef(resolve(name)) { d =>
+      val (clears, sets) = props.partition(_._2.isEmpty)
+      d.copy(properties = d.properties -- clears.keys ++ sets)
+    }
+
   private[store] def mutateDef(name: String)(f: CollectionDef => CollectionDef): Unit =
     this.synchronized {
       val m = readMeta(name)

@@ -27,6 +27,13 @@ final case class InsertResult(count: Long, ids: DataFrame) {
   }
 }
 
+/** Write denied because the collection crossed a configured quota —
+  * message text matches what the reference's deny-retry loops string-
+  * match on (create_n_insert_until_denied.py:124,
+  * mc_create_rabitq_mmap.py max-deny-times).
+  */
+final class QuotaExceededException(msg: String) extends RuntimeException(msg)
+
 /** A schema'd, mutable collection over sequenced parquet deltas —
   * merge-on-read (the Spark-native equivalent of the reference's
   * insert/upsert/delete surface, 2.6/common.py:804-856, :202-238).
@@ -231,6 +238,42 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   // ---- DML --------------------------------------------------------------
 
+  /** On-disk bytes of the committed deltas — the engine-side analog of
+    * the server memory footprint the reference's quotas meter. A
+    * filesystem-metadata walk, no Spark job.
+    */
+  def storageBytes: Long = {
+    def size(p: java.nio.file.Path): Long = {
+      import scala.collection.JavaConverters._
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.map(size).sum finally s.close()
+      } else Files.size(p)
+    }
+    deltaPaths.map(size).sum
+  }
+
+  /** Deny DML once the committed store has crossed a configured quota
+    * (high-water-mark semantics: the write that crosses the line
+    * lands; the NEXT one is denied — matching a server that meters
+    * after ingest). `quota.rows` counts visible entities (exact,
+    * deterministic); `quota.bytes` meters delta bytes on disk. The
+    * messages are the strings the reference's deny-retry loops match
+    * (create_n_insert_until_denied.py:124-125).
+    */
+  private def checkWriteQuota(spark: SparkSession, d: CollectionDef): Unit = {
+    d.properties.get("quota.rows").map(_.toLong).foreach { q =>
+      if (numEntities(spark) >= q)
+        throw new QuotaExceededException(
+          s"memory quota exceeded: collection $name holds >= $q rows")
+    }
+    d.properties.get("quota.bytes").map(_.toLong).foreach { q =>
+      if (storageBytes >= q)
+        throw new QuotaExceededException(
+          s"memory quota exceeded: collection $name stores >= $q bytes")
+    }
+  }
+
   /** Insert a batch. Missing nullable columns are filled with null;
     * auto_id primary keys are assigned `(seq << 40) | batch_row_index`
     * (unique across batches without driver coordination; each batch
@@ -243,6 +286,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def insert(spark: SparkSession, rows: DataFrame,
       partition: Option[String] = None): InsertResult = {
     val d = definition
+    checkWriteQuota(spark, d)
     val seq = catalog.nextSeq(name)
     val pk = d.primaryField
     var df = conformToSchema(rows, d, allowMissingPk = pk.autoId)
@@ -273,6 +317,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       partialUpdate: Boolean = false,
       partition: Option[String] = None): Unit = {
     val d = definition
+    checkWriteQuota(spark, d)
     val pk = d.primaryField.name
     require(rows.columns.contains(pk), "upsert rows must carry the primary key")
     val batch =

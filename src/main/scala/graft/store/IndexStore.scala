@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.Ivf
+import graft.ann.{Ivf, RaBitQ}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -57,6 +57,12 @@ object IndexStore {
   private val bm25Cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), Bm25Build]()
 
+  final case class RabitqBuild(model: Ivf.Model, dataPath: String,
+      nlist: Int, builtSeq: Long)
+
+  private val rabitqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Int, Long), RabitqBuild]()
+
   final case class JsonPathBuild(dataPath: String, path: String,
       castType: String, builtSeq: Long)
 
@@ -89,6 +95,24 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadIvf(dir, metric, nlist, seq).getOrElse(
         buildIvf(spark, dir, coll, field, metric, nlist, seq))
+    })
+  }
+
+  /** Ensure a fresh persisted RaBitQ (1-bit quantized IVF) index —
+    * same lifecycle as [[ensureIvf]], different physical payload: the
+    * cell-partitioned snapshot additionally carries the residual sign
+    * code and norm columns the estimate pass scans.
+    */
+  def ensureRabitq(spark: SparkSession, coll: Collection,
+      field: String, metric: String, nlist: Int): RabitqBuild = {
+    val seq = coll.committedSeq
+    val key = (coll.name, field, metric, nlist, seq)
+    rabitqCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._5 != seq)
+    rabitqCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      loadRabitq(dir, metric, nlist, seq).getOrElse(
+        buildRabitq(spark, dir, coll, field, metric, nlist, seq))
     })
   }
 
@@ -168,7 +192,11 @@ object IndexStore {
   def materialize(spark: SparkSession, coll: Collection,
       ix: IndexDef): Unit = {
     val t = ix.indexType.toUpperCase
-    if (t.startsWith("IVF") || t == "AUTOINDEX") {
+    if (t == "IVF_RABITQ") {
+      val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
+      ensureRabitq(spark, coll, ix.field,
+        ix.metricType.getOrElse("COSINE"), nlist): Unit
+    } else if (t.startsWith("IVF") || t == "AUTOINDEX") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureIvf(spark, coll, ix.field,
         ix.metricType.getOrElse("COSINE"), nlist): Unit
@@ -187,6 +215,7 @@ object IndexStore {
   /** Remove the persisted index and cached models for a field. */
   def drop(coll: Collection, field: String): Unit = {
     ivfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    rabitqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     deleteRecursively(indexDir(coll, field))
@@ -240,6 +269,40 @@ object IndexStore {
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
         .map(_.toArray).toArray
       IvfBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
+        nlist, seq)
+    }
+
+  // ---- RaBitQ -------------------------------------------------------------
+
+  private def buildRabitq(spark: SparkSession, dir: Path, coll: Collection,
+      field: String, metric: String, nlist: Int, seq: Long): RabitqBuild = {
+    val snapshot = coll.read(spark)
+    val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
+    val vdir = versionDir(dir, seq, "rabitq", metric, nlist)
+    val dataPath = vdir.resolve("data").toString
+    RaBitQ.encode(snapshot, field, model)
+      .repartition(col("_cid"))
+      .write.mode("overwrite").partitionBy("_cid").parquet(dataPath)
+    val centroids: JObject =
+      ("metric" -> metric) ~ ("nlist" -> nlist) ~
+      ("centroids" -> model.centroids.toSeq.map(_.toSeq))
+    Files.write(vdir.resolve("centroids.json"),
+      JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
+    commitPointer(dir, seq, "rabitq", metric, nlist)
+    RabitqBuild(model, dataPath, nlist, seq)
+  }
+
+  private def loadRabitq(dir: Path, metric: String, nlist: Int,
+      seq: Long): Option[RabitqBuild] =
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "rabitq" &&
+      p.metric == metric && p.nlist == nlist).map { _ =>
+      implicit val fmt: Formats = DefaultFormats
+      val vdir = versionDir(dir, seq, "rabitq", metric, nlist)
+      val j = JsonMethods.parse(
+        new String(Files.readAllBytes(vdir.resolve("centroids.json"))))
+      val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
+        .map(_.toArray).toArray
+      RabitqBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
         nlist, seq)
     }
 

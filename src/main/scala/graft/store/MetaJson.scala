@@ -21,6 +21,7 @@ private[store] object MetaJson {
       ("numPartitions" -> d.numPartitions) ~
       ("ttlSeconds" -> d.ttlSeconds) ~
       ("shardsNum" -> d.shardsNum) ~
+      ("properties" -> d.properties) ~
       ("seq" -> m.seq) ~
       ("loadState" -> m.loadState) ~
       ("fields" -> d.fields.map { f =>
@@ -87,7 +88,9 @@ private[store] object MetaJson {
       shardsNum = (j \ "shardsNum").extract[Int],
       indexes = indexes,
       functions = functions,
-      description = (j \ "description").extract[String])
+      description = (j \ "description").extract[String],
+      properties = (j \ "properties").extractOpt[Map[String, String]]
+        .getOrElse(Map.empty))
     CatalogMeta(d, (j \ "seq").extract[Long], (j \ "loadState").extract[String])
   }
 

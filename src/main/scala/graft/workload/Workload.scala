@@ -1,6 +1,7 @@
 package graft.workload
 
-import graft.store.Collection
+import graft.store.{Collection, QuotaExceededException}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -122,6 +123,44 @@ object Workload {
     PressureResult(stats.snapshot(),
       perOp.asScala.map { case (k, v) => k -> v.get() }.toMap,
       errors.asScala.toSeq)
+  }
+
+  final case class DenyLoopResult(
+      batchesInserted: Int, denyTimes: Int, entities: Long)
+
+  /** Insert batches until the collection's write quota denies the DML
+    * `maxDenyTimes` times (create_n_insert_until_denied.py:119-147: the
+    * reference string-matches "memory quota exceeded", waits, retries,
+    * and stops after max denies; here the typed QuotaExceededException
+    * carries the same message and `backoffMillis` replaces the 15-min
+    * sleep). Any non-quota failure aborts the loop, like the
+    * reference's `else: break`.
+    */
+  def insertUntilDenied(
+      spark: SparkSession,
+      coll: Collection,
+      batchFor: Int => DataFrame,
+      maxDenyTimes: Int = 1,
+      maxBatches: Int = 1000,
+      backoffMillis: Long = 0L): DenyLoopResult = {
+    val denies = math.max(maxDenyTimes, 1)
+    var denyTimes = 0
+    var r = 0
+    var inserted = 0
+    while (denyTimes < denies && r < maxBatches) {
+      try {
+        coll.insert(spark, batchFor(r))
+        inserted += 1
+      } catch {
+        case e: QuotaExceededException =>
+          require(e.getMessage.contains("memory quota exceeded"))
+          denyTimes += 1
+          if (denyTimes < denies && backoffMillis > 0)
+            Thread.sleep(backoffMillis)
+      }
+      r += 1
+    }
+    DenyLoopResult(inserted, denyTimes, coll.numEntities(spark))
   }
 
   private val INSERT_BASE = 10_000_000L

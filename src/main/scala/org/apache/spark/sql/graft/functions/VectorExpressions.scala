@@ -247,3 +247,71 @@ case class SparseInnerProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/** 1-bit quantization code of a vector relative to a center: bit `i` is
+  * set when `vec[i] > center[i]`, packed LSB-first into a byte array of
+  * ceil(dim/8) bytes. This is the encode step of the RaBitQ-family
+  * quantizers (reference index type IVF_RABITQ,
+  * milvus_client/common/workload.py:144): the residual's sign pattern
+  * is the code, and the angle between two residuals is estimated from
+  * the Hamming distance of their codes (random-hyperplane collision
+  * bound: P[sign differs] = theta/pi). Codes are 1/32 the size of the
+  * float vector, so the candidate-generation scan reads 32x less data;
+  * an exact re-rank restores precision on the surviving candidates.
+  */
+case class CenteredSignBits(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+  override def prettyName: String = "centered_sign_bits"
+  private def denseVec = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(denseVec, denseVec)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  private def elemJava(side: Expression, arr: String, i: String): String =
+    side.dataType match {
+      case ArrayType(FloatType, _) => s"((double) $arr.getFloat($i))"
+      case _ => s"$arr.getDouble($i)"
+    }
+  private def elem(side: Expression, arr: ArrayData, i: Int): Double =
+    side.dataType match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ ($n vs ${y.numElements()})")
+    val out = new Array[Byte]((n + 7) >> 3)
+    var i = 0
+    while (i < n) {
+      if (elem(left, x, i) > elem(right, y, i))
+        out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements())
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dimensions differ (" + $n + " vs " + $b.numElements() + ")");
+         |byte[] $out = new byte[($n + 7) >> 3];
+         |for (int i = 0; i < $n; i++) {
+         |  if (${elemJava(left, a, "i")} > ${elemJava(right, b, "i")})
+         |    $out[i >> 3] |= (byte) (1 << (i & 7));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

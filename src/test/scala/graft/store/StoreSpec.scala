@@ -543,4 +543,46 @@ class StoreSpec extends SparkSpec {
     assert(c.query(s, "", outputFields = Seq("id", "content")).columns.toSeq ==
       Seq("id", "content"))
   }
+
+  test("many-collections catalog: concurrent creates stay consistent " +
+      "(requests_10kplus_collections shape, scaled for test time)") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val n = 200
+    // Phase 1: create collections in parallel — catalog metadata ops
+    // are O(1) per collection (one meta.json each), no Spark jobs.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            cat.createCollection(CollectionDef(f"mc_$i%04d", Seq(
+              FieldDef("id", LongType, nullable = false, isPrimary = true),
+              FieldDef("v", LongType)))): Unit
+          }
+        })
+      }.foreach(_.get())
+      // Phase 2: concurrent inserts into a subset + queries across it.
+      val writers = (0 until 20).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val c = cat.collection(f"mc_$i%04d")
+            c.insert(s, (0L until 10L).map(j => (i * 100L + j, j))
+              .toDF("id", "v")): Unit
+          }
+        })
+      }
+      writers.foreach(_.get())
+    } finally pool.shutdown()
+    val listed = cat.listCollections()
+    assert(listed.length == n)
+    assert(listed == (0 until n).map(i => f"mc_$i%04d"))
+    (0 until 20).foreach { i =>
+      assert(cat.collection(f"mc_$i%04d").numEntities(s) == 10)
+    }
+    assert(cat.collection("mc_0150").numEntities(s) == 0)
+    assert(cat.describeCollection("mc_0199").fields.map(_.name) ==
+      Seq("id", "v"))
+  }
 }

@@ -220,4 +220,37 @@ class BrickSpec extends SparkSpec {
       ResourceGroups.withGroup(s, "nope")(()))
     ResourceGroups.drop("rg1")
   }
+
+  test("write quota denies with the reference's message; deny loop counts") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-quota").toString)
+    val c = cat.createCollection(CollectionDef("q", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("v", LongType)),
+      properties = Map("quota.rows" -> "100")))
+    def batch(r: Int) =
+      (0 until 40).map(i => (r * 100L + i, i.toLong)).toDF("id", "v")
+    // High-water semantics: 40, 80 are under quota; the batch landing
+    // at 120 crosses it; the next insert is denied.
+    val res = Workload.insertUntilDenied(s, c, batch, maxDenyTimes = 2)
+    assert(res.batchesInserted == 3)
+    assert(res.denyTimes == 2)
+    assert(res.entities == 120)
+    val e = intercept[graft.store.QuotaExceededException](
+      c.insert(s, batch(99)))
+    assert(e.getMessage.contains("memory quota exceeded"))
+    // clearing the quota property re-opens the collection for writes
+    cat.alterCollectionProperties("q", Map("quota.rows" -> ""))
+    c.insert(s, batch(50))
+    assert(c.numEntities(s) == 160)
+    // byte quota: 1-byte quota denies immediately once any delta exists
+    val cb = cat.createCollection(CollectionDef("qb", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true)),
+      properties = Map("quota.bytes" -> "1")))
+    cb.insert(s, Seq(1L).toDF("id"))
+    assert(cb.storageBytes >= 1)
+    intercept[graft.store.QuotaExceededException](
+      cb.insert(s, Seq(2L).toDF("id")))
+  }
 }
