@@ -17,7 +17,7 @@ import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef, IndexStore}
 import graft.workload.ResourceGroups
 import graft.text.{Bm25, TextOps}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, MapType, StringType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -928,6 +928,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum("event_id").cast("long").as("sum_id"))
     },
+    // ---- V16: sparse inverted index through the collection route
+    // (SPARSE_INVERTED_INDEX, workload.py:150-151): dimension postings
+    // persisted partitionBy(_db), the query joins only its dims'
+    // buckets, scores are EXACT inner products — same fixture and
+    // hand-derived values as the brute-force v2_sparse_topk, so the
+    // index path must reproduce them bit-for-bit. ---------------------
+    "v16_sparse_indexed" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-spidx").toString)
+      val c = cat.createCollection(CollectionDef("spi", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("vec", MapType(IntegerType, DoubleType)))))
+      c.insert(s, Seq(
+        (1L, Map(1 -> 2.0, 5 -> 1.0)), (2L, Map(1 -> 4.0)),
+        (3L, Map(9 -> 7.0)), (4L, Map(1 -> 1.0, 9 -> 1.0))).toDF("id", "vec"))
+      c.createIndex(s, IndexDef("vec", "SPARSE_INVERTED_INDEX"))
+      CollectionSearch.searchSparse(s, c, "vec", Map(1 -> 1.0, 9 -> 2.0), 3)
+    },
     // ---- W5: pressure availability analytics (common/pressure_
     // maintenance.py:59-235): failed-metric summation, rollout-window
     // vs steady-state slicing, synthetic samples for missing results.
@@ -992,6 +1011,32 @@ object SparkEntry {
       val maxPk = c.read(s).agg(max("o_orderkey")).head().getLong(0)
       Seq((res.batchesInserted, res.denyTimes, res.entities, maxPk))
         .toDF("batches", "deny_times", "entities", "max_pk")
+    },
+    // ---- S27: auto-compaction policy (compaction.maxDeltas property):
+    // 8 insert batches against a high-water of 4 must fold the chain at
+    // least once; the surviving snapshot is byte-equal to the union of
+    // the batches (entities + max pk re-derived by the oracle from the
+    // same ordered orders slice), and the chain stays bounded. --------
+    "s27_auto_compaction" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ac").toString)
+      val c = cat.createCollection(CollectionDef("ac", Seq(
+        FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("o_totalprice", DoubleType)),
+        properties = Map("compaction.maxDeltas" -> "4")))
+      val numbered = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("_rn", row_number().over(Window.orderBy("o_orderkey")))
+      (0 until 8).foreach { r =>
+        c.insert(s, numbered
+          .filter(col("_rn") > r * 50 && col("_rn") <= (r + 1) * 50)
+          .drop("_rn")): Unit
+      }
+      c.delete(s, "o_orderkey % 10 == 0")
+      val maxPk = c.read(s).agg(max("o_orderkey")).head().getLong(0)
+      Seq((c.numEntities(s), c.numDeltas <= 4, maxPk))
+        .toDF("entities", "chain_bounded", "max_pk")
     },
     // ---- V13: BM25 text highlighter (3.0 text surface: query-term
     // tagging, fragment config, highlighter score) over the top-k ------
@@ -1645,6 +1690,14 @@ object SparkEntry {
           |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE)),
           |  (CAST(4 AS BIGINT), CAST(3.0 AS DOUBLE))
           |) t(id, score) ORDER BY score DESC, id""".stripMargin,
+      // Same hand-derived inner products as v2_sparse_topk — the
+      // indexed path must reproduce the brute-force scores exactly.
+      "v16_sparse_indexed" ->
+        """SELECT id, score FROM (VALUES
+          |  (CAST(3 AS BIGINT), CAST(14.0 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE)),
+          |  (CAST(4 AS BIGINT), CAST(3.0 AS DOUBLE))
+          |) t(id, score) ORDER BY score DESC, id""".stripMargin,
       "v2_binary_topk" ->
         """SELECT id, score FROM (VALUES
           |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
@@ -1888,6 +1941,14 @@ object SparkEntry {
           |) t(scope, samples, ops_total, requests_failed, success_rate,
           |    failed_samples, impacted)
           |ORDER BY scope""".stripMargin,
+      // Entities/max_pk re-derived from the same 400-row orders slice
+      // the loop inserted (minus the pk%10==0 deletes); chain_bounded
+      // is the policy's contract.
+      "s27_auto_compaction" ->
+        """SELECT count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS entities,
+          |  true AS chain_bounded,
+          |  max(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey END) AS max_pk
+          |FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 400)""".stripMargin,
       // Quota arithmetic is hand-derivable (100-row quota, 40-row
       // batches, high-water deny); entities and max_pk are computed
       // from the same ordered orders slice the loop inserted.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ann.{Ivf, RaBitQ}
+import graft.ann.{Ivf, RaBitQ, SparseInverted}
 import graft.expr.MilvusExpr
 import graft.store.{Collection, IndexStore}
 import graft.text.Bm25
@@ -41,10 +41,21 @@ object CollectionSearch {
       .getOrElse("COSINE")
     val rabitqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
+    // HNSW / DISKANN declarations serve from the IVF physical path:
+    // a per-query graph walk is a serial-machine shape with no
+    // data-parallel analog, and the Spark-native equivalent of "skip
+    // most of the data per query" is cell-pruned search — so their
+    // create_index calls still get accelerated serving (AUTOINDEX
+    // semantics), with `ef`/`search_list_size` accepted as the probe
+    // budget (workload.py:141-147 maps per-type search params).
     val ivfDeclared = !rabitqDeclared && index.exists(ix =>
       ix.indexType.toUpperCase.startsWith("IVF") ||
-        ix.indexType.toUpperCase == "AUTOINDEX")
-    searchParams.get("nprobe").map(_.toInt) match {
+        Set("AUTOINDEX", "HNSW", "DISKANN")
+          .contains(ix.indexType.toUpperCase))
+    val probeBudget = searchParams.get("nprobe")
+      .orElse(searchParams.get("ef"))
+      .orElse(searchParams.get("search_list_size"))
+    probeBudget.map(_.toInt) match {
       case Some(nprobe) if rabitqDeclared && partitionNames.isEmpty =>
         // Quantized path: Hamming-estimate candidates over the probed
         // cells' narrow code columns, exact re-rank of k*refine_k.
@@ -75,6 +86,45 @@ object CollectionSearch {
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, data))
         Knn.searchOne(data, queryVec, vecField, pk, metric, k, pred, outputFields)
+    }
+  }
+
+  /** Sparse-vector search (map<int,double> field). With a declared
+    * SPARSE_INVERTED_INDEX / SPARSE_WAND the query joins ONLY its
+    * dimensions' persisted posting buckets (exact IP over overlapping
+    * docs — non-overlapping docs score 0 and are never returned, the
+    * reference engine's behavior); otherwise a brute-force scored scan.
+    */
+  def searchSparse(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      query: Map[Int, Double],
+      k: Int,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty): DataFrame = {
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val declared = d.indexes.exists(ix => ix.field == vecField &&
+      Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+        .contains(ix.indexType.toUpperCase))
+    if (declared) {
+      val buckets = d.indexes.find(_.field == vecField)
+        .flatMap(_.params.get("buckets")).map(_.toInt).getOrElse(64)
+      val build = IndexStore.ensureSparse(spark, coll, vecField, buckets)
+      val postings = spark.read.parquet(build.postingsPath)
+      // Filters over non-pk columns need the doc row, not the posting;
+      // restrict to pk predicates the exploded table still carries.
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, postings))
+      SparseInverted.search(postings, query, pk, k, build.numBuckets, pred)
+    } else {
+      val data = coll.read(spark)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, data))
+      Knn.searchOneSparse(data, query, vecField, pk, k, pred)
     }
   }
 

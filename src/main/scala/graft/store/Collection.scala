@@ -306,8 +306,16 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         .select(userColumns(d).map(col): _*)
     }
     val deltaPath = writeDelta(spark, df, d, seq, partition, deleted = false)
-    val written = spark.read.parquet(deltaPath).select(pk.name)
-    InsertResult(written.count(), written)
+    val written0 = spark.read.parquet(deltaPath).select(pk.name)
+    // With auto-compaction on, the delta this lazy frame points at can
+    // be folded away by a later DML — detach the ids from the file.
+    val written =
+      if (d.properties.contains("compaction.maxDeltas"))
+        written0.localCheckpoint(true)
+      else written0
+    val res = InsertResult(written.count(), written)
+    maybeAutoCompact(spark, d)
+    res
   }
 
   /** Upsert: replace-by-PK (full rows), or `partialUpdate` column
@@ -354,6 +362,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       }
     val seq = catalog.nextSeq(name)
     writeDelta(spark, batch, d, seq, partition, deleted = false)
+    maybeAutoCompact(spark, d)
   }
 
   /** 3.0 partial-update array operation family (feature-inventory plan
@@ -405,6 +414,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val seq = catalog.nextSeq(name)
     writeDelta(spark, joined.select(cols ++ dynCols: _*), d, seq, None,
       deleted = false)
+    maybeAutoCompact(spark, d)
   }
 
   /** Delete by filter expression (string, compiled via MilvusExpr) —
@@ -442,7 +452,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       .withColumn(DEL, lit(true))
       .withColumn(TS, lit(System.currentTimeMillis()))
     commitDelta(tombstones, seq)
-    victims.count()
+    // Count BEFORE compaction: the victims lineage reads the pre-delta
+    // files a triggered fold would delete.
+    val n = victims.count()
+    maybeAutoCompact(spark, d)
+    n
   }
 
   /** Write a delta through a staging directory + atomic rename, so
@@ -642,35 +656,49 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   /** Fold all deltas into a single base delta (bounds read
     * amplification; the LSM "major compaction").
+    *
+    * Race-safe against concurrent DML (the pressure-runner +
+    * auto-compaction shape): only the deltas captured BEFORE the fold
+    * are deleted afterward. A delta committed mid-compaction is either
+    * (a) not folded and not deleted — untouched, or (b) folded into
+    * the new base AND left on disk — harmless redundancy that
+    * last-writer-wins resolves (the base carries the higher seq) and
+    * the next compaction removes. One compaction at a time per
+    * collection directory (JVM lock), so two triggers can't do the
+    * rewrite twice.
     */
-  def compact(spark: SparkSession): Unit = {
-    val d = definition
-    // keepInternals: the fold preserves each row's original `_part`
-    // (physical partition — re-deriving would re-route explicitly
-    // placed rows) and `_ts` (TTL clock — restamping would reset
-    // expiry on every compaction).
-    val snapshot = assemble(spark, Seq.empty, None, None, keepInternals = true)
-    val seq = catalog.nextSeq(name)
-    val staging = dataDir.resolve(s"_staging_$seq").toString
-    snapshot
-      .withColumn(SEQ, lit(seq))
-      .withColumn(DEL, lit(false))
-      // Co-locate partitions for the full rewrite: one file per
-      // partition directory instead of tasks x partitions. Small DML
-      // deltas skip this (an extra shuffle per insert would tax the
-      // pressure path); compaction is where layout gets repaired.
-      .repartition(col(PART))
-      .sortWithinPartitions(d.primaryField.name)
-      .write.mode("overwrite").partitionBy(PART).parquet(staging)
-    // Swap: remove old deltas, rename staging in.
-    import scala.collection.JavaConverters._
-    Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("delta_"))
-      .toSeq.foreach(p => deleteRecursively(p))
-    Files.move(java.nio.file.Paths.get(staging),
-      dataDir.resolve(f"delta_$seq%012d"))
-    refreshCachedSnapshot(spark)
-  }
+  def compact(spark: SparkSession): Unit =
+    Collection.compactLock(dataDir.toString).synchronized {
+      val d = definition
+      val folded = deltaPaths
+      if (folded.isEmpty) return
+      // keepInternals: the fold preserves each row's original `_part`
+      // (physical partition — re-deriving would re-route explicitly
+      // placed rows) and `_ts` (TTL clock — restamping would reset
+      // expiry on every compaction).
+      val snapshot = assemble(spark, Seq.empty, None, None, keepInternals = true)
+      val seq = catalog.nextSeq(name)
+      val staging = dataDir.resolve(s"_staging_$seq").toString
+      snapshot
+        .withColumn(SEQ, lit(seq))
+        .withColumn(DEL, lit(false))
+        // Co-locate partitions for the full rewrite: one file per
+        // partition directory instead of tasks x partitions. Small DML
+        // deltas skip this (an extra shuffle per insert would tax the
+        // pressure path); compaction is where layout gets repaired.
+        .repartition(col(PART))
+        .sortWithinPartitions(d.primaryField.name)
+        .write.mode("overwrite").partitionBy(PART).parquet(staging)
+      folded.foreach(p => deleteRecursively(p))
+      Files.move(java.nio.file.Paths.get(staging),
+        dataDir.resolve(f"delta_$seq%012d"))
+      refreshCachedSnapshot(spark)
+    }
+
+  /** Committed delta count (read-amplification stat; what the
+    * auto-compaction policy meters).
+    */
+  def numDeltas: Int = deltaPaths.size
 
   def numEntities(spark: SparkSession): Long = read(spark).count()
 
@@ -832,10 +860,32 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       seq)
   }
 
+  /** Auto-compaction policy (Milvus auto-compaction analog, opt-in via
+    * the `compaction.maxDeltas` table property): once the delta chain
+    * crosses the high-water count, fold it — without this an
+    * append-heavy workload grows merge-on-read cost without bound.
+    * Called at the END of each DML op, after the op has materialized
+    * everything it reads from the just-committed delta.
+    */
+  private def maybeAutoCompact(spark: SparkSession, d: CollectionDef): Unit =
+    d.properties.get("compaction.maxDeltas").map(_.toInt).foreach { max =>
+      if (deltaPaths.size >= max) compact(spark)
+    }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.collection.JavaConverters._
     if (Files.isDirectory(p))
       Files.list(p).iterator.asScala.foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+}
+
+object Collection {
+  // One compaction at a time per collection DIRECTORY (not instance:
+  // catalog.collection(name) hands out fresh instances over the same
+  // storage).
+  private val compactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def compactLock(dir: String): Object =
+    compactLocks.computeIfAbsent(dir, _ => new Object)
 }

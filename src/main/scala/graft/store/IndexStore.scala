@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.{Ivf, RaBitQ}
+import graft.ann.{Ivf, RaBitQ, SparseInverted}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -63,6 +63,12 @@ object IndexStore {
   private val rabitqCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Int, Long), RabitqBuild]()
 
+  final case class SparseBuild(postingsPath: String, numBuckets: Int,
+      builtSeq: Long)
+
+  private val sparseCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Long), SparseBuild]()
+
   final case class JsonPathBuild(dataPath: String, path: String,
       castType: String, builtSeq: Long)
 
@@ -115,6 +121,40 @@ object IndexStore {
         buildRabitq(spark, dir, coll, field, metric, nlist, seq))
     })
   }
+
+  /** Ensure a fresh persisted sparse inverted index: dimension
+    * postings `partitionBy(_db)` so a query's scan prunes to its
+    * dimensions' bucket directories.
+    */
+  def ensureSparse(spark: SparkSession, coll: Collection,
+      field: String, numBuckets: Int): SparseBuild = {
+    val seq = coll.committedSeq
+    val key = (coll.name, field, numBuckets, seq)
+    sparseCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._4 != seq)
+    sparseCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      loadSparse(dir, numBuckets, seq).getOrElse {
+        val pk = coll.definition.primaryField.name
+        val vdir = versionDir(dir, seq, "sparse", "IP", numBuckets)
+        val postingsPath = vdir.resolve("postings").toString
+        SparseInverted.postings(coll.read(spark), field, pk, numBuckets)
+          .repartition(col(SparseInverted.BUCKET))
+          .write.mode("overwrite")
+          .partitionBy(SparseInverted.BUCKET).parquet(postingsPath)
+        commitPointer(dir, seq, "sparse", "IP", numBuckets)
+        SparseBuild(postingsPath, numBuckets, seq)
+      }
+    })
+  }
+
+  private def loadSparse(dir: Path, numBuckets: Int,
+      seq: Long): Option[SparseBuild] =
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sparse" &&
+      p.nlist == numBuckets).map { _ =>
+      SparseBuild(versionDir(dir, seq, "sparse", "IP", numBuckets)
+        .resolve("postings").toString, numBuckets, seq)
+    }
 
   def ensureBm25(spark: SparkSession, coll: Collection,
       field: String, params: Bm25.Params): Bm25Build = {
@@ -200,6 +240,9 @@ object IndexStore {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureIvf(spark, coll, ix.field,
         ix.metricType.getOrElse("COSINE"), nlist): Unit
+    } else if (t == "SPARSE_INVERTED_INDEX" || t == "SPARSE_WAND") {
+      val buckets = ix.params.get("buckets").map(_.toInt).getOrElse(64)
+      ensureSparse(spark, coll, ix.field, buckets): Unit
     } else if (t == "BM25" || t == "INVERTED_TEXT") {
       ensureBm25(spark, coll, ix.field, Bm25.Params()): Unit
     } else if (t == "JSON_PATH") {
@@ -216,6 +259,7 @@ object IndexStore {
   def drop(coll: Collection, field: String): Unit = {
     ivfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     rabitqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     deleteRecursively(indexDir(coll, field))

@@ -161,4 +161,66 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(c.queryJsonPath(s, "props", "$.missing", "long",
       v => v.isNotNull).count() == 0)
   }
+
+  test("sparse inverted index: bucket-pruned exact IP, matches brute force, DML-fresh") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-spix").toString)
+    val c = cat.createCollection(CollectionDef("sp", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("vec", MapType(IntegerType, DoubleType)))))
+    // 200 docs, ~8 nnz each over a 1000-dim space, deterministic
+    val rows = (0L until 200L).map { i =>
+      (i, (0 until 8).map(j => ((i * 37 + j * 131) % 1000).toInt ->
+        ((i + j) % 10 + 1).toDouble).toMap)
+    }
+    c.insert(s, rows.toDF("id", "vec"))
+    c.createIndex(s, IndexDef("vec", "SPARSE_INVERTED_INDEX"))
+    val q = rows(7)._2 // query with doc 7's vector: it must rank first
+    val viaIndex = CollectionSearch.searchSparse(s, c, "vec", q, 5)
+    // Brute force pads with zero-score (non-overlapping) docs to reach
+    // k; the index only returns docs sharing >= 1 dimension (the
+    // reference engine's sparse semantics) — compare on that set.
+    val brute = graft.operators.Knn.searchOneSparse(c.read(s), q, "vec", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 > 0).toSeq
+    assert(viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == brute)
+    assert(viaIndex.head().getLong(0) == 7L)
+    // the query's dimension buckets prune postings partitions
+    val plan = CollectionSearch.searchSparse(s, c, "vec", q, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_db"),
+      s"dimension buckets did not prune the postings scan:\n$plan")
+    // DML invalidates: an overwhelming new doc on the query's dims wins
+    c.upsert(s, Seq((5000L, q.map { case (d, _) => d -> 100.0 }))
+      .toDF("id", "vec"))
+    assert(CollectionSearch.searchSparse(s, c, "vec", q, 1)
+      .head().getLong(0) == 5000L)
+    // SPARSE_WAND routes to the same physical index
+    val c2 = cat.createCollection(CollectionDef("spw", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("vec", MapType(IntegerType, DoubleType)))))
+    c2.insert(s, rows.take(50).toDF("id", "vec"))
+    c2.createIndex(s, IndexDef("vec", "SPARSE_WAND"))
+    val wand = CollectionSearch.searchSparse(s, c2, "vec", q, 3).collect()
+    assert(wand.nonEmpty && wand.head.getLong(0) == 7L)
+  }
+
+  test("HNSW/DISKANN declarations serve from the accelerated path (ef budget)") {
+    val s = spark
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+      Map("nlist" -> "8")))
+    // ef >= nlist probes every cell -> exact; plan must prune via _cid
+    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+      searchParams = Map("ef" -> "32"))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cid"),
+      s"HNSW declaration did not route to the pruned index path:\n$plan")
+    val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
+      "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == exact)
+  }
 }

@@ -544,6 +544,45 @@ class StoreSpec extends SparkSpec {
       Seq("id", "content"))
   }
 
+  test("auto-compaction folds the delta chain at the configured high-water") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("ac", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("v", LongType)),
+      properties = Map("compaction.maxDeltas" -> "5")))
+    (0 until 8).foreach { r =>
+      c.insert(s, (0L until 10L).map(j => (r * 10L + j, j)).toDF("id", "v"))
+    }
+    // 8 inserts with maxDeltas=5: the chain folded at least once and
+    // never exceeds the high-water; all rows survive the folds.
+    assert(c.numDeltas <= 5, s"chain not compacted: ${c.numDeltas} deltas")
+    assert(c.numEntities(s) == 80)
+    // LWW + tombstones survive compaction
+    c.upsert(s, Seq((3L, 999L)).toDF("id", "v"))
+    c.delete(s, "id == 7")
+    c.compact(s)
+    assert(c.numDeltas == 1)
+    assert(c.numEntities(s) == 79)
+    assert(c.query(s, "id == 3").head().getLong(1) == 999L)
+    assert(c.query(s, "id == 7").count() == 0)
+    // concurrent DML + auto-compaction: no lost writes, no crashes
+    val c2 = cat.createCollection(CollectionDef("ac2", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true)),
+      properties = Map("compaction.maxDeltas" -> "4")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      (0 until 16).map { r =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            c2.insert(s, (0L until 5L).map(j => r * 10L + j).toDF("id")): Unit
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    assert(c2.numEntities(s) == 16 * 5)
+  }
+
   test("many-collections catalog: concurrent creates stay consistent " +
       "(requests_10kplus_collections shape, scaled for test time)") {
     val s = spark
