@@ -1012,6 +1012,26 @@ object SparkEntry {
       Seq((res.batchesInserted, res.denyTimes, res.entities, maxPk))
         .toDF("batches", "deny_times", "entities", "max_pk")
     },
+    // ---- W6: upgrade/rollback compatibility scenario (scenarios/
+    // upgrade_rollback_compatibility.py): the full step orchestration —
+    // precheck → schema → seed → integrity validate → bounded pressure/
+    // validator slices → (skipped) upgrade/rollback waits → post-phase
+    // validations → serviceability wait → final validate — with every
+    // step's status and order deterministic (seeded pressure, no-op
+    // actions), re-derived in the oracle's VALUES. ---------------------
+    "w6_scenario" -> { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-w6")
+      val cat = new Catalog(root.resolve("cat").toString)
+      val out = graft.workload.Scenario.execute(s, cat,
+        graft.workload.Scenario.Manifest(
+          rowsPerCollection = 200, batchSize = 100, pressureOpsPerSlice = 12),
+        root.resolve("cp").toString, root.resolve("results").toString)
+      out.steps.zipWithIndex.map { case (st, i) =>
+        (i + 1, st.name, st.phase, st.status, st.background.getOrElse(""))
+      }.toDF("idx", "step", "phase", "status", "background")
+        .orderBy("idx")
+    },
     // ---- S27: auto-compaction policy (compaction.maxDeltas property):
     // 8 insert batches against a high-water of 4 must fold the chain at
     // least once; the surviving snapshot is byte-equal to the union of
@@ -1941,6 +1961,29 @@ object SparkEntry {
           |) t(scope, samples, ops_total, requests_failed, success_rate,
           |    failed_samples, impacted)
           |ORDER BY scope""".stripMargin,
+      // The scenario's step sequence and statuses are fully determined
+      // by the manifest (seeded pressure, no-op actions => skipped
+      // waits) — the oracle re-states the contract step by step.
+      "w6_scenario" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'precheck', 'before_upgrade', 'passed', ''),
+          |  (2, 'create_compat_schema', 'before_upgrade', 'passed', ''),
+          |  (3, 'seed_compat_data', 'before_upgrade', 'passed', ''),
+          |  (4, 'validate_before_upgrade', 'before_upgrade', 'passed', ''),
+          |  (5, 'mixed_rw_pressure_loop_1', 'steady_state', 'passed', 'mixed_rw_pressure'),
+          |  (6, 'validate_compat_loop_1', 'steady_state', 'passed', 'validator'),
+          |  (7, 'wait_upgrade', 'before_upgrade', 'skipped', ''),
+          |  (8, 'validate_after_upgrade', 'after_upgrade', 'passed', ''),
+          |  (9, 'create_forward_schema_1', 'after_upgrade', 'passed', ''),
+          |  (10, 'seed_forward_data_1', 'after_upgrade', 'passed', ''),
+          |  (11, 'validate_forward_after_upgrade_1', 'after_upgrade', 'passed', ''),
+          |  (12, 'wait_rollback', 'before_rollback', 'skipped', ''),
+          |  (13, 'validate_after_rollback', 'after_rollback', 'passed', ''),
+          |  (14, 'wait_rollback_serviceability', 'after_rollback', 'passed', ''),
+          |  (15, 'mixed_rw_pressure_loop_2', 'steady_state', 'passed', 'mixed_rw_pressure'),
+          |  (16, 'validate_compat_loop_2', 'steady_state', 'passed', 'validator'),
+          |  (17, 'final_validate_compat', 'steady_state', 'passed', '')
+          |) t(idx, step, phase, status, background) ORDER BY idx""".stripMargin,
       // Entities/max_pk re-derived from the same 400-row orders slice
       // the loop inserted (minus the pk%10==0 deletes); chain_bounded
       // is the policy's contract.
