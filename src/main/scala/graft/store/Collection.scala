@@ -443,7 +443,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       d.partitionKeyField.isEmpty && d.numPartitions.isEmpty
     val targets =
       if (unpartitioned) victims.withColumn(PART, lit(DEFAULT_PART))
-      else rawDeltas(spark, d)
+      else rawDeltas(spark, d, deltaPaths.map(_.toString))
         .map(_.select(col(pk), col(PART))
           .join(victims, Seq(pk), "left_semi").distinct())
         .getOrElse(victims.withColumn(PART, lit(DEFAULT_PART)))
@@ -596,13 +596,24 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       } finally stream.close()
     }
 
+  /** Compaction stamps this marker in the base it writes: the base is
+    * exactly one row per live PK with `_del = false` (the fold already
+    * resolved last-writer-wins and dropped tombstones). A read that
+    * sees a single marked delta can skip the merge window entirely —
+    * the 100 TB difference between "scan parquet" and "hash-shuffle the
+    * whole table by PK before every query".
+    */
+  private val UniqueBaseMarker = "_unique_base"
+
+  private def isUniqueBase(p: java.nio.file.Path): Boolean =
+    Files.exists(p.resolve(UniqueBaseMarker))
+
   /** Raw committed-delta scan (below the merge window), or None for an
     * empty collection. Each delta is `partitionBy(_part)`, so `_part`
     * predicates on this frame are partition (directory) filters.
     */
-  private def rawDeltas(spark: SparkSession,
-      d: CollectionDef): Option[DataFrame] = {
-    val deltas = deltaPaths.map(_.toString)
+  private def rawDeltas(spark: SparkSession, d: CollectionDef,
+      deltas: Seq[String]): Option[DataFrame] = {
     if (deltas.isEmpty) None
     else Some(deltas
       // One scan per delta root, unioned: multi-root reads can't share
@@ -620,7 +631,8 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       pkSemi: Option[DataFrame] = None): DataFrame = {
     val d = definition
     val outCols = userColumns(d) ++ (if (keepInternals) Seq(PART, TS) else Nil)
-    val raw = rawDeltas(spark, d)
+    val paths = deltaPaths
+    val raw = rawDeltas(spark, d, paths.map(_.toString))
     if (raw.isEmpty) {
       val st =
         if (!keepInternals) d.structType
@@ -641,11 +653,19 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     // whole-group-safe shape as pkPrefilter (every delta row of a pk
     // is kept or dropped together), used by secondary-index lookups.
     pkSemi.foreach(p => df = df.join(p, Seq(pk), "left_semi"))
-    // Last write per PK wins; tombstones drop the key.
-    val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
-    var out = df
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col(DEL))
+    // Last write per PK wins; tombstones drop the key. FAST PATH: a
+    // single compaction-stamped base is already unique-per-pk with no
+    // tombstones, so the row_number window (a full PK hash shuffle per
+    // uncached read) is provably a no-op — skip it and read the base
+    // as plain pruned parquet. The `!_del` filter stays as a pushed
+    // scan predicate (free belt-and-braces, no shuffle).
+    var out =
+      if (paths.size == 1 && isUniqueBase(paths.head)) df.filter(!col(DEL))
+      else {
+        val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
+        df.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 && !col(DEL))
+      }
     d.ttlSeconds.foreach { ttl =>
       val now = asOfMillis.getOrElse(System.currentTimeMillis())
       out = out.filter(col(TS) >= lit(now - ttl * 1000L))
@@ -689,6 +709,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         .repartition(col(PART))
         .sortWithinPartitions(d.primaryField.name)
         .write.mode("overwrite").partitionBy(PART).parquet(staging)
+      // Stamp BEFORE the atomic move: the marker and the base become
+      // visible together, so a reader can never see a marked
+      // half-written directory. (Spark ignores `_`-prefixed files.)
+      Files.write(java.nio.file.Paths.get(staging).resolve(UniqueBaseMarker),
+        Array.emptyByteArray)
       folded.foreach(p => deleteRecursively(p))
       Files.move(java.nio.file.Paths.get(staging),
         dataDir.resolve(f"delta_$seq%012d"))

@@ -421,6 +421,38 @@ class StoreSpec extends SparkSpec {
     assert(c.numEntities(s) == 4)
   }
 
+  test("single compacted base reads skip the merge window (no shuffle)") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("uniqbase"))
+    c.insert(s, (0L until 10L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.upsert(s, Seq((3L, 77L, "upd", 1L)).toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 9")
+    c.compact(s)
+    // Post-compaction the collection is one unique-per-pk base: the
+    // read plan must be a plain pruned parquet scan — no Window, no
+    // Exchange. At 100 TB this is the difference between scanning and
+    // hash-shuffling the whole table by PK on every query.
+    val plan = c.read(s).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"merge window not skipped:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(c.read(s).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 9L))
+    assert(c.read(s).filter($"id" === 3).head().getString(2) == "upd")
+    // A new DML after compaction reintroduces the merge window...
+    c.delete(s, "id == 0")
+    val plan2 = c.read(s).queryExecution.executedPlan.toString
+    assert(plan2.contains("Window"), s"merge window missing with deltas:\n$plan2")
+    assert(c.numEntities(s) == 8)
+    // ...and the next compaction removes it again.
+    c.compact(s)
+    val plan3 = c.read(s).queryExecution.executedPlan.toString
+    assert(!plan3.contains("Window") && !plan3.contains("Exchange"))
+    assert(c.numEntities(s) == 8)
+  }
+
   test("PK-only predicates push below the merge window and stay correct") {
     val s = spark
     import s.implicits._
