@@ -220,13 +220,18 @@ object Ivf {
   def recallAtK(data: DataFrame, assigned: DataFrame, model: Model,
       queries: Seq[(Long, Seq[Float])], vecCol: String, idCol: String,
       k: Int, nprobe: Int): Double = {
-    val recalls = queries.map { case (_, qv) =>
-      val exact = Knn.searchOne(data, qv, vecCol, idCol, model.metric, k)
-        .select(idCol).collect().map(_.get(0)).toSet
-      val approx = searchOne(assigned, model, qv, vecCol, idCol, k, nprobe)
-        .select(idCol).collect().map(_.get(0)).toSet
-      (exact intersect approx).size.toDouble / k
-    }
-    recalls.sum / recalls.length
+    // Batched: ONE exact top-k job and ONE ANN top-k job over the whole
+    // query set, semi-joined on (qid, id). sum(|exact ∩ approx|)/(nq·k)
+    // equals the per-query recall average — the old per-query driver
+    // loop ran 2·nq jobs for the same number.
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+    val exact = Knn.search(data, qdf, vecCol, idCol, model.metric, k)
+      .select(col("qid").cast("string").as("qid"), col(idCol))
+    val approx = search(assigned, model, qdf, vecCol, idCol, k, nprobe)
+      .select(col("qid").cast("string").as("qid"), col(idCol))
+    exact.join(approx, Seq("qid", idCol), "left_semi").count().toDouble /
+      (queries.size.toLong * k)
   }
 }

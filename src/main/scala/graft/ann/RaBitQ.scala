@@ -146,15 +146,22 @@ object RaBitQ {
       queries: Seq[(Long, Seq[Float])], vecCol: String, idCol: String,
       k: Int, nprobe: Int, refine: Int = 4,
       metric: String = "L2"): Double = {
-    val recalls = queries.map { case (_, qv) =>
-      val exact = graft.operators.Knn
-        .searchOne(data, qv, vecCol, idCol, metric, k)
-        .select(idCol).collect().map(_.get(0)).toSet
-      val approx = searchOne(encoded, model, qv, vecCol, idCol, k, nprobe,
-        refine, metric)
-        .select(idCol).collect().map(_.get(0)).toSet
-      (exact intersect approx).size.toDouble / k
-    }
-    recalls.sum / recalls.length
+    // Batched: ONE exact top-k job and ONE quantized top-k job over the
+    // whole query set, semi-joined on (qid, id). sum(|exact ∩ approx|)
+    // / (nq·k) equals the per-query average — the old per-query driver
+    // loop ran 2·nq jobs for the same number.
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+    val exact = graft.operators.Knn
+      .search(data, qdf, vecCol, idCol, metric, k)
+      .select(col("qid").cast("string").as("qid"), col(idCol))
+    val approx = search(encoded, model,
+      queries.map { case (qid, qv) =>
+        (qid.toString, qv.map(_.toDouble).toArray)
+      }, vecCol, idCol, k, nprobe, refine, metric)
+      .select(col("qid"), col(idCol))
+    exact.join(approx, Seq("qid", idCol), "left_semi").count().toDouble /
+      (queries.size.toLong * k)
   }
 }

@@ -32,7 +32,7 @@ final case class Cmp(operands: Seq[Node], ops: Seq[String]) extends Node
 final case class In(e: Node, list: ListLit, negated: Boolean) extends Node
 final case class Like(e: Node, pattern: String, negated: Boolean) extends Node
 /** `field =~ "regex"` (3.0 surface). */
-final case class RegexMatch(e: Node, pattern: String) extends Node
+final case class RegexMatch(e: Node, pattern: String, negated: Boolean = false) extends Node
 final case class IsNull(e: Node, negated: Boolean) extends Node
 /** Function call: ARRAY_CONTAINS(_ANY/_ALL), JSON_CONTAINS(_ANY/_ALL),
   * ARRAY_LENGTH, ST_CONTAINS, TEXT_MATCH — name is lower-cased.

@@ -80,8 +80,9 @@ object Compiler {
         // LIKE semantics — direct mapping.
         val c = stringOf(eval(e)).like(pattern)
         Concrete(if (negated) !c else c, BooleanType)
-      case RegexMatch(e, pattern) =>
-        Concrete(stringOf(eval(e)).rlike(pattern), BooleanType)
+      case RegexMatch(e, pattern, negated) =>
+        val c = stringOf(eval(e)).rlike(pattern)
+        Concrete(if (negated) !c else c, BooleanType)
       case IsNull(e, negated) =>
         val c = eval(e).column
         Concrete(if (negated) c.isNotNull else c.isNull, BooleanType)
@@ -378,7 +379,7 @@ object MilvusExpr {
       case Cmp(operands, _) => operands.flatMap(walk).toSet
       case In(e, list, _) => walk(e) ++ walk(list)
       case Like(e, _, _) => walk(e)
-      case RegexMatch(e, _) => walk(e)
+      case RegexMatch(e, _, _) => walk(e)
       case IsNull(e, _) => walk(e)
       case Call(_, args) => args.flatMap(walk).toSet
       case _ => Set.empty

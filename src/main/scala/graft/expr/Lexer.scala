@@ -16,7 +16,7 @@ object Lexer {
 
   // Longest-first so `**`/`==`/`<=`/`&&` win over their prefixes.
   private val ops = Seq(
-    "**", "==", "!=", ">=", "<=", "=~", "&&", "||",
+    "**", "==", "!=", ">=", "<=", "=~", "!~", "&&", "||",
     "(", ")", "[", "]", ",", ">", "<", "+", "-", "*", "/", "%",
     "&", "|", "^", "~", "!")
 

@@ -85,6 +85,9 @@ object Parser {
         case TOp("=~", _) =>
           advance()
           RegexMatch(first, expectString("regex pattern"))
+        case TOp("!~", _) =>
+          advance()
+          RegexMatch(first, expectString("regex pattern"), negated = true)
         case t if isKw(t, "in") =>
           advance()
           In(first, expectList(), negated = false)

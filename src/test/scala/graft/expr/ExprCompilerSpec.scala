@@ -84,8 +84,10 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ids("content not like \"con%\"") == Seq(3))
   }
 
-  test("regex match (3.0 =~)") {
+  test("regex match (3.0 =~) and negation (!~)") {
     assert(ids("content =~ \"^con\"") == Seq(1, 2, 4))
+    assert(ids("content !~ \"^con\"") == Seq(3))
+    assert(ids("content !~ \"nt\"") == Seq(4))
   }
 
   test("json path access with typed comparisons") {

@@ -150,6 +150,7 @@ class ExprPropertySpec extends SparkSpec {
       """Tenant=="user_17"""",
       """device_id == "SENSOR_A123" and timestamp >= 1000 and timestamp <= 2000""",
       "field =~ \"^pre.*\"",
+      "field !~ \"^pre.*\"",
       "f is null",
       "f is not null",
       "r\"raw.string\" == f",
