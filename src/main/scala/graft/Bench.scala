@@ -3,28 +3,44 @@ package graft
 /** Benchmark main: times every driver-contract query on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line, and exits nonzero if any
   * query fails (a broken query must never silently inflate the total).
+  *
+  * Noise control: an untimed warmup query runs first (so the
+  * alphabetically-first entry no longer absorbs JVM/parquet/codegen
+  * first-touch cost), and each entry reports best-of-2 (entries build
+  * fresh temp store dirs per invocation, so a re-run is independent;
+  * the min discards transient machine-load spikes like the round-5
+  * false x6 alarm).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)
 
+    // Untimed warmup: touch every base table + run one agg and one kNN
+    // so IO, codegen and broadcast paths are hot before timing starts.
+    try {
+      SparkEntry.queries.get("a4_agg_events").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("v1_knn_l2_one").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
+
     var failures = List.empty[String]
     val all = SparkEntry.queries ++ SparkEntry.benchQueries
     val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failures ::= name
-            false
+            None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.size < reps) failures ::= name
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

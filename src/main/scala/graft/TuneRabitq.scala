@@ -4,9 +4,11 @@ import graft.ann.{Ivf, RaBitQ}
 import org.apache.spark.sql.functions._
 
 /** Reproducible operating-point sweep for `v15_rabitq_recall`:
-  * recall@10 over the entry's exact setup (nlist=8, sampleSize=1000,
-  * query ids 0/7/42) across an (nprobe, refine) grid, so the pinned
-  * point is a measured ≥0.9 choice rather than a guess.
+  * recall@10 over candidate operating points (nlist ∈ {16, 32},
+  * sampleSize=2000, query ids 0/7/42) across an (nprobe, refine)
+  * grid, from which the entry's pinned point
+  * (nlist=32, nprobe=24, refine=16) was chosen as a measured ≥0.9
+  * result rather than a guess.
   */
 object TuneRabitq {
   def main(args: Array[String]): Unit = {

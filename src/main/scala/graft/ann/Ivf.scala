@@ -227,8 +227,10 @@ object Ivf {
     val spark = data.sparkSession
     import spark.implicits._
     val qdf = queries.toDF("qid", "qvec")
+    // distinct() keeps the metric the set-intersection |exact ∩ approx|
+    // even if duplicate ids put the same (qid, id) in the top-k twice.
     val exact = Knn.search(data, qdf, vecCol, idCol, model.metric, k)
-      .select(col("qid").cast("string").as("qid"), col(idCol))
+      .select(col("qid").cast("string").as("qid"), col(idCol)).distinct()
     val approx = search(assigned, model, qdf, vecCol, idCol, k, nprobe)
       .select(col("qid").cast("string").as("qid"), col(idCol))
     exact.join(approx, Seq("qid", idCol), "left_semi").count().toDouble /

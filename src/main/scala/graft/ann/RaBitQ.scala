@@ -153,9 +153,11 @@ object RaBitQ {
     val spark = data.sparkSession
     import spark.implicits._
     val qdf = queries.toDF("qid", "qvec")
+    // distinct() keeps the metric the set-intersection |exact ∩ approx|
+    // even if duplicate ids put the same (qid, id) in the top-k twice.
     val exact = graft.operators.Knn
       .search(data, qdf, vecCol, idCol, metric, k)
-      .select(col("qid").cast("string").as("qid"), col(idCol))
+      .select(col("qid").cast("string").as("qid"), col(idCol)).distinct()
     val approx = search(encoded, model,
       queries.map { case (qid, qv) =>
         (qid.toString, qv.map(_.toDouble).toArray)

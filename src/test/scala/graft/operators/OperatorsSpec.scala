@@ -31,6 +31,26 @@ class OperatorsSpec extends SparkSpec {
     assert(big == expected)
   }
 
+  test("two-level top-k plan: salted pre-prune window at k>=1000, absent at k=10") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def planFor(k: Int): String =
+      Knn.search(emb, q, "embedding", "vec_id", "L2", k)
+        .queryExecution.executedPlan.toString
+    // "Window [" matches WindowExec nodes only (WindowGroupLimit prints
+    // as "WindowGroupLimit [" and does not contain the substring).
+    def windows(plan: String): Int = "Window \\[".r.findAllIn(plan).length
+    val big = planFor(1200)
+    assert(windows(big) == 2 && big.contains("_salt"),
+      s"k=1200 should pre-prune per (qid, salt) then merge:\n$big")
+    val small = planFor(10)
+    assert(windows(small) == 1 && !small.contains("_salt"),
+      s"k=10 must stay a single-window plan:\n$small")
+  }
+
   test("IVF: assignment cells partition the data; probes cover the query cell") {
     val s = spark
     import s.implicits._
