@@ -1039,6 +1039,58 @@ object SparkEntry {
       }.toDF("idx", "step", "phase", "status", "background")
         .orderBy("idx")
     },
+    // ---- W7: validate_index_compatibility brick (requests/
+    // validate_index_compatibility.py): the full lifecycle against an
+    // indexed collection — after-upgrade records the actual index
+    // metadata checkpoint and proves both indexes serve (vector
+    // self-search + scalar point filter + count/samples); after-
+    // rollback re-enumerates and byte-compares; --rebuild-index drops
+    // and recreates every index first; dropping an index between
+    // phases is detected as INDEX_METADATA_MISMATCH; a missing
+    // checkpoint is INDEX_COMPATIBILITY_CHECKPOINT_NOT_FOUND. Every
+    // counter and failure code is a deterministic function of the
+    // brick contract, re-stated by the oracle's VALUES. -----------------
+    "w7_index_compat" -> { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-w7")
+      val cat = new Catalog(root.resolve("cat").toString)
+      val cp = root.resolve("cp").toString
+      val c = cat.createCollection(CollectionDef("ic", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("category", LongType),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(4))),
+        indexes = Seq(
+          IndexDef("embedding", "IVF_FLAT", Some("L2"), Map("nlist" -> "4")),
+          IndexDef("category", "INVERTED"))))
+      c.insert(s, (0 until 200).map { i =>
+        (i.toLong, (i % 20).toLong,
+          Array((i % 7).toFloat, (i % 11).toFloat, (i % 13).toFloat, 1f))
+      }.toDF("id", "category", "embedding")): Unit
+      graft.workload.DataIntegrity.seedCheckpoint(s, c, cp): Unit
+      def brick(phase: String, rebuild: Boolean, dir2: String = cp) =
+        graft.workload.IndexCompat.run(s, cat, Seq("ic"), dir2, phase,
+          rebuildIndex = rebuild)
+      def row(run: Int, r: graft.workload.BrickProtocol.BrickResult) =
+        (run, r.status,
+          r.metrics("collections_checked").toLong,
+          r.metrics("actual_indexes_total").toLong,
+          r.metrics("indexes_dropped").toLong,
+          r.metrics("indexes_rebuilt").toLong,
+          r.metrics("searches_total").toLong,
+          r.metrics("scalar_index_queries_total").toLong,
+          r.failures.headOption.map(_.takeWhile(_ != ':')).getOrElse(""))
+      val r1 = row(1, brick("after-upgrade", rebuild = false))
+      val r2 = row(2, brick("after-rollback", rebuild = false))
+      val r3 = row(3, brick("after-upgrade", rebuild = true))
+      c.dropIndex("category")
+      val r4 = row(4, brick("after-rollback", rebuild = false))
+      val r5 = row(5, brick("after-rollback", rebuild = false,
+        root.resolve("empty_cp").toString))
+      Seq(r1, r2, r3, r4, r5)
+        .toDF("run", "status", "checked", "actual_indexes", "dropped",
+          "rebuilt", "searches", "scalar_queries", "first_failure")
+        .orderBy("run")
+    },
     // ---- S27: auto-compaction policy (compaction.maxDeltas property):
     // 8 insert batches against a high-water of 4 must fold the chain at
     // least once; the surviving snapshot is byte-equal to the union of
@@ -1985,16 +2037,45 @@ object SparkEntry {
           |  (6, 'validate_compat_loop_1', 'steady_state', 'passed', 'validator'),
           |  (7, 'wait_upgrade', 'before_upgrade', 'skipped', ''),
           |  (8, 'validate_after_upgrade', 'after_upgrade', 'passed', ''),
-          |  (9, 'create_forward_schema_1', 'after_upgrade', 'passed', ''),
-          |  (10, 'seed_forward_data_1', 'after_upgrade', 'passed', ''),
-          |  (11, 'validate_forward_after_upgrade_1', 'after_upgrade', 'passed', ''),
-          |  (12, 'wait_rollback', 'before_rollback', 'skipped', ''),
-          |  (13, 'validate_after_rollback', 'after_rollback', 'passed', ''),
-          |  (14, 'wait_rollback_serviceability', 'after_rollback', 'passed', ''),
-          |  (15, 'mixed_rw_pressure_loop_2', 'steady_state', 'passed', 'mixed_rw_pressure'),
-          |  (16, 'validate_compat_loop_2', 'steady_state', 'passed', 'validator'),
-          |  (17, 'final_validate_compat', 'steady_state', 'passed', '')
+          |  (9, 'validate_index_compatibility_after_upgrade', 'after_upgrade', 'passed', ''),
+          |  (10, 'validate_phase_dml_dql_after_upgrade', 'after_upgrade', 'passed', ''),
+          |  (11, 'create_forward_schema_1', 'after_upgrade', 'passed', ''),
+          |  (12, 'seed_forward_data_1', 'after_upgrade', 'passed', ''),
+          |  (13, 'validate_forward_after_upgrade_1', 'after_upgrade', 'passed', ''),
+          |  (14, 'wait_rollback', 'before_rollback', 'skipped', ''),
+          |  (15, 'validate_index_compatibility_after_rollback', 'after_rollback', 'passed', ''),
+          |  (16, 'validate_phase_dml_dql_after_rollback', 'after_rollback', 'passed', ''),
+          |  (17, 'validate_after_rollback', 'after_rollback', 'passed', ''),
+          |  (18, 'wait_rollback_serviceability', 'after_rollback', 'passed', ''),
+          |  (19, 'mixed_rw_pressure_loop_2', 'steady_state', 'passed', 'mixed_rw_pressure'),
+          |  (20, 'validate_compat_loop_2', 'steady_state', 'passed', 'validator'),
+          |  (21, 'final_validate_compat', 'steady_state', 'passed', '')
           |) t(idx, step, phase, status, background) ORDER BY idx""".stripMargin,
+      // The index-compatibility brick's counters and failure codes are
+      // a deterministic function of its contract: 2 indexes checked
+      // and probed per phase (1 vector self-search + 1 scalar point
+      // filter), 2 dropped + 2 rebuilt under --rebuild-index, a
+      // mid-phase index drop detected as INDEX_METADATA_MISMATCH, and
+      // a missing checkpoint failing before any collection is checked.
+      "w7_index_compat" ->
+        """SELECT * FROM (VALUES
+          |  (1, 'passed', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+          |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          |   CAST(1 AS BIGINT), ''),
+          |  (2, 'passed', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+          |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          |   CAST(1 AS BIGINT), ''),
+          |  (3, 'passed', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+          |   CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+          |   CAST(1 AS BIGINT), ''),
+          |  (4, 'failed', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+          |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          |   CAST(0 AS BIGINT), 'INDEX_METADATA_MISMATCH'),
+          |  (5, 'failed', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          |   CAST(0 AS BIGINT), 'INDEX_COMPATIBILITY_CHECKPOINT_NOT_FOUND')
+          |) t(run, status, checked, actual_indexes, dropped, rebuilt,
+          |    searches, scalar_queries, first_failure) ORDER BY run""".stripMargin,
       // Entities/max_pk re-derived from the same 400-row orders slice
       // the loop inserted (minus the pk%10==0 deletes); chain_bounded
       // is the policy's contract.

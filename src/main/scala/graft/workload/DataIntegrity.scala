@@ -124,9 +124,16 @@ object DataIntegrity {
         failures += s"MISSING_PK: sample $k=$v absent"
     }
 
+    // Checksum over the CHECKPOINTED pk range, not the whole table —
+    // the reference's validate_scalar_checksum pages rows by pk range
+    // (common/validators.py:168-198), so rows later phases insert
+    // beyond the seeded range (validate_phase_dml_dql's DML) don't
+    // invalidate the seed fingerprint.
     val fields = state("checksum_fields").split(",").toSeq
     val checksum = Validators.stableChecksum(
-      df.select((pk +: fields).distinct.map(col): _*), pk)
+      df.filter(col(pk) >= pkLit(state("min_pk")) &&
+          col(pk) <= pkLit(state("max_pk")))
+        .select((pk +: fields).distinct.map(col): _*), pk)
     if (checksum != state("checksum"))
       failures += s"CHECKSUM_MISMATCH: expected ${state("checksum")}, " +
         s"computed $checksum"

@@ -1,6 +1,6 @@
 package graft.workload
 
-import graft.store.{Catalog, Collection, CollectionDef, FieldDef}
+import graft.store.{Catalog, Collection, CollectionDef, FieldDef, IndexDef}
 import graft.validate.Validators.ValidationReport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -37,7 +37,13 @@ object Scenario {
       failOnBackgroundFailure: Boolean = true,
       pressureOpsPerSlice: Int = 20,
       observeAfterUpgradeSec: Int = 0,
-      observeAfterRollbackSec: Int = 0)
+      observeAfterRollbackSec: Int = 0,
+      // validate_phase_dml_dql sizing (the Argo template's
+      // phase-existing-dml-rows / phase-existing-delete-rows /
+      // phase-new-collection-rows parameters).
+      phaseDmlRows: Int = 100,
+      phaseDeleteRows: Int = 10,
+      phaseNewRows: Int = 50)
 
   final case class PlanStep(name: String, phase: String, cycle: Int = 0)
 
@@ -54,11 +60,20 @@ object Scenario {
         PlanStep("wait_upgrade", "before_upgrade", c),
         PlanStep("observe_after_upgrade", "after_upgrade", c),
         PlanStep("validate_compat_after_upgrade", "after_upgrade", c),
+        // The Argo DAG's post-upgrade validation chain
+        // (standalone-2-6-upgrade-rollback.yaml:396-419):
+        // validate-after-upgrade → index compatibility → phase DML/DQL.
+        PlanStep("validate_index_compatibility_after_upgrade", "after_upgrade", c),
+        PlanStep("validate_phase_dml_dql_after_upgrade", "after_upgrade", c),
         PlanStep("create_forward_schema", "after_upgrade", c),
         PlanStep("seed_forward_data", "after_upgrade", c),
         PlanStep("validate_forward_after_upgrade", "after_upgrade", c),
         PlanStep("wait_rollback", "before_rollback", c),
         PlanStep("observe_after_rollback", "after_rollback", c),
+        // Post-rollback chain (yaml:739-764): index compatibility →
+        // phase DML/DQL → validate-after-rollback.
+        PlanStep("validate_index_compatibility_after_rollback", "after_rollback", c),
+        PlanStep("validate_phase_dml_dql_after_rollback", "after_rollback", c),
         PlanStep("validate_compat_only", "after_rollback", c))
     }
     pre ++ cycles ++ Seq(
@@ -72,11 +87,16 @@ object Scenario {
   final case class Outcome(passed: Boolean, steps: Seq[StepResult],
       gate: Gates.GateReport, report: WorkflowReport.Report)
 
+  // The compat collection declares a scalar index so the
+  // index-compatibility brick has metadata to checkpoint, compare
+  // across the rollback, and probe (the reference's schema matrices
+  // always index at least one scalar field).
   private def compatSchema(name: String) = CollectionDef(name, Seq(
     FieldDef("id", LongType, nullable = false, isPrimary = true),
     FieldDef("category", LongType),
     FieldDef("content", StringType),
-    FieldDef("version", LongType)))
+    FieldDef("version", LongType)),
+    indexes = Seq(IndexDef("category", "INVERTED")))
 
   /** Run the scenario. Upgrade/rollback hooks default to no-ops
     * (recorded as skipped waits, the reference's empty-action path).
@@ -197,6 +217,30 @@ object Scenario {
         else s"validate_after_upgrade_$cycle", "after_upgrade") {
         DataIntegrity.validate(spark, compat, checkpointDir)
       }
+      // Post-upgrade validation chain (Argo DAG order,
+      // standalone-2-6-upgrade-rollback.yaml:396-419): record the
+      // actual index metadata + prove every index serves, then the
+      // phase's own DML/DQL cycle (which persists the phase
+      // checkpoint the rollback side re-validates).
+      def suffixed(base: String) =
+        if (cycle == 1) base else s"${base}_$cycle"
+      writeStep(suffixed("validate_index_compatibility_after_upgrade"),
+        "after_upgrade",
+        IndexCompat.run(spark, catalog, Seq(compatName), checkpointDir,
+          phase = "after-upgrade", args = args))
+      val phaseNewName = s"${args.collectionPrefix}_phase_new_$cycle"
+      writeStep(suffixed("validate_phase_dml_dql_after_upgrade"),
+        "after_upgrade",
+        PhaseDmlDql.run(spark, catalog,
+          existing = Seq(compatName),
+          newCollectionNames = Seq(phaseNewName),
+          defFor = compatSchema, gen = PhaseDmlDql.compatRowGen,
+          rows = m.phaseDmlRows, deleteRows = m.phaseDeleteRows,
+          newRows = m.phaseNewRows, batchSize = m.batchSize,
+          existingStartId = 5000000L + (cycle - 1) * 1000000L,
+          newStartId = 6000000L + (cycle - 1) * 1000000L,
+          seed = 42L + cycle, phase = "after-upgrade",
+          checkpointDir = checkpointDir, args = args))
       if (m.forwardEnabled) {
         val fwdName = s"${args.collectionPrefix}_forward_$cycle"
         val fwdCp = s"$checkpointDir/forward_cycle_$cycle"
@@ -219,6 +263,28 @@ object Scenario {
         hasRollbackAction, onRollback(cycle))
       if (m.observeAfterRollbackSec > 0)
         Thread.sleep(m.observeAfterRollbackSec * 1000L)
+      // Post-rollback chain (yaml:739-764): index metadata must still
+      // match the after-upgrade checkpoint, the phase checkpoint state
+      // must have survived, and the rollback phase runs its own fresh
+      // DML/DQL cycle (including a carried pass over the collection
+      // the upgrade phase created).
+      writeStep(suffixed("validate_index_compatibility_after_rollback"),
+        "after_rollback",
+        IndexCompat.run(spark, catalog, Seq(compatName), checkpointDir,
+          phase = "after-rollback", args = args))
+      writeStep(suffixed("validate_phase_dml_dql_after_rollback"),
+        "after_rollback",
+        PhaseDmlDql.run(spark, catalog,
+          existing = Seq(compatName),
+          newCollectionNames = Seq(s"${args.collectionPrefix}_phase_rb_$cycle"),
+          defFor = compatSchema, gen = PhaseDmlDql.compatRowGen,
+          rows = m.phaseDmlRows, deleteRows = m.phaseDeleteRows,
+          newRows = m.phaseNewRows, batchSize = m.batchSize,
+          existingStartId = 7000000L + (cycle - 1) * 1000000L,
+          newStartId = 8000000L + (cycle - 1) * 1000000L,
+          seed = 42L + cycle, phase = "after-rollback",
+          carried = Seq(phaseNewName),
+          checkpointDir = checkpointDir, args = args))
       runStep(
         if (cycle == 1) "validate_after_rollback"
         else s"validate_after_rollback_$cycle", "after_rollback") {
@@ -261,12 +327,14 @@ object Scenario {
       Set("passed", "skipped").contains(s.status))
     // Gate verdict + workflow report over the results dir the steps
     // populated (rollback always exercised; forward validations are
-    // scenario-internal, so the gate checks the canonical set).
+    // scenario-internal, so the gate checks the canonical set —
+    // including, as of the full brick set, index compatibility and
+    // phase DML/DQL on both sides of the rollback).
     val cfg = Gates.GateConfig(
       forwardWorkloadEnabled = false,
       rollbackEnabled = true,
-      indexCompatibilityValidationEnabled = false,
-      phaseDmlDqlValidationEnabled = false)
+      indexCompatibilityValidationEnabled = true,
+      phaseDmlDqlValidationEnabled = true)
     val report = WorkflowReport.build(cfg, resultsDir,
       parameters = Map("scenario_id" -> m.name,
         "cycles" -> m.cycles.toString))

@@ -14,8 +14,9 @@ class ScenarioSpec extends SparkSpec {
       "start_mixed_rw_pressure", "start_validator_loop"))
     assert(plan.count(_.name == "wait_upgrade") == 2)
     assert(plan.last.name == "final_validate_compat")
-    // 5 pre + 9 per cycle + 2 post
-    assert(plan.length == 5 + 2 * 9 + 2)
+    // 5 pre + 13 per cycle + 2 post (9 reference scenario steps + the
+    // 4 Argo-DAG index-compatibility / phase-DML-DQL validations)
+    assert(plan.length == 5 + 2 * 13 + 2)
   }
 
   test("full scenario run: all steps pass, gate verdict passes, report written") {
@@ -32,19 +33,32 @@ class ScenarioSpec extends SparkSpec {
     Seq("precheck", "create_compat_schema", "seed_compat_data",
       "validate_before_upgrade", "mixed_rw_pressure_loop_1",
       "validate_compat_loop_1", "wait_upgrade", "validate_after_upgrade",
+      "validate_index_compatibility_after_upgrade",
+      "validate_phase_dml_dql_after_upgrade",
       "create_forward_schema_1", "seed_forward_data_1",
       "validate_forward_after_upgrade_1", "wait_rollback",
+      "validate_index_compatibility_after_rollback",
+      "validate_phase_dml_dql_after_rollback",
       "validate_after_rollback", "wait_rollback_serviceability",
       "final_validate_compat").foreach(n =>
       assert(names.contains(n), s"missing step $n in $names"))
     // no-op actions are recorded as skipped waits (reference :97-105)
     assert(out.steps.find(_.name == "wait_upgrade").get.status == "skipped")
-    // the gate verdict over the written result JSONs passes
+    // the gate verdict over the written result JSONs passes — with the
+    // FULL canonical validation set (index compatibility + phase
+    // DML/DQL on both sides of the rollback) enabled
     assert(out.gate.status == "passed", out.gate.toString)
     assert(out.gate.validationPassed)
     assert(out.gate.missingValidations.isEmpty)
-    // compat data survived pressure + validations byte-identically
-    assert(cat.collection("scenario_compat").numEntities(s) == 200)
+    // compat SEED data survived pressure + phase DML + validations
+    // byte-identically (phase DML adds its own rows beyond the seeded
+    // pk range, exactly like the reference's 50M/70M start ids)
+    import org.apache.spark.sql.functions.col
+    assert(cat.collection("scenario_compat").read(s)
+      .filter(col("id") <= 199).count() == 200)
+    // the phase-new collections from both phases exist and were seeded
+    assert(cat.hasCollection("scenario_phase_new_1"))
+    assert(cat.hasCollection("scenario_phase_rb_1"))
     // markdown renders with the passed headline
     assert(WorkflowReport.markdown(out.report)
       .startsWith("# Workflow report — PASSED"))
