@@ -865,6 +865,21 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(an(col("text"))).as(Seq("ord", "tok")))
         .orderBy("doc_id", "ord")
     },
+    // ---- T6: pinyin token filter (3.0 analyzer surface, feature
+    // inventory §3): dictionary segmentation of CJK phrases followed
+    // by per-character hanzi→pinyin transliteration through the
+    // deterministic table resource. Fully determined by the two
+    // resources — the oracle re-states the contract as VALUES. ---------
+    "t6_pinyin_filter" -> { (s, dir) =>
+      import s.implicits._
+      val an = graft.text.Analyzer.withPinyin(
+        graft.text.Analyzer.dictionary(
+          Seq("向量", "数据库", "数据", "北京", "搜索", "引擎")))
+      Seq((1L, "向量数据库"), (2L, "北京搜索引擎"), (3L, "数据搜索"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(an(col("text"))).as(Seq("ord", "tok")))
+        .orderBy("doc_id", "ord")
+    },
     // ---- T4: synonym token filter (3.0 analyzer surface) --------------
     "t4_synonym_filter" -> { (s, dir) =>
       val an = graft.text.Analyzer.withSynonyms(graft.text.Analyzer.standard,
@@ -953,6 +968,38 @@ object SparkEntry {
         (3L, Map(9 -> 7.0)), (4L, Map(1 -> 1.0, 9 -> 1.0))).toDF("id", "vec"))
       c.createIndex(s, IndexDef("vec", "SPARSE_INVERTED_INDEX"))
       CollectionSearch.searchSparse(s, c, "vec", Map(1 -> 1.0, 9 -> 2.0), 3)
+    },
+    // ---- V17: StructArray / EmbeddingList element-level search (3.0
+    // plan feature-inventory §1): documents become entities whose
+    // `elems` StructArray holds 5 (elem_id, tag, embedding) structs;
+    // element scope ranks every element independently under an
+    // element-level filter on a struct subfield. The oracle unnests
+    // by reusing the flat embeddings table the nesting was built from.
+    "v17_element_search" -> { (s, dir) =>
+      import graft.operators.ElementSearch
+      val nested = tbl(s, dir, "embeddings")
+        .groupBy((col("vec_id") / 5).cast("long").as("doc_id"))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").as("elem_id"),
+          (col("vec_id") % 3).as("tag"),
+          col("embedding")))).as("elems"))
+      ElementSearch.searchElements(nested, "elems", "embedding", "doc_id",
+        vecOf(s, dir, 0), "L2", 10, Some(col("tag") === 1))
+        .select("doc_id", "elem_id", "rank").orderBy("rank")
+    },
+    // ---- V17b: element-level group_by on the primary key — entities
+    // ranked by their best element, one element per entity. ----------
+    "v17_element_groupby" -> { (s, dir) =>
+      import graft.operators.ElementSearch
+      val nested = tbl(s, dir, "embeddings")
+        .groupBy((col("vec_id") / 5).cast("long").as("doc_id"))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").as("elem_id"),
+          (col("vec_id") % 3).as("tag"),
+          col("embedding")))).as("elems"))
+      ElementSearch.searchGroupByEntity(nested, "elems", "embedding",
+        "doc_id", vecOf(s, dir, 0), "L2", 5)
+        .select("doc_id", "elem_id", "entity_rank").orderBy("entity_rank")
     },
     // ---- W5: pressure availability analytics (common/pressure_
     // maintenance.py:59-235): failed-metric summation, rollout-window
@@ -1781,6 +1828,33 @@ object SparkEntry {
           |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE)),
           |  (CAST(4 AS BIGINT), CAST(3.0 AS DOUBLE))
           |) t(id, score) ORDER BY score DESC, id""".stripMargin,
+      // Element search re-derived from the SAME flat table the entry
+      // nested: element identity (doc_id = vec_id // 5, position ==
+      // elem_id order within doc), element filter tag = vec_id % 3.
+      "v17_element_search" ->
+        s"""SELECT doc_id, elem_id, rank FROM (
+           |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id AS elem_id,
+           |    CAST(row_number() OVER (ORDER BY
+           |      list_distance(embedding::DOUBLE[], $q0),
+           |      vec_id // 5, vec_id) AS INT) AS rank
+           |  FROM embeddings WHERE vec_id % 3 = 1
+           |) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "v17_element_groupby" ->
+        s"""WITH scored AS (
+           |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id AS elem_id,
+           |    list_distance(embedding::DOUBLE[], $q0) AS d
+           |  FROM embeddings
+           |), best AS (
+           |  SELECT doc_id, elem_id, d,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY d, elem_id) AS er
+           |  FROM scored
+           |)
+           |SELECT doc_id, elem_id, entity_rank FROM (
+           |  SELECT doc_id, elem_id,
+           |    CAST(row_number() OVER (ORDER BY d, doc_id, elem_id) AS INT)
+           |      AS entity_rank
+           |  FROM best WHERE er = 1
+           |) WHERE entity_rank <= 5 ORDER BY entity_rank""".stripMargin,
       "v2_binary_topk" ->
         """SELECT id, score FROM (VALUES
           |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
@@ -2117,6 +2191,20 @@ object SparkEntry {
       // COMPUTED oracle: the greedy longest-match walk re-run as a
       // recursive CTE — at each position the longest dictionary word
       // wins, unmatched alphanumerics emit singly, other chars skip.
+      // Greedy longest-match segmentation then per-char
+      // transliteration, both over fixed table resources — every token
+      // is hand-derivable: 向量数据库 → 向量/数据库 (longest match wins
+      // over 数据) → xiangliang/shujuku, etc.
+      "t6_pinyin_filter" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), 0, 'xiangliang'),
+          |  (CAST(1 AS BIGINT), 1, 'shujuku'),
+          |  (CAST(2 AS BIGINT), 0, 'beijing'),
+          |  (CAST(2 AS BIGINT), 1, 'sousuo'),
+          |  (CAST(2 AS BIGINT), 2, 'yinqing'),
+          |  (CAST(3 AS BIGINT), 0, 'shuju'),
+          |  (CAST(3 AS BIGINT), 1, 'sousuo')
+          |) t(doc_id, ord, tok) ORDER BY doc_id, ord""".stripMargin,
       "t5_dict_tokenizer" ->
         """WITH RECURSIVE
           |dict(w) AS (SELECT * FROM (VALUES ('database'), ('data'),

@@ -75,4 +75,25 @@ object Analyzer {
     val m = typedlit(synonyms)
     c => transform(base(c), t => coalesce(element_at(m, t), t))
   }
+
+  /** Pinyin token filter (3.0 analyzer `pinyin` filter, feature
+    * inventory §3): each token transliterates character-by-character
+    * through a hanzi→syllable table — CJK characters found in the
+    * table rewrite to their pinyin syllable, everything else passes
+    * through unchanged, and the syllables join back into one token
+    * (the joined-full-pinyin output mode). The table is a
+    * deterministic dictionary resource, same loading surface as the
+    * custom-dictionary tokenizer; [[Pinyin.table]] ships a stand-in
+    * covering the test corpus — a deployment loads the full Unihan
+    * readings file through the same parameter. Applied AFTER a base
+    * tokenizer, like the synonym filter.
+    */
+  def withPinyin(base: Column => Column,
+      table: Map[String, String] = Pinyin.table): Column => Column = {
+    val m = typedlit(table)
+    c => transform(base(c), t =>
+      array_join(
+        transform(filter(split(t, ""), ch => ch =!= ""),
+          ch => coalesce(element_at(m, ch), ch)), ""))
+  }
 }

@@ -218,6 +218,27 @@ class TextSpec extends SparkSpec {
       .select(canon(col("t"))).head().getSeq[String](0) == Seq("db"))
   }
 
+  test("pinyin filter transliterates CJK tokens, passes others through") {
+    val s = spark
+    import s.implicits._
+    val an = Analyzer.withPinyin(
+      Analyzer.dictionary(Seq("向量", "数据库", "数据", "搜索")))
+    val toks = Seq(Tuple1("向量数据库")).toDF("t")
+      .select(an(col("t"))).head().getSeq[String](0)
+    // longest match (数据库 over 数据), then per-char transliteration
+    assert(toks == Seq("xiangliang", "shujuku"))
+    // non-CJK tokens and chars outside the table pass through unchanged
+    val mixed = Analyzer.withPinyin(Analyzer.whitespace)
+    val t2 = Seq(Tuple1("spark 搜索 quick")).toDF("t")
+      .select(mixed(col("t"))).head().getSeq[String](0)
+    assert(t2 == Seq("spark", "sousuo", "quick"))
+    // composes downstream like any token stream: BM25-style counting
+    // over transliterated tokens sees the same token twice
+    val t3 = Seq(Tuple1("搜索 搜索 向量")).toDF("t")
+      .select(mixed(col("t"))).head().getSeq[String](0)
+    assert(t3.count(_ == "sousuo") == 2)
+  }
+
   test("synonym filter rewrites tokens to canonical forms") {
     val s = spark
     import s.implicits._
