@@ -1266,6 +1266,15 @@ object SparkEntry {
     "m1_multimodal_stats" -> { (s, dir) =>
       Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
     },
+    // ---- M2: REAL image decode (javax.imageio): the synthetic PNG
+    // fixtures encode a closed-form pixel function — pixel (x,y) of
+    // image i is (i + x%2, 2i, 3i) — so decoded-pixel channel means
+    // are re-derivable arithmetically: the stats match ONLY if the
+    // PNG encode → decode round-trip reproduces the exact pixels. ----
+    "m2_image_decode" -> { (s, dir) =>
+      Multimodal.imageStats(Multimodal.syntheticImageAssets(s, 20))
+        .orderBy("asset_id")
+    },
     // ---- §2.10: deterministic datagen + checksum --------------------------
     "g1_stable_datagen" -> { (s, dir) =>
       import s.implicits._
@@ -2307,6 +2316,19 @@ object SparkEntry {
           |  count(*) AS distinct_blobs
           |FROM generate_series(0, 29) t(i)
           |GROUP BY 1 ORDER BY modality""".stripMargin,
+      // Decoded-pixel means re-derived from the closed-form pixel
+      // function (same exact integer-sum / count division on both
+      // sides, so doubles agree bit-for-bit).
+      "m2_image_decode" ->
+        """WITH imgs AS (
+          |  SELECT i, 16 + i % 16 AS w, 16 + (i * 3) % 16 AS h
+          |  FROM generate_series(0, 19) t(i))
+          |SELECT CAST(i AS BIGINT) AS asset_id,
+          |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          |  CAST(i * w * h + h * (w // 2) AS DOUBLE) / (w * h) AS mean_r,
+          |  CAST(2 * i AS DOUBLE) AS mean_g,
+          |  CAST(3 * i AS DOUBLE) AS mean_b
+          |FROM imgs ORDER BY asset_id""".stripMargin,
       // DETERMINISM PIN (irreducible): seeded generator output hashed
       // with the a7 recipe — pins that datagen reproduces bit-for-bit
       // across partitionings/JVMs (mirrors common/data.py:78-118).

@@ -9,11 +9,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * feature-extract / frame-sample operators.
   *
   * The Spark-side plumbing is real — schema, partition-parallel
-  * `mapPartitions` with batch iteration, deterministic outputs — but
-  * the actual media DECODE is STUBBED (`decodeStub`): this container
-  * has no image/audio codecs, so the stub derives deterministic fake
-  * pixels/frames from the bytes. Swapping in a real codec changes one
-  * function, not the pipeline.
+  * `mapPartitions` with batch iteration, deterministic outputs. The
+  * IMAGE decode is real too: `javax.imageio` (in the JDK) encodes the
+  * synthetic PNG fixtures and decodes them in [[extractFeatures]] /
+  * [[imageStats]]. AUDIO/VIDEO decode stays STUBBED (`decodeStub`) —
+  * this container has no audio/video codecs — and blobs that fail
+  * image decode fall back to the stub, so the pipeline never
+  * half-dies on a corrupt asset (it quarantines by `decoded` flag).
   */
 object Multimodal {
 
@@ -54,13 +56,61 @@ object Multimodal {
       spark.sparkContext.parallelize(rows, 4), assetSchema)
   }
 
-  /** STUB decode: a real implementation would decode `bytes` with an
-    * image/audio codec. The stub "decodes" deterministically — first 8
-    * bytes become a content tag, metadata passes through — so the
-    * downstream schema and batching are exercised honestly.
+  /** Deterministic REAL-PNG image assets: image `i` is a w×h RGB
+    * pattern — pixel (x, y) has r = i + (x % 2), g = 2i, b = 3i —
+    * encoded with `javax.imageio` (JDK-only, no external codecs). The
+    * closed-form pixel function means decoded-pixel statistics are
+    * re-derivable arithmetically by the oracle: mean_r over the image
+    * is exactly (i·w·h + h·⌊w/2⌋) / (w·h).
+    */
+  def syntheticImageAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val w = 16 + i % 16
+      val h = 16 + (i * 3) % 16
+      Row(i.toLong, "image", encodePng(i, w, h),
+        Row("png", w, h, 0))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), assetSchema)
+  }
+
+  private def encodePng(i: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = i + (x % 2)
+        val g = 2 * i
+        val b = 3 * i
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` over the blob.
+    * Returns None when the bytes aren't a decodable image (ImageIO's
+    * null contract), letting callers quarantine instead of crash.
+    */
+  def decodeImage(bytes: Array[Byte]):
+      Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** STUB decode for audio/video (no codecs in this container) and
+    * the fallback for undecodable image blobs: deterministically
+    * folds the bytes into a normalized vector, so the downstream
+    * schema and batching are exercised honestly.
     */
   private def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    // ??? <- real codec goes here (e.g. javax.imageio / ffmpeg bindings)
+    // ??? <- real audio/video codec goes here (e.g. ffmpeg bindings)
     val dim = 16
     val out = new Array[Float](dim)
     var i = 0
@@ -75,21 +125,103 @@ object Multimodal {
   /** Feature extraction over asset batches: partition-parallel
     * `mapPartitions` (the Scala analogue of `mapInPandas` batches) —
     * one decode call per row, iterator-to-iterator so no partition
-    * materialization.
+    * materialization. Image blobs go through the REAL ImageIO decode
+    * (features from actual pixels: channel means, dimensions,
+    * aspect); audio/video and undecodable blobs take the stub, and
+    * the `decoded` flag records which path ran (the quarantine
+    * column a lake pipeline filters on).
     */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("modality", StringType, nullable = false),
-      StructField("embedding", ArrayType(FloatType), nullable = false)))
+      StructField("embedding", ArrayType(FloatType), nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
     val idIx = assets.schema.fieldIndex("asset_id")
     val modIx = assets.schema.fieldIndex("modality")
     val bytesIx = assets.schema.fieldIndex("bytes")
     val rdd = assets.rdd.mapPartitions { it =>
       it.map { row =>
-        val emb = decodeStub(row.getAs[Array[Byte]](bytesIx))
-        Row(row.getLong(idIx), row.getString(modIx), emb.toSeq)
+        val bytes = row.getAs[Array[Byte]](bytesIx)
+        val modality = row.getString(modIx)
+        val (emb, decoded) =
+          if (modality == "image") decodeImage(bytes) match {
+            case Some(img) => (imageFeatures(img), true)
+            case None => (decodeStub(bytes), false)
+          } else (decodeStub(bytes), false)
+        Row(row.getLong(idIx), modality, emb.toSeq, decoded)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** 16-dim feature vector from decoded pixels: normalized channel
+    * means, dimensions, aspect, and a 10-bin luminance histogram.
+    */
+  private def imageFeatures(
+      img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr, sg, sb = 0L
+    val hist = new Array[Long](10)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b
+        val lum = (r * 299 + g * 587 + b * 114) / 1000
+        hist(math.min(lum / 26, 9)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat
+    Array[Float](
+      sr / n / 255f, sg / n / 255f, sb / n / 255f,
+      w / 256f, h / 256f, w.toFloat / h) ++
+      hist.map(_ / n)
+  }
+
+  /** Decoded-pixel statistics per image asset — the REAL decode path,
+    * exact long-sum channel means (numerator/denominator division is
+    * bit-reproducible, so an oracle can re-derive it arithmetically
+    * for synthetic fixtures). Undecodable blobs are dropped — the
+    * quarantine path is `extractFeatures`' `decoded` flag.
+    */
+  def imageStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val idIx = assets.schema.fieldIndex("asset_id")
+    val modIx = assets.schema.fieldIndex("modality")
+    val bytesIx = assets.schema.fieldIndex("bytes")
+    val rdd = assets.rdd.mapPartitions { it =>
+      it.filter(_.getString(modIx) == "image").flatMap { row =>
+        decodeImage(row.getAs[Array[Byte]](bytesIx)).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr, sg, sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Row(row.getLong(idIx), w, h, sr / n, sg / n, sb / n)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -36,6 +36,37 @@ class MiscSpec extends SparkSpec {
     }
   }
 
+  test("real PNG decode: imageStats matches the closed-form pixel function") {
+    val assets = Multimodal.syntheticImageAssets(spark, 12)
+    val stats = Multimodal.imageStats(assets).orderBy("asset_id").collect()
+    assert(stats.length == 12)
+    stats.zipWithIndex.foreach { case (r, i) =>
+      val w = 16 + i % 16
+      val h = 16 + (i * 3) % 16
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      // encode -> PNG -> decode round-trips the exact pixels
+      assert(r.getDouble(3) ==
+        (i.toLong * w * h + h * (w / 2)).toDouble / (w.toLong * h))
+      assert(r.getDouble(4) == 2.0 * i)
+      assert(r.getDouble(5) == 3.0 * i)
+    }
+  }
+
+  test("extractFeatures uses the real decode for PNGs and flags the path") {
+    val real = Multimodal.extractFeatures(
+      Multimodal.syntheticImageAssets(spark, 6)).collect()
+    assert(real.length == 6)
+    assert(real.forall(_.getBoolean(3)), "PNG assets must take the real path")
+    // channel-mean features reflect actual pixels: mean_g/255 = 2i/255
+    real.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getSeq[Float](2)(1) - 2f * i / 255f) < 1e-6f)
+    }
+    // non-image / undecodable blobs quarantine to the stub, flagged
+    val stub = Multimodal.extractFeatures(
+      Multimodal.syntheticAssets(spark, 6)).collect()
+    assert(stub.forall(!_.getBoolean(3)))
+  }
+
   test("frame sampling explodes only video assets at the requested stride") {
     val assets = Multimodal.syntheticAssets(spark, 12)
     val frames = Multimodal.sampleFrames(assets, everyN = 2, frameSize = 32)
