@@ -2,9 +2,6 @@ package graft.store
 
 import org.apache.spark.sql.types._
 
-import java.nio.file.{Files, Path, Paths}
-import scala.collection.JavaConverters._
-
 /** Field declaration for a collection — mirrors the reference's
   * FieldSchema / FieldSpec surface (milvus_client/common/schema.py:13-63,
   * 2.6/common.py:932-1016): exactly one primary key, optional auto_id,
@@ -112,43 +109,47 @@ private[store] final case class CatalogMeta(
   * `root`, holding `meta.json` plus sequenced parquet delta directories
   * (see [[Collection]]). Aliases are catalog-level pointers
   * (alter_alias.py:69-98: atomic swap of the collection behind a name).
+  *
+  * All path operations go through [[StorePath]] (Hadoop FileSystem),
+  * so `root` may be a local directory, a `file:///` URI, or a
+  * distributed `hdfs://` / `s3a://` URI — same code either way.
   */
 final class Catalog(val root: String) {
-  private val rootPath: Path = {
-    val p = Paths.get(root)
-    Files.createDirectories(p)
+  private val rootPath: StorePath = {
+    val p = StorePath(root)
+    p.createDirectories()
     p
   }
 
-  private def dir(name: String): Path = rootPath.resolve(name)
-  private def metaFile(name: String): Path = dir(name).resolve("meta.json")
-  private def aliasFile: Path = rootPath.resolve("_aliases.json")
+  private def dir(name: String): StorePath = rootPath.resolve(name)
+  private def metaFile(name: String): StorePath = dir(name).resolve("meta.json")
+  private def aliasFile: StorePath = rootPath.resolve("_aliases.json")
 
   def createCollection(d: CollectionDef): Collection = {
     d.validate()
     require(!hasCollection(d.name), s"collection ${d.name} already exists")
-    Files.createDirectories(dir(d.name))
+    dir(d.name).createDirectories()
     writeMeta(d.name, CatalogMeta(d, seq = 0L, loadState = "NotLoad"))
     new Collection(this, d.name)
   }
 
-  def hasCollection(name: String): Boolean = Files.exists(metaFile(resolve(name)))
+  def hasCollection(name: String): Boolean = metaFile(resolve(name)).exists
 
   def dropCollection(name: String): Unit = {
     val n = resolve(name)
-    if (Files.exists(dir(n))) deleteRecursively(dir(n))
+    dir(n).deleteRecursively()
   }
 
   def describeCollection(name: String): CollectionDef = readMeta(resolve(name)).d
 
   def listCollections(): Seq[String] =
-    Files.list(rootPath).iterator.asScala
-      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    rootPath.list
+      .filter(p => p.isDirectory && p.resolve("meta.json").exists)
+      .map(_.name).sorted
 
   def collection(name: String): Collection = {
     val n = resolve(name)
-    require(Files.exists(metaFile(n)), s"no such collection $name")
+    require(metaFile(n).exists, s"no such collection $name")
     new Collection(this, n)
   }
 
@@ -168,20 +169,19 @@ final class Catalog(val root: String) {
 
   // --- internal metadata ------------------------------------------------
   private[store] def readMeta(name: String): CatalogMeta =
-    MetaJson.read(new String(Files.readAllBytes(metaFile(name))))
+    MetaJson.read(new String(metaFile(name).readBytes))
 
-  /** Atomic: temp file + same-directory ATOMIC_MOVE, so a concurrent
-    * readMeta (queries race writers under the pressure runner) never
-    * observes an empty or torn meta.json — the same discipline as
-    * Collection.commitDelta.
+  /** Atomic: temp file + same-directory overwrite-rename, so a
+    * concurrent readMeta (queries race writers under the pressure
+    * runner) never observes an empty or torn meta.json — the same
+    * discipline as Collection.commitDelta. On HDFS this is the
+    * native atomic Rename.OVERWRITE.
     */
   private[store] def writeMeta(name: String, m: CatalogMeta): Unit = {
     val tmp = dir(name).resolve(
       s"meta.json.tmp.${Thread.currentThread().getId}")
-    Files.write(tmp, MetaJson.write(m).getBytes)
-    Files.move(tmp, metaFile(name),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    tmp.writeBytes(MetaJson.write(m).getBytes)
+    tmp.moveOver(metaFile(name))
   }
 
   /** Allocate the next write sequence number for a collection. Single
@@ -224,18 +224,12 @@ final class Catalog(val root: String) {
       writeMeta(name, m.copy(d = f(m.d)))
     }
 
-  private[store] def collectionDir(name: String): Path = dir(name)
+  private[store] def collectionDir(name: String): StorePath = dir(name)
 
   private def readAliases: Map[String, String] =
-    if (!Files.exists(aliasFile)) Map.empty
-    else MetaJson.readAliases(new String(Files.readAllBytes(aliasFile)))
+    if (!aliasFile.exists) Map.empty
+    else MetaJson.readAliases(new String(aliasFile.readBytes))
 
   private def writeAliases(m: Map[String, String]): Unit =
-    Files.write(aliasFile, MetaJson.writeAliases(m).getBytes)
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+    aliasFile.writeBytes(MetaJson.writeAliases(m).getBytes)
 }

@@ -7,8 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import java.nio.file.Files
-
 /** Result of [[Collection.insert]]: the committed row count plus the
   * written primary keys as a LAZY DataFrame read back from the
   * committed delta files — returned ids are provably the written ids
@@ -242,16 +240,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * the server memory footprint the reference's quotas meter. A
     * filesystem-metadata walk, no Spark job.
     */
-  def storageBytes: Long = {
-    def size(p: java.nio.file.Path): Long = {
-      import scala.collection.JavaConverters._
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.map(size).sum finally s.close()
-      } else Files.size(p)
-    }
-    deltaPaths.map(size).sum
-  }
+  def storageBytes: Long = deltaPaths.map(_.totalSize).sum
 
   /** Deny DML once the committed store has crossed a configured quota
     * (high-water-mark semantics: the write that crosses the line
@@ -474,8 +463,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     // the other partitions' files at all.
     rows.write.mode("overwrite").partitionBy(PART).parquet(staging.toString)
     val target = dataDir.resolve(f"delta_$seq%012d")
-    Files.move(staging, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    staging.moveTo(target)
     refreshCachedSnapshot(rows.sparkSession)
     target.toString
   }
@@ -490,7 +478,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * search rebuilds against the empty snapshot.
     */
   def truncate(spark: SparkSession): Unit = {
-    deltaPaths.foreach(deleteRecursively)
+    deltaPaths.foreach(_.deleteRecursively())
     definition.indexes.foreach(ix => IndexStore.drop(this, ix.field))
     catalog.nextSeq(name): Unit // bump: caches keyed on seq self-invalidate
     refreshCachedSnapshot(spark)
@@ -551,7 +539,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * stale results until the next write.
     */
   def committedSeq: Long = deltaPaths.lastOption
-    .map(_.getFileName.toString.stripPrefix("delta_").toLong)
+    .map(_.name.stripPrefix("delta_").toLong)
     .getOrElse(0L)
 
   // ---- read path --------------------------------------------------------
@@ -584,17 +572,10 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * concurrent writer whose staging directory makes dataDir non-empty
     * while `delta_*` matches nothing yet.
     */
-  private def deltaPaths: Seq[java.nio.file.Path] =
-    if (!Files.exists(dataDir)) Seq.empty
-    else {
-      val stream = Files.list(dataDir)
-      try {
-        import scala.collection.JavaConverters._
-        stream.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("delta_"))
-          .toSeq.sortBy(_.getFileName.toString)
-      } finally stream.close()
-    }
+  private def deltaPaths: Seq[StorePath] =
+    dataDir.list
+      .filter(_.name.startsWith("delta_"))
+      .sortBy(_.name)
 
   /** Compaction stamps this marker in the base it writes: the base is
     * exactly one row per live PK with `_del = false` (the fold already
@@ -605,8 +586,8 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   private val UniqueBaseMarker = "_unique_base"
 
-  private def isUniqueBase(p: java.nio.file.Path): Boolean =
-    Files.exists(p.resolve(UniqueBaseMarker))
+  private def isUniqueBase(p: StorePath): Boolean =
+    p.resolve(UniqueBaseMarker).exists
 
   /** Raw committed-delta scan (below the merge window), or None for an
     * empty collection. Each delta is `partitionBy(_part)`, so `_part`
@@ -698,7 +679,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       // expiry on every compaction).
       val snapshot = assemble(spark, Seq.empty, None, None, keepInternals = true)
       val seq = catalog.nextSeq(name)
-      val staging = dataDir.resolve(s"_staging_$seq").toString
+      val staging = dataDir.resolve(s"_staging_$seq")
       snapshot
         .withColumn(SEQ, lit(seq))
         .withColumn(DEL, lit(false))
@@ -708,15 +689,13 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         // pressure path); compaction is where layout gets repaired.
         .repartition(col(PART))
         .sortWithinPartitions(d.primaryField.name)
-        .write.mode("overwrite").partitionBy(PART).parquet(staging)
+        .write.mode("overwrite").partitionBy(PART).parquet(staging.toString)
       // Stamp BEFORE the atomic move: the marker and the base become
       // visible together, so a reader can never see a marked
       // half-written directory. (Spark ignores `_`-prefixed files.)
-      Files.write(java.nio.file.Paths.get(staging).resolve(UniqueBaseMarker),
-        Array.emptyByteArray)
-      folded.foreach(p => deleteRecursively(p))
-      Files.move(java.nio.file.Paths.get(staging),
-        dataDir.resolve(f"delta_$seq%012d"))
+      staging.resolve(UniqueBaseMarker).writeBytes(Array.emptyByteArray)
+      folded.foreach(_.deleteRecursively())
+      staging.moveTo(dataDir.resolve(f"delta_$seq%012d"))
       refreshCachedSnapshot(spark)
     }
 
@@ -897,12 +876,6 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       if (deltaPaths.size >= max) compact(spark)
     }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.collection.JavaConverters._
-    if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
 }
 
 object Collection {

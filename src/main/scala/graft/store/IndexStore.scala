@@ -8,7 +8,6 @@ import org.json4s.JsonDSL._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import java.nio.file.{Files, Path, StandardCopyOption}
 
 /** Physical index lifecycle for store collections (reference: indexes
   * are first-class objects created/dropped/rebuilt against a
@@ -75,7 +74,7 @@ object IndexStore {
   private val jsonPathCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, String, Long), JsonPathBuild]()
 
-  private def indexDir(coll: Collection, field: String): Path =
+  private def indexDir(coll: Collection, field: String): StorePath =
     coll.catalog.collectionDir(coll.name).resolve("index").resolve(field)
 
   /** Version dirs encode the build params, not just the seq: a
@@ -83,8 +82,8 @@ object IndexStore {
     * its own immutable directory instead of overwriting the parquet a
     * still-cached build points at.
     */
-  private def versionDir(dir: Path, seq: Long, kind: String,
-      metric: String, nlist: Int): Path =
+  private def versionDir(dir: StorePath, seq: Long, kind: String,
+      metric: String, nlist: Int): StorePath =
     dir.resolve(s"v_${seq}_${kind}_${metric}_$nlist")
 
   /** Ensure a fresh persisted IVF index for `field`; reuse when the
@@ -148,7 +147,7 @@ object IndexStore {
     })
   }
 
-  private def loadSparse(dir: Path, numBuckets: Int,
+  private def loadSparse(dir: StorePath, numBuckets: Int,
       seq: Long): Option[SparseBuild] =
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sparse" &&
       p.nlist == numBuckets).map { _ =>
@@ -198,7 +197,7 @@ object IndexStore {
           .repartitionByRange(col("_v"))
           .sortWithinPartitions("_v")
           .write.mode("overwrite").parquet(dataPath)
-        Files.write(vdir.resolve("path.json"), JsonMethods.compact(
+        vdir.resolve("path.json").writeBytes(JsonMethods.compact(
           JsonMethods.render(("path" -> path) ~ ("cast" -> castType))).getBytes)
         commitPointer(dir, seq, pathTag, castType, 0)
         JsonPathBuild(dataPath, path, castType, seq)
@@ -209,7 +208,7 @@ object IndexStore {
   private def jsonPathTag(path: String): String =
     s"jp${(path.hashCode.toLong & 0xffffffffL).toString}"
 
-  private def loadJsonPath(dir: Path, path: String, castType: String,
+  private def loadJsonPath(dir: StorePath, path: String, castType: String,
       seq: Long): Option[JsonPathBuild] =
     readPointer(dir).filter(p => p.builtSeq == seq &&
       p.kind == jsonPathTag(path) && p.metric == castType).map { _ =>
@@ -262,26 +261,20 @@ object IndexStore {
     sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    deleteRecursively(indexDir(coll, field))
+    indexDir(coll, field).deleteRecursively()
   }
 
   /** Names of fields with a live persisted build (for describe/stats). */
   def persistedFields(coll: Collection): Seq[String] = {
     val root = coll.catalog.collectionDir(coll.name).resolve("index")
-    if (!Files.exists(root)) Seq.empty
-    else {
-      import scala.collection.JavaConverters._
-      val s = Files.list(root)
-      try s.iterator().asScala
-        .filter(p => Files.exists(p.resolve("current.json")))
-        .map(_.getFileName.toString).toSeq.sorted
-      finally s.close()
-    }
+    root.list
+      .filter(p => p.resolve("current.json").exists)
+      .map(_.name).sorted
   }
 
   // ---- IVF ----------------------------------------------------------------
 
-  private def buildIvf(spark: SparkSession, dir: Path, coll: Collection,
+  private def buildIvf(spark: SparkSession, dir: StorePath, coll: Collection,
       field: String, metric: String, nlist: Int, seq: Long): IvfBuild = {
     val snapshot = coll.read(spark)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
@@ -296,20 +289,20 @@ object IndexStore {
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
-    Files.write(vdir.resolve("centroids.json"),
+    vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
     commitPointer(dir, seq, "ivf", metric, nlist)
     IvfBuild(model, dataPath, nlist, seq)
   }
 
-  private def loadIvf(dir: Path, metric: String, nlist: Int,
+  private def loadIvf(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[IvfBuild] =
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "ivf" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
       val vdir = versionDir(dir, seq, "ivf", metric, nlist)
       val j = JsonMethods.parse(
-        new String(Files.readAllBytes(vdir.resolve("centroids.json"))))
+        new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
         .map(_.toArray).toArray
       IvfBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
@@ -318,7 +311,7 @@ object IndexStore {
 
   // ---- RaBitQ -------------------------------------------------------------
 
-  private def buildRabitq(spark: SparkSession, dir: Path, coll: Collection,
+  private def buildRabitq(spark: SparkSession, dir: StorePath, coll: Collection,
       field: String, metric: String, nlist: Int, seq: Long): RabitqBuild = {
     val snapshot = coll.read(spark)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
@@ -330,20 +323,20 @@ object IndexStore {
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
-    Files.write(vdir.resolve("centroids.json"),
+    vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
     commitPointer(dir, seq, "rabitq", metric, nlist)
     RabitqBuild(model, dataPath, nlist, seq)
   }
 
-  private def loadRabitq(dir: Path, metric: String, nlist: Int,
+  private def loadRabitq(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[RabitqBuild] =
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "rabitq" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
       val vdir = versionDir(dir, seq, "rabitq", metric, nlist)
       val j = JsonMethods.parse(
-        new String(Files.readAllBytes(vdir.resolve("centroids.json"))))
+        new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
         .map(_.toArray).toArray
       RabitqBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
@@ -352,7 +345,7 @@ object IndexStore {
 
   // ---- BM25 ---------------------------------------------------------------
 
-  private def buildBm25(spark: SparkSession, dir: Path, coll: Collection,
+  private def buildBm25(spark: SparkSession, dir: StorePath, coll: Collection,
       field: String, params: Bm25.Params, seq: Long): Bm25Build = {
     val snapshot = coll.read(spark)
     val pk = coll.definition.primaryField.name
@@ -363,7 +356,7 @@ object IndexStore {
     Bm25Build(persisted, seq)
   }
 
-  private def loadBm25(dir: Path, params: Bm25.Params,
+  private def loadBm25(dir: StorePath, params: Bm25.Params,
       seq: Long): Option[Bm25Build] =
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "bm25" &&
       p.metric == params.analyzer).map { _ =>
@@ -376,33 +369,25 @@ object IndexStore {
   private final case class Pointer(builtSeq: Long, kind: String,
       metric: String, nlist: Int)
 
-  private def commitPointer(dir: Path, seq: Long, kind: String,
+  private def commitPointer(dir: StorePath, seq: Long, kind: String,
       metric: String, nlist: Int): Unit = {
     val body = JsonMethods.compact(JsonMethods.render(
       ("builtSeq" -> seq) ~ ("kind" -> kind) ~ ("metric" -> metric) ~
         ("nlist" -> nlist)))
     val tmp = dir.resolve(s"current.json.tmp.${Thread.currentThread().getId}")
-    Files.write(tmp, body.getBytes)
-    Files.move(tmp, dir.resolve("current.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    tmp.writeBytes(body.getBytes)
+    tmp.moveOver(dir.resolve("current.json"))
     // GC: keep this build AND the most recent other one. An in-flight
     // lazy scan from a search that started before the pointer swap can
     // still be reading the previous build's parquet (queries racing
     // DML, the pressure-runner shape); deleting it mid-collect fails
     // that scan with FileNotFoundException. Anything older than the
     // previous build has survived two pointer swaps and is removed.
-    import scala.collection.JavaConverters._
-    val current = versionDir(dir, seq, kind, metric, nlist)
-      .getFileName.toString
-    val s = Files.list(dir)
-    try {
-      val others = s.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("v_") &&
-          p.getFileName.toString != current)
-        .toSeq
-        .sortBy(p => versionSeq(p.getFileName.toString))(Ordering[Long].reverse)
-      others.drop(1).foreach(deleteRecursively)
-    } finally s.close()
+    val current = versionDir(dir, seq, kind, metric, nlist).name
+    val others = dir.list
+      .filter(p => p.name.startsWith("v_") && p.name != current)
+      .sortBy(p => versionSeq(p.name))(Ordering[Long].reverse)
+    others.drop(1).foreach(_.deleteRecursively())
   }
 
   /** Leading seq of a `v_<seq>[_...]` build-dir name (legacy `v_<seq>`
@@ -414,25 +399,16 @@ object IndexStore {
       case n  => n.toLong
     }
 
-  private def readPointer(dir: Path): Option[Pointer] = {
+  private def readPointer(dir: StorePath): Option[Pointer] = {
     val f = dir.resolve("current.json")
-    if (!Files.exists(f)) None
+    if (!f.exists) None
     else {
       implicit val fmt: Formats = DefaultFormats
-      val j = JsonMethods.parse(new String(Files.readAllBytes(f)))
+      val j = JsonMethods.parse(new String(f.readBytes))
       Some(Pointer((j \ "builtSeq").extract[Long],
         (j \ "kind").extract[String], (j \ "metric").extract[String],
         (j \ "nlist").extract[Int]))
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.collection.JavaConverters._
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
 }

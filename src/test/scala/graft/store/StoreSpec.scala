@@ -453,6 +453,44 @@ class StoreSpec extends SparkSpec {
     assert(c.numEntities(s) == 8)
   }
 
+  test("store runs unchanged against a scheme-qualified file:/// root") {
+    // The store's path layer is Hadoop FileSystem (StorePath): the
+    // same code serves local dirs and hdfs:// / s3a:// URIs. Driving
+    // the full DML + compaction + catalog cycle through an explicit
+    // file:/// URI proves every path op (list, atomic rename,
+    // overwrite-rename, marker write, recursive delete) goes through
+    // the Hadoop API — nothing falls back to java.nio semantics.
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(
+      "file://" + Files.createTempDirectory("graft-hfs").toString + "/cat")
+    val c = cat.createCollection(simpleDef("hfs"))
+    c.insert(s, (0L until 10L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.upsert(s, Seq((3L, 77L, "upd", 1L))
+      .toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 9")
+    assert(c.numEntities(s) == 9)
+    assert(c.storageBytes > 0)
+    c.compact(s)
+    // unique-base marker written + detected through the Hadoop path:
+    // post-compaction read is a plain scan, no merge window
+    val plan = c.read(s).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"merge window not skipped:\n$plan")
+    assert(c.read(s).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 9L))
+    assert(c.read(s).filter($"id" === 3).head().getString(2) == "upd")
+    // catalog surface over the URI root
+    assert(cat.listCollections() == Seq("hfs"))
+    assert(cat.hasCollection("hfs"))
+    // persisted index build + drop through the Hadoop path
+    c.createIndex(s, IndexDef("category", "INVERTED"))
+    assert(c.listIndexes().map(_.field) == Seq("category"))
+    c.dropIndex("category")
+    cat.dropCollection("hfs")
+    assert(!cat.hasCollection("hfs"))
+  }
+
   test("PK-only predicates push below the merge window and stay correct") {
     val s = spark
     import s.implicits._
