@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
-import graft.ann.{Ivf, RaBitQ}
+import graft.ann.{Ivf, Lsh, RaBitQ}
 import graft.dedup.Dedup
 import graft.operators.HybridSearch.{AnnSearchRequest, RrfRanker}
 import graft.operators.{HybridSearch, QueryIterator}
@@ -650,6 +650,35 @@ object SparkEntry {
       val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
       val recall = RaBitQ.recallAtK(emb, enc, model, queries,
         "embedding", "vec_id", k = 10, nprobe = 24, refine = 16)
+      Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
+    },
+    // ---- V18: LSH-bucketed ANN (random-hyperplane sign LSH) ---------------
+    // Full-probe (radius = numPlanes) covers every bucket, which makes
+    // the bucketed path provably exact — DuckDB's exact cosine top-k is
+    // a genuine independent oracle for the whole signature → probe →
+    // guard → re-rank pipeline.
+    "v18_ann_lsh_exact" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val model = Lsh.train(dim = 64, tables = 2, numPlanes = 4)
+      val assigned = Lsh.assign(emb, "embedding", model)
+      val q = Seq((7L, vecOf(s, dir, 7))).toDF("qid", "qvec")
+      Lsh.search(assigned, model, q, "embedding", "vec_id", k = 10,
+        radius = model.numPlanes).select("vec_id")
+    },
+    // ---- V18 recall: the OPERATING point (radius-1 multiprobe) — a
+    // pinned deterministic value (seeded hyperplanes; uniform synthetic
+    // vectors are the worst case for angular LSH, so this is a lower
+    // bound). Exactness of the machinery is covered by
+    // v18_ann_lsh_exact above.
+    "v18_ann_lsh_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val model = Lsh.train(dim = 64, tables = 4, numPlanes = 8)
+      val assigned = Lsh.assign(emb, "embedding", model)
+      val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
+      val recall = Lsh.recallAtK(emb, assigned, model, queries,
+        "embedding", "vec_id", k = 10, radius = 1)
       Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
     },
     // ---- Q6: iterator with checkpoint resume ------------------------------
@@ -1371,6 +1400,22 @@ object SparkEntry {
       Dedup.simhashNearDups(dedupFixture(s), "text", "doc_id", maxHamming = 6)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     },
+    // EXACT n-gram Jaccard near-dup (prefix-filter candidate join) on the
+    // REAL documents table + 30 planted perturbed copies — the oracle
+    // recomputes trigram Jaccard from scratch in DuckDB, so this checks
+    // both completeness (no pair missed by the prefix filter) and the
+    // Jaccard arithmetic.
+    "d5_dedup_ngram" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" zq zr zs")))
+      Dedup.ngramNearDups(docs.unionByName(planted), "text", "doc_id",
+        threshold = 0.6, shingleSize = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
     // ---- LLM pipeline: text analysis --------------------------------------
     "t1_text_features" -> { (s, dir) =>
       import s.implicits._
@@ -1910,6 +1955,17 @@ object SparkEntry {
       // machinery is independently verified by v15_rabitq_exact.
       "v15_rabitq_recall" ->
         "SELECT CAST(0.9333 AS DOUBLE) AS recall",
+      // GENUINE independent oracle: radius = numPlanes probes every
+      // bucket, so the LSH path must equal exact cosine top-k.
+      "v18_ann_lsh_exact" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(7)}) DESC, vec_id
+           |LIMIT 10""".stripMargin,
+      // DETERMINISM PIN (irreducible, same status as v1_ann_ivf_recall):
+      // seeded-hyperplane radius-1 recall; exactness of the machinery is
+      // independently verified by v18_ann_lsh_exact.
+      "v18_ann_lsh_recall" ->
+        "SELECT CAST(0.5 AS DOUBLE) AS recall",
       "q6_iterator_resume" ->
         """SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_pks
           |FROM orders""".stripMargin,
@@ -2432,6 +2488,27 @@ object SparkEntry {
           |  (CAST(1 AS BIGINT), CAST(5 AS BIGINT)), (CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
           |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT)), (CAST(3 AS BIGINT), CAST(5 AS BIGINT))
           |) t(id_a, id_b) ORDER BY id_a, id_b""".stripMargin,
+      // COMPUTED oracle: DuckDB re-derives trigram shingle sets + exact
+      // Jaccard over the same corpus (150 real docs + 30 planted
+      // perturbed copies) — independently checks the prefix-filter
+      // candidate generation lost nothing.
+      "d5_dedup_ngram" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text || ' zq zr zs' FROM documents WHERE doc_id < 30),
+          |tok AS (SELECT doc_id AS id, list_filter(
+          |  regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus),
+          |sh AS (SELECT id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |    ELSE list_transform(range(1, len(ts) - 1),
+          |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset FROM tok),
+          |pairs AS (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    len(list_intersect(a.sset, b.sset))::DOUBLE
+          |      / len(list_distinct(a.sset || b.sset)) AS jaccard
+          |  FROM sh a JOIN sh b ON a.id < b.id)
+          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+          |FROM pairs WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
       "t1_text_features" ->
         """SELECT name, lang, n_tokens, n_chars FROM (VALUES
           |  ('a', 'en', 10, 38), ('b', 'es', 8, 29),

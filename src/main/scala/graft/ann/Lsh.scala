@@ -1,0 +1,159 @@
+package graft.ann
+
+import graft.Functions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Random-hyperplane (sign) LSH ANN for angular metrics — the
+  * LSH-bucketed similarity-search scale path alongside [[Ivf]]
+  * (reference ANN surface: 2.6/common.py:882-898; public algorithm:
+  * Charikar, STOC'02 SimHash rounding).
+  *
+  * Each of `tables` independent hash tables assigns a row the packed
+  * sign bits of `numPlanes` Gaussian hyperplane dot products. Two
+  * vectors at angle θ agree on one plane with probability 1 − θ/π, so
+  * bucket collisions concentrate near-neighbors; multiple tables trade
+  * memory for recall the standard way.
+  *
+  * Unlike IVF there is no training scan: hyperplanes are
+  * data-independent, seeded, and reproducible — an empty-table index
+  * build, which is exactly what you want when the 100 TB corpus
+  * arrives incrementally (no retrain, signatures are append-only).
+  *
+  * Scale shape mirrors [[Ivf.search]]: signatures are one codegen'd
+  * projection per row (persist `_sigs` with the table; bucket each
+  * table's column physically for pruning), queries broadcast their
+  * multiprobe sets, and the candidate guard runs BEFORE any distance
+  * is scored.
+  */
+object Lsh {
+
+  /** `planes(t)(p)` is hyperplane p of table t. */
+  final case class Model(planes: Array[Array[Array[Double]]], metric: String) {
+    def tables: Int = planes.length
+    def numPlanes: Int = planes(0).length
+    def dim: Int = planes(0)(0).length
+
+    /** Packed sign signature of `v` in table `t`. */
+    def signature(v: Array[Double], t: Int): Int = {
+      var sig = 0
+      var p = 0
+      while (p < numPlanes) {
+        var s = 0.0
+        var i = 0
+        val h = planes(t)(p)
+        val n = math.min(v.length, h.length)
+        while (i < n) { s += v(i) * h(i); i += 1 }
+        if (s >= 0) sig |= 1 << p
+        p += 1
+      }
+      sig
+    }
+
+    /** Multiprobe set for `v` in table `t`: the signature plus every
+      * signature within Hamming distance `radius` (radius >= numPlanes
+      * enumerates ALL buckets — the provably-exact configuration).
+      */
+    def probes(v: Array[Double], t: Int, radius: Int): Seq[Int] = {
+      val sig = signature(v, t)
+      if (radius >= numPlanes) 0 until (1 << numPlanes)
+      else (0 until (1 << numPlanes))
+        .filter(s => Integer.bitCount(s ^ sig) <= radius)
+    }
+  }
+
+  /** Deterministic Gaussian hyperplanes (seeded `java.util.Random`,
+    * Box–Muller via nextGaussian) — no data scan, reproducible builds.
+    */
+  def train(dim: Int, tables: Int = 4, numPlanes: Int = 8,
+      metric: String = "COSINE", seed: Long = 42L): Model = {
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(tables, numPlanes, dim)(rng.nextGaussian())
+    Model(planes, metric)
+  }
+
+  /** Per-table packed sign bits of `vec` as one int column. The plane
+    * matrix is a 2-D literal looped by `transform` (the Ivf.sortedCells
+    * lesson: an unrolled per-plane expression forest grows the tree
+    * linearly and falls out of whole-stage codegen).
+    */
+  private def signatureCol(model: Model, vec: Column, t: Int): Column = {
+    val planes = typedlit(model.planes(t).map(_.toSeq).toSeq)
+    // shiftleft needs a literal bit count, so weight bit p as the
+    // (exactly representable) double 2^p and cast the sum back.
+    aggregate(
+      zip_with(planes, sequence(lit(0), lit(model.numPlanes - 1)), (h, p) =>
+        when(aggregate(zip_with(vec, h, (v, x) => v * x),
+          lit(0.0), (acc, x) => acc + x) >= 0,
+          pow(lit(2.0), p)).otherwise(lit(0.0))),
+      lit(0.0), (acc, b) => acc + b).cast("int")
+  }
+
+  /** Augment a table with its per-table signatures (`_sigs` array).
+    * Persist alongside the data; at scale, sort/bucket the files by
+    * `_sigs[0]` so at least table 0's probe prunes at the file level.
+    */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("_sigs", array(
+      (0 until model.tables).map(t =>
+        signatureCol(model, col(vecCol).cast("array<double>"), t)): _*))
+
+  /** Batched ANN search: per-query multiprobe sets per table
+    * (driver-side — nq is the reference's small batch shape), broadcast
+    * with the queries; a row is a candidate iff SOME table's signature
+    * lands in that query's probe set for the same table, and only
+    * candidates are scored + ranked. radius >= numPlanes probes every
+    * bucket ⇒ exact brute force through the identical code path.
+    */
+  def search(assigned: DataFrame, model: Model, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, radius: Int = 1,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(qidCol), col(qvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getSeq[Double](1).toArray))
+    val probeDf = qRows.map { case (qid, qv) =>
+      (qid, qv.toSeq,
+        (0 until model.tables).map(t => model.probes(qv, t, radius)))
+    }.toSeq.toDF("_qid_str", qvecCol, "_probes")
+    val guard = (0 until model.tables).map { t =>
+      array_contains(element_at(col("_probes"), t + 1),
+        element_at(col("_sigs"), t + 1))
+    }.reduce(_ || _)
+    val (score, similarityLike) = Functions.metricFor(
+      model.metric, assigned.schema(vecCol).dataType, col(vecCol), col(qvecCol))
+    val cols = (idCol +: outputCols).distinct.map(col)
+    val pruned = filter.foldLeft(assigned)(_ filter _)
+    val scored = pruned
+      .crossJoin(broadcast(probeDf))
+      .filter(guard)
+      .select((col("_qid_str").as(qidCol) +: cols) :+ score.as("score"): _*)
+    val primary = if (similarityLike) col("score").desc else col("score").asc
+    val w = Window.partitionBy(qidCol).orderBy(primary, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall@k vs exact brute force, batched exactly like
+    * [[Ivf.recallAtK]]: one exact job, one LSH job, set-intersection
+    * semi-join.
+    */
+  def recallAtK(data: DataFrame, assigned: DataFrame, model: Model,
+      queries: Seq[(Long, Seq[Float])], vecCol: String, idCol: String,
+      k: Int, radius: Int): Double = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qvec")
+    val exact = graft.operators.Knn.search(
+      data, qdf, vecCol, idCol, model.metric, k)
+      .select(col("qid").cast("string").as("qid"), col(idCol)).distinct()
+    val approx = search(assigned, model, qdf, vecCol, idCol, k, radius)
+      .select(col("qid").cast("string").as("qid"), col(idCol))
+    exact.join(approx, Seq("qid", idCol), "left_semi").count().toDouble /
+      (queries.size.toLong * k)
+  }
+}

@@ -52,6 +52,33 @@ class DedupSpec extends SparkSpec {
     assert(j == 0.5)
   }
 
+  test("prefix-filter ngram near-dups match minhash-verified exact Jaccard") {
+    val out = Dedup.ngramNearDups(docs, "text", "doc_id",
+      threshold = 0.5, shingleSize = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Prefix filtering is EXACT — same pairs + values as the minhash
+    // path's verified output on this fixture.
+    assert(out.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L), (1L, 3L), (2L, 3L), (3L, 5L)))
+    assert(out((1L, 2L)) == 1.0)
+    assert(math.abs(out((1L, 3L)) - 11.0 / 13.0) < 1e-9)
+  }
+
+  test("prefix-filter completeness at a high threshold on sets of unequal size") {
+    val s = spark
+    import s.implicits._
+    // 10 vs 12 tokens, sharing all of the shorter doc's shingles:
+    // J = 8/10 = 0.8 — right AT the threshold, the hardest case for an
+    // off-by-one in the prefix length.
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNearDups(d, "text", "doc_id",
+      threshold = 0.8, shingleSize = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet == Set((1L, 2L)) && out((1L, 2L)) == 0.8, s"got $out")
+  }
+
   test("simhash near-dups: identical docs distance 0, near-dups close") {
     val out = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
