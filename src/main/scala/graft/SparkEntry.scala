@@ -979,6 +979,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum("event_id").cast("long").as("sum_id"))
     },
+    // ---- S33: JSON Path index kinds Bitmap + Hybrid (3.0 plan §4;
+    // Sort is s25). Bitmap partitions the index files BY value
+    // (equality = directory prune); Hybrid measures cardinality at
+    // build and picks the layout. COMPUTED oracle: DuckDB re-extracts
+    // the JSON path over the same events rows. ------------------------
+    "s33_json_index_kinds" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-jpk").toString)
+      val c = cat.createCollection(CollectionDef("evk", Seq(
+        FieldDef("event_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("props", StringType))))
+      c.insert(s, tbl(s, dir, "events").select("event_id", "props"))
+      c.createIndex(s, IndexDef("props", "JSON_PATH",
+        params = Map("path" -> "$.k", "cast" -> "long", "kind" -> "bitmap")))
+      val eq = c.queryJsonPath(s, "props", "$.k", "long", v => v === 42,
+        outputFields = Seq("event_id"))
+        .agg(count(lit(1)), sum("event_id")).head()
+      c.dropIndex("props")
+      c.createIndex(s, IndexDef("props", "JSON_PATH",
+        params = Map("path" -> "$.k", "cast" -> "long", "kind" -> "hybrid")))
+      val rng = c.queryJsonPath(s, "props", "$.k", "long", v => v >= 90,
+        outputFields = Seq("event_id"))
+        .agg(count(lit(1)), sum("event_id")).head()
+      Seq((eq.getLong(0), eq.getLong(1), rng.getLong(0), rng.getLong(1)))
+        .toDF("eq_cnt", "eq_sum", "rng_cnt", "rng_sum")
+    },
     // ---- V16: sparse inverted index through the collection route
     // (SPARSE_INVERTED_INDEX, workload.py:150-151): dimension postings
     // persisted partitionBy(_db), the query joins only its dims'
@@ -1192,6 +1219,115 @@ object SparkEntry {
       val maxPk = c.read(s).agg(max("o_orderkey")).head().getLong(0)
       Seq((c.numEntities(s), c.numDeltas <= 4, maxPk))
         .toDF("entities", "chain_bounded", "max_pk")
+    },
+    // ---- S28: Import 2PC (3.0 plan §5: CommitImport/AbortImport/
+    // auto_commit) — staged rows invisible until commit; abort leaves
+    // no trace; post-prepare DML wins over the later-committed import.
+    "s28_import_2pc" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-i2p").toString)
+      val c = cat.createCollection(CollectionDef("imp", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("v", LongType))))
+      c.insert(s, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+      val id1 = c.prepareImport(s, Seq((10L, 1L), (11L, 1L), (12L, 1L)).toDF("id", "v"))
+      val staged = c.numEntities(s) // must still be 2
+      val committed = c.commitImport(s, id1)
+      val id2 = c.prepareImport(s, Seq((20L, 2L)).toDF("id", "v"))
+      c.abortImport(id2)
+      // prepare-time ordering: import of pk 1 prepared BEFORE an upsert
+      // of pk 1 — the upsert wins even though the import commits later.
+      val id3 = c.prepareImport(s, Seq((1L, 111L)).toDF("id", "v"))
+      c.upsert(s, Seq((1L, 999L)).toDF("id", "v"))
+      c.commitImport(s, id3): Unit
+      val v1 = c.read(s).filter(col("id") === 1).select("v").head().getLong(0)
+      Seq((staged, committed, c.numEntities(s), c.listImports().size, v1))
+        .toDF("staged_visible", "committed_rows", "final_entities",
+          "pending_imports", "pk1_value")
+    },
+    // ---- S29: Collection snapshot (3.0 plan §5) — point-in-time
+    // manifest that survives DML, compaction AND truncate (folded
+    // deltas park in _pinned/), served directly and as an external
+    // collection source.
+    "s29_snapshot" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-snap").toString)
+      val c = cat.createCollection(CollectionDef("snap", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("v", LongType))))
+      c.insert(s, Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "v"))
+      val snap = c.createSnapshot()
+      c.insert(s, Seq((4L, 4L), (5L, 5L)).toDF("id", "v"))
+      c.delete(s, col("id") === 1): Unit
+      val live = c.numEntities(s)
+      val atSnap = c.readSnapshot(s, snap).count()
+      c.compact(s)
+      val afterCompact = c.readSnapshot(s, snap).count()
+      val ext = cat.createExternalFromSnapshot("hist", "snap", snap)
+      val viaExternal = ext.numEntities(s)
+      c.truncate(s)
+      val afterTruncate = c.readSnapshot(s, snap).count()
+      Seq((live, atSnap, afterCompact, viaExternal, afterTruncate,
+        c.numEntities(s)))
+        .toDF("live", "at_snapshot", "after_compact", "via_external",
+          "after_truncate", "live_after_truncate")
+    },
+    // ---- S30: External collection (3.0 plan §5) over the REAL
+    // documents parquet with a data mapping — COMPUTED oracle: DuckDB
+    // aggregates the same source directly.
+    "s30_external_collection" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ext").toString)
+      val d = CollectionDef("ext", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("content", StringType),
+        FieldDef("language", StringType)))
+      val c = cat.createExternalCollection(s, d, s"$dir/documents.parquet",
+        mapping = Map("doc_id" -> "id", "text" -> "content", "lang" -> "language"))
+      val readOnly =
+        try { c.insert(s, Seq((1L, "x", "en")).toDF("id", "content", "language")); false }
+        catch { case _: IllegalArgumentException => true }
+      c.read(s).groupBy("language")
+        .agg(count(lit(1)).as("cnt"), sum(length(col("content"))).as("sum_len"))
+        .withColumn("read_only", lit(readOnly))
+        .orderBy("language")
+    },
+    // ---- S31: nullable vector (3.0 plan §4) — null vectors store and
+    // filter but are never searchable (and never pollute an ascending
+    // L2 top-k with null distances).
+    "s31_nullable_vector" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-nv").toString)
+      val c = cat.createCollection(CollectionDef("nv", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("emb", ArrayType(FloatType), nullable = true, dim = Some(4)))))
+      c.insert(s, Seq(
+        (1L, Some(Seq(1f, 0f, 0f, 0f))),
+        (2L, Some(Seq(0f, 1f, 0f, 0f))),
+        (3L, Option.empty[Seq[Float]]),
+        (4L, Option.empty[Seq[Float]])).toDF("id", "emb"))
+      val hits = CollectionSearch.search(s, c, "emb", Seq(1f, 0f, 0f, 0f),
+        k = 10, searchParams = Map("metric_type" -> "L2"))
+        .select("id").collect().map(_.getLong(0)).sorted.mkString(",")
+      Seq((c.numEntities(s), c.query(s, "emb IS NULL").count(), hits))
+        .toDF("total_rows", "null_vectors", "hit_ids")
+    },
+    // ---- S32: Force Merge compaction mode (3.0 plan §5) ------------------
+    "s32_force_merge" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-fm").toString)
+      val c = cat.createCollection(CollectionDef("fm", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("v", LongType))))
+      (1 to 3).foreach(i => c.insert(s, Seq((i.toLong, i.toLong)).toDF("id", "v")): Unit)
+      val (before, after) = c.forceMerge(s)
+      Seq((before, after, c.numEntities(s)))
+        .toDF("deltas_before", "deltas_after", "entities")
     },
     // ---- V13: BM25 text highlighter (3.0 text surface: query-term
     // tagging, fragment config, highlighter score) over the top-k ------
@@ -2234,6 +2370,15 @@ object SparkEntry {
         """SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
           |FROM events
           |WHERE TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) >= 90""".stripMargin,
+      "s33_json_index_kinds" ->
+        """WITH k AS (SELECT event_id,
+          |  TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS v
+          |  FROM events)
+          |SELECT
+          |  (SELECT count(*) FROM k WHERE v = 42) AS eq_cnt,
+          |  (SELECT CAST(sum(event_id) AS BIGINT) FROM k WHERE v = 42) AS eq_sum,
+          |  (SELECT count(*) FROM k WHERE v >= 90) AS rng_cnt,
+          |  (SELECT CAST(sum(event_id) AS BIGINT) FROM k WHERE v >= 90) AS rng_sum""".stripMargin,
       "s23_truncate" ->
         """SELECT (SELECT count(*) FROM nation) AS before_truncate,
           |  CAST(0 AS BIGINT) AS after_truncate,
@@ -2509,6 +2654,31 @@ object SparkEntry {
           |  FROM sh a JOIN sh b ON a.id < b.id)
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
           |FROM pairs WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+      // DETERMINISM PINS for the storage-family scenarios (the step
+      // counts are fully determined by the scripted DML), except s30
+      // which is a GENUINE COMPUTED oracle over the same parquet source.
+      "s28_import_2pc" ->
+        """SELECT CAST(2 AS BIGINT) AS staged_visible,
+          |  CAST(3 AS BIGINT) AS committed_rows,
+          |  CAST(5 AS BIGINT) AS final_entities,
+          |  CAST(0 AS INTEGER) AS pending_imports,
+          |  CAST(999 AS BIGINT) AS pk1_value""".stripMargin,
+      "s29_snapshot" ->
+        """SELECT CAST(4 AS BIGINT) AS live, CAST(3 AS BIGINT) AS at_snapshot,
+          |  CAST(3 AS BIGINT) AS after_compact, CAST(3 AS BIGINT) AS via_external,
+          |  CAST(3 AS BIGINT) AS after_truncate,
+          |  CAST(0 AS BIGINT) AS live_after_truncate""".stripMargin,
+      "s30_external_collection" ->
+        """SELECT lang AS language, count(*) AS cnt,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_len, TRUE AS read_only
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "s31_nullable_vector" ->
+        """SELECT CAST(4 AS BIGINT) AS total_rows,
+          |  CAST(2 AS BIGINT) AS null_vectors, '1,2' AS hit_ids""".stripMargin,
+      "s32_force_merge" ->
+        """SELECT CAST(3 AS INTEGER) AS deltas_before,
+          |  CAST(1 AS INTEGER) AS deltas_after,
+          |  CAST(3 AS BIGINT) AS entities""".stripMargin,
       "t1_text_features" ->
         """SELECT name, lang, n_tokens, n_chars FROM (VALUES
           |  ('a', 'en', 10, 38), ('b', 'es', 8, 29),

@@ -81,7 +81,15 @@ object CollectionSearch {
         Ivf.searchOne(assigned, build.model, queryVec, vecField, pk, k,
           nprobe, pred, outputFields)
       case _ =>
+        // Nullable-vector semantics (3.0 feature-inventory plan §4,
+        // "nullable vector"): rows whose vector is null are not
+        // searchable — and must be dropped BEFORE scoring, because a
+        // null distance would sort FIRST under an ascending L2 order
+        // and pollute the top-k. (The index paths get this for free:
+        // a null vector has a null cell id / code and lands outside
+        // every probed partition.)
         val data = coll.read(spark, partitionNames)
+          .filter(col(vecField).isNotNull)
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, data))

@@ -133,6 +133,42 @@ final class Catalog(val root: String) {
     new Collection(this, d.name)
   }
 
+  /** External Collection over a parquet source (3.0 feature-inventory
+    * plan §5): read-only, with an optional data mapping (source column
+    * -> declared field) and MANUAL refresh — the initial source file
+    * set is pinned here; later source files stay invisible until
+    * `refreshExternal`.
+    */
+  def createExternalCollection(spark: org.apache.spark.sql.SparkSession,
+      d: CollectionDef, sourceUri: String,
+      mapping: Map[String, String] = Map.empty): Collection = {
+    mapping.values.foreach(t => require(d.fields.exists(_.name == t),
+      s"mapping targets undeclared field $t"))
+    val props = d.properties +
+      ("external.source" -> sourceUri) ++
+      (if (mapping.isEmpty) Map.empty[String, String]
+       else Map("external.mapping" ->
+         mapping.map { case (s, t) => s"$s=$t" }.mkString(";")))
+    val c = createCollection(d.copy(properties = props))
+    c.refreshExternal(spark)
+    c
+  }
+
+  /** External Collection whose source is another collection's SNAPSHOT
+    * (3.0: "Milvus snapshot as External Table data source"): read-only
+    * time-travel view served through the snapshot manifest.
+    */
+  def createExternalFromSnapshot(name: String, srcCollection: String,
+      snapshotId: Long): Collection = {
+    val src = collection(srcCollection)
+    require(src.listSnapshots().contains(snapshotId),
+      s"collection $srcCollection has no snapshot $snapshotId")
+    val d = describeCollection(srcCollection)
+    createCollection(CollectionDef(name, d.fields,
+      enableDynamicField = d.enableDynamicField,
+      properties = Map("external.snapshot" -> s"$srcCollection:$snapshotId")))
+  }
+
   def hasCollection(name: String): Boolean = metaFile(resolve(name)).exists
 
   def dropCollection(name: String): Unit = {

@@ -234,6 +234,176 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       }
     }.toMap
 
+  // ---- external collections (3.0 feature-inventory plan §5) -------------
+
+  /** True when this collection maps external data (read-only): either a
+    * parquet source URI (`external.source`) or another collection's
+    * snapshot (`external.snapshot` = "srcCollection:snapshotId").
+    */
+  def isExternal: Boolean = {
+    val p = definition.properties
+    p.contains("external.source") || p.contains("external.snapshot")
+  }
+
+  private def requireWritable(d: CollectionDef): Unit =
+    require(!d.properties.contains("external.source") &&
+      !d.properties.contains("external.snapshot"),
+      s"collection $name is external (read-only)")
+
+  private def externalManifestFile: StorePath =
+    catalog.collectionDir(name).resolve("external_manifest.txt")
+
+  /** Manual refresh (the reference's External Collection refresh
+    * policy): re-list the source's parquet files and pin the new set.
+    * Files added to the source AFTER the last refresh are invisible
+    * until the next one — reads serve the pinned manifest, never a
+    * live listing. Returns the pinned file count.
+    */
+  def refreshExternal(spark: SparkSession): Int = {
+    val d = definition
+    val src = d.properties.getOrElse("external.source",
+      throw new IllegalStateException(
+        s"$name is not a source-mapped external collection"))
+    val files = listParquetFiles(StorePath(src)).sorted
+    // Bump the seq: external committedSeq tracks it, so persisted index
+    // builds (keyed on committedSeq) self-invalidate on refresh.
+    catalog.nextSeq(name): Unit
+    // meta.json discipline: temp + atomic overwrite-rename, so a
+    // concurrent read never sees a torn manifest.
+    val tmp = catalog.collectionDir(name).resolve(
+      s"external_manifest.tmp.${Thread.currentThread().getId}")
+    tmp.writeBytes(files.mkString("\n").getBytes)
+    tmp.moveOver(externalManifestFile)
+    refreshCachedSnapshot(spark)
+    files.size
+  }
+
+  private def listParquetFiles(p: StorePath): Seq[String] =
+    p.list.flatMap { c =>
+      if (c.isDirectory) {
+        if (c.name.startsWith("_") || c.name.startsWith(".")) Seq.empty
+        else listParquetFiles(c)
+      }
+      else if (c.name.endsWith(".parquet")) Seq(c.toString)
+      else Seq.empty
+    }
+
+  /** Read path for external collections: pinned files (or the source
+    * snapshot), with the declared column mapping applied — no merge
+    * window, no internal columns; the mapped frame IS the snapshot.
+    */
+  private def externalRead(spark: SparkSession): DataFrame = {
+    val d = definition
+    d.properties.get("external.snapshot") match {
+      case Some(ref) =>
+        val Array(src, sid) = ref.split(":", 2)
+        applyMapping(catalog.collection(src).readSnapshot(spark, sid.toLong), d)
+      case None =>
+        val files =
+          if (!externalManifestFile.exists) Seq.empty
+          else new String(externalManifestFile.readBytes)
+            .split("\n").toSeq.filter(_.nonEmpty)
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.structType)
+        else applyMapping(spark.read.parquet(files: _*), d)
+    }
+  }
+
+  /** `external.mapping` is "srcCol=field;srcCol2=field2" — data mapping
+    * from source columns onto declared fields; unmapped fields read the
+    * source column of the same name.
+    */
+  private def applyMapping(src: DataFrame, d: CollectionDef): DataFrame = {
+    val mapping = d.properties.get("external.mapping")
+      .map(_.split(";").toSeq.filter(_.nonEmpty).map { kv =>
+        val Array(s, t) = kv.split("=", 2); t -> s
+      }.toMap).getOrElse(Map.empty)
+    val fieldCols = d.fields.map { f =>
+      col(mapping.getOrElse(f.name, f.name)).cast(f.dataType).as(f.name)
+    }
+    val dynCols =
+      if (!d.enableDynamicField) Nil
+      else if (src.columns.contains(DYN)) Seq(col(DYN))
+      else Seq(lit("{}").as(DYN))
+    src.select(fieldCols ++ dynCols: _*)
+  }
+
+  // ---- collection snapshots (3.0 feature-inventory plan §5) -------------
+
+  private def snapshotsDir: StorePath =
+    catalog.collectionDir(name).resolve("snapshots")
+  private def pinnedDir: StorePath = dataDir.resolve("_pinned")
+  private def snapshotFile(id: Long): StorePath =
+    snapshotsDir.resolve(f"snap_$id%012d.txt")
+
+  /** Point-in-time snapshot: a manifest of the committed delta
+    * directory NAMES — O(deltas) metadata, zero data copied (deltas are
+    * immutable; [[compact]] parks folded-but-referenced deltas in
+    * `_pinned/` instead of deleting them, so a snapshot's files outlive
+    * compaction). Returns the snapshot id.
+    */
+  def createSnapshot(): Long = {
+    requireWritable(definition)
+    val id = catalog.nextSeq(name)
+    snapshotsDir.createDirectories()
+    snapshotFile(id).writeBytes(deltaPaths.map(_.name).mkString("\n").getBytes)
+    id
+  }
+
+  def listSnapshots(): Seq[Long] =
+    snapshotsDir.list.map(_.name)
+      .filter(n => n.startsWith("snap_") && n.endsWith(".txt"))
+      .map(_.stripPrefix("snap_").stripSuffix(".txt").toLong).sorted
+
+  /** Drop the snapshot and garbage-collect pinned deltas no remaining
+    * snapshot references.
+    */
+  def dropSnapshot(id: Long): Unit = {
+    require(snapshotFile(id).exists, s"no snapshot $id")
+    snapshotFile(id).deleteRecursively()
+    val stillPinned = allSnapshotDeltaNames
+    pinnedDir.list.foreach(p =>
+      if (!stillPinned.contains(p.name)) p.deleteRecursively())
+  }
+
+  /** Query the collection AS OF a snapshot: the standard merge-on-read
+    * assemble over exactly the manifest's deltas (live or pinned).
+    * Data-level time travel — the CURRENT schema serves (fields added
+    * since read null; fields dropped since don't read back).
+    */
+  def readSnapshot(spark: SparkSession, id: Long): DataFrame = {
+    require(snapshotFile(id).exists, s"no snapshot $id")
+    val paths = snapshotDeltaNames(id).map { n =>
+      val live = dataDir.resolve(n)
+      if (live.exists) live else pinnedDir.resolve(n)
+    }
+    paths.find(!_.exists).foreach(p =>
+      throw new IllegalStateException(s"snapshot $id delta missing: $p"))
+    assemble(spark, Seq.empty, None, None, deltaOverride = Some(paths))
+  }
+
+  private def snapshotDeltaNames(id: Long): Seq[String] =
+    new String(snapshotFile(id).readBytes).split("\n").toSeq.filter(_.nonEmpty)
+
+  private def allSnapshotDeltaNames: Set[String] =
+    listSnapshots().flatMap(snapshotDeltaNames).toSet
+
+  /** Delete superseded deltas, parking any a snapshot references in
+    * `_pinned/` (outside the reader's `delta_*` namespace) — shared by
+    * compact and truncate.
+    */
+  private def retireDeltas(deltas: Seq[StorePath]): Unit = {
+    val pinned = allSnapshotDeltaNames
+    deltas.foreach { p =>
+      if (pinned.contains(p.name)) {
+        pinnedDir.createDirectories()
+        val target = pinnedDir.resolve(p.name)
+        if (!target.exists) p.moveTo(target) else p.deleteRecursively()
+      } else p.deleteRecursively()
+    }
+  }
+
   // ---- DML --------------------------------------------------------------
 
   /** On-disk bytes of the committed deltas — the engine-side analog of
@@ -275,6 +445,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def insert(spark: SparkSession, rows: DataFrame,
       partition: Option[String] = None): InsertResult = {
     val d = definition
+    requireWritable(d)
     checkWriteQuota(spark, d)
     val seq = catalog.nextSeq(name)
     val pk = d.primaryField
@@ -314,6 +485,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       partialUpdate: Boolean = false,
       partition: Option[String] = None): Unit = {
     val d = definition
+    requireWritable(d)
     checkWriteQuota(spark, d)
     val pk = d.primaryField.name
     require(rows.columns.contains(pk), "upsert rows must carry the primary key")
@@ -366,6 +538,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def updateArrays(spark: SparkSession, rows: DataFrame,
       ops: Map[String, String]): Unit = {
     val d = definition
+    requireWritable(d)
     val pk = d.primaryField.name
     require(rows.columns.contains(pk), "array update rows must carry the pk")
     val elemTypes = ops.map { case (f, op) =>
@@ -416,6 +589,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def delete(spark: SparkSession, pred: Column,
       preFiltered: Option[DataFrame] = None): Long = {
     val d = definition
+    requireWritable(d)
     val pk = d.primaryField.name
     val victims = preFiltered.getOrElse(read(spark).filter(pred))
       .select(pk).distinct()
@@ -478,10 +652,84 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * search rebuilds against the empty snapshot.
     */
   def truncate(spark: SparkSession): Unit = {
-    deltaPaths.foreach(_.deleteRecursively())
+    requireWritable(definition)
+    // Snapshot-referenced deltas are parked, not deleted — a snapshot
+    // taken before the truncate still reads its full data.
+    retireDeltas(deltaPaths)
     definition.indexes.foreach(ix => IndexStore.drop(this, ix.field))
     catalog.nextSeq(name): Unit // bump: caches keyed on seq self-invalidate
     refreshCachedSnapshot(spark)
+  }
+
+  // ---- Import 2PC (3.0 feature-inventory plan §5: CommitImport /
+  // AbortImport / auto_commit) ------------------------------------------
+
+  /** Stage of a two-phase import: rows are fully written (conformed,
+    * partition-routed, PK-sorted — the identical physical layout a
+    * committed delta has) into `data/_import_<seq>`, which the reader's
+    * `delta_*` enumeration never matches, so staged rows are INVISIBLE
+    * to every query until [[commitImport]]. Returns the import id.
+    *
+    * Visibility ordering is prepare-time: the staged batch holds the
+    * seq reserved at prepare, so last-writer-wins resolves conflicts
+    * with DML that committed after the prepare in favor of the DML —
+    * the transactional "import sees the world as of prepare" shape.
+    *
+    * `autoCommit = true` collapses the two phases (the reference's
+    * `auto_commit` import mode).
+    */
+  def prepareImport(spark: SparkSession, rows: DataFrame,
+      partition: Option[String] = None,
+      autoCommit: Boolean = false): String = {
+    val d = definition
+    requireWritable(d)
+    checkWriteQuota(spark, d)
+    val seq = catalog.nextSeq(name)
+    val batch = conformToSchema(rows, d, allowMissingPk = false)
+    val staging = dataDir.resolve(f"_staging_import_$seq%012d")
+    routedInternal(batch, d, seq, partition)
+      .write.mode("overwrite").partitionBy(PART).parquet(staging.toString)
+    // Atomic publish into the pending-import namespace: listImports
+    // never observes a half-written staging directory.
+    staging.moveTo(dataDir.resolve(importDir(seq)))
+    val id = importId(seq)
+    if (autoCommit) commitImport(spark, id)
+    id
+  }
+
+  /** Pending (prepared, not yet committed/aborted) import ids. */
+  def listImports(): Seq[String] =
+    dataDir.list.map(_.name).filter(_.startsWith("_import_"))
+      .sorted.map(n => "import_" + n.stripPrefix("_import_"))
+
+  /** Phase 2 commit: one atomic rename moves the staged directory into
+    * the committed `delta_*` namespace — all staged rows become visible
+    * together. Returns the committed row count.
+    */
+  def commitImport(spark: SparkSession, id: String): Long = {
+    val seq = importSeq(id)
+    val src = dataDir.resolve(importDir(seq))
+    require(src.exists, s"no pending import $id")
+    val target = dataDir.resolve(f"delta_$seq%012d")
+    src.moveTo(target)
+    refreshCachedSnapshot(spark)
+    val n = spark.read.parquet(target.toString).count()
+    maybeAutoCompact(spark, definition)
+    n
+  }
+
+  /** Abort: drop the staged rows; nothing was ever visible. */
+  def abortImport(id: String): Unit = {
+    val src = dataDir.resolve(importDir(importSeq(id)))
+    require(src.exists, s"no pending import $id")
+    src.deleteRecursively()
+  }
+
+  private def importId(seq: Long): String = f"import_$seq%012d"
+  private def importDir(seq: Long): String = f"_import_$seq%012d"
+  private def importSeq(id: String): Long = {
+    require(id.startsWith("import_"), s"malformed import id $id")
+    id.stripPrefix("import_").toLong
   }
 
   // ---- memory residency (S12) ------------------------------------------
@@ -516,7 +764,8 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     this.synchronized {
       cached.foreach { old =>
         old.unpersist()
-        val df = assemble(spark, Seq.empty, None).cache()
+        val df = (if (isExternal) externalRead(spark)
+                  else assemble(spark, Seq.empty, None)).cache()
         df.count()
         cached = Some(df)
       }
@@ -538,9 +787,13 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * an index against a snapshot missing the in-flight delta and serve
     * stale results until the next write.
     */
-  def committedSeq: Long = deltaPaths.lastOption
-    .map(_.name.stripPrefix("delta_").toLong)
-    .getOrElse(0L)
+  def committedSeq: Long =
+    // External data versions on refresh (which bumps the meta seq);
+    // store collections version on the last committed delta.
+    if (isExternal) catalog.readMeta(name).seq
+    else deltaPaths.lastOption
+      .map(_.name.stripPrefix("delta_").toLong)
+      .getOrElse(0L)
 
   // ---- read path --------------------------------------------------------
 
@@ -560,6 +813,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   private[store] def read(spark: SparkSession, partitionNames: Seq[String],
       asOfMillis: Option[Long], pkPrefilter: Option[Column]): DataFrame = {
+    if (isExternal) {
+      require(partitionNames.isEmpty && asOfMillis.isEmpty,
+        s"external collection $name has no partitions or time travel")
+      return cached.getOrElse {
+        val base = externalRead(spark)
+        pkPrefilter.map(base.filter).getOrElse(base)
+      }
+    }
     cached match {
       case Some(df) if partitionNames.isEmpty && asOfMillis.isEmpty &&
         pkPrefilter.isEmpty => df
@@ -609,10 +870,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   private def assemble(spark: SparkSession, partitionNames: Seq[String],
       asOfMillis: Option[Long], pkPrefilter: Option[Column] = None,
       keepInternals: Boolean = false,
-      pkSemi: Option[DataFrame] = None): DataFrame = {
+      pkSemi: Option[DataFrame] = None,
+      deltaOverride: Option[Seq[StorePath]] = None): DataFrame = {
     val d = definition
     val outCols = userColumns(d) ++ (if (keepInternals) Seq(PART, TS) else Nil)
-    val paths = deltaPaths
+    val paths = deltaOverride.getOrElse(deltaPaths)
     val raw = rawDeltas(spark, d, paths.map(_.toString))
     if (raw.isEmpty) {
       val st =
@@ -671,6 +933,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def compact(spark: SparkSession): Unit =
     Collection.compactLock(dataDir.toString).synchronized {
       val d = definition
+      requireWritable(d)
       val folded = deltaPaths
       if (folded.isEmpty) return
       // keepInternals: the fold preserves each row's original `_part`
@@ -694,10 +957,23 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       // visible together, so a reader can never see a marked
       // half-written directory. (Spark ignores `_`-prefixed files.)
       staging.resolve(UniqueBaseMarker).writeBytes(Array.emptyByteArray)
-      folded.foreach(_.deleteRecursively())
+      // Folded deltas a snapshot references are parked, not deleted.
+      retireDeltas(folded)
       staging.moveTo(dataDir.resolve(f"delta_$seq%012d"))
       refreshCachedSnapshot(spark)
     }
+
+  /** Force Merge compaction mode (3.0 feature-inventory plan §5): an
+    * explicit operator-initiated full fold, regardless of whether the
+    * auto-compaction policy would have triggered. Returns (deltas
+    * before, deltas after) so callers can assert the merge happened.
+    */
+  def forceMerge(spark: SparkSession): (Int, Int) = {
+    requireWritable(definition)
+    val before = numDeltas
+    compact(spark)
+    (before, numDeltas)
+  }
 
   /** Committed delta count (read-amplification stat; what the
     * auto-compaction policy meters).
@@ -751,7 +1027,9 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val base = declared match {
       case Some(ix) =>
         val b = IndexStore.ensureJsonPath(spark, this, field, path,
-          ix.params.getOrElse("cast", castType))
+          ix.params.getOrElse("cast", castType),
+          ix.params.getOrElse("kind", "sort"),
+          ix.params.get("bitmap_cardinality").map(_.toInt).getOrElse(1024))
         val pks = spark.read.parquet(b.dataPath)
           .filter(valuePred(col("_v"))).select(col(pk))
         assemble(spark, Seq.empty, None, None, keepInternals = false,
@@ -838,9 +1116,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       .withColumn(TS, lit(System.currentTimeMillis()))
       .withColumn(PART, partitionColumn(d, df, explicitPart))
 
-  private def writeDelta(spark: SparkSession, batch: DataFrame,
-      d: CollectionDef, seq: Long, partition: Option[String],
-      deleted: Boolean): String = {
+  /** Partition-routed, PK-sorted delta frame with internal columns —
+    * shared by the direct DML write path and the staged import path.
+    */
+  private def routedInternal(batch: DataFrame, d: CollectionDef, seq: Long,
+      partition: Option[String]): DataFrame = {
     partition.foreach(p => require(listPartitions().contains(p),
       s"no such partition $p"))
     val internal = withInternals(batch, d, seq, partition)
@@ -856,13 +1136,15 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         internal.rdd.getNumPartitions > 1)
         internal.repartition(col(PART))
       else internal
-    commitDelta(
-      routed
-        // PK-sorted row groups give parquet min/max stats real
-        // selectivity for PK lookups/range scans (STL_SORT equivalent).
-        .sortWithinPartitions(d.primaryField.name),
-      seq)
+    // PK-sorted row groups give parquet min/max stats real
+    // selectivity for PK lookups/range scans (STL_SORT equivalent).
+    routed.sortWithinPartitions(d.primaryField.name)
   }
+
+  private def writeDelta(spark: SparkSession, batch: DataFrame,
+      d: CollectionDef, seq: Long, partition: Option[String],
+      deleted: Boolean): String =
+    commitDelta(routedInternal(batch, d, seq, partition), seq)
 
   /** Auto-compaction policy (Milvus auto-compaction analog, opt-in via
     * the `compaction.maxDeltas` table property): once the delta chain

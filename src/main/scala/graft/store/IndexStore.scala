@@ -174,46 +174,81 @@ object IndexStore {
     * predicate prunes whole files via parquet min/max stats — the
     * columnar equivalent of a sorted secondary index.
     */
+  /** JSON Path index kinds (3.0 plan §4: `Sort`, `Bitmap`, `Hybrid`):
+    *
+    *  - `sort` — range-partition + sort on the value: each file owns a
+    *    value range, so range/equality predicates prune whole files via
+    *    parquet min/max stats. The general-cardinality layout.
+    *  - `bitmap` — the value IS the physical partition column
+    *    (`partitionBy(_v)`): an equality/IN/range predicate prunes at
+    *    the DIRECTORY level before any file opens — the Spark-native
+    *    posting-list bitmap, right when cardinality is low (≤ one
+    *    directory per distinct value).
+    *  - `hybrid` — measures the distinct count at build time and picks
+    *    bitmap at/below `bitmap_cardinality` (default 1024), sort above.
+    *
+    * Serving is layout-independent (read + filter on `_v`) — only the
+    * pruning mechanism differs, so [[Collection.queryJsonPath]] does not
+    * care which kind built the files.
+    */
   def ensureJsonPath(spark: SparkSession, coll: Collection,
-      field: String, path: String, castType: String): JsonPathBuild = {
+      field: String, path: String, castType: String,
+      kind: String = "sort", bitmapCardinality: Int = 1024): JsonPathBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, path, castType, seq)
+    val key = (coll.name, field, path, s"$castType/$kind", seq)
     jsonPathCache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._3 == path && k._5 != seq)
     jsonPathCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
-      val pathTag = jsonPathTag(path)
-      loadJsonPath(dir, path, castType, seq).getOrElse {
+      val pathTag = jsonPathTag(path, kind)
+      loadJsonPath(dir, path, castType, kind, seq).getOrElse {
         val pk = coll.definition.primaryField.name
         val vdir = versionDir(dir, seq, pathTag, castType, 0)
         val dataPath = vdir.resolve("data").toString
-        coll.read(spark)
+        val base = coll.read(spark)
           .select(col(pk),
             expr(s"try_cast(get_json_object($field, '$path') AS $castType)")
               .as("_v"))
-          // Range partition + sort on the value: each file owns a value
-          // range, so a predicate on _v prunes whole files via min/max
-          // stats (nulls sort first into the lowest range).
-          .repartitionByRange(col("_v"))
-          .sortWithinPartitions("_v")
-          .write.mode("overwrite").parquet(dataPath)
+        val effective = kind.toLowerCase match {
+          case "hybrid" =>
+            if (base.select("_v").distinct().count() <= bitmapCardinality)
+              "bitmap"
+            else "sort"
+          case k => k
+        }
+        effective match {
+          case "bitmap" =>
+            // One shuffle to co-locate values -> one file per value
+            // directory (null values land in the Hive default-partition
+            // directory and read back as null, matching the sort
+            // layout's null handling).
+            base.repartition(col("_v"))
+              .write.mode("overwrite").partitionBy("_v").parquet(dataPath)
+          case "sort" =>
+            base.repartitionByRange(col("_v"))
+              .sortWithinPartitions("_v")
+              .write.mode("overwrite").parquet(dataPath)
+          case other => throw new IllegalArgumentException(
+            s"unknown JSON_PATH index kind $other (sort | bitmap | hybrid)")
+        }
         vdir.resolve("path.json").writeBytes(JsonMethods.compact(
-          JsonMethods.render(("path" -> path) ~ ("cast" -> castType))).getBytes)
+          JsonMethods.render(("path" -> path) ~ ("cast" -> castType) ~
+            ("kind" -> kind) ~ ("layout" -> effective))).getBytes)
         commitPointer(dir, seq, pathTag, castType, 0)
         JsonPathBuild(dataPath, path, castType, seq)
       }
     })
   }
 
-  private def jsonPathTag(path: String): String =
-    s"jp${(path.hashCode.toLong & 0xffffffffL).toString}"
+  private def jsonPathTag(path: String, kind: String): String =
+    s"jp${kind.toLowerCase.take(1)}${(path.hashCode.toLong & 0xffffffffL).toString}"
 
   private def loadJsonPath(dir: StorePath, path: String, castType: String,
-      seq: Long): Option[JsonPathBuild] =
+      kind: String, seq: Long): Option[JsonPathBuild] =
     readPointer(dir).filter(p => p.builtSeq == seq &&
-      p.kind == jsonPathTag(path) && p.metric == castType).map { _ =>
+      p.kind == jsonPathTag(path, kind) && p.metric == castType).map { _ =>
       JsonPathBuild(
-        versionDir(dir, seq, jsonPathTag(path), castType, 0)
+        versionDir(dir, seq, jsonPathTag(path, kind), castType, 0)
           .resolve("data").toString, path, castType, seq)
     }
 
@@ -248,7 +283,9 @@ object IndexStore {
       ensureJsonPath(spark, coll, ix.field,
         ix.params.getOrElse("path",
           throw new IllegalArgumentException("JSON_PATH index needs a path")),
-        ix.params.getOrElse("cast", "string")): Unit
+        ix.params.getOrElse("cast", "string"),
+        ix.params.getOrElse("kind", "sort"),
+        ix.params.get("bitmap_cardinality").map(_.toInt).getOrElse(1024)): Unit
     }
     // scalar INVERTED/STL_SORT/TRIE: PK-sorted row groups + parquet
     // min/max stats already serve these (Collection.writeDelta)
@@ -276,7 +313,10 @@ object IndexStore {
 
   private def buildIvf(spark: SparkSession, dir: StorePath, coll: Collection,
       field: String, metric: String, nlist: Int, seq: Long): IvfBuild = {
-    val snapshot = coll.read(spark)
+    // Null vectors (nullable vector fields, 3.0 plan §4) are not
+    // indexed: they can't be trained on (the sample collect would NPE)
+    // and must never surface from a probe.
+    val snapshot = coll.read(spark).filter(col(field).isNotNull)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
     val vdir = versionDir(dir, seq, "ivf", metric, nlist)
     val dataPath = vdir.resolve("data").toString
@@ -313,7 +353,8 @@ object IndexStore {
 
   private def buildRabitq(spark: SparkSession, dir: StorePath, coll: Collection,
       field: String, metric: String, nlist: Int, seq: Long): RabitqBuild = {
-    val snapshot = coll.read(spark)
+    // Null vectors are not indexed (see buildIvf).
+    val snapshot = coll.read(spark).filter(col(field).isNotNull)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
     val vdir = versionDir(dir, seq, "rabitq", metric, nlist)
     val dataPath = vdir.resolve("data").toString
