@@ -681,6 +681,37 @@ object SparkEntry {
         "embedding", "vec_id", k = 10, radius = 1)
       Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
     },
+    // ---- V19: multi-field composite group_by search (3.0 plan §2) —
+    // a group is a (label, bucket) value COMBINATION; top-5 groups by
+    // their best cosine hit. COMPUTED oracle re-derives the full
+    // leader ranking in SQL. ------------------------------------------
+    "v19_group_by_multi" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("bucket", col("vec_id") % 3)
+      val q = Seq(("q0", vecOf(s, dir, 0))).toDF("qid", "qvec")
+      Knn.searchGroupByMulti(emb, q, "embedding", "vec_id",
+        Seq("label", "bucket"), "COSINE", k = 5)
+        .select(col("vec_id"), col("rank").cast("int").as("rank"))
+        .orderBy("rank")
+    },
+    // ---- V20: search-side ORDER BY (3.0 plan §2: server-side ORDER
+    // BY on Search) through the collection route: top-10 cosine hits
+    // re-sorted by an output field. COMPUTED oracle: exact top-k
+    // re-sorted the same way. -----------------------------------------
+    "v20_search_order_by" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-sob").toString)
+      val c = cat.createCollection(CollectionDef("sob", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)),
+        FieldDef("label", IntegerType))))
+      c.insert(s, tbl(s, dir, "embeddings"))
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 0), 10,
+        outputFields = Seq("label"),
+        orderByFields = Seq("label", "vec_id"))
+        .select("vec_id", "label")
+    },
     // ---- Q6: iterator with checkpoint resume ------------------------------
     "q6_iterator_resume" -> { (s, dir) =>
       import s.implicits._
@@ -2102,6 +2133,29 @@ object SparkEntry {
       // independently verified by v18_ann_lsh_exact.
       "v18_ann_lsh_recall" ->
         "SELECT CAST(0.5 AS DOUBLE) AS recall",
+      // COMPUTED oracle: full multi-field group-leader ranking
+      // re-derived in SQL (group = (label, vec_id % 3) combination,
+      // group_size = 1 so each group contributes its best hit).
+      "v19_group_by_multi" ->
+        s"""WITH scored AS (
+           |  SELECT vec_id, label, vec_id % 3 AS bucket,
+           |    list_cosine_similarity(embedding::DOUBLE[], $q0) AS score
+           |  FROM embeddings),
+           |g AS (SELECT *, row_number() OVER (
+           |    PARTITION BY label, bucket ORDER BY score DESC, vec_id) AS gr
+           |  FROM scored),
+           |l AS (SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY score DESC, vec_id) AS INT) AS rank
+           |  FROM g WHERE gr = 1)
+           |SELECT vec_id, rank FROM l WHERE rank <= 5 ORDER BY rank""".stripMargin,
+      // COMPUTED oracle: the exact top-10 re-sorted by the field — the
+      // ORDER BY must not change WHICH hits return, only their order.
+      "v20_search_order_by" ->
+        s"""SELECT vec_id, label FROM (
+           |  SELECT vec_id, label FROM embeddings
+           |  ORDER BY list_cosine_similarity(embedding::DOUBLE[], $q0) DESC, vec_id
+           |  LIMIT 10)
+           |ORDER BY label, vec_id""".stripMargin,
       "q6_iterator_resume" ->
         """SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_pks
           |FROM orders""".stripMargin,

@@ -32,7 +32,8 @@ object CollectionSearch {
       searchParams: Map[String, String] = Map.empty,
       outputFields: Seq[String] = Seq.empty,
       partitionNames: Seq[String] = Seq.empty,
-      consistencyLevel: String = "Strong"): DataFrame = {
+      consistencyLevel: String = "Strong",
+      orderByFields: Seq[String] = Seq.empty): DataFrame = {
     val d = coll.definition
     val pk = d.primaryField.name
     val index = d.indexes.find(_.field == vecField)
@@ -55,7 +56,7 @@ object CollectionSearch {
     val probeBudget = searchParams.get("nprobe")
       .orElse(searchParams.get("ef"))
       .orElse(searchParams.get("search_list_size"))
-    probeBudget.map(_.toInt) match {
+    val hits = probeBudget.map(_.toInt) match {
       case Some(nprobe) if rabitqDeclared && partitionNames.isEmpty =>
         // Quantized path: Hamming-estimate candidates over the probed
         // cells' narrow code columns, exact re-rank of k*refine_k.
@@ -95,6 +96,12 @@ object CollectionSearch {
           else Some(MilvusExpr.compile(filterExpr, data))
         Knn.searchOne(data, queryVec, vecField, pk, metric, k, pred, outputFields)
     }
+    // Server-side ORDER BY of the search RESULT (3.0 plan §2,
+    // "Query/Search server-side ORDER BY"): re-sort the k hits by
+    // output fields — a k-row sort on top of the ranked result, not a
+    // change to which hits are returned.
+    if (orderByFields.isEmpty) hits
+    else hits.orderBy(orderByFields.map(col): _*)
   }
 
   /** Sparse-vector search (map<int,double> field). With a declared

@@ -102,12 +102,36 @@ object Knn {
       outputCols: Seq[String] = Seq.empty,
       groupSize: Int = 1,
       qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame =
+    searchGroupByMulti(data, queries, vecCol, idCol, Seq(groupByField),
+      metricName, k, filter, outputCols, groupSize, qidCol, qvecCol)
+
+  /** Multi-field group_by (3.0 plan §2, "multi-field composite
+    * group_by"): a group is a distinct COMBINATION of the fields'
+    * values. Same physical shape as the single-field path — the group
+    * key just widens the window partition columns, so the cost is
+    * identical.
+    */
+  def searchGroupByMulti(
+      data: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      groupByFields: Seq[String],
+      metricName: String,
+      k: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty,
+      groupSize: Int = 1,
+      qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
+    require(groupByFields.nonEmpty, "group_by needs at least one field")
     val filtered = filter.map(data.filter).getOrElse(data)
     val (score, similarityLike) = Functions.metricFor(
       metricName, data.schema(vecCol).dataType, col(vecCol), col(qvecCol))
     val ord = orderFor(similarityLike, idCol)
-    val cols = outputCandidates(data, idCol, outputCols :+ groupByField)
+    val cols = outputCandidates(data, idCol, outputCols ++ groupByFields)
+    val groupCols = groupByFields.map(col)
     val scored = filtered
       .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
@@ -117,7 +141,7 @@ object Knn {
     // Group rank is assigned to the leader row (sorting leaders first
     // makes row_number give 1..numGroups deterministically, idCol
     // tiebreaks included) and window-propagated to the group's rows.
-    val perGroup = Window.partitionBy(qidCol, groupByField).orderBy(ord: _*)
+    val perGroup = Window.partitionBy(col(qidCol) +: groupCols: _*).orderBy(ord: _*)
     val leadersFirst = Window.partitionBy(qidCol)
       .orderBy(col("_gr").asc +: ord: _*)
     scored
@@ -125,7 +149,7 @@ object Knn {
       .filter(col("_gr") <= groupSize)
       .withColumn("_lr", when(col("_gr") === 1, row_number().over(leadersFirst)))
       .withColumn("_group_rank",
-        max(col("_lr")).over(Window.partitionBy(qidCol, groupByField)))
+        max(col("_lr")).over(Window.partitionBy(col(qidCol) +: groupCols: _*)))
       .filter(col("_group_rank") <= k)
       .withColumn("rank", row_number().over(Window.partitionBy(qidCol)
         .orderBy(col("_group_rank").asc, col("_gr").asc)))

@@ -79,6 +79,15 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet == Set((1L, 2L)) && out((1L, 2L)) == 0.8, s"got $out")
   }
 
+  test("prefix-filter plan: every join is key-equi (no cartesian product)") {
+    val plan = Dedup.ngramNearDups(docs, "text", "doc_id",
+      threshold = 0.6, shingleSize = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter dedup must never go all-pairs:\n$plan")
+  }
+
   test("simhash near-dups: identical docs distance 0, near-dups close") {
     val out = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -185,6 +185,31 @@ class OperatorsSpec extends SparkSpec {
     assert(one == Seq(("A", 1L), ("B", 3L), ("C", 4L)))
   }
 
+  test("multi-field group_by: constant second field degenerates to single-field") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      (1L, "A", 1L, Seq(1.0f, 0.0f)), (2L, "A", 1L, Seq(0.9f, 0.1f)),
+      (3L, "B", 1L, Seq(0.5f, 0.5f)), (4L, "C", 1L, Seq(0.0f, 1.0f)))
+      .toDF("id", "grp", "konst", "vec")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val single = Knn.searchGroupBy(data, q, "vec", "id", "grp", "COSINE", k = 3)
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val multi = Knn.searchGroupByMulti(data, q, "vec", "id",
+      Seq("grp", "konst"), "COSINE", k = 3)
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(multi == single)
+    // A genuinely composite key splits group A into two groups.
+    val data2 = Seq(
+      (1L, "A", 1L, Seq(1.0f, 0.0f)), (2L, "A", 2L, Seq(0.9f, 0.1f)),
+      (3L, "B", 1L, Seq(0.5f, 0.5f)))
+      .toDF("id", "grp", "konst", "vec")
+    val split = Knn.searchGroupByMulti(data2, q, "vec", "id",
+      Seq("grp", "konst"), "COSINE", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(split == Set(1L, 2L, 3L), "composite key must separate (A,1) and (A,2)")
+  }
+
   test("output_fields=[count(*)] routes to the count aggregate") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")
