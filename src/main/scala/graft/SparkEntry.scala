@@ -681,6 +681,20 @@ object SparkEntry {
         "embedding", "vec_id", k = 10, radius = 1)
       Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
     },
+    // ---- A9: query-aggregation matrix (3.0 plan §2: count/min/max/
+    // sum/avg as query output_fields, server-side) — one partial-
+    // aggregated job; COMPUTED oracle. --------------------------------
+    "a9_query_agg_matrix" -> { (s, dir) =>
+      QueryOps.query(tbl(s, dir, "lineitem"),
+        Some(col("l_quantity") > 30),
+        Seq("count(*)", "min(l_quantity)", "max(l_quantity)",
+          "sum(l_quantity)", "avg(l_extendedprice)"))
+        .select(col("count(*)"),
+          col("min(l_quantity)").cast("double").as("min_q"),
+          col("max(l_quantity)").cast("double").as("max_q"),
+          col("sum(l_quantity)").cast("double").as("sum_q"),
+          round(col("avg(l_extendedprice)"), 4).as("avg_p"))
+    },
     // ---- V19: multi-field composite group_by search (3.0 plan §2) —
     // a group is a (label, bucket) value COMBINATION; top-5 groups by
     // their best cosine hit. COMPUTED oracle re-derives the full
@@ -2133,6 +2147,13 @@ object SparkEntry {
       // independently verified by v18_ann_lsh_exact.
       "v18_ann_lsh_recall" ->
         "SELECT CAST(0.5 AS DOUBLE) AS recall",
+      "a9_query_agg_matrix" ->
+        """SELECT count(*) AS "count(*)",
+          |  CAST(min(l_quantity) AS DOUBLE) AS min_q,
+          |  CAST(max(l_quantity) AS DOUBLE) AS max_q,
+          |  CAST(sum(l_quantity) AS DOUBLE) AS sum_q,
+          |  round(avg(l_extendedprice), 4) AS avg_p
+          |FROM lineitem WHERE l_quantity > 30""".stripMargin,
       // COMPUTED oracle: full multi-field group-leader ranking
       // re-derived in SQL (group = (label, vec_id % 3) combination,
       // group_size = 1 so each group contributes its best hit).

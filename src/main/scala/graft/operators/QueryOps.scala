@@ -15,6 +15,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object QueryOps {
 
+  /** `fn(column)` output-field form for the query-aggregation route. */
+  private val AggField = "(?i)(count|min|max|sum|avg)\\((.+)\\)".r
+
   /** `query(filter, output_fields, limit, offset)`
     * (reference milvus_client/query_permanently_simplified.py:97-132).
     * `orderBy` keys make pagination deterministic — the reference relies
@@ -27,10 +30,30 @@ object QueryOps {
       orderBy: Seq[Column] = Seq.empty,
       limit: Option[Int] = None,
       offset: Int = 0): DataFrame = {
-    // `output_fields=["count(*)"]` IS the reference's count API
-    // (common/validators.py:61-65) — route to the aggregate.
-    if (outputFields == Seq("count(*)"))
-      return countStar(data, filter).withColumnRenamed("cnt", "count(*)")
+    // Aggregate output_fields ARE the reference's aggregation API:
+    // `count(*)` (common/validators.py:61-65) and the 3.0 plan §2
+    // query-aggregation set (count/min/max/sum/avg) — when every
+    // requested field is an aggregate, route to ONE partial-aggregated
+    // job (map-side combine; no row ever leaves the executors).
+    val aggRequested = outputFields.collect {
+      case AggField(fn, arg) => (fn.toLowerCase, arg.trim)
+    }
+    if (outputFields.nonEmpty && aggRequested.length == outputFields.length) {
+      val df = filter.map(data.filter).getOrElse(data)
+      val cols = aggRequested.map {
+        case ("count", "*") => count(lit(1)).as("count(*)")
+        case (fn, c) =>
+          val f = fn match {
+            case "count" => count(col(c))
+            case "min" => min(col(c))
+            case "max" => max(col(c))
+            case "sum" => sum(col(c))
+            case "avg" => avg(col(c))
+          }
+          f.as(s"$fn($c)")
+      }
+      return df.agg(cols.head, cols.tail: _*)
+    }
     var df = filter.map(data.filter).getOrElse(data)
     if (outputFields.nonEmpty && outputFields != Seq("*"))
       df = df.select(outputFields.map(col): _*)

@@ -1,0 +1,55 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property test: prefix-filter n-gram Jaccard dedup is EXACT — on
+  * random corpora it returns precisely the pairs a brute-force
+  * all-pairs Jaccard finds, at thresholds including boundary-exact
+  * values. (Drives scalacheck Gen directly — the scalatestplus bridge
+  * isn't available offline.)
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  // Small vocabulary => shingle sets collide a lot, near-dups are
+  // frequent, and hot shingles stress the rare-first prefix ordering.
+  private val word = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+  private val doc = Gen.choose(4, 12).flatMap(n => Gen.listOfN(n, word))
+    .map(_.mkString(" "))
+  private val corpus = Gen.choose(5, 12).flatMap(n => Gen.listOfN(n, doc))
+
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    if (toks.length < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def bruteForce(docs: Seq[(Long, String)], t: Double,
+      n: Int): Set[(Long, Long)] =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta, n); sb = shingleSet(tb, n)
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= t
+    } yield (ia, ib)).toSet
+
+  test("prefix-filter pairs == brute-force pairs on random corpora") {
+    val s = spark
+    import s.implicits._
+    val thresholds = Seq(0.5, 0.7, 0.8)
+    (0 until 12).foreach { i =>
+      val texts = corpus(Gen.Parameters.default, Seed(1000L + i)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val t = thresholds(i % thresholds.length)
+      val got = Dedup.ngramNearDups(df, "text", "doc_id", t, shingleSize = 3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteForce(docs, t, 3)
+      assert(got == want,
+        s"seed=${1000 + i} t=$t: got ${got.toSeq.sorted}, want ${want.toSeq.sorted}\n" +
+          docs.mkString("\n"))
+    }
+  }
+}

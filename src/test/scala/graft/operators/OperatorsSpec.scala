@@ -210,6 +210,28 @@ class OperatorsSpec extends SparkSpec {
     assert(split == Set(1L, 2L, 3L), "composite key must separate (A,1) and (A,2)")
   }
 
+  test("aggregate output_fields route to one aggregation job") {
+    val s = spark
+    val orders = Tables.load(s, sfDir, "orders")
+    val r = QueryOps.query(orders, None,
+      Seq("min(o_totalprice)", "max(o_totalprice)", "count(*)"))
+    assert(r.columns.toSeq ==
+      Seq("min(o_totalprice)", "max(o_totalprice)", "count(*)"))
+    val row = r.head()
+    val exact = orders.agg(
+      org.apache.spark.sql.functions.min("o_totalprice"),
+      org.apache.spark.sql.functions.max("o_totalprice"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).head()
+    assert(row.getDouble(0) == exact.getDouble(0) &&
+      row.getDouble(1) == exact.getDouble(1) &&
+      row.getLong(2) == exact.getLong(2))
+    // A mixed projection (plain column + aggregate-looking name absent)
+    // stays on the scan path.
+    val plain = QueryOps.query(orders, None, Seq("o_orderkey"), limit = Some(3))
+    assert(plain.columns.toSeq == Seq("o_orderkey") && plain.count() == 3)
+  }
+
   test("output_fields=[count(*)] routes to the count aggregate") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")
