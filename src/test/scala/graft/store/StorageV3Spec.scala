@@ -144,6 +144,26 @@ class StorageV3Spec extends SparkSpec {
     assert(c.numEntities(s) == 3)
   }
 
+  test("external read: filters push through the mapping to the parquet scan") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val srcDir = Files.createTempDirectory("graft-ext-pd").toString
+    (1L to 100L).map(i => (i, s"doc$i")).toDF("src_id", "payload")
+      .write.mode("overwrite").parquet(srcDir)
+    val d = CollectionDef("extpd", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("content", StringType)))
+    val c = cat.createExternalCollection(s, d, srcDir,
+      mapping = Map("src_id" -> "id", "payload" -> "content"))
+    val plan = c.read(s).filter(col("id") === 42)
+      .queryExecution.executedPlan.toString
+    // The rename+cast mapping must not block pushdown: the predicate
+    // has to reach the scan as a PushedFilter on the SOURCE column.
+    assert(plan.contains("PushedFilters") && plan.contains("src_id"),
+      s"external filter must push to the source scan:\n$plan")
+  }
+
   test("snapshot serves as an external collection source") {
     val s = spark
     val cat = freshCatalog()
