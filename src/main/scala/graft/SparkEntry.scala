@@ -1036,7 +1036,13 @@ object SparkEntry {
       val c = cat.createCollection(CollectionDef("evk", Seq(
         FieldDef("event_id", LongType, nullable = false, isPrimary = true),
         FieldDef("props", StringType))))
-      c.insert(s, tbl(s, dir, "events").select("event_id", "props"))
+      // Bounded corpus: identical to the full table at the sf0.01
+      // correctness gate (10k events) while keeping this CORRECTNESS
+      // scenario from ballooning into a 2x-full-index-build bench line
+      // at larger SFs — the bitmap/hybrid SCALE behavior (directory
+      // pruning, cardinality cutover) is plan-asserted in StorageV3Spec.
+      c.insert(s, tbl(s, dir, "events").select("event_id", "props")
+        .filter(col("event_id") < 20000))
       c.createIndex(s, IndexDef("props", "JSON_PATH",
         params = Map("path" -> "$.k", "cast" -> "long", "kind" -> "bitmap")))
       val eq = c.queryJsonPath(s, "props", "$.k", "long", v => v === 42,
@@ -1775,6 +1781,24 @@ object SparkEntry {
         val pairs = annPairs.count()
         Seq((pairs, hits / (200.0 * k))).toDF("pairs", "sample_recall")
       },
+      // EXACT ngram-Jaccard near-dup over the FULL documents table at
+      // the bench SF (the d5 correctness entry runs a fixed 180-doc
+      // corpus at every SF — this one scales with the data, so the
+      // prefix-filter shape is actually measured).
+      "bench_dedup_ngram" -> { (s, dir) =>
+        Dedup.ngramNearDups(tbl(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.8, shingleSize = 3)
+          .agg(count(lit(1)).as("pairs"))
+      },
+      // LSH-bucketed ANN batch at the bench SF: radius-1 multiprobe,
+      // 10 queries — the signature projection + bucket guard path.
+      "bench_ann_lsh" -> { (s, dir) =>
+        val emb = tbl(s, dir, "embeddings")
+        val model = Lsh.train(dim = 64, tables = 4, numPlanes = 8)
+        val assigned = Lsh.assign(emb, "embedding", model)
+        Lsh.search(assigned, model, queryDf(s, dir, (0 until 10).toSeq),
+          "embedding", "vec_id", k = 10, radius = 1)
+      },
       "bench_scalar_query" -> { (s, dir) =>
         QueryOps.query(tbl(s, dir, "lineitem"),
           Some(MilvusExpr.compile(
@@ -2448,7 +2472,7 @@ object SparkEntry {
       "s33_json_index_kinds" ->
         """WITH k AS (SELECT event_id,
           |  TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS v
-          |  FROM events)
+          |  FROM events WHERE event_id < 20000)
           |SELECT
           |  (SELECT count(*) FROM k WHERE v = 42) AS eq_cnt,
           |  (SELECT CAST(sum(event_id) AS BIGINT) FROM k WHERE v = 42) AS eq_sum,
