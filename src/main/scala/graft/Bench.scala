@@ -28,7 +28,12 @@ object Bench {
     } catch { case _: Throwable => () }
 
     var failures = List.empty[String]
-    val all = SparkEntry.queries ++ SparkEntry.benchQueries
+    // Optional comma-separated entry filter (local iteration only —
+    // the driver runs the full set).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val all = (SparkEntry.queries ++ SparkEntry.benchQueries)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
