@@ -21,6 +21,8 @@ object Functions {
     e2c(HammingDistance(c2e(a), c2e(b)))
   def centeredSignBits(vec: Column, center: Column): Column =
     e2c(CenteredSignBits(c2e(vec), c2e(center)))
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    e2c(LshSignature(c2e(vec), planes.flatten, planes.length))
   def sparseIp(a: Column, b: Column): Column =
     e2c(SparseInnerProduct(c2e(a), c2e(b)))
   def dictTokenize(text: Column, words: Seq[String]): Column =

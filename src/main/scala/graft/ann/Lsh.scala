@@ -73,22 +73,16 @@ object Lsh {
     Model(planes, metric)
   }
 
-  /** Per-table packed sign bits of `vec` as one int column. The plane
-    * matrix is a 2-D literal looped by `transform` (the Ivf.sortedCells
-    * lesson: an unrolled per-plane expression forest grows the tree
-    * linearly and falls out of whole-stage codegen).
+  /** Per-table packed sign bits of `vec` as one int column — the
+    * codegen'd [[org.apache.spark.sql.graft.functions.LshSignature]]
+    * expression (the plane matrix ships once as a codegen reference
+    * object; float vectors are read natively, no cast/copy). The
+    * higher-order-function formulation this replaced ran interpreted,
+    * outside whole-stage codegen — the same lesson as the minhash
+    * shape note in Dedup.minhashSignatures.
     */
-  private def signatureCol(model: Model, vec: Column, t: Int): Column = {
-    val planes = typedlit(model.planes(t).map(_.toSeq).toSeq)
-    // shiftleft needs a literal bit count, so weight bit p as the
-    // (exactly representable) double 2^p and cast the sum back.
-    aggregate(
-      zip_with(planes, sequence(lit(0), lit(model.numPlanes - 1)), (h, p) =>
-        when(aggregate(zip_with(vec, h, (v, x) => v * x),
-          lit(0.0), (acc, x) => acc + x) >= 0,
-          pow(lit(2.0), p)).otherwise(lit(0.0))),
-      lit(0.0), (acc, b) => acc + b).cast("int")
-  }
+  private def signatureCol(model: Model, vec: Column, t: Int): Column =
+    Functions.lshSignature(vec, model.planes(t))
 
   /** Augment a table with its per-table signatures (`_sigs` array).
     * Persist alongside the data; at scale, sort/bucket the files by
@@ -97,7 +91,7 @@ object Lsh {
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("_sigs", array(
       (0 until model.tables).map(t =>
-        signatureCol(model, col(vecCol).cast("array<double>"), t)): _*))
+        signatureCol(model, col(vecCol), t)): _*))
 
   /** Batched ANN search: per-query multiprobe sets per table
     * (driver-side — nq is the reference's small batch shape), broadcast

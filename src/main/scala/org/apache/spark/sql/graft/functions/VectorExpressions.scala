@@ -315,3 +315,82 @@ case class CenteredSignBits(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/** Packed random-hyperplane sign signature — the LSH bucketing
+  * primitive (graft.ann.Lsh): bit p = [<vec, plane_p> >= 0], with the
+  * (numPlanes x dim) plane matrix flattened row-major as expression
+  * state (a codegen reference object, shared across rows). Codegen'd
+  * because the signature projection is the per-row hot loop of the
+  * 100 TB index build (tables x planes x dim multiply-adds); the
+  * higher-order-function formulation it replaces runs interpreted
+  * outside whole-stage codegen.
+  *
+  * Bit-for-bit equal to `Lsh.Model.signature` (same ascending-index
+  * accumulation order; float inputs widen exactly to double).
+  */
+case class LshSignature(child: Expression, planes: Array[Double],
+    numPlanes: Int) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  require(numPlanes > 0 && numPlanes <= 30, s"numPlanes $numPlanes not in 1..30")
+  require(planes.length % numPlanes == 0,
+    s"planes length ${planes.length} not divisible by numPlanes $numPlanes")
+
+  override def prettyName: String = "lsh_signature"
+  private def denseVec = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(denseVec)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  private def dim: Int = planes.length / numPlanes
+
+  private def elem(arr: ArrayData, i: Int): Double = child.dataType match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var sig = 0
+    var p = 0
+    while (p < numPlanes) {
+      var s = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < n) { s += elem(x, i) * planes(off + i); i += 1 }
+      if (s >= 0) sig |= 1 << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val elemJ = child.dataType match {
+        case ArrayType(FloatType, _) => s"((double) $a.getFloat($i))"
+        case _ => s"$a.getDouble($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $sig = 0;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $s = 0.0;
+         |  int $off = $p * $dim;
+         |  for (int $i = 0; $i < $n; $i++) $s += $elemJ * $planesRef[$off + $i];
+         |  if ($s >= 0.0) $sig |= (1 << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
