@@ -34,6 +34,29 @@ class DedupPropertySpec extends SparkSpec {
       j = (sa & sb).size.toDouble / (sa | sb).size if j >= t
     } yield (ia, ib)).toSet
 
+  test("simhash chunk-blocking pairs == brute-force hamming pairs (maxHamming=3)") {
+    // Pigeonhole guarantee under test: 4 chunks of 16 bits, <= 3
+    // differing bits => at least one chunk identical, so the chunk
+    // equi-join candidate generation loses nothing at maxHamming <= 3.
+    val s = spark
+    import s.implicits._
+    (0 until 6).foreach { i =>
+      val texts = corpus(Gen.Parameters.default, Seed(2000L + i)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val sims = Dedup.simhash(df, "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- sims.keys; b <- sims.keys if a < b
+        if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = 3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=${2000 + i}: got $got want $want")
+    }
+  }
+
   test("prefix-filter pairs == brute-force pairs on random corpora") {
     val s = spark
     import s.implicits._
