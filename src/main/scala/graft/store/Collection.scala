@@ -934,6 +934,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     Collection.compactLock(dataDir.toString).synchronized {
       val d = definition
       requireWritable(d)
+      // Defer while an import is pending (2PC interaction): the staged
+      // batch holds its prepare-time seq, but the fold re-stamps
+      // surviving rows with a HIGHER seq and removes tombstones
+      // outright — compacting now would flip last-writer-wins against
+      // a later commitImport (old values would beat the import; deleted
+      // pks would resurrect). Compaction waits for in-flight
+      // transactions; stale imports must be aborted to unblock it.
+      if (listImports().nonEmpty) return
       val folded = deltaPaths
       if (folded.isEmpty) return
       // keepInternals: the fold preserves each row's original `_part`

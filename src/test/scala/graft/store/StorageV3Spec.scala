@@ -67,6 +67,31 @@ class StorageV3Spec extends SparkSpec {
     assert(v == 999L, "post-prepare DML must win over the committed import")
   }
 
+  test("compaction defers while an import is pending (2PC ordering holds)") {
+    val s = spark
+    import s.implicits._
+    val c = freshCatalog().createCollection(simpleDef("impc"))
+    c.insert(s, rows(1, 2))
+    val id = c.prepareImport(s, Seq((1L, 111L)).toDF("id", "v"))
+    c.upsert(s, Seq((1L, 999L)).toDF("id", "v"))
+    c.delete(s, col("id") === 2)
+    // A fold now would re-stamp pk 1 above the import's seq and drop
+    // pk 2's tombstone — both would corrupt the later commit. It must
+    // no-op while the import is staged.
+    val before = c.numDeltas
+    c.compact(s)
+    assert(c.numDeltas == before, "compact must defer with a pending import")
+    c.commitImport(s, id): Unit
+    // Post-prepare DML still wins; the deleted pk stays deleted.
+    assert(c.read(s).filter(col("id") === 1).select("v").head().getLong(0) == 999L)
+    assert(c.read(s).filter(col("id") === 2).count() == 0)
+    // With no pending imports the fold proceeds and preserves state.
+    c.compact(s)
+    assert(c.numDeltas == 1)
+    assert(c.read(s).filter(col("id") === 1).select("v").head().getLong(0) == 999L)
+    assert(c.numEntities(s) == 1)
+  }
+
   // ---- snapshots ---------------------------------------------------------
 
   test("snapshot pins data across DML, compaction and truncate") {
