@@ -1380,6 +1380,14 @@ object SparkEntry {
       Seq((before, after, c.numEntities(s)))
         .toDF("deltas_before", "deltas_after", "entities")
     },
+    // ---- T7: run_analyzer (3.0 text surface: the token-stream
+    // inspection API) — COMPUTED oracle re-tokenizes in SQL. ----------
+    "t7_run_analyzer" -> { (s, dir) =>
+      import graft.text.Highlight
+      Highlight.runAnalyzer(
+        tbl(s, dir, "documents").filter(col("doc_id") < 5), "text", "doc_id")
+        .orderBy("doc_id", "pos")
+    },
     // ---- V13: BM25 text highlighter (3.0 text surface: query-term
     // tagging, fragment config, highlighter score) over the top-k ------
     "v13_text_highlight" -> { (s, dir) =>
@@ -2756,6 +2764,13 @@ object SparkEntry {
       // DETERMINISM PINS for the storage-family scenarios (the step
       // counts are fully determined by the scripted DML), except s30
       // which is a GENUINE COMPUTED oracle over the same parquet source.
+      "t7_run_analyzer" ->
+        """WITH tok AS (SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM documents WHERE doc_id < 5)
+          |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[CAST(i AS INT)] AS token
+          |FROM tok, UNNEST(range(1, len(ts) + 1)) AS t(i)
+          |ORDER BY doc_id, pos""".stripMargin,
       "s28_import_2pc" ->
         """SELECT CAST(2 AS BIGINT) AS staged_visible,
           |  CAST(3 AS BIGINT) AS committed_rows,
