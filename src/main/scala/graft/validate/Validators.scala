@@ -39,6 +39,34 @@ object Validators {
     else Some(s"pk samples missing: expected ${pks.distinct.length} found $found")
   }
 
+  /** One-job probe batch: row count under `pred` plus a presence flag
+    * per `presence` predicate, all from a single aggregation pass.
+    * The DQL validators (data-integrity, phase DML/DQL, index
+    * compatibility) probe tiny collections where each Spark job costs
+    * far more than the data it touches — a count, three sample-pk
+    * lookups and a deleted-range count as five jobs is 5× the fixed
+    * cost of one.
+    */
+  def countAndPresence(df: DataFrame, pred: Option[Column],
+      presence: Seq[Column]): (Long, Seq[Boolean]) = {
+    val base = pred.map(df.filter).getOrElse(df)
+    val aggs = count(lit(1)).as("_cnt") +: presence.zipWithIndex.map {
+      case (p, i) => max(when(p, lit(1)).otherwise(lit(0))).as(s"_p$i")
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    (row.getLong(0),
+      presence.indices.map(i => !row.isNullAt(i + 1) && row.getInt(i + 1) == 1))
+  }
+
+  /** One-job count batch: a row count per predicate, one pass. */
+  def counts(df: DataFrame, preds: Seq[Column]): Seq[Long] = {
+    val aggs = preds.zipWithIndex.map { case (p, i) =>
+      sum(when(p, lit(1L)).otherwise(lit(0L))).as(s"_c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    preds.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+  }
+
   /** Deleted PKs absent (validate_phase_dml_dql.py:245-276). */
   def validatePksAbsent(df: DataFrame, pkCol: String,
       pks: Seq[Any]): Option[String] = {

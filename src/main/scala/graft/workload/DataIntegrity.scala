@@ -111,17 +111,18 @@ object DataIntegrity {
     // would order "9" after "10" for numeric pks).
     val pkType = df.schema(pk).dataType
     def pkLit(v: String) = lit(v).cast(pkType)
-    val actual = df.filter(
-      col(pk) >= pkLit(state("min_pk")) && col(pk) <= pkLit(state("max_pk")))
-      .count()
+    // Count + the three sample-pk probes in ONE aggregation job — the
+    // samples are inside the checkpointed range by construction.
+    val sampleKeys = Seq("min_pk", "mid_pk", "max_pk")
+    val (actual, present) = Validators.countAndPresence(df,
+      Some(col(pk) >= pkLit(state("min_pk")) &&
+        col(pk) <= pkLit(state("max_pk"))),
+      sampleKeys.map(k => col(pk) === pkLit(state(k))))
     if (actual != expected)
       failures += s"COUNT_MISMATCH: expected $expected rows in " +
         s"[${state("min_pk")}, ${state("max_pk")}], found $actual"
-
-    Seq("min_pk", "mid_pk", "max_pk").foreach { k =>
-      val v = state(k)
-      if (df.filter(col(pk) === pkLit(v)).limit(1).isEmpty)
-        failures += s"MISSING_PK: sample $k=$v absent"
+    sampleKeys.zip(present).foreach { case (k, there) =>
+      if (!there) failures += s"MISSING_PK: sample $k=${state(k)} absent"
     }
 
     // Checksum over the CHECKPOINTED pk range, not the whole table —

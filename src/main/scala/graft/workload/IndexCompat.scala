@@ -253,13 +253,17 @@ object IndexCompat {
         val df = coll.read(spark)
         val pkType = df.schema(pk).dataType
         def pkLit(v: String) = lit(v).cast(pkType)
-        Validators.validateCount(df,
+        // Count + all three sample probes in one aggregation job.
+        val sampleKeys = Seq("min_pk", "mid_pk", "max_pk")
+        val (gotCount, present) = Validators.countAndPresence(df,
           Some(col(pk) >= pkLit(state("min_pk")) &&
             col(pk) <= pkLit(state("max_pk"))),
-          state("expected_count").toLong)
-          .foreach(m => fail(IndexScalarQueryFailed, s"$name: $m"))
-        Seq("min_pk", "mid_pk", "max_pk").foreach { k =>
-          if (df.filter(col(pk) === pkLit(state(k))).limit(1).isEmpty)
+          sampleKeys.map(k => col(pk) === pkLit(state(k))))
+        if (gotCount != state("expected_count").toLong)
+          fail(IndexScalarQueryFailed, s"$name: count mismatch: expected " +
+            s"${state("expected_count")}, got $gotCount")
+        sampleKeys.zip(present).foreach { case (k, there) =>
+          if (!there)
             fail(IndexScalarQueryFailed,
               s"$name: sample $k=${state(k)} absent")
         }

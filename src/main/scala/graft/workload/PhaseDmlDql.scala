@@ -107,37 +107,50 @@ object PhaseDmlDql {
     val remainingMin = startId + deleted
     val remainingMax = startId + rows - 1
     val remainingCount = (rows - deleted).toLong
+    // All four phase-DQL probes (remaining count, min/max presence,
+    // deleted-range residue) in ONE aggregation job over the phase's
+    // pk range — per-probe jobs would each pay the full fixed job
+    // cost on a tiny collection.
     val df = coll.read(spark)
-    val got = df.filter(col(pk) >= remainingMin && col(pk) <= remainingMax)
-      .count()
+      .filter(col(pk) >= startId && col(pk) <= remainingMax)
+    val probes = graft.validate.Validators.counts(df, Seq(
+      col(pk) >= remainingMin && col(pk) <= remainingMax,
+      col(pk) === remainingMin,
+      col(pk) === remainingMax,
+      col(pk) >= startId && col(pk) < remainingMin))
+    val Seq(got, minThere, maxThere, stillThere) = probes
     if (got != remainingCount)
       fail(PhaseDqlFailed, s"${coll.name}: phase DML remaining count " +
         s"mismatch: expected $remainingCount in " +
         s"[$remainingMin, $remainingMax], found $got")
     val remainingValues = Seq(remainingMin, remainingMax)
-    remainingValues.foreach { v =>
-      if (df.filter(col(pk) === v).limit(1).isEmpty)
+    remainingValues.zip(Seq(minThere, maxThere)).foreach { case (v, there) =>
+      if (there == 0L)
         fail(PhaseDqlFailed, s"${coll.name}: remaining pk $v absent")
     }
-    val stillThere = df.filter(
-      col(pk) >= startId && col(pk) < startId + deleted).count()
     if (stillThere != 0)
       fail(PhaseDqlFailed,
         s"${coll.name}: $stillThere deleted pks still present")
     // Upsert applied (_validate_upserted_values, :406-467): the
-    // surviving sample rows must carry the seed+101 generation.
+    // surviving sample rows must carry the seed+101 generation —
+    // both samples fetched in one query.
     val samples = remainingValues.map { id =>
       id -> gen.upsertValue(id, seed + 101)
     }
+    val backByPk = coll.query(spark,
+      s"$pk == $remainingMin || $pk == $remainingMax",
+      Seq(pk, gen.upsertField)).collect()
+      .map(r => String.valueOf(r.get(0)) -> String.valueOf(r.get(1))).toMap
     samples.foreach { case (id, expected) =>
-      val rowsBack = coll.query(spark, s"$pk == $id",
-        Seq(gen.upsertField)).collect()
-      if (rowsBack.isEmpty)
-        fail(PhaseDqlFailed, s"${coll.name}: upsert sample pk $id absent")
-      else if (String.valueOf(rowsBack.head.get(0)) != expected)
-        fail(PhaseUpsertNotApplied,
-          s"${coll.name}.$pk=$id: ${gen.upsertField} = " +
-            s"'${rowsBack.head.get(0)}', expected '$expected'")
+      backByPk.get(String.valueOf(id)) match {
+        case None =>
+          fail(PhaseDqlFailed, s"${coll.name}: upsert sample pk $id absent")
+        case Some(v) if v != expected =>
+          fail(PhaseUpsertNotApplied,
+            s"${coll.name}.$pk=$id: ${gen.upsertField} = " +
+              s"'$v', expected '$expected'")
+        case _ => ()
+      }
     }
     runSearches(spark, coll, remainingMax, fail, searches)
     Some(ExistingState(coll.name, pk, startId, rows, rows, rows, deleted,
@@ -208,15 +221,17 @@ object PhaseDmlDql {
     val pk = coll.definition.primaryField.name
     val minPk = startId
     val maxPk = startId + rows - 1
-    val df = coll.read(spark)
-    val got = df.filter(col(pk) >= minPk && col(pk) <= maxPk).count()
+    val samples = Seq(minPk, maxPk)
+    // Count + both sample probes in one aggregation job.
+    val (got, present) = graft.validate.Validators.countAndPresence(
+      coll.read(spark),
+      Some(col(pk) >= minPk && col(pk) <= maxPk),
+      samples.map(v => col(pk) === v))
     if (got != rows)
       fail(PhaseDqlFailed, s"$name: new collection count mismatch: " +
         s"expected $rows in [$minPk, $maxPk], found $got")
-    val samples = Seq(minPk, maxPk)
-    samples.foreach { v =>
-      if (df.filter(col(pk) === v).limit(1).isEmpty)
-        fail(PhaseDqlFailed, s"$name: sample pk $v absent")
+    samples.zip(present).foreach { case (v, there) =>
+      if (!there) fail(PhaseDqlFailed, s"$name: sample pk $v absent")
     }
     runSearches(spark, coll, maxPk, fail, searches)
     Some(NewState(name, pk, startId, rows, minPk, maxPk, samples))
@@ -289,37 +304,55 @@ object PhaseDmlDql {
       val minPk = (e \ "remaining_min_pk").extract[Long]
       val maxPk = (e \ "remaining_max_pk").extract[Long]
       val expected = (e \ "remaining_count").extract[Long]
-      val got = df.filter(col(pk) >= minPk && col(pk) <= maxPk).count()
+      val remainingValues = (e \ "remaining_values").extract[Seq[Long]]
+      val deletedValues = (e \ "deleted_values").extract[Seq[Long]]
+      // Remaining count, remaining-pk presence, and deleted-pk residue
+      // in ONE aggregation job (the deleted range sits outside the
+      // remaining range, so this pass scans the union of both).
+      val probes = graft.validate.Validators.counts(df,
+        (col(pk) >= minPk && col(pk) <= maxPk) +:
+          remainingValues.map(v => col(pk) === v) :+
+          (if (deletedValues.nonEmpty) col(pk).isin(deletedValues: _*)
+           else lit(false)))
+      val got = probes.head
       if (got != expected)
         fail(PhaseDqlFailed, s"$name: phase checkpoint remaining count " +
           s"mismatch: expected $expected in [$minPk, $maxPk], found $got")
-      (e \ "remaining_values").extract[Seq[Long]].foreach { v =>
-        if (df.filter(col(pk) === v).limit(1).isEmpty)
-          fail(PhaseDqlFailed,
-            s"$name: phase checkpoint remaining pk $v absent")
-      }
-      val deletedValues = (e \ "deleted_values").extract[Seq[Long]]
-      if (deletedValues.nonEmpty) {
-        val there = df.filter(col(pk).isin(deletedValues: _*)).count()
-        if (there != 0)
-          fail(PhaseDqlFailed,
-            s"$name: $there phase-deleted pks reappeared after rollback")
-      }
+      remainingValues.zip(probes.slice(1, 1 + remainingValues.size))
+        .foreach { case (v, there) =>
+          if (there == 0L)
+            fail(PhaseDqlFailed,
+              s"$name: phase checkpoint remaining pk $v absent")
+        }
+      if (deletedValues.nonEmpty && probes.last != 0)
+        fail(PhaseDqlFailed,
+          s"$name: ${probes.last} phase-deleted pks reappeared after rollback")
       val upsertField = (e \ "upsert_field").extract[String]
       (e \ "upsert_samples") match {
-        case JArray(items) => items.foreach { it =>
-          val id = (it \ "pk").extract[Long]
-          val expectedV = (it \ "value").extract[String]
-          val back = coll.query(spark, s"$pk == $id", Seq(upsertField))
-            .collect()
-          if (back.isEmpty)
-            fail(PhaseDqlFailed,
-              s"$name: phase checkpoint upserted pk $id is missing")
-          else if (String.valueOf(back.head.get(0)) != expectedV)
-            fail(PhaseUpsertNotApplied,
-              s"$name.$pk=$id: $upsertField = '${back.head.get(0)}' after " +
-                s"rollback, checkpoint expected '$expectedV'")
-        }
+        case JArray(items) =>
+          // One query fetches every checkpointed upsert sample.
+          val ids = items.map(it => (it \ "pk").extract[Long])
+          val backByPk =
+            if (ids.isEmpty) Map.empty[String, String]
+            else coll.query(spark,
+              ids.map(id => s"$pk == $id").mkString(" || "),
+              Seq(pk, upsertField)).collect()
+              .map(r => String.valueOf(r.get(0)) -> String.valueOf(r.get(1)))
+              .toMap
+          items.foreach { it =>
+            val id = (it \ "pk").extract[Long]
+            val expectedV = (it \ "value").extract[String]
+            backByPk.get(String.valueOf(id)) match {
+              case None =>
+                fail(PhaseDqlFailed,
+                  s"$name: phase checkpoint upserted pk $id is missing")
+              case Some(v) if v != expectedV =>
+                fail(PhaseUpsertNotApplied,
+                  s"$name.$pk=$id: $upsertField = '$v' after " +
+                    s"rollback, checkpoint expected '$expectedV'")
+              case _ => ()
+            }
+          }
         case _ => ()
       }
     }
@@ -327,16 +360,19 @@ object PhaseDmlDql {
       val name = (e \ "collection").extract[String]
       val pk = (e \ "primary_field").extract[String]
       val coll = catalog.collection(name)
-      val df = coll.read(spark)
       val minPk = (e \ "min_pk").extract[Long]
       val maxPk = (e \ "max_pk").extract[Long]
       val expected = (e \ "inserted").extract[Long]
-      val got = df.filter(col(pk) >= minPk && col(pk) <= maxPk).count()
+      val sampleValues = (e \ "sample_values").extract[Seq[Long]]
+      val (got, present) = graft.validate.Validators.countAndPresence(
+        coll.read(spark),
+        Some(col(pk) >= minPk && col(pk) <= maxPk),
+        sampleValues.map(v => col(pk) === v))
       if (got != expected)
         fail(PhaseDqlFailed, s"$name: phase checkpoint new-collection " +
           s"count mismatch: expected $expected, found $got")
-      (e \ "sample_values").extract[Seq[Long]].foreach { v =>
-        if (df.filter(col(pk) === v).limit(1).isEmpty)
+      sampleValues.zip(present).foreach { case (v, there) =>
+        if (!there)
           fail(PhaseDqlFailed, s"$name: phase checkpoint sample pk $v absent")
       }
     }
