@@ -1108,6 +1108,67 @@ object SparkEntry {
         "doc_id", vecOf(s, dir, 0), "L2", 5)
         .select("doc_id", "elem_id", "entity_rank").orderBy("entity_rank")
     },
+    // ---- V22: element-level group_by on a struct SUBFIELD (the other
+    // half of the 3.0 element group_by contract): tag groups ranked by
+    // their best element, at most 2 elements per group. --------------
+    "v22_element_groupby_field" -> { (s, dir) =>
+      import graft.operators.ElementSearch
+      val nested = tbl(s, dir, "embeddings")
+        .groupBy((col("vec_id") / 5).cast("long").as("doc_id"))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").as("elem_id"),
+          (col("vec_id") % 3).as("tag"),
+          col("embedding")))).as("elems"))
+      ElementSearch.searchGroupByField(nested, "elems", "embedding",
+        "doc_id", "tag", vecOf(s, dir, 0), "L2", k = 2, groupSize = 2)
+        .select("tag", "doc_id", "elem_id", "group_rank")
+        .orderBy(col("group_rank"), col("doc_id"), col("elem_id"))
+    },
+    // ---- V23: element-level iterator search (feature-inventory §1
+    // "element-level range search / iterator search"): page 2 of a
+    // 3-per-page iteration — the entry drives the real cursor
+    // round-trip (page 1's last (score, id, idx) keys page 2), the
+    // oracle checks the page against global element ranks 4..6. ------
+    "v23_element_iterator" -> { (s, dir) =>
+      import graft.operators.ElementSearch
+      val nested = tbl(s, dir, "embeddings")
+        .groupBy((col("vec_id") / 5).cast("long").as("doc_id"))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").as("elem_id"),
+          col("embedding")))).as("elems"))
+      val page1 = ElementSearch.searchIteratorElements(nested, "elems",
+        "embedding", "doc_id", vecOf(s, dir, 0), "L2", 3)
+        .select("score", "doc_id", "_elem_idx").collect()
+      val last = page1.last
+      ElementSearch.searchIteratorElements(nested, "elems", "embedding",
+        "doc_id", vecOf(s, dir, 0), "L2", 3,
+        after = Some((last.getDouble(0), last.getLong(1), last.getInt(2))))
+        .select("doc_id", "elem_id", "_elem_idx")
+        .orderBy("doc_id", "_elem_idx")
+    },
+    // ---- V21: element-level hybrid search (feature-inventory §1):
+    // two ANN sub-requests over two vector subfields of the SAME
+    // StructArray (emb_a = embedding, emb_b = negated embedding, a
+    // genuinely different ranking), RRF-fused at element identity.
+    // The oracle re-derives both rank lists from the flat table and
+    // full-outer joins them on (doc, element). -----------------------
+    "v21_element_hybrid" -> { (s, dir) =>
+      import graft.operators.{ElementSearch, HybridSearch}
+      val nested = tbl(s, dir, "embeddings")
+        .groupBy((col("vec_id") / 5).cast("long").as("doc_id"))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").as("elem_id"),
+          col("embedding").as("emb_a"),
+          transform(col("embedding"), x => -x).as("emb_b")))).as("elems"))
+      ElementSearch.hybridSearchElements(nested, "elems", "doc_id",
+        Seq(
+          ElementSearch.ElementAnnRequest("emb_a", vecOf(s, dir, 0), "L2", 20),
+          ElementSearch.ElementAnnRequest("emb_b", vecOf(s, dir, 1), "L2", 20)),
+        HybridSearch.RrfRanker(60), limit = 10)
+        .select(col("doc_id"), col("_elem_idx"),
+          round(col("fused_score"), 6).as("fused_score"), col("fused_rank"))
+        .orderBy("fused_rank")
+    },
     // ---- W5: pressure availability analytics (common/pressure_
     // maintenance.py:59-235): failed-metric summation, rollout-window
     // vs steady-state slicing, synthetic samples for missing results.
@@ -1527,6 +1588,41 @@ object SparkEntry {
       Npy.read(s, path).select(col("row_id"),
         col("values")(0).as("v0"), col("values")(3).as("v3"))
         .orderBy("row_id")
+    },
+    // ---- S34: StructArray JSONL import (feature-inventory §1
+    // "StructArray csv/json import"): a strictly-typed distributed
+    // parse splits well-formed rows (every element vector at the
+    // declared dim; empty lists allowed) from malformed ones (wrong
+    // dim, missing list) — the split the import-2PC caller uses to
+    // commit or abort. Fixture values are dyadic so the float→double
+    // widening is exact on both sides. --------------------------------
+    "s34_structarray_import" -> { (s, dir) =>
+      import graft.sources.StructArrayImport
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sa")
+      val p = tmp.resolve("rows.jsonl")
+      java.nio.file.Files.write(p, Seq(
+        """{"doc_id":0,"elems":[{"tag":1,"embedding":[0.5,1.0,1.5]},{"tag":2,"embedding":[2.0,2.5,3.0]}]}""",
+        """{"doc_id":1,"elems":[{"tag":3,"embedding":[1.0,0.0,0.0]}]}""",
+        """{"doc_id":2,"elems":[{"tag":4,"embedding":[9.0,8.0]}]}""",
+        """{"doc_id":3}""",
+        """{"doc_id":4,"elems":[]}""").mkString("\n").getBytes("UTF-8"))
+      val elem = StructArrayImport.elementType(Seq("tag" -> LongType),
+        "embedding")
+      val got = StructArrayImport.readJsonl(s, p.toString, "doc_id",
+        LongType, "elems", elem, "embedding", dim = 3)
+      // -1 sentinels instead of NULL: the driver hash-compares numeric
+      // columns where NULL would be NaN != NaN.
+      got.valid.select(col("doc_id"), lit("valid").as("status"),
+          size(col("elems")).as("n_elems"),
+          // try_element_at: ANSI-safe null for the empty element list
+          coalesce(try_element_at(try_element_at(col("elems"), lit(1))
+            .getField("embedding"), lit(1)).cast("double"), lit(-1.0))
+            .as("v0"))
+        .unionByName(got.malformed.select(col("doc_id"),
+          lit("malformed").as("status"),
+          lit(-1).cast("int").as("n_elems"),
+          lit(-1.0).as("v0")))
+        .orderBy("doc_id")
     },
     // ---- S4-S6 + V1: index lifecycle through the store --------------------
     // create_index materializes a persisted IVF build (data partitioned
@@ -2106,6 +2202,70 @@ object SparkEntry {
            |      vec_id // 5, vec_id) AS INT) AS rank
            |  FROM embeddings WHERE vec_id % 3 = 1
            |) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      // Subfield group_by re-derived the same way: tag = vec_id % 3,
+      // two best elements per tag, tag groups ranked by their leader.
+      "v22_element_groupby_field" ->
+        s"""WITH scored AS (
+           |  SELECT vec_id % 3 AS tag, CAST(vec_id // 5 AS BIGINT) AS doc_id,
+           |    vec_id AS elem_id, list_distance(embedding::DOUBLE[], $q0) AS d
+           |  FROM embeddings
+           |), kept AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY tag ORDER BY d, doc_id, elem_id) AS er
+           |    FROM scored) WHERE er <= 2
+           |), leaders AS (
+           |  SELECT tag, row_number() OVER (ORDER BY d, doc_id, elem_id) AS gr
+           |  FROM kept WHERE er = 1
+           |)
+           |SELECT k.tag, k.doc_id, k.elem_id, CAST(l.gr AS INT) AS group_rank
+           |FROM kept k JOIN leaders l ON k.tag = l.tag
+           |WHERE l.gr <= 2
+           |ORDER BY group_rank, k.doc_id, k.elem_id""".stripMargin,
+      // Iterator page 2 of size 3 == global element ranks 4..6.
+      "v23_element_iterator" ->
+        s"""SELECT doc_id, elem_id, "_elem_idx" FROM (
+           |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id AS elem_id,
+           |    CAST(vec_id % 5 AS INT) AS "_elem_idx",
+           |    row_number() OVER (ORDER BY
+           |      list_distance(embedding::DOUBLE[], $q0), vec_id) AS r
+           |  FROM embeddings
+           |) WHERE r BETWEEN 4 AND 6 ORDER BY doc_id, "_elem_idx"""".stripMargin,
+      // Element hybrid: the two per-request rank lists (request B ranks
+      // by the NEGATED embedding against query 1), RRF k=60, fused at
+      // element identity (doc_id = vec_id // 5, position = vec_id % 5).
+      "v21_element_hybrid" ->
+        s"""WITH ra AS (
+           |  SELECT * FROM (
+           |    SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id,
+           |      CAST(vec_id % 5 AS INT) AS idx,
+           |      row_number() OVER (ORDER BY
+           |        list_distance(embedding::DOUBLE[], ${qvec.format(0)}),
+           |        vec_id) AS r
+           |    FROM embeddings) WHERE r <= 20
+           |), rb AS (
+           |  SELECT * FROM (
+           |    SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id,
+           |      CAST(vec_id % 5 AS INT) AS idx,
+           |      row_number() OVER (ORDER BY
+           |        list_distance(list_transform(embedding::DOUBLE[], x -> -x),
+           |          ${qvec.format(1)}),
+           |        vec_id) AS r
+           |    FROM embeddings) WHERE r <= 20
+           |), fused AS (
+           |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+           |    coalesce(ra.idx, rb.idx) AS "_elem_idx",
+           |    coalesce(CAST(1.0 AS DOUBLE) / (60 + ra.r), 0) +
+           |    coalesce(CAST(1.0 AS DOUBLE) / (60 + rb.r), 0) AS f
+           |  FROM ra FULL OUTER JOIN rb
+           |    ON ra.doc_id = rb.doc_id AND ra.idx = rb.idx
+           |)
+           |SELECT doc_id, "_elem_idx", round(f, 6) AS fused_score, fused_rank
+           |FROM (
+           |  SELECT *, CAST(row_number() OVER (
+           |    ORDER BY f DESC, doc_id, "_elem_idx") AS INT) AS fused_rank
+           |  FROM fused)
+           |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
       "v17_element_groupby" ->
         s"""WITH scored AS (
            |  SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id AS elem_id,
@@ -2648,6 +2808,17 @@ object SparkEntry {
           |  (CAST(1 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(3.5 AS DOUBLE)),
           |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE), CAST(5.5 AS DOUBLE))
           |) t(row_id, v0, v3) ORDER BY row_id""".stripMargin,
+      // The import fixture's split + stats, re-stated (doc 2 wrong dim,
+      // doc 3 missing list; doc 4 empty list is valid with no v0;
+      // -1 sentinels stand in for NULL, which the hash compare can't).
+      "s34_structarray_import" ->
+        """SELECT doc_id, status, n_elems, v0 FROM (VALUES
+          |  (CAST(0 AS BIGINT), 'valid', CAST(2 AS INT), CAST(0.5 AS DOUBLE)),
+          |  (CAST(1 AS BIGINT), 'valid', CAST(1 AS INT), CAST(1.0 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), 'malformed', CAST(-1 AS INT), CAST(-1.0 AS DOUBLE)),
+          |  (CAST(3 AS BIGINT), 'malformed', CAST(-1 AS INT), CAST(-1.0 AS DOUBLE)),
+          |  (CAST(4 AS BIGINT), 'valid', CAST(0 AS INT), CAST(-1.0 AS DOUBLE))
+          |) t(doc_id, status, n_elems, v0) ORDER BY doc_id""".stripMargin,
       "s4_index_lifecycle" ->
         s"""SELECT vec_id FROM embeddings
            |WHERE NOT vec_id % 10 = 3

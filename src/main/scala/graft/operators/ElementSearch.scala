@@ -9,8 +9,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   * 3.0 nested-vector surface (reference
   * docs/plans/2026-07-07-milvus-3-feature-inventory.md §1:
   * "embedding-list search + element-level filter", "element-level
-  * query/search", "element-level range search", "element-level
-  * group_by, including by Struct subfield and by primary key").
+  * query/search", "element-level range search / iterator search",
+  * "element-level hybrid search", "element-level group_by, including
+  * by Struct subfield and by primary key", "StructArray null
+  * support", and binary/int8 vector subfield types).
   *
   * Spark-first shape: `posexplode` flattens the nested column to
   * element rows ONCE — Spark's Parquet reader prunes to just the
@@ -40,6 +42,34 @@ object ElementSearch {
     Seq(primary, col(idCol).asc, col("_elem_idx").asc)
   }
 
+  private def floatQ(queryVec: Seq[Float]): Column =
+    lit(queryVec.map(_.toDouble).toArray)
+
+  /** Shared core: explode, element-filter, score — with the metric
+    * dispatched on the SUBFIELD's type, so fp32 lists, int8 lists and
+    * packed BINARY_VECTOR subfields (feature doc §1 "StructArray
+    * supports more vector subfield types") all route to the right
+    * codegen'd distance. Elements whose vector subfield is null
+    * (§1 "StructArray null support") are stored but never searched —
+    * without the guard a null distance would sort FIRST under Spark's
+    * nulls-first ascending order.
+    */
+  private def scored(
+      data: DataFrame,
+      structArrayCol: String,
+      vecSubCol: String,
+      idCol: String,
+      qv: Column,
+      metricName: String,
+      elementFilter: Option[Column]): (DataFrame, Boolean) = {
+    val ex = elements(data, structArrayCol, idCol)
+    val filtered = elementFilter.map(ex.filter).getOrElse(ex)
+    val (score, similarityLike) = Functions.metricFor(
+      metricName, ex.schema(vecSubCol).dataType, col(vecSubCol), qv)
+    (filtered.filter(col(vecSubCol).isNotNull).withColumn("score", score),
+      similarityLike)
+  }
+
   /** `search_scope=element`: every array element is an independent
     * candidate; top-k elements across all entities, with an optional
     * element-level filter on struct subfields.
@@ -54,18 +84,73 @@ object ElementSearch {
       queryVec: Seq[Float],
       metricName: String,
       k: Int,
-      elementFilter: Option[Column] = None): DataFrame = {
-    val ex = elements(data, structArrayCol, idCol)
-    val filtered = elementFilter.map(ex.filter).getOrElse(ex)
-    val qv = lit(queryVec.map(_.toDouble).toArray)
-    val (score, similarityLike) = Functions.metricFor(
-      metricName, ex.schema(vecSubCol).dataType, col(vecSubCol), qv)
-    val ranked = filtered.withColumn("score", score)
-      .orderBy(orderFor(similarityLike, idCol): _*).limit(k)
+      elementFilter: Option[Column] = None): DataFrame =
+    searchElementsBy(data, structArrayCol, vecSubCol, idCol,
+      floatQ(queryVec), metricName, k, elementFilter)
+
+  /** [[searchElements]] over a packed BINARY_VECTOR subfield
+    * (HAMMING / JACCARD): the query is the packed bit pattern.
+    */
+  def searchElementsBinary(
+      data: DataFrame,
+      structArrayCol: String,
+      vecSubCol: String,
+      idCol: String,
+      queryBits: Array[Byte],
+      metricName: String,
+      k: Int,
+      elementFilter: Option[Column] = None): DataFrame =
+    searchElementsBy(data, structArrayCol, vecSubCol, idCol,
+      lit(queryBits), metricName, k, elementFilter)
+
+  private def searchElementsBy(
+      data: DataFrame,
+      structArrayCol: String,
+      vecSubCol: String,
+      idCol: String,
+      qv: Column,
+      metricName: String,
+      k: Int,
+      elementFilter: Option[Column]): DataFrame = {
+    val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
+      idCol, qv, metricName, elementFilter)
+    val ranked = sc.orderBy(orderFor(similarityLike, idCol): _*).limit(k)
     // rank assigned AFTER the TakeOrdered prune: the window sees only
     // k rows, so the "no partition" window is O(k), not O(elements).
     ranked.withColumn("rank",
       row_number().over(Window.orderBy(orderFor(similarityLike, idCol): _*)))
+  }
+
+  /** Element-level iterator search (feature doc §1 "element-level
+    * range search / iterator search"): neighbors in rank order, one
+    * `batchSize` page per call, resumable from the previous page's
+    * last (score, entity id, element position) cursor. Each page is an
+    * independent TakeOrdered job over the keyset-filtered scan —
+    * O(batchSize) result rows, no state between pages.
+    */
+  def searchIteratorElements(
+      data: DataFrame,
+      structArrayCol: String,
+      vecSubCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      metricName: String,
+      batchSize: Int,
+      after: Option[(Double, Long, Int)] = None,
+      elementFilter: Option[Column] = None): DataFrame = {
+    val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
+      idCol, floatQ(queryVec), metricName, elementFilter)
+    val paged = after match {
+      case None => sc
+      case Some((s, id, idx)) =>
+        // strictly after the cursor in (score, id, position) rank order
+        val scoreAhead =
+          if (similarityLike) col("score") < s else col("score") > s
+        sc.filter(scoreAhead ||
+          (col("score") === s && (col(idCol) > id ||
+            (col(idCol) === id && col("_elem_idx") > idx))))
+    }
+    paged.orderBy(orderFor(similarityLike, idCol): _*).limit(batchSize)
   }
 
   /** `search_scope=entity` with element-level group_by on the primary
@@ -86,13 +171,9 @@ object ElementSearch {
       k: Int,
       groupSize: Int = 1,
       elementFilter: Option[Column] = None): DataFrame = {
-    val ex = elements(data, structArrayCol, idCol)
-    val filtered = elementFilter.map(ex.filter).getOrElse(ex)
-    val qv = lit(queryVec.map(_.toDouble).toArray)
-    val (score, similarityLike) = Functions.metricFor(
-      metricName, ex.schema(vecSubCol).dataType, col(vecSubCol), qv)
+    val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
+      idCol, floatQ(queryVec), metricName, elementFilter)
     val ord = orderFor(similarityLike, idCol)
-    val scored = filtered.withColumn("score", score)
     // Best `groupSize` elements per entity (one pk-partitioned window,
     // executed with partial WindowGroupLimit below the exchange), then
     // the top-k ENTITIES by their leader element's score.
@@ -101,7 +182,7 @@ object ElementSearch {
     // 1..numEntities deterministically (same trick as
     // Knn.searchGroupBy's leadersFirst window).
     val leaders = Window.orderBy(col("_er").asc +: ord: _*)
-    scored
+    sc
       .withColumn("_er", row_number().over(perEntity))
       .filter(col("_er") <= groupSize)
       .withColumn("_lr", when(col("_er") === 1, row_number().over(leaders)))
@@ -109,6 +190,93 @@ object ElementSearch {
         max(col("_lr")).over(Window.partitionBy(idCol)))
       .filter(col("entity_rank") <= k)
       .drop("_er", "_lr")
+  }
+
+  /** Element-level group_by on a struct SUBFIELD (the other half of
+    * the 3.0 contract — "element-level group_by, including by Struct
+    * subfield and by primary key"): group values are ranked by their
+    * best element and each group contributes at most `groupSize`
+    * elements. Same two-window shape as [[searchGroupByEntity]], with
+    * the partition key swapped from the entity pk to the subfield.
+    *
+    * @return (idCol, _elem_idx, <subfields>, score, group_rank)
+    */
+  def searchGroupByField(
+      data: DataFrame,
+      structArrayCol: String,
+      vecSubCol: String,
+      idCol: String,
+      groupByCol: String,
+      queryVec: Seq[Float],
+      metricName: String,
+      k: Int,
+      groupSize: Int = 1,
+      elementFilter: Option[Column] = None): DataFrame = {
+    val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
+      idCol, floatQ(queryVec), metricName, elementFilter)
+    val ord = orderFor(similarityLike, idCol)
+    val perGroup = Window.partitionBy(groupByCol).orderBy(ord: _*)
+    val leaders = Window.orderBy(col("_er").asc +: ord: _*)
+    sc
+      .withColumn("_er", row_number().over(perGroup))
+      .filter(col("_er") <= groupSize)
+      .withColumn("_lr", when(col("_er") === 1, row_number().over(leaders)))
+      .withColumn("group_rank",
+        max(col("_lr")).over(Window.partitionBy(groupByCol)))
+      .filter(col("group_rank") <= k)
+      .drop("_er", "_lr")
+  }
+
+  /** One element-level ANN sub-request for [[hybridSearchElements]] —
+    * each may target a different vector subfield, metric, per-request
+    * limit, and element filter (the element analogue of
+    * [[HybridSearch.AnnSearchRequest]]).
+    */
+  final case class ElementAnnRequest(
+      vecSubCol: String,
+      queryVec: Seq[Float],
+      metricName: String = "L2",
+      limit: Int = 10,
+      elementFilter: Option[Column] = None)
+
+  /** Element-level hybrid search (feature doc §1: "element-level
+    * hybrid search"): run each sub-request through [[searchElements]],
+    * then fuse at ELEMENT identity (idCol, _elem_idx) with RRF or
+    * weighted ranking. Fusion operates on the union of the N pruned
+    * top-`limit` element lists — O(sum of request limits) rows — so at
+    * scale the cost is the sub-searches, never the fusion.
+    *
+    * @return (idCol, _elem_idx, fused_score, fused_rank)
+    */
+  def hybridSearchElements(
+      data: DataFrame,
+      structArrayCol: String,
+      idCol: String,
+      requests: Seq[ElementAnnRequest],
+      ranker: HybridSearch.Ranker,
+      limit: Int = 10,
+      offset: Int = 0): DataFrame = {
+    require(requests.nonEmpty, "element hybrid search needs >= 1 request")
+    val elemKey = Seq(idCol, "_elem_idx")
+    // A single-query call: fusion machinery partitions by qid, so tag
+    // every per-request result with the same constant query id.
+    val results = requests.map { r =>
+      searchElements(data, structArrayCol, r.vecSubCol, idCol, r.queryVec,
+        r.metricName, r.limit, r.elementFilter)
+        .withColumn("qid", lit(0L))
+    }
+    val similarity = requests.map(_.metricName.toUpperCase match {
+      case "IP" | "COSINE" | "BM25" => true
+      case _ => false
+    })
+    val fused = ranker match {
+      case HybridSearch.RrfRanker(k) =>
+        Fusion.rrf(results, elemKey, k = k, limit = limit, offset = offset)
+      case HybridSearch.WeightedRanker(ws) =>
+        Fusion.weighted(results, ws, elemKey, limit = limit, offset = offset,
+          similarityLike = similarity)
+    }
+    fused.drop("qid")
   }
 
   /** Element-level range search: all elements within the score
@@ -124,13 +292,9 @@ object ElementSearch {
       metricName: String,
       threshold: Double,
       elementFilter: Option[Column] = None): DataFrame = {
-    val ex = elements(data, structArrayCol, idCol)
-    val filtered = elementFilter.map(ex.filter).getOrElse(ex)
-    val qv = lit(queryVec.map(_.toDouble).toArray)
-    val (score, similarityLike) = Functions.metricFor(
-      metricName, ex.schema(vecSubCol).dataType, col(vecSubCol), qv)
-    val scored = filtered.withColumn("score", score)
-    scored.filter(
+    val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
+      idCol, floatQ(queryVec), metricName, elementFilter)
+    sc.filter(
       if (similarityLike) col("score") >= lit(threshold)
       else col("score") <= lit(threshold))
   }

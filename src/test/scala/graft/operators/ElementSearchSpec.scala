@@ -96,6 +96,127 @@ class ElementSearchSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  private def qvAt(id: Long) = {
+    val s = spark
+    import s.implicits._
+    Tables.load(s, sfDir, "embeddings").filter($"vec_id" === id)
+      .select("embedding").head().getSeq[Float](0)
+  }
+
+  test("field group_by ranks subfield groups by their best element") {
+    val got = ElementSearch.searchGroupByField(nested, "elems", "embedding",
+      "doc_id", "tag", qv, "L2", 2, groupSize = 2)
+      .select("tag", "elem_id", "group_rank").collect()
+    val byTag = got.groupBy(_.getLong(0))
+    assert(byTag.size == 2)
+    byTag.values.foreach { rs =>
+      assert(rs.length >= 1 && rs.length <= 2)
+      assert(rs.map(_.getInt(2)).distinct.length == 1,
+        "all elements of a group share its group_rank")
+    }
+    // the rank-1 group is the one holding the globally best element
+    val best = ElementSearch.searchElements(nested, "elems", "embedding",
+      "doc_id", qv, "L2", 1).select("elem_id").head().getLong(0)
+    val rank1 = got.filter(_.getInt(2) == 1)
+    assert(rank1.map(_.getLong(0)).head == best % 3)
+    assert(rank1.map(_.getLong(1)).contains(best))
+  }
+
+  test("element hybrid search fuses two subfield requests with RRF") {
+    val s = spark
+    import s.implicits._
+    val two = Tables.load(s, sfDir, "embeddings")
+      .groupBy(($"vec_id" / 5).cast("long").as("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        $"vec_id".as("elem_id"),
+        $"embedding".as("emb_a"),
+        transform($"embedding", x => -x).as("emb_b")))).as("elems"))
+    val q1 = qvAt(1)
+    val got = ElementSearch.hybridSearchElements(two, "elems", "doc_id",
+      Seq(ElementSearch.ElementAnnRequest("emb_a", qv, "L2", 15),
+        ElementSearch.ElementAnnRequest("emb_b", q1, "L2", 15)),
+      HybridSearch.RrfRanker(60), limit = 8)
+      .select("doc_id", "_elem_idx", "fused_rank").collect()
+    assert(got.length == 8)
+    assert(got.map(_.getInt(2)).toSeq == (1 to 8))
+    // hand-fuse the two per-request element rank lists
+    def ranks(sub: String, q: Seq[Float]) =
+      ElementSearch.searchElements(two, "elems", sub, "doc_id", q, "L2", 15)
+        .select("doc_id", "_elem_idx", "rank").collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    val ra = ranks("emb_a", qv)
+    val rb = ranks("emb_b", q1)
+    val expected = (ra.keySet ++ rb.keySet).toSeq.map { k =>
+      (k, ra.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.sortBy { case ((d, i), sc) => (-sc, d, i) }.take(8).map(_._1)
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSeq == expected)
+  }
+
+  test("element iterator pages concatenate to the element top-k") {
+    val top = ElementSearch.searchElements(nested, "elems", "embedding",
+      "doc_id", qv, "L2", 9)
+      .select("doc_id", "_elem_idx", "elem_id", "score").collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1))
+    val p1 = ElementSearch.searchIteratorElements(nested, "elems",
+      "embedding", "doc_id", qv, "L2", 3)
+      .select("doc_id", "_elem_idx", "score").collect()
+    val cursor1 = (p1.last.getDouble(2), p1.last.getLong(0), p1.last.getInt(1))
+    val p2 = ElementSearch.searchIteratorElements(nested, "elems",
+      "embedding", "doc_id", qv, "L2", 3, after = Some(cursor1))
+      .select("doc_id", "_elem_idx", "score").collect()
+    val cursor2 = (p2.last.getDouble(2), p2.last.getLong(0), p2.last.getInt(1))
+    val p3 = ElementSearch.searchIteratorElements(nested, "elems",
+      "embedding", "doc_id", qv, "L2", 3, after = Some(cursor2))
+      .select("doc_id", "_elem_idx", "score").collect()
+    assert((p1 ++ p2 ++ p3).map(key).toSeq == top.map(key).toSeq)
+  }
+
+  test("null vector elements are stored but never searched") {
+    val s = spark
+    import s.implicits._
+    // null out the vector of every tag==0 element (pk-deterministic)
+    val withNulls = Tables.load(s, sfDir, "embeddings")
+      .groupBy(($"vec_id" / 5).cast("long").as("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        $"vec_id".as("elem_id"),
+        ($"vec_id" % 3).as("tag"),
+        when($"vec_id" % 3 === 0, lit(null)
+          .cast("array<float>")).otherwise($"embedding").as("embedding"))))
+        .as("elems"))
+    val hits = ElementSearch.searchElements(withNulls, "elems", "embedding",
+      "doc_id", qv, "L2", 20)
+      .select("elem_id", "tag").collect()
+    assert(hits.length == 20)
+    assert(hits.forall(_.getLong(1) != 0L), "null-vector elements surfaced")
+    // ...but they remain queryable as data
+    val stored = ElementSearch.queryElements(withNulls, "elems", "doc_id",
+      Some(col("embedding").isNull)).count()
+    assert(stored > 0)
+  }
+
+  test("binary vector subfields rank by hamming distance") {
+    val s = spark
+    import s.implicits._
+    // pack each vector's sign bits (zero center) as a BINARY_VECTOR code
+    val packed = Tables.load(s, sfDir, "embeddings")
+      .withColumn("code", expr(
+        "centered_sign_bits(embedding, transform(embedding, x -> 0.0D))"))
+    val nestedBin = packed
+      .groupBy(($"vec_id" / 5).cast("long").as("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        $"vec_id".as("elem_id"), $"code"))).as("elems"))
+    val qbits = packed.filter($"vec_id" === 0)
+      .select("code").head().getAs[Array[Byte]](0)
+    val got = ElementSearch.searchElementsBinary(nestedBin, "elems", "code",
+      "doc_id", qbits, "HAMMING", 5)
+      .select("elem_id", "score").collect()
+    assert(got.length == 5)
+    // vec 0's own code is at distance 0, so it must lead
+    assert(got.head.getLong(0) == 0L && got.head.getLong(1) == 0L)
+    assert(got.map(_.getLong(1)).toSeq.sorted == got.map(_.getLong(1)).toSeq)
+  }
+
   test("element query projects subfields with the element hit path") {
     val got = ElementSearch.queryElements(nested, "elems", "doc_id",
       Some(col("tag") === 2), limit = Some(4))
