@@ -163,6 +163,34 @@ object CollectionSearch {
       .select((pk +: outputFields :+ "score").distinct.map(col): _*)
   }
 
+  /** Element-scope search through the collection API
+    * (`search_scope=element`, feature-inventory doc §1): explode the
+    * StructArray field of the merged collection view and run the flat
+    * element top-k. The element filter is a Milvus expr compiled
+    * against the exploded frame, where struct subfields are top-level
+    * columns — so the whole §2.6 grammar applies to element filters
+    * unchanged.
+    */
+  def searchElements(
+      spark: SparkSession,
+      coll: Collection,
+      structArrayField: String,
+      vecSubField: String,
+      queryVec: Seq[Float],
+      k: Int,
+      metricType: String = "L2",
+      elementFilterExpr: String = "",
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    val pk = coll.definition.primaryField.name
+    val data = coll.read(spark, partitionNames)
+    val filter =
+      if (elementFilterExpr.isEmpty) None
+      else Some(MilvusExpr.compile(elementFilterExpr,
+        ElementSearch.elements(data, structArrayField, pk)))
+    ElementSearch.searchElements(data, structArrayField, vecSubField, pk,
+      queryVec, metricType, k, filter)
+  }
+
   /** Search-by-PK (3.0 surface, feature-inventory doc §1-2): fetch the
     * entity's own vector, then V1.
     */

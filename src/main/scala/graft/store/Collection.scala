@@ -143,6 +143,35 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     refreshCachedSchema()
   }
 
+  /** Dynamic StructArray subfield add (feature inventory §1
+    * "StructArray 动态加字段"): widen an `array<struct>` field's
+    * element type with a new nullable subfield. No data rewrite:
+    * committed deltas were written without the subfield, and the
+    * store's explicit read schema (rawDeltas) projects missing nested
+    * fields as null — the same mechanism top-level [[addField]] rides.
+    */
+  def addStructSubfield(structArrayField: String,
+      sub: org.apache.spark.sql.types.StructField): Unit = {
+    catalog.mutateDef(name) { d =>
+      val f = d.fields.find(_.name == structArrayField).getOrElse(
+        throw new IllegalArgumentException(s"no field $structArrayField"))
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(st: StructType, n) =>
+          require(sub.nullable, "added subfields must be nullable")
+          require(!st.fieldNames.contains(sub.name),
+            s"subfield ${sub.name} exists on $structArrayField")
+          val widened = org.apache.spark.sql.types.ArrayType(
+            StructType(st.fields :+ sub), n)
+          d.copy(fields = d.fields.map(x =>
+            if (x.name == structArrayField) x.copy(dataType = widened)
+            else x))
+        case other => throw new IllegalArgumentException(
+          s"$structArrayField is $other, not a StructArray")
+      }
+    }
+    refreshCachedSchema()
+  }
+
   def dropField(fieldName: String): Unit = {
     catalog.mutateDef(name) { d =>
       val f = d.fields.find(_.name == fieldName)

@@ -217,6 +217,55 @@ class ElementSearchSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq.sorted == got.map(_.getLong(1)).toSeq)
   }
 
+  test("collection API: element search + dynamic StructArray subfield add") {
+    val s = spark
+    import s.implicits._
+    import graft.store.{Catalog, CollectionDef, FieldDef}
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-elem-coll")
+    val cat = new Catalog(root.resolve("cat").toString)
+    val elemT = StructType(Seq(
+      StructField("tag", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val c = cat.createCollection(CollectionDef("nested", Seq(
+      FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("elems", ArrayType(elemT)))))
+    def nestedBatch(ids: Seq[Long]) =
+      ids.flatMap(d => (0 until 3).map(i => (d, (d * 3 + i) % 2,
+          Seq((d * 3 + i).toFloat, 1f))))
+        .toDF("doc_id", "tag", "embedding")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct($"tag", $"embedding")))
+          .as("elems"))
+    c.insert(s, nestedBatch(Seq(0L, 1L))): Unit
+    // element-scope search with a Milvus-expr element filter
+    val hits = CollectionSearch.searchElements(s, c, "elems", "embedding",
+      Seq(0f, 1f), k = 3, metricType = "L2", elementFilterExpr = "tag == 0")
+      .select("doc_id", "tag", "rank").collect()
+    assert(hits.length == 3)
+    assert(hits.forall(_.getLong(1) == 0L))
+    assert(hits.head.getLong(0) == 0L, "nearest tag-0 element is doc 0's")
+    // widen the element type; old elements read the subfield as null
+    c.addStructSubfield("elems", StructField("weight", DoubleType))
+    val weights = c.read(s)
+      .select(explode($"elems.weight").as("w")).collect()
+    assert(weights.length == 6 && weights.forall(_.isNullAt(0)))
+    // new generation carries the subfield; element filter sees it,
+    // and 3VL null comparison excludes the old generation
+    val widened = Seq((2L, 0L, Seq(100f, 1f), 0.9),
+        (2L, 1L, Seq(101f, 1f), 0.1))
+      .toDF("doc_id", "tag", "embedding", "weight")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct($"tag", $"embedding", $"weight")))
+        .as("elems"))
+    c.insert(s, widened): Unit
+    val heavy = CollectionSearch.searchElements(s, c, "elems", "embedding",
+      Seq(0f, 1f), k = 10, elementFilterExpr = "weight >= 0.5")
+      .select("doc_id", "weight").collect()
+    assert(heavy.length == 1)
+    assert(heavy.head.getLong(0) == 2L && heavy.head.getDouble(1) == 0.9)
+  }
+
   test("element query projects subfields with the element hit path") {
     val got = ElementSearch.queryElements(nested, "elems", "doc_id",
       Some(col("tag") === 2), limit = Some(4))
