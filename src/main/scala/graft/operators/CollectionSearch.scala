@@ -180,15 +180,30 @@ object CollectionSearch {
       k: Int,
       metricType: String = "L2",
       elementFilterExpr: String = "",
-      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+      partitionNames: Seq[String] = Seq.empty,
+      outputSubfields: Seq[String] = Seq.empty): DataFrame = {
     val pk = coll.definition.primaryField.name
     val data = coll.read(spark, partitionNames)
     val filter =
       if (elementFilterExpr.isEmpty) None
       else Some(MilvusExpr.compile(elementFilterExpr,
         ElementSearch.elements(data, structArrayField, pk)))
+    // Scan-width contract: empty outputSubfields reads every subfield
+    // (safe default); a non-empty list prunes the scan to the named
+    // subfields plus the vector and whatever the filter references —
+    // the 100 TB knob for elements carrying fat payload subfields.
+    val subfields =
+      if (outputSubfields.isEmpty) Seq.empty[String]
+      else {
+        val filterRefs = filter.toSeq.flatMap(c =>
+          org.apache.spark.sql.graft.Shims.expression(c).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          })
+        (outputSubfields ++ filterRefs :+ vecSubField).distinct
+      }
     ElementSearch.searchElements(data, structArrayField, vecSubField, pk,
-      queryVec, metricType, k, filter)
+      queryVec, metricType, k, filter, subfields)
   }
 
   /** Search-by-PK (3.0 surface, feature-inventory doc §1-2): fetch the

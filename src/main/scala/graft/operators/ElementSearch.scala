@@ -15,27 +15,41 @@ import org.apache.spark.sql.{Column, DataFrame}
   * support", and binary/int8 vector subfield types).
   *
   * Spark-first shape: `posexplode` flattens the nested column to
-  * element rows ONCE — Spark's Parquet reader prunes to just the
-  * struct subfields the query references (nested schema pruning), so
-  * the scan stays narrow even when elements carry many subfields —
-  * and the element candidates then flow through exactly the flat
-  * top-k machinery: literal broadcast query, codegen'd distance,
-  * TakeOrderedAndProject for the element scope, a single pk-window
-  * for the entity scope. The explode is pipelined inside the scan
-  * stage (no shuffle); only the final top-k exchanges O(k) rows.
+  * element rows ONCE, and the element candidates then flow through
+  * exactly the flat top-k machinery: literal broadcast query,
+  * codegen'd distance, TakeOrderedAndProject for the element scope, a
+  * single pk-window for the entity scope. The explode is pipelined
+  * inside the scan stage (no shuffle); only the final top-k exchanges
+  * O(k) rows.
+  *
+  * Scan width: Catalyst's generator pruning covers `Explode` but NOT
+  * `PosExplode` (plan-asserted in ElementSearchSpec), so a bare
+  * posexplode of the struct array reads EVERY subfield — at 100 TB a
+  * fat payload subfield would ride along on every search. When the
+  * caller passes `subfields`, [[elements]] therefore pre-prunes by
+  * zipping just those nested accesses (`arrays_zip` of
+  * `structArray.sub` extracts, which SchemaPruning does push into the
+  * Parquet scan) and posexplodes the narrow zip — positions survive,
+  * the scan reads only the named subfields.
   */
 object ElementSearch {
 
   /** Flatten `structArrayCol` to one row per element:
     * (idCol, _elem_idx, <struct subfields>). `_elem_idx` is the
     * element's position — the element-hit path `field[$idx]` the
-    * reference validators check.
+    * reference validators check. `subfields` bounds the scan (see the
+    * object doc); empty means all subfields.
     */
   def elements(data: DataFrame, structArrayCol: String,
-      idCol: String): DataFrame =
+      idCol: String, subfields: Seq[String] = Seq.empty): DataFrame = {
+    val elemCol =
+      if (subfields.isEmpty) col(structArrayCol)
+      else arrays_zip(subfields.map(n =>
+        col(s"$structArrayCol.$n").as(n)): _*)
     data.select(col(idCol),
-      posexplode(col(structArrayCol)).as(Seq("_elem_idx", "_elem")))
+      posexplode(elemCol).as(Seq("_elem_idx", "_elem")))
       .select(col(idCol), col("_elem_idx"), col("_elem.*"))
+  }
 
   private def orderFor(similarityLike: Boolean, idCol: String) = {
     val primary = if (similarityLike) col("score").desc else col("score").asc
@@ -61,8 +75,9 @@ object ElementSearch {
       idCol: String,
       qv: Column,
       metricName: String,
-      elementFilter: Option[Column]): (DataFrame, Boolean) = {
-    val ex = elements(data, structArrayCol, idCol)
+      elementFilter: Option[Column],
+      subfields: Seq[String]): (DataFrame, Boolean) = {
+    val ex = elements(data, structArrayCol, idCol, subfields)
     val filtered = elementFilter.map(ex.filter).getOrElse(ex)
     val (score, similarityLike) = Functions.metricFor(
       metricName, ex.schema(vecSubCol).dataType, col(vecSubCol), qv)
@@ -84,9 +99,10 @@ object ElementSearch {
       queryVec: Seq[Float],
       metricName: String,
       k: Int,
-      elementFilter: Option[Column] = None): DataFrame =
+      elementFilter: Option[Column] = None,
+      subfields: Seq[String] = Seq.empty): DataFrame =
     searchElementsBy(data, structArrayCol, vecSubCol, idCol,
-      floatQ(queryVec), metricName, k, elementFilter)
+      floatQ(queryVec), metricName, k, elementFilter, subfields)
 
   /** [[searchElements]] over a packed BINARY_VECTOR subfield
     * (HAMMING / JACCARD): the query is the packed bit pattern.
@@ -99,9 +115,10 @@ object ElementSearch {
       queryBits: Array[Byte],
       metricName: String,
       k: Int,
-      elementFilter: Option[Column] = None): DataFrame =
+      elementFilter: Option[Column] = None,
+      subfields: Seq[String] = Seq.empty): DataFrame =
     searchElementsBy(data, structArrayCol, vecSubCol, idCol,
-      lit(queryBits), metricName, k, elementFilter)
+      lit(queryBits), metricName, k, elementFilter, subfields)
 
   private def searchElementsBy(
       data: DataFrame,
@@ -111,9 +128,10 @@ object ElementSearch {
       qv: Column,
       metricName: String,
       k: Int,
-      elementFilter: Option[Column]): DataFrame = {
+      elementFilter: Option[Column],
+      subfields: Seq[String]): DataFrame = {
     val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
-      idCol, qv, metricName, elementFilter)
+      idCol, qv, metricName, elementFilter, subfields)
     val ranked = sc.orderBy(orderFor(similarityLike, idCol): _*).limit(k)
     // rank assigned AFTER the TakeOrdered prune: the window sees only
     // k rows, so the "no partition" window is O(k), not O(elements).
@@ -137,9 +155,10 @@ object ElementSearch {
       metricName: String,
       batchSize: Int,
       after: Option[(Double, Long, Int)] = None,
-      elementFilter: Option[Column] = None): DataFrame = {
+      elementFilter: Option[Column] = None,
+      subfields: Seq[String] = Seq.empty): DataFrame = {
     val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
-      idCol, floatQ(queryVec), metricName, elementFilter)
+      idCol, floatQ(queryVec), metricName, elementFilter, subfields)
     val paged = after match {
       case None => sc
       case Some((s, id, idx)) =>
@@ -170,9 +189,10 @@ object ElementSearch {
       metricName: String,
       k: Int,
       groupSize: Int = 1,
-      elementFilter: Option[Column] = None): DataFrame = {
+      elementFilter: Option[Column] = None,
+      subfields: Seq[String] = Seq.empty): DataFrame = {
     val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
-      idCol, floatQ(queryVec), metricName, elementFilter)
+      idCol, floatQ(queryVec), metricName, elementFilter, subfields)
     val ord = orderFor(similarityLike, idCol)
     // Best `groupSize` elements per entity (one pk-partitioned window,
     // executed with partial WindowGroupLimit below the exchange), then
@@ -211,9 +231,10 @@ object ElementSearch {
       metricName: String,
       k: Int,
       groupSize: Int = 1,
-      elementFilter: Option[Column] = None): DataFrame = {
+      elementFilter: Option[Column] = None,
+      subfields: Seq[String] = Seq.empty): DataFrame = {
     val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
-      idCol, floatQ(queryVec), metricName, elementFilter)
+      idCol, floatQ(queryVec), metricName, elementFilter, subfields)
     val ord = orderFor(similarityLike, idCol)
     val perGroup = Window.partitionBy(groupByCol).orderBy(ord: _*)
     val leaders = Window.orderBy(col("_er").asc +: ord: _*)
@@ -291,9 +312,10 @@ object ElementSearch {
       queryVec: Seq[Float],
       metricName: String,
       threshold: Double,
-      elementFilter: Option[Column] = None): DataFrame = {
+      elementFilter: Option[Column] = None,
+      subfields: Seq[String] = Seq.empty): DataFrame = {
     val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
-      idCol, floatQ(queryVec), metricName, elementFilter)
+      idCol, floatQ(queryVec), metricName, elementFilter, subfields)
     sc.filter(
       if (similarityLike) col("score") >= lit(threshold)
       else col("score") <= lit(threshold))
@@ -308,8 +330,9 @@ object ElementSearch {
       structArrayCol: String,
       idCol: String,
       elementFilter: Option[Column] = None,
-      limit: Option[Int] = None): DataFrame = {
-    val ex = elements(data, structArrayCol, idCol)
+      limit: Option[Int] = None,
+      subfields: Seq[String] = Seq.empty): DataFrame = {
+    val ex = elements(data, structArrayCol, idCol, subfields)
     val filtered = elementFilter.map(ex.filter).getOrElse(ex)
     val ordered = filtered.orderBy(col(idCol).asc, col("_elem_idx").asc)
     limit.map(ordered.limit).getOrElse(ordered)

@@ -245,6 +245,13 @@ class ElementSearchSpec extends SparkSpec {
     assert(hits.length == 3)
     assert(hits.forall(_.getLong(1) == 0L))
     assert(hits.head.getLong(0) == 0L, "nearest tag-0 element is doc 0's")
+    // pruned to outputSubfields (+ filter refs + vector): same hits
+    val prunedHits = CollectionSearch.searchElements(s, c, "elems",
+      "embedding", Seq(0f, 1f), k = 3, metricType = "L2",
+      elementFilterExpr = "tag == 0", outputSubfields = Seq("tag"))
+      .select("doc_id", "tag", "rank").collect()
+    assert(prunedHits.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq == hits.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
     // widen the element type; old elements read the subfield as null
     c.addStructSubfield("elems", StructField("weight", DoubleType))
     val weights = c.read(s)
@@ -264,6 +271,43 @@ class ElementSearchSpec extends SparkSpec {
       .select("doc_id", "weight").collect()
     assert(heavy.length == 1)
     assert(heavy.head.getLong(0) == 2L && heavy.head.getDouble(1) == 0.9)
+  }
+
+  test("parquet plan: nested schema pruning drops unreferenced subfields") {
+    val s = spark
+    import s.implicits._
+    // a fat payload subfield the query never touches
+    val dir = java.nio.file.Files.createTempDirectory("graft-elem-prune")
+    Tables.load(s, sfDir, "embeddings").limit(500)
+      .groupBy(($"vec_id" / 5).cast("long").as("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        $"vec_id".as("elem_id"),
+        $"embedding",
+        concat(lit("payload_"), $"vec_id").as("payload")))).as("elems"))
+      .write.parquet(dir.toString + "/nested")
+    val nestedPq = s.read.parquet(dir.toString + "/nested")
+    // subfields passed: the arrays_zip pre-prune narrows the scan
+    // (a bare posexplode would read payload too — Catalyst has no
+    // generator pruning for PosExplode, only Explode)
+    val pruned = ElementSearch.searchElements(nestedPq, "elems", "embedding",
+      "doc_id", qv, "L2", 5, subfields = Seq("elem_id", "embedding"))
+      .select("doc_id", "_elem_idx", "elem_id", "score", "rank")
+    val plan = pruned.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("elem_id") && readSchema.contains("embedding"),
+      s"referenced subfields must be read:\n$readSchema")
+    assert(!readSchema.contains("payload"),
+      s"unreferenced subfield must be pruned from the scan:\n$readSchema")
+    // and the element top-k is a TakeOrdered over the exploded scan —
+    // no shuffle below it
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"element top-k should be TakeOrdered, not sort+limit:\n$plan")
+    // pruned results == unpruned results (same elements, same order)
+    val full = ElementSearch.searchElements(nestedPq, "elems", "embedding",
+      "doc_id", qv, "L2", 5)
+      .select("doc_id", "_elem_idx", "elem_id", "score", "rank")
+    assert(pruned.collect().toSeq == full.collect().toSeq)
   }
 
   test("element query projects subfields with the element hit path") {
