@@ -140,7 +140,8 @@ object IndexCompat {
       phase: String,
       rebuildIndex: Boolean = false,
       args: BrickProtocol.BrickArgs = BrickProtocol.BrickArgs(),
-      brickName: String = "validate_index_compatibility")
+      brickName: String = "validate_index_compatibility",
+      probeVec: (String, Long) => Option[Seq[Float]] = (_, _) => None)
       : BrickProtocol.BrickResult = {
     require(phase == "after-upgrade" || phase == "after-rollback",
       s"unknown phase $phase")
@@ -278,8 +279,14 @@ object IndexCompat {
         vectorFields.foreach { vf =>
           val ix = d.indexes.find(_.field == vf).get
           try {
-            val vec = coll.query(spark, s"$pk == $probePk", Seq(vf))
-              .head().getSeq[Float](0)
+            // Deterministic probe vector, generated client-side like the
+            // reference's generate_field_value (:498-517); reading it
+            // back from the collection is the fallback when no
+            // generator is supplied.
+            val vec = scala.util.Try(probePk.toLong).toOption
+              .flatMap(id => probeVec(vf, id)).getOrElse(
+                coll.query(spark, s"$pk == $probePk", Seq(vf))
+                  .head().getSeq[Float](0))
             val metric = ix.metricType.getOrElse("L2").toUpperCase
             val params = ix.params.get("nlist")
               .map(n => Map("nprobe" -> n)).getOrElse(Map.empty) ++

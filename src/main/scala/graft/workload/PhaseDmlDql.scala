@@ -42,21 +42,27 @@ object PhaseDmlDql {
   final case class RowGen(
       make: (SparkSession, Long, Int, Long) => DataFrame,
       upsertField: String,
-      upsertValue: (Long, Long) => String)
+      upsertValue: (Long, Long) => String,
+      // Deterministic probe vector per (vector field, pk) — the
+      // client-side generate_field_value the reference's search probe
+      // uses; None falls back to reading the vector from the store.
+      vecFor: (String, Long) => Option[Seq[Float]] = (_, _) => None)
 
   /** Row generator for the scenario's compat schema
-    * (id, category, content, version).
+    * (id, category, content, version, embedding — the vector feeds the
+    * phase brick's indexed-vector serviceability probe).
     */
   def compatRowGen: RowGen = RowGen(
     make = (s, start, count, seed) => {
       import s.implicits._
       (0 until count).map { i =>
         val id = start + i
-        (id, id % 100, s"phase_${seed}_$id", seed)
-      }.toDF("id", "category", "content", "version")
+        (id, id % 100, s"phase_${seed}_$id", seed, Scenario.compatVec(id))
+      }.toDF("id", "category", "content", "version", "embedding")
     },
     upsertField = "content",
-    upsertValue = (id, seed) => s"phase_${seed}_$id")
+    upsertValue = (id, seed) => s"phase_${seed}_$id",
+    vecFor = (_, id) => Some(Scenario.compatVec(id).toSeq))
 
   private def checkpointFile(dir: String): java.nio.file.Path =
     Paths.get(dir, "phase_dml_dql_after_upgrade.json")
@@ -152,7 +158,7 @@ object PhaseDmlDql {
         case _ => ()
       }
     }
-    runSearches(spark, coll, remainingMax, fail, searches)
+    runSearches(spark, coll, remainingMax, gen, fail, searches)
     Some(ExistingState(coll.name, pk, startId, rows, rows, rows, deleted,
       deletedValues, remainingCount, remainingMin, remainingMax,
       remainingValues, gen.upsertField, samples))
@@ -163,7 +169,7 @@ object PhaseDmlDql {
     * row's own vector.
     */
   private def runSearches(spark: SparkSession, coll: Collection,
-      probePk: Long, fail: (String, String) => Unit,
+      probePk: Long, gen: RowGen, fail: (String, String) => Unit,
       searches: () => Unit): Unit = {
     val d = coll.definition
     val fieldsByName = d.fields.map(f => f.name -> f).toMap
@@ -174,8 +180,9 @@ object PhaseDmlDql {
       .foreach { vf =>
         try {
           val pk = d.primaryField.name
-          val vec = coll.query(spark, s"$pk == $probePk", Seq(vf))
-            .head().getSeq[Float](0)
+          val vec = gen.vecFor(vf, probePk).getOrElse(
+            coll.query(spark, s"$pk == $probePk", Seq(vf))
+              .head().getSeq[Float](0))
           val ix = d.indexes.find(_.field == vf).get
           val params = ix.params.get("nlist")
             .map(n => Map("nprobe" -> n)).getOrElse(Map.empty) ++
@@ -233,7 +240,7 @@ object PhaseDmlDql {
     samples.zip(present).foreach { case (v, there) =>
       if (!there) fail(PhaseDqlFailed, s"$name: sample pk $v absent")
     }
-    runSearches(spark, coll, maxPk, fail, searches)
+    runSearches(spark, coll, maxPk, gen, fail, searches)
     Some(NewState(name, pk, startId, rows, minPk, maxPk, samples))
   }
 

@@ -87,16 +87,25 @@ object Scenario {
   final case class Outcome(passed: Boolean, steps: Seq[StepResult],
       gate: Gates.GateReport, report: WorkflowReport.Report)
 
-  // The compat collection declares a scalar index so the
-  // index-compatibility brick has metadata to checkpoint, compare
-  // across the rollback, and probe (the reference's schema matrices
-  // always index at least one scalar field).
+  // The compat collection declares a scalar index AND an indexed
+  // vector field so the index-compatibility brick exercises both probe
+  // legs — scalar point filter and vector self-search — inside every
+  // scenario run (the reference's schema matrices always index a
+  // vector plus at least one scalar). FLAT routes to the exact scan,
+  // so the scenario pays no index-build cost for the fidelity.
   private def compatSchema(name: String) = CollectionDef(name, Seq(
     FieldDef("id", LongType, nullable = false, isPrimary = true),
     FieldDef("category", LongType),
     FieldDef("content", StringType),
-    FieldDef("version", LongType)),
-    indexes = Seq(IndexDef("category", "INVERTED")))
+    FieldDef("version", LongType),
+    FieldDef("embedding", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType), dim = Some(4))),
+    indexes = Seq(IndexDef("category", "INVERTED"),
+      IndexDef("embedding", "FLAT", Some("L2"))))
+
+  /** Deterministic per-id vector for the compat schema's probe leg. */
+  private[workload] def compatVec(id: Long): Array[Float] =
+    Array((id % 7).toFloat, (id % 11).toFloat, (id % 13).toFloat, 1f)
 
   /** Run the scenario. Upgrade/rollback hooks default to no-ops
     * (recorded as skipped waits, the reference's empty-action path).
@@ -313,8 +322,8 @@ object Scenario {
       val n = math.min(batchSize, rows - off)
       coll.insert(spark, (0 until n).map { i =>
         val id = startId + off + i
-        (id, id % 100, s"seed_$id", 0L)
-      }.toDF("id", "category", "content", "version")): Unit
+        (id, id % 100, s"seed_$id", 0L, compatVec(id))
+      }.toDF("id", "category", "content", "version", "embedding")): Unit
     }
   }
 
