@@ -276,14 +276,16 @@ object ElementSearch {
       requests: Seq[ElementAnnRequest],
       ranker: HybridSearch.Ranker,
       limit: Int = 10,
-      offset: Int = 0): DataFrame = {
+      offset: Int = 0,
+      subfields: Seq[String] = Seq.empty): DataFrame = {
     require(requests.nonEmpty, "element hybrid search needs >= 1 request")
     val elemKey = Seq(idCol, "_elem_idx")
     // A single-query call: fusion machinery partitions by qid, so tag
     // every per-request result with the same constant query id.
     val results = requests.map { r =>
       searchElements(data, structArrayCol, r.vecSubCol, idCol, r.queryVec,
-        r.metricName, r.limit, r.elementFilter)
+        r.metricName, r.limit, r.elementFilter,
+        if (subfields.isEmpty) Seq.empty else (subfields :+ r.vecSubCol).distinct)
         .withColumn("qid", lit(0L))
     }
     val similarity = requests.map(_.metricName.toUpperCase match {

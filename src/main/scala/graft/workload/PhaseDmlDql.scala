@@ -113,6 +113,14 @@ object PhaseDmlDql {
     val remainingMin = startId + deleted
     val remainingMax = startId + rows - 1
     val remainingCount = (rows - deleted).toLong
+    // Load for the DQL block (the reference's _load_collection before
+    // validation): the merged view materializes ONCE and the probe
+    // aggregation, upsert fetch and vector searches all read the cache
+    // instead of re-paying the pk merge window per job. Restore the
+    // caller-visible load state afterwards.
+    val wasLoaded = coll.loadState == "Loaded"
+    if (!wasLoaded) coll.load(spark)
+    try {
     // All four phase-DQL probes (remaining count, min/max presence,
     // deleted-range residue) in ONE aggregation job over the phase's
     // pk range — per-probe jobs would each pay the full fixed job
@@ -162,6 +170,7 @@ object PhaseDmlDql {
     Some(ExistingState(coll.name, pk, startId, rows, rows, rows, deleted,
       deletedValues, remainingCount, remainingMin, remainingMax,
       remainingValues, gen.upsertField, samples))
+    } finally if (!wasLoaded) coll.release()
   }
 
   /** Vector-search serviceability probe (_run_searches, :332-370):
@@ -229,19 +238,24 @@ object PhaseDmlDql {
     val minPk = startId
     val maxPk = startId + rows - 1
     val samples = Seq(minPk, maxPk)
-    // Count + both sample probes in one aggregation job.
-    val (got, present) = graft.validate.Validators.countAndPresence(
-      coll.read(spark),
-      Some(col(pk) >= minPk && col(pk) <= maxPk),
-      samples.map(v => col(pk) === v))
-    if (got != rows)
-      fail(PhaseDqlFailed, s"$name: new collection count mismatch: " +
-        s"expected $rows in [$minPk, $maxPk], found $got")
-    samples.zip(present).foreach { case (v, there) =>
-      if (!there) fail(PhaseDqlFailed, s"$name: sample pk $v absent")
-    }
-    runSearches(spark, coll, maxPk, gen, fail, searches)
-    Some(NewState(name, pk, startId, rows, minPk, maxPk, samples))
+    // Same load-for-DQL discipline as the existing-collection cycle.
+    val wasLoaded = coll.loadState == "Loaded"
+    if (!wasLoaded) coll.load(spark)
+    try {
+      // Count + both sample probes in one aggregation job.
+      val (got, present) = graft.validate.Validators.countAndPresence(
+        coll.read(spark),
+        Some(col(pk) >= minPk && col(pk) <= maxPk),
+        samples.map(v => col(pk) === v))
+      if (got != rows)
+        fail(PhaseDqlFailed, s"$name: new collection count mismatch: " +
+          s"expected $rows in [$minPk, $maxPk], found $got")
+      samples.zip(present).foreach { case (v, there) =>
+        if (!there) fail(PhaseDqlFailed, s"$name: sample pk $v absent")
+      }
+      runSearches(spark, coll, maxPk, gen, fail, searches)
+      Some(NewState(name, pk, startId, rows, minPk, maxPk, samples))
+    } finally if (!wasLoaded) coll.release()
   }
 
   private def writeCheckpoint(dir: String, phase: String,
