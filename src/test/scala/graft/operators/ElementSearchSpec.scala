@@ -144,6 +144,16 @@ class ElementSearchSpec extends SparkSpec {
       ElementSearch.searchElements(two, "elems", sub, "doc_id", q, "L2", 15)
         .select("doc_id", "_elem_idx", "rank").collect()
         .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    // pruned to the vector subfields only: identical fusion
+    val prunedFused = ElementSearch.hybridSearchElements(two, "elems",
+      "doc_id",
+      Seq(ElementSearch.ElementAnnRequest("emb_a", qv, "L2", 15),
+        ElementSearch.ElementAnnRequest("emb_b", q1, "L2", 15)),
+      HybridSearch.RrfRanker(60), limit = 8,
+      subfields = Seq("emb_a", "emb_b"))
+      .select("doc_id", "_elem_idx", "fused_rank").collect()
+    assert(prunedFused.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSeq == got.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq)
     val ra = ranks("emb_a", qv)
     val rb = ranks("emb_b", q1)
     val expected = (ra.keySet ++ rb.keySet).toSeq.map { k =>
