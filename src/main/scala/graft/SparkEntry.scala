@@ -899,6 +899,80 @@ object SparkEntry {
           ("dropped", servedDropped, c.numEntities(s), 0L))
         .toDF("phase", "served", "docs", "sum_dims").orderBy("phase")
     },
+    // ---- S35: TEXT_EMBEDDING schema function (model-provider surface,
+    // feature-inventory P2 "Function / model provider" minus the
+    // credentialed remote providers): the engine populates the dense
+    // vector field from the text input with the deterministic encoder.
+    // Components are small integers (signed token counts), so the L1 /
+    // signed sums below are exact in Float32 AND re-derivable by the
+    // oracle in plain SQL — the entry pins the encode spec itself. ----
+    "s35_embedding_function" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-emb").toString)
+      val c = cat.createCollection(CollectionDef("emb", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200))
+      c.addFunction(graft.store.FunctionDef("enc", "TEXT_EMBEDDING",
+        Seq("text"), Seq("emb_vec"), Map("dim" -> "8")))
+      c.read(s).select(col("doc_id"),
+          aggregate(col("emb_vec"), lit(0.0),
+            (a, x) => a + abs(x)).cast("long").as("emb_l1"),
+          aggregate(col("emb_vec"), lit(0.0),
+            (a, x) => a + x).cast("long").as("emb_sum"))
+        .orderBy("doc_id")
+    },
+    // ---- V24: dense search by query TEXT through the bound
+    // TEXT_EMBEDDING function (search(data=["..."]) server-side encode
+    // semantics). Exhaustive k then a deterministic (dist, doc_id)
+    // re-rank so integer-distance ties can't flap the top-10 set. -----
+    "v24_text_to_vector_search" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v24").toString)
+      val c = cat.createCollection(CollectionDef("emb", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200))
+      c.addFunction(graft.store.FunctionDef("enc", "TEXT_EMBEDDING",
+        Seq("text"), Seq("emb_vec"), Map("dim" -> "8")))
+      val hits = graft.operators.CollectionSearch.searchByQueryText(
+        s, c, "emb_vec", "vector stream data engine", 200,
+        searchParams = Map("metric_type" -> "L2"))
+      // score is rooted L2; the squared distance is integer-valued
+      // (signed-count embeddings), so round() recovers it exactly
+      hits.select(col("doc_id"),
+          round(pow(col("score"), 2)).cast("long").as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dist"), col("doc_id"))).cast("int"))
+        .filter(col("rank") <= 10).select("doc_id", "dist", "rank")
+        .orderBy("rank")
+    },
+    // ---- S36: change feed over the delta log (CDC capture surface):
+    // cursor-incremental pull; directory-level pruning means a caught-
+    // up consumer's pull opens no pre-cursor files. -------------------
+    "s36_changefeed" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-cf").toString)
+      val c = cat.createCollection(CollectionDef("cf", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      val cursor = c.committedSeq
+      c.insert(s, tbl(s, dir, "region")
+        .select((col("r_regionkey") + 100L).as("n_nationkey"),
+          col("r_name").as("n_name")))
+      c.delete(s, "n_nationkey < 3")
+      val incremental = c.changeFeed(s, cursor)
+        .groupBy(col("_op").as("op")).agg(count(lit(1)).as("cnt"))
+      val total = c.changeFeed(s)
+        .agg(lit("all_since_zero").as("op"), count(lit(1)).as("cnt"))
+      incremental.unionByName(total).orderBy("op")
+    },
     // ---- S23: TruncateCollection (3.0 API): all entities dropped,
     // schema/partitions/index metadata kept, immediately writable ------
     "s23_truncate" -> { (s, dir) =>
@@ -2479,6 +2553,69 @@ object SparkEntry {
           |    (SELECT count(*) FROM documents WHERE doc_id < 200),
           |    CAST(0 AS BIGINT)
           |) ORDER BY phase""".stripMargin,
+      // COMPUTED oracle: DuckDB re-derives the signed bag-of-words
+      // encode spec (bucket/sign are integer functions of each token)
+      // from the same raw text — pins the encoder definition itself.
+      "s35_embedding_function" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |contrib AS (
+          |  SELECT doc_id, (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM tok),
+          |emb AS (SELECT doc_id, bucket, sum(sgn) AS v
+          |        FROM contrib GROUP BY doc_id, bucket)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(sum(abs(e.v)), 0) AS BIGINT) AS emb_l1,
+          |  CAST(coalesce(sum(e.v), 0) AS BIGINT) AS emb_sum
+          |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          |LEFT JOIN emb e USING (doc_id)
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      "v24_text_to_vector_search" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |contrib AS (
+          |  SELECT doc_id, (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM tok),
+          |emb AS (SELECT doc_id, bucket, sum(sgn) AS v
+          |        FROM contrib GROUP BY doc_id, bucket),
+          |qtok AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(
+          |    lower('vector stream data engine'), '[^a-z0-9]+'), x -> x <> '')) AS t),
+          |qemb AS (
+          |  SELECT (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM qtok GROUP BY bucket),
+          |grid AS (
+          |  SELECT d.doc_id, b.bucket,
+          |    coalesce(e.v, 0) AS dv, coalesce(q.v, 0) AS qv
+          |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) b
+          |  LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.bucket = b.bucket
+          |  LEFT JOIN qemb q ON q.bucket = b.bucket),
+          |dist AS (
+          |  SELECT doc_id, CAST(sum((dv - qv) * (dv - qv)) AS BIGINT) AS dist
+          |  FROM grid GROUP BY doc_id)
+          |SELECT doc_id, dist, rank FROM (
+          |  SELECT doc_id, dist, CAST(row_number() OVER
+          |    (ORDER BY dist, doc_id) AS INT) AS rank FROM dist)
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "s36_changefeed" ->
+        """SELECT op, cnt FROM (
+          |  SELECT 'delete' AS op,
+          |    (SELECT count(*) FROM nation WHERE n_nationkey < 3) AS cnt
+          |  UNION ALL
+          |  SELECT 'upsert', (SELECT count(*) FROM region)
+          |  UNION ALL
+          |  SELECT 'all_since_zero',
+          |    (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+          |      + (SELECT count(*) FROM nation WHERE n_nationkey < 3)
+          |) ORDER BY op""".stripMargin,
       // COMPUTED oracle: exact tf-cosine per sentence over the same
       // fixture (equals the hashed-BoW cosine absent hash collisions;
       // a collision would fail this row and flag the dims choice).

@@ -147,6 +147,37 @@ object CollectionSearch {
     * index (built/maintained by [[IndexStore]]): the scan touches only
     * the query terms' bucket directories, never the corpus.
     */
+  /** Dense search with TEXT query data (the model-provider surface:
+    * when `anns_field` is the output of a TEXT_EMBEDDING function,
+    * `search(data=["query text"], ...)` encodes the text with the
+    * collection's bound function and runs the regular vector search —
+    * index routing, filters, params and output_fields all apply
+    * unchanged). The query encode is a driver-side mirror of the
+    * stored-row encode expression: no Spark job, exact parity.
+    */
+  def searchByQueryText(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryText: String,
+      k: Int,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty,
+      consistencyLevel: String = "Strong",
+      orderByFields: Seq[String] = Seq.empty): DataFrame = {
+    val f = coll.definition.functions.find(fn =>
+      fn.functionType.toUpperCase == "TEXT_EMBEDDING" &&
+        fn.outputFields.contains(vecField)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$vecField is not the output of a TEXT_EMBEDDING function"))
+    val qv = graft.functions.TextEmbedding
+      .encodeLocal(queryText, f.params("dim").toInt)
+    search(spark, coll, vecField, qv, k, filterExpr, searchParams,
+      outputFields, partitionNames, consistencyLevel, orderByFields)
+  }
+
   def searchText(
       spark: SparkSession,
       coll: Collection,

@@ -37,7 +37,8 @@ final case class IndexDef(
   * derived column while the function is bound.
   */
 final case class FunctionDef(name: String, functionType: String,
-    inputFields: Seq[String], outputFields: Seq[String])
+    inputFields: Seq[String], outputFields: Seq[String],
+    params: Map[String, String] = Map.empty)
 
 final case class CollectionDef(
     name: String,

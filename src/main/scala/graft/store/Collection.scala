@@ -191,7 +191,8 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   def addFunction(f: FunctionDef): Unit = {
     catalog.mutateDef(name) { d =>
-      require(f.functionType.toUpperCase == "BM25",
+      val kind = f.functionType.toUpperCase
+      require(kind == "BM25" || kind == "TEXT_EMBEDDING",
         s"unsupported function type ${f.functionType}")
       require(!d.functions.exists(_.name == f.name),
         s"function ${f.name} exists")
@@ -200,10 +201,27 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       f.inputFields.foreach { in =>
         val fd = d.fields.find(_.name == in).getOrElse(
           throw new IllegalArgumentException(s"no input field $in"))
-        require(fd.dataType == StringType, s"BM25 input $in must be VARCHAR")
+        require(fd.dataType == StringType, s"$kind input $in must be VARCHAR")
       }
-      val extra = f.outputFields.filterNot(o => d.fields.exists(_.name == o))
-        .map(o => FieldDef(o, MapType(IntegerType, DoubleType)))
+      val extra =
+        if (kind == "BM25")
+          f.outputFields.filterNot(o => d.fields.exists(_.name == o))
+            .map(o => FieldDef(o, MapType(IntegerType, DoubleType)))
+        else {
+          // TEXT_EMBEDDING (model-provider surface): only the local
+          // deterministic provider runs in-engine; remote providers are
+          // a credentialed deployment concern (P2), rejected up front.
+          val provider = f.params.getOrElse("provider", "deterministic")
+          require(provider == "deterministic",
+            s"text-embedding provider '$provider' needs external " +
+              "credentials; only 'deterministic' runs in-engine")
+          val dim = f.params.get("dim").map(_.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              "TEXT_EMBEDDING needs a 'dim' param"))
+          require(dim > 0, s"dim must be positive, got $dim")
+          f.outputFields.filterNot(o => d.fields.exists(_.name == o))
+            .map(o => FieldDef(o, ArrayType(FloatType), dim = Some(dim)))
+        }
       d.copy(fields = d.fields ++ extra, functions = d.functions :+ f)
     }
     refreshCachedSchema()
@@ -231,7 +249,9 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     refreshCachedSchema()
   }
 
-  /** Engine-computed function output columns: BM25 maps the tokenized
+  /** Engine-computed function output columns. TEXT_EMBEDDING maps the
+    * input text to a dense vector via the deterministic provider
+    * ([[graft.functions.TextEmbedding]]). BM25 maps the tokenized
     * input to a sparse term-frequency vector — `hash(term) -> tf` for
     * the conventional MapType(Int, Double) sparse encoding (collisions
     * merge by summed tf, so duplicate map keys are impossible), or
@@ -239,8 +259,17 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * through a single-element transform so tokenization runs once per
     * row (Catalyst does no CSE across lambda bodies).
     */
-  private def functionOutputColumns(d: CollectionDef): Map[String, Column] =
-    d.functions.filter(_.functionType.toUpperCase == "BM25").flatMap { f =>
+  private def functionOutputColumns(d: CollectionDef): Map[String, Column] = {
+    val embedding = d.functions
+      .filter(_.functionType.toUpperCase == "TEXT_EMBEDDING").flatMap { f =>
+        val in = col(f.inputFields.head)
+        val dim = f.params("dim").toInt
+        f.outputFields.map { o =>
+          o -> when(in.isNotNull,
+            graft.functions.TextEmbedding.encode(in, dim))
+        }
+      }.toMap
+    embedding ++ d.functions.filter(_.functionType.toUpperCase == "BM25").flatMap { f =>
       val in = col(f.inputFields.head)
       val toks = graft.text.Analyzer.standard(in)
       f.outputFields.map { o =>
@@ -262,6 +291,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         o -> when(in.isNotNull, sparse)
       }
     }.toMap
+  }
 
   // ---- external collections (3.0 feature-inventory plan §5) -------------
 
@@ -823,6 +853,45 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     else deltaPaths.lastOption
       .map(_.name.stripPrefix("delta_").toLong)
       .getOrElse(0L)
+
+  /** Incremental change feed over the delta log (the engine-meaningful
+    * slice of the reference's CDC capability, feature-inventory P2
+    * list: failover replication needs a second cluster, but the
+    * capture surface — "give me every change after position X" — is
+    * engine-local, and the LSM delta log already IS that changelog).
+    *
+    * Returns the raw change rows with `_seq > sinceSeq`: every stored
+    * field (tombstones carry only the PK; the other columns are null),
+    * plus `_op` ("delete" | "upsert"), `_seq` (the pull cursor —
+    * `max(_seq)` of a batch, or [[committedSeq]] snapshotted before
+    * the pull, is the next `sinceSeq`), `_ts`, and `_part`.
+    *
+    * Scale shape: cursor filtering is DIRECTORY-level — deltas at or
+    * below the cursor are never opened, so a caught-up consumer's pull
+    * cost is proportional to new data only. Engine-computed function
+    * outputs are not in the feed (they are derived, not stored).
+    *
+    * Compaction folds history: a cursor older than the oldest live
+    * delta sees the folded base as one big upsert batch — a state
+    * resync, the standard compacted-changelog contract (deletes older
+    * than the fold are gone; the folded rows carry the fold's seq).
+    */
+  def changeFeed(spark: SparkSession, sinceSeq: Long = 0L): DataFrame = {
+    val d = definition
+    require(!isExternal, "external collections have no delta log")
+    val live = deltaPaths.filter(
+      _.name.stripPrefix("delta_").toLong > sinceSeq)
+    val stored = d.fields.filterNot(f =>
+      d.functionOutputFields.contains(f.name)).map(_.name)
+    val outCols =
+      (stored ++ (if (d.enableDynamicField) Seq(DYN) else Nil)).map(col) ++
+        Seq(when(col(DEL), "delete").otherwise("upsert").as("_op"),
+          col(SEQ), col(TS), col(PART))
+    rawDeltas(spark, d, live.map(_.toString))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), deltaSchema(d)))
+      .select(outCols: _*)
+  }
 
   // ---- read path --------------------------------------------------------
 

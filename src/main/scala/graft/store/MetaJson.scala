@@ -44,7 +44,8 @@ private[store] object MetaJson {
         ("name" -> f.name) ~
         ("functionType" -> f.functionType) ~
         ("inputFields" -> f.inputFields) ~
-        ("outputFields" -> f.outputFields)
+        ("outputFields" -> f.outputFields) ~
+        ("params" -> f.params)
       })
     JsonMethods.pretty(JsonMethods.render(json))
   }
@@ -76,7 +77,9 @@ private[store] object MetaJson {
           name = (fj \ "name").extract[String],
           functionType = (fj \ "functionType").extract[String],
           inputFields = (fj \ "inputFields").extract[Seq[String]],
-          outputFields = (fj \ "outputFields").extract[Seq[String]])
+          outputFields = (fj \ "outputFields").extract[Seq[String]],
+          params = (fj \ "params").extractOpt[Map[String, String]]
+            .getOrElse(Map.empty))
       }
     val d = CollectionDef(
       name = (j \ "name").extract[String],

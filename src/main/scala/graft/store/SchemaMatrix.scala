@@ -107,7 +107,10 @@ object SchemaMatrix {
           f.get("input_fields").map(_.asInstanceOf[java.util.List[Any]]
             .asScala.map(String.valueOf).toSeq).getOrElse(Seq.empty),
           f.get("output_fields").map(_.asInstanceOf[java.util.List[Any]]
-            .asScala.map(String.valueOf).toSeq).getOrElse(Seq.empty))
+            .asScala.map(String.valueOf).toSeq).getOrElse(Seq.empty),
+          f.get("params").map(_.asInstanceOf[java.util.Map[String, Any]]
+            .asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap)
+            .getOrElse(Map.empty))
       }.toSeq
     val functionOutputs = functions.flatMap(_.outputFields).toSet
 

@@ -694,4 +694,81 @@ class StoreSpec extends SparkSpec {
     assert(cat.describeCollection("mc_0199").fields.map(_.name) ==
       Seq("id", "v"))
   }
+
+  test("TEXT_EMBEDDING function: deterministic encode served and " +
+      "searchable by query text; provider/dim validation") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("emb"))
+    c.insert(s, Seq(
+      (1L, 1L, "spark streaming engine", 0L),
+      (2L, 2L, "vector search index", 0L),
+      (3L, 3L, "completely unrelated words here", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.addFunction(FunctionDef("enc", "TEXT_EMBEDDING",
+      Seq("content"), Seq("emb_vec"), Map("dim" -> "8")))
+    // served as a derived column, exact parity with the driver mirror
+    val served = c.read(s).filter($"id" === 2L)
+      .select("emb_vec").head().getSeq[Float](0)
+    assert(served == graft.functions.TextEmbedding
+      .encodeLocal("vector search index", 8))
+    assert(served.length == 8)
+    // query text routes through the bound function: the doc with the
+    // query's own text is distance 0 -> rank 1
+    val hits = graft.operators.CollectionSearch.searchByQueryText(
+      s, c, "emb_vec", "vector search index", 2,
+      searchParams = Map("metric_type" -> "L2"))
+    assert(hits.select("id").head().getLong(0) == 2L)
+    // validation: no dim, remote provider, non-text input
+    intercept[IllegalArgumentException](c.addFunction(
+      FunctionDef("e2", "TEXT_EMBEDDING", Seq("content"), Seq("o"))))
+    intercept[IllegalArgumentException](c.addFunction(
+      FunctionDef("e3", "TEXT_EMBEDDING", Seq("content"), Seq("o"),
+        Map("dim" -> "8", "provider" -> "openai"))))
+    intercept[IllegalArgumentException](c.addFunction(
+      FunctionDef("e4", "TEXT_EMBEDDING", Seq("category"), Seq("o"),
+        Map("dim" -> "8"))))
+    // params survive the catalog round-trip (meta.json)
+    assert(cat.collection("emb").definition.functions.head
+      .params("dim") == "8")
+    c.dropFunction("enc")
+    assert(!c.read(s).columns.contains("emb_vec"))
+  }
+
+  test("change feed: cursor-incremental pull, delete ops, " +
+      "compaction resync semantics") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("cf"))
+    c.insert(s, Seq((1L, 1L, "a", 0L), (2L, 1L, "b", 0L))
+      .toDF("id", "category", "content", "version"))
+    val cursor = c.committedSeq
+    c.insert(s, Seq((3L, 2L, "c", 0L)).toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 1")
+    // incremental pull: exactly the post-cursor changes, in seq order
+    val feed = c.changeFeed(s, cursor)
+      .select("id", "_op").orderBy("_seq", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSeq == Seq((3L, "upsert"), (1L, "delete")))
+    // caught-up consumer sees nothing
+    assert(c.changeFeed(s, c.committedSeq).isEmpty)
+    // from zero: full history (2 inserts + 1 insert + 1 tombstone)
+    assert(c.changeFeed(s).count() == 4)
+    // tombstones carry only the PK
+    val del = c.changeFeed(s, cursor).filter($"_op" === "delete").head()
+    assert(del.isNullAt(del.fieldIndex("content")))
+    // compaction folds history: a stale cursor resyncs from the base
+    c.compact(s)
+    val folded = c.changeFeed(s).select("id", "_op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(folded == Set((2L, "upsert"), (3L, "upsert")))
+    val extSrc = java.nio.file.Files.createTempDirectory("cf-ext")
+    Seq((9L, 1L, "x", 0L)).toDF("id", "category", "content", "version")
+      .write.mode("overwrite").parquet(extSrc.toString)
+    intercept[IllegalArgumentException](
+      cat.createExternalCollection(s, simpleDef("cfx"), extSrc.toString)
+        .changeFeed(s))
+  }
 }
