@@ -1621,6 +1621,26 @@ object SparkEntry {
       s.sql("""SELECT docId AS doc_id, isDuplicate AS is_duplicate,
         |firstId AS first_id FROM st2_dedup ORDER BY doc_id""".stripMargin)
     },
+    // ---- ST3: streaming change feed — store DML arrives at a CDC
+    // consumer as micro-batches (delta dirs are the file-source's
+    // atomically-renamed-in inputs). Nation rows in, three deleted;
+    // the consumer-side tally must equal the DML issued. ---------------
+    "st3_changefeed_stream" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-st3").toString)
+      val c = cat.createCollection(CollectionDef("cfs", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      c.delete(s, "n_nationkey >= 22")
+      val q = c.changeFeedStream(s).writeStream.format("memory")
+        .queryName("st3_feed").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.sql("""SELECT _op AS op, count(*) AS cnt, count(DISTINCT n_nationkey)
+        |AS keys FROM st3_feed GROUP BY _op ORDER BY op""".stripMargin)
+    },
     // ---- multimodal: modality stats over deterministic synthetic assets ---
     "m1_multimodal_stats" -> { (s, dir) =>
       Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
@@ -2605,6 +2625,15 @@ object SparkEntry {
           |  SELECT doc_id, dist, CAST(row_number() OVER
           |    (ORDER BY dist, doc_id) AS INT) AS rank FROM dist)
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "st3_changefeed_stream" ->
+        """SELECT op, cnt, keys FROM (
+          |  SELECT 'delete' AS op,
+          |    (SELECT count(*) FROM nation WHERE n_nationkey >= 22) AS cnt,
+          |    (SELECT count(*) FROM nation WHERE n_nationkey >= 22) AS keys
+          |  UNION ALL
+          |  SELECT 'upsert', (SELECT count(*) FROM nation),
+          |    (SELECT count(*) FROM nation)
+          |) ORDER BY op""".stripMargin,
       "s36_changefeed" ->
         """SELECT op, cnt FROM (
           |  SELECT 'delete' AS op,

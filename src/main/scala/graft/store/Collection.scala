@@ -893,6 +893,42 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       .select(outCols: _*)
   }
 
+  /** Streaming form of [[changeFeed]]: a Structured Streaming source
+    * over the delta log. New deltas appear as whole directories via
+    * atomic rename, exactly the contract the file stream source wants;
+    * each micro-batch carries the newly committed change rows, so a
+    * downstream incremental pipeline (dedup refresh, index fan-out,
+    * replication — the CDC consumer shapes) is a plain
+    * `writeStream.foreachBatch`. `_part` is physical (a directory
+    * name, not file data), so it is recovered from the file path.
+    * Deltas removed by compaction after being read are harmless — the
+    * source tracks processed files; a NEW consumer starting after a
+    * compaction sees the folded base as its initial resync batch, the
+    * same contract as the batch feed.
+    */
+  def changeFeedStream(spark: SparkSession): DataFrame = {
+    val d = definition
+    require(!isExternal, "external collections have no delta log")
+    val stored = d.fields.filterNot(f =>
+      d.functionOutputFields.contains(f.name)).map(_.name)
+    val outCols =
+      (stored ++ (if (d.enableDynamicField) Seq(DYN) else Nil)).map(col) ++
+        Seq(when(col(DEL), "delete").otherwise("upsert").as("_op"),
+          col(SEQ), col(TS),
+          // `_part` is a directory name, not file data; recovered from
+          // the path (partition DISCOVERY can't span the per-delta
+          // roots — each delta is its own partitioned tree, and the
+          // file index rejects the conflicting structures).
+          regexp_extract(input_file_name(), "_part=([^/]+)", 1).as(PART))
+    spark.readStream
+      .schema(StructType(deltaSchema(d).filterNot(_.name == PART)))
+      // glob the LEAF partition dirs: every matched root holds plain
+      // files, so no partition inference runs at all; the re-glob each
+      // micro-batch picks up newly renamed-in delta directories.
+      .parquet(s"${dataDir.toString}/delta_*/$PART=*")
+      .select(outCols: _*)
+  }
+
   // ---- read path --------------------------------------------------------
 
   /** Merge-on-read snapshot. Column pruning/pushdown still applies —

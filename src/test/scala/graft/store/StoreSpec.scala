@@ -732,8 +732,18 @@ class StoreSpec extends SparkSpec {
     // params survive the catalog round-trip (meta.json)
     assert(cat.collection("emb").definition.functions.head
       .params("dim") == "8")
+    // an ANN index composes with the function output: the build reads
+    // the derived column, and query-text search routes through it
+    c.createIndex(s, IndexDef("emb_vec", "IVF_FLAT",
+      Some("L2"), Map("nlist" -> "2")))
+    val indexed = graft.operators.CollectionSearch.searchByQueryText(
+      s, c, "emb_vec", "vector search index", 1,
+      searchParams = Map("metric_type" -> "L2", "nprobe" -> "2"))
+    assert(indexed.select("id").head().getLong(0) == 2L)
     c.dropFunction("enc")
     assert(!c.read(s).columns.contains("emb_vec"))
+    // dropping the function also invalidates the index on its output
+    assert(c.definition.indexes.isEmpty)
   }
 
   test("change feed: cursor-incremental pull, delete ops, " +

@@ -40,6 +40,42 @@ class StreamingSpec extends SparkSpec {
     assert(c.numEntities(s) == 40)
   }
 
+  test("streaming change feed: committed deltas arrive as micro-batches " +
+      "with ops and partitions; checkpointed resume sees only new ones") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-cfs").toString)
+    val c = cat.createCollection(CollectionDef("cf_stream", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("content", StringType)),
+      partitions = Seq("p0", "p1")))
+    c.insert(s, Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "content"))
+    c.delete(s, "id == 1")
+    val cp = Files.createTempDirectory("graft-cfs-cp").toString
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String, String)]()
+    def drain(): Unit = {
+      val q = c.changeFeedStream(s).writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id", "_op", "_part").collect().foreach(r =>
+            seen.add((r.getLong(0), r.getString(1), r.getString(2)))): Unit
+        }
+        .start()
+      q.awaitTermination(60000): Unit
+    }
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set((0L, "upsert", "p0"),
+      (1L, "upsert", "p1"), (2L, "upsert", "p0"), (1L, "delete", "p1")))
+    // resume from the checkpoint: only the NEW delta arrives
+    seen.clear()
+    c.insert(s, Seq((7L, "later")).toDF("id", "content"))
+    drain()
+    assert(seen.asScala.toSet == Set((7L, "upsert", "p1")))
+  }
+
   test("windowed counts with watermark over a memory stream") {
     val s = spark
     import s.implicits._
