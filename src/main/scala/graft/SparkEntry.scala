@@ -464,6 +464,28 @@ object SparkEntry {
         Some(System.currentTimeMillis() + 120000L)).count()
       Seq((visible, expired)).toDF("visible_now", "visible_after_ttl")
     },
+    // ---- S37: entity-level TTL (3.0 "EntityTTL" capability,
+    // schema_matrix_3_0.yaml:28-39): per-row expire_at column named by
+    // the ttl.field property; expiry is a read-time filter against a
+    // pinned asOf clock, so the entry is fully deterministic. ----------
+    "s37_entity_ttl" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-ettl").toString)
+      val c = cat.createCollection(CollectionDef("ettl", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType),
+        FieldDef("expire_at", LongType)),
+        properties = Map("ttl.field" -> "expire_at")))
+      c.insert(s, tbl(s, dir, "nation").select(col("n_nationkey"),
+        col("n_name"),
+        // every 5th entity never expires; the rest at key*1000 millis
+        when(col("n_nationkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("n_nationkey") * 1000L).as("expire_at")))
+      c.read(s, asOfMillis = Some(10000L))
+        .agg(count(lit(1)).as("visible"),
+          sum(col("n_nationkey")).cast("long").as("sum_keys"))
+    },
     // ---- S17: export query → parquet via iterator batches, re-read --------
     "s17_export_roundtrip" -> { (s, dir) =>
       val out = java.nio.file.Files.createTempDirectory("graft-exp").toString
@@ -2625,6 +2647,11 @@ object SparkEntry {
           |  SELECT doc_id, dist, CAST(row_number() OVER
           |    (ORDER BY dist, doc_id) AS INT) AS rank FROM dist)
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "s37_entity_ttl" ->
+        """SELECT count(*) AS visible,
+          |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
+          |FROM nation
+          |WHERE n_nationkey % 5 = 0 OR n_nationkey * 1000 > 10000""".stripMargin,
       "st3_changefeed_stream" ->
         """SELECT op, cnt, keys FROM (
           |  SELECT 'delete' AS op,

@@ -94,6 +94,12 @@ final case class CollectionDef(
     require(names.distinct.length == names.length, "duplicate field names")
     indexes.foreach(ix => require(names.contains(ix.field),
       s"index references undeclared field ${ix.field}"))
+    properties.get("ttl.field").foreach { f =>
+      val fd = fields.find(_.name == f).getOrElse(throw
+        new IllegalArgumentException(s"ttl.field references undeclared field $f"))
+      require(fd.dataType == LongType,
+        s"ttl.field $f must be INT64 (epoch millis), got ${fd.dataType}")
+    }
   }
 
   private def isVectorName(f: FieldDef): Boolean = f.dim.isDefined

@@ -1047,6 +1047,16 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       val now = asOfMillis.getOrElse(System.currentTimeMillis())
       out = out.filter(col(TS) >= lit(now - ttl * 1000L))
     }
+    // Entity-level TTL (3.0 feature-inventory "EntityTTL",
+    // schema_matrix_3_0.yaml:28-39): the `ttl.field` property names an
+    // INT64 expire-at column (epoch millis); a row whose expire time
+    // has passed is invisible, a null expire time never expires. Same
+    // read-time-filter shape as collection TTL — expiry costs no
+    // write, and the filter pushes to the parquet scan.
+    d.properties.get("ttl.field").foreach { f =>
+      val now = asOfMillis.getOrElse(System.currentTimeMillis())
+      out = out.filter(col(f).isNull || col(f) > lit(now))
+    }
     val derived = functionOutputColumns(d)
     out.select(outCols.map(c => derived.get(c).map(_.as(c)).getOrElse(col(c))): _*)
   }

@@ -695,6 +695,38 @@ class StoreSpec extends SparkSpec {
       Seq("id", "v"))
   }
 
+  test("entity-level TTL: expired rows invisible at read, null never " +
+      "expires, ttl.field validated") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("ettl", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("expire_at", LongType)),
+      properties = Map("ttl.field" -> "expire_at")))
+    val now = System.currentTimeMillis()
+    c.insert(s, Seq(
+      (1L, Some(now - 60000L)),  // already expired
+      (2L, Some(now + 3600000L)), // expires in an hour
+      (3L, None))                 // never expires
+      .toDF("id", "expire_at"))
+    assert(c.read(s).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    // time travel past entity 2's expiry
+    assert(c.read(s, asOfMillis = Some(now + 7200000L))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // validation: undeclared / non-INT64 ttl.field rejected at create
+    intercept[IllegalArgumentException](cat.createCollection(
+      CollectionDef("bad1", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true)),
+        properties = Map("ttl.field" -> "nope"))))
+    intercept[IllegalArgumentException](cat.createCollection(
+      CollectionDef("bad2", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("e", StringType)),
+        properties = Map("ttl.field" -> "e"))))
+  }
+
   test("TEXT_EMBEDDING function: deterministic encode served and " +
       "searchable by query text; provider/dim validation") {
     val s = spark
