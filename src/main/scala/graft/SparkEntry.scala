@@ -464,6 +464,33 @@ object SparkEntry {
         Some(System.currentTimeMillis() + 120000L)).count()
       Seq((visible, expired)).toDF("visible_now", "visible_after_ttl")
     },
+    // ---- S38: salvage — rebuild a collection from its change feed
+    // (failover-rebuild shape): per-key history resolves in one
+    // distributed pass; the restored state must equal the source's
+    // live state after mixed upserts and deletes. -----------------------
+    "s38_salvage" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-sal").toString)
+      def schema = Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))
+      val src = cat.createCollection(CollectionDef("sal_src", schema))
+      src.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      // overwrite a few names, then delete a band: the feed now has
+      // multi-seq histories AND tombstones to resolve
+      src.upsert(s, tbl(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey"), lower(col("n_name")).as("n_name")))
+      src.delete(s, "n_nationkey >= 20")
+      val dst = cat.createCollection(CollectionDef("sal_dst", schema))
+      val restored = dst.restoreFrom(s, src.changeFeed(s))
+      dst.read(s).agg(
+        lit(restored).as("restored"),
+        count(lit(1)).as("rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_keys"),
+        sum(when(col("n_name") === lower(col("n_name")), 1L)
+          .otherwise(0L)).as("lower_names"))
+    },
     // ---- S37: entity-level TTL (3.0 "EntityTTL" capability,
     // schema_matrix_3_0.yaml:28-39): per-row expire_at column named by
     // the ttl.field property; expiry is a read-time filter against a
@@ -2086,6 +2113,18 @@ object SparkEntry {
           c.query(s, "o_custkey >= 0", partitionNames = Seq(s"p$i")).count()).sum
         Seq(Tuple1(scoped)).toDF("rows")
       },
+      // Text->vector encode throughput over the full documents table
+      // (the training-pipeline auto-embedding hot path). The encode is
+      // a codegen'd higher-order expression, O(dim x tokens) per row —
+      // fine at analyzer dims; a provider-grade dim (768+) would swap
+      // in a custom one-pass Expression (or a real model UDF, which
+      // then dominates anyway).
+      "bench_text_embed" -> { (s, dir) =>
+        tbl(s, dir, "documents").select(
+            graft.functions.TextEmbedding.encode(col("text"), 64).as("e"))
+          .select(aggregate(col("e"), lit(0.0), (a, x) => a + x * x).as("n2"))
+          .agg(sum("n2").as("total_energy"))
+      },
       "bench_dedup_exact" -> { (s, dir) =>
         QueryOps.countStar(
           Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id"), None)
@@ -2647,6 +2686,14 @@ object SparkEntry {
           |  SELECT doc_id, dist, CAST(row_number() OVER
           |    (ORDER BY dist, doc_id) AS INT) AS rank FROM dist)
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "s38_salvage" ->
+        """SELECT CAST((SELECT count(*) FROM nation WHERE n_nationkey < 20)
+          |    AS BIGINT) AS restored,
+          |  (SELECT count(*) FROM nation WHERE n_nationkey < 20) AS rows,
+          |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+          |   WHERE n_nationkey < 20) AS sum_keys,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM nation
+          |   WHERE n_nationkey < 5) AS lower_names""".stripMargin,
       "s37_entity_ttl" ->
         """SELECT count(*) AS visible,
           |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys

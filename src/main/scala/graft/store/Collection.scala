@@ -893,6 +893,30 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       .select(outCols: _*)
   }
 
+  /** Rebuild this collection's live state from a change feed (the
+    * salvage / failover-rebuild shape of the reference's CDC
+    * capability: a replica reconstructs from the captured changelog).
+    * The feed's per-key history is resolved in ONE distributed pass —
+    * last `_seq` wins, deletes drop the key, exactly the read path's
+    * merge rule — and the survivors land as a single delta, so a
+    * salvage is one Spark job regardless of how many commits the feed
+    * spans. Returns the number of restored rows. The target must be
+    * empty (a salvage rebuilds from scratch; partial replays would
+    * double-resolve against existing state).
+    */
+  def restoreFrom(spark: SparkSession, feed: DataFrame): Long = {
+    val d = definition
+    require(numEntities(spark) == 0L,
+      s"restoreFrom needs an empty target, $name has data")
+    val pk = d.primaryField.name
+    val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
+    val resolved = feed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_op") =!= "delete")
+      .drop("_rn", "_op", SEQ, TS, PART)
+    insert(spark, resolved).count
+  }
+
   /** Streaming form of [[changeFeed]]: a Structured Streaming source
     * over the delta log. New deltas appear as whole directories via
     * atomic rename, exactly the contract the file stream source wants;

@@ -801,6 +801,15 @@ class StoreSpec extends SparkSpec {
     // tombstones carry only the PK
     val del = c.changeFeed(s, cursor).filter($"_op" === "delete").head()
     assert(del.isNullAt(del.fieldIndex("content")))
+    // salvage: an empty collection rebuilt from the full feed equals
+    // the source's live state (delete resolved away, one Spark job)
+    val r = cat.createCollection(simpleDef("cf_restore"))
+    assert(r.restoreFrom(s, c.changeFeed(s)) == 2L)
+    assert(r.read(s).select("id", "content").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet ==
+      c.read(s).select("id", "content").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet)
+    intercept[IllegalArgumentException](r.restoreFrom(s, c.changeFeed(s)))
     // compaction folds history: a stale cursor resyncs from the base
     c.compact(s)
     val folded = c.changeFeed(s).select("id", "_op").collect()
