@@ -1968,6 +1968,27 @@ object SparkEntry {
         "ST_CONTAINS(location, 'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')")
         .select("name").orderBy("name")
     },
+    // ---- GEOMETRY RTREE index (schema_matrix_3_0.yaml:15-26): grid-
+    // bucketed spatial index; the query polygon's bbox prunes to cell
+    // directories, exact point-in-polygon (inclusive edges) refines.
+    // Deterministic synthetic points derived from part keys. ------------
+    "geo_rtree_query" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rtq").toString)
+      val c = cat.createCollection(CollectionDef("geo", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("location", StringType)),
+        indexes = Seq(IndexDef("location", "RTREE", None,
+          Map("cell_size" -> "8.0")))))
+      c.insert(s, tbl(s, dir, "part").select(col("p_partkey").as("id"),
+        concat(lit("POINT ("), col("p_partkey") % 97, lit(" "),
+          (col("p_partkey") * 7) % 89, lit(")")).as("location")))
+      c.queryGeo(s, "location",
+        "POLYGON ((10 10, 40 10, 40 40, 10 40, 10 10))", Seq("id"))
+        .agg(count(lit(1)).as("matched"),
+          sum(col("id")).cast("long").as("sum_ids"))
+    },
     "geo_st_contains" -> { (s, dir) =>
       import s.implicits._
       val poly = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
@@ -3367,6 +3388,12 @@ object SparkEntry {
         "SELECT id FROM (VALUES (CAST(2 AS BIGINT))) t(id) ORDER BY id",
       "x12_expr_st_contains" ->
         "SELECT name FROM (VALUES ('edge'), ('inside')) t(name) ORDER BY name",
+      "geo_rtree_query" ->
+        """SELECT count(*) AS matched,
+          |  CAST(sum(p_partkey) AS BIGINT) AS sum_ids
+          |FROM part
+          |WHERE (p_partkey % 97) BETWEEN 10 AND 40
+          |  AND ((p_partkey * 7) % 89) BETWEEN 10 AND 40""".stripMargin,
       "geo_st_contains" ->
         """SELECT name, contained FROM (VALUES
           |  ('inside', true), ('outside', false), ('edge', true),

@@ -1218,6 +1218,54 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     QueryOps.query(base, None, outputFields, Seq.empty, None, 0)
   }
 
+  /** Point-in-polygon query accelerated by a declared RTREE index
+    * (3.0 GEOMETRY surface, schema_matrix_3_0.yaml:15-26): the query
+    * polygon's bbox enumerates its covered grid cells driver-side, the
+    * persisted grid index prunes to those cell DIRECTORIES at the scan
+    * (PartitionFilters — at 100 TB a small polygon touches a handful
+    * of cells, not the table), exact ST_CONTAINS refines the surviving
+    * cells, and the matching pks semi-join below the merge window for
+    * output fields. Falls back to the full-scan predicate without a
+    * declared index, or when the polygon's bbox covers more cells than
+    * an IN-list should hold (a polygon that big reads most of the
+    * table anyway).
+    */
+  def queryGeo(spark: SparkSession, field: String, polygonWkt: String,
+      outputFields: Seq[String] = Seq("*"),
+      maxCells: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graft.functions.Wkt
+    val d = definition
+    val pk = d.primaryField.name
+    val exact = graft.Functions.stContains(lit(polygonWkt), col(field))
+    val declared = d.indexes.find(ix =>
+      ix.field == field && ix.indexType.toUpperCase == "RTREE")
+    val poly = Wkt.parsePolygon(polygonWkt)
+    val base = (declared, poly) match {
+      case (Some(ix), Some(ring)) =>
+        val b = IndexStore.ensureRtree(spark, this, field,
+          ix.params.get("cell_size").map(_.toDouble).getOrElse(8.0))
+        val (xs, ys) = (ring.map(_._1), ring.map(_._2))
+        val (cx0, cx1) = (math.floor(xs.min / b.cellSize).toLong,
+          math.floor(xs.max / b.cellSize).toLong)
+        val (cy0, cy1) = (math.floor(ys.min / b.cellSize).toLong,
+          math.floor(ys.max / b.cellSize).toLong)
+        val nCells = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        if (nCells > maxCells) read(spark).filter(exact)
+        else {
+          val cells = for (cx <- cx0 to cx1; cy <- cy0 to cy1)
+            yield s"${cx}_$cy"
+          val pks = spark.read.parquet(b.dataPath)
+            .filter(col("_gcell").isin(cells: _*))
+            .filter(graft.Functions.stContains(lit(polygonWkt), col(field)))
+            .select(col(pk))
+          assemble(spark, Seq.empty, None, None, keepInternals = false,
+            pkSemi = Some(pks))
+        }
+      case _ => read(spark).filter(exact)
+    }
+    QueryOps.query(base, None, outputFields, Seq.empty, None, 0)
+  }
+
   // ---- internals --------------------------------------------------------
 
   /** User-visible column names: declared fields plus `_dynamic` when

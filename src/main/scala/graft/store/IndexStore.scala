@@ -74,6 +74,12 @@ object IndexStore {
   private val jsonPathCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, String, Long), JsonPathBuild]()
 
+  final case class RtreeBuild(dataPath: String, cellSize: Double,
+      builtSeq: Long)
+
+  private val rtreeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Long), RtreeBuild]()
+
   private def indexDir(coll: Collection, field: String): StorePath =
     coll.catalog.collectionDir(coll.name).resolve("index").resolve(field)
 
@@ -252,6 +258,57 @@ object IndexStore {
           .resolve("data").toString, path, castType, seq)
     }
 
+  /** Ensure a fresh persisted grid geo index for a WKT point `field` —
+    * the Spark-native analog of the reference's RTREE declaration
+    * (schema_matrix_3_0.yaml:25 `{field: location, index_type:
+    * RTREE}`). A serial rtree's "skip most of the data per query" is,
+    * data-parallel, a COARSE GRID: each point lands in a
+    * `floor(x/cell)_floor(y/cell)` bucket, persisted
+    * `partitionBy(_gcell)` so a query polygon's bbox prunes to its
+    * covered cell DIRECTORIES at the scan — the spatial-join pruning
+    * shape (grid partitioning) every distributed geo engine uses.
+    * Exact point-in-polygon then refines only the surviving cells.
+    */
+  def ensureRtree(spark: SparkSession, coll: Collection,
+      field: String, cellSize: Double = 8.0): RtreeBuild = {
+    val seq = coll.committedSeq
+    val key = (coll.name, field, cellSize.toString, seq)
+    rtreeCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._4 != seq)
+    rtreeCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      val tag = s"grid${cellSize.toString.replace('.', 'p')}"
+      loadRtree(dir, cellSize, tag, seq).getOrElse {
+        val pk = coll.definition.primaryField.name
+        val vdir = versionDir(dir, seq, tag, "wkt", 0)
+        val dataPath = vdir.resolve("data").toString
+        val num = "[-+0-9.eE]+"
+        val x = regexp_extract(col(field),
+          s"(?i)POINT\\s*\\(\\s*($num)", 1).cast("double")
+        val y = regexp_extract(col(field),
+          s"(?i)POINT\\s*\\(\\s*$num\\s+($num)", 1).cast("double")
+        coll.read(spark).filter(col(field).isNotNull)
+          .select(col(pk), col(field), x.as("_x"), y.as("_y"))
+          .filter(col("_x").isNotNull && col("_y").isNotNull)
+          .withColumn("_gcell", concat(
+            floor(col("_x") / cellSize).cast("long"), lit("_"),
+            floor(col("_y") / cellSize).cast("long")))
+          // one shuffle to co-locate cells -> one file per cell dir
+          .repartition(col("_gcell"))
+          .write.mode("overwrite").partitionBy("_gcell").parquet(dataPath)
+        commitPointer(dir, seq, tag, "wkt", 0)
+        RtreeBuild(dataPath, cellSize, seq)
+      }
+    })
+  }
+
+  private def loadRtree(dir: StorePath, cellSize: Double, tag: String,
+      seq: Long): Option[RtreeBuild] =
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == tag)
+      .map(_ => RtreeBuild(
+        versionDir(dir, seq, tag, "wkt", 0).resolve("data").toString,
+        cellSize, seq))
+
   /** Force a rebuild at the current seq (reference rebuild-index op). */
   def rebuild(spark: SparkSession, coll: Collection,
       field: String): Unit = {
@@ -279,6 +336,9 @@ object IndexStore {
       ensureSparse(spark, coll, ix.field, buckets): Unit
     } else if (t == "BM25" || t == "INVERTED_TEXT") {
       ensureBm25(spark, coll, ix.field, Bm25.Params()): Unit
+    } else if (t == "RTREE") {
+      ensureRtree(spark, coll, ix.field,
+        ix.params.get("cell_size").map(_.toDouble).getOrElse(8.0)): Unit
     } else if (t == "JSON_PATH") {
       ensureJsonPath(spark, coll, ix.field,
         ix.params.getOrElse("path",
@@ -298,6 +358,7 @@ object IndexStore {
     sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    rtreeCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     indexDir(coll, field).deleteRecursively()
   }
 

@@ -208,6 +208,50 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(wand.nonEmpty && wand.head.getLong(0) == 7L)
   }
 
+  test("RTREE declaration builds a grid geo index: bbox cells prune " +
+      "partitions, results equal the full-scan predicate, DML-fresh") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-rt").toString)
+    val c = cat.createCollection(CollectionDef("geo", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("location", StringType)),
+      indexes = Seq(IndexDef("location", "RTREE", None,
+        Map("cell_size" -> "8.0")))))
+    // 400 points on a 20x20 grid spanning [0,100)^2
+    c.insert(s, (0L until 400L).map(i =>
+      (i, s"POINT (${(i % 20) * 5} ${(i / 20) * 5})")).toDF("id", "location"))
+    val poly = "POLYGON ((12 12, 33 12, 33 33, 12 33, 12 12))"
+    val got = c.queryGeo(s, "location", poly, Seq("id"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_gcell"),
+      s"bbox cells did not reach the index scan as partition filters:\n$plan")
+    val exact = c.read(s)
+      .filter(graft.Functions.stContains(lit(poly), col("location")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.collect().map(_.getLong(0)).toSet == exact)
+    assert(exact.nonEmpty, "degenerate fixture: polygon matched nothing")
+    // no declared index -> same rows via the fallback scan
+    val c2 = cat.createCollection(CollectionDef("geo2", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("location", StringType))))
+    c2.insert(s, c.read(s).select("id", "location"))
+    assert(c2.queryGeo(s, "location", poly, Seq("id"))
+      .collect().map(_.getLong(0)).toSet == exact)
+    // DML freshness: a new point inside the polygon appears (seq-keyed
+    // rebuild), a deleted one disappears
+    c.insert(s, Seq((9999L, "POINT (20 20)")).toDF("id", "location"))
+    c.delete(s, s"id == ${exact.head}")
+    val after = c.queryGeo(s, "location", poly, Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(after == exact - exact.head + 9999L)
+    // oversized bbox falls back to the exact scan (no giant IN-list)
+    val all = c.queryGeo(s, "location",
+      "POLYGON ((-1e6 -1e6, 1e6 -1e6, 1e6 1e6, -1e6 1e6, -1e6 -1e6))",
+      Seq("id"), maxCells = 16)
+    assert(all.count() == c.numEntities(s))
+  }
+
   test("HNSW/DISKANN declarations serve from the accelerated path (ef budget)") {
     val s = spark
     val (_, c) = vecCollection()
