@@ -388,6 +388,28 @@ object MilvusExpr {
     if (trimmed.isEmpty) Set.empty else walk(Parser.parse(trimmed))
   }
 
+  /** Match a filter that is EXACTLY one point-in-polygon probe —
+    * `ST_CONTAINS(field, 'POLYGON(...)')` in either argument order —
+    * and return (field, polygonWkt). This is the go_bench horizon
+    * query shape (run_go_bench_horizon.py:98-120); Collection.query
+    * uses it to route through a declared RTREE grid index.
+    */
+  def asGeoProbe(input: String): Option[(String, String)] = {
+    val trimmed = input.trim
+    if (trimmed.isEmpty) return None
+    Parser.parse(trimmed) match {
+      case Call("st_contains", Seq(a, b)) =>
+        (a, b) match {
+          case (Ident(f), StrLit(w))
+            if w.trim.toUpperCase.startsWith("POLYGON") => Some((f, w))
+          case (StrLit(w), Ident(f))
+            if w.trim.toUpperCase.startsWith("POLYGON") => Some((f, w))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   def compile(input: String, df: DataFrame,
       dynamicField: Option[String] = None): Column =
     Compiler.compile(input, df, dynamicField)

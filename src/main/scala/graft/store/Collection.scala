@@ -1176,6 +1176,17 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val prefilter =
       if (pkOnly) Some(MilvusExpr.compile(filterExpr, definition.structType, None))
       else None
+    // A pure point-in-polygon filter over an RTREE-indexed field
+    // routes through the grid index (the go_bench horizon query shape:
+    // the filter string IS the API; users never call queryGeo).
+    val geoRoute = MilvusExpr.asGeoProbe(filterExpr)
+      .filter { case (f, _) => partitionNames.isEmpty &&
+        definition.indexes.exists(ix =>
+          ix.field == f && ix.indexType.toUpperCase == "RTREE") }
+    geoRoute.foreach { case (f, poly) =>
+      return QueryOps.query(geoBase(spark, f, poly), None,
+        outputFields, orderBy, limit, offset)
+    }
     val base = read(spark, partitionNames, None, prefilter)
     val pred =
       if (filterExpr.trim.isEmpty) None
@@ -1232,15 +1243,22 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   def queryGeo(spark: SparkSession, field: String, polygonWkt: String,
       outputFields: Seq[String] = Seq("*"),
-      maxCells: Int = 4096): DataFrame = {
+      maxCells: Int = 4096): DataFrame =
+    QueryOps.query(geoBase(spark, field, polygonWkt, maxCells), None,
+      outputFields, Seq.empty, None, 0)
+
+  /** The geo-pruned (or fallback) merged view behind [[queryGeo]] and
+    * the `query(filter = "ST_CONTAINS(...)")` auto-route.
+    */
+  private def geoBase(spark: SparkSession, field: String,
+      polygonWkt: String, maxCells: Int = 4096): DataFrame = {
     import org.apache.spark.sql.graft.functions.Wkt
     val d = definition
     val pk = d.primaryField.name
     val exact = graft.Functions.stContains(lit(polygonWkt), col(field))
     val declared = d.indexes.find(ix =>
       ix.field == field && ix.indexType.toUpperCase == "RTREE")
-    val poly = Wkt.parsePolygon(polygonWkt)
-    val base = (declared, poly) match {
+    (declared, Wkt.parsePolygon(polygonWkt)) match {
       case (Some(ix), Some(ring)) =>
         val b = IndexStore.ensureRtree(spark, this, field,
           ix.params.get("cell_size").map(_.toDouble).getOrElse(8.0))
@@ -1263,7 +1281,6 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         }
       case _ => read(spark).filter(exact)
     }
-    QueryOps.query(base, None, outputFields, Seq.empty, None, 0)
   }
 
   // ---- internals --------------------------------------------------------

@@ -231,6 +231,13 @@ class IndexLifecycleSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got.collect().map(_.getLong(0)).toSet == exact)
     assert(exact.nonEmpty, "degenerate fixture: polygon matched nothing")
+    // the filter-string API auto-routes through the same index
+    val viaFilter = c.query(s,
+      s"""ST_CONTAINS(location, "$poly")""", Seq("id"))
+    val fplan = viaFilter.queryExecution.executedPlan.toString
+    assert(fplan.contains("PartitionFilters") && fplan.contains("_gcell"),
+      s"query(filter=ST_CONTAINS) did not route through the index:\n$fplan")
+    assert(viaFilter.collect().map(_.getLong(0)).toSet == exact)
     // no declared index -> same rows via the fallback scan
     val c2 = cat.createCollection(CollectionDef("geo2", Seq(
       FieldDef("id", LongType, nullable = false, isPrimary = true),
