@@ -1984,8 +1984,12 @@ object SparkEntry {
       c.insert(s, tbl(s, dir, "part").select(col("p_partkey").as("id"),
         concat(lit("POINT ("), col("p_partkey") % 97, lit(" "),
           (col("p_partkey") * 7) % 89, lit(")")).as("location")))
-      c.queryGeo(s, "location",
-        "POLYGON ((10 10, 40 10, 40 40, 10 40, 10 10))", Seq("id"))
+      // The filter string IS the API (run_go_bench_horizon.py shape):
+      // query() recognizes the pure ST_CONTAINS probe and auto-routes
+      // through the declared RTREE grid index.
+      c.query(s,
+        """ST_CONTAINS(location, "POLYGON ((10 10, 40 10, 40 40, 10 40, 10 10))")""",
+        Seq("id"))
         .agg(count(lit(1)).as("matched"),
           sum(col("id")).cast("long").as("sum_ids"))
     },
