@@ -51,6 +51,9 @@ object Functions {
   def stContains(geo: Column, other: Column): Column =
     e2c(StContains(c2e(geo), c2e(other)))
 
+  def stEquals(a: Column, b: Column): Column =
+    e2c(StEquals(c2e(a), c2e(b)))
+
   /** Distance/similarity column for a Milvus metric name. Also reports
     * whether larger values rank closer (similarity) or smaller do
     * (distance) — callers use it to orient ORDER BY.
@@ -91,6 +94,7 @@ object Functions {
     "centered_sign_bits" -> { args => CenteredSignBits(args(0), args(1)) },
     "sparse_ip" -> { args => SparseInnerProduct(args(0), args(1)) },
     "st_contains" -> { args => StContains(args(0), args(1)) },
+    "st_equals" -> { args => StEquals(args(0), args(1)) },
   )
 
   def register(spark: SparkSession): Unit =

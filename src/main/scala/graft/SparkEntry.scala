@@ -2003,6 +2003,19 @@ object SparkEntry {
           Functions.stContains(lit(poly), col("pt")).as("contained"))
         .orderBy("name")
     },
+    // ST_EQUALS: coordinate-level WKT equality (the GEOMETRY scalar-
+    // probe shape, requests/validate_index_compatibility.py:629-633).
+    "geo_st_equals" -> { (s, dir) =>
+      import s.implicits._
+      Seq(("same", "POINT (5 5)"), ("formatted", "POINT(5.0   5.00)"),
+        ("other", "POINT (5 6)"), ("rotated_ring", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+        .toDF("name", "wkt")
+        .select(col("name"),
+          (Functions.stEquals(col("wkt"), lit("POINT (5 5)")) ||
+            Functions.stEquals(col("wkt"),
+              lit("POLYGON ((4 4, 0 4, 0 0, 4 0))"))).as("eq"))
+        .orderBy("name")
+    },
   )
 
   /** Bench-only workloads (not part of the correctness contract): the
@@ -3402,6 +3415,11 @@ object SparkEntry {
         """SELECT name, contained FROM (VALUES
           |  ('inside', true), ('outside', false), ('edge', true),
           |  ('vertex', true)) AS t(name, contained)
+          |ORDER BY name""".stripMargin,
+      "geo_st_equals" ->
+        """SELECT name, eq FROM (VALUES
+          |  ('same', true), ('formatted', true), ('other', false),
+          |  ('rotated_ring', true)) AS t(name, eq)
           |ORDER BY name""".stripMargin,
     )
   }

@@ -8,7 +8,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Schema-aware compiler: Milvus filter-expression AST → Spark `Column`.
   *
   * Everything lands on built-in (codegen'd) Spark functions; the only
-  * custom expression reached from here is ST_CONTAINS. JSON accesses
+  * custom expressions reached from here are ST_CONTAINS and ST_EQUALS.
+  * JSON accesses
   * compile to a single `get_json_object` with the full path, so Catalyst
   * sees one scalar expression per JSON leaf.
   *
@@ -286,6 +287,13 @@ object Compiler {
         require2(c)
         Concrete(
           Functions.stContains(eval(c.args(0)).column, eval(c.args(1)).column),
+          BooleanType)
+      case "st_equals" =>
+        // GEOMETRY point-probe shape, ST_EQUALS(field, 'POINT (...)')
+        // (requests/validate_index_compatibility.py:629-633).
+        require2(c)
+        Concrete(
+          Functions.stEquals(eval(c.args(0)).column, eval(c.args(1)).column),
           BooleanType)
       case "text_match" =>
         // Standard-analyzer term match: any query term appears as a token

@@ -329,7 +329,13 @@ object IndexCompat {
                 case s: String => "\"" + s.replace("\"", "\\\"") + "\""
                 case other => String.valueOf(other)
               }
-              val scalarFilter = s"${ix.field} == $filterValue"
+              // GEOMETRY fields probe geometrically, not by string
+              // equality (requests/validate_index_compatibility.py:
+              // 629-633 emits ST_EQUALS for dtype == GEOMETRY).
+              val scalarFilter =
+                if (ix.indexType.toUpperCase == "RTREE")
+                  s"ST_EQUALS(${ix.field}, $filterValue)"
+                else s"${ix.field} == $filterValue"
               if (coll.query(spark, scalarFilter, Seq(pk), limit = Some(1))
                   .isEmpty)
                 fail(IndexScalarQueryFailed,

@@ -128,6 +128,17 @@ class ExprCompilerSpec extends SparkSpec {
       == Seq(1, 2, 4))
   }
 
+  test("ST_EQUALS geometric point equality, formatting-tolerant") {
+    // the validate_index_compatibility GEOMETRY probe shape (:629-633)
+    assert(ids("ST_EQUALS(location, 'POINT (5 5)')") == Seq(2))
+    // coordinate equality, not string equality
+    assert(ids("ST_EQUALS(location, 'POINT(5.0   5.00)')") == Seq(2))
+    assert(ids("ST_EQUALS(location, 'POINT (5 6)')") == Seq.empty)
+    // a point never equals a polygon
+    assert(ids("ST_EQUALS(location, 'POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))')")
+      == Seq.empty)
+  }
+
   test("dynamic field reference (Tenant == user_17)") {
     assert(ids("Tenant == \"user_17\"", dyn = Some("_meta")) == Seq(1, 3))
   }

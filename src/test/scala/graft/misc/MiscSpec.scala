@@ -139,6 +139,21 @@ class MiscSpec extends SparkSpec {
     assert(math.abs((lats.max - lats.min) - 2.0 / 111.195) < 1e-9)
   }
 
+  test("ST_EQUALS polygon equality up to closure, rotation, and direction") {
+    import org.apache.spark.sql.graft.functions.Wkt
+    val base = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert(Wkt.geomEquals(base, "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    // rotated start vertex, unclosed ring
+    assert(Wkt.geomEquals(base, "POLYGON ((4 4, 0 4, 0 0, 4 0))"))
+    // reversed winding
+    assert(Wkt.geomEquals(base, "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))"))
+    // a genuinely different ring
+    assert(!Wkt.geomEquals(base, "POLYGON ((0 0, 5 0, 4 4, 0 4, 0 0))"))
+    // mixed types never compare equal
+    assert(!Wkt.geomEquals(base, "POINT (0 0)"))
+    assert(!Wkt.geomEquals("POINT (0 0)", base))
+  }
+
   test("npy reader round-trips a float32 2-D array written by numpy") {
     // hand-write an npy v1.0 file: 3x4 float32, C order, little endian
     val dir = Files.createTempDirectory("graft-npy")
