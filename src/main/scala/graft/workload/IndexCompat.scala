@@ -330,10 +330,11 @@ object IndexCompat {
                 case other => String.valueOf(other)
               }
               // GEOMETRY fields probe geometrically, not by string
-              // equality (requests/validate_index_compatibility.py:
-              // 629-633 emits ST_EQUALS for dtype == GEOMETRY).
+              // equality; a null probe value falls back to `is null`
+              // (requests/validate_index_compatibility.py:629-637).
               val scalarFilter =
-                if (ix.indexType.toUpperCase == "RTREE")
+                if (v == null) s"${ix.field} is null"
+                else if (ix.indexType.toUpperCase == "RTREE")
                   s"ST_EQUALS(${ix.field}, $filterValue)"
                 else s"${ix.field} == $filterValue"
               if (coll.query(spark, scalarFilter, Seq(pk), limit = Some(1))

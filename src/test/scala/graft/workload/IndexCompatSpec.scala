@@ -16,11 +16,14 @@ class IndexCompatSpec extends SparkSpec {
   private def indexedDef(name: String) = CollectionDef(name, Seq(
     FieldDef("id", LongType, nullable = false, isPrimary = true),
     FieldDef("category", LongType),
+    FieldDef("tag", StringType),
     FieldDef("location", StringType),
     FieldDef("embedding", ArrayType(FloatType), dim = Some(4))),
     indexes = Seq(
       IndexDef("embedding", "IVF_FLAT", Some("L2"), Map("nlist" -> "4")),
       IndexDef("category", "INVERTED"),
+      // null at the probe pk -> `tag is null` fallback (:637)
+      IndexDef("tag", "INVERTED"),
       // GEOMETRY probes go through ST_EQUALS, not string ==
       // (requests/validate_index_compatibility.py:629-633)
       IndexDef("location", "RTREE", None, Map("cell_size" -> "8.0"))))
@@ -29,9 +32,10 @@ class IndexCompatSpec extends SparkSpec {
       c: graft.store.Collection, cp: String): Unit = {
     import s.implicits._
     c.insert(s, (0 until 100).map { i =>
-      (i.toLong, (i % 10).toLong, s"POINT (${i % 13} ${i % 11})",
+      (i.toLong, (i % 10).toLong, if (i == 0) null else s"t${i % 3}",
+        s"POINT (${i % 13} ${i % 11})",
         Array((i % 5).toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f))
-    }.toDF("id", "category", "location", "embedding")): Unit
+    }.toDF("id", "category", "tag", "location", "embedding")): Unit
     DataIntegrity.seedCheckpoint(s, c, cp): Unit
   }
 
@@ -43,9 +47,9 @@ class IndexCompatSpec extends SparkSpec {
     val r = IndexCompat.run(s, cat, Seq("ic"), cp, "after-upgrade")
     assert(r.status == "passed", r.failures.toString)
     assert(r.metrics("collections_checked") == 1.0)
-    assert(r.metrics("actual_indexes_total") == 3.0)
+    assert(r.metrics("actual_indexes_total") == 4.0)
     assert(r.metrics("searches_total") == 1.0)
-    assert(r.metrics("scalar_index_queries_total") == 2.0)
+    assert(r.metrics("scalar_index_queries_total") == 3.0)
     assert(r.checkpointPath.exists(p => Files.exists(java.nio.file.Paths.get(p))))
   }
 
@@ -75,8 +79,8 @@ class IndexCompatSpec extends SparkSpec {
     val r = IndexCompat.run(s, cat, Seq("ic"), cp, "after-upgrade",
       rebuildIndex = true)
     assert(r.status == "passed", r.failures.toString)
-    assert(r.metrics("indexes_dropped") == 3.0)
-    assert(r.metrics("indexes_rebuilt") == 3.0)
+    assert(r.metrics("indexes_dropped") == 4.0)
+    assert(r.metrics("indexes_rebuilt") == 4.0)
   }
 
   test("after-rollback without a checkpoint fails with the dedicated code") {
