@@ -418,6 +418,28 @@ object MilvusExpr {
     }
   }
 
+  /** Match a filter that is EXACTLY one point-equality probe —
+    * `ST_EQUALS(field, 'POINT (...)')` in either argument order — and
+    * return (field, pointWkt). This is the GEOMETRY scalar-probe shape
+    * (requests/validate_index_compatibility.py:629-633); Collection
+    * .query routes it to a single grid cell of a declared RTREE index.
+    */
+  def asGeoPointProbe(input: String): Option[(String, String)] = {
+    val trimmed = input.trim
+    if (trimmed.isEmpty) return None
+    Parser.parse(trimmed) match {
+      case Call("st_equals", Seq(a, b)) =>
+        (a, b) match {
+          case (Ident(f), StrLit(w))
+            if w.trim.toUpperCase.startsWith("POINT") => Some((f, w))
+          case (StrLit(w), Ident(f))
+            if w.trim.toUpperCase.startsWith("POINT") => Some((f, w))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   def compile(input: String, df: DataFrame,
       dynamicField: Option[String] = None): Column =
     Compiler.compile(input, df, dynamicField)

@@ -1176,17 +1176,25 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val prefilter =
       if (pkOnly) Some(MilvusExpr.compile(filterExpr, definition.structType, None))
       else None
-    // A pure point-in-polygon filter over an RTREE-indexed field
-    // routes through the grid index (the go_bench horizon query shape:
+    // A pure point-in-polygon or point-equality filter over an
+    // RTREE-indexed field routes through the grid index (the go_bench
+    // horizon query shape / the index-compat GEOMETRY probe shape:
     // the filter string IS the API; users never call queryGeo).
-    val geoRoute = MilvusExpr.asGeoProbe(filterExpr)
-      .filter { case (f, _) => partitionNames.isEmpty &&
-        definition.indexes.exists(ix =>
-          ix.field == f && ix.indexType.toUpperCase == "RTREE") }
-    geoRoute.foreach { case (f, poly) =>
-      return QueryOps.query(geoBase(spark, f, poly), None,
-        outputFields, orderBy, limit, offset)
-    }
+    def rtreeIndexed(f: String) = partitionNames.isEmpty &&
+      definition.indexes.exists(ix =>
+        ix.field == f && ix.indexType.toUpperCase == "RTREE")
+    MilvusExpr.asGeoProbe(filterExpr)
+      .filter { case (f, _) => rtreeIndexed(f) }
+      .foreach { case (f, poly) =>
+        return QueryOps.query(geoBase(spark, f, poly), None,
+          outputFields, orderBy, limit, offset)
+      }
+    MilvusExpr.asGeoPointProbe(filterExpr)
+      .filter { case (f, _) => rtreeIndexed(f) }
+      .foreach { case (f, point) =>
+        return QueryOps.query(geoPointBase(spark, f, point), None,
+          outputFields, orderBy, limit, offset)
+      }
     val base = read(spark, partitionNames, None, prefilter)
     val pred =
       if (filterExpr.trim.isEmpty) None
@@ -1279,6 +1287,37 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
           assemble(spark, Seq.empty, None, None, keepInternals = false,
             pkSemi = Some(pks))
         }
+      case _ => read(spark).filter(exact)
+    }
+  }
+
+  /** Point-equality probe through the RTREE grid: the probe point maps
+    * to exactly one `_gcell`, so the index scan prunes to a single cell
+    * directory before the exact ST_EQUALS refine + pk semi-join read.
+    * The geometric-equality refine tolerates formatting differences
+    * between the stored WKT and the probe string; both land in the same
+    * cell because cell assignment uses the parsed coordinates.
+    */
+  private def geoPointBase(spark: SparkSession, field: String,
+      pointWkt: String): DataFrame = {
+    import org.apache.spark.sql.graft.functions.Wkt
+    val d = definition
+    val pk = d.primaryField.name
+    val exact = graft.Functions.stEquals(col(field), lit(pointWkt))
+    val declared = d.indexes.find(ix =>
+      ix.field == field && ix.indexType.toUpperCase == "RTREE")
+    (declared, Wkt.parsePoint(pointWkt)) match {
+      case (Some(ix), Some((x, y))) =>
+        val b = IndexStore.ensureRtree(spark, this, field,
+          ix.params.get("cell_size").map(_.toDouble).getOrElse(8.0))
+        val cell = s"${math.floor(x / b.cellSize).toLong}_" +
+          s"${math.floor(y / b.cellSize).toLong}"
+        val pks = spark.read.parquet(b.dataPath)
+          .filter(col("_gcell") === cell)
+          .filter(graft.Functions.stEquals(col(field), lit(pointWkt)))
+          .select(col(pk))
+        assemble(spark, Seq.empty, None, None, keepInternals = false,
+          pkSemi = Some(pks))
       case _ => read(spark).filter(exact)
     }
   }

@@ -238,6 +238,15 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(fplan.contains("PartitionFilters") && fplan.contains("_gcell"),
       s"query(filter=ST_CONTAINS) did not route through the index:\n$fplan")
     assert(viaFilter.collect().map(_.getLong(0)).toSet == exact)
+    // ST_EQUALS point probes prune to the point's single grid cell
+    // (the index-compat GEOMETRY probe shape); formatting-tolerant
+    val viaPoint = c.query(s,
+      """ST_EQUALS(location, "POINT (15.0 25.00)")""", Seq("id"))
+    val pplan = viaPoint.queryExecution.executedPlan.toString
+    assert(pplan.contains("PartitionFilters") && pplan.contains("_gcell"),
+      s"query(filter=ST_EQUALS) did not route through the index:\n$pplan")
+    // grid point (15, 25) = i%20==3, i/20==5 -> id 103
+    assert(viaPoint.collect().map(_.getLong(0)).toSet == Set(103L))
     // no declared index -> same rows via the fallback scan
     val c2 = cat.createCollection(CollectionDef("geo2", Seq(
       FieldDef("id", LongType, nullable = false, isPrimary = true),
