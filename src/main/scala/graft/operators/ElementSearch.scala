@@ -196,20 +196,37 @@ object ElementSearch {
     val ord = orderFor(similarityLike, idCol)
     // Best `groupSize` elements per entity (one pk-partitioned window,
     // executed with partial WindowGroupLimit below the exchange), then
-    // the top-k ENTITIES by their leader element's score.
+    // the top-k ENTITIES by their leader element's score: the leader
+    // score is window-propagated to the entity's rows and entities are
+    // ranked with dense_rank over (leader score, pk) — every row of an
+    // entity shares that key, so the dense rank IS the entity rank
+    // (same shape as Knn.searchGroupByMulti).
     val perEntity = Window.partitionBy(idCol).orderBy(ord: _*)
-    // Leaders (_er == 1) sort FIRST so their row_number runs
-    // 1..numEntities deterministically (same trick as
-    // Knn.searchGroupBy's leadersFirst window).
-    val leaders = Window.orderBy(col("_er").asc +: ord: _*)
-    sc
+    val base = sc
       .withColumn("_er", row_number().over(perEntity))
       .filter(col("_er") <= groupSize)
-      .withColumn("_lr", when(col("_er") === 1, row_number().over(leaders)))
-      .withColumn("entity_rank",
-        max(col("_lr")).over(Window.partitionBy(idCol)))
+      .withColumn("_ls",
+        max(when(col("_er") === 1, col("score"))).over(Window.partitionBy(idCol)))
+    val lord = Seq(
+      if (similarityLike) col("_ls").desc else col("_ls").asc, col(idCol).asc)
+    // At large k pre-prune each salt-of-pk bucket to its top-k entities
+    // before the global rank — without it the final window funnels one
+    // row per entity into ONE reducer (single-query search has no qid
+    // to partition by).
+    val pruned =
+      if (k < Knn.twoLevelThreshold) base
+      else {
+        val saltW = Window.partitionBy(col("_gsalt")).orderBy(lord: _*)
+        base
+          .withColumn("_gsalt", pmod(hash(col(idCol)), lit(Knn.twoLevelFanout)))
+          .withColumn("_sgr", dense_rank().over(saltW))
+          .filter(col("_sgr") <= k)
+          .drop("_gsalt", "_sgr")
+      }
+    pruned
+      .withColumn("entity_rank", dense_rank().over(Window.orderBy(lord: _*)))
       .filter(col("entity_rank") <= k)
-      .drop("_er", "_lr")
+      .drop("_er", "_ls")
   }
 
   /** Element-level group_by on a struct SUBFIELD (the other half of
@@ -236,16 +253,37 @@ object ElementSearch {
     val (sc, similarityLike) = scored(data, structArrayCol, vecSubCol,
       idCol, floatQ(queryVec), metricName, elementFilter, subfields)
     val ord = orderFor(similarityLike, idCol)
+    // Same leader-key + dense_rank shape as [[searchGroupByEntity]],
+    // with the group key swapped to the subfield. The leader key also
+    // carries the leader's (pk, element position) — two groups' best
+    // elements can tie on score and even live in the SAME entity, so
+    // the full element identity is the deterministic tiebreak.
     val perGroup = Window.partitionBy(groupByCol).orderBy(ord: _*)
-    val leaders = Window.orderBy(col("_er").asc +: ord: _*)
-    sc
+    val grpW = Window.partitionBy(groupByCol)
+    val isLead = col("_er") === 1
+    val base = sc
       .withColumn("_er", row_number().over(perGroup))
       .filter(col("_er") <= groupSize)
-      .withColumn("_lr", when(col("_er") === 1, row_number().over(leaders)))
-      .withColumn("group_rank",
-        max(col("_lr")).over(Window.partitionBy(groupByCol)))
+      .withColumn("_ls", max(when(isLead, col("score"))).over(grpW))
+      .withColumn("_lid", max(when(isLead, col(idCol))).over(grpW))
+      .withColumn("_lidx", max(when(isLead, col("_elem_idx"))).over(grpW))
+    val lord = Seq(
+      if (similarityLike) col("_ls").desc else col("_ls").asc,
+      col("_lid").asc, col("_lidx").asc)
+    val pruned =
+      if (k < Knn.twoLevelThreshold) base
+      else {
+        val saltW = Window.partitionBy(col("_gsalt")).orderBy(lord: _*)
+        base
+          .withColumn("_gsalt", pmod(hash(col(groupByCol)), lit(Knn.twoLevelFanout)))
+          .withColumn("_sgr", dense_rank().over(saltW))
+          .filter(col("_sgr") <= k)
+          .drop("_gsalt", "_sgr")
+      }
+    pruned
+      .withColumn("group_rank", dense_rank().over(Window.orderBy(lord: _*)))
       .filter(col("group_rank") <= k)
-      .drop("_er", "_lr")
+      .drop("_er", "_ls", "_lid", "_lidx")
   }
 
   /** One element-level ANN sub-request for [[hybridSearchElements]] —

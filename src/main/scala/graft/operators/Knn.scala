@@ -82,8 +82,8 @@ object Knn {
   }
 
   /** k at which batched search switches to the two-level merge. */
-  private val twoLevelThreshold = 1000
-  private val twoLevelFanout = 32
+  private[operators] val twoLevelThreshold = 1000
+  private[operators] val twoLevelFanout = 32
 
   /** Group-by search (reference `group_by_field`,
     * milvus_client/issues.py:79-86): keep each group's best hit, then
@@ -138,22 +138,42 @@ object Knn {
     // group_size hits per group (Milvus 2.5 group_size param; default 1),
     // then the top-k GROUPS per query, ranked by each group's BEST hit
     // (a strong group's 2nd hit must not evict another group's best).
-    // Group rank is assigned to the leader row (sorting leaders first
-    // makes row_number give 1..numGroups deterministically, idCol
-    // tiebreaks included) and window-propagated to the group's rows.
+    // The leader's (score, id) key is window-propagated to every row of
+    // its group and groups are ranked with dense_rank over that key:
+    // all rows of a group share the key, so the dense rank IS the group
+    // rank and the `<= k` filter stays WindowGroupLimit-eligible.
     val perGroup = Window.partitionBy(col(qidCol) +: groupCols: _*).orderBy(ord: _*)
-    val leadersFirst = Window.partitionBy(qidCol)
-      .orderBy(col("_gr").asc +: ord: _*)
-    scored
+    val grpW = Window.partitionBy(col(qidCol) +: groupCols: _*)
+    val base = scored
       .withColumn("_gr", row_number().over(perGroup))
       .filter(col("_gr") <= groupSize)
-      .withColumn("_lr", when(col("_gr") === 1, row_number().over(leadersFirst)))
+      .withColumn("_ls", max(when(col("_gr") === 1, col("score"))).over(grpW))
+      .withColumn("_lid", max(when(col("_gr") === 1, col(idCol))).over(grpW))
+    val lord = Seq(
+      if (similarityLike) col("_ls").desc else col("_ls").asc, col("_lid").asc)
+    // High group cardinality would funnel one row per distinct group
+    // into a single per-qid reducer; at large k pre-prune each
+    // (qid, salt-of-group-key) bucket to its top-k groups first — the
+    // same two-level move as `search`. Hashing the GROUP key keeps a
+    // group's rows in one bucket, so pruning whole groups is safe: the
+    // global top-k groups are a subset of the per-bucket top-k unions.
+    val pruned =
+      if (k < twoLevelThreshold) base
+      else {
+        val saltW = Window.partitionBy(col(qidCol), col("_gsalt")).orderBy(lord: _*)
+        base
+          .withColumn("_gsalt", pmod(hash(groupCols: _*), lit(twoLevelFanout)))
+          .withColumn("_sgr", dense_rank().over(saltW))
+          .filter(col("_sgr") <= k)
+          .drop("_gsalt", "_sgr")
+      }
+    pruned
       .withColumn("_group_rank",
-        max(col("_lr")).over(Window.partitionBy(col(qidCol) +: groupCols: _*)))
+        dense_rank().over(Window.partitionBy(qidCol).orderBy(lord: _*)))
       .filter(col("_group_rank") <= k)
       .withColumn("rank", row_number().over(Window.partitionBy(qidCol)
         .orderBy(col("_group_rank").asc, col("_gr").asc)))
-      .drop("_gr", "_lr", "_group_rank")
+      .drop("_gr", "_ls", "_lid", "_group_rank")
   }
 
   /** Range search (Milvus 3.0 surface, feature-inventory doc §1-2): all

@@ -83,6 +83,26 @@ class ElementSearchSpec extends SparkSpec {
     }
   }
 
+  test("element group-bys salt the leader rank at k>=1000, not below") {
+    def entityPlan(k: Int): String =
+      ElementSearch.searchGroupByEntity(nested, "elems", "embedding",
+        "doc_id", qv, "L2", k)
+        .queryExecution.executedPlan.toString
+    def fieldPlan(k: Int): String =
+      ElementSearch.searchGroupByField(nested, "elems", "embedding",
+        "doc_id", "tag", qv, "L2", k)
+        .queryExecution.executedPlan.toString
+    assert(entityPlan(1200).contains("_gsalt") && !entityPlan(5).contains("_gsalt"))
+    assert(fieldPlan(1200).contains("_gsalt") && !fieldPlan(5).contains("_gsalt"))
+    // salted and plain entity paths rank the 100 entities identically
+    def run(k: Int) =
+      ElementSearch.searchGroupByEntity(nested, "elems", "embedding",
+        "doc_id", qv, "L2", k)
+        .select("doc_id", "elem_id", "entity_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(run(1200) == run(999))
+  }
+
   test("element range search returns exactly the under-threshold elements") {
     val s = spark
     import s.implicits._

@@ -51,6 +51,44 @@ class OperatorsSpec extends SparkSpec {
       s"k=10 must stay a single-window plan:\n$small")
   }
 
+  test("group-by plan: salted group pre-prune at k>=1000, absent at k=10") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def planFor(k: Int): String =
+      Knn.searchGroupBy(emb, q, "embedding", "vec_id", "vec_id", "L2", k)
+        .queryExecution.executedPlan.toString
+    val big = planFor(1200)
+    assert(big.contains("_gsalt"),
+      s"k=1200 group-by should pre-prune per (qid, group-salt):\n$big")
+    val small = planFor(10)
+    assert(!small.contains("_gsalt"),
+      s"k=10 group-by must skip the salted pre-prune:\n$small")
+  }
+
+  test("salted group-by path returns the same groups/ranks as the plain path") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val q = emb.filter($"vec_id".isin(0, 1))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // every row is its own group (500 groups); k=1200 crosses the
+    // salted threshold, k=999 stays on the plain path — both must rank
+    // all 500 groups identically, and identically to plain search.
+    def run(k: Int) =
+      Knn.searchGroupBy(emb, q, "embedding", "vec_id", "vec_id", "L2", k)
+        .select("qid", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val salted = run(1200)
+    assert(salted == run(999))
+    val plain = Knn.search(emb, q, "embedding", "vec_id", "L2", 500)
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("IVF: assignment cells partition the data; probes cover the query cell") {
     val s = spark
     import s.implicits._
