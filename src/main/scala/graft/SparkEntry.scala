@@ -706,28 +706,52 @@ object SparkEntry {
     // the bucketed path provably exact — DuckDB's exact cosine top-k is
     // a genuine independent oracle for the whole signature → probe →
     // guard → re-rank pipeline.
+    // Served through the DECLARED-index route: create_index(LSH) builds
+    // the persisted multi-table (t, sig) bucket layout via IndexStore,
+    // and CollectionSearch routes to it with partition-pruned probes.
     "v18_ann_lsh_exact" -> { (s, dir) =>
-      import s.implicits._
-      val emb = tbl(s, dir, "embeddings")
-      val model = Lsh.train(dim = 64, tables = 2, numPlanes = 4)
-      val assigned = Lsh.assign(emb, "embedding", model)
-      val q = Seq((7L, vecOf(s, dir, 7))).toDF("qid", "qvec")
-      Lsh.search(assigned, model, q, "embedding", "vec_id", k = 10,
-        radius = model.numPlanes).select("vec_id")
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-lshx").toString)
+      val c = cat.createCollection(CollectionDef("vecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "LSH", Some("COSINE"),
+        Map("tables" -> "2", "num_planes" -> "4")))
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7), 10,
+        searchParams = Map("radius" -> "4")).select("vec_id")
     },
     // ---- V18 recall: the OPERATING point (radius-1 multiprobe) — a
     // pinned deterministic value (seeded hyperplanes; uniform synthetic
     // vectors are the worst case for angular LSH, so this is a lower
     // bound). Exactness of the machinery is covered by
-    // v18_ann_lsh_exact above.
+    // v18_ann_lsh_exact above. Also served through the declared-index
+    // route (the persisted layout's candidate union is identical to the
+    // in-memory guard's, so the pinned value is unchanged).
     "v18_ann_lsh_recall" -> { (s, dir) =>
       import s.implicits._
       val emb = tbl(s, dir, "embeddings")
-      val model = Lsh.train(dim = 64, tables = 4, numPlanes = 8)
-      val assigned = Lsh.assign(emb, "embedding", model)
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-lshr").toString)
+      val c = cat.createCollection(CollectionDef("vecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+      c.insert(s, emb.select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "LSH", Some("COSINE"),
+        Map("tables" -> "4", "num_planes" -> "8")))
       val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
-      val recall = Lsh.recallAtK(emb, assigned, model, queries,
-        "embedding", "vec_id", k = 10, radius = 1)
+      val hits = queries.map { case (_, qv) =>
+        CollectionSearch.search(s, c, "embedding", qv, 10,
+          searchParams = Map("radius" -> "1"))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+      val exact = queries.map { case (_, qv) =>
+        Knn.searchOne(emb, qv, "embedding", "vec_id", "COSINE", 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+      val recall = hits.zip(exact)
+        .map { case (h, e) => (h intersect e).size }.sum.toDouble /
+        (queries.size * 10.0)
       Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
     },
     // ---- A9: query-aggregation matrix (3.0 plan §2: count/min/max/

@@ -22,10 +22,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * arrives incrementally (no retrain, signatures are append-only).
   *
   * Scale shape mirrors [[Ivf.search]]: signatures are one codegen'd
-  * projection per row (persist `_sigs` with the table; bucket each
-  * table's column physically for pruning), queries broadcast their
-  * multiprobe sets, and the candidate guard runs BEFORE any distance
-  * is scored.
+  * projection per row, queries broadcast their multiprobe sets, and
+  * the candidate guard runs BEFORE any distance is scored. A declared
+  * LSH index persists the [[explodeTables]] layout through
+  * `IndexStore.ensureLsh` — `partitionBy("_t", "_sig")` — so a routed
+  * search scans only its probed bucket directories
+  * ([[searchOnePersisted]]).
   */
 object Lsh {
 
@@ -84,14 +86,28 @@ object Lsh {
   private def signatureCol(model: Model, vec: Column, t: Int): Column =
     Functions.lshSignature(vec, model.planes(t))
 
-  /** Augment a table with its per-table signatures (`_sigs` array).
-    * Persist alongside the data; at scale, sort/bucket the files by
-    * `_sigs[0]` so at least table 0's probe prunes at the file level.
+  /** Augment a table with its per-table signatures (`_sigs` array) —
+    * the in-memory shape [[search]] guards on.
     */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("_sigs", array(
       (0 until model.tables).map(t =>
         signatureCol(model, col(vecCol), t)): _*))
+
+  /** The PERSISTED index layout: one row per (hash table, row) with
+    * that table's signature, for `partitionBy("_t", "_sig")`. This is
+    * the classic multi-table LSH store — each hash table is its own
+    * bucket directory tree — chosen over a single copy bucketed by
+    * table-0's signature because it lets EVERY table's probe set prune
+    * at the directory level while keeping the multi-table union
+    * semantics exact: a query scans only its probed (t, sig)
+    * directories, never the corpus. Cost: `tables`× index storage, the
+    * same multiple every multi-table LSH index pays.
+    */
+  def explodeTables(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.select(col("*"),
+      posexplode(array((0 until model.tables).map(t =>
+        signatureCol(model, col(vecCol), t)): _*)).as(Seq("_t", "_sig")))
 
   /** Batched ANN search: per-query multiprobe sets per table
     * (driver-side — nq is the reference's small batch shape), broadcast
@@ -130,6 +146,35 @@ object Lsh {
     val w = Window.partitionBy(qidCol).orderBy(primary, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Single-query search over the persisted [[explodeTables]] layout:
+    * the probe predicate is a disjunction of per-table `_sig IN
+    * (probe set)` terms over the PARTITION columns, so the scan opens
+    * only the probed (t, sig) directories. Rows colliding in several
+    * probed tables are deduplicated on the pk before scoring (the
+    * duplicates are identical copies, so any survivor is correct).
+    * radius >= numPlanes probes every bucket of every table ⇒ exact
+    * brute force through the identical pruned code path.
+    */
+  def searchOnePersisted(index: DataFrame, model: Model,
+      queryVec: Seq[Float], vecCol: String, idCol: String, k: Int,
+      radius: Int = 1, filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val qv = queryVec.map(_.toDouble).toArray
+    val probePred = (0 until model.tables).map { t =>
+      col("_t") === t && col("_sig").isin(model.probes(qv, t, radius): _*)
+    }.reduce(_ || _)
+    val cols = (idCol +: outputCols).distinct
+    val candidates = filter
+      .foldLeft(index.filter(probePred))(_ filter _)
+      .select((cols :+ vecCol).distinct.map(col): _*)
+      .dropDuplicates(idCol)
+    val (score, similarityLike) = Functions.metricFor(
+      model.metric, index.schema(vecCol).dataType, col(vecCol), lit(qv))
+    val primary = if (similarityLike) col("score").desc else col("score").asc
+    candidates.select(cols.map(col) :+ score.as("score"): _*)
+      .orderBy(primary, col(idCol).asc).limit(k)
   }
 
   /** Recall@k vs exact brute force, batched exactly like

@@ -53,10 +53,29 @@ object CollectionSearch {
       ix.indexType.toUpperCase.startsWith("IVF") ||
         Set("AUTOINDEX", "HNSW", "DISKANN")
           .contains(ix.indexType.toUpperCase))
+    // Random-hyperplane LSH declarations serve from the persisted
+    // multi-table bucket layout: the probe predicate prunes (t, sig)
+    // partition directories, `radius` is the multiprobe budget
+    // (radius >= num_planes probes everything = exact).
+    val lshDeclared = index.exists(ix =>
+      Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
     val probeBudget = searchParams.get("nprobe")
       .orElse(searchParams.get("ef"))
       .orElse(searchParams.get("search_list_size"))
-    val hits = probeBudget.map(_.toInt) match {
+    val hits = if (lshDeclared && partitionNames.isEmpty) {
+      val ix = index.get
+      val build = IndexStore.ensureLsh(spark, coll, vecField, metric,
+        ix.params.get("tables").map(_.toInt).getOrElse(4),
+        ix.params.get("num_planes").map(_.toInt).getOrElse(8),
+        ix.params.get("seed").map(_.toLong).getOrElse(42L))
+      val indexDf = spark.read.parquet(build.dataPath)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, indexDf))
+      val radius = searchParams.get("radius").map(_.toInt).getOrElse(1)
+      graft.ann.Lsh.searchOnePersisted(indexDf, build.model, queryVec,
+        vecField, pk, k, radius, pred, outputFields)
+    } else probeBudget.map(_.toInt) match {
       case Some(nprobe) if rabitqDeclared && partitionNames.isEmpty =>
         // Quantized path: Hamming-estimate candidates over the probed
         // cells' narrow code columns, exact re-rank of k*refine_k.

@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.{Ivf, RaBitQ, SparseInverted}
+import graft.ann.{Ivf, Lsh, RaBitQ, SparseInverted}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -79,6 +79,12 @@ object IndexStore {
 
   private val rtreeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), RtreeBuild]()
+
+  final case class LshBuild(model: Lsh.Model, dataPath: String,
+      builtSeq: Long)
+
+  private val lshCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Long), LshBuild]()
 
   private def indexDir(coll: Collection, field: String): StorePath =
     coll.catalog.collectionDir(coll.name).resolve("index").resolve(field)
@@ -309,6 +315,62 @@ object IndexStore {
         versionDir(dir, seq, tag, "wkt", 0).resolve("data").toString,
         cellSize, seq))
 
+  /** Ensure a fresh persisted random-hyperplane LSH index: the
+    * [[Lsh.explodeTables]] layout written `partitionBy("_t", "_sig")`
+    * so EVERY hash table's probe set prunes bucket directories at the
+    * scan (see the layout note on explodeTables), plus the seeded
+    * plane matrix in `planes.json`. Hyperplanes are data-independent,
+    * so the rebuild after DML is one signature projection + shuffle —
+    * no training scan.
+    */
+  def ensureLsh(spark: SparkSession, coll: Collection, field: String,
+      metric: String, tables: Int, numPlanes: Int,
+      seed: Long = 42L): LshBuild = {
+    val seq = coll.committedSeq
+    val paramTag = s"$metric/$tables/$numPlanes/$seed"
+    val key = (coll.name, field, paramTag, seq)
+    lshCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._4 != seq)
+    lshCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      val tag = s"lsh${tables}x$numPlanes"
+      // tables/planes ride in the pointer's nlist slot, packed.
+      val packed = tables * 1000 + numPlanes
+      loadLsh(dir, metric, tag, packed, seq).getOrElse {
+        val snapshot = coll.read(spark).filter(col(field).isNotNull)
+        // dim comes from the data, not the declared FieldDef — the
+        // signature must cover the stored vectors exactly.
+        val dim = snapshot.select(size(col(field))).head().getInt(0)
+        val model = Lsh.train(dim, tables, numPlanes, metric, seed)
+        val vdir = versionDir(dir, seq, tag, metric, packed)
+        val dataPath = vdir.resolve("data").toString
+        Lsh.explodeTables(snapshot, field, model)
+          // one shuffle to co-locate buckets -> one file per (t, sig)
+          // directory
+          .repartition(col("_t"), col("_sig"))
+          .write.mode("overwrite").partitionBy("_t", "_sig").parquet(dataPath)
+        vdir.resolve("planes.json").writeBytes(JsonMethods.compact(
+          JsonMethods.render(("metric" -> metric) ~ ("seed" -> seed) ~
+            ("planes" -> model.planes.toSeq.map(_.toSeq.map(_.toSeq))))).getBytes)
+        commitPointer(dir, seq, tag, metric, packed)
+        LshBuild(model, dataPath, seq)
+      }
+    })
+  }
+
+  private def loadLsh(dir: StorePath, metric: String, tag: String,
+      packed: Int, seq: Long): Option[LshBuild] =
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == tag &&
+      p.metric == metric && p.nlist == packed).map { _ =>
+      implicit val fmt: Formats = DefaultFormats
+      val vdir = versionDir(dir, seq, tag, metric, packed)
+      val j = JsonMethods.parse(
+        new String(vdir.resolve("planes.json").readBytes))
+      val planes = (j \ "planes").extract[Seq[Seq[Seq[Double]]]]
+        .map(_.map(_.toArray).toArray).toArray
+      LshBuild(Lsh.Model(planes, metric), vdir.resolve("data").toString, seq)
+    }
+
   /** Force a rebuild at the current seq (reference rebuild-index op). */
   def rebuild(spark: SparkSession, coll: Collection,
       field: String): Unit = {
@@ -339,6 +401,11 @@ object IndexStore {
     } else if (t == "RTREE") {
       ensureRtree(spark, coll, ix.field,
         ix.params.get("cell_size").map(_.toDouble).getOrElse(8.0)): Unit
+    } else if (t == "LSH" || t == "RHP_LSH") {
+      ensureLsh(spark, coll, ix.field, ix.metricType.getOrElse("COSINE"),
+        ix.params.get("tables").map(_.toInt).getOrElse(4),
+        ix.params.get("num_planes").map(_.toInt).getOrElse(8),
+        ix.params.get("seed").map(_.toLong).getOrElse(42L)): Unit
     } else if (t == "JSON_PATH") {
       ensureJsonPath(spark, coll, ix.field,
         ix.params.getOrElse("path",
@@ -359,6 +426,7 @@ object IndexStore {
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     rtreeCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    lshCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     indexDir(coll, field).deleteRecursively()
   }
 

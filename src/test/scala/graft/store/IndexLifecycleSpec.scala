@@ -266,6 +266,44 @@ class IndexLifecycleSpec extends SparkSpec {
       "POLYGON ((-1e6 -1e6, 1e6 -1e6, 1e6 1e6, -1e6 1e6, -1e6 -1e6))",
       Seq("id"), maxCells = 16)
     assert(all.count() == c.numEntities(s))
+    // hostile/extreme coordinates saturate floor(x/cell).toLong; the
+    // per-axis span guard must fall back instead of overflowing the
+    // spanX*spanY product and hanging on the cell enumeration
+    val hostile = c.queryGeo(s, "location",
+      "POLYGON ((-1e300 -1e300, 1e300 -1e300, 1e300 1e300, " +
+        "-1e300 1e300, -1e300 -1e300))", Seq("id"))
+    assert(hostile.count() == c.numEntities(s))
+  }
+
+  test("LSH declaration persists (t, sig) buckets: probes prune partitions, " +
+      "full-probe equals exact, DML-fresh") {
+    val s = spark
+    import s.implicits._
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "LSH", Some("COSINE"),
+      Map("tables" -> "2", "num_planes" -> "4")))
+    assert(IndexStore.persistedFields(c) == Seq("embedding"))
+    // radius-1 multiprobe: probe sets reach the scan as partition filters
+    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+      searchParams = Map("radius" -> "1"))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_sig"),
+      s"LSH probes did not reach the scan as partition filters:\n$plan")
+    // full probe (radius = num_planes) through the routed path = exact
+    val full = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+      searchParams = Map("radius" -> "4"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
+      "COSINE", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    // DML invalidates: a clone of the query vector at a new pk must be
+    // the new radius-1 top hit (it lands in the query's own buckets)
+    c.upsert(s, Seq((910000L, 7L)).toDF("vec_id", "label")
+      .withColumn("embedding", typedlit(queryVec(7))))
+    val after = CollectionSearch.search(s, c, "embedding", queryVec(7), 2,
+      searchParams = Map("radius" -> "1"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after.contains(910000L), "upserted row missing: stale LSH index")
   }
 
   test("HNSW/DISKANN declarations serve from the accelerated path (ef budget)") {
