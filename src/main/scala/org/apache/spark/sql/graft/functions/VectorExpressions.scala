@@ -48,9 +48,14 @@ abstract class DenseVectorBinary extends BinaryExpression
 
   /** Java statements computing the result into `result` given
     * `ArrayData` locals `x` and `y` and int local `n` (common length).
-    * Kernels must read elements via `elemJava(left/right, ...)`.
+    * Kernels must read elements via `elemJava(left/right, ...)` and
+    * take EVERY local they declare from `ctx.freshName` — a fixed name
+    * like `i` collides with GenerateUnsafeProjection's input-row
+    * parameter (named `i`), which silently dropped every non-WSCG
+    * projection containing a metric out of codegen until round 7.
     */
-  protected def javaKernel(x: String, y: String, n: String, result: String): String
+  protected def javaKernel(ctx: CodegenContext, x: String, y: String,
+      n: String, result: String): String
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -72,7 +77,7 @@ abstract class DenseVectorBinary extends BinaryExpression
          |  throw new IllegalArgumentException(
          |    "$prettyName: vector dimensions differ (" + $n + " vs " + $b.numElements() + ")");
          |double $res = 0.0;
-         |${javaKernel(a, b, n, res)}
+         |${javaKernel(ctx, a, b, n, res)}
          |${ev.value} = $res;
        """.stripMargin
     })
@@ -81,8 +86,11 @@ abstract class DenseVectorBinary extends BinaryExpression
 /** Inner product <x, y>. Milvus metric IP (similarity: larger = closer). */
 case class VectorDot(left: Expression, right: Expression) extends DenseVectorBinary {
   override def prettyName: String = "vec_dot"
-  protected def javaKernel(x: String, y: String, n: String, res: String): String =
-    s"for (int i = 0; i < $n; i++) $res += ${elemJava(left, x, "i")} * ${elemJava(right, y, "i")};"
+  protected def javaKernel(ctx: CodegenContext, x: String, y: String,
+      n: String, res: String): String = {
+    val i = ctx.freshName("i")
+    s"for (int $i = 0; $i < $n; $i++) $res += ${elemJava(left, x, i)} * ${elemJava(right, y, i)};"
+  }
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var i = 0
     while (i < n) { s += elem(left, x, i) * elem(right, y, i); i += 1 }; s
@@ -97,9 +105,13 @@ case class VectorDot(left: Expression, right: Expression) extends DenseVectorBin
   */
 case class VectorL2(left: Expression, right: Expression) extends DenseVectorBinary {
   override def prettyName: String = "vec_l2"
-  protected def javaKernel(x: String, y: String, n: String, res: String): String =
-    s"""for (int i = 0; i < $n; i++) { double d = ${elemJava(left, x, "i")} - ${elemJava(right, y, "i")}; $res += d * d; }
+  protected def javaKernel(ctx: CodegenContext, x: String, y: String,
+      n: String, res: String): String = {
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    s"""for (int $i = 0; $i < $n; $i++) { double $d = ${elemJava(left, x, i)} - ${elemJava(right, y, i)}; $res += $d * $d; }
        |$res = Math.sqrt($res);""".stripMargin
+  }
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var i = 0
     while (i < n) { val d = elem(left, x, i) - elem(right, y, i); s += d * d; i += 1 }
@@ -116,14 +128,22 @@ case class VectorL2(left: Expression, right: Expression) extends DenseVectorBina
   */
 case class VectorCosine(left: Expression, right: Expression) extends DenseVectorBinary {
   override def prettyName: String = "vec_cosine"
-  protected def javaKernel(x: String, y: String, n: String, res: String): String =
-    s"""double nx = 0.0, ny = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double xv = ${elemJava(left, x, "i")}; double yv = ${elemJava(right, y, "i")};
-       |  $res += xv * yv; nx += xv * xv; ny += yv * yv;
+  protected def javaKernel(ctx: CodegenContext, x: String, y: String,
+      n: String, res: String): String = {
+    val i = ctx.freshName("i")
+    val nx = ctx.freshName("nx")
+    val ny = ctx.freshName("ny")
+    val xv = ctx.freshName("xv")
+    val yv = ctx.freshName("yv")
+    val denom = ctx.freshName("denom")
+    s"""double $nx = 0.0, $ny = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $xv = ${elemJava(left, x, i)}; double $yv = ${elemJava(right, y, i)};
+       |  $res += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
        |}
-       |double denom = Math.sqrt(nx) * Math.sqrt(ny);
-       |$res = denom == 0.0 ? 0.0 : $res / denom;""".stripMargin
+       |double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+       |$res = $denom == 0.0 ? 0.0 : $res / $denom;""".stripMargin
+  }
   protected def scalaKernel(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
@@ -154,10 +174,11 @@ case class VectorNorm(child: Expression) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, a => {
       val x = ctx.freshName("x")
       val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
          |double[] $x = $a.toDoubleArray();
          |double $s = 0.0;
-         |for (int i = 0; i < $x.length; i++) $s += $x[i] * $x[i];
+         |for (int $i = 0; $i < $x.length; $i++) $s += $x[$i] * $x[$i];
          |${ev.value} = Math.sqrt($s);
        """.stripMargin
     })
@@ -187,12 +208,13 @@ case class HammingDistance(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
          |if ($a.length != $b.length)
          |  throw new IllegalArgumentException(
          |    "hamming_distance: byte lengths differ (" + $a.length + " vs " + $b.length + ")");
          |long $s = 0L;
-         |for (int i = 0; i < $a.length; i++) $s += Integer.bitCount(($a[i] ^ $b[i]) & 0xff);
+         |for (int $i = 0; $i < $a.length; $i++) $s += Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
          |${ev.value} = $s;
        """.stripMargin
     })
@@ -299,15 +321,16 @@ case class CenteredSignBits(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements())
          |  throw new IllegalArgumentException(
          |    "$prettyName: vector dimensions differ (" + $n + " vs " + $b.numElements() + ")");
          |byte[] $out = new byte[($n + 7) >> 3];
-         |for (int i = 0; i < $n; i++) {
-         |  if (${elemJava(left, a, "i")} > ${elemJava(right, b, "i")})
-         |    $out[i >> 3] |= (byte) (1 << (i & 7));
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (${elemJava(left, a, i)} > ${elemJava(right, b, i)})
+         |    $out[$i >> 3] |= (byte) (1 << ($i & 7));
          |}
          |${ev.value} = $out;
        """.stripMargin
