@@ -50,7 +50,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size}}""")
+    // The 1-min load average makes load-distorted runs self-evident in
+    // the artifact (a quiet machine reads ~0-2 here; a concurrent build
+    // session reads 20+ and inflates every wall-clock number).
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$load}"""
+    println(line)
+    // Lossless copy for the driver: stdout tail-capture has truncated
+    // the per-query head before (round 6); the file always has it all.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      line.getBytes)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
