@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.FloatType
   *   bucket(t) = (ascii(t) * 31 + length(t)) mod dim
   *   sign(t)   = +1 if (ascii(t) + length(t)) even else -1
   *   emb[j]    = sum over tokens t with bucket(t) == j of sign(t)
+  * where `length` counts CODE POINTS (Spark's length() semantics) —
+  * the local mirror must not use String.length (UTF-16 units), or any
+  * token containing a supplementary-plane letter would land in a
+  * different bucket at query time than at write time.
   */
 object TextEmbedding {
 
@@ -46,8 +50,9 @@ object TextEmbedding {
     val emb = new Array[Float](dim)
     text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).foreach { t =>
       val a = t.codePointAt(0)
-      val b = Math.floorMod(a * 31 + t.length, dim)
-      emb(b) += (if (Math.floorMod(a + t.length, 2) == 0) 1f else -1f)
+      val len = t.codePointCount(0, t.length)
+      val b = Math.floorMod(a * 31 + len, dim)
+      emb(b) += (if (Math.floorMod(a + len, 2) == 0) 1f else -1f)
     }
     emb.toSeq
   }

@@ -25,7 +25,29 @@ final case class IndexDef(
     field: String,
     indexType: String,
     metricType: Option[String] = None,
-    params: Map[String, String] = Map.empty)
+    params: Map[String, String] = Map.empty) {
+
+  /** Fail fast on malformed numeric params at declaration time —
+    * without this a bad `dim`/`cell_size`/`nlist` string surfaces as a
+    * NumberFormatException deep inside the first index build/search
+    * instead of at create_index/create_collection.
+    */
+  def validateParams(): Unit = {
+    def check(key: String, parse: String => Any): Unit =
+      params.get(key).foreach { v =>
+        try { parse(v); () } catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"index on '$field': param $key='$v' is not numeric")
+        }
+      }
+    Seq("nlist", "buckets", "tables", "num_planes", "bitmap_cardinality",
+      "refine_k").foreach(check(_, _.toInt))
+    check("seed", _.toLong)
+    check("cell_size", _.toDouble)
+    params.get("cell_size").foreach(v => require(v.toDouble > 0,
+      s"index on '$field': cell_size must be positive, got $v"))
+  }
+}
 
 /** Collection schema + properties. Validation mirrors
   * validate_schema_matrix (common/schema.py:175-269).
@@ -92,13 +114,37 @@ final case class CollectionDef(
     }
     val names = fields.map(_.name)
     require(names.distinct.length == names.length, "duplicate field names")
-    indexes.foreach(ix => require(names.contains(ix.field),
-      s"index references undeclared field ${ix.field}"))
+    indexes.foreach { ix =>
+      require(names.contains(ix.field),
+        s"index references undeclared field ${ix.field}")
+      ix.validateParams()
+    }
     properties.get("ttl.field").foreach { f =>
       val fd = fields.find(_.name == f).getOrElse(throw
         new IllegalArgumentException(s"ttl.field references undeclared field $f"))
       require(fd.dataType == LongType,
         s"ttl.field $f must be INT64 (epoch millis), got ${fd.dataType}")
+    }
+    // Functions arriving via createCollection (e.g. SchemaMatrix YAML)
+    // must fail at create time, not on the first read inside
+    // functionOutputColumns (where a missing/garbage 'dim' would
+    // surface as NoSuchElementException/NumberFormatException).
+    functions.foreach { f =>
+      val kind = f.functionType.toUpperCase
+      require(kind == "BM25" || kind == "TEXT_EMBEDDING",
+        s"unsupported function type ${f.functionType}")
+      require(f.inputFields.nonEmpty && f.outputFields.nonEmpty,
+        s"function ${f.name} needs input and output fields")
+      if (kind == "TEXT_EMBEDDING") {
+        val dim = f.params.getOrElse("dim", throw new IllegalArgumentException(
+          s"TEXT_EMBEDDING function ${f.name} needs a 'dim' param"))
+        val d = try dim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"TEXT_EMBEDDING function ${f.name}: dim '$dim' is not an integer")
+        }
+        require(d > 0,
+          s"TEXT_EMBEDDING function ${f.name}: dim must be positive, got $d")
+      }
     }
   }
 

@@ -105,6 +105,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def createIndex(ix: IndexDef): Unit =
     catalog.mutateDef(name) { d =>
       require(d.fields.exists(_.name == ix.field), s"no field ${ix.field}")
+      ix.validateParams()
       d.copy(indexes = d.indexes.filterNot(_.field == ix.field) :+ ix)
     }
 
@@ -215,9 +216,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
           require(provider == "deterministic",
             s"text-embedding provider '$provider' needs external " +
               "credentials; only 'deterministic' runs in-engine")
-          val dim = f.params.get("dim").map(_.toInt).getOrElse(
+          val dimStr = f.params.getOrElse("dim",
             throw new IllegalArgumentException(
               "TEXT_EMBEDDING needs a 'dim' param"))
+          val dim = try dimStr.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"TEXT_EMBEDDING dim '$dimStr' is not an integer")
+          }
           require(dim > 0, s"dim must be positive, got $dim")
           f.outputFields.filterNot(o => d.fields.exists(_.name == o))
             .map(o => FieldDef(o, ArrayType(FloatType), dim = Some(dim)))
@@ -906,6 +912,8 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   def restoreFrom(spark: SparkSession, feed: DataFrame): Long = {
     val d = definition
+    requireWritable(d)
+    checkWriteQuota(spark, d)
     require(numEntities(spark) == 0L,
       s"restoreFrom needs an empty target, $name has data")
     val pk = d.primaryField.name
@@ -913,8 +921,29 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val resolved = feed
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col("_op") =!= "delete")
-      .drop("_rn", "_op", SEQ, TS, PART)
-    insert(spark, resolved).count
+    // The restore writes its delta directly instead of calling
+    // insert(): the feed's pks must survive even on auto_id collections
+    // (a replica that re-generated keys would break every external
+    // reference), and each row lands back in the partition the feed
+    // recorded (`_part`) — re-running the default pk-hash routing would
+    // move explicitly-placed rows and change partition-scoped query
+    // results on the replica. Function-output fields are read-computed
+    // and stored null, exactly as on the original write path.
+    val seq = catalog.nextSeq(name)
+    val present = resolved.columns.toSet
+    val cols = d.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ (if (d.enableDynamicField) Seq(col(DYN)) else Nil) :+ col(PART)
+    val internal = resolved.select(cols: _*)
+      .withColumn(SEQ, lit(seq))
+      .withColumn(DEL, lit(false))
+      .withColumn(TS, lit(System.currentTimeMillis()))
+    val routed =
+      if (internal.rdd.getNumPartitions > 1) internal.repartition(col(PART))
+      else internal
+    val deltaPath = commitDelta(routed.sortWithinPartitions(pk), seq)
+    spark.read.parquet(deltaPath).count()
   }
 
   /** Streaming form of [[changeFeed]]: a Structured Streaming source
@@ -1275,8 +1304,17 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
           math.floor(xs.max / b.cellSize).toLong)
         val (cy0, cy1) = (math.floor(ys.min / b.cellSize).toLong,
           math.floor(ys.max / b.cellSize).toLong)
-        val nCells = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
-        if (nCells > maxCells) read(spark).filter(exact)
+        // Guard each axis span separately BEFORE multiplying: extreme
+        // polygon coordinates saturate floor(x/cell).toLong near
+        // Long.Min/Max, and a spanX*spanY product can overflow to a
+        // negative value that slips past the maxCells check — after
+        // which the driver-side cell enumeration below would hang on a
+        // hostile/malformed WKT string. Non-finite coordinates produce
+        // negative spans and fall back too.
+        val (spanX, spanY) = (cx1 - cx0 + 1, cy1 - cy0 + 1)
+        if (spanX <= 0 || spanY <= 0 ||
+            spanX > maxCells || spanY > maxCells ||
+            spanX * spanY > maxCells) read(spark).filter(exact)
         else {
           val cells = for (cx <- cx0 to cx1; cy <- cy0 to cy1)
             yield s"${cx}_$cy"

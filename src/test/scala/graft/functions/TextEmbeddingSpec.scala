@@ -36,6 +36,26 @@ class TextEmbeddingSpec extends SparkSpec {
     }
   }
 
+  test("Column encode == encodeLocal on supplementary-plane text") {
+    val s = spark
+    import s.implicits._
+    // Tokens with non-BMP letters (Gothic hwair, Deseret, CJK Ext-B):
+    // String.length counts them as 2 UTF-16 units but Spark's length()
+    // counts code points — the mirror must agree on the bucket AND sign
+    // (the BMP-only property gen above can never catch this).
+    val texts = Seq("𐍈urt", "ab𐐨cd",
+      "𠀀𠀁", "mixed 𐍈 bmp")
+    Seq(4, 16).foreach { dim =>
+      val got = texts.toDF("t")
+        .select(col("t"), TextEmbedding.encode(col("t"), dim).as("e"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+      texts.foreach { t =>
+        assert(got(t) == TextEmbedding.encodeLocal(t, dim),
+          s"supplementary-plane divergence on '$t' at dim=$dim")
+      }
+    }
+  }
+
   test("encode is L2-meaningful: identical text -> distance 0, " +
       "disjoint token bags usually differ") {
     val a = TextEmbedding.encodeLocal("the quick brown fox", 16)

@@ -778,6 +778,63 @@ class StoreSpec extends SparkSpec {
     assert(c.definition.indexes.isEmpty)
   }
 
+  test("malformed function/index params fail at create time, not first read") {
+    val cat = freshCatalog()
+    def textDef(name: String, fns: Seq[FunctionDef]) =
+      CollectionDef(name, Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("txt", StringType)), functions = fns)
+    // TEXT_EMBEDDING via createCollection (the SchemaMatrix YAML route)
+    // bypasses addFunction — missing/garbage dim must still fail NOW
+    intercept[IllegalArgumentException](cat.createCollection(textDef("f1",
+      Seq(FunctionDef("e", "TEXT_EMBEDDING", Seq("txt"), Seq("v"))))))
+    intercept[IllegalArgumentException](cat.createCollection(textDef("f2",
+      Seq(FunctionDef("e", "TEXT_EMBEDDING", Seq("txt"), Seq("v"),
+        Map("dim" -> "abc"))))))
+    intercept[IllegalArgumentException](cat.createCollection(textDef("f3",
+      Seq(FunctionDef("e", "NOT_A_TYPE", Seq("txt"), Seq("v"))))))
+    // non-numeric index params fail at declaration on both routes
+    intercept[IllegalArgumentException](cat.createCollection(
+      CollectionDef("ix1", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("loc", StringType)),
+        indexes = Seq(IndexDef("loc", "RTREE", None,
+          Map("cell_size" -> "big"))))))
+    val c = cat.createCollection(simpleDef("okc"))
+    intercept[IllegalArgumentException](
+      c.createIndex(IndexDef("content", "BM25", None, Map("nlist" -> "x"))))
+    // well-formed params still pass
+    c.createIndex(IndexDef("content", "BM25", None, Map("nlist" -> "8")))
+  }
+
+  test("salvage preserves explicit partitions and auto_id pks") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    // explicit partitions: restored rows land in the feed's _part, not
+    // wherever default routing would re-place them
+    val c = cat.createCollection(simpleDef("sv_p", partitions = Seq("p0", "p1")))
+    c.insert(s, Seq((1L, 1L, "a", 0L)).toDF("id", "category", "content", "version"),
+      partition = Some("p1"))
+    c.insert(s, Seq((2L, 1L, "b", 0L)).toDF("id", "category", "content", "version"),
+      partition = Some("p0"))
+    val r = cat.createCollection(simpleDef("sv_p_r", partitions = Seq("p0", "p1")))
+    assert(r.restoreFrom(s, c.changeFeed(s)) == 2L)
+    assert(r.read(s, partitionNames = Seq("p1")).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(r.read(s, partitionNames = Seq("p0")).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // auto_id: the source's generated pks survive the rebuild unchanged
+    val a = cat.createCollection(simpleDef("sv_a", autoId = true))
+    a.insert(s, Seq((1L, "x", 0L), (2L, "y", 0L))
+      .toDF("category", "content", "version"))
+    val ids = a.read(s).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 2)
+    val ar = cat.createCollection(simpleDef("sv_a_r", autoId = true))
+    assert(ar.restoreFrom(s, a.changeFeed(s)) == 2L)
+    assert(ar.read(s).select("id").collect().map(_.getLong(0)).toSet == ids)
+  }
+
   test("change feed: cursor-incremental pull, delete ops, " +
       "compaction resync semantics") {
     val s = spark
