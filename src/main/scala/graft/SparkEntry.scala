@@ -1727,6 +1727,16 @@ object SparkEntry {
       Multimodal.imageStats(Multimodal.syntheticImageAssets(s, 20))
         .orderBy("asset_id")
     },
+    // ---- M3: REAL audio decode (javax.sound.sampled): the synthetic
+    // WAV fixtures encode a closed-form PCM function — sample t of
+    // asset i is ((i·37 + t·29) % 2001) − 1000 over ns = 64+(i·13)%128
+    // samples — so decoded-sample stats are re-derivable
+    // arithmetically: they match ONLY if the WAV encode → decode
+    // round-trip reproduces the exact samples. ------------------------
+    "m3_audio_decode" -> { (s, dir) =>
+      Multimodal.audioStats(Multimodal.syntheticAudioAssets(s, 20))
+        .orderBy("asset_id")
+    },
     // ---- §2.10: deterministic datagen + checksum --------------------------
     "g1_stable_datagen" -> { (s, dir) =>
       import s.implicits._
@@ -3099,6 +3109,23 @@ object SparkEntry {
           |  CAST(2 * i AS DOUBLE) AS mean_g,
           |  CAST(3 * i AS DOUBLE) AS mean_b
           |FROM imgs ORDER BY asset_id""".stripMargin,
+      // Decoded-sample stats re-derived from the closed-form PCM
+      // function (same exact integer-sum / count division on both
+      // sides, so doubles agree bit-for-bit).
+      "m3_audio_decode" ->
+        """WITH a AS (
+          |  SELECT i, 64 + (i * 13) % 128 AS ns
+          |  FROM generate_series(0, 19) t(i)),
+          |s AS (
+          |  SELECT a.i, a.ns, ((a.i * 37 + t.t * 29) % 2001) - 1000 AS v
+          |  FROM a JOIN generate_series(0, 190) t(t) ON t.t < a.ns)
+          |SELECT CAST(i AS BIGINT) AS asset_id,
+          |  CAST(8000 AS INTEGER) AS sample_rate,
+          |  CAST(ns AS INTEGER) AS n_samples,
+          |  CAST(sum(v) AS DOUBLE) / ns AS mean_amp,
+          |  CAST(max(v) AS INTEGER) AS max_amp,
+          |  CAST(min(v) AS INTEGER) AS min_amp
+          |FROM s GROUP BY i, ns ORDER BY asset_id""".stripMargin,
       // DETERMINISM PIN (irreducible): seeded generator output hashed
       // with the a7 recipe — pins that datagen reproduces bit-for-bit
       // across partitionings/JVMs (mirrors common/data.py:78-118).

@@ -10,12 +10,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *
   * The Spark-side plumbing is real — schema, partition-parallel
   * `mapPartitions` with batch iteration, deterministic outputs. The
-  * IMAGE decode is real too: `javax.imageio` (in the JDK) encodes the
+  * IMAGE decode is real: `javax.imageio` (in the JDK) encodes the
   * synthetic PNG fixtures and decodes them in [[extractFeatures]] /
-  * [[imageStats]]. AUDIO/VIDEO decode stays STUBBED (`decodeStub`) —
-  * this container has no audio/video codecs — and blobs that fail
-  * image decode fall back to the stub, so the pipeline never
-  * half-dies on a corrupt asset (it quarantines by `decoded` flag).
+  * [[imageStats]]. The AUDIO decode is real too: `javax.sound.sampled`
+  * (also JDK-only) encodes the synthetic 16-bit PCM WAV fixtures and
+  * decodes them in [[extractFeatures]] / [[audioStats]]. VIDEO decode
+  * stays STUBBED (`decodeStub`) — this container has no video codecs —
+  * and blobs that fail decode fall back to the stub, so the pipeline
+  * never half-dies on a corrupt asset (it quarantines by `decoded`
+  * flag).
   */
 object Multimodal {
 
@@ -104,6 +107,77 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException => None }
 
+  /** Deterministic REAL-WAV audio assets: asset `i` is mono 16-bit PCM
+    * at 8 kHz with `ns = 64 + (i·13) % 128` samples; sample `t` is the
+    * closed form `((i·37 + t·29) % 2001) − 1000` — encoded through
+    * `javax.sound.sampled.AudioSystem` (JDK-only, no external codecs).
+    * Like the PNG fixtures, the closed-form sample function makes
+    * decoded-sample statistics re-derivable arithmetically by the
+    * oracle, so a stats match proves the WAV encode → decode
+    * round-trip reproduces the exact samples.
+    */
+  def syntheticAudioAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val ns = 64 + (i * 13) % 128
+      Row(i.toLong, "audio", encodeWav(i, ns),
+        Row("wav", 0, 0, ns * 1000 / 8000))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), assetSchema)
+  }
+
+  private val wavFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+
+  private def encodeWav(i: Int, ns: Int): Array[Byte] = {
+    val pcm = new Array[Byte](ns * 2)
+    var t = 0
+    while (t < ns) {
+      val v = ((i * 37 + t * 29) % 2001) - 1000
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), wavFormat, ns.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the
+    * WAV container and yields the PCM frames; 16-bit signed samples are
+    * re-assembled respecting the stream's declared endianness. Returns
+    * None (quarantine, not crash) for non-WAV blobs or unsupported
+    * sample layouts.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val samples = new Array[Short](raw.length / 2)
+        var t = 0
+        while (t < samples.length) {
+          val (lo, hi) =
+            if (f.isBigEndian) (raw(2 * t + 1), raw(2 * t))
+            else (raw(2 * t), raw(2 * t + 1))
+          samples(t) = (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+          t += 1
+        }
+        Some((f.getSampleRate.toInt, samples))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** STUB decode for audio/video (no codecs in this container) and
     * the fallback for undecodable image blobs: deterministically
     * folds the bytes into a normalized vector, so the downstream
@@ -145,11 +219,17 @@ object Multimodal {
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](bytesIx)
         val modality = row.getString(modIx)
-        val (emb, decoded) =
-          if (modality == "image") decodeImage(bytes) match {
+        val (emb, decoded) = modality match {
+          case "image" => decodeImage(bytes) match {
             case Some(img) => (imageFeatures(img), true)
             case None => (decodeStub(bytes), false)
-          } else (decodeStub(bytes), false)
+          }
+          case "audio" => decodeAudio(bytes) match {
+            case Some((rate, samples)) => (audioFeatures(rate, samples), true)
+            case None => (decodeStub(bytes), false)
+          }
+          case _ => (decodeStub(bytes), false)
+        }
         Row(row.getLong(idIx), modality, emb.toSeq, decoded)
       }
     }
@@ -183,6 +263,71 @@ object Multimodal {
       sr / n / 255f, sg / n / 255f, sb / n / 255f,
       w / 256f, h / 256f, w.toFloat / h) ++
       hist.map(_ / n)
+  }
+
+  /** 16-dim feature vector from decoded PCM: normalized mean / RMS /
+    * peak amplitude, duration, zero-crossing rate, and an 11-bin
+    * amplitude histogram.
+    */
+  private def audioFeatures(rate: Int, samples: Array[Short]): Array[Float] = {
+    val n = math.max(samples.length, 1)
+    var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+    val hist = new Array[Long](11)
+    var t = 0
+    while (t < samples.length) {
+      val v = samples(t).toLong
+      sum += v; sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (t > 0 && ((samples(t - 1) < 0) != (v < 0))) zc += 1
+      hist(math.min((math.abs(v) * 11 / 32768).toInt, 10)) += 1
+      t += 1
+    }
+    Array[Float](
+      sum.toFloat / n / 32768f,
+      math.sqrt(sumSq.toDouble / n).toFloat / 32768f,
+      peak.toFloat / 32768f,
+      samples.length.toFloat / rate,
+      zc.toFloat / n) ++ hist.map(_.toFloat / n)
+  }
+
+  /** Decoded-sample statistics per audio asset — the REAL decode path,
+    * exact long-sum means (numerator/denominator division is
+    * bit-reproducible, so the oracle re-derives it arithmetically for
+    * the closed-form synthetic fixtures). Undecodable blobs are
+    * dropped — the quarantine path is `extractFeatures`' `decoded`
+    * flag.
+    */
+  def audioStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("mean_amp", DoubleType, nullable = false),
+      StructField("max_amp", IntegerType, nullable = false),
+      StructField("min_amp", IntegerType, nullable = false)))
+    val idIx = assets.schema.fieldIndex("asset_id")
+    val modIx = assets.schema.fieldIndex("modality")
+    val bytesIx = assets.schema.fieldIndex("bytes")
+    val rdd = assets.rdd.mapPartitions { it =>
+      it.filter(_.getString(modIx) == "audio").flatMap { row =>
+        decodeAudio(row.getAs[Array[Byte]](bytesIx)).map {
+          case (rate, samples) =>
+            var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
+            var t = 0
+            while (t < samples.length) {
+              val v = samples(t).toInt
+              sum += v
+              if (v > mx) mx = v
+              if (v < mn) mn = v
+              t += 1
+            }
+            Row(row.getLong(idIx), rate, samples.length,
+              sum / samples.length.toDouble, mx, mn)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Decoded-pixel statistics per image asset — the REAL decode path,

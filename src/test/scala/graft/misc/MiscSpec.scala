@@ -67,6 +67,41 @@ class MiscSpec extends SparkSpec {
     assert(stub.forall(!_.getBoolean(3)))
   }
 
+  test("real WAV decode: audioStats matches the closed-form PCM function") {
+    val assets = Multimodal.syntheticAudioAssets(spark, 12)
+    val stats = Multimodal.audioStats(assets).orderBy("asset_id").collect()
+    assert(stats.length == 12)
+    stats.zipWithIndex.foreach { case (r, i) =>
+      val ns = 64 + (i * 13) % 128
+      val samples = (0 until ns).map(t => ((i * 37 + t * 29) % 2001) - 1000)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == ns)
+      // encode -> WAV -> decode round-trips the exact samples
+      assert(r.getDouble(3) == samples.map(_.toLong).sum / ns.toDouble)
+      assert(r.getInt(4) == samples.max && r.getInt(5) == samples.min)
+    }
+  }
+
+  test("extractFeatures uses the real decode for WAVs and flags the path") {
+    val real = Multimodal.extractFeatures(
+      Multimodal.syntheticAudioAssets(spark, 6)).collect()
+    assert(real.length == 6)
+    assert(real.forall(_.getBoolean(3)), "WAV assets must take the real path")
+    // duration feature reflects actual decoded frame count: ns / 8000
+    real.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, i) =>
+      val ns = 64 + (i * 13) % 128
+      assert(math.abs(r.getSeq[Float](2)(3) - ns / 8000f) < 1e-6f)
+    }
+  }
+
+  test("decodeAudio quarantines non-WAV and rejects nothing it can parse") {
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
+    val (rate, samples) = Multimodal.decodeAudio(
+      Multimodal.syntheticAudioAssets(spark, 1)
+        .collect()(0).getAs[Array[Byte]]("bytes")).get
+    assert(rate == 8000 && samples.length == 64)
+    assert(samples(0) == -1000 && samples(1) == -971) // closed form at i=0
+  }
+
   test("frame sampling explodes only video assets at the requested stride") {
     val assets = Multimodal.syntheticAssets(spark, 12)
     val frames = Multimodal.sampleFrames(assets, everyN = 2, frameSize = 32)
