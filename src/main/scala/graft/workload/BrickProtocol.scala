@@ -5,7 +5,6 @@ import org.json4s.JsonDSL._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
@@ -139,11 +138,7 @@ object BrickProtocol {
   /** Write the result JSON to `args.outputJson` (atomic). */
   def writeResult(r: BrickResult): Unit =
     r.args.outputJson.foreach { out =>
-      val p = Paths.get(out)
-      Option(p.getParent).foreach(Files.createDirectories(_))
-      val tmp = Paths.get(out + ".tmp")
-      Files.write(tmp, resultJson(r).getBytes("UTF-8"))
-      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+      CheckpointIO.writeAtomic(out, resultJson(r))
     }
 
   /** Phase checkpoint (validate_phase_dml_dql.py:775-796): arbitrary
@@ -152,20 +147,17 @@ object BrickProtocol {
     */
   def writePhaseCheckpoint(dir: String, phase: String,
       state: Map[String, String]): String = {
-    Files.createDirectories(Paths.get(dir))
-    val path = Paths.get(dir, s"$phase.json")
+    val path = CheckpointIO.resolve(dir, s"$phase.json")
     val json: JObject = ("phase" -> phase) ~ ("version" -> 1) ~ ("state" -> state)
-    val tmp = Paths.get(path.toString + ".tmp")
-    Files.write(tmp, JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8"))
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
-    path.toString
+    CheckpointIO.writeAtomic(path, JsonMethods.pretty(JsonMethods.render(json)))
+    path
   }
 
   def readPhaseCheckpoint(dir: String, phase: String): Map[String, String] = {
     implicit val fmt: Formats = DefaultFormats
-    val path = Paths.get(dir, s"$phase.json")
-    require(Files.exists(path), s"no checkpoint for phase $phase in $dir")
-    val j = JsonMethods.parse(new String(Files.readAllBytes(path), "UTF-8"))
+    val path = CheckpointIO.resolve(dir, s"$phase.json")
+    require(CheckpointIO.exists(path), s"no checkpoint for phase $phase in $dir")
+    val j = JsonMethods.parse(CheckpointIO.readString(path))
     (j \ "state").extract[Map[String, String]]
   }
 }

@@ -2,7 +2,6 @@ package graft.workload
 
 import org.yaml.snakeyaml.Yaml
 
-import java.nio.file.{Files, Paths}
 import scala.collection.JavaConverters._
 
 /** Upgrade/rollback gate manifests and their evaluation — the
@@ -109,8 +108,7 @@ object Gates {
     * ids, strict YAML booleans, resolvable refs and phases).
     */
   def loadManifest(path: String): Manifest =
-    parseManifest(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"),
-      source = path)
+    parseManifest(CheckpointIO.readString(path), source = path)
 
   def parseManifest(yamlText: String, source: String = "<manifest>"): Manifest = {
     val root = asStrMap(new Yaml().load[Any](yamlText))
@@ -425,24 +423,15 @@ object Gates {
       pressureFailed: Int = 0,
       pressureFailOnError: Boolean = true): GateReport = {
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    val dir = Paths.get(resultsDir)
     val results: Map[String, String] =
-      if (!Files.exists(dir)) Map.empty
-      else {
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".json"))
-          .map { p =>
-            val stem = p.getFileName.toString.stripSuffix(".json")
-            val st =
-              try (org.json4s.jackson.JsonMethods.parse(
-                new String(Files.readAllBytes(p), "UTF-8")) \ "status")
-                .extractOpt[String].getOrElse("unreadable")
-              catch { case _: Exception => "unreadable" }
-            stem -> st
-          }.toMap
-        finally s.close()
-      }
+      CheckpointIO.listJson(resultsDir).map { case (stem, path) =>
+        val st =
+          try (org.json4s.jackson.JsonMethods.parse(
+            CheckpointIO.readString(path)) \ "status")
+            .extractOpt[String].getOrElse("unreadable")
+          catch { case _: Exception => "unreadable" }
+        stem -> st
+      }.toMap
     evaluate(config, results, pressureFailed, pressureFailOnError)
   }
 }

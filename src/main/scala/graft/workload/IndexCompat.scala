@@ -9,7 +9,6 @@ import org.json4s.JsonDSL._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.Instant
 
 /** Rollback index-compatibility validation — the reference's
@@ -68,14 +67,13 @@ object IndexCompat {
   private def sortedIdentities(ixs: Seq[IndexDef]): Seq[IndexIdentity] =
     ixs.map(identity).sortBy(i => (i.fieldName, i.indexName, i.indexType))
 
-  private def checkpointPath(checkpointDir: String): java.nio.file.Path =
-    Paths.get(checkpointDir, "index_compatibility.json")
+  private def checkpointPath(checkpointDir: String): String =
+    CheckpointIO.resolve(checkpointDir, "index_compatibility.json")
 
   private def writeCheckpoint(checkpointDir: String, phase: String,
       collections: Seq[(String, Seq[IndexIdentity], Seq[String], String)])
       : String = {
     val path = checkpointPath(checkpointDir)
-    Files.createDirectories(path.getParent)
     val json: JObject =
       ("version" -> 1) ~
       ("phase" -> phase) ~
@@ -93,18 +91,17 @@ object IndexCompat {
             ("indexed_vector_fields" -> vectorFields) ~
             ("release_status" -> releaseStatus))
       }.foldLeft(JObject()) { case (acc, (k, v)) => acc ~ (k -> v) })
-    val tmp = Paths.get(path.toString + ".tmp")
-    Files.write(tmp, JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8"))
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
-    path.toString
+    CheckpointIO.writeAtomic(path,
+      JsonMethods.pretty(JsonMethods.render(json)))
+    path
   }
 
   private def readCheckpoint(checkpointDir: String)
       : Option[Map[String, Seq[IndexIdentity]]] = {
     val path = checkpointPath(checkpointDir)
-    if (!Files.exists(path)) None
+    if (!CheckpointIO.exists(path)) None
     else {
-      val j = JsonMethods.parse(new String(Files.readAllBytes(path), "UTF-8"))
+      val j = JsonMethods.parse(CheckpointIO.readString(path))
       val colls = (j \ "collections") match {
         case JObject(fields) => fields.map { case (name, body) =>
           val ixs = (body \ "actual_indexes") match {

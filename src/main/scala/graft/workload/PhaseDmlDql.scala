@@ -8,7 +8,6 @@ import org.json4s.JsonDSL._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.Instant
 
 /** Per-phase DML/DQL validation — the reference's
@@ -64,8 +63,8 @@ object PhaseDmlDql {
     upsertValue = (id, seed) => s"phase_${seed}_$id",
     vecFor = (_, id) => Some(Scenario.compatVec(id).toSeq))
 
-  private def checkpointFile(dir: String): java.nio.file.Path =
-    Paths.get(dir, "phase_dml_dql_after_upgrade.json")
+  private def checkpointFile(dir: String): String =
+    CheckpointIO.resolve(dir, "phase_dml_dql_after_upgrade.json")
 
   private final case class ExistingState(
       collection: String, primaryField: String, startId: Long, rows: Int,
@@ -261,7 +260,6 @@ object PhaseDmlDql {
   private def writeCheckpoint(dir: String, phase: String,
       existing: Seq[ExistingState], fresh: Seq[NewState]): String = {
     val path = checkpointFile(dir)
-    Files.createDirectories(path.getParent)
     val json: JObject =
       ("version" -> 1) ~
       ("phase" -> phase) ~
@@ -293,11 +291,9 @@ object PhaseDmlDql {
           ("max_pk" -> n.maxPk) ~
           ("sample_values" -> n.sampleValues))
       }.foldLeft(JObject()) { case (acc, (k, v)) => acc ~ (k -> v) })
-    val tmp = Paths.get(path.toString + ".tmp")
-    Files.write(tmp,
-      JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8"))
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
-    path.toString
+    CheckpointIO.writeAtomic(path,
+      JsonMethods.pretty(JsonMethods.render(json)))
+    path
   }
 
   /** Re-validate the after-upgrade checkpoint state after a rollback
@@ -307,12 +303,12 @@ object PhaseDmlDql {
       dir: String, fail: (String, String) => Unit): Boolean = {
     implicit val fmt: Formats = DefaultFormats
     val path = checkpointFile(dir)
-    if (!Files.exists(path)) {
+    if (!CheckpointIO.exists(path)) {
       fail(PhaseCheckpointNotFound,
         s"after-upgrade phase checkpoint does not exist: $path")
       return false
     }
-    val j = JsonMethods.parse(new String(Files.readAllBytes(path), "UTF-8"))
+    val j = JsonMethods.parse(CheckpointIO.readString(path))
     def entries(key: String): Seq[JValue] = (j \ key) match {
       case JObject(fields) => fields.map(_._2)
       case _ => Seq.empty

@@ -5,7 +5,6 @@ import graft.validate.Validators.ValidationReport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StringType}
 
-import java.nio.file.{Files, Paths}
 import java.time.Instant
 
 /** Upgrade/rollback compatibility scenario runner
@@ -120,7 +119,7 @@ object Scenario {
       onRollback: Int => Unit = _ => (),
       hasUpgradeAction: Boolean = false,
       hasRollbackAction: Boolean = false): Outcome = {
-    Files.createDirectories(Paths.get(resultsDir))
+    CheckpointIO.mkdirs(resultsDir)
     val args = BrickProtocol.BrickArgs(
       collectionPrefix = "scenario",
       checkpointDir = Some(checkpointDir))

@@ -1,6 +1,5 @@
 package graft.workload
 
-import java.nio.file.{Files, Paths}
 import scala.collection.JavaConverters._
 
 /** Workflow-level report artifact
@@ -36,27 +35,17 @@ object WorkflowReport {
       parameters: Map[String, String] = Map.empty): Report = {
     val gate = Gates.evaluateResultsDir(config, resultsDir,
       pressureFailed, pressureFailOnError)
-    val dir = Paths.get(resultsDir)
     val views =
-      if (!Files.exists(dir)) Seq.empty
-      else {
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".json"))
-          .map { p =>
-            val stem = p.getFileName.toString.stripSuffix(".json")
-            val sample =
-              try Availability.parseSample(stem,
-                new String(Files.readAllBytes(p), "UTF-8"))
-              catch {
-                case e: Exception => Availability.syntheticSample(
-                  stem, stem, "unreadable", e.getMessage)
-              }
-            ResultView(stem, sample.status,
-              sample.failures.map(f => s"${f.ftype}: ${f.message}"),
-              sample.metrics)
-          }.toSeq.sortBy(_.name)
-        finally s.close()
+      CheckpointIO.listJson(resultsDir).map { case (stem, path) =>
+        val sample =
+          try Availability.parseSample(stem, CheckpointIO.readString(path))
+          catch {
+            case e: Exception => Availability.syntheticSample(
+              stem, stem, "unreadable", e.getMessage)
+          }
+        ResultView(stem, sample.status,
+          sample.failures.map(f => s"${f.ftype}: ${f.message}"),
+          sample.metrics)
       }
     val missing = (gate.missingValidations ++ gate.missingServiceability)
       .map(n => ResultView(n, "missing",
@@ -131,9 +120,8 @@ object WorkflowReport {
         ("name" -> v.name) ~ ("status" -> v.status) ~
           ("failures" -> v.failures))) ~
       ("parameters" -> r.parameters)
-    Files.createDirectories(Paths.get(jsonPath).getParent)
-    Files.write(Paths.get(jsonPath),
-      JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8"))
-    Files.write(Paths.get(mdPath), markdown(r).getBytes("UTF-8"))
+    CheckpointIO.writeAtomic(jsonPath,
+      JsonMethods.pretty(JsonMethods.render(json)))
+    CheckpointIO.writeAtomic(mdPath, markdown(r))
   }
 }

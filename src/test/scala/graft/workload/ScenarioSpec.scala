@@ -64,6 +64,29 @@ class ScenarioSpec extends SparkSpec {
       .startsWith("# Workflow report — PASSED"))
   }
 
+  test("scenario runs end-to-end on a scheme-qualified Hadoop checkpoint root") {
+    // checkpoint + results roots as file:// URIs: every brick
+    // checkpoint, result JSON, and the gate's results-dir glob go
+    // through the Hadoop FileSystem (CheckpointIO/StorePath), the
+    // same path a cluster pointing at hdfs:// or s3a:// takes.
+    val s = spark
+    val root = Files.createTempDirectory("graft-scen3")
+    val cat = new Catalog(root.resolve("cat").toString)
+    val out = Scenario.execute(s, cat, Scenario.Manifest(
+      rowsPerCollection = 100, batchSize = 100, pressureOpsPerSlice = 8),
+      root.resolve("cp").toUri.toString,
+      root.resolve("results").toUri.toString)
+    assert(out.passed, out.steps.filterNot(st =>
+      Set("passed", "skipped").contains(st.status)).toString)
+    assert(out.gate.status == "passed")
+    assert(out.gate.missingValidations.isEmpty)
+    // the checkpoints + result JSONs actually landed under the URI roots
+    assert(Files.exists(root.resolve("cp")
+      .resolve("index_compatibility.json")))
+    assert(Files.exists(root.resolve("results")
+      .resolve("final_validate_compat.json")))
+  }
+
   test("a failing upgrade hook fails the scenario and the gate sees it") {
     val s = spark
     val root = Files.createTempDirectory("graft-scen2")
