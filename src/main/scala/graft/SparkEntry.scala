@@ -1101,6 +1101,23 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(an(col("text"))).as(Seq("ord", "tok")))
         .orderBy("doc_id", "ord")
     },
+    // ---- T8: no-space-script segmentation (Thai) through the
+    // custom-dictionary tokenizer — the same dictionary resource path
+    // t5/t6 use, over a script with no word separators at all: greedy
+    // longest-match picks คนไทย over คน+ไทย, unknown letters (พ, ด of
+    // unlisted พูด) emit singly, and combining vowel marks ( ู ,
+    // NonSpacingMark) separate — the documented unknown-char
+    // behavior. Fully determined by the dictionary resource — the
+    // oracle re-states the contract as VALUES. -------------------------
+    "t8_thai_dict_tokenizer" -> { (s, dir) =>
+      import s.implicits._
+      val an = graft.text.Analyzer.dictionary(
+        Seq("สวัสดี", "ครับ", "ภาษา", "ไทย", "คนไทย", "คน"))
+      Seq((1L, "สวัสดีครับ"), (2L, "ภาษาไทย"), (3L, "คนไทยพูดภาษาไทย"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(an(col("text"))).as(Seq("ord", "tok")))
+        .orderBy("doc_id", "ord")
+    },
     // ---- T4: synonym token filter (3.0 analyzer surface) --------------
     "t4_synonym_filter" -> { (s, dir) =>
       val an = graft.text.Analyzer.withSynonyms(graft.text.Analyzer.standard,
@@ -2993,6 +3010,22 @@ object SparkEntry {
           |  (CAST(2 AS BIGINT), 2, 'yinqing'),
           |  (CAST(3 AS BIGINT), 0, 'shuju'),
           |  (CAST(3 AS BIGINT), 1, 'sousuo')
+          |) t(doc_id, ord, tok) ORDER BY doc_id, ord""".stripMargin,
+      // Greedy longest-match over a no-space script, re-stated as
+      // VALUES (fixed dictionary resource): คนไทย beats คน+ไทย, the
+      // unlisted พูด decomposes to its letters with the combining
+      // mark dropped.
+      "t8_thai_dict_tokenizer" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), 0, 'สวัสดี'),
+          |  (CAST(1 AS BIGINT), 1, 'ครับ'),
+          |  (CAST(2 AS BIGINT), 0, 'ภาษา'),
+          |  (CAST(2 AS BIGINT), 1, 'ไทย'),
+          |  (CAST(3 AS BIGINT), 0, 'คนไทย'),
+          |  (CAST(3 AS BIGINT), 1, 'พ'),
+          |  (CAST(3 AS BIGINT), 2, 'ด'),
+          |  (CAST(3 AS BIGINT), 3, 'ภาษา'),
+          |  (CAST(3 AS BIGINT), 4, 'ไทย')
           |) t(doc_id, ord, tok) ORDER BY doc_id, ord""".stripMargin,
       "t5_dict_tokenizer" ->
         """WITH RECURSIVE

@@ -218,6 +218,23 @@ class TextSpec extends SparkSpec {
       .select(canon(col("t"))).head().getSeq[String](0) == Seq("db"))
   }
 
+  test("dictionary tokenizer segments a no-space script (Thai)") {
+    val s = spark
+    import s.implicits._
+    val an = Analyzer.dictionary(
+      Seq("สวัสดี", "ครับ", "ภาษา", "ไทย", "คนไทย", "คน"))
+    def toks(t: String): Seq[String] =
+      Seq(Tuple1(t)).toDF("t").select(an(col("t"))).head().getSeq[String](0)
+    // no word separators anywhere in the input
+    assert(toks("สวัสดีครับ") == Seq("สวัสดี", "ครับ"))
+    // greedy longest match: คนไทย wins over คน + ไทย
+    assert(toks("คนไทยครับ") == Seq("คนไทย", "ครับ"))
+    // unknown word พูด: letters emit singly, the combining vowel
+    // mark ู (NonSpacingMark, not a letter) separates
+    assert(toks("คนไทยพูดภาษาไทย") ==
+      Seq("คนไทย", "พ", "ด", "ภาษา", "ไทย"))
+  }
+
   test("pinyin filter transliterates CJK tokens, passes others through") {
     val s = spark
     import s.implicits._
