@@ -2069,6 +2069,42 @@ object SparkEntry {
     },
   )
 
+  /** One-time-per-run StructArray bench table: the embeddings table
+    * expanded 32× into per-doc element arrays (one doc per vec_id, 32
+    * variant elements each — scale-proportional at every SF), each
+    * element carrying a 4 KiB incompressible payload subfield next
+    * to the vector, persisted to parquet so the element bench entries
+    * measure a real nested SCAN (the pruned-vs-unpruned delta is
+    * parquet column IO, not an in-memory projection).
+    */
+  private val elementBenchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def elementBenchTable(s: SparkSession, dir: String): String =
+    elementBenchCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-elembench").resolve("nested").toString
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(31))).as("variant"))
+        .select(
+          col("vec_id").as("doc_id"),
+          (col("vec_id") * 32 + col("variant")).as("elem_id"),
+          (col("variant") % 3).as("tag"),
+          array_join(transform(sequence(lit(0), lit(127)), j =>
+            md5(concat(col("vec_id").cast("string"), lit("_"),
+              col("variant"), lit("_"), j))), "").as("payload"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x + col("variant") * lit(0.001)).cast("float"))
+              .otherwise(x)).as("embedding"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(
+          col("elem_id"), col("tag"), col("payload"),
+          col("embedding")))).as("elems"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Bench-only workloads (not part of the correctness contract): the
     * reference's performance shapes at scale — topk sweep
     * (go_bench/search_horizon_perf_3.go:855: 100/500/1000/15000),
@@ -2134,6 +2170,34 @@ object SparkEntry {
         val assigned = Lsh.assign(emb, "embedding", model)
         Lsh.search(assigned, model, queryDf(s, dir, (0 until 10).toSeq),
           "embedding", "vec_id", k = 10, radius = 1)
+      },
+      // Element-level (StructArray) search over the persisted nested
+      // bench table — 10 queries, top-100 elements each. The _pruned
+      // entry passes the subfield list, so the arrays_zip pre-prune
+      // narrows the parquet ReadSchema past the 512-byte payload
+      // column (plan-asserted in ElementSearchSpec); _unpruned
+      // explodes the bare struct and pays the payload IO — the delta
+      // between the two entries IS the nested-pruning win at scale.
+      "bench_element_search_pruned" -> { (s, dir) =>
+        import s.implicits._
+        import graft.operators.ElementSearch
+        val nested = s.read.parquet(elementBenchTable(s, dir))
+        val total = (0 until 10).map { q =>
+          ElementSearch.searchElements(nested, "elems", "embedding",
+            "doc_id", vecOf(s, dir, q), "L2", 100,
+            subfields = Seq("elem_id", "tag", "embedding")).count()
+        }.sum
+        Seq(Tuple1(total)).toDF("total_hits")
+      },
+      "bench_element_search_unpruned" -> { (s, dir) =>
+        import s.implicits._
+        import graft.operators.ElementSearch
+        val nested = s.read.parquet(elementBenchTable(s, dir))
+        val total = (0 until 10).map { q =>
+          ElementSearch.searchElements(nested, "elems", "embedding",
+            "doc_id", vecOf(s, dir, q), "L2", 100).count()
+        }.sum
+        Seq(Tuple1(total)).toDF("total_hits")
       },
       "bench_scalar_query" -> { (s, dir) =>
         QueryOps.query(tbl(s, dir, "lineitem"),
