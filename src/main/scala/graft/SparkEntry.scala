@@ -1731,6 +1731,56 @@ object SparkEntry {
       s.sql("""SELECT _op AS op, count(*) AS cnt, count(DISTINCT n_nationkey)
         |AS keys FROM st3_feed GROUP BY _op ORDER BY op""".stripMargin)
     },
+    // ---- ST4: change-feed → index fan-out (the CDC consumer shape
+    // the changeFeedStream scaladoc prescribes): a foreachBatch
+    // consumer keeps the persisted IVF index fresh as deltas land.
+    // Chain proved end-to-end: seed rows → index built → more DML
+    // lands (index now stale) → the stream drains the deltas and the
+    // consumer re-ensures the index per micro-batch → after the
+    // stream, the consumer's last build seq equals the collection's
+    // committedSeq (the search below reuses that build rather than
+    // rebuilding) and the routed search serves a row that only exists
+    // in the post-build delta at distance 0. ---------------------------
+    "st4_changefeed_index_fanout" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-st4").toString)
+      val c = cat.createCollection(CollectionDef("cdcix", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(4))),
+        indexes = Seq(IndexDef("embedding", "IVF_FLAT", Some("L2"),
+          Map("nlist" -> "2")))))
+      def vec(k: Column) = array((k % 7).cast("float"),
+        (k % 11).cast("float"), (k % 13).cast("float"), lit(1f))
+      val nat = tbl(s, dir, "nation").select(
+        col("n_nationkey").as("id"), vec(col("n_nationkey")).as("embedding"))
+      c.insert(s, nat.filter(col("id") < 20))
+      // force the seed build, then land new rows -> build is stale
+      CollectionSearch.search(s, c, "embedding", Seq(0f, 0f, 0f, 1f), 1,
+        searchParams = Map("nprobe" -> "2")).count(): Unit
+      c.insert(s, nat.filter(col("id") >= 20))
+      var rowsSeen = 0L
+      var lastBuiltSeq = -1L
+      val q = c.changeFeedStream(s).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) {
+            rowsSeen += n
+            lastBuiltSeq =
+              IndexStore.ensureIvf(s, c, "embedding", "L2", 2).builtSeq
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val fresh = lastBuiltSeq == c.committedSeq
+      // key 22 exists only in the post-build delta; exact self-match
+      val hit = CollectionSearch.search(s, c, "embedding",
+        Seq(1f, 0f, 9f, 1f), 1, searchParams = Map("nprobe" -> "2"))
+        .select("id").head().getLong(0)
+      Seq((rowsSeen, fresh, hit)).toDF("rows_seen", "index_fresh", "top_id")
+    },
     // ---- multimodal: modality stats over deterministic synthetic assets ---
     "m1_multimodal_stats" -> { (s, dir) =>
       Multimodal.modalityStats(Multimodal.syntheticAssets(s, 30))
@@ -2861,6 +2911,14 @@ object SparkEntry {
           |  SELECT 'upsert', (SELECT count(*) FROM nation),
           |    (SELECT count(*) FROM nation)
           |) ORDER BY op""".stripMargin,
+      // COMPUTED oracle: the new-consumer resync batch carries every
+      // nation row exactly once (20 seed + 5 post-build); freshness
+      // and the distance-0 self-match on post-build key 22 are the
+      // CDC-refresh contract re-stated as constants.
+      "st4_changefeed_index_fanout" ->
+        """SELECT (SELECT count(*) FROM nation) AS rows_seen,
+          |  true AS index_fresh,
+          |  CAST(22 AS BIGINT) AS top_id""".stripMargin,
       "s36_changefeed" ->
         """SELECT op, cnt FROM (
           |  SELECT 'delete' AS op,
