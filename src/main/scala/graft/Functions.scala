@@ -25,6 +25,13 @@ object Functions {
     e2c(LshSignature(c2e(vec), planes.flatten, planes.length))
   def sparseIp(a: Column, b: Column): Column =
     e2c(SparseInnerProduct(c2e(a), c2e(b)))
+  def sq8Encode(vec: Column, mins: Array[Double],
+      invScales: Array[Double]): Column =
+    e2c(Sq8Encode(c2e(vec), mins, invScales))
+  def sq8AdcL2(code: Column, qAdj: Column, scaleSq: Array[Double]): Column =
+    e2c(Sq8AdcL2(c2e(code), c2e(qAdj), scaleSq))
+  def sq8AdcDot(code: Column, weights: Column): Column =
+    e2c(Sq8AdcDot(c2e(code), c2e(weights)))
   def dictTokenize(text: Column, words: Seq[String]): Column =
     e2c(DictTokenize(c2e(text), words))
   /** WKT square polygon of `areaSqKm` centered at (lon, lat) — the

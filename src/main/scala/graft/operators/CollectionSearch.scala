@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ann.{Ivf, RaBitQ, SparseInverted}
+import graft.ann.{Ivf, RaBitQ, SparseInverted, Sq8}
 import graft.expr.MilvusExpr
 import graft.store.{Collection, IndexStore}
 import graft.text.Bm25
@@ -42,6 +42,8 @@ object CollectionSearch {
       .getOrElse("COSINE")
     val rabitqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
+    val sq8Declared =
+      index.exists(_.indexType.toUpperCase == "IVF_SQ8")
     // HNSW / DISKANN declarations serve from the IVF physical path:
     // a per-query graph walk is a serial-machine shape with no
     // data-parallel analog, and the Spark-native equivalent of "skip
@@ -49,7 +51,7 @@ object CollectionSearch {
     // create_index calls still get accelerated serving (AUTOINDEX
     // semantics), with `ef`/`search_list_size` accepted as the probe
     // budget (workload.py:141-147 maps per-type search params).
-    val ivfDeclared = !rabitqDeclared && index.exists(ix =>
+    val ivfDeclared = !rabitqDeclared && !sq8Declared && index.exists(ix =>
       ix.indexType.toUpperCase.startsWith("IVF") ||
         Set("AUTOINDEX", "HNSW", "DISKANN")
           .contains(ix.indexType.toUpperCase))
@@ -76,6 +78,19 @@ object CollectionSearch {
       graft.ann.Lsh.searchOnePersisted(indexDf, build.model, queryVec,
         vecField, pk, k, radius, pred, outputFields)
     } else probeBudget.map(_.toInt) match {
+      case Some(nprobe) if sq8Declared && partitionNames.isEmpty =>
+        // 8-bit quantized path: ADC estimates over the probed cells'
+        // byte-code column (4x narrower than the float vectors), exact
+        // re-rank of k*refine_k.
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
+        val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
+        val build = IndexStore.ensureSq8(spark, coll, vecField, metric, nlist)
+        val encoded = spark.read.parquet(build.dataPath)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, encoded))
+        Sq8.searchOne(encoded, build.model, queryVec, vecField, pk, k,
+          nprobe, refine, pred, outputFields)
       case Some(nprobe) if rabitqDeclared && partitionNames.isEmpty =>
         // Quantized path: Hamming-estimate candidates over the probed
         // cells' narrow code columns, exact re-rank of k*refine_k.

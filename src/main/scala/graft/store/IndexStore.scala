@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.{Ivf, Lsh, RaBitQ, SparseInverted}
+import graft.ann.{Ivf, Lsh, RaBitQ, SparseInverted, Sq8}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -61,6 +61,12 @@ object IndexStore {
 
   private val rabitqCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Int, Long), RabitqBuild]()
+
+  final case class Sq8Build(model: Sq8.Model, dataPath: String,
+      nlist: Int, builtSeq: Long)
+
+  private val sq8Cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Int, Long), Sq8Build]()
 
   final case class SparseBuild(postingsPath: String, numBuckets: Int,
       builtSeq: Long)
@@ -130,6 +136,24 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadRabitq(dir, metric, nlist, seq).getOrElse(
         buildRabitq(spark, dir, coll, field, metric, nlist, seq))
+    })
+  }
+
+  /** Ensure a fresh persisted IVF_SQ8 (8-bit scalar-quantized IVF)
+    * index — same lifecycle as [[ensureIvf]], different physical
+    * payload: the cell-partitioned snapshot additionally carries the
+    * byte code and decoded-norm columns the ADC estimate pass scans.
+    */
+  def ensureSq8(spark: SparkSession, coll: Collection,
+      field: String, metric: String, nlist: Int): Sq8Build = {
+    val seq = coll.committedSeq
+    val key = (coll.name, field, metric, nlist, seq)
+    sq8Cache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._5 != seq)
+    sq8Cache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      loadSq8(dir, metric, nlist, seq).getOrElse(
+        buildSq8(spark, dir, coll, field, metric, nlist, seq))
     })
   }
 
@@ -389,6 +413,10 @@ object IndexStore {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureRabitq(spark, coll, ix.field,
         ix.metricType.getOrElse("COSINE"), nlist): Unit
+    } else if (t == "IVF_SQ8") {
+      val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
+      ensureSq8(spark, coll, ix.field,
+        ix.metricType.getOrElse("COSINE"), nlist): Unit
     } else if (t.startsWith("IVF") || t == "AUTOINDEX") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureIvf(spark, coll, ix.field,
@@ -422,6 +450,7 @@ object IndexStore {
   def drop(coll: Collection, field: String): Unit = {
     ivfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     rabitqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    sq8Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
@@ -511,6 +540,44 @@ object IndexStore {
         .map(_.toArray).toArray
       RabitqBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
         nlist, seq)
+    }
+
+  // ---- IVF_SQ8 ------------------------------------------------------------
+
+  private def buildSq8(spark: SparkSession, dir: StorePath, coll: Collection,
+      field: String, metric: String, nlist: Int, seq: Long): Sq8Build = {
+    // Null vectors are not indexed (see buildIvf).
+    val snapshot = coll.read(spark).filter(col(field).isNotNull)
+    val model = Sq8.train(snapshot, field, nlist, metric)
+    val vdir = versionDir(dir, seq, "sq8", metric, nlist)
+    val dataPath = vdir.resolve("data").toString
+    Sq8.encode(snapshot, field, model)
+      .repartition(col("_cid"))
+      .write.mode("overwrite").partitionBy("_cid").parquet(dataPath)
+    val meta: JObject =
+      ("metric" -> metric) ~ ("nlist" -> nlist) ~
+      ("centroids" -> model.ivf.centroids.toSeq.map(_.toSeq)) ~
+      ("mins" -> model.mins.toSeq) ~ ("maxs" -> model.maxs.toSeq)
+    vdir.resolve("sq8.json").writeBytes(
+      JsonMethods.compact(JsonMethods.render(meta)).getBytes)
+    commitPointer(dir, seq, "sq8", metric, nlist)
+    Sq8Build(model, dataPath, nlist, seq)
+  }
+
+  private def loadSq8(dir: StorePath, metric: String, nlist: Int,
+      seq: Long): Option[Sq8Build] =
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sq8" &&
+      p.metric == metric && p.nlist == nlist).map { _ =>
+      implicit val fmt: Formats = DefaultFormats
+      val vdir = versionDir(dir, seq, "sq8", metric, nlist)
+      val j = JsonMethods.parse(
+        new String(vdir.resolve("sq8.json").readBytes))
+      val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
+        .map(_.toArray).toArray
+      val mins = (j \ "mins").extract[Seq[Double]].toArray
+      val maxs = (j \ "maxs").extract[Seq[Double]].toArray
+      Sq8Build(Sq8.Model(Ivf.Model(cents, metric), mins, maxs),
+        vdir.resolve("data").toString, nlist, seq)
     }
 
   // ---- BM25 ---------------------------------------------------------------

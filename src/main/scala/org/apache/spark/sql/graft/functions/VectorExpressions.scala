@@ -417,3 +417,211 @@ case class LshSignature(child: Expression, planes: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): LshSignature =
     copy(child = newChild)
 }
+
+/** SQ8 scalar-quantization encode: byte `i` is the vector's dimension
+  * `i` affine-mapped into 0..255 against per-dimension training bounds
+  * (`code = round((x - min_i) * invScale_i)`, clamped). This is the
+  * encode step of the IVF_SQ8 index family (reference index type
+  * IVF_SQ8, 2.6/common.py:882-898): codes are 1/4 the float vector's
+  * bytes, so the candidate-generation scan reads 4x less data than
+  * FLAT while keeping ~0.4%-of-range per-dimension resolution
+  * (vs 1 bit for RaBitQ). The (mins, invScales) training state is
+  * expression state shared across rows (codegen reference objects),
+  * like [[LshSignature]]'s plane matrix.
+  *
+  * Out-of-bounds values (a vector inserted AFTER training whose
+  * coordinate escapes the trained range) clamp to the boundary code —
+  * the standard SQ8 saturation contract; the exact re-rank restores
+  * their true distances.
+  */
+case class Sq8Encode(child: Expression, mins: Array[Double],
+    invScales: Array[Double]) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  require(mins.length == invScales.length,
+    s"mins/invScales lengths differ (${mins.length} vs ${invScales.length})")
+
+  override def prettyName: String = "sq8_encode"
+  private def denseVec = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(denseVec)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  private def dim: Int = mins.length
+
+  private def elem(arr: ArrayData, i: Int): Double = child.dataType match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension $n != trained dimension $dim")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = math.rint((elem(x, i) - mins(i)) * invScales(i))
+      val c = if (q < 0.0) 0 else if (q > 255.0) 255 else q.toInt
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val invRef = ctx.addReferenceObj("sq8InvScales", invScales, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      val c = ctx.freshName("c")
+      val elemJ = child.dataType match {
+        case ArrayType(FloatType, _) => s"((double) $a.getFloat($i))"
+        case _ => s"$a.getDouble($i)"
+      }
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dim)
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dimension " + $n + " != trained dimension $dim");
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $q = java.lang.Math.rint(($elemJ - $minsRef[$i]) * $invRef[$i]);
+         |  int $c = $q < 0.0 ? 0 : ($q > 255.0 ? 255 : (int) $q);
+         |  $out[$i] = (byte) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** SQ8 asymmetric squared-L2 estimate (ADC): the query is pre-adjusted
+  * into code space (`qAdj_i = (q_i - min_i) / scale_i`, a per-QUERY
+  * array column — a broadcast-shipped value in batched search, a
+  * foldable literal for one query), so the per-row kernel is
+  * `sum(scaleSq_i * (qAdj_i - code_i)^2)` — one fused multiply-add
+  * loop over the byte code, no decode materialization. The per-INDEX
+  * `scaleSq` vector is expression state shared across rows (codegen
+  * reference object, like [[LshSignature]]'s planes). This is the
+  * estimate pass of the IVF_SQ8 search (graft.ann.Sq8): it reads ONLY
+  * the code column (4x narrower than the float vector), and the exact
+  * re-rank restores precision on the surviving candidates.
+  *
+  * Zero-span dimensions (max == min at train time) carry
+  * `scaleSq_i = 0` and contribute nothing — their true contribution
+  * `(q_i - min_i)^2` is the same for every row, so ranking is
+  * unaffected.
+  */
+case class Sq8AdcL2(left: Expression, right: Expression,
+    scaleSq: Array[Double]) extends BinaryExpression
+    with ImplicitCastInputTypes with Serializable {
+
+  override def prettyName: String = "sq8_adc_l2"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def dim: Int = scaleSq.length
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val q = b.asInstanceOf[ArrayData]
+    if (code.length != dim || q.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: code ${code.length} / query ${q.numElements()} " +
+          s"!= trained dimension $dim")
+    var s = 0.0
+    var i = 0
+    while (i < dim) {
+      val d = q.getDouble(i) - (code(i) & 0xff)
+      s += scaleSq(i) * d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("sq8ScaleSq", scaleSq, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.length != $dim || $b.numElements() != $dim)
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: code " + $a.length + " / query " + $b.numElements()
+         |      + " != trained dimension $dim");
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $d = $b.getDouble($i) - ($a[$i] & 0xff);
+         |  $s += $sRef[$i] * $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** SQ8 asymmetric inner-product estimate: `dot(q, decode(code))`
+  * algebraically refactored so the per-row kernel is a single weighted
+  * byte sum — `sum(weights_i * code_i)` with the per-QUERY weights
+  * `weights_i = q_i * scale_i` shipped as an array column; the
+  * query-side constant `sum(q_i * min_i)` is added by the caller as a
+  * plain column. Serves IP directly and COSINE when divided by the
+  * stored decoded norm (graft.ann.Sq8 persists it at encode time).
+  */
+case class Sq8AdcDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def prettyName: String = "sq8_adc_dot"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val w = b.asInstanceOf[ArrayData]
+    if (code.length != w.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: code length ${code.length} != weights ${w.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < code.length) {
+      s += w.getDouble(i) * (code(i) & 0xff)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.length != $b.numElements())
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: code length " + $a.length + " != weights "
+         |      + $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.length; $i++)
+         |  $s += $b.getDouble($i) * ($a[$i] & 0xff);
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
