@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
-import graft.ann.{Ivf, Lsh, RaBitQ, Sq8}
+import graft.ann.{BinIvf, Ivf, Lsh, RaBitQ, Sq8}
 import graft.dedup.Dedup
 import graft.operators.HybridSearch.{AnnSearchRequest, RrfRanker}
 import graft.operators.{HybridSearch, QueryIterator}
@@ -46,6 +46,22 @@ object SparkEntry {
     val r = tbl(s, dir, "embeddings").filter(col("vec_id") === id)
       .select("embedding").head()
     r.getSeq[Float](0)
+  }
+
+  /** Deterministic 4-byte BINARY_VECTOR derived from vec_id: Knuth
+    * multiplicative hash mod 2^32 — an odd constant, so the map is a
+    * bijection on 32-bit patterns (no two rows collide) and DuckDB can
+    * re-derive the exact bit pattern as an integer for a genuine
+    * independent Hamming oracle (`bit_count(xor(...))`).
+    */
+  private def binVecCol: Column =
+    unhex(lpad(hex(pmod(col("vec_id") * lit(2654435761L),
+      lit(4294967296L))), 8, "0"))
+
+  private def binBytesOf(id: Long): Array[Byte] = {
+    val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    Array(((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte)
   }
 
   private def queryDf(s: SparkSession, dir: String, ids: Seq[Int]): DataFrame =
@@ -792,6 +808,45 @@ object SparkEntry {
       val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
       val recall = Sq8.recallAtK(emb, enc, model, queries,
         "embedding", "vec_id", k = 10, nprobe = 4, refine = 4)
+      Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
+    },
+    // ---- V27: BIN_IVF_FLAT (binary-vector IVF, k-majority Hamming
+    // cells; reference index type BIN_IVF_FLAT, go_bench/config.yaml:8,
+    // workload.py:148) through the full collection route. The binary
+    // vectors are a bijective integer hash of vec_id, so DuckDB
+    // re-derives the exact bit patterns and `bit_count(xor(...))` is a
+    // GENUINE independent Hamming oracle; nprobe = nlist makes the
+    // routed path provably exact (any error in training, assignment,
+    // persistence, pruning, or the Hamming expression breaks it).
+    "v27_bin_ivf_exact" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-binivfx").toString)
+      val c = cat.createCollection(CollectionDef("binv", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("bvec", org.apache.spark.sql.types.BinaryType,
+          dim = Some(32)))))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), binVecCol.as("bvec")))
+      c.createIndex(s, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
+        Map("nlist" -> "8")))
+      CollectionSearch.searchBinary(s, c, "bvec", binBytesOf(7L), 10,
+        searchParams = Map("nprobe" -> "8"))
+        .select(col("vec_id"), col("score"))
+    },
+    // ---- V27 recall: the OPERATING point (half the cells probed) — a
+    // pinned deterministic value (seeded k-majority train). Hamming
+    // cells over hash-scrambled patterns are the quantizer's worst
+    // case, so this pins the floor, not a tuned showcase; exactness of
+    // the machinery is pinned by v27_bin_ivf_exact.
+    "v27_bin_ivf_recall" -> { (s, dir) =>
+      import s.implicits._
+      val data = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), binVecCol.as("bvec"))
+      val model = BinIvf.train(data, "bvec", k = 8, sampleSize = 2000)
+      val enc = BinIvf.assign(data, "bvec", model)
+      val queries = Seq(0L, 7L, 42L).map(id => id -> binBytesOf(id))
+      val recall = BinIvf.recallAtK(data, enc, model, queries,
+        "bvec", "vec_id", k = 10, nprobe = 4)
       Seq(Tuple1(math.rint(recall * 10000) / 10000)).toDF("recall")
     },
     // ---- A9: query-aggregation matrix (3.0 plan §2: count/min/max/
@@ -2416,6 +2471,22 @@ object SparkEntry {
       // codes — 1/4 of the vector bytes at scale — with a far tighter
       // estimator than RaBitQ's 1-bit signs, so refine stays small
       // without losing recall.
+      // Binary IVF build+search: k-majority train on a seeded sample,
+      // cell-partitioned persist-shape assignment, batched Hamming
+      // top-k over probed cells (4-byte codes; at scale the scan reads
+      // bit patterns, never floats).
+      "bench_bin_ivf_build_search" -> { (s, dir) =>
+        val data = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), binVecCol.as("bvec"))
+        val model = BinIvf.train(data, "bvec", k = 16, sampleSize = 2000)
+        val enc = BinIvf.assign(data, "bvec", model).cache()
+        val queries = (0 until 10).map(i => (i.toString, binBytesOf(i.toLong)))
+        val hits = BinIvf.search(enc, model, queries, "bvec", "vec_id",
+          k = 10, nprobe = 4).count()
+        enc.unpersist()
+        import s.implicits._
+        Seq(Tuple1(hits)).toDF("total_hits")
+      },
       "bench_sq8_build_search" -> { (s, dir) =>
         import s.implicits._
         val emb = tbl(s, dir, "embeddings")
@@ -2770,6 +2841,25 @@ object SparkEntry {
       // independently verified by v25_sq8_exact.
       "v25_sq8_recall" ->
         "SELECT CAST(0.7667 AS DOUBLE) AS recall",
+      // GENUINE independent oracle: DuckDB re-derives the bijective
+      // vec_id hash as an integer and ranks by bit_count(xor) — the
+      // exact Hamming distance of the 4-byte patterns the entry
+      // indexed; nprobe = nlist makes the routed BIN_IVF_FLAT path
+      // provably equal to this brute-force ranking.
+      "v27_bin_ivf_exact" ->
+        """SELECT vec_id,
+          |  CAST(bit_count(xor((vec_id * 2654435761) % 4294967296,
+          |                     (7 * 2654435761) % 4294967296)) AS BIGINT)
+          |    AS score
+          |FROM embeddings
+          |ORDER BY score, vec_id LIMIT 10""".stripMargin,
+      // DETERMINISM PIN (irreducible, same status as v1_ann_ivf_recall):
+      // BIN_IVF_FLAT recall at nprobe = nlist/2 over hash-scrambled
+      // patterns — the k-majority quantizer's worst case (no cluster
+      // structure), so this pins the floor. Exactness of the machinery
+      // is independently verified by v27_bin_ivf_exact.
+      "v27_bin_ivf_recall" ->
+        "SELECT CAST(0.8333 AS DOUBLE) AS recall",
       "a9_query_agg_matrix" ->
         """SELECT count(*) AS "count(*)",
           |  CAST(min(l_quantity) AS DOUBLE) AS min_q,

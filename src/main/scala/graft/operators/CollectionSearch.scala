@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ann.{Ivf, RaBitQ, SparseInverted, Sq8}
+import graft.ann.{BinIvf, Ivf, RaBitQ, SparseInverted, Sq8}
 import graft.expr.MilvusExpr
 import graft.store.{Collection, IndexStore}
 import graft.text.Bm25
@@ -53,7 +53,7 @@ object CollectionSearch {
     // budget (workload.py:141-147 maps per-type search params).
     val ivfDeclared = !rabitqDeclared && !sq8Declared && index.exists(ix =>
       ix.indexType.toUpperCase.startsWith("IVF") ||
-        Set("AUTOINDEX", "HNSW", "DISKANN")
+        Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
           .contains(ix.indexType.toUpperCase))
     // Random-hyperplane LSH declarations serve from the persisted
     // multi-table bucket layout: the probe predicate prunes (t, sig)
@@ -174,6 +174,49 @@ object CollectionSearch {
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, data))
       Knn.searchOneSparse(data, query, vecField, pk, k, pred)
+    }
+  }
+
+  /** Binary-vector search (BINARY_VECTOR field, Hamming metric). With
+    * a declared BIN_IVF_FLAT index (go_bench/config.yaml:8,
+    * workload.py:148 maps its nprobe) the scan prunes to the query's
+    * `nprobe` k-majority cells — directory-level pruning on the
+    * persisted `_cid` partitioning; with BIN_FLAT or no index, an
+    * exact brute-force Hamming scan (the reference's BIN_FLAT
+    * semantics).
+    */
+  def searchBinary(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryBytes: Array[Byte],
+      k: Int,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty): DataFrame = {
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val index = d.indexes.find(_.field == vecField)
+    val binIvfDeclared =
+      index.exists(_.indexType.toUpperCase == "BIN_IVF_FLAT")
+    if (binIvfDeclared) {
+      val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+        .getOrElse(16)
+      val nprobe = searchParams.get("nprobe").map(_.toInt).getOrElse(4)
+      val build = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
+      val assigned = spark.read.parquet(build.dataPath)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, assigned))
+      BinIvf.searchOne(assigned, build.model, queryBytes, vecField, pk, k,
+        nprobe, pred, outputFields)
+    } else {
+      val data = coll.read(spark)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, data))
+      Knn.searchOneBinary(data, queryBytes, vecField, pk, k, pred,
+        outputFields)
     }
   }
 

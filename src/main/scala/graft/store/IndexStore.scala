@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.{Ivf, Lsh, RaBitQ, SparseInverted, Sq8}
+import graft.ann.{BinIvf, Ivf, Lsh, RaBitQ, SparseInverted, Sq8}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -67,6 +67,12 @@ object IndexStore {
 
   private val sq8Cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Int, Long), Sq8Build]()
+
+  final case class BinIvfBuild(model: BinIvf.Model, dataPath: String,
+      nlist: Int, builtSeq: Long)
+
+  private val binIvfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Long), BinIvfBuild]()
 
   final case class SparseBuild(postingsPath: String, numBuckets: Int,
       builtSeq: Long)
@@ -154,6 +160,23 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadSq8(dir, metric, nlist, seq).getOrElse(
         buildSq8(spark, dir, coll, field, metric, nlist, seq))
+    })
+  }
+
+  /** Ensure a fresh persisted BIN_IVF_FLAT (binary-vector IVF,
+    * k-majority cells) index — the [[ensureIvf]] lifecycle over
+    * Hamming geometry.
+    */
+  def ensureBinIvf(spark: SparkSession, coll: Collection,
+      field: String, nlist: Int): BinIvfBuild = {
+    val seq = coll.committedSeq
+    val key = (coll.name, field, nlist, seq)
+    binIvfCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._4 != seq)
+    binIvfCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      loadBinIvf(dir, nlist, seq).getOrElse(
+        buildBinIvf(spark, dir, coll, field, nlist, seq))
     })
   }
 
@@ -417,6 +440,9 @@ object IndexStore {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureSq8(spark, coll, ix.field,
         ix.metricType.getOrElse("COSINE"), nlist): Unit
+    } else if (t == "BIN_IVF_FLAT") {
+      val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
+      ensureBinIvf(spark, coll, ix.field, nlist): Unit
     } else if (t.startsWith("IVF") || t == "AUTOINDEX") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureIvf(spark, coll, ix.field,
@@ -451,6 +477,7 @@ object IndexStore {
     ivfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     rabitqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     sq8Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    binIvfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
@@ -578,6 +605,43 @@ object IndexStore {
       val maxs = (j \ "maxs").extract[Seq[Double]].toArray
       Sq8Build(Sq8.Model(Ivf.Model(cents, metric), mins, maxs),
         vdir.resolve("data").toString, nlist, seq)
+    }
+
+  // ---- BIN_IVF_FLAT -------------------------------------------------------
+
+  private def buildBinIvf(spark: SparkSession, dir: StorePath,
+      coll: Collection, field: String, nlist: Int,
+      seq: Long): BinIvfBuild = {
+    // Null vectors are not indexed (see buildIvf).
+    val snapshot = coll.read(spark).filter(col(field).isNotNull)
+    val model = BinIvf.train(snapshot, field, k = nlist)
+    val vdir = versionDir(dir, seq, "binivf", "HAMMING", nlist)
+    val dataPath = vdir.resolve("data").toString
+    BinIvf.assign(snapshot, field, model)
+      .repartition(col(BinIvf.CID))
+      .write.mode("overwrite").partitionBy(BinIvf.CID).parquet(dataPath)
+    val meta: JObject = ("nlist" -> nlist) ~
+      ("centroids" -> model.centroids.toSeq.map(c =>
+        c.map(b => f"${b & 0xff}%02x").mkString))
+    vdir.resolve("binivf.json").writeBytes(
+      JsonMethods.compact(JsonMethods.render(meta)).getBytes)
+    commitPointer(dir, seq, "binivf", "HAMMING", nlist)
+    BinIvfBuild(model, dataPath, nlist, seq)
+  }
+
+  private def loadBinIvf(dir: StorePath, nlist: Int,
+      seq: Long): Option[BinIvfBuild] =
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "binivf" &&
+      p.nlist == nlist).map { _ =>
+      implicit val fmt: Formats = DefaultFormats
+      val vdir = versionDir(dir, seq, "binivf", "HAMMING", nlist)
+      val j = JsonMethods.parse(
+        new String(vdir.resolve("binivf.json").readBytes))
+      val cents = (j \ "centroids").extract[Seq[String]].map { hexStr =>
+        hexStr.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+      }.toArray
+      BinIvfBuild(BinIvf.Model(cents), vdir.resolve("data").toString,
+        nlist, seq)
     }
 
   // ---- BM25 ---------------------------------------------------------------
