@@ -1335,6 +1335,28 @@ object SparkEntry {
       c.createIndex(s, IndexDef("vec", "SPARSE_INVERTED_INDEX"))
       CollectionSearch.searchSparse(s, c, "vec", Map(1 -> 1.0, 9 -> 2.0), 3)
     },
+    // ---- V26: SPARSE_WAND through the collection route
+    // (workload.py:151): same persisted postings as V16 plus per-dim
+    // impact stats; the skewed fixture (rare high-impact dim 9, common
+    // low-impact dim 1) makes the max-score prune ENGAGE — candidates
+    // come from dim 9 only, dim 1's postings are aggregated just for
+    // them — and the result must still equal the exact hand-derived
+    // inner products. ------------------------------------------------
+    "v26_sparse_wand" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-spwand").toString)
+      val c = cat.createCollection(CollectionDef("spw", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("vec", MapType(IntegerType, DoubleType)))))
+      val tail = (100L until 150L).map(i => (i, Map(1 -> 0.1)))
+      c.insert(s, (Seq(
+        (1L, Map(9 -> 7.0)), (2L, Map(9 -> 6.0)), (3L, Map(9 -> 5.0)),
+        (4L, Map(1 -> 0.5, 9 -> 1.0)), (5L, Map(1 -> 0.2))) ++ tail)
+        .toDF("id", "vec"))
+      c.createIndex(s, IndexDef("vec", "SPARSE_WAND"))
+      CollectionSearch.searchSparse(s, c, "vec", Map(1 -> 1.0, 9 -> 2.0), 3)
+    },
     // ---- V17: StructArray / EmbeddingList element-level search (3.0
     // plan feature-inventory §1): documents become entities whose
     // `elems` StructArray holds 5 (elem_id, tag, embedding) structs;
@@ -2250,6 +2272,57 @@ object SparkEntry {
       out
     })
 
+  private val sparseBenchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Scale-proportional sparse corpus with the impact skew WAND exists
+    * for: 32 docs per embeddings row, 8 nnz each; slot j draws its
+    * dimension from a 2^(j+1)-wide band (slot 0 = stopword-common,
+    * slot 7 = rare) and the rare bands carry ~50x higher values.
+    * Returns persisted (postings, dimstats) paths, built once per sf.
+    */
+  private def sparseBenchTable(s: SparkSession, dir: String): (String, String) =
+    sparseBenchCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-spbench")
+      val postingsOut = base.resolve("postings").toString
+      val statsOut = base.resolve("dimstats").toString
+      val slots = sequence(lit(0), lit(7))
+      val docs = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(31))).as("variant"))
+        .select((col("vec_id") * 32 + col("variant")).as("doc_id"))
+        .select(col("doc_id"), map_from_arrays(
+          transform(slots, j =>
+            (j * 1000 + pmod(hash(col("doc_id"), j),
+              pow(lit(2.0), j + 1).cast("int"))).cast("int")),
+          transform(slots, j =>
+            when(j >= 6,
+              lit(1.0) + pmod(hash(col("doc_id"), j, lit(1)), lit(700)) / 100.0)
+              .otherwise(
+                lit(0.05) +
+                  pmod(hash(col("doc_id"), j, lit(1)), lit(10)) / 100.0)))
+          .as("vec"))
+      val postings = graft.ann.SparseInverted
+        .postings(docs, "vec", "doc_id", numBuckets = 32)
+      postings.repartition(col(graft.ann.SparseInverted.BUCKET))
+        .write.mode("overwrite")
+        .partitionBy(graft.ann.SparseInverted.BUCKET).parquet(postingsOut)
+      graft.ann.SparseInverted.dimStats(s.read.parquet(postingsOut))
+        .coalesce(1).write.mode("overwrite").parquet(statsOut)
+      (postingsOut, statsOut)
+    })
+
+  /** The bench query mix: one stopword-common low-weight dim plus three
+    * rare high-impact dims — the shape where max-score pruning shrinks
+    * the aggregation from every-common-dim doc to a few hundred
+    * candidates.
+    */
+  private def sparseBenchQueries: Seq[(String, Map[Int, Double])] =
+    (0 until 10).map { q =>
+      q.toString -> Map(q % 2 -> 1.0, 7000 + (q * 13 % 256) -> 2.0,
+        6000 + (q * 7 % 128) -> 1.5, 5000 + (q * 3 % 64) -> 1.2)
+    }
+
   /** Bench-only workloads (not part of the correctness contract): the
     * reference's performance shapes at scale — topk sweep
     * (go_bench/search_horizon_perf_3.go:855: 100/500/1000/15000),
@@ -2342,6 +2415,34 @@ object SparkEntry {
           ElementSearch.searchElements(nested, "elems", "embedding",
             "doc_id", vecOf(s, dir, q), "L2", 100).count()
         }.sum
+        Seq(Tuple1(total)).toDF("total_hits")
+      },
+      // Sparse top-k pair: the SAME nq-batch over the same persisted
+      // postings — the plain inverted path aggregates EVERY (query,
+      // document) pair sharing a dimension (the stopword dim drags in
+      // half the corpus per query); the WAND path generates candidates
+      // from the rare high-impact dims only and aggregates the
+      // low-impact postings just for them. The delta is the max-score
+      // prune's shuffle shrinkage.
+      "bench_sparse_plain" -> { (s, dir) =>
+        import s.implicits._
+        val (postingsPath, _) = sparseBenchTable(s, dir)
+        val postings = s.read.parquet(postingsPath)
+        val total = graft.ann.SparseInverted
+          .searchBatch(postings, sparseBenchQueries, "doc_id", 100, 32)
+          .count()
+        Seq(Tuple1(total)).toDF("total_hits")
+      },
+      "bench_sparse_wand" -> { (s, dir) =>
+        import s.implicits._
+        val (postingsPath, statsPath) = sparseBenchTable(s, dir)
+        val postings = s.read.parquet(postingsPath)
+        val stats = graft.ann.SparseInverted
+          .collectDimStats(s.read.parquet(statsPath))
+        val total = graft.ann.SparseInverted
+          .searchWandBatch(postings, stats, sparseBenchQueries,
+            "doc_id", 100, 32)
+          .count()
         Seq(Tuple1(total)).toDF("total_hits")
       },
       "bench_scalar_query" -> { (s, dir) =>
@@ -2677,6 +2778,15 @@ object SparkEntry {
           |  (CAST(3 AS BIGINT), CAST(14.0 AS DOUBLE)),
           |  (CAST(2 AS BIGINT), CAST(4.0 AS DOUBLE)),
           |  (CAST(4 AS BIGINT), CAST(3.0 AS DOUBLE))
+          |) t(id, score) ORDER BY score DESC, id""".stripMargin,
+      // Hand-derived exact inner products (q = {1:1.0, 9:2.0}): doc1
+      // 2*7=14, doc2 2*6=12, doc3 2*5=10 — the WAND-pruned path must
+      // reproduce the exact ranking bit-for-bit.
+      "v26_sparse_wand" ->
+        """SELECT id, score FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(14.0 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(12.0 AS DOUBLE)),
+          |  (CAST(3 AS BIGINT), CAST(10.0 AS DOUBLE))
           |) t(id, score) ORDER BY score DESC, id""".stripMargin,
       // Element search re-derived from the SAME flat table the entry
       // nested: element identity (doc_id = vec_id // 5, position ==

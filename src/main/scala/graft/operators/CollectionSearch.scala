@@ -154,12 +154,12 @@ object CollectionSearch {
       searchParams: Map[String, String] = Map.empty): DataFrame = {
     val d = coll.definition
     val pk = d.primaryField.name
-    val declared = d.indexes.exists(ix => ix.field == vecField &&
+    val sparseIx = d.indexes.find(ix => ix.field == vecField &&
       Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
         .contains(ix.indexType.toUpperCase))
-    if (declared) {
-      val buckets = d.indexes.find(_.field == vecField)
-        .flatMap(_.params.get("buckets")).map(_.toInt).getOrElse(64)
+    if (sparseIx.isDefined) {
+      val buckets = sparseIx.flatMap(_.params.get("buckets"))
+        .map(_.toInt).getOrElse(64)
       val build = IndexStore.ensureSparse(spark, coll, vecField, buckets)
       val postings = spark.read.parquet(build.postingsPath)
       // Filters over non-pk columns need the doc row, not the posting;
@@ -167,7 +167,17 @@ object CollectionSearch {
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, postings))
-      SparseInverted.search(postings, query, pk, k, build.numBuckets, pred)
+      if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND")) {
+        // Max-score/WAND pruning from the persisted per-dim impact
+        // stats (collected once per build, cached driver-side) —
+        // exact, with automatic fallback when the bounds cannot
+        // exclude anything (SparseInverted.searchWand doc).
+        val stats = IndexStore.sparseDimStats(spark, build)
+        SparseInverted.searchWand(postings, stats, query, pk, k,
+          build.numBuckets, pred).df
+      } else {
+        SparseInverted.search(postings, query, pk, k, build.numBuckets, pred)
+      }
     } else {
       val data = coll.read(spark)
       val pred =

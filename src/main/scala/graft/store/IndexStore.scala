@@ -75,7 +75,19 @@ object IndexStore {
     (String, String, Int, Long), BinIvfBuild]()
 
   final case class SparseBuild(postingsPath: String, numBuckets: Int,
-      builtSeq: Long)
+      builtSeq: Long, dimStatsPath: String)
+
+  private val dimStatsMapCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[Int, (Double, Double)]]()
+
+  /** The build's WAND impact stats, collected once per build version
+    * and held driver-side like IVF centroids (the path is versioned,
+    * so DML invalidation comes free with the new build).
+    */
+  def sparseDimStats(spark: SparkSession,
+      build: SparseBuild): Map[Int, (Double, Double)] =
+    dimStatsMapCache.computeIfAbsent(build.dimStatsPath, p =>
+      SparseInverted.collectDimStats(spark.read.parquet(p)))
 
   private val sparseCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int, Long), SparseBuild]()
@@ -196,12 +208,19 @@ object IndexStore {
         val pk = coll.definition.primaryField.name
         val vdir = versionDir(dir, seq, "sparse", "IP", numBuckets)
         val postingsPath = vdir.resolve("postings").toString
-        SparseInverted.postings(coll.read(spark), field, pk, numBuckets)
+        val statsPath = vdir.resolve("dimstats").toString
+        val postings = SparseInverted
+          .postings(coll.read(spark), field, pk, numBuckets)
+        postings
           .repartition(col(SparseInverted.BUCKET))
           .write.mode("overwrite")
           .partitionBy(SparseInverted.BUCKET).parquet(postingsPath)
+        // WAND impact stats: one row per distinct dimension, read back
+        // pruned to the query's dims (SPARSE_WAND, workload.py:151).
+        SparseInverted.dimStats(spark.read.parquet(postingsPath))
+          .coalesce(1).write.mode("overwrite").parquet(statsPath)
         commitPointer(dir, seq, "sparse", "IP", numBuckets)
-        SparseBuild(postingsPath, numBuckets, seq)
+        SparseBuild(postingsPath, numBuckets, seq, statsPath)
       }
     })
   }
@@ -210,8 +229,9 @@ object IndexStore {
       seq: Long): Option[SparseBuild] =
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sparse" &&
       p.nlist == numBuckets).map { _ =>
-      SparseBuild(versionDir(dir, seq, "sparse", "IP", numBuckets)
-        .resolve("postings").toString, numBuckets, seq)
+      val vdir = versionDir(dir, seq, "sparse", "IP", numBuckets)
+      SparseBuild(vdir.resolve("postings").toString, numBuckets, seq,
+        vdir.resolve("dimstats").toString)
     }
 
   def ensureBm25(spark: SparkSession, coll: Collection,
