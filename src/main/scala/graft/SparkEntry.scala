@@ -2318,7 +2318,7 @@ object SparkEntry {
     * candidates.
     */
   private def sparseBenchQueries: Seq[(String, Map[Int, Double])] =
-    (0 until 10).map { q =>
+    (0 until 64).map { q =>
       q.toString -> Map(q % 2 -> 1.0, 7000 + (q * 13 % 256) -> 2.0,
         6000 + (q * 7 % 128) -> 1.5, 5000 + (q * 3 % 64) -> 1.2)
     }
