@@ -1357,6 +1357,29 @@ object SparkEntry {
       c.createIndex(s, IndexDef("vec", "SPARSE_WAND"))
       CollectionSearch.searchSparse(s, c, "vec", Map(1 -> 1.0, 9 -> 2.0), 3)
     },
+    // ---- V28: batched nq sparse search through the collection route
+    // (the client's search(data=[...]) shape, common/workload.py:213-
+    // 229): one job answers both queries over the same persisted WAND
+    // postings — query "a" prunes (skewed impacts), query "b" is
+    // single-dim and takes the guard fallback — and the union must
+    // reproduce the exact per-query inner products. ------------------
+    "v28_sparse_batch" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-spbatch").toString)
+      val c = cat.createCollection(CollectionDef("spb", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("vec", MapType(IntegerType, DoubleType)))))
+      val tail = (100L until 150L).map(i => (i, Map(1 -> 0.1)))
+      c.insert(s, (Seq(
+        (1L, Map(9 -> 7.0)), (2L, Map(9 -> 6.0)), (3L, Map(9 -> 5.0)),
+        (4L, Map(1 -> 0.5, 9 -> 1.0)), (5L, Map(1 -> 0.2))) ++ tail)
+        .toDF("id", "vec"))
+      c.createIndex(s, IndexDef("vec", "SPARSE_WAND"))
+      CollectionSearch.searchSparseBatch(s, c, "vec", Seq(
+        "a" -> Map(1 -> 1.0, 9 -> 2.0), "b" -> Map(1 -> 10.0)), 2)
+        .orderBy(col("qid"), col("score").desc, col("id"))
+    },
     // ---- V17: StructArray / EmbeddingList element-level search (3.0
     // plan feature-inventory §1): documents become entities whose
     // `elems` StructArray holds 5 (elem_id, tag, embedding) structs;
@@ -2788,6 +2811,15 @@ object SparkEntry {
           |  (CAST(2 AS BIGINT), CAST(12.0 AS DOUBLE)),
           |  (CAST(3 AS BIGINT), CAST(10.0 AS DOUBLE))
           |) t(id, score) ORDER BY score DESC, id""".stripMargin,
+      // Hand-derived per-query exact top-2: query a = {1:1.0, 9:2.0}
+      // (doc1 14, doc2 12), query b = {1:10.0} (doc4 5.0, doc5 2.0).
+      "v28_sparse_batch" ->
+        """SELECT qid, id, score FROM (VALUES
+          |  ('a', CAST(1 AS BIGINT), CAST(14.0 AS DOUBLE)),
+          |  ('a', CAST(2 AS BIGINT), CAST(12.0 AS DOUBLE)),
+          |  ('b', CAST(4 AS BIGINT), CAST(5.0 AS DOUBLE)),
+          |  ('b', CAST(5 AS BIGINT), CAST(2.0 AS DOUBLE))
+          |) t(qid, id, score) ORDER BY qid, score DESC, id""".stripMargin,
       // Element search re-derived from the SAME flat table the entry
       // nested: element identity (doc_id = vec_id // 5, position ==
       // elem_id order within doc), element filter tag = vec_id % 3.

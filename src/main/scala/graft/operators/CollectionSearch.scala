@@ -187,6 +187,60 @@ object CollectionSearch {
     }
   }
 
+  /** Batched sparse search — the client's nq>1 shape (reference
+    * clients batch `search(data=[...])`, common/workload.py:213-229)
+    * as ONE Spark job instead of nq sequential ones. Routing mirrors
+    * [[searchSparse]]: SPARSE_WAND → batched max-score prune over the
+    * persisted postings + impact stats; SPARSE_INVERTED_INDEX → one
+    * bucket-pruned aggregation over the union of the queries'
+    * dimensions; no declared index → the same batch plan over
+    * transient (unpersisted) postings exploded from the live rows.
+    * Returns (qid, pk, score); like the single-query index path, a
+    * document sharing no dimension with a query scores 0 and is never
+    * returned for that query.
+    */
+  def searchSparseBatch(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queries: Seq[(String, Map[Int, Double])],
+      k: Int,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty): DataFrame = {
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val sparseIx = d.indexes.find(ix => ix.field == vecField &&
+      Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+        .contains(ix.indexType.toUpperCase))
+    if (sparseIx.isDefined) {
+      val buckets = sparseIx.flatMap(_.params.get("buckets"))
+        .map(_.toInt).getOrElse(64)
+      val build = IndexStore.ensureSparse(spark, coll, vecField, buckets)
+      val postings = spark.read.parquet(build.postingsPath)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, postings))
+      if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND")) {
+        val stats = IndexStore.sparseDimStats(spark, build)
+        SparseInverted.searchWandBatch(postings, stats, queries, pk, k,
+          build.numBuckets, pred)
+      } else {
+        SparseInverted.searchBatch(postings, queries, pk, k,
+          build.numBuckets, pred)
+      }
+    } else {
+      // No declared index: explode the live rows into transient
+      // postings for this one job — same plan shape, no persist.
+      val buckets = 64
+      val postings =
+        SparseInverted.postings(coll.read(spark), vecField, pk, buckets)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, postings))
+      SparseInverted.searchBatch(postings, queries, pk, k, buckets, pred)
+    }
+  }
+
   /** Binary-vector search (BINARY_VECTOR field, Hamming metric). With
     * a declared BIN_IVF_FLAT index (go_bench/config.yaml:8,
     * workload.py:148 maps its nprobe) the scan prunes to the query's

@@ -208,6 +208,44 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(wand.nonEmpty && wand.head.getLong(0) == 7L)
   }
 
+  test("batched sparse search matches per-query results on every route") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-spb").toString)
+    val rows = (0L until 120L).map { i =>
+      (i, (0 until 6).map(j => ((i * 31 + j * 113) % 300).toInt ->
+        ((i + j) % 9 + 1).toDouble).toMap)
+    }
+    val queries = Seq("qA" -> rows(3)._2, "qB" -> rows(77)._2,
+      "qC" -> Map(9999 -> 1.0)) // qC overlaps nothing → zero rows
+    def mk(name: String, ixType: Option[String]): Collection = {
+      val c = cat.createCollection(CollectionDef(name, Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("vec", MapType(IntegerType, DoubleType)))))
+      c.insert(s, rows.toDF("id", "vec"))
+      ixType.foreach(t => c.createIndex(s, IndexDef("vec", t)))
+      c
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, -x._3, x._2)).toSeq
+    for (ix <- Seq(Some("SPARSE_WAND"), Some("SPARSE_INVERTED_INDEX"),
+        None)) {
+      val c = mk(s"spb_${ix.map(_.toLowerCase).getOrElse("none")}", ix)
+      val batch = norm(
+        CollectionSearch.searchSparseBatch(s, c, "vec", queries, 4))
+      // reference: the single-query route per qid (overlap-only docs)
+      val single = queries.flatMap { case (qid, q) =>
+        CollectionSearch.searchSparse(s, c, "vec", q, 4).collect()
+          .filter(_.getDouble(1) > 0)
+          .map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.sortBy(x => (x._1, -x._3, x._2))
+      assert(batch == single, s"route $ix")
+      assert(!batch.exists(_._1 == "qC"), s"route $ix returned " +
+        "rows for a query sharing no dimension")
+    }
+  }
+
   test("RTREE declaration builds a grid geo index: bbox cells prune " +
       "partitions, results equal the full-scan predicate, DML-fresh") {
     val s = spark
