@@ -232,10 +232,37 @@ object SparseInverted {
     * that contain its dimension, partial-aggregated per (qid, doc) and
     * window-limited per qid. Returns (qid, idCol, score).
     */
+  /** Per-qid top-`limit` with the same two-level salted pre-prune the
+    * dense batch uses (Knn.search): below the threshold a single
+    * rank-limit window suffices (Spark's InferWindowGroupLimit already
+    * bounds each map partition to `limit` rows per qid before the
+    * shuffle); at the reference's large-k design point the final
+    * reducer would still absorb tasks x limit rows per qid, so a
+    * (qid, salt) pre-prune caps it at fanout x limit. Output keeps the
+    * final `_r` rank column.
+    */
+  private def limitPerQid(df: DataFrame, idCol: String, rankOf: String,
+      limit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(rankOf).desc, col(idCol).asc)
+    val pre =
+      if (limit < graft.operators.Knn.twoLevelThreshold) df
+      else {
+        val w1 = Window.partitionBy(col("qid"), col("_salt"))
+          .orderBy(ord: _*)
+        df.withColumn("_salt",
+            spark_partition_id() % graft.operators.Knn.twoLevelFanout)
+          .withColumn("_r1", row_number().over(w1))
+          .filter(col("_r1") <= limit)
+          .drop("_salt", "_r1")
+      }
+    val w = Window.partitionBy("qid").orderBy(ord: _*)
+    pre.withColumn("_r", row_number().over(w)).filter(col("_r") <= limit)
+  }
+
   def searchBatch(postingsDf: DataFrame,
       queries: Seq[(String, Map[Int, Double])], idCol: String, k: Int,
       numBuckets: Int, filter: Option[Column] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = postingsDf.sparkSession
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
@@ -248,14 +275,11 @@ object SparseInverted {
     val pruned0 = postingsDf
       .filter(col(BUCKET).isin(buckets: _*) && col(DIM).isin(dims: _*))
     val pruned = filter.foldLeft(pruned0)(_ filter _)
-    val w = Window.partitionBy("qid")
-      .orderBy(col("score").desc, col(idCol).asc)
-    pruned
+    val scored = pruned
       .join(broadcast(weights), col(DIM) === col("_qdim"))
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col(VAL) * col("_qval")).as("score"))
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= k)
+    limitPerQid(scored, idCol, "score", k)
       .select(col("qid"), col(idCol), col("score"))
   }
 
@@ -270,7 +294,6 @@ object SparseInverted {
       queries: Seq[(String, Map[Int, Double])], idCol: String, k: Int,
       numBuckets: Int, filter: Option[Column] = None,
       restRatio: Double = 0.3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = postingsDf.sparkSession
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
@@ -293,14 +316,10 @@ object SparseInverted {
       val ePruned0 = postingsDf
         .filter(col(BUCKET).isin(eBuckets: _*) && col(DIM).isin(eDims: _*))
       val ePruned = filter.foldLeft(ePruned0)(_ filter _)
-      val wPart = Window.partitionBy("qid")
-        .orderBy(col("_se").desc, col(idCol).asc)
-      val partials = ePruned
+      val partials = limitPerQid(ePruned
         .join(broadcast(eWeights), col(DIM) === col("_qdim"))
         .groupBy(col("qid"), col(idCol))
-        .agg(sum(col(VAL) * col("_qval")).as("_se"))
-        .withColumn("_r", row_number().over(wPart))
-        .filter(col("_r") <= m)
+        .agg(sum(col(VAL) * col("_qval")).as("_se")), idCol, "_se", m)
         .collect()
         .groupBy(_.getString(0))
       // Driver: θ / cutoff / candidates per query (same guards as the
@@ -338,16 +357,12 @@ object SparseInverted {
         val pruned0 = postingsDf
           .filter(col(BUCKET).isin(buckets: _*) && col(DIM).isin(dims: _*))
         val pruned = filter.foldLeft(pruned0)(_ filter _)
-        val wTop = Window.partitionBy("qid")
-          .orderBy(col("score").desc, col(idCol).asc)
-        Some(pruned
+        Some(limitPerQid(pruned
           .join(broadcast(cand), col(idCol) === col("_cand_id"))
           .join(broadcast(weights),
             col("qid") === col("_wqid") && col(DIM) === col("_qdim"))
           .groupBy(col("qid"), col(idCol))
-          .agg(sum(col(VAL) * col("_qval")).as("score"))
-          .withColumn("_r", row_number().over(wTop))
-          .filter(col("_r") <= k)
+          .agg(sum(col(VAL) * col("_qval")).as("score")), idCol, "score", k)
           .select(col("qid"), col(idCol), col("score")))
       }
     }

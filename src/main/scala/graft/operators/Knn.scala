@@ -82,8 +82,8 @@ object Knn {
   }
 
   /** k at which batched search switches to the two-level merge. */
-  private[operators] val twoLevelThreshold = 1000
-  private[operators] val twoLevelFanout = 32
+  private[graft] val twoLevelThreshold = 1000
+  private[graft] val twoLevelFanout = 32
 
   /** Group-by search (reference `group_by_field`,
     * milvus_client/issues.py:79-86): keep each group's best hit, then

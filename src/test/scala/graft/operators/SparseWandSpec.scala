@@ -114,6 +114,21 @@ class SparseWandSpec extends SparkSpec {
     assert(viaWandBatch == viaSingle)
   }
 
+  test("batch plan: salted per-qid pre-prune at k>=1000, absent at k=10") {
+    val (postings, _) = build(corpus)
+    def planFor(k: Int): String =
+      SparseInverted.searchBatch(postings,
+        Seq("q" -> Map(1 -> 1.0, 9 -> 2.0)), "id", k, 8)
+        .queryExecution.executedPlan.toString
+    def windows(plan: String): Int = "Window \\[".r.findAllIn(plan).length
+    val big = planFor(1200)
+    assert(windows(big) == 2 && big.contains("_salt"),
+      s"k=1200 should pre-prune per (qid, salt) then merge:\n$big")
+    val small = planFor(10)
+    assert(windows(small) == 1 && !small.contains("_salt"),
+      s"k=10 must stay a single-window plan:\n$small")
+  }
+
   test("guards fall back to the exact path without losing results") {
     val s = spark
     import s.implicits._
