@@ -154,7 +154,6 @@ object BinIvf {
       queries: Seq[(String, Array[Byte])], vecCol: String, idCol: String,
       k: Int, nprobe: Int, filter: Option[Column] = None,
       outputCols: Seq[String] = Seq.empty): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = assigned.sparkSession
     import spark.implicits._
     val probes = queries.map { case (qid, qv) =>
@@ -171,9 +170,7 @@ object BinIvf {
       .select((col("qid") +: cols) :+
         Functions.hammingDistance(col(vecCol), col("_qbytes"))
           .as("score"): _*)
-    val w = Window.partitionBy("qid").orderBy(col("score").asc,
-      col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Knn.limitPerQid(scored, "qid", Seq(col("score").asc, col(idCol).asc), k)
   }
 
   /** Recall@k vs exact brute force over a query set — batched (ONE
@@ -183,17 +180,16 @@ object BinIvf {
   def recallAtK(data: DataFrame, assigned: DataFrame, model: Model,
       queries: Seq[(Long, Array[Byte])], vecCol: String, idCol: String,
       k: Int, nprobe: Int): Double = {
-    import org.apache.spark.sql.expressions.Window
     val spark = data.sparkSession
     import spark.implicits._
     val qdf = queries.map { case (qid, qb) => (qid.toString, qb) }
       .toDF("qid", "_qbytes")
-    val w = Window.partitionBy("qid").orderBy(col("score").asc,
-      col(idCol).asc)
-    val exact = data.crossJoin(broadcast(qdf))
-      .select(col("qid"), col(idCol),
-        Functions.hammingDistance(col(vecCol), col("_qbytes")).as("score"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val exact = Knn.limitPerQid(
+        data.crossJoin(broadcast(qdf))
+          .select(col("qid"), col(idCol),
+            Functions.hammingDistance(col(vecCol), col("_qbytes"))
+              .as("score")),
+        "qid", Seq(col("score").asc, col(idCol).asc), k)
       .select(col("qid"), col(idCol)).distinct()
     val approx = search(assigned, model,
       queries.map { case (qid, qb) => (qid.toString, qb) },

@@ -138,7 +138,6 @@ object Ivf {
     */
   def selfJoin(df: DataFrame, model: Model, vecCol: String, idCol: String,
       k: Int, nprobe: Int, includeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = assign(df, vecCol, model)
     val queries = df
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
@@ -153,8 +152,7 @@ object Ivf {
     val scored =
       if (includeSelf) scored0 else scored0.filter(col("qid") =!= col(idCol))
     val primary = if (similarityLike) col("score").desc else col("score").asc
-    val w = Window.partitionBy("qid").orderBy(primary, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Knn.limitPerQid(scored, "qid", Seq(primary, col(idCol).asc), k)
   }
 
   /** ANN top-k for one query: probe `nprobe` cells, exact re-rank
@@ -184,7 +182,6 @@ object Ivf {
       filter: Option[Column] = None,
       outputCols: Seq[String] = Seq.empty,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = assigned.sparkSession
     import spark.implicits._
     // nq is small (the reference's batch shape): probe cells computed
@@ -209,9 +206,7 @@ object Ivf {
       .filter(array_contains(col("_probes"), col("_cid")))
       .select((col("_qid_str").as(qidCol) +: cols) :+ score.as("score"): _*)
     val primary = if (similarityLike) col("score").desc else col("score").asc
-    val w = Window.partitionBy(qidCol).orderBy(primary, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Knn.limitPerQid(scored, qidCol, Seq(primary, col(idCol).asc), k)
   }
 
   /** Recall@k of the ANN path against exact brute force, averaged over

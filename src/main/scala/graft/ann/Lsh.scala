@@ -1,7 +1,6 @@
 package graft.ann
 
 import graft.Functions
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -143,9 +142,8 @@ object Lsh {
       .filter(guard)
       .select((col("_qid_str").as(qidCol) +: cols) :+ score.as("score"): _*)
     val primary = if (similarityLike) col("score").desc else col("score").asc
-    val w = Window.partitionBy(qidCol).orderBy(primary, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.operators.Knn.limitPerQid(scored, qidCol,
+      Seq(primary, col(idCol).asc), k)
   }
 
   /** Single-query search over the persisted [[explodeTables]] layout:

@@ -1,7 +1,6 @@
 package graft.ann
 
 import graft.Functions
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -104,29 +103,29 @@ object RaBitQ {
         estimate(Functions.hammingDistance(col(CODE), col("_qcode")), dim,
           col("_qnorm"), col(RNORM)).as("_est"))
     val r = math.max(k * refine, k)
-    val wEst = Window.partitionBy("qid").orderBy(col("_est").asc, col(idCol).asc)
-    val cand = est.withColumn("_r", row_number().over(wEst))
-      .filter(col("_r") <= r)
+    val cand = graft.operators.Knn
+      .limitPerQid(est, "qid", Seq(col("_est").asc, col(idCol).asc), r, "_r")
       .select(col("qid"), col(idCol).as("_cand_id"))
     // Phase 2 — exact re-rank of the candidates only: broadcast the
     // (qid, id) candidate list, point-fetch the vectors, score exactly.
+    // The user filter is NOT re-applied here: every candidate already
+    // passed it in phase 1, and the semi-join on (qid, id) fixes
+    // membership — re-evaluating a possibly-expensive predicate on the
+    // point-fetch scan would buy nothing.
     val qvecs = queries.map { case (qid, qv) => (qid, qv.toSeq) }
       .toDF("qid", "_qvec")
     val fetchCols = (Seq(idCol, vecCol) ++ outputCols).distinct.map(col)
-    val fetched = filter.foldLeft(
-        encoded.filter(col(CID).isin(allCells: _*)))(_ filter _)
+    val fetched = encoded.filter(col(CID).isin(allCells: _*))
       .select(fetchCols: _*)
       .join(broadcast(cand), col(idCol) === col("_cand_id"))
       .join(broadcast(qvecs), "qid")
     val (score, similarityLike) = Functions.metricFor(
       metric, encoded.schema(vecCol).dataType, col(vecCol), col("_qvec"))
     val primary = if (similarityLike) col("score").desc else col("score").asc
-    val w = Window.partitionBy("qid").orderBy(primary, col(idCol).asc)
     val outCols = (col("qid") +: (idCol +: outputCols).distinct.map(col)) :+
       col("score")
-    fetched.withColumn("score", score)
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= k)
+    graft.operators.Knn.limitPerQid(fetched.withColumn("score", score),
+        "qid", Seq(primary, col(idCol).asc), k, "_rank")
       .select(outCols: _*)
   }
 

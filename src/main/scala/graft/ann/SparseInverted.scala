@@ -232,33 +232,14 @@ object SparseInverted {
     * that contain its dimension, partial-aggregated per (qid, doc) and
     * window-limited per qid. Returns (qid, idCol, score).
     */
-  /** Per-qid top-`limit` with the same two-level salted pre-prune the
-    * dense batch uses (Knn.search): below the threshold a single
-    * rank-limit window suffices (Spark's InferWindowGroupLimit already
-    * bounds each map partition to `limit` rows per qid before the
-    * shuffle); at the reference's large-k design point the final
-    * reducer would still absorb tasks x limit rows per qid, so a
-    * (qid, salt) pre-prune caps it at fanout x limit. Output keeps the
-    * final `_r` rank column.
+  /** Per-qid top-`limit` — delegates to the shared two-level salted
+    * prune ([[graft.operators.Knn.limitPerQid]]) every routed index
+    * path funnels through. Output keeps the final `_r` rank column.
     */
   private def limitPerQid(df: DataFrame, idCol: String, rankOf: String,
-      limit: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = Seq(col(rankOf).desc, col(idCol).asc)
-    val pre =
-      if (limit < graft.operators.Knn.twoLevelThreshold) df
-      else {
-        val w1 = Window.partitionBy(col("qid"), col("_salt"))
-          .orderBy(ord: _*)
-        df.withColumn("_salt",
-            spark_partition_id() % graft.operators.Knn.twoLevelFanout)
-          .withColumn("_r1", row_number().over(w1))
-          .filter(col("_r1") <= limit)
-          .drop("_salt", "_r1")
-      }
-    val w = Window.partitionBy("qid").orderBy(ord: _*)
-    pre.withColumn("_r", row_number().over(w)).filter(col("_r") <= limit)
-  }
+      limit: Int): DataFrame =
+    graft.operators.Knn.limitPerQid(df, "qid",
+      Seq(col(rankOf).desc, col(idCol).asc), limit, "_r")
 
   def searchBatch(postingsDf: DataFrame,
       queries: Seq[(String, Map[Int, Double])], idCol: String, k: Int,

@@ -58,32 +58,41 @@ object Knn {
     val scored = filtered
       .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .select((col(qidCol) +: cols.map(col)) :+ score.as("score"): _*)
-    // Two-level top-k for large k: the single-window plan funnels
-    // tasks × (offset+k) rows per qid into ONE reducer — at the
-    // reference's k=15000 design point on a wide scan that is a
-    // straggler by construction. Pre-prune per (qid, salt) so the final
-    // reducer sees at most fanout × (offset+k) rows per qid.
-    val need = offset + k
-    val pruned =
-      if (need < twoLevelThreshold) scored
-      else {
-        val w1 = Window.partitionBy(col(qidCol), col("_salt")).orderBy(ord: _*)
-        scored
-          .withColumn("_salt", spark_partition_id() % twoLevelFanout)
-          .withColumn("_r1", row_number().over(w1))
-          .filter(col("_r1") <= need)
-          .drop("_salt", "_r1")
-      }
-    val w = Window.partitionBy(qidCol).orderBy(ord: _*)
-    pruned
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") > offset && col("rank") <= offset + k)
+    limitPerQid(scored, qidCol, ord, offset + k)
+      .filter(col("rank") > offset)
       .withColumn("rank", col("rank") - offset)
   }
 
   /** k at which batched search switches to the two-level merge. */
   private[graft] val twoLevelThreshold = 1000
   private[graft] val twoLevelFanout = 32
+
+  /** Per-qid top-`limit` under `ord`, with the two-level salted
+    * pre-prune at large limits — the ONE per-query reduction every
+    * routed search path funnels through. Below the threshold a single
+    * rank-limit window suffices (Spark's InferWindowGroupLimit already
+    * bounds each map partition to `limit` rows per qid before the
+    * shuffle); at the reference's large-k design point (topk=15000,
+    * go_bench/search_horizon_perf_3.go:855) the final reducer would
+    * still absorb tasks × limit rows per qid, so a (qid, salt)
+    * pre-prune caps it at fanout × limit. Output keeps the `rankName`
+    * rank column, filtered to `<= limit`.
+    */
+  private[graft] def limitPerQid(df: DataFrame, qidCol: String,
+      ord: Seq[Column], limit: Int, rankName: String = "rank"): DataFrame = {
+    val pre =
+      if (limit < twoLevelThreshold) df
+      else {
+        val w1 = Window.partitionBy(col(qidCol), col("_salt")).orderBy(ord: _*)
+        df.withColumn("_salt", spark_partition_id() % twoLevelFanout)
+          .withColumn("_r1", row_number().over(w1))
+          .filter(col("_r1") <= limit)
+          .drop("_salt", "_r1")
+      }
+    val w = Window.partitionBy(qidCol).orderBy(ord: _*)
+    pre.withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= limit)
+  }
 
   /** Group-by search (reference `group_by_field`,
     * milvus_client/issues.py:79-86): keep each group's best hit, then

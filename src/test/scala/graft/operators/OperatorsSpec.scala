@@ -51,6 +51,26 @@ class OperatorsSpec extends SparkSpec {
       s"k=10 must stay a single-window plan:\n$small")
   }
 
+  test("ivf batched search: salted pre-prune window at k>=1000, absent at k=10") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sfDir, "embeddings")
+    val model = Ivf.train(emb, "embedding", k = 4, sampleSize = 500)
+    val assigned = Ivf.assign(emb, "embedding", model)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def planFor(k: Int): String =
+      Ivf.search(assigned, model, q, "embedding", "vec_id", k, nprobe = 4)
+        .queryExecution.executedPlan.toString
+    def windows(plan: String): Int = "Window \\[".r.findAllIn(plan).length
+    val big = planFor(1200)
+    assert(windows(big) == 2 && big.contains("_salt"),
+      s"k=1200 should pre-prune per (qid, salt) then merge:\n$big")
+    val small = planFor(10)
+    assert(windows(small) == 1 && !small.contains("_salt"),
+      s"k=10 must stay a single-window plan:\n$small")
+  }
+
   test("group-by plan: salted group pre-prune at k>=1000, absent at k=10") {
     val s = spark
     import s.implicits._

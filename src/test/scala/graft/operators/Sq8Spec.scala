@@ -119,6 +119,29 @@ class Sq8Spec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSeq == Seq(1L, 0L, 2L, 3L))
   }
 
+  test("estimate phase salts its candidate window once k*refine crosses the threshold") {
+    val s = spark
+    import s.implicits._
+    val model = Sq8.train(emb, "embedding", nlist = 4, sampleSize = 500)
+    val enc = Sq8.encode(emb, "embedding", model)
+    val qv = emb.filter($"vec_id" === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def planFor(k: Int): String =
+      Sq8.search(enc, model, Seq(("q0", qv)), "embedding", "vec_id", k,
+        nprobe = 4, refine = 4).queryExecution.executedPlan.toString
+    def windows(plan: String): Int = "Window \\[".r.findAllIn(plan).length
+    // k=300 × refine=4 ⇒ candidate budget r=1200 crosses the two-level
+    // threshold: the estimate window salts (2 Window nodes) while the
+    // k=300 exact re-rank stays single-window — 3 total.
+    val big = planFor(300)
+    assert(windows(big) == 3 && big.contains("_salt"),
+      s"r=1200 estimate phase should pre-prune per (qid, salt):\n$big")
+    val small = planFor(10)
+    assert(windows(small) == 2 && !small.contains("_salt"),
+      s"r=40 must keep both phases single-window:\n$small")
+  }
+
   test("collection route: IVF_SQ8 index serves search with refine_k") {
     val s = spark
     val cat = new Catalog(
