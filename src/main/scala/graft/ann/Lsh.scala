@@ -175,6 +175,53 @@ object Lsh {
       .orderBy(primary, col(idCol).asc).limit(k)
   }
 
+  /** Batched search over the persisted [[explodeTables]] layout — the
+    * client's nq>1 shape as ONE Spark job. The scan is pruned by a
+    * STATIC disjunction over the union of every query's probed
+    * (t, sig) pairs (partition-column predicate ⇒ directory pruning,
+    * same guarantee as [[searchOnePersisted]]); per-query membership
+    * is then fixed by an equi-join against the broadcast (qid, t, sig)
+    * probe triples. Rows colliding with one query in several probed
+    * tables are deduplicated on (qid, pk) before scoring. Returns
+    * (qid, pk, <outputCols>, score, rank).
+    */
+  def searchPersistedBatch(index: DataFrame, model: Model,
+      queries: Seq[(String, Seq[Float])], vecCol: String, idCol: String,
+      k: Int, radius: Int = 1, filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "batched search needs at least one query")
+    val qvs = queries.map { case (qid, qv) =>
+      (qid, qv.map(_.toDouble).toArray)
+    }
+    val probeRows = qvs.flatMap { case (qid, qv) =>
+      (0 until model.tables).flatMap(t =>
+        model.probes(qv, t, radius).map(sig => (qid, t, sig)))
+    }
+    // Static partition-pruning predicate: union of probed pairs per t.
+    val probePred = probeRows.groupBy(_._2).map { case (t, rows) =>
+      col("_t") === t && col("_sig").isin(rows.map(_._3).distinct: _*)
+    }.reduce(_ || _)
+    val probeDf = probeRows.toDF("_pqid", "_pt", "_psig")
+    val qvecDf = qvs.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "_qvec")
+    val cols = (idCol +: outputCols).distinct
+    val cand = filter.foldLeft(index.filter(probePred))(_ filter _)
+      .join(broadcast(probeDf),
+        col("_t") === col("_pt") && col("_sig") === col("_psig"))
+      .select(col("_pqid").as("qid") +: (cols :+ vecCol).distinct.map(col): _*)
+      .dropDuplicates("qid" +: cols.take(1))
+      .join(broadcast(qvecDf), "qid")
+    val (score, similarityLike) = Functions.metricFor(
+      model.metric, index.schema(vecCol).dataType, col(vecCol), col("_qvec"))
+    val scored = cand
+      .select((col("qid") +: cols.map(col)) :+ score.as("score"): _*)
+    val primary = if (similarityLike) col("score").desc else col("score").asc
+    graft.operators.Knn.limitPerQid(scored, "qid",
+      Seq(primary, col(idCol).asc), k)
+  }
+
   /** Recall@k vs exact brute force, batched exactly like
     * [[Ivf.recallAtK]]: one exact job, one LSH job, set-intersection
     * semi-join.

@@ -138,6 +138,101 @@ object CollectionSearch {
     else hits.orderBy(orderByFields.map(col): _*)
   }
 
+  /** Batched dense search — the client's nq>1 shape (reference sends
+    * nq vectors per call, search_permanently.py:137-189,
+    * go_bench/search_horizon_perf_3.go:549-605) as ONE routed Spark
+    * job instead of nq sequential driver loops. Routing mirrors
+    * [[search]]: declared LSH → [[graft.ann.Lsh.searchPersistedBatch]]
+    * over the persisted (t, sig) bucket layout; IVF_SQ8 / IVF_RABITQ /
+    * IVF-family with a probe budget → the index libraries' batched
+    * searches (every probe set ships in one broadcast table, one pass
+    * over the union of probed cells); otherwise exact batched
+    * [[Knn.search]]. Returns (qid, pk, <outputFields>, score) — the
+    * same hits as a per-query [[search]] loop, one job.
+    */
+  def searchBatch(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryVecs: Seq[(String, Seq[Float])],
+      k: Int,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    require(queryVecs.nonEmpty, "batched search needs at least one query")
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val index = d.indexes.find(_.field == vecField)
+    val metric = searchParams.get("metric_type")
+      .orElse(index.flatMap(_.metricType))
+      .getOrElse("COSINE")
+    val rabitqDeclared =
+      index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
+    val sq8Declared =
+      index.exists(_.indexType.toUpperCase == "IVF_SQ8")
+    val ivfDeclared = !rabitqDeclared && !sq8Declared && index.exists(ix =>
+      ix.indexType.toUpperCase.startsWith("IVF") ||
+        Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
+          .contains(ix.indexType.toUpperCase))
+    val lshDeclared = index.exists(ix =>
+      Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
+    val probeBudget = searchParams.get("nprobe")
+      .orElse(searchParams.get("ef"))
+      .orElse(searchParams.get("search_list_size"))
+    val doubleQs = queryVecs.map { case (qid, qv) =>
+      (qid, qv.map(_.toDouble).toArray)
+    }
+    val outSel =
+      (col("qid") +: (pk +: outputFields).distinct.map(col)) :+ col("score")
+    def pred(df: DataFrame) =
+      if (filterExpr.trim.isEmpty) None
+      else Some(MilvusExpr.compile(filterExpr, df))
+    val hits = if (lshDeclared) {
+      val ix = index.get
+      val build = IndexStore.ensureLsh(spark, coll, vecField, metric,
+        ix.params.get("tables").map(_.toInt).getOrElse(4),
+        ix.params.get("num_planes").map(_.toInt).getOrElse(8),
+        ix.params.get("seed").map(_.toLong).getOrElse(42L))
+      val indexDf = spark.read.parquet(build.dataPath)
+      val radius = searchParams.get("radius").map(_.toInt).getOrElse(1)
+      graft.ann.Lsh.searchPersistedBatch(indexDf, build.model, queryVecs,
+        vecField, pk, k, radius, pred(indexDf), outputFields)
+    } else probeBudget.map(_.toInt) match {
+      case Some(nprobe) if sq8Declared =>
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
+        val build = IndexStore.ensureSq8(spark, coll, vecField, metric, nlist)
+        val encoded = spark.read.parquet(build.dataPath)
+        Sq8.search(encoded, build.model, doubleQs, vecField, pk, k,
+          nprobe, refine, pred(encoded), outputFields)
+      case Some(nprobe) if rabitqDeclared =>
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
+        val build = IndexStore.ensureRabitq(spark, coll, vecField, metric,
+          nlist)
+        val encoded = spark.read.parquet(build.dataPath)
+        RaBitQ.search(encoded, build.model, doubleQs, vecField, pk, k,
+          nprobe, refine, metric, pred(encoded), outputFields)
+      case Some(nprobe) if ivfDeclared =>
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val build = IndexStore.ensureIvf(spark, coll, vecField, metric, nlist)
+        val assigned = spark.read.parquet(build.dataPath)
+        val qdf = queryVecs.toDF("qid", "qvec")
+        Ivf.search(assigned, build.model, qdf, vecField, pk, k, nprobe,
+          pred(assigned), outputFields)
+      case _ =>
+        val data = coll.read(spark).filter(col(vecField).isNotNull)
+        val qdf = queryVecs.toDF("qid", "qvec")
+        Knn.search(data, qdf, vecField, pk, metric, k, pred(data),
+          outputCols = outputFields)
+    }
+    hits.select(outSel: _*)
+  }
+
   /** Sparse-vector search (map<int,double> field). With a declared
     * SPARSE_INVERTED_INDEX / SPARSE_WAND the query joins ONLY its
     * dimensions' persisted posting buckets (exact IP over overlapping

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.store._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+
+/** Batched dense collection-route search (the client's nq>1 shape,
+  * reference search_permanently.py:137-189): one routed Spark job must
+  * return exactly the hits of a per-query [[CollectionSearch.search]]
+  * loop, for every declared-index route.
+  */
+class SearchBatchSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+
+  private def qvecs: Seq[(String, Seq[Float])] =
+    Seq(0L, 7L, 42L).map { id =>
+      s"q$id" -> emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0)
+    }
+
+  private def mkColl(cat: Catalog, name: String): Collection = {
+    val c = cat.createCollection(CollectionDef(name, Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    c.insert(spark, emb.select("vec_id", "embedding"))
+    c
+  }
+
+  private def batchEqualsLoop(c: Collection,
+      params: Map[String, String]): Unit = {
+    val qs = qvecs
+    val batch = CollectionSearch
+      .searchBatch(spark, c, "embedding", qs, 5, searchParams = params)
+      .select("qid", "vec_id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9)))
+      .sorted.toSeq
+    val loop = qs.flatMap { case (qid, qv) =>
+      CollectionSearch.search(spark, c, "embedding", qv, 5,
+        searchParams = params)
+        .select("vec_id", "score").collect()
+        .map(r => (qid, r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+    }.sorted
+    assert(batch == loop, s"batch != loop for params $params")
+  }
+
+  test("batch matches the per-query loop on IVF, IVF_SQ8, and LSH routes") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-batch").toString)
+
+    val ivf = mkColl(cat, "ivf")
+    ivf.createIndex(spark, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    batchEqualsLoop(ivf, Map("nprobe" -> "4"))
+
+    val sq8 = mkColl(cat, "sq8")
+    sq8.createIndex(spark, IndexDef("embedding", "IVF_SQ8", Some("L2"),
+      Map("nlist" -> "8")))
+    batchEqualsLoop(sq8, Map("nprobe" -> "4", "refine_k" -> "4"))
+
+    val lsh = mkColl(cat, "lsh")
+    lsh.createIndex(spark, IndexDef("embedding", "LSH", Some("COSINE"),
+      Map("tables" -> "2", "num_planes" -> "4")))
+    batchEqualsLoop(lsh, Map("radius" -> "1"))
+  }
+
+  test("no declared index: batch equals the exact per-query loop") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-batch-x").toString)
+    val c = mkColl(cat, "flat")
+    batchEqualsLoop(c, Map("metric_type" -> "L2"))
+  }
+
+  test("LSH batch scan is pruned to the probed bucket directories") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
+    val c = mkColl(cat, "lshp")
+    c.createIndex(spark, IndexDef("embedding", "LSH", Some("COSINE"),
+      Map("tables" -> "2", "num_planes" -> "4")))
+    val df = CollectionSearch.searchBatch(spark, c, "embedding", qvecs, 5,
+      searchParams = Map("radius" -> "1"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_sig"),
+      s"probe predicate did not reach the partition filters:\n$plan")
+    assert(df.count() == 15)
+  }
+}
