@@ -4,7 +4,7 @@ import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
 import graft.ann.{BinIvf, Ivf, Lsh, RaBitQ, Sq8}
 import graft.dedup.Dedup
-import graft.operators.HybridSearch.{AnnSearchRequest, RrfRanker}
+import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, RrfRanker}
 import graft.operators.{HybridSearch, QueryIterator}
 import graft.datagen.StableGen
 import graft.multimodal.Multimodal
@@ -949,6 +949,43 @@ object SparkEntry {
           AnnSearchRequest(q, "embedding", "L2", limit = 10,
             filter = Some("label < 5"))),
         RrfRanker(60), idCol = "vec_id", limit = 5)
+        .select(col("vec_id"), round(col("fused_score"), 6).as("fused_score"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    },
+    // ---- V30: hybrid search with BOTH legs served from persisted
+    // declared indexes (the reference's hybrid workload shape: ANN
+    // legs against indexed fields, go_bench/config.yaml:25-45) —
+    // leg 1 routes through IVF_SQ8 on `embedding` (L2), leg 2 through
+    // LSH on `emb2` (COSINE). Both legs run at provably-exact settings
+    // (nprobe = nlist + full-coverage refine; radius = num_planes), so
+    // DuckDB re-derives the full RRF fusion from the two exact top-10
+    // lists — a GENUINE independent oracle for the routed hybrid
+    // plumbing. `emb2` is a copy of `embedding` (NOT a transform) so
+    // both sides sum identical doubles in identical order and scores
+    // agree bit-for-bit; the legs still rank differently (L2 vs
+    // COSINE) so the fusion is non-trivial.
+    "v30_hybrid_indexed" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v30").toString)
+      val c = cat.createCollection(CollectionDef("hyb", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)),
+        FieldDef("emb2", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("embedding").as("emb2")))
+      c.createIndex(s, IndexDef("embedding", "IVF_SQ8", Some("L2"),
+        Map("nlist" -> "8")))
+      c.createIndex(s, IndexDef("emb2", "LSH", Some("COSINE"),
+        Map("tables" -> "2", "num_planes" -> "4")))
+      val q0 = vecOf(s, dir, 0)
+      HybridSearch.hybridSearchCollection(s, c,
+        Seq(
+          CollectionAnnRequest(Seq("q0" -> q0), "embedding", limit = 10,
+            params = Map("nprobe" -> "8", "refine_k" -> "50")),
+          CollectionAnnRequest(Seq("q0" -> q0), "emb2", limit = 10,
+            params = Map("radius" -> "4"))),
+        RrfRanker(60), limit = 5)
         .select(col("vec_id"), round(col("fused_score"), 6).as("fused_score"),
           col("fused_rank"))
         .orderBy("fused_rank")
@@ -3091,6 +3128,26 @@ object SparkEntry {
            |  SELECT vec_id, CAST(row_number() OVER (
            |    ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(0)}), vec_id) AS INT) AS rank
            |  FROM embeddings WHERE label < 5 QUALIFY rank <= 10
+           |), u AS (
+           |  SELECT vec_id, 1.0 / (60 + rank) AS c FROM r1
+           |  UNION ALL SELECT vec_id, 1.0 / (60 + rank) AS c FROM r2
+           |), f AS (SELECT vec_id, sum(c) AS fs FROM u GROUP BY vec_id)
+           |SELECT vec_id, round(fs, 6) AS fused_score, fused_rank FROM (
+           |  SELECT vec_id, fs, CAST(row_number() OVER (ORDER BY fs DESC, vec_id) AS INT) AS fused_rank
+           |  FROM f
+           |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      // GENUINE independent oracle: both legs run at provably-exact
+      // settings (see the v30 entry comment), so the RRF fusion is
+      // fully re-derivable from the two exact top-10 lists.
+      "v30_hybrid_indexed" ->
+        s"""WITH r1 AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(0)}), vec_id) AS INT) AS rank
+           |  FROM embeddings QUALIFY rank <= 10
+           |), r2 AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(0)}) DESC, vec_id) AS INT) AS rank
+           |  FROM embeddings QUALIFY rank <= 10
            |), u AS (
            |  SELECT vec_id, 1.0 / (60 + rank) AS c FROM r1
            |  UNION ALL SELECT vec_id, 1.0 / (60 + rank) AS c FROM r2

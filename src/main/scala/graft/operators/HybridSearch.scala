@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.expr.MilvusExpr
-import graft.store.Catalog
+import graft.store.{Catalog, Collection}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -66,6 +67,64 @@ object HybridSearch {
     }
     if (outputCols.isEmpty) fused
     else fused.join(data.select((idCol +: outputCols).distinct.map(col): _*), idCol)
+  }
+
+  /** One ANN sub-request against a STORE collection — queries arrive
+    * driver-side (the client shape) so each leg can route through the
+    * declared index of its anns_field.
+    */
+  final case class CollectionAnnRequest(
+      queryVecs: Seq[(String, Seq[Float])], // (qid, vector)
+      annsField: String,
+      limit: Int = 10,
+      filter: Option[String] = None,
+      params: Map[String, String] = Map.empty)
+
+  /** Collection-aware hybrid search: every leg runs through
+    * [[CollectionSearch.searchBatch]], so a declared IVF / IVF_SQ8 /
+    * IVF_RABITQ / LSH index on the leg's anns_field serves it from the
+    * PERSISTED build (probe filters prune partition directories) — the
+    * reference's hybrid workload runs its ANN legs against indexed
+    * fields (go_bench/config.yaml:25-45); the raw-DataFrame
+    * [[hybridSearch]] remains the exact-scan shape. Legs without an
+    * index/probe budget fall back to the exact batched scan inside the
+    * same routing. Fusion operates on nq × k rows per leg; the leg
+    * rank needed by RRF is recomputed per qid from (score, pk) — a
+    * window over the tiny result, never the base scan.
+    */
+  def hybridSearchCollection(
+      spark: SparkSession,
+      coll: Collection,
+      requests: Seq[CollectionAnnRequest],
+      ranker: Ranker,
+      limit: Int = 10,
+      offset: Int = 0,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    require(requests.nonEmpty, "hybrid search needs at least one request")
+    val pk = coll.definition.primaryField.name
+    val legs = requests.map { r =>
+      val metric = r.params.get("metric_type")
+        .orElse(coll.definition.indexes.find(_.field == r.annsField)
+          .flatMap(_.metricType))
+        .getOrElse("COSINE")
+      val simLike = similarityLike(metric)
+      val hits = CollectionSearch.searchBatch(spark, coll, r.annsField,
+        r.queryVecs, r.limit, r.filter.getOrElse(""), r.params)
+      val primary = if (simLike) col("score").desc else col("score").asc
+      val w = Window.partitionBy("qid").orderBy(primary, col(pk).asc)
+      (hits.withColumn("rank", row_number().over(w)), simLike)
+    }
+    val fused = ranker match {
+      case RrfRanker(k) =>
+        Fusion.rrf(legs.map(_._1), Seq(pk), k = k, limit = limit,
+          offset = offset)
+      case WeightedRanker(ws) =>
+        Fusion.weighted(legs.map(_._1), ws, Seq(pk), limit = limit,
+          offset = offset, similarityLike = legs.map(_._2))
+    }
+    if (outputCols.isEmpty) fused
+    else fused.join(
+      coll.read(spark).select((pk +: outputCols).distinct.map(col): _*), pk)
   }
 
   /** Multi-query (V9, tpuffer hybrid_search.go:415-443 `MultiQuery`):

@@ -75,6 +75,51 @@ class SearchBatchSpec extends SparkSpec {
     batchEqualsLoop(c, Map("metric_type" -> "L2"))
   }
 
+  test("hybrid legs route through persisted indexes and match the exact fusion") {
+    import HybridSearch._
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-hybix").toString)
+    val c = cat.createCollection(CollectionDef("hyb", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)),
+      FieldDef("emb2", ArrayType(FloatType), dim = Some(16)))))
+    c.insert(spark, emb.select(col("vec_id"), col("embedding"),
+      col("embedding").as("emb2")))
+    c.createIndex(spark, IndexDef("embedding", "IVF_SQ8", Some("L2"),
+      Map("nlist" -> "8")))
+    c.createIndex(spark, IndexDef("emb2", "LSH", Some("COSINE"),
+      Map("tables" -> "2", "num_planes" -> "4")))
+    val q0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    // Both legs at provably-exact settings so the routed fusion must
+    // equal the raw exact-scan hybridSearch on the same data.
+    val routed = HybridSearch.hybridSearchCollection(spark, c,
+      Seq(
+        CollectionAnnRequest(Seq("q0" -> q0), "embedding", limit = 10,
+          params = Map("nprobe" -> "8", "refine_k" -> "50")),
+        CollectionAnnRequest(Seq("q0" -> q0), "emb2", limit = 10,
+          params = Map("radius" -> "4"))),
+      RrfRanker(60), limit = 5)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"no partition-pruned scan in the hybrid plan:\n$plan")
+    assert(plan.contains("_cid"), s"SQ8 leg did not probe cells:\n$plan")
+    assert(plan.contains("_sig"), s"LSH leg did not probe buckets:\n$plan")
+    val got = routed.select("vec_id", "fused_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val q = Seq((0L, q0)).toDF("qid", "qvec")
+    val expected = HybridSearch.hybridSearch(emb,
+      Seq(
+        AnnSearchRequest(q, "embedding", "L2", limit = 10),
+        AnnSearchRequest(q, "embedding", "COSINE", limit = 10)),
+      RrfRanker(60), idCol = "vec_id", limit = 5)
+      .select("vec_id", "fused_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == expected, s"routed hybrid != exact hybrid: $got vs $expected")
+  }
+
   test("LSH batch scan is pruned to the probed bucket directories") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
