@@ -2687,6 +2687,38 @@ object SparkEntry {
         enc.unpersist()
         Seq(Tuple1(hits)).toDF("total_hits")
       },
+      // Routed-index searches at the reference's k=15000 design point
+      // (go_bench/search_horizon_perf_3.go:855) — the measured shape
+      // for the shared salted per-qid prune: above the two-level
+      // threshold every candidate window pre-prunes per (qid, salt),
+      // so the final reducer absorbs fanout x k rows per qid instead
+      // of tasks x k. The SQ8 entry's phase-1 candidate budget is
+      // k x refine = 60000 per query.
+      "bench_sq8_topk15000" -> { (s, dir) =>
+        import s.implicits._
+        val emb = tbl(s, dir, "embeddings")
+        val model = Sq8.train(emb, "embedding", nlist = 16, sampleSize = 2000)
+        val enc = Sq8.encode(emb, "embedding", model).cache()
+        val queries = (0 until 10).map { i =>
+          (i.toString, vecOf(s, dir, i.toLong).map(_.toDouble).toArray)
+        }
+        val hits = Sq8.search(enc, model, queries, "embedding", "vec_id",
+          k = 15000, nprobe = 16, refine = 4).count()
+        enc.unpersist()
+        Seq(Tuple1(hits)).toDF("total_hits")
+      },
+      "bench_sparse_wand_k15000" -> { (s, dir) =>
+        import s.implicits._
+        val (postingsPath, statsPath) = sparseBenchTable(s, dir)
+        val postings = s.read.parquet(postingsPath)
+        val stats = graft.ann.SparseInverted
+          .collectDimStats(s.read.parquet(statsPath))
+        val total = graft.ann.SparseInverted
+          .searchWandBatch(postings, stats, sparseBenchQueries,
+            "doc_id", 15000, 32)
+          .count()
+        Seq(Tuple1(total)).toDF("total_hits")
+      },
     )
   }
 
