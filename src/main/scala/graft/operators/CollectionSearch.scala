@@ -379,6 +379,59 @@ object CollectionSearch {
     }
   }
 
+  /** Batched binary-vector search — the nq>1 Hamming client shape as
+    * ONE job (the [[searchBatch]] contract for BINARY_VECTOR fields).
+    * With a declared BIN_IVF_FLAT the batch goes through
+    * [[graft.ann.BinIvf.search]] (union of probed cells scanned once,
+    * per-pair cell guard); otherwise one exact batched Hamming scan
+    * against the broadcast query table. Returns (qid, pk,
+    * <outputFields>, score).
+    */
+  def searchBinaryBatch(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queries: Seq[(String, Array[Byte])],
+      k: Int,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "batched search needs at least one query")
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val index = d.indexes.find(_.field == vecField)
+    val binIvfDeclared =
+      index.exists(_.indexType.toUpperCase == "BIN_IVF_FLAT")
+    val outSel =
+      (col("qid") +: (pk +: outputFields).distinct.map(col)) :+ col("score")
+    if (binIvfDeclared) {
+      val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+        .getOrElse(16)
+      val nprobe = searchParams.get("nprobe").map(_.toInt).getOrElse(4)
+      val build = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
+      val assigned = spark.read.parquet(build.dataPath)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, assigned))
+      BinIvf.search(assigned, build.model, queries, vecField, pk, k,
+        nprobe, pred, outputFields).select(outSel: _*)
+    } else {
+      val data = coll.read(spark)
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, data))
+      val qdf = queries.toDF("qid", "_qbytes")
+      val scored = pred.foldLeft(data)(_ filter _)
+        .crossJoin(broadcast(qdf))
+        .select((col("qid") +: (pk +: outputFields).distinct.map(col)) :+
+          graft.Functions.hammingDistance(col(vecField), col("_qbytes"))
+            .as("score"): _*)
+      Knn.limitPerQid(scored, "qid", Seq(col("score").asc, col(pk).asc), k)
+        .select(outSel: _*)
+    }
+  }
+
   /** BM25 full-text search against the collection's persisted postings
     * index (built/maintained by [[IndexStore]]): the scan touches only
     * the query terms' bucket directories, never the corpus.

@@ -120,6 +120,44 @@ class SearchBatchSpec extends SparkSpec {
     assert(got == expected, s"routed hybrid != exact hybrid: $got vs $expected")
   }
 
+  test("binary batch matches the per-query loop with and without BIN_IVF_FLAT") {
+    import org.apache.spark.sql.types.BinaryType
+    def bytesOf(id: Long): Array[Byte] = {
+      val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      Array(((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte)
+    }
+    val binData = emb.select(col("vec_id"),
+      unhex(lpad(hex(pmod(col("vec_id") * lit(2654435761L),
+        lit(4294967296L))), 8, "0")).as("bvec"))
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-binbatch").toString)
+    val qs = Seq(0L, 7L, 42L).map(id => s"q$id" -> bytesOf(id))
+    Seq(true, false).foreach { indexed =>
+      val c = cat.createCollection(CollectionDef(
+        if (indexed) "bi" else "bf", Seq(
+          FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("bvec", BinaryType, dim = Some(32)))))
+      c.insert(spark, binData)
+      if (indexed)
+        c.createIndex(spark, IndexDef("bvec", "BIN_IVF_FLAT",
+          Some("HAMMING"), Map("nlist" -> "8")))
+      val params = if (indexed) Map("nprobe" -> "4") else Map.empty[String, String]
+      val batch = CollectionSearch
+        .searchBinaryBatch(spark, c, "bvec", qs, 5, searchParams = params)
+        .select("qid", "vec_id", "score").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val loop = qs.flatMap { case (qid, qb) =>
+        CollectionSearch.searchBinary(spark, c, "bvec", qb, 5,
+          searchParams = params)
+          .select("vec_id", "score").collect()
+          .map(r => (qid, r.getLong(0), r.getLong(1)))
+      }.sorted
+      assert(batch == loop, s"binary batch != loop (indexed=$indexed)")
+    }
+  }
+
   test("LSH batch scan is pruned to the probed bucket directories") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
