@@ -4,7 +4,7 @@ import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
 import graft.ann.{BinIvf, Ivf, Lsh, RaBitQ, Sq8}
 import graft.dedup.Dedup
-import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, RrfRanker}
+import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, CollectionSparseRequest, RrfRanker}
 import graft.operators.{HybridSearch, QueryIterator}
 import graft.datagen.StableGen
 import graft.multimodal.Multimodal
@@ -987,6 +987,41 @@ object SparkEntry {
             params = Map("radius" -> "4"))),
         RrfRanker(60), limit = 5)
         .select(col("vec_id"), round(col("fused_score"), 6).as("fused_score"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    },
+    // ---- V31: hybrid search mixing a DENSE leg and a SPARSE leg —
+    // the reference's hybrid collections declare SPARSE_INVERTED_INDEX
+    // fields next to dense AUTOINDEX fields on the same collection
+    // (issue_45203.py:30-76). Dense leg routed through IVF at
+    // nprobe = nlist (exact); sparse leg through the persisted posting
+    // buckets (exact — every doc shares dim 1 with the query, so
+    // nothing is dropped by the overlap rule). Fixture is hand-sized:
+    // dense distances rank ids ascending, sparse IPs rank them
+    // descending, so the fusion is non-trivial; the oracle re-derives
+    // the full RRF fold in SQL from the two exact leg rankings.
+    "v31_hybrid_sparse_dense" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v31").toString)
+      val c = cat.createCollection(CollectionDef("hsd", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("dvec", ArrayType(FloatType), dim = Some(2)),
+        FieldDef("svec", MapType(IntegerType, DoubleType)))))
+      c.insert(s, (1L to 6L).map(i =>
+        (i, Seq(i.toFloat, 0f), Map(1 -> i.toDouble)))
+        .toDF("id", "dvec", "svec"))
+      c.createIndex(s, IndexDef("dvec", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "2")))
+      c.createIndex(s, IndexDef("svec", "SPARSE_INVERTED_INDEX"))
+      HybridSearch.hybridSearchCollection(s, c,
+        Seq(
+          CollectionAnnRequest(Seq("q0" -> Seq(0f, 0f)), "dvec",
+            limit = 4, params = Map("nprobe" -> "2")),
+          CollectionSparseRequest(Seq("q0" -> Map(1 -> 1.0)), "svec",
+            limit = 4)),
+        RrfRanker(60), limit = 5)
+        .select(col("id"), round(col("fused_score"), 6).as("fused_score"),
           col("fused_rank"))
         .orderBy("fused_rank")
     },
@@ -3188,6 +3223,22 @@ object SparkEntry {
            |  SELECT vec_id, fs, CAST(row_number() OVER (ORDER BY fs DESC, vec_id) AS INT) AS fused_rank
            |  FROM f
            |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      // GENUINE independent oracle: both legs are exact (see the v31
+      // entry comment) with hand-derivable rankings — dense L2 of
+      // [i,0] vs [0,0] ranks ids 1..4, sparse IP {1:i}·{1:1} ranks
+      // 6,5,4,3 — and DuckDB folds the RRF sum itself.
+      "v31_hybrid_sparse_dense" ->
+        """WITH r1(id, rank) AS (VALUES (1, 1), (2, 2), (3, 3), (4, 4)),
+          |     r2(id, rank) AS (VALUES (6, 1), (5, 2), (4, 3), (3, 4)),
+          |u AS (
+          |  SELECT id, 1.0 / (60 + rank) AS c FROM r1
+          |  UNION ALL SELECT id, 1.0 / (60 + rank) AS c FROM r2
+          |), f AS (SELECT id, sum(c) AS fs FROM u GROUP BY id)
+          |SELECT CAST(id AS BIGINT) AS id, round(fs, 6) AS fused_score,
+          |  fused_rank FROM (
+          |  SELECT id, fs, CAST(row_number() OVER (ORDER BY fs DESC, id) AS INT)
+          |    AS fused_rank FROM f
+          |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
       // DETERMINISM PIN (irreducible): sha256 over canonicalized sorted
       // rows mirrors the reference's checksum recipe (common/data.py:
       // 78-118); DuckDB cannot reproduce the byte-level canonical form.

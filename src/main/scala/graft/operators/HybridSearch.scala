@@ -69,16 +69,37 @@ object HybridSearch {
     else fused.join(data.select((idCol +: outputCols).distinct.map(col): _*), idCol)
   }
 
-  /** One ANN sub-request against a STORE collection — queries arrive
+  /** A hybrid sub-request against a STORE collection — queries arrive
     * driver-side (the client shape) so each leg can route through the
     * declared index of its anns_field.
     */
+  sealed trait CollectionRequest {
+    def annsField: String
+    def limit: Int
+    def filter: Option[String]
+    def params: Map[String, String]
+  }
+
+  /** Dense leg (FLOAT_VECTOR anns_field). */
   final case class CollectionAnnRequest(
       queryVecs: Seq[(String, Seq[Float])], // (qid, vector)
       annsField: String,
       limit: Int = 10,
       filter: Option[String] = None,
-      params: Map[String, String] = Map.empty)
+      params: Map[String, String] = Map.empty) extends CollectionRequest
+
+  /** Sparse leg (SPARSE_FLOAT_VECTOR anns_field) — the reference mixes
+    * sparse (BM25/IP) and dense requests in one hybrid_search
+    * (issue_45203.py:30-76 declares SPARSE_INVERTED_INDEX fields next
+    * to AUTOINDEX dense fields on the hybrid collection). Served by
+    * the batched sparse route (persisted posting buckets).
+    */
+  final case class CollectionSparseRequest(
+      queries: Seq[(String, Map[Int, Double])], // (qid, sparse vector)
+      annsField: String,
+      limit: Int = 10,
+      filter: Option[String] = None,
+      params: Map[String, String] = Map.empty) extends CollectionRequest
 
   /** Collection-aware hybrid search: every leg runs through
     * [[CollectionSearch.searchBatch]], so a declared IVF / IVF_SQ8 /
@@ -95,24 +116,34 @@ object HybridSearch {
   def hybridSearchCollection(
       spark: SparkSession,
       coll: Collection,
-      requests: Seq[CollectionAnnRequest],
+      requests: Seq[CollectionRequest],
       ranker: Ranker,
       limit: Int = 10,
       offset: Int = 0,
       outputCols: Seq[String] = Seq.empty): DataFrame = {
     require(requests.nonEmpty, "hybrid search needs at least one request")
     val pk = coll.definition.primaryField.name
-    val legs = requests.map { r =>
-      val metric = r.params.get("metric_type")
-        .orElse(coll.definition.indexes.find(_.field == r.annsField)
-          .flatMap(_.metricType))
-        .getOrElse("COSINE")
-      val simLike = similarityLike(metric)
-      val hits = CollectionSearch.searchBatch(spark, coll, r.annsField,
-        r.queryVecs, r.limit, r.filter.getOrElse(""), r.params)
+    def ranked(hits: DataFrame, simLike: Boolean): DataFrame = {
       val primary = if (simLike) col("score").desc else col("score").asc
       val w = Window.partitionBy("qid").orderBy(primary, col(pk).asc)
-      (hits.withColumn("rank", row_number().over(w)), simLike)
+      hits.withColumn("rank", row_number().over(w))
+    }
+    val legs = requests.map {
+      case r: CollectionAnnRequest =>
+        val metric = r.params.get("metric_type")
+          .orElse(coll.definition.indexes.find(_.field == r.annsField)
+            .flatMap(_.metricType))
+          .getOrElse("COSINE")
+        val simLike = similarityLike(metric)
+        val hits = CollectionSearch.searchBatch(spark, coll, r.annsField,
+          r.queryVecs, r.limit, r.filter.getOrElse(""), r.params)
+        (ranked(hits, simLike), simLike)
+      case r: CollectionSparseRequest =>
+        // Sparse IP (and its BM25 impact encoding) is similarity-like.
+        val hits = CollectionSearch.searchSparseBatch(spark, coll,
+          r.annsField, r.queries, r.limit, r.filter.getOrElse(""), r.params)
+          .select(col("qid"), col(pk), col("score"))
+        (ranked(hits, simLike = true), true)
     }
     val fused = ranker match {
       case RrfRanker(k) =>
