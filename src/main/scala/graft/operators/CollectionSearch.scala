@@ -467,6 +467,34 @@ object CollectionSearch {
       outputFields, partitionNames, consistencyLevel, orderByFields)
   }
 
+  /** Batched TEXT query search — `search(data=["t1", "t2", ...])`
+    * against a TEXT_EMBEDDING output field: each text encodes
+    * driver-side with the collection's bound function (exact parity
+    * with the stored-row encode), then ONE batched routed job serves
+    * all nq queries (the [[searchBatch]] contract).
+    */
+  def searchByQueryTextBatch(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryTexts: Seq[(String, String)],
+      k: Int,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty): DataFrame = {
+    val f = coll.definition.functions.find(fn =>
+      fn.functionType.toUpperCase == "TEXT_EMBEDDING" &&
+        fn.outputFields.contains(vecField)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$vecField is not the output of a TEXT_EMBEDDING function"))
+    val dim = f.params("dim").toInt
+    val qs = queryTexts.map { case (qid, text) =>
+      qid -> graft.functions.TextEmbedding.encodeLocal(text, dim)
+    }
+    searchBatch(spark, coll, vecField, qs, k, filterExpr, searchParams,
+      outputFields)
+  }
+
   def searchText(
       spark: SparkSession,
       coll: Collection,

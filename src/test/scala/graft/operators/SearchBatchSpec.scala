@@ -158,6 +158,31 @@ class SearchBatchSpec extends SparkSpec {
     }
   }
 
+  test("text-query batch matches the per-text searchByQueryText loop") {
+    import org.apache.spark.sql.types.StringType
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-txtbatch").toString)
+    val c = cat.createCollection(CollectionDef("txt", Seq(
+      FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("text", StringType))))
+    c.insert(spark, Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 100))
+    c.addFunction(graft.store.FunctionDef("enc", "TEXT_EMBEDDING",
+      Seq("text"), Seq("emb_vec"), Map("dim" -> "8")))
+    val texts = Seq("q0" -> "vector stream data engine",
+      "q1" -> "query planning and joins")
+    val batch = CollectionSearch.searchByQueryTextBatch(spark, c, "emb_vec",
+      texts, 5, searchParams = Map("metric_type" -> "L2"))
+      .select("qid", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val loop = texts.flatMap { case (qid, t) =>
+      CollectionSearch.searchByQueryText(spark, c, "emb_vec", t, 5,
+        searchParams = Map("metric_type" -> "L2"))
+        .select("doc_id").collect().map(r => (qid, r.getLong(0)))
+    }.sorted
+    assert(batch == loop, s"text batch != loop: $batch vs $loop")
+  }
+
   test("LSH batch scan is pruned to the probed bucket directories") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
