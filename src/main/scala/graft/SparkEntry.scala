@@ -1025,6 +1025,29 @@ object SparkEntry {
           col("fused_rank"))
         .orderBy("fused_rank")
     },
+    // ---- V32: partition-scoped search SERVED FROM the declared index
+    // (search(partition_names=[...]) with an IVF index): persisted
+    // builds carry `_part` as the outer partition level, so the scan
+    // prunes whole partition subtrees, then probe cells — previously
+    // this shape fell back to the exact scan. nprobe = nlist makes the
+    // routed path exact, and pk % 3 partition routing
+    // (validate_phase_dml_dql.py:105-108) is re-derivable in SQL, so
+    // DuckDB's exact top-k over vec_id % 3 IN (0, 2) is a GENUINE
+    // independent oracle.
+    "v32_partition_indexed_search" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v32").toString)
+      val c = cat.createCollection(CollectionDef("pix", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16))),
+        partitions = Seq("p0", "p1", "p2")))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "8")))
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7), 10,
+        searchParams = Map("nprobe" -> "8"),
+        partitionNames = Seq("p0", "p2")).select("vec_id")
+    },
     // ---- A7: stable sha256 checksum over sorted rows ----------------------
     "a7_stable_checksum" -> { (s, dir) =>
       import s.implicits._
@@ -3223,6 +3246,13 @@ object SparkEntry {
            |  SELECT vec_id, fs, CAST(row_number() OVER (ORDER BY fs DESC, vec_id) AS INT) AS fused_rank
            |  FROM f
            |) WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      // GENUINE independent oracle: pk % 3 partition routing restricts
+      // the searchable rows to vec_id % 3 IN (0, 2); nprobe = nlist
+      // makes the routed index path exact within them.
+      "v32_partition_indexed_search" ->
+        s"""SELECT vec_id FROM embeddings WHERE vec_id % 3 IN (0, 2)
+           |ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(7)}), vec_id
+           |LIMIT 10""".stripMargin,
       // GENUINE independent oracle: both legs are exact (see the v31
       // entry comment) with hand-derivable rankings — dense L2 of
       // [i,0] vs [0,0] ranks ids 1..4, sparse IP {1:i}·{1:1} ranks

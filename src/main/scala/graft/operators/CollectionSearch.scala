@@ -64,6 +64,12 @@ object CollectionSearch {
     val probeBudget = searchParams.get("nprobe")
       .orElse(searchParams.get("ef"))
       .orElse(searchParams.get("search_list_size"))
+    // Persisted IVF-family builds carry `_part` as the OUTER partition
+    // level, so a partition-scoped search stays on the index route and
+    // prunes whole partition subtrees before the probe prunes cells.
+    def scoped(indexDf: DataFrame): DataFrame =
+      if (partitionNames.isEmpty) indexDf
+      else indexDf.filter(col("_part").isin(partitionNames: _*))
     val hits = if (lshDeclared && partitionNames.isEmpty) {
       val ix = index.get
       val build = IndexStore.ensureLsh(spark, coll, vecField, metric,
@@ -78,38 +84,38 @@ object CollectionSearch {
       graft.ann.Lsh.searchOnePersisted(indexDf, build.model, queryVec,
         vecField, pk, k, radius, pred, outputFields)
     } else probeBudget.map(_.toInt) match {
-      case Some(nprobe) if sq8Declared && partitionNames.isEmpty =>
+      case Some(nprobe) if sq8Declared =>
         // 8-bit quantized path: ADC estimates over the probed cells'
         // byte-code column (4x narrower than the float vectors), exact
         // re-rank of k*refine_k.
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureSq8(spark, coll, vecField, metric, nlist)
-        val encoded = spark.read.parquet(build.dataPath)
+        val encoded = scoped(spark.read.parquet(build.dataPath))
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, encoded))
         Sq8.searchOne(encoded, build.model, queryVec, vecField, pk, k,
           nprobe, refine, pred, outputFields)
-      case Some(nprobe) if rabitqDeclared && partitionNames.isEmpty =>
+      case Some(nprobe) if rabitqDeclared =>
         // Quantized path: Hamming-estimate candidates over the probed
         // cells' narrow code columns, exact re-rank of k*refine_k.
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureRabitq(spark, coll, vecField, metric, nlist)
-        val encoded = spark.read.parquet(build.dataPath)
+        val encoded = scoped(spark.read.parquet(build.dataPath))
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, encoded))
         RaBitQ.searchOne(encoded, build.model, queryVec, vecField, pk, k,
           nprobe, refine, metric, pred, outputFields)
-      case Some(nprobe) if ivfDeclared && partitionNames.isEmpty =>
+      case Some(nprobe) if ivfDeclared =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
         val build = IndexStore.ensureIvf(spark, coll, vecField, metric, nlist)
         // Serve from the persisted build: `_cid` is a physical
         // partition column, so the probe filter inside Ivf.searchOne
         // prunes directories at the scan.
-        val assigned = spark.read.parquet(build.dataPath)
+        val assigned = scoped(spark.read.parquet(build.dataPath))
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, assigned))

@@ -992,6 +992,15 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       asOfMillis: Option[Long] = None): DataFrame =
     read(spark, partitionNames, asOfMillis, None)
 
+  /** Merged view retaining the physical partition name (`_part`) —
+    * index builds persist it (an extra partition level of the index
+    * layout) so partition-scoped searches prune the INDEX directories
+    * too instead of falling back to the exact scan.
+    */
+  private[store] def readWithPartition(spark: SparkSession): DataFrame =
+    assemble(spark, Seq.empty, None, None, keepInternals = true)
+      .drop("_ts")
+
   /** `pkPrefilter` is applied BELOW the merge window: safe only for
     * predicates over the PK alone (they keep or drop whole PK groups,
     * so last-writer-wins and tombstone resolution are unaffected) — and

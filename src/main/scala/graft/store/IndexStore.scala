@@ -521,16 +521,18 @@ object IndexStore {
     // Null vectors (nullable vector fields, 3.0 plan §4) are not
     // indexed: they can't be trained on (the sample collect would NPE)
     // and must never surface from a probe.
-    val snapshot = coll.read(spark).filter(col(field).isNotNull)
+    val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
     val vdir = versionDir(dir, seq, "ivf", metric, nlist)
     val dataPath = vdir.resolve("data").toString
     Ivf.assign(snapshot, field, model)
       // One shuffle to co-locate cells -> one file per cell directory,
       // instead of every task writing into every cell (tasks x nlist
-      // small files).
+      // small files). `_part` is the outer partition level so a
+      // partition-scoped search prunes whole partition subtrees before
+      // the probe filter prunes cells.
       .repartition(col("_cid"))
-      .write.mode("overwrite").partitionBy("_cid").parquet(dataPath)
+      .write.mode("overwrite").partitionBy("_part", "_cid").parquet(dataPath)
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
@@ -559,13 +561,13 @@ object IndexStore {
   private def buildRabitq(spark: SparkSession, dir: StorePath, coll: Collection,
       field: String, metric: String, nlist: Int, seq: Long): RabitqBuild = {
     // Null vectors are not indexed (see buildIvf).
-    val snapshot = coll.read(spark).filter(col(field).isNotNull)
+    val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
     val vdir = versionDir(dir, seq, "rabitq", metric, nlist)
     val dataPath = vdir.resolve("data").toString
     RaBitQ.encode(snapshot, field, model)
       .repartition(col("_cid"))
-      .write.mode("overwrite").partitionBy("_cid").parquet(dataPath)
+      .write.mode("overwrite").partitionBy("_part", "_cid").parquet(dataPath)
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
@@ -594,13 +596,13 @@ object IndexStore {
   private def buildSq8(spark: SparkSession, dir: StorePath, coll: Collection,
       field: String, metric: String, nlist: Int, seq: Long): Sq8Build = {
     // Null vectors are not indexed (see buildIvf).
-    val snapshot = coll.read(spark).filter(col(field).isNotNull)
+    val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = Sq8.train(snapshot, field, nlist, metric)
     val vdir = versionDir(dir, seq, "sq8", metric, nlist)
     val dataPath = vdir.resolve("data").toString
     Sq8.encode(snapshot, field, model)
       .repartition(col("_cid"))
-      .write.mode("overwrite").partitionBy("_cid").parquet(dataPath)
+      .write.mode("overwrite").partitionBy("_part", "_cid").parquet(dataPath)
     val meta: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.ivf.centroids.toSeq.map(_.toSeq)) ~
@@ -633,13 +635,13 @@ object IndexStore {
       coll: Collection, field: String, nlist: Int,
       seq: Long): BinIvfBuild = {
     // Null vectors are not indexed (see buildIvf).
-    val snapshot = coll.read(spark).filter(col(field).isNotNull)
+    val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = BinIvf.train(snapshot, field, k = nlist)
     val vdir = versionDir(dir, seq, "binivf", "HAMMING", nlist)
     val dataPath = vdir.resolve("data").toString
     BinIvf.assign(snapshot, field, model)
       .repartition(col(BinIvf.CID))
-      .write.mode("overwrite").partitionBy(BinIvf.CID).parquet(dataPath)
+      .write.mode("overwrite").partitionBy("_part", BinIvf.CID).parquet(dataPath)
     val meta: JObject = ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(c =>
         c.map(b => f"${b & 0xff}%02x").mkString))

@@ -183,6 +183,34 @@ class SearchBatchSpec extends SparkSpec {
     assert(batch == loop, s"text batch != loop: $batch vs $loop")
   }
 
+  test("partition-scoped search stays on the index route with _part pruning") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-pidx").toString)
+    val c = cat.createCollection(CollectionDef("pidx", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16))),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(spark, emb.select("vec_id", "embedding"))
+    c.createIndex(spark, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val df = CollectionSearch.search(spark, c, "embedding", qv, 5,
+      searchParams = Map("nprobe" -> "8"),
+      partitionNames = Seq("p0", "p2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"partition filter did not reach the index scan:\n$plan")
+    assert(plan.contains("_cid"), s"probe filter lost:\n$plan")
+    // nprobe = nlist makes the routed path exact, so it must equal the
+    // exact scan over the same partitions.
+    val got = df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val expected = Knn.searchOne(c.read(spark, Seq("p0", "p2")), qv,
+      "embedding", "vec_id", "L2", 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"routed $got != exact $expected")
+  }
+
   test("LSH batch scan is pruned to the probed bucket directories") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
