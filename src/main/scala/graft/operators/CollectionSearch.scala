@@ -164,7 +164,8 @@ object CollectionSearch {
       k: Int,
       filterExpr: String = "",
       searchParams: Map[String, String] = Map.empty,
-      outputFields: Seq[String] = Seq.empty): DataFrame = {
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
     import spark.implicits._
     require(queryVecs.nonEmpty, "batched search needs at least one query")
     val d = coll.definition
@@ -194,7 +195,13 @@ object CollectionSearch {
     def pred(df: DataFrame) =
       if (filterExpr.trim.isEmpty) None
       else Some(MilvusExpr.compile(filterExpr, df))
-    val hits = if (lshDeclared) {
+    // IVF-family builds carry `_part` as the outer partition level (see
+    // [[search]]); LSH's (t, sig) layout does not, so partition-scoped
+    // LSH batches fall back to the exact batched scan.
+    def scoped(indexDf: DataFrame): DataFrame =
+      if (partitionNames.isEmpty) indexDf
+      else indexDf.filter(col("_part").isin(partitionNames: _*))
+    val hits = if (lshDeclared && partitionNames.isEmpty) {
       val ix = index.get
       val build = IndexStore.ensureLsh(spark, coll, vecField, metric,
         ix.params.get("tables").map(_.toInt).getOrElse(4),
@@ -210,7 +217,7 @@ object CollectionSearch {
           .getOrElse(16)
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureSq8(spark, coll, vecField, metric, nlist)
-        val encoded = spark.read.parquet(build.dataPath)
+        val encoded = scoped(spark.read.parquet(build.dataPath))
         Sq8.search(encoded, build.model, doubleQs, vecField, pk, k,
           nprobe, refine, pred(encoded), outputFields)
       case Some(nprobe) if rabitqDeclared =>
@@ -219,19 +226,20 @@ object CollectionSearch {
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureRabitq(spark, coll, vecField, metric,
           nlist)
-        val encoded = spark.read.parquet(build.dataPath)
+        val encoded = scoped(spark.read.parquet(build.dataPath))
         RaBitQ.search(encoded, build.model, doubleQs, vecField, pk, k,
           nprobe, refine, metric, pred(encoded), outputFields)
       case Some(nprobe) if ivfDeclared =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)
         val build = IndexStore.ensureIvf(spark, coll, vecField, metric, nlist)
-        val assigned = spark.read.parquet(build.dataPath)
+        val assigned = scoped(spark.read.parquet(build.dataPath))
         val qdf = queryVecs.toDF("qid", "qvec")
         Ivf.search(assigned, build.model, qdf, vecField, pk, k, nprobe,
           pred(assigned), outputFields)
       case _ =>
-        val data = coll.read(spark).filter(col(vecField).isNotNull)
+        val data = coll.read(spark, partitionNames)
+          .filter(col(vecField).isNotNull)
         val qdf = queryVecs.toDF("qid", "qvec")
         Knn.search(data, qdf, vecField, pk, metric, k, pred(data),
           outputCols = outputFields)
@@ -383,6 +391,43 @@ object CollectionSearch {
       Knn.searchOneBinary(data, queryBytes, vecField, pk, k, pred,
         outputFields)
     }
+  }
+
+  /** Group-by search through the collection route — the client's
+    * `search(group_by_field=..., group_size=...)` shape
+    * (milvus_client/issues.py:79-86; multi-field composite group_by is
+    * the 3.0 §2 extension). Served EXACT regardless of declared
+    * indexes: Milvus' grouped ANN is approximate, exact grouping is
+    * strictly stronger, and the salted two-level group prune in
+    * [[Knn.searchGroupByMulti]] keeps the plan scale-safe at large k.
+    * The nullable-vector guard applies as in [[search]].
+    */
+  def searchGroupBy(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryVec: Seq[Float],
+      k: Int,
+      groupByFields: Seq[String],
+      groupSize: Int = 1,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val metric = searchParams.get("metric_type")
+      .orElse(d.indexes.find(_.field == vecField).flatMap(_.metricType))
+      .getOrElse("COSINE")
+    val data = coll.read(spark, partitionNames)
+      .filter(col(vecField).isNotNull)
+    val pred =
+      if (filterExpr.trim.isEmpty) None
+      else Some(MilvusExpr.compile(filterExpr, data))
+    val q = Seq(("q0", queryVec)).toDF("qid", "qvec")
+    Knn.searchGroupByMulti(data, q, vecField, pk, groupByFields, metric,
+      k, pred, outputFields, groupSize).drop("qid")
   }
 
   /** Batched binary-vector search — the nq>1 Hamming client shape as

@@ -211,6 +211,56 @@ class SearchBatchSpec extends SparkSpec {
     assert(got == expected, s"routed $got != exact $expected")
   }
 
+  test("batch honors partition_names on the IVF route") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-pbatch").toString)
+    val c = cat.createCollection(CollectionDef("pb", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16))),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(spark, emb.select("vec_id", "embedding"))
+    c.createIndex(spark, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val qs = qvecs
+    val batch = CollectionSearch.searchBatch(spark, c, "embedding", qs, 5,
+      searchParams = Map("nprobe" -> "8"), partitionNames = Seq("p1"))
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // nprobe = nlist is exact, so every hit must come from p1 (pk % 3
+    // == 1) and match the exact partition-scoped loop.
+    assert(batch.nonEmpty && batch.forall(_._2 % 3 == 1))
+    val loop = qs.flatMap { case (qid, qv) =>
+      Knn.searchOne(c.read(spark, Seq("p1")), qv, "embedding", "vec_id",
+        "L2", 5).select("vec_id").collect().map(r => (qid, r.getLong(0)))
+    }.sorted
+    assert(batch == loop, s"partition batch != exact loop")
+  }
+
+  test("collection-route group_by search equals the operator-level result") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-gbr").toString)
+    val c = cat.createCollection(CollectionDef("gb", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("label", LongType),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    c.insert(spark, emb.select("vec_id", "label", "embedding"))
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val routed = CollectionSearch.searchGroupBy(spark, c, "embedding", qv,
+      3, Seq("label"), groupSize = 2,
+      searchParams = Map("metric_type" -> "COSINE"))
+      .select("vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val q = Seq(("q0", qv)).toDF("qid", "qvec")
+    val direct = Knn.searchGroupBy(emb, q, "embedding", "vec_id", "label",
+      "COSINE", 3, groupSize = 2)
+      .select("vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(routed == direct, s"$routed != $direct")
+  }
+
   test("LSH batch scan is pruned to the probed bucket directories") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
