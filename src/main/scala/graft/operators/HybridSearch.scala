@@ -120,7 +120,8 @@ object HybridSearch {
       ranker: Ranker,
       limit: Int = 10,
       offset: Int = 0,
-      outputCols: Seq[String] = Seq.empty): DataFrame = {
+      outputCols: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
     require(requests.nonEmpty, "hybrid search needs at least one request")
     val pk = coll.definition.primaryField.name
     def ranked(hits: DataFrame, simLike: Boolean): DataFrame = {
@@ -136,13 +137,30 @@ object HybridSearch {
           .getOrElse("COSINE")
         val simLike = similarityLike(metric)
         val hits = CollectionSearch.searchBatch(spark, coll, r.annsField,
-          r.queryVecs, r.limit, r.filter.getOrElse(""), r.params)
+          r.queryVecs, r.limit, r.filter.getOrElse(""), r.params,
+          partitionNames = partitionNames)
         (ranked(hits, simLike), simLike)
       case r: CollectionSparseRequest =>
         // Sparse IP (and its BM25 impact encoding) is similarity-like.
-        val hits = CollectionSearch.searchSparseBatch(spark, coll,
-          r.annsField, r.queries, r.limit, r.filter.getOrElse(""), r.params)
-          .select(col("qid"), col(pk), col("score"))
+        // The persisted sparse postings carry no partition column, so a
+        // partition-scoped sparse leg explodes TRANSIENT postings from
+        // the partition-pruned read (the searchSparseBatch no-index
+        // shape) — the restriction applies BEFORE the per-qid top-k,
+        // never by trimming an already-limited result.
+        val hits =
+          if (partitionNames.isEmpty)
+            CollectionSearch.searchSparseBatch(spark, coll, r.annsField,
+              r.queries, r.limit, r.filter.getOrElse(""), r.params)
+              .select(col("qid"), col(pk), col("score"))
+          else {
+            val buckets = 64
+            val postings = graft.ann.SparseInverted.postings(
+              coll.read(spark, partitionNames), r.annsField, pk, buckets)
+            val pred = r.filter.map(f => MilvusExpr.compile(f, postings))
+            graft.ann.SparseInverted.searchBatch(postings, r.queries, pk,
+              r.limit, buckets, pred)
+              .select(col("qid"), col(pk), col("score"))
+          }
         (ranked(hits, simLike = true), true)
     }
     val fused = ranker match {

@@ -261,6 +261,37 @@ class SearchBatchSpec extends SparkSpec {
     assert(routed == direct, s"$routed != $direct")
   }
 
+  test("partition-scoped hybrid restricts both leg kinds before top-k") {
+    import HybridSearch._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, MapType}
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-hybpart").toString)
+    val c = cat.createCollection(CollectionDef("hp", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("dvec", ArrayType(FloatType), dim = Some(2)),
+      FieldDef("svec", MapType(IntegerType, DoubleType))),
+      partitions = Seq("p0", "p1")))
+    // pk % 2 routing: evens -> p0, odds -> p1.
+    c.insert(spark, (1L to 8L).map(i =>
+      (i, Seq(i.toFloat, 0f), Map(1 -> i.toDouble))).toDF("id", "dvec", "svec"))
+    c.createIndex(spark, IndexDef("dvec", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "2")))
+    c.createIndex(spark, IndexDef("svec", "SPARSE_INVERTED_INDEX"))
+    val fused = HybridSearch.hybridSearchCollection(spark, c,
+      Seq(
+        CollectionAnnRequest(Seq("q0" -> Seq(0f, 0f)), "dvec", limit = 3,
+          params = Map("nprobe" -> "2")),
+        CollectionSparseRequest(Seq("q0" -> Map(1 -> 1.0)), "svec",
+          limit = 3)),
+      RrfRanker(60), limit = 8, partitionNames = Seq("p1"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // Only odd ids live in p1: dense leg top-3 = {1,3,5}, sparse
+    // leg top-3 (IP desc) = {7,5,3} — fused ids are exactly the union.
+    assert(fused == Set(1L, 3L, 5L, 7L), s"got $fused")
+  }
+
   test("LSH batch scan is pruned to the probed bucket directories") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
