@@ -998,7 +998,10 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * too instead of falling back to the exact scan.
     */
   private[store] def readWithPartition(spark: SparkSession): DataFrame =
-    assemble(spark, Seq.empty, None, None, keepInternals = true)
+    // External collections have no delta log (and no partitions):
+    // their rows all belong to the default partition.
+    if (isExternal) read(spark).withColumn(PART, lit(DEFAULT_PART))
+    else assemble(spark, Seq.empty, None, None, keepInternals = true)
       .drop("_ts")
 
   /** `pkPrefilter` is applied BELOW the merge window: safe only for

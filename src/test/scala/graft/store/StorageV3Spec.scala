@@ -169,6 +169,29 @@ class StorageV3Spec extends SparkSpec {
     assert(c.numEntities(s) == 3)
   }
 
+  test("external collection: declared IVF index serves search (readWithPartition)") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val srcDir = Files.createTempDirectory("graft-ext-ivf").toString
+    (0L until 50L).map(i => (i, Seq(i.toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(srcDir)
+    val d = CollectionDef("extivf", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(2))))
+    val c = cat.createExternalCollection(s, d, srcDir)
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "2")))
+    // The index build snapshots the EXTERNAL rows (regression: the
+    // partition-aware build must not assemble an empty delta log).
+    val hits = graft.operators.CollectionSearch.search(s, c, "embedding",
+      Seq(10f, 3f), 3, searchParams = Map("nprobe" -> "2")).collect()
+    assert(hits.length == 3)
+    assert(hits.head.getLong(0) == 10L)
+  }
+
   test("external read: filters push through the mapping to the parquet scan") {
     val s = spark
     import s.implicits._
