@@ -70,13 +70,13 @@ object CollectionSearch {
     def scoped(indexDf: DataFrame): DataFrame =
       if (partitionNames.isEmpty) indexDf
       else indexDf.filter(col("_part").isin(partitionNames: _*))
-    val hits = if (lshDeclared && partitionNames.isEmpty) {
+    val hits = if (lshDeclared) {
       val ix = index.get
       val build = IndexStore.ensureLsh(spark, coll, vecField, metric,
         ix.params.get("tables").map(_.toInt).getOrElse(4),
         ix.params.get("num_planes").map(_.toInt).getOrElse(8),
         ix.params.get("seed").map(_.toLong).getOrElse(42L))
-      val indexDf = spark.read.parquet(build.dataPath)
+      val indexDf = scoped(spark.read.parquet(build.dataPath))
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, indexDf))
@@ -195,19 +195,19 @@ object CollectionSearch {
     def pred(df: DataFrame) =
       if (filterExpr.trim.isEmpty) None
       else Some(MilvusExpr.compile(filterExpr, df))
-    // IVF-family builds carry `_part` as the outer partition level (see
-    // [[search]]); LSH's (t, sig) layout does not, so partition-scoped
-    // LSH batches fall back to the exact batched scan.
+    // Every persisted vector index (IVF family AND the LSH bucket
+    // layout) carries `_part` as the outer partition level (see
+    // [[search]]).
     def scoped(indexDf: DataFrame): DataFrame =
       if (partitionNames.isEmpty) indexDf
       else indexDf.filter(col("_part").isin(partitionNames: _*))
-    val hits = if (lshDeclared && partitionNames.isEmpty) {
+    val hits = if (lshDeclared) {
       val ix = index.get
       val build = IndexStore.ensureLsh(spark, coll, vecField, metric,
         ix.params.get("tables").map(_.toInt).getOrElse(4),
         ix.params.get("num_planes").map(_.toInt).getOrElse(8),
         ix.params.get("seed").map(_.toLong).getOrElse(42L))
-      val indexDf = spark.read.parquet(build.dataPath)
+      val indexDf = scoped(spark.read.parquet(build.dataPath))
       val radius = searchParams.get("radius").map(_.toInt).getOrElse(1)
       graft.ann.Lsh.searchPersistedBatch(indexDf, build.model, queryVecs,
         vecField, pk, k, radius, pred(indexDf), outputFields)

@@ -404,7 +404,8 @@ object IndexStore {
       // tables/planes ride in the pointer's nlist slot, packed.
       val packed = tables * 1000 + numPlanes
       loadLsh(dir, metric, tag, packed, seq).getOrElse {
-        val snapshot = coll.read(spark).filter(col(field).isNotNull)
+        val snapshot = coll.readWithPartition(spark)
+          .filter(col(field).isNotNull)
         // dim comes from the data, not the declared FieldDef — the
         // signature must cover the stored vectors exactly.
         val dim = snapshot.select(size(col(field))).head().getInt(0)
@@ -413,9 +414,11 @@ object IndexStore {
         val dataPath = vdir.resolve("data").toString
         Lsh.explodeTables(snapshot, field, model)
           // one shuffle to co-locate buckets -> one file per (t, sig)
-          // directory
+          // directory; `_part` outermost so partition-scoped searches
+          // prune whole partition subtrees (same as the IVF family)
           .repartition(col("_t"), col("_sig"))
-          .write.mode("overwrite").partitionBy("_t", "_sig").parquet(dataPath)
+          .write.mode("overwrite").partitionBy("_part", "_t", "_sig")
+          .parquet(dataPath)
         vdir.resolve("planes.json").writeBytes(JsonMethods.compact(
           JsonMethods.render(("metric" -> metric) ~ ("seed" -> seed) ~
             ("planes" -> model.planes.toSeq.map(_.toSeq.map(_.toSeq))))).getBytes)

@@ -292,6 +292,33 @@ class SearchBatchSpec extends SparkSpec {
     assert(fused == Set(1L, 3L, 5L, 7L), s"got $fused")
   }
 
+  test("partition-scoped LSH search serves from the bucket layout") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-plsh").toString)
+    val c = cat.createCollection(CollectionDef("plsh", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16))),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(spark, emb.select("vec_id", "embedding"))
+    c.createIndex(spark, IndexDef("embedding", "LSH", Some("COSINE"),
+      Map("tables" -> "2", "num_planes" -> "4")))
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    // radius = num_planes probes every bucket => exact within the
+    // selected partitions.
+    val df = CollectionSearch.search(spark, c, "embedding", qv, 5,
+      searchParams = Map("radius" -> "4"),
+      partitionNames = Seq("p0", "p2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"partition filter did not reach the LSH scan:\n$plan")
+    val got = df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val expected = Knn.searchOne(c.read(spark, Seq("p0", "p2")), qv,
+      "embedding", "vec_id", "COSINE", 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"routed $got != exact $expected")
+  }
+
   test("LSH batch scan is pruned to the probed bucket directories") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch-p").toString)
