@@ -875,6 +875,80 @@ object SparkEntry {
         searchParams = Map("nprobe" -> "8", "refine_k" -> "50"))
         .select("qid", "vec_id")
     },
+    // ---- V33: batched BINARY search through the collection route —
+    // the nq>1 Hamming client shape (search_permanently.py:317-325
+    // sends nq byte-vectors per call over BIN_* fields) served as ONE
+    // routed job via CollectionSearch.searchBinaryBatch. Routed
+    // through the declared BIN_IVF_FLAT at nprobe = nlist, which makes
+    // each query's hits provably exact — so DuckDB's per-query exact
+    // Hamming top-k union (bit patterns re-derived from the bijective
+    // vec_id hash, see v27) is a GENUINE independent oracle for the
+    // batch plumbing (qid crosstalk between probe sets, broadcast
+    // mixup, or per-qid ranking error all break the match).
+    "v33_binary_batch" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v33").toString)
+      val c = cat.createCollection(CollectionDef("binb", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("bvec", org.apache.spark.sql.types.BinaryType,
+          dim = Some(32)))))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), binVecCol.as("bvec")))
+      c.createIndex(s, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
+        Map("nlist" -> "8")))
+      val qs = Seq(0L, 7L, 42L).map(id => s"q$id" -> binBytesOf(id))
+      CollectionSearch.searchBinaryBatch(s, c, "bvec", qs, 10,
+        searchParams = Map("nprobe" -> "8"))
+        .select("qid", "vec_id", "score")
+    },
+    // ---- V34: batched TEXT query search through the bound
+    // TEXT_EMBEDDING function — `search(data=["t1", "t2"])` server-side
+    // encode semantics (the s35/v24 encoder), each text encoded
+    // driver-side then ONE batched routed job. Exhaustive k then a
+    // deterministic per-qid (dist, doc_id) re-rank so integer-distance
+    // ties can't flap the top-10 sets; DuckDB re-derives the encode
+    // spec AND both query embeddings from raw text — a GENUINE
+    // independent oracle for encode parity + batch qid plumbing.
+    "v34_text_batch" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v34").toString)
+      val c = cat.createCollection(CollectionDef("emb", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200))
+      c.addFunction(graft.store.FunctionDef("enc", "TEXT_EMBEDDING",
+        Seq("text"), Seq("emb_vec"), Map("dim" -> "8")))
+      val hits = CollectionSearch.searchByQueryTextBatch(s, c, "emb_vec",
+        Seq("q0" -> "vector stream data engine",
+          "q1" -> "database systems and query planning"), 200,
+        searchParams = Map("metric_type" -> "L2"))
+      hits.select(col("qid"), col("doc_id"),
+          round(pow(col("score"), 2)).cast("long").as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("doc_id")))
+          .cast("int"))
+        .filter(col("rank") <= 10).select("qid", "doc_id", "dist", "rank")
+        .orderBy("qid", "rank")
+    },
+    // ---- V35: group_by search through the COLLECTION route — the
+    // client's `search(group_by_field=...)` shape
+    // (milvus_client/issues.py:79-86) via CollectionSearch.searchGroupBy
+    // (served exact regardless of declared indexes — grouped ANN in the
+    // reference is approximate, exact grouping is strictly stronger).
+    // Same oracle shape as v5: per-label best cosine hit, top-5 groups.
+    "v35_groupby_route" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v35").toString)
+      val c = cat.createCollection(CollectionDef("gbr", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)),
+        FieldDef("label", IntegerType))))
+      c.insert(s, tbl(s, dir, "embeddings"))
+      CollectionSearch.searchGroupBy(s, c, "embedding", vecOf(s, dir, 0),
+        5, Seq("label"))
+        .select("label", "vec_id", "rank").orderBy("rank")
+    },
     // ---- A9: query-aggregation matrix (3.0 plan §2: count/min/max/
     // sum/avg as query output_fields, server-side) — one partial-
     // aggregated job; COMPUTED oracle. --------------------------------
@@ -3176,6 +3250,90 @@ object SparkEntry {
            |   ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(42)}), vec_id
            |   LIMIT 10)
            |) ORDER BY qid, vec_id""".stripMargin,
+      // GENUINE independent oracle for the BATCHED binary collection
+      // route (v33): nprobe = nlist makes each query's routed
+      // BIN_IVF_FLAT hits exactly the brute-force Hamming top-k, and
+      // DuckDB re-derives every bit pattern from the bijective vec_id
+      // hash (see v27_bin_ivf_exact) — per-query exact top-10 union
+      // tagged with qid.
+      "v33_binary_batch" ->
+        """SELECT qid, vec_id, score FROM (
+          |  (SELECT 'q0' AS qid, vec_id,
+          |     CAST(bit_count(xor((vec_id * 2654435761) % 4294967296,
+          |                        (0 * 2654435761) % 4294967296)) AS BIGINT)
+          |       AS score
+          |   FROM embeddings ORDER BY score, vec_id LIMIT 10)
+          |  UNION ALL
+          |  (SELECT 'q7' AS qid, vec_id,
+          |     CAST(bit_count(xor((vec_id * 2654435761) % 4294967296,
+          |                        (7 * 2654435761) % 4294967296)) AS BIGINT)
+          |       AS score
+          |   FROM embeddings ORDER BY score, vec_id LIMIT 10)
+          |  UNION ALL
+          |  (SELECT 'q42' AS qid, vec_id,
+          |     CAST(bit_count(xor((vec_id * 2654435761) % 4294967296,
+          |                        (42 * 2654435761) % 4294967296)) AS BIGINT)
+          |       AS score
+          |   FROM embeddings ORDER BY score, vec_id LIMIT 10)
+          |) ORDER BY qid, vec_id""".stripMargin,
+      // COMPUTED oracle for the batched TEXT search (v34): DuckDB
+      // re-derives the signed bag-of-words encode spec for the docs AND
+      // both query texts (the s35/v24 encoder), then ranks per qid —
+      // encode parity and batch qid plumbing both pinned.
+      "v34_text_batch" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |contrib AS (
+          |  SELECT doc_id, (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM tok),
+          |emb AS (SELECT doc_id, bucket, sum(sgn) AS v
+          |        FROM contrib GROUP BY doc_id, bucket),
+          |q AS (SELECT * FROM (VALUES
+          |  ('q0', 'vector stream data engine'),
+          |  ('q1', 'database systems and query planning')) AS t(qid, qtext)),
+          |qtok AS (
+          |  SELECT qid, unnest(list_filter(regexp_split_to_array(
+          |    lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS t FROM q),
+          |qemb AS (
+          |  SELECT qid, (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM qtok GROUP BY qid, bucket),
+          |grid AS (
+          |  SELECT q.qid, d.doc_id, b.bucket,
+          |    coalesce(e.v, 0) AS dv, coalesce(qe.v, 0) AS qv
+          |  FROM q
+          |  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) b
+          |  LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.bucket = b.bucket
+          |  LEFT JOIN qemb qe ON qe.qid = q.qid AND qe.bucket = b.bucket),
+          |dist AS (
+          |  SELECT qid, doc_id, CAST(sum((dv - qv) * (dv - qv)) AS BIGINT) AS dist
+          |  FROM grid GROUP BY qid, doc_id)
+          |SELECT qid, doc_id, dist, rank FROM (
+          |  SELECT qid, doc_id, dist, CAST(row_number() OVER
+          |    (PARTITION BY qid ORDER BY dist, doc_id) AS INT) AS rank FROM dist)
+          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      // Same oracle shape as v5_group_by_search: per-label best cosine
+      // hit, top-5 groups — the collection route must serve identical
+      // grouped results.
+      "v35_groupby_route" ->
+        s"""WITH scored AS (
+           |  SELECT vec_id, label,
+           |    list_cosine_similarity(embedding::DOUBLE[], $q0) AS s
+           |  FROM embeddings
+           |), best AS (
+           |  SELECT label, vec_id, s,
+           |    row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT label, vec_id, rank FROM (
+           |  SELECT label, vec_id,
+           |    CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank
+           |  FROM best WHERE rn = 1
+           |) WHERE rank <= 5 ORDER BY rank""".stripMargin,
       "a9_query_agg_matrix" ->
         """SELECT count(*) AS "count(*)",
           |  CAST(min(l_quantity) AS DOUBLE) AS min_q,
