@@ -1012,6 +1012,29 @@ object SparkEntry {
       Seq((pks.length.toLong, pks.distinct.length.toLong))
         .toDF("total", "distinct_pks")
     },
+    // ---- Q6: iterator with partition_names (query_iterator.py:109
+    // scans month-named partitions through the iterator) — every keyset
+    // page is a directory-pruned scan of ONLY the named partitions
+    // (pruning plan-asserted in OperatorsSpec). Rows route pk % 3 →
+    // p0/p1/p2 (validate_phase_dml_dql.py:105-108), so the p1+p2 scope
+    // is exactly the pks with n_nationkey % 3 != 0 — an independent
+    // DuckDB oracle for the scoped iterator's completeness.
+    "q6_partition_iterator" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-q6p").toString)
+      val c = cat.createCollection(CollectionDef("pit", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType)),
+        partitions = Seq("p0", "p1", "p2")))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      val it = QueryIterator.forCollection(s, c, batchSize = 4,
+        partitionNames = Seq("p1", "p2"),
+        outputFields = Seq("n_nationkey"))
+      val pks = Iterator.continually(it.next()).takeWhile(_.nonEmpty)
+        .flatten.map(_.getLong(0)).toVector
+      pks.map(Tuple1(_)).toDF("n_nationkey").orderBy("n_nationkey")
+    },
     // ---- V6: hybrid search orchestration (N requests + ranker) ------------
     "v6_hybrid_search" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
@@ -3367,6 +3390,11 @@ object SparkEntry {
       "q6_iterator_resume" ->
         """SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_pks
           |FROM orders""".stripMargin,
+      // The p1+p2 partition scope under pk % 3 routing is exactly the
+      // keys with n_nationkey % 3 != 0 (see the entry comment).
+      "q6_partition_iterator" ->
+        """SELECT n_nationkey FROM nation WHERE n_nationkey % 3 <> 0
+          |ORDER BY n_nationkey""".stripMargin,
       "v6_hybrid_search" ->
         s"""WITH r1 AS (
            |  SELECT vec_id, CAST(row_number() OVER (

@@ -366,25 +366,31 @@ object CollectionSearch {
       k: Int,
       filterExpr: String = "",
       searchParams: Map[String, String] = Map.empty,
-      outputFields: Seq[String] = Seq.empty): DataFrame = {
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
     val d = coll.definition
     val pk = d.primaryField.name
     val index = d.indexes.find(_.field == vecField)
     val binIvfDeclared =
       index.exists(_.indexType.toUpperCase == "BIN_IVF_FLAT")
+    // Persisted BIN_IVF builds carry `_part` like the dense family, so
+    // a partition-scoped search stays on the index route (see [[search]]).
+    def scoped(indexDf: DataFrame): DataFrame =
+      if (partitionNames.isEmpty) indexDf
+      else indexDf.filter(col("_part").isin(partitionNames: _*))
     if (binIvfDeclared) {
       val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
         .getOrElse(16)
       val nprobe = searchParams.get("nprobe").map(_.toInt).getOrElse(4)
       val build = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
-      val assigned = spark.read.parquet(build.dataPath)
+      val assigned = scoped(spark.read.parquet(build.dataPath))
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, assigned))
       BinIvf.searchOne(assigned, build.model, queryBytes, vecField, pk, k,
         nprobe, pred, outputFields)
     } else {
-      val data = coll.read(spark)
+      val data = coll.read(spark, partitionNames)
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, data))
@@ -446,7 +452,8 @@ object CollectionSearch {
       k: Int,
       filterExpr: String = "",
       searchParams: Map[String, String] = Map.empty,
-      outputFields: Seq[String] = Seq.empty): DataFrame = {
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty, "batched search needs at least one query")
     val d = coll.definition
@@ -461,14 +468,17 @@ object CollectionSearch {
         .getOrElse(16)
       val nprobe = searchParams.get("nprobe").map(_.toInt).getOrElse(4)
       val build = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
-      val assigned = spark.read.parquet(build.dataPath)
+      val assigned =
+        if (partitionNames.isEmpty) spark.read.parquet(build.dataPath)
+        else spark.read.parquet(build.dataPath)
+          .filter(col("_part").isin(partitionNames: _*))
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, assigned))
       BinIvf.search(assigned, build.model, queries, vecField, pk, k,
         nprobe, pred, outputFields).select(outSel: _*)
     } else {
-      val data = coll.read(spark)
+      val data = coll.read(spark, partitionNames)
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, data))

@@ -17,6 +17,30 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Checkpoint writes are atomic (temp file + move), mirroring the
   * reference's crash-safe cp-file behavior.
   */
+object QueryIterator {
+
+  /** Collection-level iterator — the reference's
+    * `query_iterator(partition_names=..., expr=...)` shape
+    * (milvus_client/query_iterator.py:104-163, with month-named
+    * partition scans at :109): the underlying scan is the collection's
+    * partition-scoped merge-on-read view, so every keyset page is a
+    * directory-pruned range scan of ONLY the named partitions (deltas
+    * are `partitionBy(_part)`; partition pruning is plan-asserted in
+    * OperatorsSpec/StoreSpec).
+    */
+  def forCollection(
+      spark: org.apache.spark.sql.SparkSession,
+      coll: graft.store.Collection,
+      batchSize: Int,
+      filter: Option[Column] = None,
+      partitionNames: Seq[String] = Seq.empty,
+      checkpointFile: Option[String] = None,
+      outputFields: Seq[String] = Seq("*")): QueryIterator =
+    new QueryIterator(coll.read(spark, partitionNames),
+      coll.definition.primaryField.name, batchSize, filter,
+      checkpointFile, outputFields)
+}
+
 final class QueryIterator(
     df: DataFrame,
     pkCol: String,

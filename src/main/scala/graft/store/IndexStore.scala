@@ -122,6 +122,28 @@ object IndexStore {
       metric: String, nlist: Int): StorePath =
     dir.resolve(s"v_${seq}_${kind}_${metric}_$nlist")
 
+  /** Outer partition levels for a persisted vector build: `_part`
+    * leads only when the collection can hold more than the default
+    * partition, so partition-scoped searches prune whole partition
+    * subtrees before the inner probe filter prunes cells/buckets. An
+    * UNPARTITIONED collection's build skips the constant
+    * `_part=_default` directory level (a useless listing hop on every
+    * index read); `_part` still rides along as a DATA column there, so
+    * the search-side partition filter resolves against either layout.
+    *
+    * The layout version is encoded in the pointer `kind` (the "2"
+    * suffix on ivf2/rabitq2/sq8v2/binivf2/lsh2): a pointer written by
+    * an earlier layout fails the load filter and the index lazily
+    * rebuilds, instead of serving parquet whose partition structure
+    * the current search path no longer matches.
+    */
+  private def vectorLayout(coll: Collection, inner: String*): Seq[String] = {
+    val d = coll.definition
+    val unpartitioned = d.partitions.isEmpty &&
+      d.partitionKeyField.isEmpty && d.numPartitions.isEmpty
+    if (unpartitioned) inner.toSeq else "_part" +: inner.toSeq
+  }
+
   /** Ensure a fresh persisted IVF index for `field`; reuse when the
     * on-disk build matches the collection's current write-seq, rebuild
     * otherwise.
@@ -400,7 +422,7 @@ object IndexStore {
       k._1 == coll.name && k._2 == field && k._4 != seq)
     lshCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
-      val tag = s"lsh${tables}x$numPlanes"
+      val tag = s"lsh2_${tables}x$numPlanes"
       // tables/planes ride in the pointer's nlist slot, packed.
       val packed = tables * 1000 + numPlanes
       loadLsh(dir, metric, tag, packed, seq).getOrElse {
@@ -412,12 +434,13 @@ object IndexStore {
         val model = Lsh.train(dim, tables, numPlanes, metric, seed)
         val vdir = versionDir(dir, seq, tag, metric, packed)
         val dataPath = vdir.resolve("data").toString
+        // one shuffle on the leaf layout key -> one file per leaf
+        // bucket directory (see [[vectorLayout]] for the conditional
+        // `_part` outer level, same as the IVF family)
+        val parts = vectorLayout(coll, "_t", "_sig")
         Lsh.explodeTables(snapshot, field, model)
-          // one shuffle to co-locate buckets -> one file per (t, sig)
-          // directory; `_part` outermost so partition-scoped searches
-          // prune whole partition subtrees (same as the IVF family)
-          .repartition(col("_t"), col("_sig"))
-          .write.mode("overwrite").partitionBy("_part", "_t", "_sig")
+          .repartition(parts.map(col): _*)
+          .write.mode("overwrite").partitionBy(parts: _*)
           .parquet(dataPath)
         vdir.resolve("planes.json").writeBytes(JsonMethods.compact(
           JsonMethods.render(("metric" -> metric) ~ ("seed" -> seed) ~
@@ -526,31 +549,32 @@ object IndexStore {
     // and must never surface from a probe.
     val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
-    val vdir = versionDir(dir, seq, "ivf", metric, nlist)
+    val vdir = versionDir(dir, seq, "ivf2", metric, nlist)
     val dataPath = vdir.resolve("data").toString
+    // One shuffle on the LEAF layout key to co-locate each output
+    // directory's rows in one task -> one file per leaf directory,
+    // instead of every task writing into every leaf (tasks x nlist
+    // small files). See [[vectorLayout]] for the conditional `_part`
+    // outer level.
+    val parts = vectorLayout(coll, "_cid")
     Ivf.assign(snapshot, field, model)
-      // One shuffle to co-locate cells -> one file per cell directory,
-      // instead of every task writing into every cell (tasks x nlist
-      // small files). `_part` is the outer partition level so a
-      // partition-scoped search prunes whole partition subtrees before
-      // the probe filter prunes cells.
-      .repartition(col("_cid"))
-      .write.mode("overwrite").partitionBy("_part", "_cid").parquet(dataPath)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
     vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
-    commitPointer(dir, seq, "ivf", metric, nlist)
+    commitPointer(dir, seq, "ivf2", metric, nlist)
     IvfBuild(model, dataPath, nlist, seq)
   }
 
   private def loadIvf(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[IvfBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "ivf" &&
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "ivf2" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
-      val vdir = versionDir(dir, seq, "ivf", metric, nlist)
+      val vdir = versionDir(dir, seq, "ivf2", metric, nlist)
       val j = JsonMethods.parse(
         new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
@@ -566,26 +590,27 @@ object IndexStore {
     // Null vectors are not indexed (see buildIvf).
     val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = Ivf.train(snapshot, field, k = nlist, metric = metric)
-    val vdir = versionDir(dir, seq, "rabitq", metric, nlist)
+    val vdir = versionDir(dir, seq, "rabitq2", metric, nlist)
     val dataPath = vdir.resolve("data").toString
+    val parts = vectorLayout(coll, "_cid")
     RaBitQ.encode(snapshot, field, model)
-      .repartition(col("_cid"))
-      .write.mode("overwrite").partitionBy("_part", "_cid").parquet(dataPath)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
     vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
-    commitPointer(dir, seq, "rabitq", metric, nlist)
+    commitPointer(dir, seq, "rabitq2", metric, nlist)
     RabitqBuild(model, dataPath, nlist, seq)
   }
 
   private def loadRabitq(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[RabitqBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "rabitq" &&
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "rabitq2" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
-      val vdir = versionDir(dir, seq, "rabitq", metric, nlist)
+      val vdir = versionDir(dir, seq, "rabitq2", metric, nlist)
       val j = JsonMethods.parse(
         new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
@@ -601,27 +626,28 @@ object IndexStore {
     // Null vectors are not indexed (see buildIvf).
     val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = Sq8.train(snapshot, field, nlist, metric)
-    val vdir = versionDir(dir, seq, "sq8", metric, nlist)
+    val vdir = versionDir(dir, seq, "sq8v2", metric, nlist)
     val dataPath = vdir.resolve("data").toString
+    val parts = vectorLayout(coll, "_cid")
     Sq8.encode(snapshot, field, model)
-      .repartition(col("_cid"))
-      .write.mode("overwrite").partitionBy("_part", "_cid").parquet(dataPath)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
     val meta: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.ivf.centroids.toSeq.map(_.toSeq)) ~
       ("mins" -> model.mins.toSeq) ~ ("maxs" -> model.maxs.toSeq)
     vdir.resolve("sq8.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(meta)).getBytes)
-    commitPointer(dir, seq, "sq8", metric, nlist)
+    commitPointer(dir, seq, "sq8v2", metric, nlist)
     Sq8Build(model, dataPath, nlist, seq)
   }
 
   private def loadSq8(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[Sq8Build] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sq8" &&
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sq8v2" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
-      val vdir = versionDir(dir, seq, "sq8", metric, nlist)
+      val vdir = versionDir(dir, seq, "sq8v2", metric, nlist)
       val j = JsonMethods.parse(
         new String(vdir.resolve("sq8.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
@@ -640,26 +666,27 @@ object IndexStore {
     // Null vectors are not indexed (see buildIvf).
     val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
     val model = BinIvf.train(snapshot, field, k = nlist)
-    val vdir = versionDir(dir, seq, "binivf", "HAMMING", nlist)
+    val vdir = versionDir(dir, seq, "binivf2", "HAMMING", nlist)
     val dataPath = vdir.resolve("data").toString
+    val parts = vectorLayout(coll, BinIvf.CID)
     BinIvf.assign(snapshot, field, model)
-      .repartition(col(BinIvf.CID))
-      .write.mode("overwrite").partitionBy("_part", BinIvf.CID).parquet(dataPath)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
     val meta: JObject = ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(c =>
         c.map(b => f"${b & 0xff}%02x").mkString))
     vdir.resolve("binivf.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(meta)).getBytes)
-    commitPointer(dir, seq, "binivf", "HAMMING", nlist)
+    commitPointer(dir, seq, "binivf2", "HAMMING", nlist)
     BinIvfBuild(model, dataPath, nlist, seq)
   }
 
   private def loadBinIvf(dir: StorePath, nlist: Int,
       seq: Long): Option[BinIvfBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "binivf" &&
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "binivf2" &&
       p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
-      val vdir = versionDir(dir, seq, "binivf", "HAMMING", nlist)
+      val vdir = versionDir(dir, seq, "binivf2", "HAMMING", nlist)
       val j = JsonMethods.parse(
         new String(vdir.resolve("binivf.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[String]].map { hexStr =>

@@ -341,6 +341,34 @@ class OperatorsSpec extends SparkSpec {
     assert(seen.distinct.length == seen.length)
   }
 
+  test("query iterator scopes to partition_names with directory pruning") {
+    import graft.store.{Catalog, Collection, CollectionDef, FieldDef}
+    import org.apache.spark.sql.types.LongType
+    val s = spark
+    val cat = new Catalog(Files.createTempDirectory("graft-itpart").toString)
+    val c = cat.createCollection(CollectionDef("itp", Seq(
+      FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true)),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(s, Tables.load(s, sfDir, "orders").select("o_orderkey"))
+    // pk % 3 routing: the p0+p2 scope is exactly the keys % 3 != 1.
+    val it = QueryIterator.forCollection(s, c, batchSize = 500,
+      partitionNames = Seq("p0", "p2"))
+    val seen = Iterator.continually(it.next()).takeWhile(_.nonEmpty)
+      .flatten.map(_.getLong(0)).toVector
+    val expected = Tables.load(s, sfDir, "orders")
+      .filter(col("o_orderkey") % 3 =!= 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toVector
+    assert(seen == seen.sorted && seen == expected)
+    // The iterator's pages scan the partition-scoped view: the scope
+    // must arrive at the parquet scan as a PartitionFilter (directory
+    // prune), not a post-scan row filter.
+    val page = QueryOps.keysetPage(c.read(s, Seq("p0", "p2")),
+      "o_orderkey", None, 500, None)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"partition scope did not prune the iterator scan:\n$plan")
+  }
+
   test("query iterator resumes from the checkpoint across instances") {
     val s = spark
     val orders = Tables.load(s, sfDir, "orders")

@@ -158,6 +158,49 @@ class SearchBatchSpec extends SparkSpec {
     }
   }
 
+  test("binary search honors partition_names on both routes") {
+    import org.apache.spark.sql.types.BinaryType
+    def bytesOf(id: Long): Array[Byte] = {
+      val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      Array(((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte)
+    }
+    val binData = emb.select(col("vec_id"),
+      unhex(lpad(hex(pmod(col("vec_id") * lit(2654435761L),
+        lit(4294967296L))), 8, "0")).as("bvec"))
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-binpart").toString)
+    val c = cat.createCollection(CollectionDef("bp", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("bvec", BinaryType, dim = Some(32))),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(spark, binData)
+    c.createIndex(spark, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
+      Map("nlist" -> "8")))
+    val qs = Seq(0L, 7L, 42L).map(id => s"q$id" -> bytesOf(id))
+    // nprobe = nlist is exact, so every hit must come from p1 (pk % 3
+    // == 1) and match the exact partition-scoped loop.
+    val batch = CollectionSearch.searchBinaryBatch(spark, c, "bvec", qs, 5,
+      searchParams = Map("nprobe" -> "8"), partitionNames = Seq("p1"))
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(batch.nonEmpty && batch.forall(_._2 % 3 == 1))
+    val loop = qs.flatMap { case (qid, qb) =>
+      Knn.searchOneBinary(c.read(spark, Seq("p1")), qb, "bvec", "vec_id", 5)
+        .select("vec_id").collect().map(r => (qid, r.getLong(0)))
+    }.sorted
+    assert(batch == loop, s"partition binary batch != exact loop")
+    // Single-query route: the partition filter must reach the index
+    // scan as a directory prune.
+    val one = CollectionSearch.searchBinary(spark, c, "bvec", bytesOf(7L),
+      5, searchParams = Map("nprobe" -> "8"), partitionNames = Seq("p1"))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"partition filter did not reach the BIN_IVF scan:\n$plan")
+    assert(one.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted ==
+      loop.filter(_._1 == "q7").map(_._2))
+  }
+
   test("text-query batch matches the per-text searchByQueryText loop") {
     import org.apache.spark.sql.types.StringType
     val cat = new Catalog(

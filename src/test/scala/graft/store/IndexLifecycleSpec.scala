@@ -344,6 +344,72 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(after.contains(910000L), "upserted row missing: stale LSH index")
   }
 
+  test("unpartitioned vector builds skip the _part directory level") {
+    val s = spark
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val build = IndexStore.ensureIvf(s, c, "embedding", "L2", 8)
+    val subdirs = new java.io.File(build.dataPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("_cid=")),
+      s"expected only _cid= leaf dirs, got $subdirs")
+    // `_part` still rides along as a data column, so a partition filter
+    // resolves (and matches everything: one default partition).
+    val scoped = s.read.parquet(build.dataPath)
+      .filter(col("_part") === "_default")
+    assert(scoped.count() == c.read(s).count())
+  }
+
+  test("partitioned vector builds keep _part as the outer directory level") {
+    val s = spark
+    val cat = new Catalog(Files.createTempDirectory("graft-ixp").toString)
+    val c = cat.createCollection(CollectionDef("pvecs", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16))),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val build = IndexStore.ensureIvf(s, c, "embedding", "L2", 8)
+    val subdirs = new java.io.File(build.dataPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("_part=")),
+      s"expected _part= outer dirs, got $subdirs")
+  }
+
+  test("a pointer from an older layout version rebuilds instead of loading") {
+    val s = spark
+    val cat = new Catalog(Files.createTempDirectory("graft-ixold").toString)
+    // Unique collection name: the build caches are keyed by collection
+    // name, and a cache hit would bypass the pointer read this test
+    // exercises.
+    val c = cat.createCollection(CollectionDef("oldlayout", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    // Forge a round-8-era pointer at the CURRENT seq: matching
+    // seq/metric/nlist but the pre-bump kind, with no build directory
+    // on disk. The load filter must reject it on kind and rebuild —
+    // accepting it would resolve a version dir that doesn't exist and
+    // fail the search.
+    val ixDir = cat.collectionDir(c.name).resolve("index")
+      .resolve("embedding")
+    ixDir.resolve("current.json").writeBytes(
+      s"""{"builtSeq":${c.committedSeq},"kind":"ivf","metric":"L2","nlist":8}"""
+        .getBytes)
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+      searchParams = Map("nprobe" -> "8"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
+      "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits == exact)
+  }
+
   test("HNSW/DISKANN declarations serve from the accelerated path (ef budget)") {
     val s = spark
     val (_, c) = vecCollection()
