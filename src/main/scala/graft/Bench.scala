@@ -20,6 +20,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)
 
+    def load1m: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Sampled at start AND end: a run that STARTS loaded (a lingering
+    // forked test JVM, a concurrent build) is already distorted before
+    // the first timed entry, and an end-only sample hides it.
+    val loadStart = load1m
+
     // Untimed warmup: touch every base table + run one agg and one kNN
     // so IO, codegen and broadcast paths are hot before timing starts.
     try {
@@ -50,13 +57,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // The 1-min load average makes load-distorted runs self-evident in
+    // The 1-min load averages make load-distorted runs self-evident in
     // the artifact (a quiet machine reads ~0-2 here; a concurrent build
-    // session reads 20+ and inflates every wall-clock number).
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // session reads 10+ and inflates every wall-clock number — the r8
+    // driver artifact shipped at load1m 10.59 and every entry read ~2x
+    // hot). The explicit warning field self-labels such artifacts so a
+    // reader never takes the numbers at face value.
+    val loadEnd = load1m
+    val warning =
+      if (math.max(loadStart, loadEnd) > 5)
+        s""","warning":"load1m ${f"$loadStart%.2f"}->${f"$loadEnd%.2f"} during run: timings are load-contaminated, re-measure on a quiet machine""""
+      else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart$warning}"""
     println(line)
     // Lossless copy for the driver: stdout tail-capture has truncated
     // the per-query head before (round 6); the file always has it all.

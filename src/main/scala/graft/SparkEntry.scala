@@ -4,7 +4,7 @@ import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
 import graft.ann.{BinIvf, Ivf, Lsh, RaBitQ, Sq8}
 import graft.dedup.Dedup
-import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, CollectionSparseRequest, RrfRanker}
+import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, CollectionSparseRequest, RrfRanker, WeightedRanker}
 import graft.operators.{HybridSearch, QueryIterator}
 import graft.datagen.StableGen
 import graft.multimodal.Multimodal
@@ -62,6 +62,18 @@ object SparkEntry {
     val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
     Array(((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
       ((h >> 8) & 0xff).toByte, (h & 0xff).toByte)
+  }
+
+  /** Batched query-vector lookup: ONE point-pruned job for the whole
+    * nq set instead of a driver round-trip per query id.
+    */
+  private def vecsOf(s: SparkSession, dir: String,
+      ids: Seq[Long]): Seq[(Long, Seq[Float])] = {
+    val got = tbl(s, dir, "embeddings")
+      .filter(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    ids.map(id => id -> got(id))
   }
 
   private def queryDf(s: SparkSession, dir: String, ids: Seq[Int]): DataFrame =
@@ -666,7 +678,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val model = Ivf.train(emb, "embedding", k = 8, sampleSize = 1000)
       val assigned = Ivf.assign(emb, "embedding", model)
-      val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
+      val queries = vecsOf(s, dir, Seq(0L, 7L, 42L))
       // Uniform-random synthetic vectors are the worst case for IVF
       // (no cluster structure), so recall here is a lower bound, not
       // representative of real embeddings. Emitted as an INVARIANT
@@ -714,7 +726,7 @@ object SparkEntry {
       // by v15_rabitq_exact.
       val model = Ivf.train(emb, "embedding", k = 32, sampleSize = 2000)
       val enc = RaBitQ.encode(emb, "embedding", model)
-      val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
+      val queries = vecsOf(s, dir, Seq(0L, 7L, 42L))
       val recall = RaBitQ.recallAtK(emb, enc, model, queries,
         "embedding", "vec_id", k = 10, nprobe = 24, refine = 16)
       Seq(Tuple1(recall >= 0.9)).toDF("recall_ok")
@@ -757,7 +769,7 @@ object SparkEntry {
       c.insert(s, emb.select("vec_id", "embedding"))
       c.createIndex(s, IndexDef("embedding", "LSH", Some("COSINE"),
         Map("tables" -> "4", "num_planes" -> "8")))
-      val queries = Seq(0L, 7L, 42L).map(id => s"q$id" -> vecOf(s, dir, id))
+      val queries = vecsOf(s, dir, Seq(0L, 7L, 42L)).map { case (id, v) => s"q$id" -> v }
       // ONE batched routed job for all 3 queries (the nq>1 client
       // shape, CollectionSearch.searchBatch) + ONE exact batch job,
       // semi-joined — was 3 sequential collection searches + 3 exact
@@ -807,7 +819,7 @@ object SparkEntry {
       val model = Sq8.train(emb, "embedding", nlist = 8, metric = "L2",
         sampleSize = 2000)
       val enc = Sq8.encode(emb, "embedding", model)
-      val queries = Seq(0L, 7L, 42L).map(id => id -> vecOf(s, dir, id))
+      val queries = vecsOf(s, dir, Seq(0L, 7L, 42L))
       val recall = Sq8.recallAtK(emb, enc, model, queries,
         "embedding", "vec_id", k = 10, nprobe = 4, refine = 4)
       Seq(Tuple1(recall >= 0.7)).toDF("recall_ok")
@@ -870,7 +882,7 @@ object SparkEntry {
       c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
       c.createIndex(s, IndexDef("embedding", "IVF_SQ8", Some("L2"),
         Map("nlist" -> "8")))
-      val qs = Seq(0L, 7L, 42L).map(id => s"q$id" -> vecOf(s, dir, id))
+      val qs = vecsOf(s, dir, Seq(0L, 7L, 42L)).map { case (id, v) => s"q$id" -> v }
       CollectionSearch.searchBatch(s, c, "embedding", qs, 10,
         searchParams = Map("nprobe" -> "8", "refine_k" -> "50"))
         .select("qid", "vec_id")
@@ -2780,6 +2792,37 @@ object SparkEntry {
           Seq(AnnSearchRequest(q, "embedding", "COSINE", limit = 100),
             AnnSearchRequest(q, "embedding", "L2", limit = 100)),
           RrfRanker(60), idCol = "vec_id", limit = 10)
+      },
+      // The reference's hybrid DESIGN POINT (go_bench/config.yaml:25-45:
+      // two ANN requests at topk 15000 fused with WeightedRanker
+      // [0.9, 0.1]) through the COLLECTION route: both legs route
+      // through declared indexes served from persisted builds (IVF_SQ8
+      // + IVF_FLAT), and each leg's per-qid top-15000 exercises the
+      // salted two-level merge (Knn.limitPerQid) on the routed path.
+      // Build-and-query shape, like bench_ivf_build_search.
+      "bench_hybrid_indexed_k15000" -> { (s, dir) =>
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-bhk").toString)
+        val c = cat.createCollection(CollectionDef("bhk", Seq(
+          FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("embedding", ArrayType(FloatType), dim = Some(64)),
+          FieldDef("emb2", ArrayType(FloatType), dim = Some(64)))))
+        c.insert(s, tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            reverse(col("embedding")).as("emb2")))
+        c.createIndex(s, IndexDef("embedding", "IVF_SQ8", Some("L2"),
+          Map("nlist" -> "16")))
+        c.createIndex(s, IndexDef("emb2", "IVF_FLAT", Some("L2"),
+          Map("nlist" -> "16")))
+        val qs = vecsOf(s, dir, (0L until 4L).toSeq)
+          .map { case (id, v) => s"q$id" -> v }
+        HybridSearch.hybridSearchCollection(s, c,
+          Seq(
+            CollectionAnnRequest(qs, "embedding", limit = 15000,
+              params = Map("nprobe" -> "8")),
+            CollectionAnnRequest(qs.map { case (q, v) => q -> v.reverse },
+              "emb2", limit = 15000, params = Map("nprobe" -> "8"))),
+          WeightedRanker(Seq(0.9, 0.1)), limit = 10)
       },
       "bench_ivf_build_search" -> { (s, dir) =>
         import s.implicits._

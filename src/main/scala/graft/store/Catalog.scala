@@ -183,7 +183,9 @@ final class Catalog(val root: String) {
     require(!hasCollection(d.name), s"collection ${d.name} already exists")
     dir(d.name).createDirectories()
     writeMeta(d.name, CatalogMeta(d, seq = 0L, loadState = "NotLoad"))
-    new Collection(this, d.name)
+    val c = new Collection(this, d.name)
+    handles.put(d.name, c)
+    c
   }
 
   /** External Collection over a parquet source (3.0 feature-inventory
@@ -226,6 +228,7 @@ final class Catalog(val root: String) {
 
   def dropCollection(name: String): Unit = {
     val n = resolve(name)
+    Option(handles.remove(n)).foreach(_.invalidateCache())
     dir(n).deleteRecursively()
   }
 
@@ -236,10 +239,19 @@ final class Catalog(val root: String) {
       .filter(p => p.isDirectory && p.resolve("meta.json").exists)
       .map(_.name).sorted
 
+  // One live handle per collection: a brick that load()s a collection
+  // in one step and reads it in a later one must get the SAME instance,
+  // or the load's cached snapshot dies with the throwaway handle (and
+  // its entry leaks in the Spark cache manager until GC). All
+  // in-process writes then flow through the one instance, whose
+  // refresh-on-commit keeps the cached snapshot consistent.
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[String, Collection]()
+
   def collection(name: String): Collection = {
     val n = resolve(name)
     require(metaFile(n).exists, s"no such collection $name")
-    new Collection(this, n)
+    handles.computeIfAbsent(n, new Collection(this, _))
   }
 
   // --- aliases (S13) ----------------------------------------------------

@@ -802,16 +802,29 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   @volatile private var cached: Option[DataFrame] = None
 
   def load(spark: SparkSession): Unit = {
-    val df = read(spark).cache()
-    df.count() // materialize
-    cached = Some(df)
+    // Idempotent: a still-cached handle is already resident AND fresh
+    // (every committed write through the handle refreshes it), so a
+    // re-load — the brick pattern is load-per-validation-step — must
+    // not rebuild the snapshot from the deltas.
+    if (cached.isEmpty) {
+      val df = read(spark).cache()
+      df.count() // materialize
+      cached = Some(df)
+    }
     catalog.setLoadState(name, "Loaded")
   }
 
   def release(): Unit = {
+    invalidateCache()
+    catalog.setLoadState(name, "NotLoad")
+  }
+
+  /** Drop the cached snapshot without touching the load-state metadata
+    * (the drop-collection path: the meta files are going away).
+    */
+  private[store] def invalidateCache(): Unit = {
     cached.foreach(_.unpersist())
     cached = None
-    catalog.setLoadState(name, "NotLoad")
   }
 
   /** Re-cache after a SCHEMA change (add/drop field or function) —
@@ -829,9 +842,13 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     this.synchronized {
       cached.foreach { old =>
         old.unpersist()
+        // LAZY re-cache: the next action materializes the new snapshot.
+        // An eager count() here would re-materialize once per committed
+        // write — a loaded collection under a k-write DML burst (the
+        // phase-DML brick shape: insert, upsert, delete back-to-back)
+        // would pay k full merges instead of one at the next read.
         val df = (if (isExternal) externalRead(spark)
                   else assemble(spark, Seq.empty, None)).cache()
-        df.count()
         cached = Some(df)
       }
     }
@@ -1021,8 +1038,13 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       }
     }
     cached match {
-      case Some(df) if partitionNames.isEmpty && asOfMillis.isEmpty &&
-        pkPrefilter.isEmpty => df
+      // A pk-only predicate keeps or drops whole PK groups, so applying
+      // it ABOVE the already-merged cached snapshot is equivalent to
+      // the below-window prefilter — and a point lookup on a Loaded
+      // collection must hit the in-memory snapshot, not re-merge the
+      // delta chain to save row-group IO it no longer pays.
+      case Some(df) if partitionNames.isEmpty && asOfMillis.isEmpty =>
+        pkPrefilter.map(df.filter).getOrElse(df)
       case _ => assemble(spark, partitionNames, asOfMillis, pkPrefilter)
     }
   }

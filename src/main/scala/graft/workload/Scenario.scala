@@ -174,6 +174,12 @@ object Scenario {
       ok(catalog.hasCollection(compatName), "CREATE_FAILED")
     }
     val compat = catalog.collection(compatName)
+    // Serve the compat collection LOADED for the whole scenario (the
+    // reference keeps validated collections loaded between bricks):
+    // every seed-checkpoint/validator/probe read hits the cached
+    // snapshot — refreshed lazily in place by the DML writes — instead
+    // of re-merging the delta chain per job.
+    compat.load(spark)
     runStep("seed_compat_data", "before_upgrade") {
       seed(spark, compat, 0L, m.rowsPerCollection, m.batchSize)
       DataIntegrity.seedCheckpoint(spark, compat, checkpointDir)
@@ -235,7 +241,8 @@ object Scenario {
       writeStep(suffixed("validate_index_compatibility_after_upgrade"),
         "after_upgrade",
         IndexCompat.run(spark, catalog, Seq(compatName), checkpointDir,
-          phase = "after-upgrade", args = args))
+          phase = "after-upgrade", args = args,
+          probeVec = (_, id) => Some(compatVec(id).toSeq)))
       val phaseNewName = s"${args.collectionPrefix}_phase_new_$cycle"
       writeStep(suffixed("validate_phase_dml_dql_after_upgrade"),
         "after_upgrade",
@@ -258,6 +265,7 @@ object Scenario {
           ok(catalog.hasCollection(fwdName), "CREATE_FAILED")
         }
         val fwd = catalog.collection(fwdName)
+        fwd.load(spark) // same loaded-serving discipline as compat
         runStep(s"seed_forward_data_$cycle", "after_upgrade") {
           seed(spark, fwd, cycle * 1000000L, m.rowsPerCollection, m.batchSize)
           DataIntegrity.seedCheckpoint(spark, fwd, fwdCp)
@@ -279,7 +287,8 @@ object Scenario {
       writeStep(suffixed("validate_index_compatibility_after_rollback"),
         "after_rollback",
         IndexCompat.run(spark, catalog, Seq(compatName), checkpointDir,
-          phase = "after-rollback", args = args))
+          phase = "after-rollback", args = args,
+          probeVec = (_, id) => Some(compatVec(id).toSeq)))
       writeStep(suffixed("validate_phase_dml_dql_after_rollback"),
         "after_rollback",
         PhaseDmlDql.run(spark, catalog,
