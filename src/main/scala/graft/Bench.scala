@@ -64,8 +64,13 @@ object Bench {
     // hot). The explicit warning field self-labels such artifacts so a
     // reader never takes the numbers at face value.
     val loadEnd = load1m
+    // Warn on the MINIMUM of the two samples: the bench's own 32-thread
+    // work legitimately lifts the END sample to ~4-6 on a quiet
+    // machine, so max() would cry wolf on every clean full run; a
+    // CONTAMINATED run (r8: a concurrent build at load ~10) is loaded
+    // at both ends.
     val warning =
-      if (math.max(loadStart, loadEnd) > 5)
+      if (math.min(loadStart, loadEnd) > 5)
         s""","warning":"load1m ${f"$loadStart%.2f"}->${f"$loadEnd%.2f"} during run: timings are load-contaminated, re-measure on a quiet machine""""
       else ""
     val line =
