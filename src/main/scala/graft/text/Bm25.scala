@@ -125,7 +125,19 @@ object Bm25 {
       numBuckets: Int = 64): PersistedBm25 = {
     val postingsPath = s"$dir/postings"
     val docFreqPath = s"$dir/docfreq"
+    // Denormalize the per-term idf INTO the postings (one term-keyed
+    // join, paid once at build): idf = f(df, numDocs) is fixed for the
+    // build's lifetime, so serving never joins docfreq — a query is one
+    // bucket-pruned scan-score-aggregate job. The impact-ordered-index
+    // move; ~one extra double per posting row. NOT broadcast: the full
+    // vocabulary is unbounded at scale — AQE picks broadcast when the
+    // df side is actually small.
+    val idfByTerm = index.docFreq.withColumn("idf",
+      log(lit(1.0) + (lit(index.numDocs.toDouble) - col("df") + 0.5)
+        / (col("df") + 0.5)))
+      .select("term", "idf")
     index.postings
+      .join(idfByTerm, "term")
       .withColumn("_tb", pmod(hash(col("term")), lit(numBuckets)))
       // Co-locate each bucket before the partitioned write: without
       // this, every task writes a file into every bucket directory
@@ -179,8 +191,24 @@ object Bm25 {
     val buckets = termBuckets(spark, terms, p.numBuckets)
     val postings = spark.read.parquet(p.postingsPath)
       .filter(col("_tb").isin(buckets: _*) && col("term").isin(terms: _*))
-    val docFreq = spark.read.parquet(p.docFreqPath)
-    scoreJoin(postings, docFreq, terms, p.numDocs, p.avgdl, p.idCol, p.params)
+    if (postings.columns.contains("idf")) {
+      // Current layout: idf was denormalized into the postings at build
+      // time (see writeIndex), so scoring is a single bucket-pruned
+      // scan-score-aggregate — no docfreq join per query.
+      val pr = p.params
+      postings
+        .withColumn("_score",
+          col("idf") * (col("tf") * (pr.k1 + 1)) /
+            (col("tf") + lit(pr.k1) *
+              (lit(1 - pr.b) + lit(pr.b) * col("dl") / p.avgdl)))
+        .groupBy(p.idCol)
+        .agg(sum("_score").as("score"))
+    } else {
+      // Legacy layout (pre-idf postings): join docfreq at query time.
+      val docFreq = spark.read.parquet(p.docFreqPath)
+      scoreJoin(postings, docFreq, terms, p.numDocs, p.avgdl, p.idCol,
+        p.params)
+    }
   }
 
   /** Top-k against a persisted index (ORDER BY + LIMIT =
