@@ -40,4 +40,53 @@ class HammerSpec extends SparkSpec {
     assert(misses.get() == 0,
       s"${misses.get()} reader misses; first: ${firstMiss.get()}")
   }
+
+  test("shared handle stays consistent under concurrent DML and loaded reads") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-hshare").toString)
+    cat.createCollection(CollectionDef("sh", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("v", LongType)))): Unit
+    // Two independently-fetched handles must be the SAME instance, so
+    // the loaded snapshot one brick builds serves the other, and a
+    // write through either refreshes the shared cache.
+    val a = cat.collection("sh")
+    val b = cat.collection("sh")
+    assert(a eq b, "catalog returned distinct handles for one collection")
+    a.insert(s, (0L until 100L).map(i => (i, i)).toDF("id", "v")): Unit
+    a.load(s)
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    val writer = new Thread(() => {
+      try (1 to 5).foreach { batch =>
+        cat.collection("sh").insert(s,
+          (0L until 20L).map(i => (1000L * batch + i, i))
+            .toDF("id", "v")): Unit
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"writer: ${e.getMessage}"): Unit }
+    })
+    val reader = new Thread(() => {
+      try (1 to 20).foreach { _ =>
+        // Counts move monotonically (inserts only) and never throw:
+        // a read racing the lazy cache refresh must see either the
+        // pre- or post-write snapshot, never a torn/unpersisted one.
+        val n = cat.collection("sh").read(s).count()
+        assert(n >= 100, s"lost rows: $n")
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"reader: ${e.getMessage}"): Unit }
+    })
+    writer.start(); reader.start()
+    writer.join(); reader.join()
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    // Read-your-writes through the shared cached handle.
+    assert(cat.collection("sh").read(s).count() == 200)
+    // Drop evicts the handle; recreate must yield a FRESH one.
+    cat.dropCollection("sh")
+    cat.createCollection(CollectionDef("sh", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("v", LongType)))): Unit
+    val c2 = cat.collection("sh")
+    assert(!(c2 eq a), "dropped handle resurrected")
+    assert(c2.read(s).count() == 0, "recreated collection saw stale cache")
+  }
 }
