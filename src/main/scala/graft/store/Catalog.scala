@@ -313,11 +313,18 @@ final class Catalog(val root: String) {
     * set a key to "" to clear it). Quota keys take effect on the next
     * DML call.
     */
-  def alterCollectionProperties(name: String, props: Map[String, String]): Unit =
-    mutateDef(resolve(name)) { d =>
+  def alterCollectionProperties(name: String, props: Map[String, String]): Unit = {
+    val n = resolve(name)
+    mutateDef(n) { d =>
       val (clears, sets) = props.partition(_._2.isEmpty)
       d.copy(properties = d.properties -- clears.keys ++ sets)
     }
+    // Properties change read semantics (e.g. ttl.field) — a loaded
+    // handle's pinned snapshot baked the OLD semantics, so drop it;
+    // the next read (or explicit re-load) re-assembles under the new
+    // definition.
+    Option(handles.get(n)).foreach(_.invalidateCache())
+  }
 
   private[store] def mutateDef(name: String)(f: CollectionDef => CollectionDef): Unit =
     this.synchronized {

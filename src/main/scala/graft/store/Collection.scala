@@ -806,10 +806,21 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     // (every committed write through the handle refreshes it), so a
     // re-load — the brick pattern is load-per-validation-step — must
     // not rebuild the snapshot from the deltas.
-    if (cached.isEmpty) {
+    //
+    // TTL collections are never snapshot-PINNED: the expiry filter
+    // bakes `now` at assembly, so a pinned snapshot would freeze the
+    // TTL clock and keep serving expired rows until the next write.
+    // They still warm the IO path; every read re-applies a fresh clock.
+    val d = definition
+    val ttlConfigured =
+      d.ttlSeconds.isDefined || d.properties.contains("ttl.field")
+    if (cached.isEmpty && !ttlConfigured) {
       val df = read(spark).cache()
       df.count() // materialize
       cached = Some(df)
+    } else if (ttlConfigured) {
+      invalidateCache()
+      read(spark).count(): Unit
     }
     catalog.setLoadState(name, "Loaded")
   }

@@ -727,6 +727,44 @@ class StoreSpec extends SparkSpec {
         properties = Map("ttl.field" -> "e"))))
   }
 
+  test("loaded TTL collection keeps an unfrozen expiry clock") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("lttl", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("expire_at", LongType)),
+      properties = Map("ttl.field" -> "expire_at")))
+    val now = System.currentTimeMillis()
+    c.insert(s, Seq(
+      (1L, Some(now + 1500L)),  // expires mid-test
+      (2L, None))               // never expires
+      .toDF("id", "expire_at"))
+    // load() must NOT pin the snapshot: the TTL filter bakes `now` at
+    // assembly, and a pinned snapshot would keep serving row 1 after
+    // its expiry with no intervening write to refresh the cache.
+    c.load(s)
+    assert(c.read(s).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    Thread.sleep(2000L)
+    assert(c.read(s).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L), "loaded TTL collection served an expired row")
+    c.release()
+    // And altering read-semantics properties drops a pinned snapshot:
+    // a plain collection loaded, then given a ttl.field, must apply it.
+    val p = cat.createCollection(CollectionDef("pttl", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("expire_at", LongType))))
+    p.insert(s, Seq((1L, Some(now - 60000L)), (2L, None))
+      .toDF("id", "expire_at"))
+    p.load(s)
+    assert(p.read(s).count() == 2)
+    cat.alterCollectionProperties("pttl", Map("ttl.field" -> "expire_at"))
+    assert(cat.collection("pttl").read(s).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L),
+      "property change did not invalidate the pinned snapshot")
+  }
+
   test("TEXT_EMBEDDING function: deterministic encode served and " +
       "searchable by query text; provider/dim validation") {
     val s = spark
