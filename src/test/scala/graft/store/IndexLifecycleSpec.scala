@@ -114,6 +114,10 @@ class IndexLifecycleSpec extends SparkSpec {
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("_tb"),
       s"term buckets did not reach the scan as a partition filter:\n$plan")
+    // idf is denormalized into the postings at build time, so serving
+    // must be a single scan-score-aggregate — no per-query docfreq join.
+    assert(!plan.contains("Join"),
+      s"persisted BM25 serving plan re-joins docfreq:\n$plan")
     // matches the inline (build-per-query) reference implementation
     val inline = graft.text.Bm25.topK(c.read(s), "text", "doc_id",
       "vector stream", 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
