@@ -42,9 +42,11 @@ object SparseInverted {
     * `partitionBy(_db)` (repartition first: one file per bucket).
     */
   def postings(df: DataFrame, vecCol: String, idCol: String,
-      numBuckets: Int = 64): DataFrame =
-    df.select(col(idCol), explode(col(vecCol)).as(Seq("key", "value")))
-      .select(col(idCol), col("key").as(DIM), col("value").as(VAL))
+      numBuckets: Int = 64, carry: Seq[String] = Seq.empty): DataFrame =
+    df.select((col(idCol) +: carry.map(col)) :+
+        explode(col(vecCol)).as(Seq("key", "value")): _*)
+      .select((col(idCol) +: carry.map(col)) :+ col("key").as(DIM) :+
+        col("value").as(VAL): _*)
       .withColumn(BUCKET, pmod(hash(col(DIM)), lit(numBuckets)))
 
   /** Bucket ids of the query's dimensions, evaluated through the same

@@ -260,17 +260,23 @@ object CollectionSearch {
       query: Map[Int, Double],
       k: Int,
       filterExpr: String = "",
-      searchParams: Map[String, String] = Map.empty): DataFrame = {
+      searchParams: Map[String, String] = Map.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
     val d = coll.definition
     val pk = d.primaryField.name
     val sparseIx = d.indexes.find(ix => ix.field == vecField &&
       Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
         .contains(ix.indexType.toUpperCase))
+    // Persisted sparse postings carry `_part` like the dense family,
+    // so a partition-scoped search stays on the index route.
+    def scoped(indexDf: DataFrame): DataFrame =
+      if (partitionNames.isEmpty) indexDf
+      else indexDf.filter(col("_part").isin(partitionNames: _*))
     if (sparseIx.isDefined) {
       val buckets = sparseIx.flatMap(_.params.get("buckets"))
         .map(_.toInt).getOrElse(64)
       val build = IndexStore.ensureSparse(spark, coll, vecField, buckets)
-      val postings = spark.read.parquet(build.postingsPath)
+      val postings = scoped(spark.read.parquet(build.postingsPath))
       // Filters over non-pk columns need the doc row, not the posting;
       // restrict to pk predicates the exploded table still carries.
       val pred =
@@ -288,7 +294,7 @@ object CollectionSearch {
         SparseInverted.search(postings, query, pk, k, build.numBuckets, pred)
       }
     } else {
-      val data = coll.read(spark)
+      val data = coll.read(spark, partitionNames)
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, data))
@@ -315,21 +321,28 @@ object CollectionSearch {
       queries: Seq[(String, Map[Int, Double])],
       k: Int,
       filterExpr: String = "",
-      searchParams: Map[String, String] = Map.empty): DataFrame = {
+      searchParams: Map[String, String] = Map.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
     val d = coll.definition
     val pk = d.primaryField.name
     val sparseIx = d.indexes.find(ix => ix.field == vecField &&
       Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
         .contains(ix.indexType.toUpperCase))
+    def scoped(indexDf: DataFrame): DataFrame =
+      if (partitionNames.isEmpty) indexDf
+      else indexDf.filter(col("_part").isin(partitionNames: _*))
     if (sparseIx.isDefined) {
       val buckets = sparseIx.flatMap(_.params.get("buckets"))
         .map(_.toInt).getOrElse(64)
       val build = IndexStore.ensureSparse(spark, coll, vecField, buckets)
-      val postings = spark.read.parquet(build.postingsPath)
+      val postings = scoped(spark.read.parquet(build.postingsPath))
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, postings))
       if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND")) {
+        // Global per-dim bounds remain VALID (conservative) for any
+        // partition-scoped subset — the prune may keep more candidates,
+        // the exact aggregation result is unchanged.
         val stats = IndexStore.sparseDimStats(spark, build)
         SparseInverted.searchWandBatch(postings, stats, queries, pk, k,
           build.numBuckets, pred)
@@ -341,8 +354,8 @@ object CollectionSearch {
       // No declared index: explode the live rows into transient
       // postings for this one job — same plan shape, no persist.
       val buckets = 64
-      val postings =
-        SparseInverted.postings(coll.read(spark), vecField, pk, buckets)
+      val postings = SparseInverted.postings(
+        coll.read(spark, partitionNames), vecField, pk, buckets)
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, postings))

@@ -142,25 +142,14 @@ object HybridSearch {
         (ranked(hits, simLike), simLike)
       case r: CollectionSparseRequest =>
         // Sparse IP (and its BM25 impact encoding) is similarity-like.
-        // The persisted sparse postings carry no partition column, so a
-        // partition-scoped sparse leg explodes TRANSIENT postings from
-        // the partition-pruned read (the searchSparseBatch no-index
-        // shape) — the restriction applies BEFORE the per-qid top-k,
-        // never by trimming an already-limited result.
-        val hits =
-          if (partitionNames.isEmpty)
-            CollectionSearch.searchSparseBatch(spark, coll, r.annsField,
-              r.queries, r.limit, r.filter.getOrElse(""), r.params)
-              .select(col("qid"), col(pk), col("score"))
-          else {
-            val buckets = 64
-            val postings = graft.ann.SparseInverted.postings(
-              coll.read(spark, partitionNames), r.annsField, pk, buckets)
-            val pred = r.filter.map(f => MilvusExpr.compile(f, postings))
-            graft.ann.SparseInverted.searchBatch(postings, r.queries, pk,
-              r.limit, buckets, pred)
-              .select(col("qid"), col(pk), col("score"))
-          }
+        // Persisted sparse postings carry `_part` like the dense
+        // family, so a partition-scoped sparse leg serves FROM the
+        // index (the restriction applies BEFORE the per-qid top-k,
+        // never by trimming an already-limited result).
+        val hits = CollectionSearch.searchSparseBatch(spark, coll,
+          r.annsField, r.queries, r.limit, r.filter.getOrElse(""),
+          r.params, partitionNames = partitionNames)
+          .select(col("qid"), col(pk), col("score"))
         (ranked(hits, simLike = true), true)
     }
     val fused = ranker match {

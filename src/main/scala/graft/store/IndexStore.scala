@@ -132,7 +132,7 @@ object IndexStore {
     * the search-side partition filter resolves against either layout.
     *
     * The layout version is encoded in the pointer `kind` (the "2"
-    * suffix on ivf2/rabitq2/sq8v2/binivf2/lsh2): a pointer written by
+    * suffix on ivf2/rabitq2/sq8v2/binivf2/lsh2/sparse2): a pointer written by
     * an earlier layout fails the load filter and the index lazily
     * rebuilds, instead of serving parquet whose partition structure
     * the current search path no longer matches.
@@ -228,20 +228,27 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadSparse(dir, numBuckets, seq).getOrElse {
         val pk = coll.definition.primaryField.name
-        val vdir = versionDir(dir, seq, "sparse", "IP", numBuckets)
+        val vdir = versionDir(dir, seq, "sparse2", "IP", numBuckets)
         val postingsPath = vdir.resolve("postings").toString
         val statsPath = vdir.resolve("dimstats").toString
-        val postings = SparseInverted
-          .postings(coll.read(spark), field, pk, numBuckets)
+        // `_part` rides along like the dense family ([[vectorLayout]]):
+        // a partition-scoped sparse search prunes partition subtrees
+        // before the bucket filter prunes dimension directories.
+        val postings = SparseInverted.postings(
+          coll.readWithPartition(spark).filter(col(field).isNotNull),
+          field, pk, numBuckets, carry = Seq("_part"))
+        val parts = vectorLayout(coll, SparseInverted.BUCKET)
         postings
-          .repartition(col(SparseInverted.BUCKET))
+          .repartition(parts.map(col): _*)
           .write.mode("overwrite")
-          .partitionBy(SparseInverted.BUCKET).parquet(postingsPath)
+          .partitionBy(parts: _*).parquet(postingsPath)
         // WAND impact stats: one row per distinct dimension, read back
         // pruned to the query's dims (SPARSE_WAND, workload.py:151).
+        // Global bounds stay VALID (conservative) upper bounds for any
+        // partition-scoped subset.
         SparseInverted.dimStats(spark.read.parquet(postingsPath))
           .coalesce(1).write.mode("overwrite").parquet(statsPath)
-        commitPointer(dir, seq, "sparse", "IP", numBuckets)
+        commitPointer(dir, seq, "sparse2", "IP", numBuckets)
         SparseBuild(postingsPath, numBuckets, seq, statsPath)
       }
     })
@@ -249,9 +256,9 @@ object IndexStore {
 
   private def loadSparse(dir: StorePath, numBuckets: Int,
       seq: Long): Option[SparseBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sparse" &&
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sparse2" &&
       p.nlist == numBuckets).map { _ =>
-      val vdir = versionDir(dir, seq, "sparse", "IP", numBuckets)
+      val vdir = versionDir(dir, seq, "sparse2", "IP", numBuckets)
       SparseBuild(vdir.resolve("postings").toString, numBuckets, seq,
         vdir.resolve("dimstats").toString)
     }

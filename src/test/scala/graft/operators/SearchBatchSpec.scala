@@ -335,6 +335,35 @@ class SearchBatchSpec extends SparkSpec {
     assert(fused == Set(1L, 3L, 5L, 7L), s"got $fused")
   }
 
+  test("sparse search honors partition_names on the persisted route") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, MapType}
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-sppart").toString)
+    val c = cat.createCollection(CollectionDef("sp", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("svec", MapType(IntegerType, DoubleType))),
+      partitions = Seq("p0", "p1")))
+    // pk % 2 routing: evens -> p0, odds -> p1.
+    c.insert(spark, (1L to 8L).map(i => (i, Map(1 -> i.toDouble)))
+      .toDF("id", "svec"))
+    c.createIndex(spark, IndexDef("svec", "SPARSE_INVERTED_INDEX"))
+    val one = CollectionSearch.searchSparse(spark, c, "svec",
+      Map(1 -> 1.0), 8, partitionNames = Seq("p1"))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"partition scope did not prune the sparse postings scan:\n$plan")
+    // Only odd ids live in p1; IP desc ranks by value.
+    assert(one.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(7L, 5L, 3L, 1L))
+    // Batch route, same scope: identical per-qid hits.
+    val batch = CollectionSearch.searchSparseBatch(spark, c, "svec",
+      Seq("q0" -> Map(1 -> 1.0)), 8, partitionNames = Seq("p1"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(1L, 3L, 5L, 7L))
+  }
+
   test("partition-scoped LSH search serves from the bucket layout") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-plsh").toString)
