@@ -555,7 +555,8 @@ object CollectionSearch {
       k: Int,
       filterExpr: String = "",
       searchParams: Map[String, String] = Map.empty,
-      outputFields: Seq[String] = Seq.empty): DataFrame = {
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
     val f = coll.definition.functions.find(fn =>
       fn.functionType.toUpperCase == "TEXT_EMBEDDING" &&
         fn.outputFields.contains(vecField)).getOrElse(
@@ -566,7 +567,7 @@ object CollectionSearch {
       qid -> graft.functions.TextEmbedding.encodeLocal(text, dim)
     }
     searchBatch(spark, coll, vecField, qs, k, filterExpr, searchParams,
-      outputFields)
+      outputFields, partitionNames)
   }
 
   def searchText(
