@@ -885,7 +885,7 @@ object SparkEntry {
       val qs = vecsOf(s, dir, Seq(0L, 7L, 42L)).map { case (id, v) => s"q$id" -> v }
       CollectionSearch.searchBatch(s, c, "embedding", qs, 10,
         searchParams = Map("nprobe" -> "8", "refine_k" -> "50"))
-        .select("qid", "vec_id")
+        .select("qid", "vec_id").orderBy("qid", "vec_id")
     },
     // ---- V33: batched BINARY search through the collection route —
     // the nq>1 Hamming client shape (search_permanently.py:317-325
@@ -911,7 +911,7 @@ object SparkEntry {
       val qs = Seq(0L, 7L, 42L).map(id => s"q$id" -> binBytesOf(id))
       CollectionSearch.searchBinaryBatch(s, c, "bvec", qs, 10,
         searchParams = Map("nprobe" -> "8"))
-        .select("qid", "vec_id", "score")
+        .select("qid", "vec_id", "score").orderBy("qid", "vec_id")
     },
     // ---- V34: batched TEXT query search through the bound
     // TEXT_EMBEDDING function — `search(data=["t1", "t2"])` server-side

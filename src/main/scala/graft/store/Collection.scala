@@ -67,6 +67,12 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   private val TS = "_ts"
   private val PART = "_part"
   private val DEFAULT_PART = "_default"
+  /** Change-feed commit position (the delta DIRECTORY seq). Differs
+    * from the stored `_seq` only for imports committed after later DML
+    * (2PC prepare-time visibility): `_seq` resolves last-writer-wins,
+    * `_commit_seq` orders the changelog.
+    */
+  private val COMMIT_SEQ = "_commit_seq"
   /** Dynamic-field column: undeclared insert columns are packed into a
     * JSON object here (the reference's `$meta`, common/data.py:216-221);
     * the expression compiler resolves unknown names through it
@@ -775,7 +781,18 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val seq = importSeq(id)
     val src = dataDir.resolve(importDir(seq))
     require(src.exists, s"no pending import $id")
-    val target = dataDir.resolve(f"delta_$seq%012d")
+    // Publish under a FRESH commit seq, not the prepare seq:
+    // `committedSeq` is the max delta DIRECTORY seq, so a commit that
+    // lands after later DML must still advance it — otherwise an index
+    // build validated at the pre-commit seq stays "fresh" forever and
+    // silently never sees the import, and a change-feed cursor already
+    // past the prepare seq never delivers it. The rows KEEP their
+    // prepare-time stored `_seq`: visibility ordering (post-prepare DML
+    // wins last-writer-wins) is prepare-time, the documented 2PC
+    // contract; only the COMMIT POSITION — the directory name, and
+    // `_commit_seq` in the feed — is commit-time.
+    val commitSeq = catalog.nextSeq(name)
+    val target = dataDir.resolve(f"delta_$commitSeq%012d")
     src.moveTo(target)
     refreshCachedSnapshot(spark)
     val n = spark.read.parquet(target.toString).count()
@@ -894,11 +911,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * capture surface — "give me every change after position X" — is
     * engine-local, and the LSM delta log already IS that changelog).
     *
-    * Returns the raw change rows with `_seq > sinceSeq`: every stored
-    * field (tombstones carry only the PK; the other columns are null),
-    * plus `_op` ("delete" | "upsert"), `_seq` (the pull cursor —
-    * `max(_seq)` of a batch, or [[committedSeq]] snapshotted before
-    * the pull, is the next `sinceSeq`), `_ts`, and `_part`.
+    * Returns the raw change rows of every delta COMMITTED after
+    * `sinceSeq`: every stored field (tombstones carry only the PK; the
+    * other columns are null), plus `_op` ("delete" | "upsert"), `_seq`
+    * (the last-writer-wins resolution key — prepare-time for imports),
+    * `_commit_seq` (the pull cursor — `max(_commit_seq)` of a batch,
+    * or [[committedSeq]] snapshotted before the pull, is the next
+    * `sinceSeq`; for everything except 2PC imports it equals `_seq`),
+    * `_ts`, and `_part`.
     *
     * Scale shape: cursor filtering is DIRECTORY-level — deltas at or
     * below the cursor are never opened, so a caught-up consumer's pull
@@ -920,10 +940,22 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val outCols =
       (stored ++ (if (d.enableDynamicField) Seq(DYN) else Nil)).map(col) ++
         Seq(when(col(DEL), "delete").otherwise("upsert").as("_op"),
-          col(SEQ), col(TS), col(PART))
-    rawDeltas(spark, d, live.map(_.toString))
+          col(SEQ), col(TS), col(PART), col(COMMIT_SEQ))
+    // Each delta root is tagged with its COMMIT position (the directory
+    // seq). For an import committed after later DML the two differ:
+    // `_seq` (prepare-time) resolves last-writer-wins, `_commit_seq`
+    // is the pull cursor — max(_commit_seq) of a batch is the next
+    // `sinceSeq`, and it never runs behind rows the consumer has seen.
+    live.map { p =>
+      spark.read.schema(deltaSchema(d)).parquet(p.toString)
+        .withColumn(COMMIT_SEQ,
+          lit(p.name.stripPrefix("delta_").toLong))
+    }.reduceOption(_ union _)
       .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), deltaSchema(d)))
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          deltaSchema(d).fields :+ org.apache.spark.sql.types.StructField(
+            COMMIT_SEQ, org.apache.spark.sql.types.LongType))))
       .select(outCols: _*)
   }
 
@@ -1000,7 +1032,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
           // the path (partition DISCOVERY can't span the per-delta
           // roots — each delta is its own partitioned tree, and the
           // file index rejects the conflicting structures).
-          regexp_extract(input_file_name(), "_part=([^/]+)", 1).as(PART))
+          regexp_extract(input_file_name(), "_part=([^/]+)", 1).as(PART),
+          // Commit position, from the delta directory name (see the
+          // batch feed: differs from `_seq` only for 2PC imports).
+          regexp_extract(input_file_name(), "delta_(\\d+)/", 1)
+            .cast("long").as(COMMIT_SEQ))
     spark.readStream
       .schema(StructType(deltaSchema(d).filterNot(_.name == PART)))
       // glob the LEAF partition dirs: every matched root holds plain

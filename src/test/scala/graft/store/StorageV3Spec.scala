@@ -67,6 +67,30 @@ class StorageV3Spec extends SparkSpec {
     assert(v == 999L, "post-prepare DML must win over the committed import")
   }
 
+  test("import committed after later DML advances committedSeq and the feed cursor") {
+    val s = spark
+    val c = freshCatalog().createCollection(simpleDef("impseq"))
+    c.insert(s, rows(1, 2))
+    val id = c.prepareImport(s, rows(10))
+    c.insert(s, rows(3)) // later DML — higher committed seq than the prepare
+    val preCommit = c.committedSeq
+    c.commitImport(s, id): Unit
+    // The commit must advance committedSeq even though its PREPARE seq is
+    // older than the last delta: index freshness keys on committedSeq, so
+    // a stale value here would leave pre-commit index builds "fresh" and
+    // silently missing the import rows forever.
+    assert(c.committedSeq > preCommit,
+      "commit must advance committedSeq past the pre-commit state")
+    // A feed cursor already past the prepare seq must still deliver the
+    // import (its commit POSITION is post-cursor), with a monotone cursor.
+    val feed = c.changeFeed(s, preCommit)
+    assert(feed.select("id").collect().map(_.getLong(0)).toSet == Set(10L))
+    assert(feed.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("_commit_seq"))).head().getLong(0)
+      > preCommit, "feed _commit_seq must be past the pull cursor")
+    assert(c.numEntities(s) == 4)
+  }
+
   test("compaction defers while an import is pending (2PC ordering holds)") {
     val s = spark
     import s.implicits._
