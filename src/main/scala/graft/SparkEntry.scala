@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.operators.CollectionSearch
 import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef, IndexStore}
 import graft.workload.ResourceGroups
-import graft.text.{Bm25, TextOps}
+import graft.dedup.Decontaminate
+import graft.text.{Bm25, Packing, Repetition, TextOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, MapType, StringType}
 import org.apache.spark.sql.functions._
@@ -2342,6 +2343,55 @@ object SparkEntry {
           sum(TextOps.tokenCount(col("text"))).as("sum_tokens"))
         .orderBy("lang")
     },
+    // Intra-document repetition features (the Gopher/MassiveText
+    // repetition-filter family) over real corpus text + planted
+    // multi-line repeated-content docs — the oracle recomputes every
+    // fraction (line dups, top/dup n-gram char coverage) from scratch.
+    "t9_repetition" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 60), lit("\n"),
+            substring(col("text"), 1, 60), lit("\n"),
+            substring(col("text"), 61, 60)).as("text"))
+      Repetition.features(
+          docs.filter(col("doc_id") < 40).unionByName(planted),
+          "text", "doc_id", topNs = Seq(2, 3), dupNs = Seq(5))
+        .orderBy("doc_id")
+    },
+    // Benchmark decontamination: corpus docs sharing an 8-token gram
+    // with the eval set (docs 10/20/30 planted verbatim + one clean
+    // prompt). The gram probe broadcasts; the corpus never shuffles.
+    "d6_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val bench = docs.filter(col("doc_id").isin(10, 20, 30)).select("text")
+        .unionByName(
+          Seq("totally clean benchmark prompt with no overlap").toDF("text"))
+      Decontaminate.contaminated(corpus, "text", "doc_id", bench, "text",
+        n = 8).orderBy("doc_id")
+    },
+    // Deterministic source mixing: hash-gated stratified sample to
+    // target proportions. The md5 coin is engine-portable, so the
+    // oracle recomputes the EXACT member set, not just counts.
+    "p2_mix_sample" -> { (s, dir) =>
+      graft.pipeline.Mixing.mixBySource(tbl(s, dir, "documents"),
+          "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          targetRows = 40, salt = "mix")
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+    // Token-budget sequence packing (concat-and-chunk) through the
+    // two-pass distributed prefix sum — the oracle is the
+    // single-window cumsum DuckDB can afford at this SF.
+    "p1_sequence_pack" -> { (s, dir) =>
+      Packing.pack(s, tbl(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", TextOps.tokenCount(col("text")), budget = 512)
+        .select("doc_id", "n_tokens", "start_offset", "first_bin",
+          "last_bin", "n_bins")
+        .orderBy("doc_id")
+    },
     // ---- V2 extras: hamming / sparse_ip / geo as constant fixtures --------
     "v2_hamming" -> { (s, dir) =>
       val rows = Seq(("ab_ad", "ab", "ad"), ("00_ff", "00", "ff"),
@@ -4208,6 +4258,80 @@ object SparkEntry {
         """SELECT lang, count(*) AS cnt,
           |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      // COMPUTED oracle: DuckDB re-derives line lists, n-gram counts
+      // and every repetition fraction from the same corpus + planted
+      // multi-line docs — independently checks the explode/pivot plan.
+      "t9_repetition" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+          |  UNION ALL
+          |  SELECT doc_id + 100000,
+          |    substr(text,1,60) || chr(10) || substr(text,1,60) || chr(10) || substr(text,61,60)
+          |  FROM documents WHERE doc_id < 10),
+          |lns AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls FROM corpus),
+          |linef AS (SELECT doc_id,
+          |   CAST(len(ls) AS INT) AS n_lines,
+          |   round((len(ls) - len(list_distinct(ls)))::DOUBLE / greatest(len(ls),1), 6) AS dup_line_frac,
+          |   round(list_sum(list_transform(list_distinct(ls), l -> CASE WHEN len(list_filter(ls, x -> x = l)) >= 2 THEN len(list_filter(ls, x -> x = l)) * length(l) ELSE 0 END))::DOUBLE
+          |     / greatest(list_sum(list_transform(ls, l -> length(l))), 1), 6) AS dup_line_char_frac
+          | FROM lns),
+          |tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus),
+          |nrm AS (SELECT doc_id, greatest(length(array_to_string(ts, ' ')), 1) AS nc FROM tok),
+          |grams AS (
+          |  SELECT doc_id, n, g
+          |  FROM tok, (VALUES (2),(3),(5)) v(n),
+          |    UNNEST(CASE WHEN len(ts) < n THEN [array_to_string(ts,' ')]
+          |      ELSE list_transform(range(1, len(ts) - n + 2), i -> array_to_string(ts[CAST(i AS INT):CAST(i+n-1 AS INT)], ' ')) END) t(g)),
+          |cnts AS (SELECT doc_id, n, g, count(*) AS cnt, count(*) * length(g) AS chars FROM grams GROUP BY 1,2,3),
+          |agg AS (SELECT doc_id,
+          |   max(CASE WHEN n=2 THEN chars END) AS top2,
+          |   max(CASE WHEN n=3 THEN chars END) AS top3,
+          |   COALESCE(sum(CASE WHEN n=5 AND cnt >= 2 THEN chars END), 0) AS dup5
+          | FROM cnts GROUP BY 1)
+          |SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+          |  round(a.top2::DOUBLE / n.nc, 6) AS top2_gram_char_frac,
+          |  round(a.top3::DOUBLE / n.nc, 6) AS top3_gram_char_frac,
+          |  round(a.dup5::DOUBLE / n.nc, 6) AS dup5_gram_char_frac
+          |FROM linef l JOIN agg a USING (doc_id) JOIN nrm n USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+      // COMPUTED oracle: DuckDB re-derives both sides' 8-gram sets and
+      // re-joins them — independently checks the broadcast gram probe
+      // finds exactly the contaminated docs with exact hit counts.
+      "d6_decontaminate" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+          |bench AS (SELECT text FROM documents WHERE doc_id IN (10,20,30)
+          |          UNION ALL SELECT 'totally clean benchmark prompt with no overlap'),
+          |ctok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus),
+          |cg AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) AS gs FROM ctok),
+          |btok AS (SELECT list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM bench),
+          |bg AS (SELECT DISTINCT g FROM btok, UNNEST(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)),
+          |hits AS (SELECT doc_id, g FROM cg, UNNEST(gs) t(g) WHERE g IN (SELECT g FROM bg))
+          |SELECT doc_id, count(*) AS n_hit_grams FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      // COMPUTED oracle: DuckDB re-derives the per-source rates AND
+      // the md5 hash gate, so the exact sampled member set must agree
+      // engine-to-engine (the point of hash-gated sampling).
+      "p2_mix_sample" ->
+        """WITH c AS (SELECT source, count(*) AS c FROM documents
+          |  WHERE source IN ('src0','src1','src2') GROUP BY 1),
+          |r AS (SELECT source, least(1.0, (40 * CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END)::DOUBLE / c) AS rate FROM c)
+          |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+          |WHERE (('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE / 4294967296.0 < r.rate
+          |ORDER BY doc_id""".stripMargin,
+      // COMPUTED oracle: the single-window cumsum DuckDB can afford at
+      // this SF — checks the two-pass distributed prefix sum (and the
+      // bin arithmetic) reproduces the sequential packing exactly.
+      "p1_sequence_pack" ->
+        """WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents WHERE doc_id < 200),
+          |o AS (SELECT doc_id, n_tokens,
+          |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM t)
+          |SELECT doc_id, n_tokens, start_offset,
+          |  CAST(floor(start_offset / 512) AS BIGINT) AS first_bin,
+          |  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS last_bin,
+          |  CAST(floor((start_offset + greatest(n_tokens,1) - 1) / 512) - floor(start_offset / 512) + 1 AS BIGINT) AS n_bins
+          |FROM o ORDER BY doc_id""".stripMargin,
       "s8_dml_scenario" ->
         """SELECT id, category, content, version FROM (VALUES
           |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'v1_0', CAST(1 AS BIGINT)),

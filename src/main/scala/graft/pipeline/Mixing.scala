@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus composition operators — deterministic sampling and source
+  * mixing for training-data pipelines (the "data mixtures" stage:
+  * down-sample over-represented sources, up-weight scarce
+  * high-quality ones, temperature-flatten the source distribution).
+  *
+  * Every sample here is a HASH GATE, not `rand()`: a row is kept iff
+  * uniform(md5(salt || id)) < rate, where uniform() reads the first 8
+  * hex digits as a uint32 scaled to [0,1). That makes sampling (a)
+  * reproducible run-to-run and engine-to-engine (DuckDB's md5 agrees
+  * byte-for-byte — the oracle recomputes the exact member set), (b) a
+  * pure projection — no shuffle, no state, trivially parallel at any
+  * scale, and (c) stable under re-partitioning and retries, which
+  * `rand(seed)` is not (its draw depends on partition layout).
+  */
+object Mixing {
+
+  /** uniform(md5(salt || id)) in [0, 1) as a Column — the portable
+    * per-row coin.
+    */
+  def hashUniform(idCol: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), idCol.cast("string"))
+      .cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Deterministic sample of ~`rate` of the rows (exact membership is
+    * the hash gate, so the same ids are kept on every engine and
+    * every run).
+    */
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    df.filter(hashUniform(col(idCol), salt) < rate)
+  }
+
+  /** Mix sources to target proportions: keep source s at rate
+    * min(1, targetRows·w_s / count_s) — i.e. aim for targetRows·w_s
+    * rows of source s, capped by availability (a scarce source is
+    * taken whole rather than over-sampled; upsampling is an epoch
+    * decision, not a filter's). Sources absent from `weights` are
+    * dropped. One count aggregation over the input (shuffle on the
+    * source key — bounded by #sources); the per-source rates ride in a
+    * broadcast when-chain, so the pass over the corpus stays a pure
+    * projection.
+    */
+  def mixBySource(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      targetRows: Long,
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = weights.flatMap { case (s, w) =>
+      counts.get(s).map(c => s -> math.min(1.0, targetRows * w / c))
+    }
+    if (rates.isEmpty) return df.limit(0)
+    val rateCol = rates.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(col(sourceCol).isin(rates.keys.toSeq: _*))
+      .filter(hashUniform(col(idCol), salt) < rateCol)
+  }
+
+  /** Temperature-flattened mixture weights from observed source counts:
+    * w_s ∝ count_s^alpha, normalized. alpha = 1 reproduces the natural
+    * distribution, alpha → 0 approaches uniform — the standard
+    * multilingual/multi-source re-balancing knob. Driver-side: the
+    * count map is one row per source.
+    */
+  def temperatureWeights(
+      counts: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    val raw = counts.map { case (s, c) => s -> math.pow(c.toDouble, alpha) }
+    val z = raw.values.sum
+    raw.map { case (s, v) => s -> v / z }
+  }
+}

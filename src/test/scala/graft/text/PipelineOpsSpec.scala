@@ -1,0 +1,174 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.dedup.Decontaminate
+import org.apache.spark.sql.functions._
+
+/** Repetition filters, benchmark decontamination, sequence packing —
+  * hand-computed fixtures plus invariants the DuckDB oracle entries
+  * (t9/d6/p1) can't cheaply express.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("repetition features: hand-computed line and n-gram fractions") {
+    val s = spark
+    import s.implicits._
+    // lines: ["a b", "a b", "c d"]; tokens: a b a b c d (norm 11 chars)
+    val df = Seq((1L, "a b\na b\nc d")).toDF("id", "text")
+    val r = Repetition.features(df, "text", "id",
+      topNs = Seq(2), dupNs = Seq(5)).head()
+    assert(r.getAs[Int]("n_lines") == 3)
+    // fractions are rounded to 6 decimals by the operator
+    assert(math.abs(r.getAs[Double]("dup_line_frac") - 0.333333) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dup_line_char_frac") - 0.666667) < 1e-9)
+    // 2-gram "a b" occurs twice -> 2*3 chars over 11 normalized chars
+    assert(math.abs(r.getAs[Double]("top2_gram_char_frac") - 0.545455) < 1e-9)
+    // both 5-grams are unique
+    assert(r.getAs[Double]("dup5_gram_char_frac") == 0.0)
+  }
+
+  test("repetition features: single-line doc has zero line dup") {
+    val s = spark
+    import s.implicits._
+    val r = Repetition.features(
+      Seq((1L, "x y z w")).toDF("id", "text"), "text", "id",
+      topNs = Seq(2), dupNs = Seq(5)).head()
+    assert(r.getAs[Int]("n_lines") == 1)
+    assert(r.getAs[Double]("dup_line_frac") == 0.0)
+    // shorter than 5 tokens: the whole token string is the one 5-gram,
+    // occurring once -> no dup chars
+    assert(r.getAs[Double]("dup5_gram_char_frac") == 0.0)
+  }
+
+  test("gopherFilter drops keyword-stuffed docs, keeps normal prose") {
+    val s = spark
+    import s.implicits._
+    val stuffed = ("buy cheap pills " * 40).trim
+    // realistic length matters: the char-coverage fractions are only
+    // meaningful on documents long enough that one n-gram is a small
+    // share — exactly the regime the published thresholds target
+    val prose = (1 to 80).map(i => s"word$i").mkString(" ")
+    val out = Repetition.gopherFilter(
+      Seq((1L, prose), (2L, stuffed)).toDF("id", "text"), "text", "id")
+      .select("id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(out(1L))
+    assert(!out(2L))
+  }
+
+  test("decontaminate flags exactly the leaked doc with exact gram count") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "unrelated words about completely different topics entirely here now")
+    ).toDF("doc_id", "text")
+    // bench contains tokens 2..10 of doc 2: 9 tokens -> two 8-grams,
+    // both present in doc 2.
+    val bench = Seq("two three four five six seven eight nine ten")
+      .toDF("text")
+    val hits = Decontaminate.contaminated(corpus, "text", "doc_id",
+      bench, "text", n = 8).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 2L)))
+    val kept = Decontaminate.clean(corpus, "text", "doc_id", bench, "text",
+      n = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // shuffle-join mode agrees with the broadcast mode
+    val hits2 = Decontaminate.contaminated(corpus, "text", "doc_id",
+      bench, "text", n = 8, broadcastBench = false).collect()
+    assert(hits2.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 2L)))
+  }
+
+  test("hash sampling is deterministic, rate-accurate, and partition-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val a = graft.pipeline.Mixing.hashSample(df, "id", 0.3, "s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.pipeline.Mixing.hashSample(df.repartition(7), "id", 0.3, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // rand(seed) would fail this: draw depends on layout
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    // different salt -> different (roughly independent) membership
+    val c = graft.pipeline.Mixing.hashSample(df, "id", 0.3, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("mixBySource hits target proportions and caps at availability") {
+    val s = spark
+    import s.implicits._
+    val df = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1020L).map(i => (i, "rare")) ++
+      (2000L until 2500L).map(i => (i, "dropped"))).toDF("id", "src")
+    val out = graft.pipeline.Mixing.mixBySource(df, "src", "id",
+      Map("big" -> 0.5, "rare" -> 0.5), targetRows = 100, salt = "t")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: rate 50/1000 = 0.05 -> ~50; rare: rate min(1, 50/20)=1 -> all 20
+    assert(out("rare") == 20)
+    assert(math.abs(out("big") - 50.0) < 25)
+    assert(!out.contains("dropped"))
+  }
+
+  test("temperatureWeights flattens toward uniform as alpha -> 0") {
+    val counts = Map("a" -> 900L, "b" -> 90L, "c" -> 10L)
+    val w1 = graft.pipeline.Mixing.temperatureWeights(counts, 1.0)
+    assert(math.abs(w1("a") - 0.9) < 1e-12)
+    val w3 = graft.pipeline.Mixing.temperatureWeights(counts, 0.3)
+    assert(w3("a") < 0.9 && w3("c") > 0.01)
+    assert(math.abs(w3.values.sum - 1.0) < 1e-12)
+    // ordering preserved
+    assert(w3("a") > w3("b") && w3("b") > w3("c"))
+  }
+
+  test("pack matches a sequential cumsum across forced multi-partition runs") {
+    val s = spark
+    import s.implicits._
+    val counts = Seq(3L, 7L, 0L, 12L, 5L, 9L, 1L, 20L, 4L, 6L)
+    val df = counts.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "cnt")
+    val budget = 10L
+    val got = Packing.pack(s, df, "id", col("cnt"), budget,
+      numPartitions = 3)
+      .select("id", "n_tokens", "start_offset", "first_bin", "last_bin",
+        "n_bins")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    var off = 0L
+    val want = counts.zipWithIndex.map { case (c, i) =>
+      val start = off; off += c
+      val first = start / budget
+      val last = (start + math.max(c, 1L) - 1) / budget
+      (i.toLong, c, start, first, last, last - first + 1)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("chunks partition each document exactly and fill bins to budget") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 3L), (1L, 25L), (2L, 4L), (3L, 10L))
+      .toDF("id", "cnt")
+    val budget = 10L
+    val ch = Packing.chunks(s, df, "id", col("cnt"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // spans of one doc cover [0, cnt) contiguously
+    val perDoc = ch.groupBy(_._2)
+    assert(perDoc(1L).sortBy(_._1).map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, 7L), (7L, 10L), (17L, 8L)))
+    assert(perDoc.map { case (id, spans) => id -> spans.map(_._4).sum } ==
+      Map(0L -> 3L, 1L -> 25L, 2L -> 4L, 3L -> 10L))
+    // every bin except the last holds exactly `budget` tokens
+    val perBin = ch.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = perBin.keys.max
+    perBin.foreach { case (bin, tokens) =>
+      if (bin < lastBin) assert(tokens == budget)
+      else assert(tokens <= budget)
+    }
+  }
+}
