@@ -2674,6 +2674,43 @@ object SparkEntry {
         val pairs = annPairs.count()
         Seq((pairs, hits / (200.0 * k))).toDF("pairs", "sample_recall")
       },
+      // LLM-pipeline stages over the FULL documents table at the bench
+      // SF (the t9/d6/p1/p2 correctness entries run fixed small corpora
+      // at every SF — these scale with the data, so the shuffle shapes
+      // are actually measured). Aggregated to one row so timing is the
+      // operator, not result materialization.
+      "bench_repetition_full" -> { (s, dir) =>
+        Repetition.features(tbl(s, dir, "documents"), "text", "doc_id")
+          .agg(count(lit(1)).as("docs"),
+            round(sum(col("dup_line_frac")), 3).as("s_line"),
+            round(sum(col("top2_gram_char_frac")), 3).as("s_top2"),
+            round(sum(col("dup5_gram_char_frac")), 3).as("s_dup5"))
+      },
+      "bench_decontaminate_full" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents").select("doc_id", "text")
+        // every 97th doc doubles as the "benchmark" — a realistic
+        // eval:corpus size ratio that keeps the broadcast side small
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select("text")
+        Decontaminate.contaminated(docs, "text", "doc_id", bench, "text",
+          n = 8).agg(count(lit(1)).as("docs"),
+            sum("n_hit_grams").as("grams"))
+      },
+      "bench_pack_full" -> { (s, dir) =>
+        Packing.chunks(s, tbl(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), budget = 2048)
+          .agg(count(lit(1)).as("spans"), max("bin").as("last_bin"))
+      },
+      "bench_mix_temperature" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val counts = docs.groupBy("source").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val w = graft.pipeline.Mixing.temperatureWeights(counts, 0.5)
+        graft.pipeline.Mixing.mixBySource(docs, "source", "doc_id", w,
+          targetRows = counts.values.sum / 2, salt = "b")
+          .agg(count(lit(1)).as("kept"),
+            countDistinct(col("source")).as("sources"))
+      },
       // EXACT ngram-Jaccard near-dup over the FULL documents table at
       // the bench SF (the d5 correctness entry runs a fixed 180-doc
       // corpus at every SF — this one scales with the data, so the

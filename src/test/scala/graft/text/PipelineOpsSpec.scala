@@ -148,6 +148,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("scale shapes: mixing is shuffle-free, decontamination broadcasts, pack windows per partition") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 100L).map(i => (i, s"tok$i text body", "s" + i % 3))
+      .toDF("id", "text", "src")
+    // hash sampling: pure projection + filter — no Exchange anywhere
+    val sampled = graft.pipeline.Mixing.hashSample(docs, "id", 0.5, "x")
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
+    // decontamination: the benchmark gram set rides a broadcast join,
+    // so the corpus side never shuffles
+    val plan = graft.dedup.Decontaminate.contaminated(
+      docs, "text", "id", docs.limit(3), "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // packing: the running-sum Window is partitioned by _pid — never a
+    // global (single-task) window
+    val packPlan = Packing.pack(s, docs, "id", lit(5L), 10L)
+      .queryExecution.executedPlan.toString
+    assert(packPlan.contains("Window"))
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(packPlan).isEmpty,
+      "found a Window with an empty partition spec:\n" + packPlan)
+  }
+
   test("chunks partition each document exactly and fill bins to budget") {
     val s = spark
     import s.implicits._
