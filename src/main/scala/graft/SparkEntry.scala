@@ -16,7 +16,7 @@ import graft.operators.CollectionSearch
 import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef, IndexStore}
 import graft.workload.ResourceGroups
 import graft.dedup.Decontaminate
-import graft.text.{Bm25, Packing, Repetition, TextOps}
+import graft.text.{Bm25, Boilerplate, C4Filters, Packing, Pii, Repetition, TextOps, Vocab}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, MapType, StringType}
 import org.apache.spark.sql.functions._
@@ -39,6 +39,31 @@ object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Shared corpus for the duplicate-cluster entries (d7/d8): a
+    * documents slice, appended near-copies (J = (n-2)/(n+1) per n-token
+    * doc), and a hand-built chain whose adjacent Jaccards sit above the
+    * 0.7 threshold (10/13, 13/18) while the endpoints sit below (10/16)
+    * — so the {200001,200002,200003} cluster exists ONLY transitively.
+    */
+  private def clusterFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = tbl(s, dir, "documents").filter(col("doc_id") < 120)
+      .select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" zq zr zs")))
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val chain = Seq(
+      (200001L, base),
+      (200002L, base + " zzab zzac zzad"),
+      (200003L, base + " zzab zzac zzad zzae zzaf zzag"),
+      (200004L, "identical twin row for pair cluster check ok fine"),
+      (200005L, "identical twin row for pair cluster check ok fine"),
+      (200006L, "wholly unrelated singleton document about nothing else"),
+    ).toDF("doc_id", "text")
+    docs.unionByName(planted).unionByName(chain)
+  }
 
   /** Query-side embedding lookup (nq is tiny; a driver-side fetch of one
     * row is the reference's own shape — queries arrive from outside).
@@ -2359,6 +2384,62 @@ object SparkEntry {
           "text", "doc_id", topNs = Seq(2, 3), dupNs = Seq(5))
         .orderBy("doc_id")
     },
+    // CCNet-style boilerplate removal: a header/footer line injected
+    // into every fixture doc exceeds the df threshold and is stripped;
+    // each doc's own (unique) line survives in order.
+    "t10_boilerplate" -> { (s, dir) =>
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(lit("SHARED NAV HEADER\n"), col("text"),
+            lit("\ncopyright footer all rights reserved")).as("text"))
+      Boilerplate.removeBoilerplate(corpus, "text", "doc_id", maxDf = 5)
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    // PII counts + redaction over injected emails/IPs/phones; patterns
+    // restricted to Java-regex/RE2-identical syntax (Pii.scala).
+    "t11_pii" -> { (s, dir) =>
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit(" contact jane.doe@example.com or web.admin@sub.example.org"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              lit(" server at 192.168.10.1 and 10.0.0.255")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit(" call +1 555-123-4567 today")).otherwise(lit(""))).as("text"))
+      corpus.select(col("doc_id"),
+          Pii.emailCount(col("text")).as("n_emails"),
+          Pii.ipv4Count(col("text")).as("n_ips"),
+          Pii.phoneCount(col("text")).as("n_phones"),
+          Pii.redact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+    // C4 heuristic cleaning: line keep-rules + document drops over a
+    // fixture mixing proper sentences, short fragments, and planted
+    // brace / lorem-ipsum markers.
+    "t12_c4_filter" -> { (s, dir) =>
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit("\nThis trailing line is a proper sentence with enough words."),
+            lit("\nshort stub"),
+            when(col("doc_id") % 7 === 0, lit("\nfunction() { return 1; }"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit("\nLorem Ipsum dolor sit amet."))
+              .otherwise(lit(""))).as("text"))
+      C4Filters.c4(corpus, "text", minWords = 3, minLines = 1)
+        .select("doc_id", "keep", "clean_text")
+        .orderBy("doc_id")
+    },
+    // Corpus vocabulary heavy hitters: top 50 tokens by term frequency
+    // with (term_freq, doc_freq), deterministic tie-break on token.
+    "t13_vocab_topk" -> { (s, dir) =>
+      Vocab.topK(tbl(s, dir, "documents").filter(col("doc_id") < 300)
+          .select("doc_id", "text"), "text", "doc_id", k = 50)
+        .orderBy(col("term_freq").desc, col("token").asc)
+    },
     // Benchmark decontamination: corpus docs sharing an 8-token gram
     // with the eval set (docs 10/20/30 planted verbatim + one clean
     // prompt). The gram probe broadcasts; the corpus never shuffles.
@@ -2371,6 +2452,29 @@ object SparkEntry {
           Seq("totally clean benchmark prompt with no overlap").toDF("text"))
       Decontaminate.contaminated(corpus, "text", "doc_id", bench, "text",
         n = 8).orderBy("doc_id")
+    },
+    // Transitive duplicate clusters: exact n-gram pairs (PPJoin) resolved
+    // into connected components; the chain fixture (200001~200002~200003
+    // with J(1,3) below threshold) only clusters together if component
+    // resolution actually follows the transitive edge.
+    "d7_dup_clusters" -> { (s, dir) =>
+      val corpus = clusterFixture(s, dir)
+      val pairs = Dedup.ngramNearDups(corpus, "text", "doc_id",
+        threshold = 0.7, shingleSize = 3)
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      corpus.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    // Keep-one-per-cluster materialization over the same pair graph.
+    "d8_cluster_dedup" -> { (s, dir) =>
+      val corpus = clusterFixture(s, dir)
+      val pairs = Dedup.ngramNearDups(corpus, "text", "doc_id",
+        threshold = 0.7, shingleSize = 3)
+      Dedup.dedupByPairs(corpus, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
     },
     // Deterministic source mixing: hash-gated stratified sample to
     // target proportions. The md5 coin is engine-portable, so the
@@ -3025,6 +3129,41 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = %d)"
     def q0 = qvec.format(0)
+    // Shared CTE prefix for the d7/d8 cluster oracles: the
+    // clusterFixture corpus, exact all-pairs 3-gram Jaccard pairs at
+    // the 0.7 threshold, and min-reachable-id labels via a recursive
+    // CTE (DuckDB's UNION-dedup recursion terminates at the fixpoint).
+    val clusterOracleCte =
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 120
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zq zr zs' FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (200001, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'),
+        |    (200002, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima zzab zzac zzad'),
+        |    (200003, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima zzab zzac zzad zzae zzaf zzag'),
+        |    (200004, 'identical twin row for pair cluster check ok fine'),
+        |    (200005, 'identical twin row for pair cluster check ok fine'),
+        |    (200006, 'wholly unrelated singleton document about nothing else')) v(doc_id, text)),
+        |tok AS (SELECT doc_id AS id, list_filter(
+        |  regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus),
+        |sh AS (SELECT id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset FROM tok),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE len(list_intersect(a.sset, b.sset))::DOUBLE
+        |      / len(list_distinct(a.sset || b.sset)) >= 0.7),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+        |""".stripMargin
     Map(
       "a1_count_filter" ->
         "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30",
@@ -4331,6 +4470,70 @@ object SparkEntry {
           |  round(a.dup5::DOUBLE / n.nc, 6) AS dup5_gram_char_frac
           |FROM linef l JOIN agg a USING (doc_id) JOIN nrm n USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
+      // Line-df boilerplate oracle: DuckDB independently recomputes
+      // per-line document frequency and the order-preserving rebuild.
+      "t10_boilerplate" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, 'SHARED NAV HEADER' || chr(10) || text || chr(10)
+          |    || 'copyright footer all rights reserved' AS text
+          |  FROM documents WHERE doc_id < 60),
+          |lns AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+          |ln AS (SELECT doc_id, i AS pos, trim(ls[CAST(i AS INT)]) AS line
+          |  FROM lns, UNNEST(range(1, len(ls) + 1)) t(i)
+          |  WHERE trim(ls[CAST(i AS INT)]) <> ''),
+          |df AS (SELECT line, count(*) AS df
+          |  FROM (SELECT DISTINCT doc_id, line FROM ln) GROUP BY line),
+          |kept AS (SELECT l.doc_id, l.pos, l.line
+          |  FROM ln l JOIN df USING (line) WHERE df.df <= 5),
+          |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          |  FROM kept GROUP BY doc_id)
+          |SELECT c.doc_id, COALESCE(r.clean_text, '') AS clean_text
+          |FROM corpus c LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // PII oracle: RE2 replays the exact Java-regex patterns (the
+      // syntax subset is chosen to mean the same in both engines).
+      "t11_pii" ->
+        """WITH corpus AS (SELECT doc_id, text
+          |  || CASE WHEN doc_id % 3 = 0 THEN ' contact jane.doe@example.com or web.admin@sub.example.org' ELSE '' END
+          |  || CASE WHEN doc_id % 4 = 0 THEN ' server at 192.168.10.1 and 10.0.0.255' ELSE '' END
+          |  || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-123-4567 today' ELSE '' END AS text
+          |  FROM documents WHERE doc_id < 80)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+          |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phones,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+          |FROM corpus ORDER BY doc_id""".stripMargin,
+      // C4 oracle: line keep-rules and document drops recomputed with
+      // DuckDB list/regex functions.
+      "t12_c4_filter" ->
+        """WITH corpus AS (SELECT doc_id, text
+          |  || chr(10) || 'This trailing line is a proper sentence with enough words.'
+          |  || chr(10) || 'short stub'
+          |  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'function() { return 1; }' ELSE '' END
+          |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END AS text
+          |  FROM documents WHERE doc_id < 80),
+          |kept AS (SELECT doc_id, list_filter(
+          |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+          |    l -> regexp_matches(l, '[.!?"]$')
+          |      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3) AS ks
+          |  FROM corpus)
+          |SELECT c.doc_id,
+          |  (len(k.ks) >= 1 AND NOT contains(c.text, '{')
+          |    AND NOT contains(lower(c.text), 'lorem ipsum')) AS keep,
+          |  array_to_string(k.ks, chr(10)) AS clean_text
+          |FROM corpus c JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t13_vocab_topk" ->
+        """WITH tok AS (SELECT doc_id, UNNEST(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+          |  FROM documents WHERE doc_id < 300),
+          |tf AS (SELECT token, count(*) AS term_freq FROM tok GROUP BY token),
+          |df AS (SELECT token, count(*) AS doc_freq
+          |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token)
+          |SELECT t.token, t.term_freq, d.doc_freq FROM tf t JOIN df d USING (token)
+          |ORDER BY term_freq DESC, token ASC LIMIT 50""".stripMargin,
       // COMPUTED oracle: DuckDB re-derives both sides' 8-gram sets and
       // re-joins them — independently checks the broadcast gram probe
       // finds exactly the contaminated docs with exact hit counts.
@@ -4346,6 +4549,20 @@ object SparkEntry {
           |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)),
           |hits AS (SELECT doc_id, g FROM cg, UNNEST(gs) t(g) WHERE g IN (SELECT g FROM bg))
           |SELECT doc_id, count(*) AS n_hit_grams FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      // Recursive-CTE oracle: min id reachable through the exact
+      // all-pairs Jaccard graph == the component label our distributed
+      // min-label propagation converges to.
+      "d7_dup_clusters" ->
+        (clusterOracleCte +
+          """SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+          |  CAST(COALESCE(cc.cluster, c.doc_id) AS BIGINT) AS cluster_id
+          |FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id
+          |ORDER BY doc_id""".stripMargin),
+      "d8_cluster_dedup" ->
+        (clusterOracleCte +
+          """SELECT CAST(c.doc_id AS BIGINT) AS doc_id FROM corpus c
+          |WHERE c.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
+          |ORDER BY doc_id""".stripMargin),
       // COMPUTED oracle: DuckDB re-derives the per-source rates AND
       // the md5 hash gate, so the exact sampled member set must agree
       // engine-to-engine (the point of hash-gated sampling).

@@ -254,6 +254,84 @@ object Dedup {
     }
   }
 
+  // --- duplicate clusters (connected components) --------------------------
+
+  /** Transitive duplicate clusters over a near-dup pair list: the
+    * connected components of the pair graph, labeled by each
+    * component's minimum id.
+    *
+    * Near-dup similarity is not transitive (A~B and B~C do not imply
+    * A~C), but a corpus dedup must still drop B AND C when the chain
+    * exists — so pair lists from [[minhashNearDups]] /
+    * [[ngramNearDups]] / [[simhashNearDups]] need component resolution
+    * before any document is removed. The reference-scale analog is the
+    * cluster step of MinHash dedup pipelines (e.g. Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better").
+    *
+    * Algorithm: distributed min-label propagation with pointer
+    * jumping. Each round (a) every node takes the min label in its
+    * 1-hop neighborhood (one equi-join on the edge list + one hash
+    * agg), then (b) labels chase their own label's label (one
+    * self-join), halving chain lengths — so rounds are
+    * O(log(diameter)), not O(diameter). All joins are key-partitioned
+    * and data-proportional; per-round lineage is truncated with a
+    * local checkpoint so the plan does not grow with iterations.
+    * Convergence is detected by an exact changed-label count. 100 TB
+    * shape: edge lists from bucketed candidate generation are
+    * O(docs × bands); each round shuffles that volume at most twice.
+    *
+    * @return (node, cluster) — every id that appears in `pairs`,
+    *         labeled with the min id reachable from it.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("cluster"))
+      val combined = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+      // Pointer jump: cluster := cluster(cluster). Every label is a
+      // node id present in `combined`, so the left join only misses
+      // when the label is already a component minimum pointing at
+      // itself — coalesce covers both.
+      val jumped = combined.join(
+          combined.select(col("node").as("cluster"), col("cluster").as("_c2")),
+          Seq("cluster"), "left")
+        .select(col("node"), coalesce(col("_c2"), col("cluster")).as("cluster"))
+      val next = jumped.localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), "node")
+        .filter(col("cluster") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one representative (the min id) per duplicate cluster:
+    * resolves `pairs` into components and anti-joins the non-minimum
+    * members out of `docs`. Documents in no pair survive untouched.
+    */
+  def dedupByPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Random-hyperplane sign sketch: bit p = sign(<v, r_p>) where r_p is
     * a deterministic pseudo-random ±1 vector derived from xxhash64(p, i).
     */

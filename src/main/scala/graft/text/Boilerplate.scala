@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency boilerplate removal (the CCNet / RefinedWeb
+  * paragraph-dedup shape): a line that recurs across many documents —
+  * navigation chrome, cookie banners, copyright footers — is
+  * boilerplate and is stripped from every document, while
+  * document-unique prose survives.
+  *
+  * Scale shape: explode to (doc, pos, line), aggregate line document
+  * frequency (one hash shuffle keyed by line), equi-join the df back,
+  * and regroup by document to rebuild text in original line order.
+  * Every stage is key-partitioned and data-proportional — the same
+  * plan holds at 100 TB with the line-df table as the only corpus-wide
+  * aggregate (itself prunable: lines with df == 1 dominate and
+  * hash-partition evenly; hot boilerplate lines are few).
+  */
+object Boilerplate {
+
+  /** Trimmed, non-empty lines of each document with their original
+    * position: (idCol, pos, line).
+    */
+  def lines(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "_raw")))
+      .withColumn("line", trim(col("_raw")))
+      .filter(col("line") =!= "")
+      .drop("_raw")
+
+  /** Line document frequency: for each distinct trimmed line, the
+    * number of documents containing it at least once.
+    */
+  def lineDocFreq(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    lines(docs, textCol, idCol)
+      .select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+
+  /** Strip lines that occur in more than `maxDf` documents and rebuild
+    * each document's text from its surviving lines in original order.
+    * Returns `docs` with `textCol` replaced by the cleaned text (empty
+    * string when every line was boilerplate); all other columns pass
+    * through.
+    */
+  def removeBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+      maxDf: Long): DataFrame = {
+    val ln = lines(docs, textCol, idCol)
+    val hot = lineDocFreq(docs, textCol, idCol).filter(col("df") > maxDf)
+    val kept = ln.join(hot, Seq("line"), "left_anti")
+    // array_sort on (pos, line) structs orders by pos first; rebuild
+    // happens in one hash agg keyed by the document id.
+    val rebuilt = kept.groupBy(idCol).agg(
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as("_clean"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_clean"), lit("")))
+      .drop("_clean")
+  }
+}

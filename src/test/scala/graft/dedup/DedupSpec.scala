@@ -114,4 +114,36 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == Set((1L, 2L)))
   }
+
+  test("connected components: labels are the component minimum (chains, cycle, star)") {
+    val s = spark
+    import s.implicits._
+    // Components: a 4-chain {1-2-3-4}, a triangle {10,11,12}, a star
+    // {20 <- 21,22,23}, and a long path {30..35} that forces >1 round
+    // of propagation (exercises pointer jumping, not just 1-hop min).
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L), (22L, 20L), (23L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L),
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 4L).forall(cc(_) == 1L), s"chain: $cc")
+    assert((10L to 12L).forall(cc(_) == 10L), s"triangle: $cc")
+    assert((20L to 23L).forall(cc(_) == 20L), s"star: $cc")
+    assert((30L to 35L).forall(cc(_) == 30L), s"path: $cc")
+    assert(cc.size == 4 + 3 + 4 + 6)
+  }
+
+  test("dedupByPairs keeps exactly one representative per cluster") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 7L), (3L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairs(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {2,5,7} -> keep 2; {3,8} -> keep 3; untouched 1,4,6 survive.
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L))
+  }
 }

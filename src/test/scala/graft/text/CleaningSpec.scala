@@ -1,0 +1,103 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Boilerplate removal, PII redaction, C4 heuristic cleaning, and
+  * vocabulary heavy hitters.
+  */
+class CleaningSpec extends SparkSpec {
+
+  test("boilerplate: corpus-frequent lines stripped, unique prose kept in order") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 8L).map { i =>
+      (i, s"HEADER LINE\nunique prose number $i\n  \nsecond thought $i\nFOOTER LINE")
+    }.toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(docs, "text", "doc_id", maxDf = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 8)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val id = i + 1
+      assert(r.getString(1) == s"unique prose number $id\nsecond thought $id",
+        s"doc $id got: ${r.getString(1)}")
+    }
+  }
+
+  test("boilerplate: doc reduced to nothing comes back with empty text, not dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = (Seq.tabulate(5)(i => (i.toLong, "ONLY BOILERPLATE")) :+
+      (9L, "ONLY BOILERPLATE\nreal content here")).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(docs, "text", "doc_id", maxDf = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    assert(out.take(5).forall(_.getString(1) == ""))
+    assert(out.last.getString(1) == "real content here")
+  }
+
+  test("line document frequency counts docs, not occurrences") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "dup\ndup\ndup"),      // 3 occurrences, 1 doc
+      (2L, "dup\nother")).toDF("doc_id", "text")
+    val df = Boilerplate.lineDocFreq(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("dup" -> 2L, "other" -> 1L))
+  }
+
+  test("pii: counts and redaction on mixed text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail a.b@x.org and c_d%e@sub.dom.io, host 10.0.0.1, call +44 20 7946 0958 now"),
+      (2L, "no pii here, just the year 2024 and v1.2.3"),
+    ).toDF("id", "text")
+    val out = docs.select(col("id"), Pii.counts(col("text")).as("c"),
+        Pii.redact(col("text")).as("r"))
+      .selectExpr("id", "c.n_emails", "c.n_ips", "c.n_phones", "r")
+      .orderBy("id").collect()
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == ((2, 1, 1)))
+    assert(out(0).getString(4) ==
+      "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE> now")
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) == ((0, 0, 0)))
+    assert(out(1).getString(4) == out(1).getString(4))
+  }
+
+  test("c4: line rules keep proper sentences, doc rules drop code and lorem ipsum") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "A proper first sentence here.\nshort\nAnother good line with words!"),
+      (2L, "if (x) { return; }\nA fine sentence nonetheless."),
+      (3L, "This mentions Lorem Ipsum placeholder text sadly.\nOther good content here."),
+      (4L, "no terminal punctuation at all\nstill none"),
+    ).toDF("doc_id", "text")
+    val out = C4Filters.c4(docs, "text", minWords = 3, minLines = 1)
+      .select("doc_id", "keep", "clean_text").orderBy("doc_id").collect()
+    assert(out(0).getBoolean(1))
+    assert(out(0).getString(2) ==
+      "A proper first sentence here.\nAnother good line with words!")
+    assert(!out(1).getBoolean(1), "brace doc must be dropped")
+    assert(!out(2).getBoolean(1), "lorem ipsum doc must be dropped")
+    assert(!out(3).getBoolean(1), "doc with no surviving lines must be dropped")
+  }
+
+  test("vocab: tf/df and deterministic top-k cut") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry cherry"),
+    ).toDF("doc_id", "text")
+    val st = Vocab.stats(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st("apple") == ((3L, 2L)))
+    assert(st("banana") == ((1L, 1L)))
+    assert(st("cherry") == ((3L, 1L)))
+    val top = Vocab.topK(docs, "text", "doc_id", 2).collect().map(_.getString(0))
+    // tf ties (apple, cherry at 3) break by token asc.
+    assert(top.toSeq == Seq("apple", "cherry"))
+  }
+}
