@@ -291,7 +291,7 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
-      .localCheckpoint(true)
+      .persist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -304,18 +304,25 @@ object Dedup {
       // node id present in `combined`, so the left join only misses
       // when the label is already a component minimum pointing at
       // itself — coalesce covers both.
-      val jumped = combined.join(
+      val next = combined.join(
           combined.select(col("node").as("cluster"), col("cluster").as("_c2")),
           Seq("cluster"), "left")
         .select(col("node"), coalesce(col("_c2"), col("cluster")).as("cluster"))
-      val next = jumped.localCheckpoint(true)
+        .persist()
+      // ONE action per round: the changed-count join both materializes
+      // `next` into the cache and decides convergence. Persist (not
+      // checkpoint) still truncates effective lineage — each round's
+      // plan bottoms out at the previous round's InMemoryRelation —
+      // and the explicit unpersist keeps block-manager usage at one
+      // generation, so block residency does not grow with iterations.
       val changed = next.join(labels.withColumnRenamed("cluster", "_old"), "node")
         .filter(col("cluster") =!= col("_old")).count()
+      labels.unpersist(false)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist(false)
     labels
   }
 

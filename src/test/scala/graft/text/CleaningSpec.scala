@@ -84,6 +84,36 @@ class CleaningSpec extends SparkSpec {
     assert(!out(3).getBoolean(1), "doc with no surviving lines must be dropped")
   }
 
+  test("tfidf: querying a doc's own text ranks it first with cosine 1.0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages during wide transformations"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "window functions partition and order rows for analytics"),
+    ).toDF("doc_id", "text")
+    val out = TfIdf.search(docs, "text", "doc_id", docs.filter($"doc_id" === 1)
+        .head().getString(1), k = 3).collect()
+    assert(out.head.getLong(0) == 1L)
+    // Query vector is parallel to doc 1's vector (same tf and idf
+    // weights), so the cosine must be exactly 1 after rounding.
+    assert(math.abs(out.head.getDouble(1) - 1.0) < 1e-9, out.head.toString)
+  }
+
+  test("tfidf: vectors are L2-normalized maps keyed by token") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val vecs = TfIdf.vectors(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Double](1)).toMap
+    vecs.values.foreach { m =>
+      val norm = math.sqrt(m.values.map(v => v * v).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"norm $norm for $m")
+    }
+    // beta (df=1, tf=2) must outweigh shared alpha (df=2, tf=1) in doc 1.
+    assert(vecs(1L)("beta") > vecs(1L)("alpha"))
+  }
+
   test("vocab: tf/df and deterministic top-k cut") {
     val s = spark
     import s.implicits._
