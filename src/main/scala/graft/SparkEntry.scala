@@ -2127,6 +2127,34 @@ object SparkEntry {
       s.sql("""SELECT docId AS doc_id, isDuplicate AS is_duplicate,
         |firstId AS first_id FROM st2_dedup ORDER BY doc_id""".stripMargin)
     },
+    // ---- ST5: streaming cleaning — the batch C4 + PII stack runs as
+    // a stateless per-row projection on a stream (append mode, no
+    // state store); the oracle replays the same rules over the same
+    // generated micro-batch input. ------------------------------------
+    "st5_stream_clean" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val docs = mem.toDF().select(col("value").as("doc_id"),
+        concat(
+          lit("Document number "), col("value").cast("string"),
+          lit(" tells a complete story."),
+          when(col("value") % 3 === 0,
+            lit("\nwrite to agent.mail@example.net for details."))
+            .otherwise(lit("\nAnother proper closing sentence here.")),
+          when(col("value") % 5 === 0, lit("\ncode snippet { x }"))
+            .otherwise(lit("")),
+          when(col("value") % 7 === 0, lit("\ncall +1 555-321-9876 now"))
+            .otherwise(lit(""))).as("text"))
+      mem.addData(0L until 40L: _*)
+      val out = graft.streaming.StreamingOps.cleanStream(docs, "text")
+      val q = out.writeStream.format("memory").queryName("st5_clean")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.sql("""SELECT doc_id, keep, clean_text, redacted FROM st5_clean
+        |ORDER BY doc_id""".stripMargin)
+    },
     // ---- ST3: streaming change feed — store DML arrives at a CDC
     // consumer as micro-batches (delta dirs are the file-source's
     // atomically-renamed-in inputs). Nation rows in, three deleted;
@@ -2467,6 +2495,22 @@ object SparkEntry {
           .select("doc_id", "text"), "text", "doc_id",
         "spark query join window", k = 20)
     },
+    // Per-(source, lang) corpus datasheet: volume + length stats with
+    // an exact median, one hash agg keyed by the group columns.
+    "a10_corpus_report" -> { (s, dir) =>
+      graft.pipeline.Report.byGroup(
+          tbl(s, dir, "documents").select("doc_id", "text", "source", "lang"),
+          "text", Seq("source", "lang"))
+        .orderBy("source", "lang")
+    },
+    // Deterministic epoch shuffle: global training order = sort on the
+    // epoch-salted hash coin; same permutation on every engine/run.
+    "p3_epoch_shuffle" -> { (s, dir) =>
+      graft.pipeline.Mixing.epochShuffle(
+          tbl(s, dir, "documents").filter(col("doc_id") < 200)
+            .select("doc_id"), "doc_id", epoch = 3)
+        .limit(60)
+    },
     // Benchmark decontamination: corpus docs sharing an 8-token gram
     // with the eval set (docs 10/20/30 planted verbatim + one clean
     // prompt). The gram probe broadcasts; the corpus never shuffles.
@@ -2498,6 +2542,28 @@ object SparkEntry {
         .filter(col("node") =!= col("cluster"))
         .select(col("node").as("doc_id"))
       clusterFixture(s, dir).join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    },
+    // Incremental dedup: a "new crawl" batch (verbatim re-crawls of
+    // corpus docs + whitespace-variant copies + genuinely new rows +
+    // an intra-batch dup) deduped against the existing corpus by
+    // fingerprint anti-join.
+    "d9_incremental_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val recrawl = corpus.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val wsVariant = corpus.filter(col("doc_id").between(40, 59))
+        .select((col("doc_id") + 310000).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
+      val fresh = Seq(
+        (320001L, "a genuinely new document about incremental ingestion"),
+        (320002L, "another brand new document unseen by the corpus"),
+        (320003L, "a genuinely new document about incremental ingestion"),
+      ).toDF("doc_id", "text")
+      val batch = recrawl.unionByName(wsVariant).unionByName(fresh)
+      Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     },
     // Deterministic source mixing: hash-gated stratified sample to
@@ -4579,6 +4645,47 @@ object SparkEntry {
           |SELECT sc.doc_id, round(dot / norms.nrm / qn.qnrm, 6) AS score
           |FROM sc JOIN norms USING (doc_id), qn
           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // Corpus datasheet oracle: exact per-group stats incl. the
+      // interpolated median both engines define identically.
+      "a10_corpus_report" ->
+        """SELECT source, lang, count(*) AS n_docs,
+          |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+          |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+          |  round(avg(length(text)), 4) AS avg_chars,
+          |  CAST(median(length(text)) AS DOUBLE) AS median_chars
+          |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+      // Streaming-clean oracle: DuckDB regenerates the micro-batch
+      // input from range() and replays the C4 + PII rules.
+      "st5_stream_clean" ->
+        """WITH corpus AS (SELECT doc_id,
+          |  'Document number ' || CAST(doc_id AS VARCHAR) || ' tells a complete story.'
+          |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'write to agent.mail@example.net for details.'
+          |          ELSE chr(10) || 'Another proper closing sentence here.' END
+          |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'code snippet { x }' ELSE '' END
+          |  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'call +1 555-321-9876 now' ELSE '' END AS text
+          |  FROM range(0, 40) t(doc_id)),
+          |kept AS (SELECT doc_id, list_filter(
+          |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+          |    l -> regexp_matches(l, '[.!?"]$')
+          |      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3) AS ks
+          |  FROM corpus)
+          |SELECT c.doc_id,
+          |  (len(k.ks) >= 1 AND NOT contains(c.text, '{')
+          |    AND NOT contains(lower(c.text), 'lorem ipsum')) AS keep,
+          |  array_to_string(k.ks, chr(10)) AS clean_text,
+          |  regexp_replace(regexp_replace(regexp_replace(c.text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+          |FROM corpus c JOIN kept k USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+      // ORDER-SENSITIVE oracle: the driver compares rows in result
+      // order, so this checks the exact epoch permutation, not the
+      // member set.
+      "p3_epoch_shuffle" ->
+        """SELECT doc_id FROM documents WHERE doc_id < 200
+          |ORDER BY (('0x' || substr(md5('epoch:3' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE / 4294967296.0,
+          |  doc_id
+          |LIMIT 60""".stripMargin,
       // COMPUTED oracle: DuckDB re-derives both sides' 8-gram sets and
       // re-joins them — independently checks the broadcast gram probe
       // finds exactly the contaminated docs with exact hit counts.
@@ -4608,6 +4715,26 @@ object SparkEntry {
           """SELECT CAST(c.doc_id AS BIGINT) AS doc_id FROM corpus c
           |WHERE c.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
           |ORDER BY doc_id""".stripMargin),
+      // Incremental-dedup oracle: the same normalized-md5 fingerprint
+      // (d1 parity idiom), corpus anti-join + intra-batch min-id.
+      "d9_incremental_dedup" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+          |batch AS (
+          |  SELECT doc_id + 300000 AS doc_id, text FROM corpus WHERE doc_id < 40
+          |  UNION ALL
+          |  SELECT doc_id + 310000, '  ' || replace(text, ' ', '   ')
+          |  FROM corpus WHERE doc_id BETWEEN 40 AND 59
+          |  UNION ALL
+          |  SELECT * FROM (VALUES
+          |    (320001, 'a genuinely new document about incremental ingestion'),
+          |    (320002, 'another brand new document unseen by the corpus'),
+          |    (320003, 'a genuinely new document about incremental ingestion')) v(doc_id, text)),
+          |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM batch),
+          |seen AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM corpus),
+          |kept AS (SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+          |  FROM fp WHERE f NOT IN (SELECT f FROM seen))
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin,
       // COMPUTED oracle: DuckDB re-derives the per-source rates AND
       // the md5 hash gate, so the exact sampled member set must agree
       // engine-to-engine (the point of hash-gated sampling).

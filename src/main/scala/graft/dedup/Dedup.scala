@@ -254,6 +254,27 @@ object Dedup {
     }
   }
 
+  /** Incremental exact dedup: drop batch documents whose normalized
+    * fingerprint already exists in `corpus`, then exact-dedup within
+    * the batch (lowest id per fingerprint wins). The shape for a
+    * pipeline ingesting new crawls against an already-deduped corpus:
+    * the corpus side reduces to its distinct fingerprint column
+    * (projection + distinct — at 100 TB this is the corpus's
+    * fingerprint index, not its text), and the membership check is a
+    * fingerprint-keyed anti-join.
+    */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val seen = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
+    val w = Window.partitionBy("_fp").orderBy(col(idCol).asc)
+    newDocs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .join(seen, Seq("_fp"), "left_anti")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
   // --- duplicate clusters (connected components) --------------------------
 
   /** Transitive duplicate clusters over a near-dup pair list: the

@@ -72,6 +72,18 @@ object Mixing {
       .filter(hashUniform(col(idCol), salt) < rateCol)
   }
 
+  /** Deterministic epoch shuffle: the global training order for one
+    * epoch, as a sort on the per-row hash coin salted by the epoch
+    * number (ties broken by id). Different epochs permute
+    * independently; the same epoch reproduces the same order on every
+    * engine, run, and partition layout. Physically a range-partitioned
+    * sort on a uniform key — balanced and all-parallel at any scale,
+    * with no global row-numbering step (consumers read the sorted
+    * output in partition order).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.orderBy(hashUniform(col(idCol), s"epoch:$epoch").asc, col(idCol).asc)
+
   /** Temperature-flattened mixture weights from observed source counts:
     * w_s ∝ count_s^alpha, normalized. alpha = 1 reproduces the natural
     * distribution, alpha → 0 approaches uniform — the standard

@@ -71,6 +71,21 @@ object StreamingOps {
     * stream length; bound it further with a state TTL matched to the
     * dedup window when the corpus is unbounded.
     */
+  /** Streaming corpus cleaning: the batch cleaning stack (C4 keep
+    * rules + cleaned text, PII redaction, language id, quality score)
+    * applied to a document stream. Every column is a stateless per-row
+    * expression — the SAME Columns the batch pipeline uses — so the
+    * stage runs in append mode with no state store and no shuffle, at
+    * any ingest rate.
+    */
+  def cleanStream(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("keep", graft.text.C4Filters.docKeep(col(textCol)))
+      .withColumn("clean_text", graft.text.C4Filters.cleanText(col(textCol)))
+      .withColumn("redacted", graft.text.Pii.redact(col(textCol)))
+      .withColumn("lang_id", graft.text.TextOps.langId(col(textCol)))
+      .withColumn("quality", graft.text.TextOps.qualityScore(col(textCol)))
+
   def dedupStream(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val spark = docs.sparkSession

@@ -136,6 +136,22 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 4 + 3 + 4 + 6)
   }
 
+  test("dedupAgainst drops corpus-known and intra-batch dups, keeps fresh docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "known text one"), (2L, "known text two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known text one"),          // verbatim re-crawl
+      (11L, "  KNOWN   text two  "),    // normalization variant
+      (12L, "fresh text"),
+      (13L, "fresh text"),              // intra-batch dup of 12
+      (14L, "another fresh text"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L))
+  }
+
   test("dedupByPairs keeps exactly one representative per cluster") {
     val s = spark
     import s.implicits._

@@ -194,4 +194,34 @@ class PipelineOpsSpec extends SparkSpec {
       else assert(tokens <= budget)
     }
   }
+
+  test("epochShuffle: deterministic permutation, layout-invariant, epoch-dependent") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 100L).map(Tuple1(_)).toDF("doc_id")
+    def order(df: org.apache.spark.sql.DataFrame, epoch: Int): Seq[Long] =
+      graft.pipeline.Mixing.epochShuffle(df, "doc_id", epoch)
+        .collect().map(_.getLong(0)).toSeq
+    val e1 = order(docs, 1)
+    assert(e1 == order(docs.repartition(7), 1), "layout must not change the order")
+    assert(e1 != order(docs, 2), "different epochs must permute differently")
+    assert(e1.sorted == (0L until 100L), "a permutation, nothing lost")
+    assert(e1 != (0L until 100L).toSeq, "actually shuffled")
+  }
+
+  test("corpus report: exact per-group stats including interpolated median") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa bb", "s1"), (2L, "cc dd ee", "s1"),     // chars 5, 8
+      (3L, "x", "s2"), (4L, "yy zz", "s2"), (5L, "ww", "s2"), // 1, 5, 2
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.pipeline.Report.byGroup(docs, "text", Seq("source"))
+      .orderBy("source").collect()
+    val s1 = rows(0)
+    assert(s1.getLong(1) == 2 && s1.getLong(2) == 5 && s1.getLong(3) == 13)
+    assert(math.abs(s1.getDouble(5) - 6.5) < 1e-9, "even-count median interpolates")
+    val s2 = rows(1)
+    assert(s2.getLong(1) == 3 && s2.getDouble(5) == 2.0)
+  }
 }
