@@ -114,6 +114,24 @@ class CleaningSpec extends SparkSpec {
     assert(vecs(1L)("beta") > vecs(1L)("alpha"))
   }
 
+  test("plan shapes: no cross joins in boilerplate, broadcast query side in tfidf, take-ordered vocab cut") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 50L).map(i => (i, s"line a\nprose $i\nline b")).toDF("doc_id", "text")
+    val bpPlan = Boilerplate.removeBoilerplate(docs, "text", "doc_id", maxDf = 3)
+      .queryExecution.executedPlan.toString
+    assert(!bpPlan.contains("CartesianProduct") &&
+      !bpPlan.contains("BroadcastNestedLoop"), s"boilerplate went all-pairs:\n$bpPlan")
+    val tfPlan = TfIdf.search(docs, "text", "doc_id", "prose line", 5)
+      .queryExecution.executedPlan.toString
+    assert(tfPlan.contains("BroadcastHashJoin"),
+      s"query-weight table must broadcast:\n$tfPlan")
+    val vkPlan = Vocab.topK(docs, "text", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(vkPlan.contains("TakeOrdered"),
+      s"top-k must be a TakeOrdered, not a global sort:\n$vkPlan")
+  }
+
   test("vocab: tf/df and deterministic top-k cut") {
     val s = spark
     import s.implicits._

@@ -209,6 +209,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e1 != (0L until 100L).toSeq, "actually shuffled")
   }
 
+  test("epochShuffle plan: one range-partitioned sort, no window, no extra exchange") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 100L).map(Tuple1(_)).toDF("doc_id")
+    val plan = graft.pipeline.Mixing.epochShuffle(docs, "doc_id", 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("Sort"),
+      s"expected a range sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"global order must not use a single-task window:\n$plan")
+  }
+
   test("corpus report: exact per-group stats including interpolated median") {
     val s = spark
     import s.implicits._
