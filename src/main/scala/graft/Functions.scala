@@ -32,6 +32,11 @@ object Functions {
     e2c(Sq8AdcL2(c2e(code), c2e(qAdj), scaleSq))
   def sq8AdcDot(code: Column, weights: Column): Column =
     e2c(Sq8AdcDot(c2e(code), c2e(weights)))
+  def pqEncode(vec: Column, center: Column, codebook: Array[Double],
+      m: Int, ksub: Int): Column =
+    e2c(PqEncode(c2e(vec), c2e(center), codebook, m, ksub))
+  def pqAdcLut(code: Column, lut: Column, ksub: Int): Column =
+    e2c(PqAdcLut(c2e(code), c2e(lut), ksub))
   def dictTokenize(text: Column, words: Seq[String]): Column =
     e2c(DictTokenize(c2e(text), words))
   /** WKT square polygon of `areaSqKm` centered at (lon, lat) — the

@@ -2,7 +2,7 @@ package graft
 
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
-import graft.ann.{BinIvf, Ivf, Lsh, RaBitQ, Sq8}
+import graft.ann.{BinIvf, Ivf, Lsh, Pq, RaBitQ, Sq8}
 import graft.dedup.Dedup
 import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, CollectionSparseRequest, RrfRanker, WeightedRanker}
 import graft.operators.{HybridSearch, QueryIterator}
@@ -869,6 +869,38 @@ object SparkEntry {
       val recall = Sq8.recallAtK(emb, enc, model, queries,
         "embedding", "vec_id", k = 10, nprobe = 4, refine = 4)
       Seq(Tuple1(recall >= 0.7)).toDF("recall_ok")
+    },
+    // ---- V36 recall: IVF_PQ (residual product quantization, FAISS
+    // IndexIVFPQ shape) at an operating point — invariant bound;
+    // exactness of the full collection route is pinned by v37.
+    "v36_pq_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val model = Pq.train(emb, "embedding", nlist = 8, m = 8, ksub = 64,
+        metric = "L2", sampleSize = 2000)
+      val enc = Pq.encode(emb, "embedding", model)
+      val queries = vecsOf(s, dir, Seq(0L, 7L, 42L))
+      val recall = Pq.recallAtK(emb, enc, model, queries,
+        "embedding", "vec_id", k = 10, nprobe = 6, refine = 8)
+      Seq(Tuple1(recall >= 0.7)).toDF("recall_ok")
+    },
+    // ---- V37: IVF_PQ through the full collection route, made provably
+    // exact (nprobe = nlist, k*refine_k >= table rows): any error in
+    // codebook training, residual encoding, persistence, pointer
+    // load, LUT scoring, or the re-rank breaks the DuckDB exact-kNN
+    // oracle match.
+    "v37_pq_exact" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-pqx").toString)
+      val c = cat.createCollection(CollectionDef("pqx", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_PQ", Some("L2"),
+        Map("nlist" -> "8", "m" -> "8", "nbits" -> "6")))
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 9L), 10,
+        searchParams = Map("nprobe" -> "8", "refine_k" -> "200"))
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
     },
     // ---- V27: BIN_IVF_FLAT (binary-vector IVF, k-majority Hamming
     // cells; reference index type BIN_IVF_FLAT, go_bench/config.yaml:8,
@@ -3166,6 +3198,20 @@ object SparkEntry {
         enc.unpersist()
         Seq(Tuple1(hits)).toDF("total_hits")
       },
+      "bench_pq_build_search" -> { (s, dir) =>
+        import s.implicits._
+        val emb = tbl(s, dir, "embeddings")
+        val model = Pq.train(emb, "embedding", nlist = 16, m = 8, ksub = 64,
+          sampleSize = 2000)
+        val enc = Pq.encode(emb, "embedding", model).cache()
+        val queries = (0 until 10).map { i =>
+          (i.toString, vecOf(s, dir, i.toLong).map(_.toDouble).toArray)
+        }
+        val hits = Pq.search(enc, model, queries, "embedding", "vec_id",
+          k = 10, nprobe = 4, refine = 4).count()
+        enc.unpersist()
+        Seq(Tuple1(hits)).toDF("total_hits")
+      },
       // Routed-index searches at the reference's k=15000 design point
       // (go_bench/search_horizon_perf_3.go:855) — the measured shape
       // for the shared salted per-qid prune: above the two-level
@@ -3594,6 +3640,17 @@ object SparkEntry {
       // the machinery is independently verified by v25_sq8_exact.
       "v25_sq8_recall" ->
         "SELECT true AS recall_ok",
+      "v36_pq_recall" ->
+        "SELECT true AS recall_ok",
+      // GENUINE exact oracle: with nprobe = nlist and a candidate
+      // budget covering every row, the routed IVF_PQ search must equal
+      // DuckDB's exact L2 top-k bit-for-bit.
+      "v37_pq_exact" ->
+        s"""SELECT vec_id,
+           |  round(list_distance(embedding::DOUBLE[], ${qvec.format(9)}), 6) AS score
+           |FROM embeddings
+           |ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(9)}), vec_id
+           |LIMIT 10""".stripMargin,
       // GENUINE independent oracle: DuckDB re-derives the bijective
       // vec_id hash as an integer and ranks by bit_count(xor) — the
       // exact Hamming distance of the 4-byte patterns the entry

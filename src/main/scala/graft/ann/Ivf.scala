@@ -56,6 +56,15 @@ object Ivf {
       .collect().map(_.getSeq[Double](0).toArray)
       .sortBy(_.mkString(","))
     require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    Model(kmeans(sample, k, iters), metric)
+  }
+
+  /** Lloyd's k-means on a driver-side sample (first-k init, fixed
+    * iterations — deterministic). Shared by the IVF coarse quantizer
+    * and the per-subspace PQ codebooks ([[Pq.train]]).
+    */
+  private[ann] def kmeans(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids = sample.take(k).map(_.clone)
     val dim = centroids(0).length
     (0 until iters).foreach { _ =>
@@ -72,7 +81,7 @@ object Ivf {
         else sums(c).map(_ / counts(c))
       }
     }
-    Model(centroids, metric)
+    centroids
   }
 
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {

@@ -22,6 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CollectionSearch {
 
+  /** IVF_PQ shape params from the declared index: Milvus names them
+    * `m` and `nbits` (ksub = 2^nbits, default 8); an explicit `ksub`
+    * is accepted too.
+    */
+  private def pqShape(ix: graft.store.IndexDef): (Int, Int) = (
+    ix.params.get("m").map(_.toInt).getOrElse(8),
+    ix.params.get("nbits").map(b => 1 << b.toInt)
+      .orElse(ix.params.get("ksub").map(_.toInt)).getOrElse(256))
+
   def search(
       spark: SparkSession,
       coll: Collection,
@@ -44,6 +53,8 @@ object CollectionSearch {
       index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
     val sq8Declared =
       index.exists(_.indexType.toUpperCase == "IVF_SQ8")
+    val pqDeclared =
+      index.exists(_.indexType.toUpperCase == "IVF_PQ")
     // HNSW / DISKANN declarations serve from the IVF physical path:
     // a per-query graph walk is a serial-machine shape with no
     // data-parallel analog, and the Spark-native equivalent of "skip
@@ -51,10 +62,11 @@ object CollectionSearch {
     // create_index calls still get accelerated serving (AUTOINDEX
     // semantics), with `ef`/`search_list_size` accepted as the probe
     // budget (workload.py:141-147 maps per-type search params).
-    val ivfDeclared = !rabitqDeclared && !sq8Declared && index.exists(ix =>
-      ix.indexType.toUpperCase.startsWith("IVF") ||
-        Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
-          .contains(ix.indexType.toUpperCase))
+    val ivfDeclared = !rabitqDeclared && !sq8Declared && !pqDeclared &&
+      index.exists(ix =>
+        ix.indexType.toUpperCase.startsWith("IVF") ||
+          Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
+            .contains(ix.indexType.toUpperCase))
     // Random-hyperplane LSH declarations serve from the persisted
     // multi-table bucket layout: the probe predicate prunes (t, sig)
     // partition directories, `radius` is the multiprobe budget
@@ -97,6 +109,20 @@ object CollectionSearch {
           else Some(MilvusExpr.compile(filterExpr, encoded))
         Sq8.searchOne(encoded, build.model, queryVec, vecField, pk, k,
           nprobe, refine, pred, outputFields)
+      case Some(nprobe) if pqDeclared =>
+        // Product-quantized path: m-byte ADC codes, per-(query, cell)
+        // LUTs, exact re-rank of k*refine_k.
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
+        val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
+        val (m, ksub) = pqShape(index.get)
+        val build = IndexStore.ensurePq(spark, coll, vecField, metric,
+          nlist, m, ksub)
+        val encoded = scoped(spark.read.parquet(build.dataPath))
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, encoded))
+        graft.ann.Pq.searchOne(encoded, build.model, queryVec, vecField,
+          pk, k, nprobe, refine, pred, outputFields)
       case Some(nprobe) if rabitqDeclared =>
         // Quantized path: Hamming-estimate candidates over the probed
         // cells' narrow code columns, exact re-rank of k*refine_k.
@@ -178,10 +204,13 @@ object CollectionSearch {
       index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
     val sq8Declared =
       index.exists(_.indexType.toUpperCase == "IVF_SQ8")
-    val ivfDeclared = !rabitqDeclared && !sq8Declared && index.exists(ix =>
-      ix.indexType.toUpperCase.startsWith("IVF") ||
-        Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
-          .contains(ix.indexType.toUpperCase))
+    val pqDeclared =
+      index.exists(_.indexType.toUpperCase == "IVF_PQ")
+    val ivfDeclared = !rabitqDeclared && !sq8Declared && !pqDeclared &&
+      index.exists(ix =>
+        ix.indexType.toUpperCase.startsWith("IVF") ||
+          Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
+            .contains(ix.indexType.toUpperCase))
     val lshDeclared = index.exists(ix =>
       Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
     val probeBudget = searchParams.get("nprobe")
@@ -220,6 +249,16 @@ object CollectionSearch {
         val encoded = scoped(spark.read.parquet(build.dataPath))
         Sq8.search(encoded, build.model, doubleQs, vecField, pk, k,
           nprobe, refine, pred(encoded), outputFields)
+      case Some(nprobe) if pqDeclared =>
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
+        val (m, ksub) = pqShape(index.get)
+        val build = IndexStore.ensurePq(spark, coll, vecField, metric,
+          nlist, m, ksub)
+        val encoded = scoped(spark.read.parquet(build.dataPath))
+        graft.ann.Pq.search(encoded, build.model, doubleQs, vecField, pk,
+          k, nprobe, refine, pred(encoded), outputFields)
       case Some(nprobe) if rabitqDeclared =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)

@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.{BinIvf, Ivf, Lsh, RaBitQ, SparseInverted, Sq8}
+import graft.ann.{BinIvf, Ivf, Lsh, Pq, RaBitQ, SparseInverted, Sq8}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -67,6 +67,15 @@ object IndexStore {
 
   private val sq8Cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Int, Long), Sq8Build]()
+
+  final case class PqBuild(model: Pq.Model, dataPath: String,
+      nlist: Int, builtSeq: Long)
+
+  // Keyed by (collection, field, metric, "nlist:m:ksub", seq) — the PQ
+  // shape parameters ride in one string slot; the pointer encodes them
+  // in its kind ("pqv1_<m>_<ksub>") so stale layouts rebuild lazily.
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String, Long), PqBuild]()
 
   final case class BinIvfBuild(model: BinIvf.Model, dataPath: String,
       nlist: Int, builtSeq: Long)
@@ -194,6 +203,23 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadSq8(dir, metric, nlist, seq).getOrElse(
         buildSq8(spark, dir, coll, field, metric, nlist, seq))
+    })
+  }
+
+  /** Ensure a fresh persisted IVF_PQ (residual product-quantization)
+    * index — the [[ensureSq8]] lifecycle with an m-byte code payload
+    * and the codebook persisted beside the centroids.
+    */
+  def ensurePq(spark: SparkSession, coll: Collection, field: String,
+      metric: String, nlist: Int, m: Int, ksub: Int): PqBuild = {
+    val seq = coll.committedSeq
+    val key = (coll.name, field, metric, s"$nlist:$m:$ksub", seq)
+    pqCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._5 != seq)
+    pqCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      loadPq(dir, metric, nlist, m, ksub, seq).getOrElse(
+        buildPq(spark, dir, coll, field, metric, nlist, m, ksub, seq))
     })
   }
 
@@ -496,6 +522,15 @@ object IndexStore {
     } else if (t == "BIN_IVF_FLAT") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureBinIvf(spark, coll, ix.field, nlist): Unit
+    } else if (t == "IVF_PQ") {
+      val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
+      val m = ix.params.get("m").map(_.toInt).getOrElse(8)
+      // Milvus parameterizes codewords as nbits (ksub = 2^nbits,
+      // default 8); accept an explicit ksub too.
+      val ksub = ix.params.get("nbits").map(b => 1 << b.toInt)
+        .orElse(ix.params.get("ksub").map(_.toInt)).getOrElse(256)
+      ensurePq(spark, coll, ix.field,
+        ix.metricType.getOrElse("COSINE"), nlist, m, ksub): Unit
     } else if (t.startsWith("IVF") || t == "AUTOINDEX") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureIvf(spark, coll, ix.field,
@@ -530,6 +565,7 @@ object IndexStore {
     ivfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     rabitqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     sq8Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    pqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     binIvfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
@@ -662,6 +698,48 @@ object IndexStore {
       val mins = (j \ "mins").extract[Seq[Double]].toArray
       val maxs = (j \ "maxs").extract[Seq[Double]].toArray
       Sq8Build(Sq8.Model(Ivf.Model(cents, metric), mins, maxs),
+        vdir.resolve("data").toString, nlist, seq)
+    }
+
+  // ---- IVF_PQ -------------------------------------------------------------
+
+  private def pqKind(m: Int, ksub: Int): String = s"pqv1_${m}_$ksub"
+
+  private def buildPq(spark: SparkSession, dir: StorePath, coll: Collection,
+      field: String, metric: String, nlist: Int, m: Int, ksub: Int,
+      seq: Long): PqBuild = {
+    // Null vectors are not indexed (see buildIvf).
+    val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
+    val model = Pq.train(snapshot, field, nlist, m, ksub, metric)
+    val vdir = versionDir(dir, seq, pqKind(m, ksub), metric, nlist)
+    val dataPath = vdir.resolve("data").toString
+    val parts = vectorLayout(coll, "_cid")
+    Pq.encode(snapshot, field, model)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+    val meta: JObject =
+      ("metric" -> metric) ~ ("nlist" -> nlist) ~
+      ("centroids" -> model.ivf.centroids.toSeq.map(_.toSeq)) ~
+      ("codebook" -> model.codebook.toSeq.map(_.toSeq.map(_.toSeq)))
+    vdir.resolve("pq.json").writeBytes(
+      JsonMethods.compact(JsonMethods.render(meta)).getBytes)
+    commitPointer(dir, seq, pqKind(m, ksub), metric, nlist)
+    PqBuild(model, dataPath, nlist, seq)
+  }
+
+  private def loadPq(dir: StorePath, metric: String, nlist: Int, m: Int,
+      ksub: Int, seq: Long): Option[PqBuild] =
+    readPointer(dir).filter(p => p.builtSeq == seq &&
+      p.kind == pqKind(m, ksub) && p.metric == metric &&
+      p.nlist == nlist).map { _ =>
+      implicit val fmt: Formats = DefaultFormats
+      val vdir = versionDir(dir, seq, pqKind(m, ksub), metric, nlist)
+      val j = JsonMethods.parse(new String(vdir.resolve("pq.json").readBytes))
+      val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
+        .map(_.toArray).toArray
+      val codebook = (j \ "codebook").extract[Seq[Seq[Seq[Double]]]]
+        .map(_.map(_.toArray).toArray).toArray
+      PqBuild(Pq.Model(Ivf.Model(cents, metric), codebook),
         vdir.resolve("data").toString, nlist, seq)
     }
 

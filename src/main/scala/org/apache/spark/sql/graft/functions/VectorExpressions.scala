@@ -574,6 +574,173 @@ case class Sq8AdcL2(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Product-quantization encode (the IVF_PQ index family's code step;
+  * FAISS IndexIVFPQ is the public ancestor — Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI'11): the RESIDUAL
+  * `x - center` (right child = the row's coarse-cell centroid) is
+  * split into `m` subspaces of `dsub` dims, and byte `j` of the code
+  * is the index of the nearest subspace centroid among `ksub`
+  * codewords. Codes are `m` bytes — for dim=128/m=16 that is 1/32 of
+  * the float vector — and the codebook (`m·ksub·dsub` doubles) is
+  * expression state shared across rows (codegen reference object).
+  * Codegen'd because the encode projection is the per-row hot loop of
+  * the index build.
+  */
+case class PqEncode(left: Expression, right: Expression,
+    codebook: Array[Double], m: Int, ksub: Int)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+  require(m > 0 && ksub > 0 && ksub <= 256,
+    s"m=$m, ksub=$ksub invalid (ksub must fit a byte)")
+  require(codebook.length % (m * ksub) == 0,
+    s"codebook length ${codebook.length} not divisible by m*ksub=${m * ksub}")
+
+  override def prettyName: String = "pq_encode"
+  private def denseVec = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(denseVec, denseVec)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  private def dsub: Int = codebook.length / (m * ksub)
+  private def dim: Int = m * dsub
+
+  private def elem(side: Expression, arr: ArrayData, i: Int): Double =
+    side.dataType match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[ArrayData]
+    if (x.numElements() != dim || c.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector ${x.numElements()} / center ${c.numElements()} " +
+          s"!= trained dimension $dim")
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < ksub) {
+        var s = 0.0
+        var i = 0
+        val off = (j * ksub + cc) * dsub
+        while (i < dsub) {
+          val xi = j * dsub + i
+          val d = (elem(left, x, xi) - elem(right, c, xi)) - codebook(off + i)
+          s += d * d
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = cc }
+        cc += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      def elemJ(side: Expression, arr: String, idx: String): String =
+        side.dataType match {
+          case ArrayType(FloatType, _) => s"((double) $arr.getFloat($idx))"
+          case _ => s"$arr.getDouble($idx)"
+        }
+      s"""
+         |if ($a.numElements() != $dim || $b.numElements() != $dim)
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector " + $a.numElements() + " / center "
+         |      + $b.numElements() + " != trained dimension $dim");
+         |byte[] $out = new byte[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $s = 0.0;
+         |    int $off = ($j * $ksub + $c) * $dsub;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $xi = $j * $dsub + $i;
+         |      double $d = (${elemJ(left, a, xi)} - ${elemJ(right, b, xi)}) - $cbRef[$off + $i];
+         |      $s += $d * $d;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |  }
+         |  $out[$j] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Product-quantization ADC lookup-table sum: the per-row estimate of
+  * the IVF_PQ search's scan phase. The per-(query, probed-cell) LUT —
+  * `lut[j·ksub + c]` = the subspace-j partial distance (or dot) between
+  * the query's residual and codeword c — ships as an array column from
+  * the broadcast probe table, and the per-row kernel is `m` array
+  * lookups on the byte code: no decode, no multiply. Codegen'd —
+  * this is the innermost loop of the estimate scan.
+  */
+case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+  require(ksub > 0 && ksub <= 256, s"ksub=$ksub must fit a byte")
+
+  override def prettyName: String = "pq_adc_lut"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    if (lut.numElements() != code.length * ksub)
+      throw new IllegalArgumentException(
+        s"$prettyName: lut ${lut.numElements()} != code ${code.length} * ksub $ksub")
+    var s = 0.0
+    var j = 0
+    while (j < code.length) {
+      s += lut.getDouble(j * ksub + (code(j) & 0xff))
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($b.numElements() != $a.length * $ksub)
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: lut " + $b.numElements() + " != code " + $a.length
+         |      + " * ksub $ksub");
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $a.length; $j++)
+         |  $s += $b.getDouble($j * $ksub + ($a[$j] & 0xff));
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** SQ8 asymmetric inner-product estimate: `dot(q, decode(code))`
   * algebraically refactored so the per-row kernel is a single weighted
   * byte sum — `sum(weights_i * code_i)` with the per-QUERY weights
