@@ -48,7 +48,7 @@ class SearchBatchSpec extends SparkSpec {
     assert(batch == loop, s"batch != loop for params $params")
   }
 
-  test("batch matches the per-query loop on IVF, IVF_SQ8, and LSH routes") {
+  test("batch matches the per-query loop on IVF, IVF_SQ8, IVF_PQ, and LSH routes") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-batch").toString)
 
@@ -61,6 +61,11 @@ class SearchBatchSpec extends SparkSpec {
     sq8.createIndex(spark, IndexDef("embedding", "IVF_SQ8", Some("L2"),
       Map("nlist" -> "8")))
     batchEqualsLoop(sq8, Map("nprobe" -> "4", "refine_k" -> "4"))
+
+    val pq = mkColl(cat, "pq")
+    pq.createIndex(spark, IndexDef("embedding", "IVF_PQ", Some("L2"),
+      Map("nlist" -> "8", "m" -> "8", "nbits" -> "4")))
+    batchEqualsLoop(pq, Map("nprobe" -> "4", "refine_k" -> "4"))
 
     val lsh = mkColl(cat, "lsh")
     lsh.createIndex(spark, IndexDef("embedding", "LSH", Some("COSINE"),
