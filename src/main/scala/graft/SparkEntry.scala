@@ -1039,6 +1039,35 @@ object SparkEntry {
         5, Seq("label"))
         .select("label", "vec_id", "rank").orderBy("rank")
     },
+    // ---- V38: growing-segment (sealed+growing) index serving — the
+    // post-DML search serves the persisted build plus the delta
+    // inline, NO rebuild (IndexStore.servedDense; the engine's
+    // sealed/growing segment model). Full probe ⇒ exact over the
+    // final visible state, so the DuckDB oracle is the plain exact
+    // kNN over that state: inserts visible, tombstones suppressed,
+    // and the entry REQUIRES that no rebuild happened. ----------------
+    "v38_delta_serve" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v38").toString)
+      val c = cat.createCollection(CollectionDef("dserve", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("label", IntegerType),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64))),
+        indexes = Seq(IndexDef("embedding", "IVF_FLAT", Some("L2"),
+          Map("nlist" -> "8")))))
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      c.insert(s, emb.filter(col("vec_id") % 5 =!= 0))
+      // the first search materializes the SEALED build
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 1), 1,
+        searchParams = Map("nprobe" -> "8")).count(): Unit
+      // growing delta: the held-out rows land, a pk range is tombstoned
+      c.insert(s, emb.filter(col("vec_id") % 5 === 0))
+      c.delete(s, "vec_id < 20")
+      require(IndexStore.ensureIvf(s, c, "embedding", "L2", 8).builtSeq
+        < c.committedSeq, "expected growing-segment serving, got a rebuild")
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 1), 10,
+        searchParams = Map("nprobe" -> "8")).select("vec_id")
+    },
     // ---- A9: query-aggregation matrix (3.0 plan §2: count/min/max/
     // sum/avg as query output_fields, server-side) — one partial-
     // aggregated job; COMPUTED oracle. --------------------------------
@@ -2242,8 +2271,11 @@ object SparkEntry {
           val n = b.count()
           if (n > 0) {
             rowsSeen += n
-            lastBuiltSeq =
-              IndexStore.ensureIvf(s, c, "embedding", "L2", 2).builtSeq
+            // explicit fan-out REBUILD (allowStale=false): the point of
+            // the CDC consumer is to materialize a fresh build, not to
+            // lean on growing-segment serving
+            lastBuiltSeq = IndexStore.ensureIvf(s, c, "embedding", "L2", 2,
+              allowStale = false).builtSeq
           }
           ()
         }
@@ -3773,6 +3805,14 @@ object SparkEntry {
            |    CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank
            |  FROM best WHERE rn = 1
            |) WHERE rank <= 5 ORDER BY rank""".stripMargin,
+      // Exact kNN over the FINAL visible state (insert + delete after
+      // the sealed build): hash-equality proves growing-segment
+      // serving returns exactly what a fresh rebuild would.
+      "v38_delta_serve" ->
+        s"""SELECT vec_id FROM embeddings
+           |WHERE vec_id >= 20
+           |ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(1)}), vec_id
+           |LIMIT 10""".stripMargin,
       "a9_query_agg_matrix" ->
         """SELECT count(*) AS "count(*)",
           |  CAST(min(l_quantity) AS DOUBLE) AS min_q,

@@ -88,7 +88,7 @@ object CollectionSearch {
         ix.params.get("tables").map(_.toInt).getOrElse(4),
         ix.params.get("num_planes").map(_.toInt).getOrElse(8),
         ix.params.get("seed").map(_.toLong).getOrElse(42L))
-      val indexDf = scoped(spark.read.parquet(build.dataPath))
+      val indexDf = scoped(IndexStore.serveLsh(spark, coll, vecField, build))
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, indexDf))
@@ -103,7 +103,7 @@ object CollectionSearch {
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureSq8(spark, coll, vecField, metric, nlist)
-        val encoded = scoped(spark.read.parquet(build.dataPath))
+        val encoded = scoped(IndexStore.serveSq8(spark, coll, vecField, build))
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, encoded))
@@ -117,7 +117,7 @@ object CollectionSearch {
         val (m, ksub) = pqShape(index.get)
         val build = IndexStore.ensurePq(spark, coll, vecField, metric,
           nlist, m, ksub)
-        val encoded = scoped(spark.read.parquet(build.dataPath))
+        val encoded = scoped(IndexStore.servePq(spark, coll, vecField, build))
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, encoded))
@@ -129,7 +129,7 @@ object CollectionSearch {
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt).getOrElse(16)
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureRabitq(spark, coll, vecField, metric, nlist)
-        val encoded = scoped(spark.read.parquet(build.dataPath))
+        val encoded = scoped(IndexStore.serveRabitq(spark, coll, vecField, build))
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, encoded))
@@ -140,8 +140,9 @@ object CollectionSearch {
         val build = IndexStore.ensureIvf(spark, coll, vecField, metric, nlist)
         // Serve from the persisted build: `_cid` is a physical
         // partition column, so the probe filter inside Ivf.searchOne
-        // prunes directories at the scan.
-        val assigned = scoped(spark.read.parquet(build.dataPath))
+        // prunes directories at the scan (plus the growing delta when
+        // the build is stale-served, IndexStore.servedDense).
+        val assigned = scoped(IndexStore.serveIvf(spark, coll, vecField, build))
         val pred =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, assigned))
@@ -236,7 +237,7 @@ object CollectionSearch {
         ix.params.get("tables").map(_.toInt).getOrElse(4),
         ix.params.get("num_planes").map(_.toInt).getOrElse(8),
         ix.params.get("seed").map(_.toLong).getOrElse(42L))
-      val indexDf = scoped(spark.read.parquet(build.dataPath))
+      val indexDf = scoped(IndexStore.serveLsh(spark, coll, vecField, build))
       val radius = searchParams.get("radius").map(_.toInt).getOrElse(1)
       graft.ann.Lsh.searchPersistedBatch(indexDf, build.model, queryVecs,
         vecField, pk, k, radius, pred(indexDf), outputFields)
@@ -246,7 +247,7 @@ object CollectionSearch {
           .getOrElse(16)
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureSq8(spark, coll, vecField, metric, nlist)
-        val encoded = scoped(spark.read.parquet(build.dataPath))
+        val encoded = scoped(IndexStore.serveSq8(spark, coll, vecField, build))
         Sq8.search(encoded, build.model, doubleQs, vecField, pk, k,
           nprobe, refine, pred(encoded), outputFields)
       case Some(nprobe) if pqDeclared =>
@@ -256,7 +257,7 @@ object CollectionSearch {
         val (m, ksub) = pqShape(index.get)
         val build = IndexStore.ensurePq(spark, coll, vecField, metric,
           nlist, m, ksub)
-        val encoded = scoped(spark.read.parquet(build.dataPath))
+        val encoded = scoped(IndexStore.servePq(spark, coll, vecField, build))
         graft.ann.Pq.search(encoded, build.model, doubleQs, vecField, pk,
           k, nprobe, refine, pred(encoded), outputFields)
       case Some(nprobe) if rabitqDeclared =>
@@ -265,14 +266,14 @@ object CollectionSearch {
         val refine = searchParams.get("refine_k").map(_.toInt).getOrElse(4)
         val build = IndexStore.ensureRabitq(spark, coll, vecField, metric,
           nlist)
-        val encoded = scoped(spark.read.parquet(build.dataPath))
+        val encoded = scoped(IndexStore.serveRabitq(spark, coll, vecField, build))
         RaBitQ.search(encoded, build.model, doubleQs, vecField, pk, k,
           nprobe, refine, metric, pred(encoded), outputFields)
       case Some(nprobe) if ivfDeclared =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)
         val build = IndexStore.ensureIvf(spark, coll, vecField, metric, nlist)
-        val assigned = scoped(spark.read.parquet(build.dataPath))
+        val assigned = scoped(IndexStore.serveIvf(spark, coll, vecField, build))
         val qdf = queryVecs.toDF("qid", "qvec")
         Ivf.search(assigned, build.model, qdf, vecField, pk, k, nprobe,
           pred(assigned), outputFields)
@@ -435,7 +436,8 @@ object CollectionSearch {
         .getOrElse(16)
       val nprobe = searchParams.get("nprobe").map(_.toInt).getOrElse(4)
       val build = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
-      val assigned = scoped(spark.read.parquet(build.dataPath))
+      val assigned =
+        scoped(IndexStore.serveBinIvf(spark, coll, vecField, build))
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, assigned))
@@ -520,10 +522,10 @@ object CollectionSearch {
         .getOrElse(16)
       val nprobe = searchParams.get("nprobe").map(_.toInt).getOrElse(4)
       val build = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
+      val served = IndexStore.serveBinIvf(spark, coll, vecField, build)
       val assigned =
-        if (partitionNames.isEmpty) spark.read.parquet(build.dataPath)
-        else spark.read.parquet(build.dataPath)
-          .filter(col("_part").isin(partitionNames: _*))
+        if (partitionNames.isEmpty) served
+        else served.filter(col("_part").isin(partitionNames: _*))
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, assigned))

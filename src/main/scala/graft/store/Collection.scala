@@ -1068,6 +1068,52 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     else assemble(spark, Seq.empty, None, None, keepInternals = true)
       .drop("_ts")
 
+  /** Bytes of deltas committed after `sinceSeq` — the driver-side
+    * (no Spark job) eligibility input for growing-segment index
+    * serving ([[IndexStore]]): a persisted build stays servable while
+    * the post-build delta volume is a small fraction of it.
+    */
+  def deltaBytesSince(sinceSeq: Long): Long =
+    if (isExternal) Long.MaxValue
+    else deltaPaths
+      .filter(_.name.stripPrefix("delta_").toLong > sinceSeq)
+      .map(_.totalSize).sum
+
+  /** The "growing segment" view for index serving: the deltas
+    * committed after `sinceSeq`, resolved to
+    *   - `newRows`    — the currently VISIBLE rows those deltas
+    *     produce (last-writer-wins among them, tombstones dropped,
+    *     TTL applied — the [[readWithPartition]] shape incl. `_part`),
+    *   - `changedPks` — every pk the deltas touch (insert, upsert, OR
+    *     delete): these must be masked out of the sealed build, whose
+    *     copy of them is stale.
+    *
+    * Returns None when resolution over the recent window alone would
+    * be unsound: a 2PC import committed after `sinceSeq` carries
+    * prepare-time `_seq`s that may order BELOW rows already in the
+    * sealed build (commitImport doc), so the window's max-`_seq` row
+    * is not necessarily the global winner. Detected with one tiny
+    * aggregate over the recent deltas (bounded by the caller's byte
+    * gate); callers fall back to a full re-encode/rebuild.
+    */
+  private[store] def deltaViewSince(spark: SparkSession,
+      sinceSeq: Long): Option[(DataFrame, DataFrame)] = {
+    val d = definition
+    val recent = deltaPaths.filter(
+      _.name.stripPrefix("delta_").toLong > sinceSeq)
+    if (recent.isEmpty || isExternal) return None
+    val raw = rawDeltas(spark, d, recent.map(_.toString)).get
+    val minRow = raw.agg(min(col(SEQ))).head()
+    // empty recent deltas (a zero-row write) have nothing to serve
+    val minSeq = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+    if (minSeq <= sinceSeq) return None // late-committed import
+    val pk = d.primaryField.name
+    val changedPks = raw.select(col(pk)).distinct()
+    val newRows = assemble(spark, Seq.empty, None, None,
+      keepInternals = true, deltaOverride = Some(recent)).drop(TS)
+    Some((newRows, changedPks))
+  }
+
   /** `pkPrefilter` is applied BELOW the merge window: safe only for
     * predicates over the PK alone (they keep or drop whole PK groups,
     * so last-writer-wins and tombstone resolution are unaffected) — and

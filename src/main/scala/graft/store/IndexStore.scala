@@ -153,20 +153,156 @@ object IndexStore {
     if (unpartitioned) inner.toSeq else "_part" +: inner.toSeq
   }
 
-  /** Ensure a fresh persisted IVF index for `field`; reuse when the
-    * on-disk build matches the collection's current write-seq, rebuild
-    * otherwise.
+  // ---- growing-segment serving --------------------------------------------
+
+  /** Post-DML serving gate — the Milvus sealed/growing segment model,
+    * Spark-first: instead of rebuilding a vector index after EVERY
+    * write batch (a full train + encode + shuffle of the collection),
+    * a build whose post-build delta volume is small keeps serving as
+    * the SEALED side, and queries union in the GROWING side — the
+    * delta rows encoded inline with the sealed build's model (encode
+    * is a projection; only TRAINING needs the full-table pass). The
+    * reference engine does exactly this: sealed segments serve from
+    * their index, the growing segment is brute-forced, results merge
+    * at query time.
+    *
+    * Serve-stale iff the deltas committed after the build are at most
+    * `graft.index.deltaServe.fraction` (default 0.2) of the build's
+    * bytes — with a floor (default 64 MB: small collections always
+    * serve, the write-heavy brick shape) and an absolute cap (default
+    * 1 GB: the growing side is scanned unpruned per query and its
+    * changed-pk set broadcasts, both must stay bounded at 100 TB).
+    * Above the gate the usual lazy full rebuild runs — the LSM
+    * "compaction amortizes the write debt" point.
+    */
+  private def staleServable(spark: SparkSession, coll: Collection,
+      builtSeq: Long, buildDir: StorePath): Boolean = {
+    if (coll.isExternal) return false
+    val deltaBytes = coll.deltaBytesSince(builtSeq)
+    val conf = spark.conf
+    val frac = conf.get("graft.index.deltaServe.fraction", "0.2").toDouble
+    val floor =
+      conf.get("graft.index.deltaServe.floorBytes", (64L << 20).toString).toLong
+    val cap =
+      conf.get("graft.index.deltaServe.capBytes", (1L << 30).toString).toLong
+    deltaBytes <= cap &&
+      deltaBytes <= math.max((frac * buildDir.totalSize).toLong, floor)
+  }
+
+  /** Load an existing build at its POINTER seq (not the collection's
+    * current seq) when [[staleServable]] says the delta volume since it
+    * is small enough to serve inline. `kindMatches` checks the pointer
+    * describes the same index family/params the caller wants.
+    */
+  private def staleLoad[B](spark: SparkSession, coll: Collection,
+      dir: StorePath, seq: Long, kindMatches: Pointer => Boolean,
+      vdir: Long => StorePath, load: Long => Option[B]): Option[B] =
+    readPointer(dir)
+      .filter(p => p.builtSeq < seq && kindMatches(p))
+      .filter(p => staleServable(spark, coll, p.builtSeq, vdir(p.builtSeq)))
+      .flatMap(p => load(p.builtSeq))
+
+  /** The servable frame of a dense vector build: the persisted parquet
+    * alone when fresh; otherwise SEALED ⊎ GROWING — the persisted rows
+    * minus every pk the post-build deltas touched (their sealed copy
+    * is stale: overwritten or tombstoned), plus the deltas' visible
+    * rows encoded inline with the build's model. The changed-pk mask
+    * is an explicit broadcast anti-join (bounded by the
+    * [[staleServable]] cap), so probe/partition filters still push to
+    * the sealed parquet scan and prune directories; the growing side
+    * is delta-sized by construction.
+    *
+    * Exactness: the combined frame contains exactly the rows a fresh
+    * rebuild would index, with identical stored vectors — only the
+    * TRAINED artifacts (centroids/bounds/codebooks) are the sealed
+    * build's, so quantized CANDIDATE sets can differ from a
+    * fresh-build run the way any two trainings differ, while exact
+    * re-rank and full-probe searches are bit-identical.
+    */
+  private def servedDense(spark: SparkSession, coll: Collection,
+      dataPath: String, builtSeq: Long)(
+      encode: DataFrame => DataFrame): DataFrame = {
+    val base = spark.read.parquet(dataPath)
+    if (builtSeq >= coll.committedSeq) return base
+    val pk = coll.definition.primaryField.name
+    coll.deltaViewSince(spark, builtSeq) match {
+      case Some((newRows, changedPks)) =>
+        val growing = encode(newRows)
+        // The sealed side's partition-column types are INFERRED from
+        // directory names on read (e.g. `_sig=12` reads as int); align
+        // the growing side to them so the union resolves.
+        val aligned = growing.select(base.columns.map(c =>
+          col(c).cast(base.schema(c).dataType).as(c)): _*)
+        base.join(broadcast(changedPks), Seq(pk), "left_anti")
+          .unionByName(aligned)
+      case None =>
+        // A late-committed 2PC import landed in the window (its rows
+        // order below sealed rows, commitImport doc): window-local
+        // resolution is unsound, so transiently encode the full
+        // current snapshot — exact, rare, and the next DML-free
+        // ensure() still reuses the persisted build.
+        encode(coll.readWithPartition(spark))
+    }
+  }
+
+  def serveIvf(spark: SparkSession, coll: Collection, field: String,
+      b: IvfBuild): DataFrame =
+    servedDense(spark, coll, b.dataPath, b.builtSeq)(df =>
+      Ivf.assign(df.filter(col(field).isNotNull), field, b.model))
+
+  def serveRabitq(spark: SparkSession, coll: Collection, field: String,
+      b: RabitqBuild): DataFrame =
+    servedDense(spark, coll, b.dataPath, b.builtSeq)(df =>
+      RaBitQ.encode(df.filter(col(field).isNotNull), field, b.model))
+
+  def serveSq8(spark: SparkSession, coll: Collection, field: String,
+      b: Sq8Build): DataFrame =
+    servedDense(spark, coll, b.dataPath, b.builtSeq)(df =>
+      Sq8.encode(df.filter(col(field).isNotNull), field, b.model))
+
+  def servePq(spark: SparkSession, coll: Collection, field: String,
+      b: PqBuild): DataFrame =
+    servedDense(spark, coll, b.dataPath, b.builtSeq)(df =>
+      Pq.encode(df.filter(col(field).isNotNull), field, b.model))
+
+  def serveBinIvf(spark: SparkSession, coll: Collection, field: String,
+      b: BinIvfBuild): DataFrame =
+    servedDense(spark, coll, b.dataPath, b.builtSeq)(df =>
+      BinIvf.assign(df.filter(col(field).isNotNull), field, b.model))
+
+  def serveLsh(spark: SparkSession, coll: Collection, field: String,
+      b: LshBuild): DataFrame =
+    servedDense(spark, coll, b.dataPath, b.builtSeq)(df =>
+      Lsh.explodeTables(df.filter(col(field).isNotNull), field, b.model))
+
+  /** Ensure a servable persisted IVF index for `field`: reuse when the
+    * on-disk build matches the collection's current write-seq, keep a
+    * slightly-stale build when the post-build deltas are small enough
+    * to serve inline (growing-segment serving — see [[staleServable]];
+    * searches must then read the frame through [[serveIvf]]), full
+    * rebuild otherwise. `allowStale = false` (create_index/rebuild)
+    * always materializes fresh.
     */
   def ensureIvf(spark: SparkSession, coll: Collection,
-      field: String, metric: String, nlist: Int): IvfBuild = {
+      field: String, metric: String, nlist: Int,
+      allowStale: Boolean = true): IvfBuild = {
     val seq = coll.committedSeq
     val key = (coll.name, field, metric, nlist, seq)
     ivfCache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._5 != seq)
+    // an explicit materialize must not return a cached STALE-SERVED build
+    if (!allowStale)
+      ivfCache.keySet.removeIf(k => k == key && ivfCache.get(k) != null &&
+        ivfCache.get(k).builtSeq != seq)
     ivfCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
-      loadIvf(dir, metric, nlist, seq).getOrElse(
-        buildIvf(spark, dir, coll, field, metric, nlist, seq))
+      loadIvf(dir, metric, nlist, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == "ivf2" && p.metric == metric && p.nlist == nlist,
+            s => versionDir(dir, s, "ivf2", metric, nlist),
+            s => loadIvf(dir, metric, nlist, s)))
+        .getOrElse(buildIvf(spark, dir, coll, field, metric, nlist, seq))
     })
   }
 
@@ -176,15 +312,24 @@ object IndexStore {
     * code and norm columns the estimate pass scans.
     */
   def ensureRabitq(spark: SparkSession, coll: Collection,
-      field: String, metric: String, nlist: Int): RabitqBuild = {
+      field: String, metric: String, nlist: Int,
+      allowStale: Boolean = true): RabitqBuild = {
     val seq = coll.committedSeq
     val key = (coll.name, field, metric, nlist, seq)
     rabitqCache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._5 != seq)
+    if (!allowStale)
+      rabitqCache.keySet.removeIf(k => k == key && rabitqCache.get(k) != null &&
+        rabitqCache.get(k).builtSeq != seq)
     rabitqCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
-      loadRabitq(dir, metric, nlist, seq).getOrElse(
-        buildRabitq(spark, dir, coll, field, metric, nlist, seq))
+      loadRabitq(dir, metric, nlist, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == "rabitq2" && p.metric == metric && p.nlist == nlist,
+            s => versionDir(dir, s, "rabitq2", metric, nlist),
+            s => loadRabitq(dir, metric, nlist, s)))
+        .getOrElse(buildRabitq(spark, dir, coll, field, metric, nlist, seq))
     })
   }
 
@@ -194,15 +339,24 @@ object IndexStore {
     * byte code and decoded-norm columns the ADC estimate pass scans.
     */
   def ensureSq8(spark: SparkSession, coll: Collection,
-      field: String, metric: String, nlist: Int): Sq8Build = {
+      field: String, metric: String, nlist: Int,
+      allowStale: Boolean = true): Sq8Build = {
     val seq = coll.committedSeq
     val key = (coll.name, field, metric, nlist, seq)
     sq8Cache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._5 != seq)
+    if (!allowStale)
+      sq8Cache.keySet.removeIf(k => k == key && sq8Cache.get(k) != null &&
+        sq8Cache.get(k).builtSeq != seq)
     sq8Cache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
-      loadSq8(dir, metric, nlist, seq).getOrElse(
-        buildSq8(spark, dir, coll, field, metric, nlist, seq))
+      loadSq8(dir, metric, nlist, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == "sq8v2" && p.metric == metric && p.nlist == nlist,
+            s => versionDir(dir, s, "sq8v2", metric, nlist),
+            s => loadSq8(dir, metric, nlist, s)))
+        .getOrElse(buildSq8(spark, dir, coll, field, metric, nlist, seq))
     })
   }
 
@@ -211,15 +365,25 @@ object IndexStore {
     * and the codebook persisted beside the centroids.
     */
   def ensurePq(spark: SparkSession, coll: Collection, field: String,
-      metric: String, nlist: Int, m: Int, ksub: Int): PqBuild = {
+      metric: String, nlist: Int, m: Int, ksub: Int,
+      allowStale: Boolean = true): PqBuild = {
     val seq = coll.committedSeq
     val key = (coll.name, field, metric, s"$nlist:$m:$ksub", seq)
     pqCache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._5 != seq)
+    if (!allowStale)
+      pqCache.keySet.removeIf(k => k == key && pqCache.get(k) != null &&
+        pqCache.get(k).builtSeq != seq)
     pqCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
-      loadPq(dir, metric, nlist, m, ksub, seq).getOrElse(
-        buildPq(spark, dir, coll, field, metric, nlist, m, ksub, seq))
+      loadPq(dir, metric, nlist, m, ksub, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == pqKind(m, ksub) && p.metric == metric &&
+              p.nlist == nlist,
+            s => versionDir(dir, s, pqKind(m, ksub), metric, nlist),
+            s => loadPq(dir, metric, nlist, m, ksub, s)))
+        .getOrElse(buildPq(spark, dir, coll, field, metric, nlist, m, ksub, seq))
     })
   }
 
@@ -228,15 +392,23 @@ object IndexStore {
     * Hamming geometry.
     */
   def ensureBinIvf(spark: SparkSession, coll: Collection,
-      field: String, nlist: Int): BinIvfBuild = {
+      field: String, nlist: Int, allowStale: Boolean = true): BinIvfBuild = {
     val seq = coll.committedSeq
     val key = (coll.name, field, nlist, seq)
     binIvfCache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._4 != seq)
+    if (!allowStale)
+      binIvfCache.keySet.removeIf(k => k == key && binIvfCache.get(k) != null &&
+        binIvfCache.get(k).builtSeq != seq)
     binIvfCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
-      loadBinIvf(dir, nlist, seq).getOrElse(
-        buildBinIvf(spark, dir, coll, field, nlist, seq))
+      loadBinIvf(dir, nlist, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == "binivf2" && p.nlist == nlist,
+            s => versionDir(dir, s, "binivf2", "HAMMING", nlist),
+            s => loadBinIvf(dir, nlist, s)))
+        .getOrElse(buildBinIvf(spark, dir, coll, field, nlist, seq))
     })
   }
 
@@ -447,18 +619,27 @@ object IndexStore {
     */
   def ensureLsh(spark: SparkSession, coll: Collection, field: String,
       metric: String, tables: Int, numPlanes: Int,
-      seed: Long = 42L): LshBuild = {
+      seed: Long = 42L, allowStale: Boolean = true): LshBuild = {
     val seq = coll.committedSeq
     val paramTag = s"$metric/$tables/$numPlanes/$seed"
     val key = (coll.name, field, paramTag, seq)
     lshCache.keySet.removeIf(k =>
       k._1 == coll.name && k._2 == field && k._4 != seq)
+    if (!allowStale)
+      lshCache.keySet.removeIf(k => k == key && lshCache.get(k) != null &&
+        lshCache.get(k).builtSeq != seq)
     lshCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       val tag = s"lsh2_${tables}x$numPlanes"
       // tables/planes ride in the pointer's nlist slot, packed.
       val packed = tables * 1000 + numPlanes
-      loadLsh(dir, metric, tag, packed, seq).getOrElse {
+      loadLsh(dir, metric, tag, packed, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == tag && p.metric == metric && p.nlist == packed,
+            s => versionDir(dir, s, tag, metric, packed),
+            s => loadLsh(dir, metric, tag, packed, s)))
+        .getOrElse {
         val snapshot = coll.readWithPartition(spark)
           .filter(col(field).isNotNull)
         // dim comes from the data, not the declared FieldDef — the
@@ -511,17 +692,20 @@ object IndexStore {
   def materialize(spark: SparkSession, coll: Collection,
       ix: IndexDef): Unit = {
     val t = ix.indexType.toUpperCase
+    // create_index/rebuild always materialize FRESH (allowStale=false):
+    // an explicit build request must not return a growing-segment-served
+    // stale build — lazy serving is a SEARCH-path policy.
     if (t == "IVF_RABITQ") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureRabitq(spark, coll, ix.field,
-        ix.metricType.getOrElse("COSINE"), nlist): Unit
+        ix.metricType.getOrElse("COSINE"), nlist, allowStale = false): Unit
     } else if (t == "IVF_SQ8") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureSq8(spark, coll, ix.field,
-        ix.metricType.getOrElse("COSINE"), nlist): Unit
+        ix.metricType.getOrElse("COSINE"), nlist, allowStale = false): Unit
     } else if (t == "BIN_IVF_FLAT") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
-      ensureBinIvf(spark, coll, ix.field, nlist): Unit
+      ensureBinIvf(spark, coll, ix.field, nlist, allowStale = false): Unit
     } else if (t == "IVF_PQ") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       val m = ix.params.get("m").map(_.toInt).getOrElse(8)
@@ -530,11 +714,12 @@ object IndexStore {
       val ksub = ix.params.get("nbits").map(b => 1 << b.toInt)
         .orElse(ix.params.get("ksub").map(_.toInt)).getOrElse(256)
       ensurePq(spark, coll, ix.field,
-        ix.metricType.getOrElse("COSINE"), nlist, m, ksub): Unit
+        ix.metricType.getOrElse("COSINE"), nlist, m, ksub,
+        allowStale = false): Unit
     } else if (t.startsWith("IVF") || t == "AUTOINDEX") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
       ensureIvf(spark, coll, ix.field,
-        ix.metricType.getOrElse("COSINE"), nlist): Unit
+        ix.metricType.getOrElse("COSINE"), nlist, allowStale = false): Unit
     } else if (t == "SPARSE_INVERTED_INDEX" || t == "SPARSE_WAND") {
       val buckets = ix.params.get("buckets").map(_.toInt).getOrElse(64)
       ensureSparse(spark, coll, ix.field, buckets): Unit
@@ -547,7 +732,8 @@ object IndexStore {
       ensureLsh(spark, coll, ix.field, ix.metricType.getOrElse("COSINE"),
         ix.params.get("tables").map(_.toInt).getOrElse(4),
         ix.params.get("num_planes").map(_.toInt).getOrElse(8),
-        ix.params.get("seed").map(_.toLong).getOrElse(42L)): Unit
+        ix.params.get("seed").map(_.toLong).getOrElse(42L),
+        allowStale = false): Unit
     } else if (t == "JSON_PATH") {
       ensureJsonPath(spark, coll, ix.field,
         ix.params.getOrElse("path",
