@@ -3,7 +3,7 @@ package graft
 import graft.expr.MilvusExpr
 import graft.operators.{Fusion, Knn, QueryOps}
 import graft.ann.{BinIvf, Ivf, Lsh, Pq, RaBitQ, Sq8}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SubstringDedup}
 import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, CollectionSparseRequest, RrfRanker, WeightedRanker}
 import graft.operators.{HybridSearch, QueryIterator}
 import graft.datagen.StableGen
@@ -2559,6 +2559,21 @@ object SparkEntry {
           .select("doc_id", "text"), "text", "doc_id",
         "spark query join window", k = 20)
     },
+    // Add-k bigram LM perplexity scoring (CCNet/Gopher quality-filter
+    // stage): train on a 300-doc corpus, score the first 50 docs.
+    // avg_logp rounded at 6 (log scale: double noise ~1e-13),
+    // perplexity at 2.
+    "t15_lm_perplexity" -> { (s, dir) =>
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val m = graft.text.LangModel.train(corpus, "text", "doc_id", k = 0.1)
+      graft.text.LangModel.perplexity(
+          corpus.filter(col("doc_id") < 50), "text", "doc_id", m)
+        .select(col("doc_id"), col("num_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"),
+          round(col("perplexity"), 2).as("perplexity"))
+        .orderBy("doc_id")
+    },
     // Per-(source, lang) corpus datasheet: volume + length stats with
     // an exact median, one hash agg keyed by the group columns.
     "a10_corpus_report" -> { (s, dir) =>
@@ -2629,6 +2644,35 @@ object SparkEntry {
       val batch = recrawl.unionByName(wsVariant).unionByName(fresh)
       Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
+    },
+    // Exact duplicated-substring spans (Lee et al. 2022 span-level
+    // dedup): every maximal cross-document duplicated run of >= 10
+    // tokens, ALL occurrences (audit view; shingle-hash + islands).
+    "d10_substring_spans" -> { (s, dir) =>
+      SubstringDedup.duplicatedSpans(tbl(s, dir, "documents"),
+          "text", "doc_id", minTokens = 10)
+        .orderBy("doc_id", "span_start")
+    },
+    // Span-level CUT with keep-lowest-id policy: non-canonical copies
+    // lose exactly the covered token positions; text is rebuilt in
+    // token space. The oracle recomputes the surviving token stream.
+    "d11_substring_cut" -> { (s, dir) =>
+      SubstringDedup.cutSpans(tbl(s, dir, "documents"),
+          "text", "doc_id", minTokens = 10)
+        .orderBy("doc_id")
+    },
+    // Closed-form NB classifier (the pipeline's quality/domain/langid
+    // classifier stage, fastText stand-in): train on the full labeled
+    // corpus, classify a slice. logp rounded at 6 (log-space double
+    // noise ~1e-10 across engines' sum orders).
+    "t16_nb_classify" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val m = graft.text.NaiveBayes.train(docs, "text", "lang", k = 1.0)
+      graft.text.NaiveBayes.classify(s, docs.filter(col("doc_id") < 100),
+          "text", "doc_id", m)
+        .select(col("doc_id"), col("label"),
+          round(col("logp"), 6).as("logp"))
+        .orderBy("doc_id")
     },
     // Deterministic source mixing: hash-gated stratified sample to
     // target proportions. The md5 coin is engine-portable, so the
@@ -2833,6 +2877,35 @@ object SparkEntry {
       out
     })
 
+  private val deltaServeBenchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.Collection]()
+
+  /** Shared growing-segment bench fixture: an IVF-indexed collection
+    * at the bench SF with a ~1% post-build delta (clone inserts +
+    * tombstones), built ONCE per sf dir — so the bench entry's
+    * best-of-2 measures the SERVING cost (sealed anti-join + growing
+    * union + probe-pruned scan), not the one-off build.
+    */
+  private def deltaServeCollection(s: SparkSession,
+      dir: String): graft.store.Collection =
+    deltaServeBenchCache.computeIfAbsent(dir, _ => {
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-dsbench").toString)
+      val c = cat.createCollection(CollectionDef("dsbench", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      c.insert(s, emb)
+      // eager materialize = the sealed build
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "64")))
+      // growing delta: ~1% clone inserts at fresh pks + ~1% tombstones
+      c.insert(s, emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      c.delete(s, "vec_id % 100 == 13")
+      c
+    })
+
   private val sparseBenchCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -2901,6 +2974,19 @@ object SparkEntry {
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
       "bench_topk15000" -> knnSweep(15000),
+      // Growing-segment serving at bench SF: batched nq=10 search over
+      // the shared stale-build fixture (~1% delta) — the post-DML
+      // steady-state query cost WITHOUT a rebuild. The require guards
+      // that the measurement is really the serving path.
+      "bench_delta_serve" -> { (s, dir) =>
+        val c = deltaServeCollection(s, dir)
+        require(IndexStore.ensureIvf(s, c, "embedding", "L2", 64).builtSeq
+          < c.committedSeq, "fixture unexpectedly rebuilt")
+        CollectionSearch.searchBatch(s, c, "embedding",
+          vecsOf(s, dir, (0L until 10L).toSeq)
+            .map { case (i, v) => (i.toString, v) },
+          100, searchParams = Map("nprobe" -> "8"))
+      },
       // every vector vs every vector, exact: nq = full table. Kept as
       // the small-N oracle for the blocked shape below — the broadcast
       // of the full query side caps out long before cluster scale.
@@ -4721,6 +4807,30 @@ object SparkEntry {
           |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token)
           |SELECT t.token, t.term_freq, d.doc_freq FROM tf t JOIN df d USING (token)
           |ORDER BY term_freq DESC, token ASC LIMIT 50""".stripMargin,
+      // LM-perplexity oracle: DuckDB retrains the add-k bigram model
+      // (same tokenizer, same prefix-count smoothing) and rescores.
+      "t15_lm_perplexity" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+          |tok AS (SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM corpus),
+          |tokpos AS (SELECT doc_id, unnest(ts) AS token,
+          |    generate_subscripts(ts, 1) AS ord FROM tok),
+          |bg AS (SELECT a.doc_id, a.token AS w1, b.token AS w2
+          |  FROM tokpos a JOIN tokpos b
+          |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+          |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+          |pre AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+          |vv AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tokpos),
+          |sc AS (SELECT g.doc_id,
+          |    ln((COALESCE(bi.c12, 0) + 0.1)
+          |       / (COALESCE(pre.c1, 0) + 0.1 * (vv.v + 1))) AS lp
+          |  FROM (SELECT * FROM bg WHERE doc_id < 50) g
+          |  LEFT JOIN bi USING (w1, w2) LEFT JOIN pre USING (w1), vv)
+          |SELECT doc_id, count(*) AS num_bigrams,
+          |  round(avg(lp), 6) AS avg_logp,
+          |  round(exp(-avg(lp)), 2) AS perplexity
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // TF-IDF oracle: DuckDB recomputes the smoothed-idf weights,
       // norms, and cosine scores in token space.
       "t14_tfidf_search" ->
@@ -4831,6 +4941,64 @@ object SparkEntry {
           |kept AS (SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
           |  FROM fp WHERE f NOT IN (SELECT f FROM seen))
           |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin,
+      // Substring-span oracle: DuckDB recomputes the duplicated
+      // 10-gram windows on the shingle TEXT (the engine groups on
+      // xxhash64 of the same window — identical spans absent a 2^-64
+      // collision) and the same gaps-and-islands merge.
+      "d10_substring_spans" ->
+        """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x->x<>'') AS ts FROM documents),
+          |sh AS (SELECT doc_id, i-1 AS s0, array_to_string(ts[i:i+9],' ') AS sg
+          |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-9)) AS i) l
+          |  WHERE len(ts) >= 10),
+          |dup AS (SELECT sg FROM sh GROUP BY sg HAVING count(DISTINCT doc_id) >= 2),
+          |occ AS (SELECT doc_id, s0, s0+9 AS e FROM sh SEMI JOIN dup USING (sg)),
+          |m AS (SELECT doc_id, s0, e,
+          |  CASE WHEN s0 > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s0
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk FROM occ),
+          |g AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s0 ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+          |SELECT doc_id, min(s0) AS span_start, max(e) AS span_end,
+          |  max(e)-min(s0)+1 AS span_tokens
+          |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+      // Cut oracle: coverage = union of non-keeper seed windows;
+      // DuckDB rebuilds the surviving token stream position by
+      // position — any off-by-one in the span arithmetic or the
+      // keep-lowest-id policy breaks the string equality.
+      "d11_substring_cut" ->
+        """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x->x<>'') AS ts FROM documents),
+          |sh AS (SELECT doc_id, i-1 AS s0, array_to_string(ts[i:i+9],' ') AS sg
+          |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-9)) AS i) l
+          |  WHERE len(ts) >= 10),
+          |keep AS (SELECT sg, min(doc_id) AS kd, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sg),
+          |seeds AS (SELECT s.doc_id, s.s0 FROM sh s JOIN keep k USING (sg) WHERE k.nd >= 2 AND s.doc_id <> k.kd),
+          |cov AS (SELECT DISTINCT doc_id, s0 + u AS p FROM seeds, LATERAL (SELECT unnest(generate_series(0, 9)) AS u) l),
+          |tp AS (SELECT doc_id, t, o - 1 AS p FROM tok, LATERAL (SELECT unnest(ts) AS t, generate_subscripts(ts, 1) AS o) l),
+          |surv AS (SELECT tp.doc_id, tp.t, tp.p FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p WHERE cov.p IS NULL),
+          |clean AS (SELECT doc_id, array_to_string(list(t ORDER BY p), ' ') AS text_clean FROM surv GROUP BY doc_id),
+          |rem AS (SELECT doc_id, count(*) AS tokens_removed FROM cov GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(c.text_clean, '') AS text_clean,
+          |  CAST(COALESCE(r.tokens_removed, 0) AS BIGINT) AS tokens_removed
+          |FROM documents d LEFT JOIN clean c USING (doc_id) LEFT JOIN rem r USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+      // NB-classifier oracle: DuckDB retrains the same add-1 counts
+      // model (priors, per-label token totals, training vocab V) and
+      // rescores with the same tie-break.
+      "t16_nb_classify" ->
+        """WITH tok AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x->x<>'') AS ts FROM documents),
+          |tr AS (SELECT lang AS label, unnest(ts) AS token FROM tok),
+          |counts AS (SELECT token, label, count(*) AS c FROM tr GROUP BY 1,2),
+          |v AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM counts),
+          |nt AS (SELECT label, sum(c)::DOUBLE AS nt FROM counts GROUP BY 1),
+          |pr AS (SELECT lang AS label, ln(count(*) / (SELECT count(*) FROM documents)::DOUBLE) AS lp0 FROM documents GROUP BY 1),
+          |lbl AS (SELECT label, lp0, nt FROM pr JOIN nt USING (label)),
+          |q AS (SELECT doc_id, unnest(ts) AS token FROM tok WHERE doc_id < 100),
+          |tsx AS (SELECT q.doc_id, l.label, sum(ln(COALESCE(c.c,0)+1.0) - ln(l.nt + v.v)) AS tokscore
+          |   FROM q CROSS JOIN lbl l LEFT JOIN counts c ON c.token=q.token AND c.label=l.label, v GROUP BY 1,2),
+          |sc AS (SELECT d.doc_id, l.label, l.lp0 + COALESCE(t.tokscore, 0) AS logp
+          |  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d CROSS JOIN lbl l
+          |  LEFT JOIN tsx t ON t.doc_id=d.doc_id AND t.label=l.label),
+          |rk AS (SELECT doc_id, label, logp, row_number() OVER (PARTITION BY doc_id ORDER BY logp DESC, label ASC) AS rn FROM sc)
+          |SELECT doc_id, label, round(logp, 6) AS logp FROM rk WHERE rn=1
           |ORDER BY doc_id""".stripMargin,
       // COMPUTED oracle: DuckDB re-derives the per-source rates AND
       // the md5 hash gate, so the exact sampled member set must agree

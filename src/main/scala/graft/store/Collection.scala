@@ -1096,22 +1096,40 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * aggregate over the recent deltas (bounded by the caller's byte
     * gate); callers fall back to a full re-encode/rebuild.
     */
+  // Memoized per (sinceSeq, committedSeq): a DML-heavy brick runs MANY
+  // searches between writes, and the late-import probe below is an
+  // EAGER (driver-blocking) aggregate — paying it once per delta
+  // window instead of once per search keeps growing-segment serving
+  // cheaper than the rebuild it replaces. Entries for superseded
+  // windows are evicted on access.
+  private val deltaViewCache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Long), Option[(DataFrame, DataFrame)]]()
+
   private[store] def deltaViewSince(spark: SparkSession,
       sinceSeq: Long): Option[(DataFrame, DataFrame)] = {
-    val d = definition
-    val recent = deltaPaths.filter(
-      _.name.stripPrefix("delta_").toLong > sinceSeq)
-    if (recent.isEmpty || isExternal) return None
-    val raw = rawDeltas(spark, d, recent.map(_.toString)).get
-    val minRow = raw.agg(min(col(SEQ))).head()
-    // empty recent deltas (a zero-row write) have nothing to serve
-    val minSeq = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
-    if (minSeq <= sinceSeq) return None // late-committed import
-    val pk = d.primaryField.name
-    val changedPks = raw.select(col(pk)).distinct()
-    val newRows = assemble(spark, Seq.empty, None, None,
-      keepInternals = true, deltaOverride = Some(recent)).drop(TS)
-    Some((newRows, changedPks))
+    val cs = committedSeq
+    deltaViewCache.keySet.removeIf(k => k._2 != cs)
+    deltaViewCache.computeIfAbsent((sinceSeq, cs), _ => {
+      val d = definition
+      val recent = deltaPaths.filter(
+        _.name.stripPrefix("delta_").toLong > sinceSeq)
+      if (recent.isEmpty || isExternal) None
+      else {
+        val raw = rawDeltas(spark, d, recent.map(_.toString)).get
+        val minRow = raw.agg(min(col(SEQ))).head()
+        // empty recent deltas (a zero-row write) have nothing to serve
+        val minSeq =
+          if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+        if (minSeq <= sinceSeq) None // late-committed import
+        else {
+          val pk = d.primaryField.name
+          val changedPks = raw.select(col(pk)).distinct()
+          val newRows = assemble(spark, Seq.empty, None, None,
+            keepInternals = true, deltaOverride = Some(recent)).drop(TS)
+          Some((newRows, changedPks))
+        }
+      }
+    })
   }
 
   /** `pkPrefilter` is applied BELOW the merge window: safe only for
