@@ -2684,6 +2684,14 @@ object SparkEntry {
           targetRows = 40, salt = "mix")
         .select("doc_id", "source").orderBy("doc_id")
     },
+    // Deterministic train/val/test split assignment: per-row hash-coin
+    // ranges, stable under corpus growth (eval-set hygiene across
+    // crawl refreshes). The oracle recomputes the exact assignment.
+    "p4_split" -> { (s, dir) =>
+      graft.pipeline.Mixing.split(tbl(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
+        .select("doc_id", "split").orderBy("doc_id")
+    },
     // Token-budget sequence packing (concat-and-chunk) through the
     // two-pass distributed prefix sum — the oracle is the
     // single-window cumsum DuckDB can afford at this SF.
@@ -5010,6 +5018,16 @@ object SparkEntry {
           |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
           |WHERE (('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE / 4294967296.0 < r.rate
           |ORDER BY doc_id""".stripMargin,
+      // COMPUTED oracle: same md5 coin, same cumulative thresholds —
+      // written as the SAME float expressions (0.8 + 0.1, not 0.9) so
+      // both engines accumulate identical doubles at the boundaries.
+      "p4_split" ->
+        """WITH c AS (SELECT doc_id,
+          |  (('0x' || substr(md5('sp' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE / 4294967296.0 AS coin
+          |  FROM documents)
+          |SELECT doc_id, CASE WHEN coin < 0.8 THEN 'train'
+          |  WHEN coin < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
+          |FROM c ORDER BY doc_id""".stripMargin,
       // COMPUTED oracle: the single-window cumsum DuckDB can afford at
       // this SF — checks the two-pass distributed prefix sum (and the
       // bin arithmetic) reproduces the sequential packing exactly.

@@ -84,6 +84,33 @@ object Mixing {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
     df.orderBy(hashUniform(col(idCol), s"epoch:$epoch").asc, col(idCol).asc)
 
+  /** Deterministic train/val/test split: each row is assigned the
+    * first split whose cumulative weight range contains its hash coin.
+    * Membership is a pure per-row projection — stable under
+    * re-partitioning, retries, engine swaps, and corpus GROWTH (a row's
+    * split never changes when other rows are added, the property that
+    * matters for eval-set hygiene across crawl refreshes; a
+    * row_number-based split has none of these). Weights must sum to 1.
+    */
+  def split(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "bad split weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val coin = hashUniform(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split takes the [cum_{n-1}, 1) remainder exactly, so a coin
+    // of 0.999999999 can't fall through on float accumulation error
+    val labelCol = splits.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case ((name, hi), acc) =>
+        when(coin < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", labelCol)
+  }
+
   /** Temperature-flattened mixture weights from observed source counts:
     * w_s ∝ count_s^alpha, normalized. alpha = 1 reproduces the natural
     * distribution, alpha → 0 approaches uniform — the standard

@@ -98,6 +98,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c != a)
   }
 
+  test("split partitions exhaustively, near the weights, and is growth-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val out = graft.pipeline.Mixing.split(df, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 2000) // every row assigned exactly one split
+    val frac = out.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.04)
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+    // growth stability: assignments over a SUBSET are unchanged — the
+    // property row_number()-based splits lack
+    val sub = graft.pipeline.Mixing.split(df.filter($"id" < 500), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == out.filter(_._1 < 500))
+  }
+
   test("mixBySource hits target proportions and caps at availability") {
     val s = spark
     import s.implicits._
