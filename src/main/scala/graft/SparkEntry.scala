@@ -3063,6 +3063,31 @@ object SparkEntry {
           .agg(count(lit(1)).as("kept"),
             countDistinct(col("source")).as("sources"))
       },
+      // Duplicated-substring spans over the full corpus at bench SF:
+      // one shingle hash-agg + per-doc islands — the span-dedup scale
+      // shape (Lee et al. 2022 granularity).
+      "bench_substring_spans" -> { (s, dir) =>
+        SubstringDedup.duplicatedSpans(tbl(s, dir, "documents"),
+            "text", "doc_id", minTokens = 10)
+          .agg(count(lit(1)).as("spans"),
+            sum("span_tokens").as("tokens"))
+      },
+      // NB classifier train + full-corpus classify (two hash aggs to
+      // train, one count-table join per label to score).
+      "bench_nb_classify" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val m = graft.text.NaiveBayes.train(docs, "text", "lang")
+        graft.text.NaiveBayes.classify(s, docs, "text", "doc_id", m)
+          .groupBy("label").agg(count(lit(1)).as("docs"))
+      },
+      // Bigram-LM train + full-corpus perplexity scoring.
+      "bench_lm_perplexity" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val m = graft.text.LangModel.train(docs, "text", "doc_id")
+        graft.text.LangModel.perplexity(docs, "text", "doc_id", m)
+          .agg(count(lit(1)).as("docs"),
+            round(avg("perplexity"), 2).as("avg_ppl"))
+      },
       // EXACT ngram-Jaccard near-dup over the FULL documents table at
       // the bench SF (the d5 correctness entry runs a fixed 180-doc
       // corpus at every SF — this one scales with the data, so the

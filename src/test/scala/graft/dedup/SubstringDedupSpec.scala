@@ -50,6 +50,20 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(4L) == (("too short", 0L)))
   }
 
+  test("scale shapes: seed detection is one hash agg + semi-join, islands window is per-doc") {
+    val spans = SubstringDedup.duplicatedSpans(docs, "text", "doc_id", minTokens = 6)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "all-pairs shape leaked in:\n" + plan)
+    // the gaps-and-islands windows must be partitioned by _doc — a
+    // global single-task window would serialize the whole corpus
+    assert(plan.contains("Window"))
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isEmpty,
+      "found a Window with an empty partition spec:\n" + plan)
+    val cutPlan = SubstringDedup.cutSpans(docs, "text", "doc_id", minTokens = 6)
+      .queryExecution.executedPlan.toString
+    assert(!cutPlan.contains("CartesianProduct"))
+  }
+
   test("a run duplicated only WITHIN one document is not flagged") {
     val s = spark
     import s.implicits._

@@ -55,6 +55,19 @@ class NaiveBayesSpec extends SparkSpec {
     out.foreach { case (_, lp) => assert(math.abs(lp - math.log(0.5)) < 1e-12) }
   }
 
+  test("scale shape: the per-label fan-out is a broadcast, the count join never a cartesian product") {
+    val s = spark
+    import s.implicits._
+    val m = NaiveBayes.train(trainDocs, "text", "label")
+    val plan = NaiveBayes.score(s,
+        Seq((10L, "alpha beta")).toDF("doc_id", "text"), "text", "doc_id", m)
+      .queryExecution.executedPlan.toString
+    // the labels table rides a broadcast (nested-loop over ~#labels
+    // rows), so the token stream is never shuffled for the fan-out
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("unseen tokens fall to the smoothing floor, not negative infinity") {
     val s = spark
     import s.implicits._
