@@ -111,6 +111,22 @@ final class QueryIterator(
     */
   def exportParquet(outDir: String, batchesPerFile: Int = 100): Long = {
     val spark = df.sparkSession
+    // The page loop below re-plans `pk > last ORDER BY pk LIMIT n` once
+    // per batch; pin the source scan for the export's duration so N
+    // pages cost ONE parquet read + in-memory top-k's instead of N
+    // source scans. Iterator semantics (checkpointing, resume) are
+    // unchanged — this only caches the immutable snapshot being paged.
+    val alreadyCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!alreadyCached)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try exportParquetLoop(spark, outDir, batchesPerFile)
+    finally if (!alreadyCached) df.unpersist(blocking = false)
+  }
+
+  private def exportParquetLoop(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String, batchesPerFile: Int): Long = {
     var fileNo = 0
     var total = 0L
     var buffer = Vector.empty[Row]
