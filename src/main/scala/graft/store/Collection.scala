@@ -536,6 +536,10 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         }, schema)
         .select(userColumns(d).map(col): _*)
     }
+    // A driver-known batch size (LocalRelation under projections —
+    // the client insert protocol shape) makes the returned count free:
+    // the read-back count job only runs for scan-backed bulk inserts.
+    val knownCount = localBatchRows(df, exact = true)
     val deltaPath = writeDelta(spark, df, d, seq, partition, deleted = false)
     val written0 = spark.read.parquet(deltaPath).select(pk.name)
     // With auto-compaction on, the delta this lazy frame points at can
@@ -544,9 +548,30 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       if (d.properties.contains("compaction.maxDeltas"))
         written0.localCheckpoint(true)
       else written0
-    val res = InsertResult(written.count(), written)
+    val res = InsertResult(
+      knownCount.map(_.toLong).getOrElse(written.count()), written)
     maybeAutoCompact(spark, d)
     res
+  }
+
+  /** Row count of a client-supplied batch, read off the driver-side
+    * plan for free: a LocalRelation leaf under nothing but Project /
+    * SubqueryAlias (and, when `exact` is false, Filter — which only
+    * shrinks, so the leaf count stays a valid upper bound for write
+    * sizing). Any scan, join, or aggregate anywhere → None.
+    */
+  private def localBatchRows(df: DataFrame, exact: Boolean): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = df.queryExecution.analyzed
+    val shapeSafe = plan.collect { case n => n }.forall {
+      case _: Project | _: SubqueryAlias | _: LocalRelation => true
+      case _: Filter => !exact
+      case _ => false
+    }
+    plan.collectLeaves() match {
+      case Seq(lr: LocalRelation) if shapeSafe => Some(lr.data.length)
+      case _ => None
+    }
   }
 
   /** Upsert: replace-by-PK (full rows), or `partialUpdate` column
@@ -1587,22 +1612,41 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     partition.foreach(p => require(listPartitions().contains(p),
       s"no such partition $p"))
     val internal = withInternals(batch, d, seq, partition)
+    // Client-supplied batches (the insert/upsert protocol shape) are
+    // LocalRelations whose row count is known on the driver for free.
+    // Without sizing, a 100-row batch inherits defaultParallelism
+    // (32) partitions and every delta write becomes a 32-task job
+    // emitting 32 near-empty files — the delta chain then pays that
+    // listing/footer overhead on every merge-on-read. Scan-backed
+    // frames (the bulk-ETL shape) report None and keep their scan
+    // parallelism.
+    val small = localBatchRows(internal, exact = false)
+      .exists(_ <= SmallBatchRows)
+    val sized = if (small) internal.coalesce(1) else internal
     // Bulk writes into a multi-partition collection route rows to
     // their partition first: without it every task writes into every
     // partition directory (tasks x partitions small files per delta).
-    // Small batches (single input partition — the pressure-DML shape)
-    // skip the shuffle.
+    // Small batches (single task after sizing — the pressure-DML
+    // shape) skip the shuffle: one task writes one file per partition
+    // value actually present in the batch.
     val multiPart = d.partitions.length > 1 ||
       d.partitionKeyField.isDefined || d.numPartitions.exists(_ > 1)
     val routed =
-      if (multiPart && partition.isEmpty &&
-        internal.rdd.getNumPartitions > 1)
-        internal.repartition(col(PART))
-      else internal
+      if (!small && multiPart && partition.isEmpty &&
+        sized.rdd.getNumPartitions > 1)
+        sized.repartition(col(PART))
+      else sized
     // PK-sorted row groups give parquet min/max stats real
     // selectivity for PK lookups/range scans (STL_SORT equivalent).
     routed.sortWithinPartitions(d.primaryField.name)
   }
+
+  /** A client batch at or below this row count writes as a single
+    * task: one parquet file per partition value present in the batch.
+    * Above it (or when the size is unknowable without a job — any
+    * scan-backed frame), the write keeps its input parallelism.
+    */
+  private val SmallBatchRows = 100000
 
   private def writeDelta(spark: SparkSession, batch: DataFrame,
       d: CollectionDef, seq: Long, partition: Option[String],
