@@ -71,11 +71,7 @@ final class QueryIterator(
     */
   def next(): Seq[Row] = {
     if (exhausted) return Seq.empty
-    val page = QueryOps.keysetPage(df, pkCol, lastPk, batchSize, filter)
-    val projected =
-      if (outputFields == Seq("*")) page
-      else page.select((outputFields :+ pkCol).distinct.map(col): _*)
-    val rows = projected.collect().toSeq
+    val rows = fetchPage(batchSize)
     if (rows.isEmpty) { exhausted = true; Seq.empty }
     else {
       lastPk = Some(rows.last.get(rows.last.fieldIndex(pkCol)))
@@ -129,27 +125,44 @@ final class QueryIterator(
       outDir: String, batchesPerFile: Int): Long = {
     var fileNo = 0
     var total = 0L
-    var buffer = Vector.empty[Row]
-    def flush(): Unit = if (buffer.nonEmpty) {
+    def flush(buffer: Seq[Row]): Unit = if (buffer.nonEmpty) {
       val schema = buffer.head.schema
       spark.createDataFrame(
         spark.sparkContext.parallelize(buffer, 1), schema)
         .write.mode("overwrite")
         .parquet(f"$outDir/part_$fileNo%05d")
       fileNo += 1
-      buffer = Vector.empty
     }
-    var batches = 0
-    var batch = next()
-    while (batch.nonEmpty) {
-      buffer ++= batch
-      total += batch.length
-      batches += 1
-      if (batches % batchesPerFile == 0) flush()
-      batch = next()
+    // One keyset page per OUTPUT FILE, not per iterator batch: a file's
+    // worth of rows (batchesPerFile x batchSize) is fetched in a single
+    // top-k job and sliced into iterator batches locally — the file
+    // layout, row order, and per-batch checkpoint progression are
+    // byte-identical to the batch-at-a-time loop, at 1/batchesPerFile
+    // the job count. A short page means the scan is exhausted (keyset
+    // LIMIT returns everything left).
+    val groupRows = batchSize * batchesPerFile
+    var done = false
+    while (!done) {
+      val group = fetchPage(groupRows)
+      group.grouped(batchSize).foreach { slice =>
+        total += slice.length
+        lastPk = Some(slice.last.get(slice.last.fieldIndex(pkCol)))
+        saveCheckpoint()
+      }
+      flush(group)
+      done = group.length < groupRows
     }
-    flush()
+    exhausted = true
     total
+  }
+
+  /** One keyset page of up to `n` rows after `lastPk`, projected. */
+  private def fetchPage(n: Int): Seq[Row] = {
+    val page = QueryOps.keysetPage(df, pkCol, lastPk, n, filter)
+    val projected =
+      if (outputFields == Seq("*")) page
+      else page.select((outputFields :+ pkCol).distinct.map(col): _*)
+    projected.collect().toSeq
   }
 
   def close(): Unit = ()
