@@ -2582,6 +2582,49 @@ object SparkEntry {
           "text", Seq("source", "lang"))
         .orderBy("source", "lang")
     },
+    // Sketch-based datasheet (HLL vocab, approx percentiles, token
+    // CMS) — the constant-state reporting path for corpora where the
+    // exact figures are unaffordable. Emitted as INVARIANT BOUNDS
+    // (each sketch figure vs the exact value this SF can still
+    // afford): HLL within 4 sd, approx percentiles inside the exact
+    // p25..p75 / >= p50 envelope, CMS estimates in
+    // [exact, exact + eps * total].
+    "a11_approx_datasheet" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val r = graft.pipeline.Report.approxDatasheet(docs, "text").head()
+      val exactVocab = docs
+        .select(explode(graft.text.Analyzer.whitespace(col("text"))).as("t"))
+        .agg(countDistinct("t")).head().getLong(0)
+      val lens = docs.select(length(col("text")).cast("long").as("l"))
+      val exactPct = lens.agg(
+        percentile(col("l"), lit(0.25)), percentile(col("l"), lit(0.5)),
+        percentile(col("l"), lit(0.75))).head()
+      val (p25, p50x, p75) =
+        (exactPct.getDouble(0), exactPct.getDouble(1), exactPct.getDouble(2))
+      val hllOk = math.abs(r.getAs[Long]("approx_distinct_tokens")
+        - exactVocab) <= math.max(4, exactVocab * 0.05 * 4)
+      val p50 = r.getAs[Long]("p50_chars").toDouble
+      val pctOk = p50 >= p25 && p50 <= p75 &&
+        r.getAs[Long]("p99_chars") >= p50x
+      val eps = 0.001
+      val cms = graft.pipeline.Report.tokenFrequencySketch(
+        docs, "text", eps = eps, confidence = 0.999)
+      val probes = Seq("the", "data", "zzz_absent_token")
+      val est = graft.pipeline.Report.estimateTokenCounts(s, cms, probes)
+      val exactCounts = docs
+        .select(explode(graft.text.Analyzer.whitespace(col("text"))).as("t"))
+        .filter(col("t").isin(probes: _*))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      val slack = math.ceil(eps * cms.totalCount()).toLong
+      val cmsOk = probes.forall { t =>
+        val ex = exactCounts.getOrElse(t, 0L)
+        est(t) >= ex && est(t) <= ex + slack
+      }
+      Seq((r.getAs[Long]("n_docs") > 0, hllOk, pctOk, cmsOk))
+        .toDF("docs_ok", "hll_ok", "pct_ok", "cms_ok")
+    },
     // Deterministic epoch shuffle: global training order = sort on the
     // epoch-salted hash coin; same permutation on every engine/run.
     "p3_epoch_shuffle" -> { (s, dir) =>
@@ -4906,6 +4949,10 @@ object SparkEntry {
           |  round(avg(length(text)), 4) AS avg_chars,
           |  CAST(median(length(text)) AS DOUBLE) AS median_chars
           |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+      // Sketch invariants hold by construction; the Spark side emits
+      // the bound checks as booleans (the recall-entry idiom).
+      "a11_approx_datasheet" ->
+        "SELECT true AS docs_ok, true AS hll_ok, true AS pct_ok, true AS cms_ok",
       // Streaming-clean oracle: DuckDB regenerates the micro-batch
       // input from range() and replays the C4 + PII rules.
       "st5_stream_clean" ->

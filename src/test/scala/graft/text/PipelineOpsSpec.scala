@@ -289,6 +289,50 @@ class PipelineOpsSpec extends SparkSpec {
       s"global order must not use a single-task window:\n$plan")
   }
 
+  test("approxDatasheet: sketch figures land inside their error bounds") {
+    val s = spark
+    import s.implicits._
+    // 200 docs; doc i has i+1 copies of a shared token plus one unique
+    // token, so exact vocab = 201 and lengths are known
+    val docs = (0L until 200L).map { i =>
+      (i, (Seq.fill((i % 20).toInt + 1)("common") :+ s"uniq$i").mkString(" "))
+    }.toDF("id", "text")
+    val r = graft.pipeline.Report.approxDatasheet(docs, "text").head()
+    assert(r.getAs[Long]("n_docs") == 200L)
+    val exactTokens = (0L until 200L).map(i => (i % 20) + 2).sum
+    assert(r.getAs[Long]("n_tokens") == exactTokens)
+    val approxVocab = r.getAs[Long]("approx_distinct_tokens")
+    assert(math.abs(approxVocab - 201L) <= 201 * 0.05 * 4,
+      s"HLL estimate $approxVocab too far from 201")
+    // percentiles of char lengths: p50 must sit between exact p25/p75
+    val lens = docs.select(length(col("text")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val p50 = r.getAs[Long]("p50_chars")
+    assert(p50 >= lens(lens.length / 4) && p50 <= lens(3 * lens.length / 4))
+    assert(r.getAs[Long]("p99_chars") >= p50)
+  }
+
+  test("token CMS: estimates never under-count and respect the eps bound") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 100L).map { i =>
+      (i, s"alpha beta ${if (i % 10 == 0) "rare" else "filler" + i}")
+    }.toDF("id", "text")
+    val totalTokens = 300L
+    val cms = graft.pipeline.Report.tokenFrequencySketch(
+      docs, "text", eps = 0.01, confidence = 0.999)
+    assert(cms.totalCount() == totalTokens)
+    val est = graft.pipeline.Report.estimateTokenCounts(
+      s, cms, Seq("alpha", "beta", "rare", "absent"))
+    val exact = Map("alpha" -> 100L, "beta" -> 100L, "rare" -> 10L,
+      "absent" -> 0L)
+    val slack = math.ceil(0.01 * totalTokens).toLong
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"$t under-counted: ${est(t)} < $n")
+      assert(est(t) <= n + slack, s"$t over slack: ${est(t)} > $n + $slack")
+    }
+  }
+
   test("corpus report: exact per-group stats including interpolated median") {
     val s = spark
     import s.implicits._
