@@ -1960,13 +1960,15 @@ object SparkEntry {
         FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
         FieldDef("o_totalprice", DoubleType)),
         properties = Map("compaction.maxDeltas" -> "4")))
-      val numbered = tbl(s, dir, "orders")
+      // Fixture: the first 400 orders by pk, fetched ONCE (a top-k
+      // job), then split into 8 client batches — the entry measures
+      // the compaction chain, not 8 repeated window scans.
+      val first400 = tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("_rn", row_number().over(Window.orderBy("o_orderkey")))
-      (0 until 8).foreach { r =>
-        c.insert(s, numbered
-          .filter(col("_rn") > r * 50 && col("_rn") <= (r + 1) * 50)
-          .drop("_rn")): Unit
+        .orderBy("o_orderkey").limit(400)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      first400.grouped(50).foreach { batch =>
+        c.insert(s, batch.toSeq.toDF("o_orderkey", "o_totalprice")): Unit
       }
       c.delete(s, "o_orderkey % 10 == 0")
       val maxPk = c.read(s).agg(max("o_orderkey")).head().getLong(0)

@@ -1338,6 +1338,58 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       refreshCachedSnapshot(spark)
     }
 
+  /** Minor (leveled) compaction: fold the tail deltas into ONE delta,
+    * leaving the compaction-stamped base untouched — the LSM fix for
+    * the O(table) cost of a full fold. At 100 TB a major compaction
+    * every `maxDeltas` writes rewrites the whole table per k small
+    * batches; the minor fold rewrites only the delta tail, so write
+    * amplification scales with ingested bytes until the tail is a
+    * configured fraction of the base (see [[maybeAutoCompact]]).
+    *
+    * Correctness: the merged delta keeps each surviving row's ORIGINAL
+    * `_seq`/`_ts`/`_part` and KEEPS tombstones (they still mask base
+    * rows). Per-pk last-writer-wins selection is associative —
+    * LWW(base ∪ tail ∪ later) = LWW(base ∪ LWW(tail) ∪ later) as long
+    * as winners keep their seqs — so every read, the changefeed's
+    * per-key resolution, and delta-serving's row-seq math are
+    * unchanged. The merged DIRECTORY takes a fresh commit seq; a
+    * feed cursor inside the folded range re-sees the folded rows under
+    * the new commit position (the documented compacted-changelog
+    * resync, idempotent under LWW replay). Visibility: the merged
+    * delta lands BEFORE the folded ones retire, so a concurrent
+    * reader sees duplicate identical winner rows at worst — the merge
+    * window resolves the tie to the same values.
+    */
+  def compactMinor(spark: SparkSession): Unit =
+    Collection.compactLock(dataDir.toString).synchronized {
+      val d = definition
+      requireWritable(d)
+      // Same 2PC guard as the major fold: folding rows past a pending
+      // import's prepare seq is fine for LWW (seqs are preserved), but
+      // deferring keeps the two compaction modes behaviorally aligned.
+      if (listImports().nonEmpty) return
+      val paths = deltaPaths
+      val folded =
+        if (paths.nonEmpty && isUniqueBase(paths.head)) paths.tail else paths
+      if (folded.size <= 1) return
+      val pk = d.primaryField.name
+      val raw = rawDeltas(spark, d, folded.map(_.toString)).get
+      val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
+      val merged = raw.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val seq = catalog.nextSeq(name)
+      val staging = dataDir.resolve(s"_staging_$seq")
+      merged
+        .repartition(col(PART))
+        .sortWithinPartitions(pk)
+        .write.mode("overwrite").partitionBy(PART).parquet(staging.toString)
+      // NOT a unique base: tombstones and multi-seq rows live here, so
+      // reads over {base, merged} still need the merge window.
+      staging.moveTo(dataDir.resolve(f"delta_$seq%012d"))
+      retireDeltas(folded)
+      refreshCachedSnapshot(spark)
+    }
+
   /** Force Merge compaction mode (3.0 feature-inventory plan §5): an
     * explicit operator-initiated full fold, regardless of whether the
     * auto-compaction policy would have triggered. Returns (deltas
@@ -1662,7 +1714,24 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   private def maybeAutoCompact(spark: SparkSession, d: CollectionDef): Unit =
     d.properties.get("compaction.maxDeltas").map(_.toInt).foreach { max =>
-      if (deltaPaths.size >= max) compact(spark)
+      if (deltaPaths.size >= max) {
+        // Leveled policy: while the delta tail is small relative to
+        // the base, fold ONLY the tail (O(tail) write amplification);
+        // the full O(table) rewrite waits until the tail has grown to
+        // `compaction.majorRatio` of the base (default 20%), which
+        // amortizes it over proportional ingest. No base yet (or a
+        // big tail) → major fold, which creates/refreshes the
+        // unique-per-pk base the fast read path keys on.
+        val paths = deltaPaths
+        val hasBase = paths.nonEmpty && isUniqueBase(paths.head)
+        val ratio = d.properties.get("compaction.majorRatio")
+          .map(_.toDouble).getOrElse(0.2)
+        val minorEligible = hasBase && {
+          val baseBytes = paths.head.totalSize
+          paths.tail.map(_.totalSize).sum < ratio * baseBytes
+        }
+        if (minorEligible) compactMinor(spark) else compact(spark)
+      }
     }
 
 }

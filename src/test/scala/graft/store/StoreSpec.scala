@@ -614,6 +614,85 @@ class StoreSpec extends SparkSpec {
       Seq("id", "content"))
   }
 
+  test("minor compaction folds only the tail: state, seqs, tombstones preserved") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("minor"))
+    def deltaDirs() = new java.io.File(
+      cat.collectionDir("minor").resolve("data").toString)
+      .listFiles().filter(_.getName.startsWith("delta_")).map(_.getName).sorted
+    c.insert(s, (0L until 10L).map(i => (i, i, s"c$i", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.compact(s)
+    val baseDir = deltaDirs().head
+    // tail: an insert, an upsert over a BASE row, a delete of a BASE row
+    c.insert(s, Seq((20L, 20L, "new", 0L))
+      .toDF("id", "category", "content", "version"))
+    c.upsert(s, Seq((3L, 77L, "upd", 1L))
+      .toDF("id", "category", "content", "version"))
+    c.delete(s, "id == 9")
+    val before = c.read(s).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(c.numDeltas == 4)
+    c.compactMinor(s)
+    // base untouched, tail folded to ONE delta
+    assert(deltaDirs().head == baseDir, "minor fold must not rewrite the base")
+    assert(c.numDeltas == 2)
+    assert(c.read(s).orderBy("id").collect().map(_.toSeq).toSeq == before)
+    assert(c.query(s, "id == 3").head().getString(2) == "upd")
+    assert(c.query(s, "id == 9").count() == 0, "tombstone must still mask the base row")
+    // the merged delta keeps original row seqs and the tombstone ROW
+    val mergedRaw = s.read.parquet(
+      cat.collectionDir("minor").resolve("data").toString + "/" + deltaDirs()(1))
+    assert(mergedRaw.filter(col("_del")).count() == 1,
+      "minor fold must keep tombstones (they mask base rows)")
+    assert(mergedRaw.select(countDistinct(col("_seq"))).head().getLong(0) >= 3,
+      "minor fold must preserve original per-row seqs")
+    // LWW still works above the fold
+    c.upsert(s, Seq((3L, 88L, "upd2", 2L))
+      .toDF("id", "category", "content", "version"))
+    assert(c.query(s, "id == 3").head().getString(2) == "upd2")
+  }
+
+  test("leveled auto-compaction: small tail folds minor, grown tail folds major") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("lvl", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("pad", StringType)),
+      properties = Map("compaction.maxDeltas" -> "3",
+        "compaction.majorRatio" -> "0.5")))
+    def deltaDirs() = new java.io.File(
+      cat.collectionDir("lvl").resolve("data").toString)
+      .listFiles().filter(_.getName.startsWith("delta_")).map(_.getName).sorted
+    val pad = "x" * 200
+    // three big batches cross the high-water with no base -> MAJOR
+    (0 until 3).foreach { r =>
+      c.insert(s, (0L until 500L).map(j => (r * 1000L + j, pad))
+        .toDF("id", "pad")): Unit
+    }
+    assert(c.numDeltas == 1, "first fold must be major (creates the base)")
+    val baseDir = deltaDirs().head
+    // small tail batches re-cross the high-water -> MINOR, base kept
+    (0 until 3).foreach { r =>
+      c.insert(s, Seq((9000L + r, "t")).toDF("id", "pad")): Unit
+    }
+    assert(deltaDirs().head == baseDir,
+      "small tail must fold minor — the base is not rewritten")
+    assert(c.numDeltas == 2)
+    assert(c.numEntities(s) == 1503)
+    // a tail bigger than ratio x base -> MAJOR again (fresh base)
+    c.insert(s, (0L until 2000L).map(j => (20000L + j, pad))
+      .toDF("id", "pad")): Unit
+    assert(c.numDeltas == 1, "grown tail must fold major")
+    assert(deltaDirs().head != baseDir)
+    assert(c.numEntities(s) == 3503)
+    // the fresh base serves the fast no-window read path
+    val plan = c.read(s).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange"))
+  }
+
   test("auto-compaction folds the delta chain at the configured high-water") {
     val s = spark
     import s.implicits._
