@@ -2218,6 +2218,42 @@ object SparkEntry {
       s.sql("""SELECT doc_id, keep, clean_text, redacted FROM st5_clean
         |ORDER BY doc_id""".stripMargin)
     },
+    // ---- ST6: streaming near-dup — banded-MinHash LSH candidates
+    // over a document stream (one stateful stage, bucket state crosses
+    // micro-batches: the exact copy arrives a batch AFTER the
+    // original), then the batch-side exact-Jaccard verification. On
+    // this fixture normalized-identical docs collide in every band
+    // (recall 1) and verification prunes everything else, so the
+    // output equals DuckDB's exact all-pairs Jaccard >= 0.9. ----------
+    "st6_stream_neardup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val fixture = Seq(
+        (1L, base),
+        (2L, base),
+        (4L, "completely different text about database systems and planning"),
+        (5L, "THE  QUICK  Brown fox jumps over the lazy dog near the river bank today"),
+        (6L, "another unrelated document discussing machine learning models"),
+        (7L, "graphs and streams and windows are entirely other topics"))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingOps.nearDupCandidatesStream(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      val q = out.writeStream.format("memory").queryName("st6_cands")
+        .outputMode("append").start()
+      mem.addData(fixture(0), fixture(2), fixture(4)) // docs 1, 4, 6
+      q.processAllAvailable()
+      mem.addData(fixture(1), fixture(3), fixture(5)) // docs 2, 5, 7
+      q.processAllAvailable()
+      q.stop()
+      val cands = s.sql("SELECT DISTINCT id_a, id_b FROM st6_cands")
+      Dedup.jaccardVerify(fixture.toDF("doc_id", "text"), "text", "doc_id",
+          cands, shingleSize = 3)
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
     // ---- ST3: streaming change feed — store DML arrives at a CDC
     // consumer as micro-batches (delta dirs are the file-source's
     // atomically-renamed-in inputs). Nation rows in, three deleted;
@@ -4242,6 +4278,31 @@ object SparkEntry {
           |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
           |FROM nation
           |WHERE n_nationkey % 5 = 0 OR n_nationkey * 1000 > 10000""".stripMargin,
+      // COMPUTED oracle: exact all-pairs Jaccard over the streamed
+      // fixture — on it the banded LSH has recall 1 for >= 0.9 pairs
+      // and the entry's verification prunes everything below, so the
+      // stream's verified candidate set must equal this exactly.
+      "st6_stream_neardup" ->
+        """WITH docs(id, text) AS (VALUES
+          |  (1, 'the quick brown fox jumps over the lazy dog near the river bank today'),
+          |  (2, 'the quick brown fox jumps over the lazy dog near the river bank today'),
+          |  (4, 'completely different text about database systems and planning'),
+          |  (5, 'THE  QUICK  Brown fox jumps over the lazy dog near the river bank today'),
+          |  (6, 'another unrelated document discussing machine learning models'),
+          |  (7, 'graphs and streams and windows are entirely other topics')),
+          |tok AS (SELECT id, list_filter(
+          |  regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM docs),
+          |sh AS (SELECT id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |    ELSE list_transform(range(1, len(ts) - 1),
+          |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset FROM tok),
+          |pairs AS (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    len(list_intersect(a.sset, b.sset))::DOUBLE
+          |      / len(list_distinct(a.sset || b.sset)) AS jaccard
+          |  FROM sh a JOIN sh b ON a.id < b.id)
+          |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+          |  round(jaccard, 6) AS jaccard
+          |FROM pairs WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
       "st3_changefeed_stream" ->
         """SELECT op, cnt, keys FROM (
           |  SELECT 'delete' AS op,

@@ -118,6 +118,86 @@ object StreamingOps {
       .toDF()
   }
 
+  final case class BandInput(band: Int, bucket: Long, docId: Long)
+  final case class BucketState(ids: Seq[Long])
+  final case class CandidateOutput(idA: Long, idB: Long, band: Int)
+
+  /** Streaming NEAR-dup candidate generation: banded-MinHash LSH over
+    * a document stream, one stateful stage. Each arriving document's
+    * signature is a pure per-row projection (see the shape note below),
+    * exploded to its `bands` bucket keys; a bucket's state holds the
+    * ids already seen in it, and an arrival emits a candidate pair
+    * against each of them. Emitted pairs are an at-least-once feed
+    * (identical docs collide in every band) — consumers distinct +
+    * exact-verify per micro-batch, exactly like the batch pipeline
+    * verifies [[graft.dedup.Dedup.lshCandidatePairs]].
+    *
+    * Signature shape: the batch path's explode + codegen'd min
+    * aggregations cannot run inside an append-mode stream (stateful
+    * agg), so the signature folds each hash table over the row's own
+    * shingle set with higher-order functions — interpreted, ~2x the
+    * per-row CPU of the batch shape (measured round 4, see the
+    * Dedup.minhashSignatures note), which a stream amortizes over
+    * arrival rate. The VALUES are identical to the batch signature
+    * (same base-hash chain), so batch and stream bucket the same.
+    *
+    * State is bounded: at most `maxBucket` ids per (band, bucket) —
+    * beyond the cap new arrivals still pair against the stored ids
+    * but are not themselves remembered (a cap that deep means the
+    * bucket is a degenerate hot key; the docs are still caught as
+    * duplicates OF the stored members). Within a micro-batch, ids are
+    * processed in ascending order, so output is deterministic
+    * regardless of partition layout.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Identical hash chain to Dedup.minhashSignatures: base =
+    // xxhash64(shingle), h_i = xxhash64(i, base) — materialized once
+    // per row behind a projection boundary, folded per hash table.
+    val based = docs.select(col(idCol).cast("long").as("docId"),
+      transform(
+        array_distinct(graft.text.TextOps.shingles(col(textCol), shingleSize)),
+        s => xxhash64(s)).as("_bases"))
+    val sig = based.select(col("docId"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("_bases"), b => xxhash64(lit(i), b)))): _*)
+        .as("signature"))
+    // Same bucket key derivation as the batch lshCandidatePairs.
+    val buckets = sig.select(col("docId"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws("_",
+          (0 until rows).map(r => col("signature")(b * rows + r)): _*))): _*))
+        .as(Seq("band", "bucket")))
+    buckets
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("docId"))
+      .as[BandInput]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandInput],
+            state: GroupState[BucketState]) =>
+          val batch = rows.map(_.docId).toSeq.sorted
+          var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandidateOutput]
+          batch.foreach { id =>
+            ids.foreach(prev =>
+              if (prev != id) out += CandidateOutput(prev, id, key._1))
+            if (ids.size < maxBucket) ids = ids :+ id
+          }
+          state.update(BucketState(ids))
+          out.result().iterator
+      }
+      .toDF()
+      .select(col("idA").as("id_a"), col("idB").as("id_b"), col("band"))
+  }
+
   final case class SessionInput(userId: Long, ts: java.sql.Timestamp)
   final case class SessionState(count: Long, startMs: Long, lastMs: Long)
   final case class SessionOutput(userId: Long, events: Long, durationMs: Long,

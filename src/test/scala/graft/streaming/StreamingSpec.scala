@@ -130,6 +130,55 @@ class StreamingSpec extends SparkSpec {
     assert(dups == 1L)
   }
 
+  test("streaming near-dup: cross-batch LSH candidates match batch, verified exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.nearDupCandidatesStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    // batch 1: the original + two unrelated docs
+    mem.addData((1L, base),
+      (4L, "completely different text about database systems and planning"),
+      (6L, "another unrelated document discussing machine learning models"))
+    q.processAllAvailable()
+    // batch 2: an exact copy (cross-batch dup), a case/whitespace
+    // variant, one more unrelated doc
+    mem.addData((2L, base),
+      (5L, "THE  QUICK  Brown fox jumps over the lazy dog near the river bank today"),
+      (7L, "graphs and streams and windows are entirely other topics"))
+    q.processAllAvailable()
+    val cands = s.sql("SELECT DISTINCT id_a, id_b FROM snd")
+    val candPairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // normalized-identical docs collide in every band; cross-batch
+    // pair (1,2) proves the bucket state survives micro-batches
+    assert(Set((1L, 2L), (1L, 5L), (2L, 5L)).subsetOf(candPairs), candPairs)
+    // exact verification over the static corpus prunes to true near-dups
+    val statics = Seq((1L, base), (2L, base),
+      (4L, "completely different text about database systems and planning"),
+      (5L, "THE  QUICK  Brown fox jumps over the lazy dog near the river bank today"),
+      (6L, "another unrelated document discussing machine learning models"),
+      (7L, "graphs and streams and windows are entirely other topics"))
+      .toDF("doc_id", "text")
+    val verified = graft.dedup.Dedup.jaccardVerify(statics, "text", "doc_id",
+        cands, shingleSize = 3)
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((1L, 2L), (1L, 5L), (2L, 5L)), verified)
+    // and the stream's buckets agree with the batch LSH: the batch
+    // candidate set over the same corpus is the same pair set
+    val batchCands = graft.dedup.Dedup.lshCandidatePairs(
+      graft.dedup.Dedup.minhashSignatures(statics, "text", "doc_id",
+        shingleSize = 3, numHashes = 64), "doc_id", bands = 16, rows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candPairs == batchCands,
+      s"stream $candPairs != batch $batchCands")
+  }
+
   test("sessionize keeps O(1) per-key state and counts events per user") {
     val s = spark
     import s.implicits._
