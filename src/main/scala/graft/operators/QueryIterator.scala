@@ -140,7 +140,13 @@ final class QueryIterator(
     // byte-identical to the batch-at-a-time loop, at 1/batchesPerFile
     // the job count. A short page means the scan is exhausted (keyset
     // LIMIT returns everything left).
-    val groupRows = batchSize * batchesPerFile
+    require(batchSize > 0, "batchSize must be positive")
+    require(batchesPerFile > 0, "batchesPerFile must be positive")
+    // Long product capped to Int.MaxValue: a huge batchSize x
+    // batchesPerFile must degrade to big-but-valid pages, not overflow
+    // into limit(negative) / a zero product's infinite loop.
+    val groupRows =
+      math.min(batchSize.toLong * batchesPerFile, Int.MaxValue.toLong).toInt
     var done = false
     while (!done) {
       val group = fetchPage(groupRows)

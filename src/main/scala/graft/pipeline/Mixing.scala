@@ -120,14 +120,15 @@ object Mixing {
     * engine and partition layout.
     *
     * Scale shape: the naive `sum(tokens) OVER (ORDER BY score DESC)`
-    * is a single-partition window — dead at 100 TB. This reuses the
-    * two-pass distributed prefix sum (see [[graft.text.Packing]]):
-    * range-repartition on the order key, one #partitions-sized job for
-    * per-partition token totals, then each task windows only its own
-    * slice with the broadcast partition prefix added. Partitions whose
-    * exclusive prefix already exceeds the budget are dropped BEFORE
-    * the window — the pass over the corpus tail is a partition-pruned
-    * no-op, so the cost scales with the kept head, not the corpus.
+    * is a single-partition window — dead at 100 TB. This runs the
+    * two-pass distributed prefix sum over score-quantile BUCKETS:
+    * driver-constant quantile edges split the score axis, one
+    * hash-agg job collects per-bucket token totals (#buckets rows),
+    * and each bucket windows only its own slice with the broadcast
+    * bucket prefix added. Buckets whose exclusive prefix already
+    * exceeds the budget are dropped BEFORE the window — the pass over
+    * the corpus tail is a filter-pruned no-op, so the window cost
+    * scales with the kept head, not the corpus.
     *
     * Output: the input columns plus `cum_tokens` (the inclusive
     * running total, handy for budget reporting).
@@ -141,24 +142,54 @@ object Mixing {
       budget: Long,
       numPartitions: Int = 0): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
-    val parts =
+    val buckets =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // Null score sorts LAST (worst), null tokens count as zero-length.
+    val scoreExpr = coalesce(scoreCol.cast("double"),
+      lit(Double.NegativeInfinity))
+    val tokExpr = coalesce(tokensCol.cast("long"), lit(0L))
+    // Bucket by DRIVER-CONSTANT score quantile edges, NOT
+    // repartitionByRange + spark_partition_id: a range shuffle samples
+    // its boundaries per EXECUTION (seeded by the rdd id), and this
+    // operator executes its input twice (the pass-1 totals collect and
+    // the returned plan) — re-sampled boundaries between the two runs
+    // would attach the broadcast prefixes to the wrong rows. The edges
+    // are collected once and baked into both passes as literals, so
+    // the bucket of a row is a pure function of the row — identical
+    // in every execution, partition layout, and retry. (The edges'
+    // exact values only affect balance, never the result.)
+    val nEdges = math.max(buckets - 1, 0)
+    val edges: Seq[Double] =
+      if (nEdges == 0) Seq.empty
+      else {
+        val r = df.agg(percentile_approx(scoreExpr,
+          array((1 to nEdges).map(i => lit(i.toDouble / buckets)): _*),
+          lit(10000)).as("e")).head()
+        if (r.isNullAt(0)) Seq.empty
+        else r.getSeq[Double](0).distinct.sorted(Ordering[Double].reverse)
+      }
+    // pid 0 holds the best scores: pid = #edges strictly above score.
+    val pidExpr = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(lit(e) > col("_tbh_score"), 1).otherwise(0)
+    }
     val base = df
-      .withColumn("_tbh_score", scoreCol.cast("double"))
-      .withColumn("_tbh_tok", tokensCol.cast("long"))
-      .repartitionByRange(parts, col("_tbh_score").desc, col(idCol).asc)
-      .withColumn("_tbh_pid", org.apache.spark.sql.functions.spark_partition_id())
-    // Pass 1: per-partition totals (one row per partition).
+      .withColumn("_tbh_score", scoreExpr)
+      .withColumn("_tbh_tok", tokExpr)
+      .withColumn("_tbh_pid", pidExpr)
+    // Pass 1: per-bucket totals (one row per bucket).
     val partSums = base.groupBy("_tbh_pid")
       .agg(sum("_tbh_tok").as("_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     var acc = 0L
     val prefixRows = partSums.map { case (pid, s) =>
       val p = acc; acc += s; (pid, p)
     }
-    // A partition whose EXCLUSIVE prefix is already at/over budget
-    // contributes nothing: every row in it has cum > budget.
+    // A bucket whose EXCLUSIVE prefix is already at/over budget
+    // contributes nothing: every row in it has cum > budget. The
+    // filter prunes those buckets BEFORE the window shuffle.
     val keptPids = prefixRows.filter(_._2 < budget).map(_._1)
     if (keptPids.isEmpty)
       return df.withColumn("cum_tokens", lit(0L)).limit(0)

@@ -1727,7 +1727,16 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         val ratio = d.properties.get("compaction.majorRatio")
           .map(_.toDouble).getOrElse(0.2)
         val minorEligible = hasBase && {
-          val baseBytes = paths.head.totalSize
+          // The base is immutable once written (a major fold replaces
+          // the DIRECTORY, never its files), so its recursive size
+          // walk — proportional to the whole table's file count — is
+          // memoized per base path; only the small tail is re-walked
+          // per trigger.
+          val basePath = paths.head.toString
+          val baseBytes = Collection.baseSizeCache.computeIfAbsent(
+            basePath, _ => paths.head.totalSize)
+          if (Collection.baseSizeCache.size > 64)
+            Collection.baseSizeCache.keySet.removeIf(_ != basePath)
           paths.tail.map(_.totalSize).sum < ratio * baseBytes
         }
         if (minorEligible) compactMinor(spark) else compact(spark)
@@ -1744,4 +1753,11 @@ object Collection {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[store] def compactLock(dir: String): Object =
     compactLocks.computeIfAbsent(dir, _ => new Object)
+
+  // Memoized on-disk size per (immutable) compaction base directory —
+  // the leveled-policy check must not re-walk the whole table's file
+  // metadata on every post-high-water DML. Bounded by eviction in
+  // maybeAutoCompact.
+  private[store] val baseSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 }

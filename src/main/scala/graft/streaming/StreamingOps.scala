@@ -187,9 +187,19 @@ object StreamingOps {
           var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
           val out = Seq.newBuilder[CandidateOutput]
           batch.foreach { id =>
+            // Canonical (min, max) orientation — arrival order must
+            // not leak into the pair shape (a later-arriving SMALLER
+            // id still emits id_a < id_b, matching the batch
+            // lshCandidatePairs contract and downstream DISTINCT).
             ids.foreach(prev =>
-              if (prev != id) out += CandidateOutput(prev, id, key._1))
-            if (ids.size < maxBucket) ids = ids :+ id
+              if (prev != id)
+                out += CandidateOutput(math.min(prev, id),
+                  math.max(prev, id), key._1))
+            // Membership check: a replayed micro-batch (at-least-once
+            // sources) or a duplicate doc id must not be stored twice
+            // — duplicates would re-emit every pair per copy and burn
+            // the cap on one document.
+            if (!ids.contains(id) && ids.size < maxBucket) ids = ids :+ id
           }
           state.update(BucketState(ids))
           out.result().iterator

@@ -48,9 +48,18 @@ object Packing {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint PINS the range partitioning: a range shuffle
+    // samples its boundaries per EXECUTION (seeded by the rdd id), and
+    // this operator executes `base` twice (the pass-1 totals collect
+    // and the returned plan) — re-sampled boundaries between the two
+    // runs would attach the broadcast prefixes to the wrong rows. The
+    // eager checkpoint materializes the partitioned rows once; both
+    // passes read the same blocks (freed by the ContextCleaner when
+    // the frame becomes unreachable).
     val base = df.select(col(idCol), tokenCountCol.cast("long").as("n_tokens"))
       .repartitionByRange(parts, col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     // Pass 1: per-partition totals — one row per partition, safe to
     // collect at any corpus size (#partitions, not #rows).
     val partSums = base.groupBy("_pid")

@@ -179,6 +179,27 @@ class StreamingSpec extends SparkSpec {
       s"stream $candPairs != batch $batchCands")
   }
 
+  test("streaming near-dup: later-arriving smaller id still emits id_a < id_b; replays not re-stored") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val txt = "a long enough shared sentence about stream ordering and state"
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.nearDupCandidatesStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("snd2")
+      .outputMode("append").start()
+    mem.addData((10L, txt))          // big id first
+    q.processAllAvailable()
+    mem.addData((10L, txt), (3L, txt)) // replayed 10 + smaller dup id
+    q.processAllAvailable()
+    val pairs = s.sql("SELECT DISTINCT id_a, id_b FROM snd2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs == Set((3L, 10L)),
+      s"expected canonical (3,10) only, got $pairs")
+  }
+
   test("sessionize keeps O(1) per-key state and counts events per user") {
     val s = spark
     import s.implicits._
