@@ -3173,6 +3173,31 @@ object SparkEntry {
         graft.text.NaiveBayes.classify(s, docs, "text", "doc_id", m)
           .groupBy("label").agg(count(lit(1)).as("docs"))
       },
+      // The leveled-compaction design point: a compacted base under a
+      // stream of small client batches. Every high-water trigger after
+      // the first folds MINOR (tail-only, the base is never
+      // rewritten); before round 9 each trigger re-wrote the full
+      // table. The count at the end proves no batch was lost across
+      // the folds.
+      "bench_leveled_compaction" -> { (s, dir) =>
+        import s.implicits._
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-lvlb").toString)
+        val c = cat.createCollection(CollectionDef("lvlb", Seq(
+          FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+          FieldDef("o_totalprice", DoubleType)),
+          properties = Map("compaction.maxDeltas" -> "4")))
+        c.insert(s, tbl(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")): Unit
+        c.compact(s) // the base
+        (0 until 8).foreach { r =>
+          c.insert(s, (0 until 50).map { i =>
+            (10000000L + r * 100L + i, 1.0)
+          }.toDF("o_orderkey", "o_totalprice")): Unit
+        }
+        Seq((c.numEntities(s), c.numDeltas <= 4))
+          .toDF("entities", "chain_bounded")
+      },
       // Bigram-LM train + full-corpus perplexity scoring.
       "bench_lm_perplexity" -> { (s, dir) =>
         val docs = tbl(s, dir, "documents")
