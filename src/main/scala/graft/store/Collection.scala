@@ -460,17 +460,59 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   private def allSnapshotDeltaNames: Set[String] =
     listSnapshots().flatMap(snapshotDeltaNames).toSet
 
-  /** Delete superseded deltas, parking any a snapshot references in
-    * `_pinned/` (outside the reader's `delta_*` namespace) — shared by
-    * compact and truncate.
+  /** Retire superseded deltas: LOGICAL removal now, PHYSICAL removal
+    * after a grace period (the MVCC vacuum discipline). A `_retired`
+    * marker drops the directory from every new listing ([[deltaPaths]])
+    * immediately, but the files stay on disk so an in-flight scan that
+    * planned against the pre-fold listing keeps reading them — deleting
+    * eagerly failed concurrent readers with FILE_NOT_EXIST (caught by
+    * HammerSpec). Markers past `compaction.retireGraceMs` (default
+    * 5 min — longer than any sane query; a scan outliving it sees the
+    * standard vacuumed-snapshot error) are swept on the next retire or
+    * compaction: snapshot-referenced dirs park in `_pinned/`, the rest
+    * delete. Shared by compact, compactMinor and truncate.
     */
   private def retireDeltas(deltas: Seq[StorePath]): Unit = {
+    val now = System.currentTimeMillis()
+    deltas.foreach(p =>
+      p.resolve(RetiredMarker).writeBytes(now.toString.getBytes))
+    sweepRetired()
+  }
+
+  private val RetiredMarker = "_retired"
+
+  private def isRetired(p: StorePath): Boolean =
+    p.resolve(RetiredMarker).exists
+
+  /** Physically remove retired delta dirs whose grace period elapsed
+    * (park the snapshot-referenced ones). Safe to call any time; runs
+    * under no lock — marker content is written once and dirs are
+    * removed at most once (moveTo/delete tolerate a racing remover via
+    * the existence checks).
+    */
+  private def sweepRetired(): Unit = {
+    val graceMs = definition.properties.get("compaction.retireGraceMs")
+      .map(_.toLong).getOrElse(300000L)
+    val now = System.currentTimeMillis()
+    val expired = dataDir.list
+      .filter(p => p.name.startsWith("delta_") && isRetired(p))
+      .filter { p =>
+        val ts =
+          try new String(p.resolve(RetiredMarker).readBytes).trim.toLong
+          catch { case _: Exception => 0L }
+        now - ts >= graceMs
+      }
+    if (expired.isEmpty) return
     val pinned = allSnapshotDeltaNames
-    deltas.foreach { p =>
+    expired.foreach { p =>
       if (pinned.contains(p.name)) {
         pinnedDir.createDirectories()
         val target = pinnedDir.resolve(p.name)
-        if (!target.exists) p.moveTo(target) else p.deleteRecursively()
+        if (!target.exists) {
+          // the marker must not ride into the pinned copy
+          p.resolve(RetiredMarker).deleteRecursively()
+          p.moveTo(target)
+        } else p.deleteRecursively()
       } else p.deleteRecursively()
     }
   }
@@ -1192,7 +1234,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   private def deltaPaths: Seq[StorePath] =
     dataDir.list
-      .filter(_.name.startsWith("delta_"))
+      .filter(p => p.name.startsWith("delta_") && !isRetired(p))
       .sortBy(_.name)
 
   /** Compaction stamps this marker in the base it writes: the base is
@@ -1332,9 +1374,16 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       // visible together, so a reader can never see a marked
       // half-written directory. (Spark ignores `_`-prefixed files.)
       staging.resolve(UniqueBaseMarker).writeBytes(Array.emptyByteArray)
+      // Move-then-retire: the new base lands FIRST, so a listing never
+      // catches the moment where the folded chain is gone and the base
+      // isn't there yet (a reader in that gap saw only mid-compaction
+      // deltas — caught by HammerSpec). During the overlap readers see
+      // base + folded deltas together, which last-writer-wins resolves
+      // to the base (it carries the fold's higher seq; a pre-fold
+      // tombstone still out-ranks the even-older insert it masks).
+      staging.moveTo(dataDir.resolve(f"delta_$seq%012d"))
       // Folded deltas a snapshot references are parked, not deleted.
       retireDeltas(folded)
-      staging.moveTo(dataDir.resolve(f"delta_$seq%012d"))
       refreshCachedSnapshot(spark)
     }
 

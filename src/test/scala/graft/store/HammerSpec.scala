@@ -89,4 +89,49 @@ class HammerSpec extends SparkSpec {
     assert(!(c2 eq a), "dropped handle resurrected")
     assert(c2.read(s).count() == 0, "recreated collection saw stale cache")
   }
+
+  test("leveled auto-compaction under concurrent DML and readers loses nothing") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-hlvl").toString)
+    val c = cat.createCollection(CollectionDef("hl", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("pad", org.apache.spark.sql.types.StringType)),
+      properties = Map("compaction.maxDeltas" -> "3")))
+    // A real base so every subsequent trigger takes the MINOR path —
+    // the new code: merged tail visible before the folded dirs retire.
+    val pad = "x" * 100
+    c.insert(s, (0L until 2000L).map(i => (i, pad)).toDF("id", "pad")): Unit
+    c.compact(s)
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    val writers = (0 until 3).map { t =>
+      new Thread(() => {
+        try (0 until 6).foreach { b =>
+          cat.collection("hl").insert(s,
+            (0L until 10L).map(i => (100000L * (t + 1) + b * 100L + i, "w"))
+              .toDF("id", "pad")): Unit
+        } catch { case e: Exception =>
+          errors.compareAndSet(null, s"writer$t: ${e.getMessage}"): Unit }
+      })
+    }
+    val reader = new Thread(() => {
+      try (1 to 25).foreach { _ =>
+        // Monotone count (insert-only workload): a read racing a minor
+        // fold may see the merged tail AND the not-yet-retired folded
+        // dirs (identical winner rows — LWW ties), but never fewer
+        // rows than the base, and never a torn chain.
+        val n = cat.collection("hl").read(s).count()
+        assert(n >= 2000, s"lost rows under minor folds: $n")
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"reader: ${e.getMessage}"): Unit }
+    })
+    (writers :+ reader).foreach(_.start())
+    (writers :+ reader).foreach(_.join())
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    assert(cat.collection("hl").read(s).count() == 2000 + 3 * 6 * 10,
+      "writes lost across concurrent minor folds")
+    // distinct ids prove no duplicate VISIBLE rows survive the folds
+    assert(cat.collection("hl").read(s).select("id").distinct().count()
+      == 2000 + 3 * 6 * 10)
+  }
 }

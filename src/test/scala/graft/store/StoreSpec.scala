@@ -621,7 +621,8 @@ class StoreSpec extends SparkSpec {
     val c = cat.createCollection(simpleDef("minor"))
     def deltaDirs() = new java.io.File(
       cat.collectionDir("minor").resolve("data").toString)
-      .listFiles().filter(_.getName.startsWith("delta_")).map(_.getName).sorted
+      .listFiles().filter(f => f.getName.startsWith("delta_")
+        && !new java.io.File(f, "_retired").exists).map(_.getName).sorted
     c.insert(s, (0L until 10L).map(i => (i, i, s"c$i", 0L))
       .toDF("id", "category", "content", "version"))
     c.compact(s)
@@ -665,7 +666,8 @@ class StoreSpec extends SparkSpec {
         "compaction.majorRatio" -> "0.5")))
     def deltaDirs() = new java.io.File(
       cat.collectionDir("lvl").resolve("data").toString)
-      .listFiles().filter(_.getName.startsWith("delta_")).map(_.getName).sorted
+      .listFiles().filter(f => f.getName.startsWith("delta_")
+        && !new java.io.File(f, "_retired").exists).map(_.getName).sorted
     val pad = "x" * 200
     // three big batches cross the high-water with no base -> MAJOR
     (0 until 3).foreach { r =>
