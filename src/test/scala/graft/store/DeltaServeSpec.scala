@@ -79,6 +79,49 @@ class DeltaServeSpec extends SparkSpec {
       allowStale = false).builtSeq == c.committedSeq)
   }
 
+  test("minor compaction of post-build deltas: serving stays exact (fold preserves row seqs)") {
+    val s = spark
+    import s.implicits._
+    val (_, c) = vecCollection("dsminor")
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val builtSeq = IndexStore.ensureIvf(s, c, "embedding", "L2", 8).builtSeq
+    // three post-build tail deltas: clone insert, move, tombstone
+    c.insert(s, Seq((800100L, 1L)).toDF("vec_id", "label")
+      .withColumn("embedding", typedlit(queryVec(3))))
+    c.upsert(s, Seq((5L, 2L)).toDF("vec_id", "label")
+      .withColumn("embedding", typedlit(queryVec(5).map(_ => 1e6f))))
+    c.delete(s, "vec_id == 7")
+    // fold the tail (the base is the initial insert's delta — NOT a
+    // compaction base, so fold everything and rebuild-serve; then the
+    // interesting case: major first, rebuild, DML, minor fold)
+    c.compact(s)
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val seq2 = IndexStore.ensureIvf(s, c, "embedding", "L2", 8).builtSeq
+    assert(seq2 == c.committedSeq)
+    // post-build DML again, then a MINOR fold of just those deltas
+    c.insert(s, Seq((800200L, 1L)).toDF("vec_id", "label")
+      .withColumn("embedding", typedlit(queryVec(9))))
+    c.delete(s, "vec_id == 11")
+    c.compactMinor(s)
+    // the merged dir has a HIGHER dir-seq but keeps the original row
+    // seqs (all > seq2), so the growing-segment view still resolves —
+    // no rebuild — and full-probe results equal the exact scan
+    val served = IndexStore.ensureIvf(s, c, "embedding", "L2", 8)
+    assert(served.builtSeq == seq2,
+      "minor fold of post-build deltas must not force a rebuild")
+    val ann = CollectionSearch.search(s, c, "embedding", queryVec(9), 10,
+      searchParams = Map("nprobe" -> "8"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ann == exactIds(c, queryVec(9), 10))
+    assert(ann.contains(800200L), "folded growing insert missing")
+    val near11 = CollectionSearch.search(s, c, "embedding", queryVec(11), 10,
+      searchParams = Map("nprobe" -> "8"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!near11.contains(11L), "folded tombstone not applied")
+  }
+
   test("the serve gate rebuilds when the delta fraction cap is exceeded") {
     val s = spark
     import s.implicits._
