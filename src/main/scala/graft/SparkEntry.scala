@@ -2785,6 +2785,17 @@ object SparkEntry {
           col("n_chars"), budget = 60000L)
         .select("doc_id", "cum_tokens").orderBy("doc_id")
     },
+    // Classifier-threshold selection: keep the best 20% by the
+    // deterministic score — exactly the first ceil(0.2 n) rows of the
+    // (score DESC, id) order, which the oracle restates as a
+    // row_number window.
+    "p6_top_fraction" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      graft.pipeline.Mixing.topFraction(s, docs, "doc_id",
+          graft.pipeline.Mixing.hashUniform(col("doc_id"), "tf"),
+          fraction = 0.2)
+        .select("doc_id").orderBy("doc_id")
+    },
     // Token-budget sequence packing (concat-and-chunk) through the
     // two-pass distributed prefix sum — the oracle is the
     // single-window cumsum DuckDB can afford at this SF.
@@ -5037,6 +5048,14 @@ object SparkEntry {
           |  round(avg(length(text)), 4) AS avg_chars,
           |  CAST(median(length(text)) AS DOUBLE) AS median_chars
           |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+      "p6_top_fraction" ->
+        """WITH c AS (SELECT doc_id,
+          |  (('0x' || substr(md5('tf' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE / 4294967296.0 AS score
+          |  FROM documents),
+          |r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+          |  count(*) OVER () AS n FROM c)
+          |SELECT doc_id FROM r WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+          |ORDER BY doc_id""".stripMargin,
       // Sketch invariants hold by construction; the Spark side emits
       // the bound checks as booleans (the recall-entry idiom).
       "a11_approx_datasheet" ->

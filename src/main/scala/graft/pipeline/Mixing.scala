@@ -206,6 +206,27 @@ object Mixing {
       .drop("_tbh_pid", "_tbh_prefix", "_tbh_score", "_tbh_tok")
   }
 
+  /** Keep the top `fraction` of rows by score (ties broken by id) —
+    * the classifier-threshold selection of DCLM-style pipelines
+    * ("keep the best X% by quality score"). Exactly the first
+    * ceil(fraction * n) rows of the (score DESC, id ASC) order, via
+    * [[tokenBudgetHead]] with unit weights — same bucketed prefix sum,
+    * same budget-pruned tail, no global window. One count job sizes
+    * the budget.
+    */
+  def topFraction(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      fraction: Double,
+      numPartitions: Int = 0): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val budget = math.ceil(df.count() * fraction).toLong
+    tokenBudgetHead(spark, df, idCol, scoreCol, lit(1L), budget,
+      numPartitions).drop("cum_tokens")
+  }
+
   /** Temperature-flattened mixture weights from observed source counts:
     * w_s ∝ count_s^alpha, normalized. alpha = 1 reproduces the natural
     * distribution, alpha → 0 approaches uniform — the standard

@@ -261,6 +261,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 5L, 3L -> 5L, 4L -> 10L), got.toString)
   }
 
+  test("topFraction keeps exactly the best ceil(frac*n), ties by id, layout-stable") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, 0.5), (1L, 0.9), (2L, 0.5), (3L, 0.1),
+      (4L, 0.9), (5L, 0.7), (6L, 0.3))
+    val df = rows.toDF("id", "score")
+    for (frac <- Seq(0.0, 0.3, 0.5, 1.0); parts <- Seq(1, 4)) {
+      val want = rows.sortBy { case (id, sc) => (-sc, id) }
+        .take(math.ceil(rows.size * frac).toInt).map(_._1).sorted
+      val got = graft.pipeline.Mixing.topFraction(
+        s, df.repartition(parts), "id", col("score"), frac)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"frac=$frac parts=$parts")
+    }
+  }
+
   test("tokenBudgetHead plan: per-partition window, tail partitions pruned") {
     val s = spark
     import s.implicits._
