@@ -2218,6 +2218,39 @@ object SparkEntry {
       s.sql("""SELECT doc_id, keep, clean_text, redacted FROM st5_clean
         |ORDER BY doc_id""".stripMargin)
     },
+    // ---- S39: describe_index — declared definition + physical build
+    // state (scalar_index_cycle.py:91-93 reads field_name/index_type/
+    // params off describe_index to split scalar from vector indexes).
+    // The vector index reports "built" with the committed pointer's
+    // facts after the first search forces its lazy build; the scalar
+    // kind stays "declared" (parquet stats subsume it, nothing
+    // persists). ------------------------------------------------------
+    "s39_describe_index" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-di").toString)
+      val c = cat.createCollection(CollectionDef("di", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("category", LongType),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(4))),
+        indexes = Seq(
+          IndexDef("embedding", "IVF_FLAT", Some("L2"), Map("nlist" -> "4")),
+          IndexDef("category", "INVERTED"))))
+      c.insert(s, (0 until 200).map { i =>
+        (i.toLong, (i % 20).toLong,
+          Array((i % 7).toFloat, (i % 11).toFloat, (i % 13).toFloat, 1f))
+      }.toDF("vec_id", "category", "embedding")): Unit
+      CollectionSearch.search(s, c, "embedding", Seq(1f, 2f, 3f, 1f), 5,
+        searchParams = Map("nprobe" -> "4")).count(): Unit
+      val rows = Seq("category", "embedding").map { f =>
+        val d = c.describeIndex(f)
+        (f, d("index_type"), d.getOrElse("metric_type", ""), d("state"),
+          d.get("built_seq").contains(c.committedSeq.toString),
+          d.getOrElse("build_kind", ""))
+      }
+      rows.toDF("field", "index_type", "metric", "state", "fresh",
+        "build_kind").orderBy("field")
+    },
     // ---- ST6: streaming near-dup — banded-MinHash LSH candidates
     // over a document stream (one stateful stage, bucket state crosses
     // micro-batches: the exact copy arrives a batch AFTER the
@@ -4314,6 +4347,13 @@ object SparkEntry {
           |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
           |FROM nation
           |WHERE n_nationkey % 5 = 0 OR n_nationkey * 1000 > 10000""".stripMargin,
+      "s39_describe_index" ->
+        """SELECT field, index_type, metric, state, fresh, build_kind
+          |FROM (VALUES
+          |  ('category', 'INVERTED', '', 'declared', false, ''),
+          |  ('embedding', 'IVF_FLAT', 'L2', 'built', true, 'ivf2'))
+          |AS t(field, index_type, metric, state, fresh, build_kind)
+          |ORDER BY field""".stripMargin,
       // COMPUTED oracle: exact all-pairs Jaccard over the streamed
       // fixture — on it the banded LSH has recall 1 for >= 0.9 pairs
       // and the entry's verification prunes everything below, so the

@@ -139,6 +139,23 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   def listIndexes(): Seq[IndexDef] = definition.indexes
 
+  /** describe_index (milvus_client/scalar_index_cycle.py:91-93 reads
+    * field_name / index_type / params off it): the declared definition
+    * plus the physical build state — `state` is "built" with the
+    * committed pointer's facts when a persisted build exists, else
+    * "declared" (the index serves lazily on first search; scalar
+    * index kinds are subsumed by parquet stats and never persist).
+    */
+  def describeIndex(field: String): Map[String, String] = {
+    val ix = definition.indexes.find(_.field == field).getOrElse(
+      throw new IllegalArgumentException(s"no index declared on $field"))
+    Map("field_name" -> field, "index_type" -> ix.indexType) ++
+      ix.metricType.map("metric_type" -> _) ++ ix.params ++
+      IndexStore.describe(this, field)
+        .map(b => b + ("state" -> "built"))
+        .getOrElse(Map("state" -> "declared"))
+  }
+
   // ---- schema evolution (schema_evolution_workload.py:44-124) -----------
 
   def addField(f: FieldDef): Unit = {

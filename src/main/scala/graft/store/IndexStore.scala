@@ -761,6 +761,19 @@ object IndexStore {
     indexDir(coll, field).deleteRecursively()
   }
 
+  /** Build-state introspection for describe_index (the reference reads
+    * field_name / index_type / params off describe_index,
+    * milvus_client/scalar_index_cycle.py:91-93): the committed
+    * pointer's build facts, or None when the field has no persisted
+    * build (a declared-only index serves lazily on first search).
+    */
+  def describe(coll: Collection, field: String): Option[Map[String, String]] =
+    readPointer(indexDir(coll, field)).map(p => Map(
+      "built_seq" -> p.builtSeq.toString,
+      "build_kind" -> p.kind,
+      "build_metric" -> p.metric,
+      "build_nlist" -> p.nlist.toString))
+
   /** Names of fields with a live persisted build (for describe/stats). */
   def persistedFields(coll: Collection): Seq[String] = {
     val root = coll.catalog.collectionDir(coll.name).resolve("index")
