@@ -144,6 +144,42 @@ class StorageV3Spec extends SparkSpec {
     intercept[IllegalArgumentException](c.readSnapshot(s, snap))
   }
 
+  test("zero-grace sweep parks snapshot-referenced deltas and deletes the rest") {
+    val s = spark
+    val cat = freshCatalog()
+    // retireGraceMs=0: retirement sweeps IMMEDIATELY (the pre-vacuum
+    // behavior), which is the only way to exercise the parking branch
+    // in-process — the default 5 min grace outlives any test.
+    val c = cat.createCollection(CollectionDef("snapzg", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("v", LongType)),
+      properties = Map("compaction.retireGraceMs" -> "0")))
+    c.insert(s, rows(1, 2, 3))
+    val snap = c.createSnapshot()
+    c.insert(s, rows(4, 5))
+    c.compact(s)
+    // the snapshot-referenced delta was physically PARKED (not merely
+    // marker-retired in place), the unreferenced one deleted
+    val dataDir = new java.io.File(
+      cat.collectionDir("snapzg").resolve("data").toString)
+    val live = dataDir.listFiles().filter(_.getName.startsWith("delta_"))
+    assert(live.length == 1, s"swept chain must be base-only: ${live.toSeq}")
+    val pinned = new java.io.File(
+      cat.collectionDir("snapzg").resolve("data").resolve("_pinned").toString)
+    assert(pinned.isDirectory && pinned.listFiles().nonEmpty,
+      "snapshot-referenced delta must be parked in _pinned")
+    assert(pinned.listFiles().forall(d =>
+      !new java.io.File(d, "_retired").exists),
+      "the retirement marker must not ride into the pinned copy")
+    // snapshot reads from the parked copy; live state unaffected
+    assert(c.readSnapshot(s, snap).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(c.numEntities(s) == 5)
+    c.dropSnapshot(snap)
+    assert(pinned.listFiles() == null || pinned.listFiles().isEmpty,
+      "dropSnapshot must GC the unreferenced parked delta")
+  }
+
   test("dropSnapshot garbage-collects pinned deltas only when unreferenced") {
     val s = spark
     val c = freshCatalog().createCollection(simpleDef("snapgc"))
