@@ -2482,6 +2482,19 @@ object SparkEntry {
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
         .select("doc_id", "rank").orderBy("rank")
     },
+    // ---- V39: batched BM25 over the persisted postings — nq text
+    // queries in ONE job (broadcast (term, qid) probe over the
+    // bucket-pruned union scan, shared salted per-qid top-k). The
+    // oracle replays both queries' BM25 scoring in DuckDB. ------------
+    "v39_bm25_batch" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bmb").toString
+      val p = Bm25.writeIndex(
+        Bm25.buildIndex(tbl(s, dir, "documents"), "text", "doc_id"), tmp)
+      Bm25.topKPersistedBatch(s, p,
+          Seq(1L -> "vector stream", 2L -> "table scan"), 10)
+        .select(col("qid"), col("doc_id"), col("rank").cast("int").as("rank"))
+        .orderBy("qid", "rank")
+    },
     // ---- V8: BM25 full-text top-k ----------------------------------------
     "v8_bm25_topk" -> { (s, dir) =>
       val top = Bm25.topK(tbl(s, dir, "documents"), "text", "doc_id",
@@ -3353,6 +3366,21 @@ object SparkEntry {
       // disk), then 10 queries that each touch only their terms'
       // bucket directories — per-query cost is value/10 and must be
       // far below the inline bench_bm25 build-per-query shape.
+      // Same 10 queries as bench_bm25_indexed's per-query loop, served
+      // in ONE job over the same persisted postings — the QPS-serving
+      // shape; the gap between the two entries is nq-1 fixed job costs.
+      "bench_bm25_batch" -> { (s, dir) =>
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bmbb").toString
+        val persisted = Bm25.writeIndex(
+          Bm25.buildIndex(tbl(s, dir, "documents"), "text", "doc_id"), tmp)
+        val queries = Seq("vector stream", "table scan", "hash join",
+          "query plan", "batch window", "merge sort", "row group",
+          "data column", "filter value", "spark agg")
+          .zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        Bm25.topKPersistedBatch(s, persisted, queries, 100)
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+      },
       "bench_bm25_indexed" -> { (s, dir) =>
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-bmb").toString
@@ -4805,6 +4833,29 @@ object SparkEntry {
           |SELECT doc_id, rank FROM (
           |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
           |  FROM scored) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "v39_bm25_batch" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+          |  FROM documents
+          |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          |q(qid, term) AS (VALUES (1, 'vector'), (1, 'stream'), (2, 'table'), (2, 'scan')),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |       WHERE term IN ('vector', 'stream', 'table', 'scan') GROUP BY doc_id, term),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+          |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |scored AS (
+          |  SELECT q.qid, tf.doc_id,
+          |    sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+          |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+          |  FROM tf JOIN q USING (term) JOIN df USING (term)
+          |    JOIN dl USING (doc_id) CROSS JOIN stats
+          |  GROUP BY q.qid, tf.doc_id)
+          |SELECT qid, doc_id, rank FROM (
+          |  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+          |  FROM scored) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
       "v8_bm25_topk" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(

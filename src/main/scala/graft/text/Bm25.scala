@@ -211,6 +211,47 @@ object Bm25 {
     }
   }
 
+  /** Batched top-k: nq text queries answered in ONE job over the
+    * persisted postings — the shape that serves QPS on Spark, where a
+    * per-query loop pays the fixed job-scheduling cost nq times. The
+    * union of every query's term buckets is scanned ONCE (still a
+    * directory-pruned read — only buckets some query needs); a
+    * broadcast (term, qid) probe fans each posting out to the queries
+    * containing its term; scores aggregate per (qid, doc); the shared
+    * salted per-qid window prunes to k (the batched-kNN plan family).
+    * Repeated terms within one query are deduplicated, matching the
+    * single-query scorer's term-presence semantics. Output:
+    * (qid, idCol, score, rank).
+    */
+  def topKPersistedBatch(spark: SparkSession, p: PersistedBm25,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val probe = queries.flatMap { case (qid, q) =>
+      tokenizeQuery(q, p.params.analyzer).distinct.map(t => (qid, t))
+    }
+    if (probe.isEmpty)
+      return spark.read.parquet(p.postingsPath)
+        .select(lit(0L).as("qid"), col(p.idCol), lit(0.0).as("score"),
+          lit(0).as("rank")).limit(0)
+    val allTerms = probe.map(_._2).distinct
+    val buckets = termBuckets(spark, allTerms, p.numBuckets)
+    val postings = spark.read.parquet(p.postingsPath)
+      .filter(col("_tb").isin(buckets: _*) && col("term").isin(allTerms: _*))
+    require(postings.columns.contains("idf"),
+      "batched serving requires the idf-denormalized postings layout")
+    val pr = p.params
+    val scored = postings
+      .join(broadcast(probe.toDF("qid", "term")), "term")
+      .withColumn("_score",
+        col("idf") * (col("tf") * (pr.k1 + 1)) /
+          (col("tf") + lit(pr.k1) *
+            (lit(1 - pr.b) + lit(pr.b) * col("dl") / p.avgdl)))
+      .groupBy(col("qid"), col(p.idCol))
+      .agg(sum("_score").as("score"))
+    graft.operators.Knn.limitPerQid(scored, "qid",
+      Seq(col("score").desc, col(p.idCol).asc), k)
+  }
+
   /** Top-k against a persisted index (ORDER BY + LIMIT =
     * TakeOrderedAndProject over the pruned aggregation).
     */

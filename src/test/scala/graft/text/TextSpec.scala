@@ -296,4 +296,30 @@ class TextSpec extends SparkSpec {
     assert(Bm25.score(ix, "alpha").collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(Bm25.score(ix, "gamma").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
+
+  test("batched persisted BM25 equals the per-query loop, one broadcast join") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, s"alpha ${if (i % 2 == 0) "beta beta" else "gamma"} " +
+        s"delta${i % 5} filler$i")
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bmb").toString
+    val p = Bm25.writeIndex(Bm25.buildIndex(docs, "text", "doc_id"), tmp)
+    val queries = Seq(1L -> "beta delta0", 2L -> "gamma",
+      3L -> "beta beta gamma", // repeated term: presence semantics
+      4L -> "zzz_absent")
+    val batch = Bm25.topKPersistedBatch(s, p, queries, k = 5)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = queries.flatMap { case (qid, q) =>
+      Bm25.topKPersisted(s, p, q, 5).collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1) }
+    }.toSet
+    assert(got == want, s"batch $got != loop $want")
+    // the probe side rides a broadcast; the postings scan is the only
+    // distributed input
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
