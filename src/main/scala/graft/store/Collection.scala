@@ -489,49 +489,67 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * compaction: snapshot-referenced dirs park in `_pinned/`, the rest
     * delete. Shared by compact, compactMinor and truncate.
     */
-  private def retireDeltas(deltas: Seq[StorePath]): Unit = {
-    val now = System.currentTimeMillis()
-    deltas.foreach(p =>
-      p.resolve(RetiredMarker).writeBytes(now.toString.getBytes))
-    sweepRetired()
+  private def retireDeltas(deltas: Seq[StorePath]): Unit =
+    // Serialized with compactions (re-entrant from compact/compactMinor,
+    // which hold the same per-directory lock; truncate enters here too)
+    // so two retire/sweep cycles can never lose each other's index
+    // update.
+    Collection.compactLock(dataDir.toString).synchronized {
+      val now = System.currentTimeMillis()
+      writeRetiredIndex(readRetiredIndex() ++ deltas.map(_.name -> now))
+      sweepRetired()
+    }
+
+  /** The retirement ledger: ONE file naming the logically-removed
+    * delta dirs (with retire timestamps), read once per [[deltaPaths]]
+    * listing. A per-dir marker file would cost a metadata HEAD per
+    * delta per listing — and the chain is consulted on every search
+    * (committedSeq) — so the ledger keeps the listing overhead
+    * constant on object stores.
+    */
+  private def retiredIndexFile: StorePath = dataDir.resolve("_retired_index")
+
+  private def readRetiredIndex(): Map[String, Long] =
+    if (!retiredIndexFile.exists) Map.empty
+    else new String(retiredIndexFile.readBytes).split("\n").toSeq
+      .filter(_.nonEmpty).flatMap { line =>
+        line.split(" ") match {
+          case Array(n, ts) => scala.util.Try(n -> ts.toLong).toOption
+          case _ => None
+        }
+      }.toMap
+
+  private def writeRetiredIndex(m: Map[String, Long]): Unit = {
+    val tmp = dataDir.resolve(
+      s"_retired_index.tmp.${Thread.currentThread().getId}")
+    tmp.writeBytes(m.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"$n $t" }.mkString("\n").getBytes)
+    tmp.moveOver(retiredIndexFile)
   }
 
-  private val RetiredMarker = "_retired"
-
-  private def isRetired(p: StorePath): Boolean =
-    p.resolve(RetiredMarker).exists
-
   /** Physically remove retired delta dirs whose grace period elapsed
-    * (park the snapshot-referenced ones). Safe to call any time; runs
-    * under no lock — marker content is written once and dirs are
-    * removed at most once (moveTo/delete tolerate a racing remover via
-    * the existence checks).
+    * (park the snapshot-referenced ones), and drop them from the
+    * ledger. Caller holds the compaction lock.
     */
   private def sweepRetired(): Unit = {
     val graceMs = definition.properties.get("compaction.retireGraceMs")
       .map(_.toLong).getOrElse(300000L)
     val now = System.currentTimeMillis()
-    val expired = dataDir.list
-      .filter(p => p.name.startsWith("delta_") && isRetired(p))
-      .filter { p =>
-        val ts =
-          try new String(p.resolve(RetiredMarker).readBytes).trim.toLong
-          catch { case _: Exception => 0L }
-        now - ts >= graceMs
-      }
+    val ledger = readRetiredIndex()
+    val expired = ledger.filter { case (_, ts) => now - ts >= graceMs }
     if (expired.isEmpty) return
     val pinned = allSnapshotDeltaNames
-    expired.foreach { p =>
-      if (pinned.contains(p.name)) {
-        pinnedDir.createDirectories()
-        val target = pinnedDir.resolve(p.name)
-        if (!target.exists) {
-          // the marker must not ride into the pinned copy
-          p.resolve(RetiredMarker).deleteRecursively()
-          p.moveTo(target)
+    expired.keys.foreach { name =>
+      val p = dataDir.resolve(name)
+      if (p.exists) {
+        if (pinned.contains(name)) {
+          pinnedDir.createDirectories()
+          val target = pinnedDir.resolve(name)
+          if (!target.exists) p.moveTo(target) else p.deleteRecursively()
         } else p.deleteRecursively()
-      } else p.deleteRecursively()
+      }
     }
+    writeRetiredIndex(ledger -- expired.keys)
   }
 
   // ---- DML --------------------------------------------------------------
@@ -1249,10 +1267,12 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * concurrent writer whose staging directory makes dataDir non-empty
     * while `delta_*` matches nothing yet.
     */
-  private def deltaPaths: Seq[StorePath] =
+  private def deltaPaths: Seq[StorePath] = {
+    val retired = readRetiredIndex().keySet
     dataDir.list
-      .filter(p => p.name.startsWith("delta_") && !isRetired(p))
+      .filter(p => p.name.startsWith("delta_") && !retired.contains(p.name))
       .sortBy(_.name)
+  }
 
   /** Compaction stamps this marker in the base it writes: the base is
     * exactly one row per live PK with `_del = false` (the fold already

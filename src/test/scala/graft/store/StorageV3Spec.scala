@@ -168,9 +168,12 @@ class StorageV3Spec extends SparkSpec {
       cat.collectionDir("snapzg").resolve("data").resolve("_pinned").toString)
     assert(pinned.isDirectory && pinned.listFiles().nonEmpty,
       "snapshot-referenced delta must be parked in _pinned")
-    assert(pinned.listFiles().forall(d =>
-      !new java.io.File(d, "_retired").exists),
-      "the retirement marker must not ride into the pinned copy")
+    // the sweep must also clear the ledger — a stale entry would keep
+    // suppressing a future delta that reuses the name
+    val ledger = new java.io.File(dataDir, "_retired_index")
+    assert(!ledger.exists ||
+      scala.io.Source.fromFile(ledger).getLines().forall(_.isEmpty),
+      "swept entries must leave the retirement ledger")
     // snapshot reads from the parked copy; live state unaffected
     assert(c.readSnapshot(s, snap).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))

@@ -11,6 +11,16 @@ class StoreSpec extends SparkSpec {
   private def freshCatalog(): Catalog =
     new Catalog(Files.createTempDirectory("graft-store").toString)
 
+  /** Names in the data dir's retirement ledger (logically-removed
+    * delta dirs awaiting the grace sweep).
+    */
+  private def retiredNames(dataDir: java.io.File): Set[String] = {
+    val f = new java.io.File(dataDir, "_retired_index")
+    if (!f.exists) Set.empty
+    else scala.io.Source.fromFile(f).getLines()
+      .filter(_.nonEmpty).map(_.split(" ")(0)).toSet
+  }
+
   private def simpleDef(name: String,
       partitions: Seq[String] = Seq.empty,
       ttl: Option[Long] = None,
@@ -622,7 +632,8 @@ class StoreSpec extends SparkSpec {
     def deltaDirs() = new java.io.File(
       cat.collectionDir("minor").resolve("data").toString)
       .listFiles().filter(f => f.getName.startsWith("delta_")
-        && !new java.io.File(f, "_retired").exists).map(_.getName).sorted
+        && !retiredNames(f.getParentFile).contains(f.getName))
+      .map(_.getName).sorted
     c.insert(s, (0L until 10L).map(i => (i, i, s"c$i", 0L))
       .toDF("id", "category", "content", "version"))
     c.compact(s)
@@ -667,7 +678,8 @@ class StoreSpec extends SparkSpec {
     def deltaDirs() = new java.io.File(
       cat.collectionDir("lvl").resolve("data").toString)
       .listFiles().filter(f => f.getName.startsWith("delta_")
-        && !new java.io.File(f, "_retired").exists).map(_.getName).sorted
+        && !retiredNames(f.getParentFile).contains(f.getName))
+      .map(_.getName).sorted
     val pad = "x" * 200
     // three big batches cross the high-water with no base -> MAJOR
     (0 until 3).foreach { r =>
