@@ -22,6 +22,18 @@ object Bench {
 
     def load1m: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Process CPU time (all threads of this JVM, ns). Wall-clock alone
+    // cannot distinguish "the query did more work" from "the disk
+    // stalled": the round-9 driver artifact read 12 write/spill-heavy
+    // entries 1.9-4.6x hotter than a same-code, same-load builder run
+    // because of cold page cache — invisible to load1m. An IO-stalled
+    // entry burns little CPU while the wall clock runs, so a cpu/wall
+    // ratio far below the suite median flags it.
+    def processCpuNs: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
     // Sampled at start AND end: a run that STARTS loaded (a lingering
     // forked test JVM, a concurrent build) is already distorted before
     // the first timed entry, and an end-only sample hides it.
@@ -42,21 +54,45 @@ object Bench {
     val all = (SparkEntry.queries ++ SparkEntry.benchQueries)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Per rep: (wall sec, process-cpu sec). Report the min-wall rep's
+      // pair so cpu corresponds to the wall we publish.
       val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
+        val t0 = System.nanoTime(); val c0 = processCpuNs
+        try {
+          fn(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = if (c0 >= 0) (processCpuNs - c0) / 1e9 else -1.0
+          Some((wall, cpu))
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             None
         }
       }
       if (times.size < reps) failures ::= name
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (times.nonEmpty) times.minBy(_._1) else (-1.0, -1.0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (w, _)) if w >= 0 => w }.sum
+    // IO-stall self-diagnosis: entries whose cpu/wall ratio sits far
+    // below the suite median were waiting (cold page cache, disk
+    // contention), not computing. Only entries long enough to measure
+    // (>0.3 s wall) participate; the ratio spans ~1-32 on this
+    // 32-thread JVM so "far below" = under 40% of the median.
+    val entryStats = results.collect { case (k, (w, c)) if w >= 0 && c >= 0 =>
+      (k, w, c, c / math.max(w, 1e-9))
+    }
+    val ratios = entryStats.collect { case (_, w, _, r) if w > 0.3 => r }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
+    val ioSuspects = entryStats.collect {
+      case (k, w, _, r) if w > 0.3 && medianRatio > 0 && r < 0.4 * medianRatio => k
+    }
+    val statsJson = entryStats.map { case (k, w, c, _) =>
+      "\"" + k + "\":{\"wall\":" + f"$w%.3f" + ",\"cpu\":" + f"$c%.3f" + "}"
+    }.mkString("{", ",", "}")
+    val ioJson = ioSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The 1-min load averages make load-distorted runs self-evident in
     // the artifact (a quiet machine reads ~0-2 here; a concurrent build
     // session reads 10+ and inflates every wall-clock number — the r8
@@ -74,7 +110,7 @@ object Bench {
         s""","warning":"load1m ${f"$loadStart%.2f"}->${f"$loadEnd%.2f"} during run: timings are load-contaminated, re-measure on a quiet machine""""
       else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart$warning}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart,"cpu_wall_median":${f"$medianRatio%.2f"},"io_suspect":$ioJson,"entry_stats":$statsJson$warning}"""
     println(line)
     // Lossless copy for the driver: stdout tail-capture has truncated
     // the per-query head before (round 6); the file always has it all.

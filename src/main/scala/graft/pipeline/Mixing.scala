@@ -187,10 +187,14 @@ object Mixing {
     val prefixRows = partSums.map { case (pid, s) =>
       val p = acc; acc += s; (pid, p)
     }
-    // A bucket whose EXCLUSIVE prefix is already at/over budget
-    // contributes nothing: every row in it has cum > budget. The
-    // filter prunes those buckets BEFORE the window shuffle.
-    val keptPids = prefixRows.filter(_._2 < budget).map(_._1)
+    // A bucket whose EXCLUSIVE prefix is already OVER budget
+    // contributes nothing: every row in it has cum > budget. A bucket
+    // whose prefix lands EXACTLY on the budget can still contribute
+    // zero-token rows (cum == prefix == budget satisfies the
+    // documented `cum <= budget`), so prune with <=, not < — the
+    // final cum filter discards the rest and the boundary bucket
+    // costs at most one more window slice.
+    val keptPids = prefixRows.filter(_._2 <= budget).map(_._1)
     if (keptPids.isEmpty)
       return df.withColumn("cum_tokens", lit(0L)).limit(0)
     import spark.implicits._

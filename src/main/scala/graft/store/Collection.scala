@@ -506,6 +506,17 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * delta per listing — and the chain is consulted on every search
     * (committedSeq) — so the ledger keeps the listing overhead
     * constant on object stores.
+    *
+    * SINGLE-WRITER-PROCESS ASSUMPTION: the ledger's read-modify-write
+    * is serialized by the JVM-local [[Collection.compactLock]] only.
+    * Two PROCESSES compacting the same collection directory could
+    * interleave writeRetiredIndex calls and lose each other's entries
+    * — value-safe (seqs and tombstones are preserved, a resurrected
+    * delta just re-folds under LWW) but the superseded dirs would
+    * linger un-reclaimed. This mirrors the embedded-engine deployment
+    * model (one driver owns a catalog root, like Milvus's single
+    * datacoord owning compaction for a collection); multi-process
+    * writers would need a filesystem lease around retireDeltas.
     */
   private def retiredIndexFile: StorePath = dataDir.resolve("_retired_index")
 
@@ -830,6 +841,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     // taken before the truncate still reads its full data.
     retireDeltas(deltaPaths)
     definition.indexes.foreach(ix => IndexStore.drop(this, ix.field))
+    evictBaseSizeCache() // the retired base's size no longer applies
     catalog.nextSeq(name): Unit // bump: caches keyed on seq self-invalidate
     refreshCachedSnapshot(spark)
   }
@@ -955,6 +967,15 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   private[store] def invalidateCache(): Unit = {
     cached.foreach(_.unpersist())
     cached = None
+    // Drop memoized base sizes for this collection's storage: a
+    // dropped-then-recreated directory restarts its seq, and a stale
+    // size entry would feed a wrong minor-vs-major decision.
+    evictBaseSizeCache()
+  }
+
+  private def evictBaseSizeCache(): Unit = {
+    val prefix = dataDir.toString + "/"
+    Collection.baseSizeCache.keySet.removeIf(_.startsWith(prefix))
   }
 
   /** Re-cache after a SCHEMA change (add/drop field or function) —
@@ -1821,8 +1842,16 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
           val basePath = paths.head.toString
           val baseBytes = Collection.baseSizeCache.computeIfAbsent(
             basePath, _ => paths.head.totalSize)
-          if (Collection.baseSizeCache.size > 64)
-            Collection.baseSizeCache.keySet.removeIf(_ != basePath)
+          // Evict only THIS collection's stale bases (a major fold
+          // replaced the directory): wiping other collections' entries
+          // here would defeat the memoization for them — with >64
+          // active collections each trigger would force everyone else
+          // to re-walk whole-table metadata on their next DML. The
+          // per-collection live set is exactly one base, so the cache
+          // stays bounded by the number of active collections.
+          val prefix = dataDir.toString + "/"
+          Collection.baseSizeCache.keySet.removeIf(k =>
+            k != basePath && k.startsWith(prefix))
           paths.tail.map(_.totalSize).sum < ratio * baseBytes
         }
         if (minorEligible) compactMinor(spark) else compact(spark)
