@@ -2251,6 +2251,80 @@ object SparkEntry {
       rows.toDF("field", "index_type", "metric", "state", "fresh",
         "build_kind").orderBy("field")
     },
+    // ---- S40: leveled-compaction read equivalence across the full
+    // fold lifecycle — the SAME query checksum before a minor fold,
+    // after it (retired tail still on disk, mid-grace), and after the
+    // grace sweep physically reclaims the retired dirs. The final
+    // relational values (entities / sum_pk / max_pk) are re-derived by
+    // the DuckDB oracle from the same ordered orders slice; the
+    // equivalence booleans are the engine-internal assertion. --------
+    "s40_leveled_fold" -> { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-lf")
+      val cat = new Catalog(root.toString)
+      val c = cat.createCollection(CollectionDef("lf", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("price", DoubleType)),
+        properties = Map("compaction.retireGraceMs" -> "300")))
+      // Base: first 300 orders folded into a unique-pk base; tail: the
+      // next 100 in two client batches plus a tombstone-writing delete.
+      val first400 = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey").limit(400)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      first400.take(300).grouped(50).foreach { b =>
+        c.insert(s, b.toSeq.toDF("id", "price")): Unit
+      }
+      c.compact(s)
+      first400.drop(300).grouped(50).foreach { b =>
+        c.insert(s, b.toSeq.toDF("id", "price")): Unit
+      }
+      c.delete(s, "id % 7 == 0")
+      def hash(): String = Validators.stableChecksum(
+        c.read(s).select("id", "price"), "id")
+      def diskDeltaNames(): Seq[String] = {
+        val data = root.resolve("lf").resolve("data")
+        val st = java.nio.file.Files.list(data)
+        try st.map[String](_.getFileName.toString).toArray.toSeq
+          .map(_.toString).filter(_.startsWith("delta_")).sorted
+        finally st.close()
+      }
+      val hashBefore = hash()
+      c.compactMinor(s)
+      val hashAfterFold = hash()
+      // Mid-grace: the folded tail is ledger-retired but still on disk
+      // (an in-flight scan may hold its file list). On disk, names
+      // sort by commit seq: [base, ...retired tail..., merged], and
+      // only base + merged are live.
+      val midGrace = diskDeltaNames()
+      val midGraceExtra = midGrace.size > c.numDeltas
+      val firstFoldRetired = midGrace.drop(1).dropRight(1)
+      Thread.sleep(500)
+      // Value-neutral DML (upsert LIVE rows to their own values —
+      // a deleted pk would resurrect) builds a 2-delta tail so the
+      // next minor fold runs retire+sweep.
+      first400.drop(300).filter(_._1 % 7 != 0).take(2).foreach { case (k, v) =>
+        c.upsert(s, Seq((k, v)).toDF("id", "price")): Unit
+      }
+      c.compactMinor(s)
+      val hashAfterSweep = hash()
+      // The sweep inside the second fold's retire cycle must have
+      // physically reclaimed every grace-expired dir from the FIRST
+      // fold (the second fold's own retirees are legitimately still
+      // mid-grace).
+      val after = diskDeltaNames().toSet
+      val swept = firstFoldRetired.forall(!after.contains(_))
+      // Relational values come from the ENGINE's post-sweep read (the
+      // oracle re-derives them from the same orders slice in DuckDB).
+      val aggRow = c.read(s)
+        .agg(count(lit(1)).as("n"), sum("id").as("sp"), max("id").as("mp"))
+        .head()
+      Seq((aggRow.getLong(0), aggRow.getLong(1), aggRow.getLong(2),
+        hashAfterFold == hashBefore, hashAfterSweep == hashBefore,
+        midGraceExtra, swept))
+        .toDF("entities", "sum_pk", "max_pk", "fold_preserves",
+          "sweep_preserves", "retired_mid_grace", "swept")
+    },
     // ---- ST6: streaming near-dup — banded-MinHash LSH candidates
     // over a document stream (one stateful stage, bucket state crosses
     // micro-batches: the exact copy arrives a batch AFTER the
@@ -4382,6 +4456,19 @@ object SparkEntry {
           |  ('embedding', 'IVF_FLAT', 'L2', 'built', true, 'ivf2'))
           |AS t(field, index_type, metric, state, fresh, build_kind)
           |ORDER BY field""".stripMargin,
+      // Relational values re-derived from the same ordered orders
+      // slice; the three checksum/disk equivalence booleans are the
+      // engine-internal lifecycle assertion (pinned TRUE — any fold or
+      // sweep that changes a read, or fails to reclaim, flips them).
+      "s40_leveled_fold" ->
+        """SELECT count(*) AS entities,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_pk,
+          |  max(o_orderkey) AS max_pk,
+          |  true AS fold_preserves, true AS sweep_preserves,
+          |  true AS retired_mid_grace, true AS swept
+          |FROM (SELECT o_orderkey FROM orders
+          |      ORDER BY o_orderkey LIMIT 400)
+          |WHERE o_orderkey % 7 <> 0""".stripMargin,
       // COMPUTED oracle: exact all-pairs Jaccard over the streamed
       // fixture — on it the banded LSH has recall 1 for >= 0.9 pairs
       // and the entry's verification prunes everything below, so the
