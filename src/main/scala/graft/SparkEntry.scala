@@ -2862,6 +2862,17 @@ object SparkEntry {
           "text", "doc_id", minTokens = 10)
         .orderBy("doc_id")
     },
+    // Image perceptual-hash near-dup: REAL PNG decode -> 64-bit dHash
+    // -> banded Hamming equi-join (pigeonhole-exact recall at radius
+    // 8) -> codegen'd bit_count verify. The 9x8 fixtures' dHash is
+    // exactly a closed-form bit pattern, so the oracle re-derives the
+    // hashes arithmetically and checks the full pipeline end-to-end.
+    "d12_image_neardup" -> { (s, dir) =>
+      val assets = graft.multimodal.ImageHash.syntheticHashImages(s, 40)
+      val hashes = graft.multimodal.ImageHash.dHash(assets)
+      graft.multimodal.ImageHash.nearDupPairs(hashes, maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    },
     // Closed-form NB classifier (the pipeline's quality/domain/langid
     // classifier stage, fastText stand-in): train on the full labeled
     // corpus, classify a slice. logp rounded at 6 (log-space double
@@ -3303,6 +3314,16 @@ object SparkEntry {
         val m = graft.text.NaiveBayes.train(docs, "text", "lang")
         graft.text.NaiveBayes.classify(s, docs, "text", "doc_id", m)
           .groupBy("label").agg(count(lit(1)).as("docs"))
+      },
+      // Image near-dup at bench shape: 4000 real 36x32 PNGs decoded
+      // executor-side, box-average dHash, banded Hamming join at
+      // radius 8 — the image-dedup stage of a multimodal pipeline.
+      "bench_image_neardup" -> { (s, dir) =>
+        val assets = graft.multimodal.ImageHash
+          .syntheticHashImagesScaled(s, 4000, blockW = 4, blockH = 4)
+        val hashes = graft.multimodal.ImageHash.dHash(assets)
+        graft.multimodal.ImageHash.nearDupPairs(hashes, maxHamming = 8)
+          .agg(count(lit(1)).as("pairs"), sum("hamming").as("ham_sum"))
       },
       // The leveled-compaction design point: a compacted base under a
       // stream of small client batches. Every high-water trigger after
@@ -5357,6 +5378,27 @@ object SparkEntry {
           |  CAST(COALESCE(r.tokens_removed, 0) AS BIGINT) AS tokens_removed
           |FROM documents d LEFT JOIN clean c USING (doc_id) LEFT JOIN rem r USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+      // Image near-dup oracle: re-derives each fixture's 63-bit dHash
+      // arithmetically (the 9x8 PNGs encode exactly this pattern) and
+      // takes exact all-pairs bit_count(xor) <= 8 — the engine's
+      // decode -> dHash -> banded-join path must reproduce it exactly
+      // (pigeonhole makes the banding lossless at the radius).
+      "d12_image_neardup" ->
+        """WITH bits AS (
+          |  SELECT t.i AS i, u.b AS b,
+          |    (CASE WHEN ((t.i//4)*13 + u.b*7) % 17 < 8 THEN 1 ELSE 0 END
+          |     + CASE WHEN (t.i%4=1 AND u.b%31=5) OR (t.i%4=2 AND u.b%10=7)
+          |            OR (t.i%4=3 AND u.b%3=1) THEN 1 ELSE 0 END) % 2 AS bit
+          |  FROM range(40) t(i), range(63) u(b)
+          |), hashes AS (
+          |  SELECT i, CAST(sum(bit * (1::BIGINT << CAST(b AS INT))) AS BIGINT) AS h
+          |  FROM bits GROUP BY i
+          |)
+          |SELECT a.i AS id_a, b.i AS id_b,
+          |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+          |FROM hashes a JOIN hashes b ON a.i < b.i
+          |WHERE bit_count(xor(a.h, b.h)) <= 8
+          |ORDER BY id_a, id_b""".stripMargin,
       // NB-classifier oracle: DuckDB retrains the same add-1 counts
       // model (priors, per-label token totals, training vocab V) and
       // rescores with the same tie-break.
