@@ -2937,6 +2937,20 @@ object SparkEntry {
           "last_bin", "n_bins")
         .orderBy("doc_id")
     },
+    // Training-shard manifest written partitionBy(shard) and re-read:
+    // epoch-2 order (salted hash coin, doc_id) -> concat-and-chunk
+    // spans -> fixed 4-bin shards. The oracle restates the whole
+    // composition as a single-window cumsum over the same order and
+    // re-derives every span and bin offset.
+    "p7_shard_manifest" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-shard").toString + "/m"
+      graft.pipeline.Shards.write(s,
+          tbl(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", TextOps.tokenCount(col("text")), budget = 512,
+          epoch = 2, binsPerShard = 4, out)
+        .orderBy("bin", "doc_id")
+    },
     // ---- V2 extras: hamming / sparse_ip / geo as constant fixtures --------
     "v2_hamming" -> { (s, dir) =>
       val rows = Seq(("ab_ad", "ab", "ad"), ("00_ff", "00", "ff"),
@@ -3287,6 +3301,19 @@ object SparkEntry {
         Packing.chunks(s, tbl(s, dir, "documents"), "doc_id",
           TextOps.tokenCount(col("text")), budget = 2048)
           .agg(count(lit(1)).as("spans"), max("bin").as("last_bin"))
+      },
+      // End-to-end shard write at bench SF: epoch-ordered packing of
+      // the full documents table + the partitioned manifest write —
+      // the actual training-data deliverable (epoch sort + two-pass
+      // prefix sum + partitionBy write).
+      "bench_shard_write" -> { (s, dir) =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-shardb").toString + "/m"
+        graft.pipeline.Shards.write(s, tbl(s, dir, "documents"),
+            "doc_id", TextOps.tokenCount(col("text")), budget = 2048,
+            epoch = 1, binsPerShard = 64, out)
+          .agg(count(lit(1)).as("spans"),
+            countDistinct(col("shard")).as("shards"))
       },
       "bench_mix_temperature" -> { (s, dir) =>
         val docs = tbl(s, dir, "documents")
@@ -5461,6 +5488,27 @@ object SparkEntry {
           |  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS last_bin,
           |  CAST(floor((start_offset + greatest(n_tokens,1) - 1) / 512) - floor(start_offset / 512) + 1 AS BIGINT) AS n_bins
           |FROM o ORDER BY doc_id""".stripMargin,
+      // Shard-manifest oracle: the full composition (epoch-2 hash-coin
+      // order -> exclusive cumsum -> bin explode -> span + bin-offset
+      // arithmetic -> shard grouping) restated as one window over the
+      // same deterministic order.
+      "p7_shard_manifest" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n,
+          |    (('0x' || substr(md5('epoch:2' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE / 4294967296.0 AS coin
+          |  FROM documents WHERE doc_id < 300),
+          |o AS (SELECT doc_id, n,
+          |    CAST(COALESCE(sum(n) OVER (ORDER BY coin, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+          |  FROM t),
+          |b AS (SELECT doc_id, n, so,
+          |    unnest(generate_series(CAST(floor(so / 512) AS BIGINT),
+          |      CAST(floor((so + greatest(n, 1) - 1) / 512) AS BIGINT))) AS bin
+          |  FROM o)
+          |SELECT CAST(floor(bin / 4) AS BIGINT) AS shard, bin, doc_id,
+          |  greatest(bin * 512 - so, 0) AS span_start,
+          |  least((bin + 1) * 512 - so, n) - greatest(bin * 512 - so, 0) AS span_len,
+          |  greatest(so - bin * 512, 0) AS bin_offset
+          |FROM b ORDER BY bin, doc_id""".stripMargin,
       "s8_dml_scenario" ->
         """SELECT id, category, content, version FROM (VALUES
           |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'v1_0', CAST(1 AS BIGINT)),

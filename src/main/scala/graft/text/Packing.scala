@@ -89,8 +89,9 @@ object Packing {
 
   /** The training-sequence manifest: one row per (bin, document span)
     * — each document exploded into the budget-sized sequences it
-    * overlaps, with the span's offset inside the document and length.
-    * Concatenating spans of a bin in `span_start` order reproduces the
+    * overlaps, with the span's offset inside the document, its length,
+    * and `bin_offset` (where the span sits inside the bin).
+    * Concatenating spans of a bin in `bin_offset` order reproduces the
     * bin's `budget` tokens exactly (the last bin may be short).
     */
   def chunks(
@@ -109,6 +110,8 @@ object Packing {
       .withColumn("span_len",
         least((col("bin") + 1) * budget - col("start_offset"),
           col("n_tokens")) - col("span_start"))
-      .select(col("bin"), col(idCol), col("span_start"), col("span_len"))
+      .select(col("bin"), col(idCol), col("span_start"), col("span_len"),
+        greatest(col("start_offset") - col("bin") * budget, lit(0L))
+          .as("bin_offset"))
   }
 }
