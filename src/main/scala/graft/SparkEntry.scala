@@ -3334,6 +3334,14 @@ object SparkEntry {
           .agg(count(lit(1)).as("spans"),
             sum("span_tokens").as("tokens"))
       },
+      // The CUT path at bench SF — span detection PLUS the per-doc
+      // token-stream rebuild (the part d10's span bench doesn't cover).
+      "bench_substring_cut" -> { (s, dir) =>
+        SubstringDedup.cutSpans(tbl(s, dir, "documents"),
+            "text", "doc_id", minTokens = 10)
+          .agg(sum(length(col("text_clean"))).as("chars"),
+            sum("tokens_removed").as("removed"))
+      },
       // NB classifier train + full-corpus classify (two hash aggs to
       // train, one count-table join per label to score).
       "bench_nb_classify" -> { (s, dir) =>

@@ -124,6 +124,12 @@ object SubstringDedup {
       .groupBy("_doc")
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("_spans"))
+    // Rebuild note: the per-token `exists` below is an interpreted HOF
+    // (the repo's measured ~2x-slower pattern), but MEASURED at bench
+    // SF it does not dominate — bench_substring_cut reads ~0.4 s vs
+    // ~1.9 s for span detection alone (the span list per doc is short,
+    // so the O(T x S) lambda stays cheap). Revisit only if span counts
+    // per doc grow by orders of magnitude.
     docs
       .select(col(idCol), Analyzer.standard(col(textCol)).as("_t"))
       .join(spans.withColumnRenamed("_doc", idCol), Seq(idCol), "left")
