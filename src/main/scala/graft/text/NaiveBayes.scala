@@ -69,6 +69,19 @@ object NaiveBayes {
     * (idCol, label, logp) — every label scored for every document, so
     * callers can threshold on margins, not just the argmax. Documents
     * with zero tokens score prior-only.
+    *
+    * Scale shape (label-pruned): tokens join the count table by TOKEN
+    * only — never token x label — so the corpus-sized exchange is
+    * linear in tokens regardless of the class count; a token row fans
+    * out only to the labels that actually saw that token, and the
+    * per-(doc, label) aggregation partial-combines before its
+    * doc x label exchange. The unseen-token mass is closed-form:
+    * every (token, label) pair absent from the count table contributes
+    * exactly log(k), so
+    *   logp = prior + sum_matched log(c + k)
+    *        + (T_d - n_matched) * log(k) - T_d * log(nt_l + k * V).
+    * This makes 10-way (or 100-way) domain tagging cost the same
+    * token-side work as binary quality filtering.
     */
   def score(spark: SparkSession, docs: DataFrame, textCol: String,
       idCol: String, model: Model,
@@ -78,18 +91,28 @@ object NaiveBayes {
       model.labelStats.toDF("label", "_logPrior", "_nt"))
     val countsRaw = model.tokenCounts
     val counts = if (broadcastModel) broadcast(countsRaw) else countsRaw
-    val lp = log((coalesce(col("c"), lit(0L)).cast("double") + model.k)) -
-      log(col("_nt").cast("double") + model.k * model.vocabSize)
-    val tokenScores = docTokens(docs, textCol, idCol)
-      .crossJoin(labels)
-      .join(counts, Seq("token", "label"), "left")
+    val logK = math.log(model.k)
+    // Matched-pair partial sums: one row per (doc, label) that shares
+    // at least one training token — the join key is the token alone.
+    val matched = docTokens(docs, textCol, idCol)
+      .join(counts, Seq("token"))
       .groupBy(col("_doc"), col("label"))
-      .agg(sum(lp).as("_tok"))
-    // prior-only fallback keeps empty documents in the result
-    docs.select(col(idCol).as("_doc")).crossJoin(labels)
-      .join(tokenScores, Seq("_doc", "label"), "left")
+      .agg(sum(log(col("c").cast("double") + model.k)).as("_s1"),
+        count(lit(1)).as("_n1"))
+    // Every doc scores every label (prior-only fallback keeps empty
+    // documents); T_d comes straight from the analyzer, no explode.
+    val docLen = docs.select(col(idCol).as("_doc"),
+      coalesce(size(Analyzer.standard(col(textCol))), lit(0))
+        .cast("long").as("_td"))
+    docLen.crossJoin(labels)
+      .join(matched, Seq("_doc", "label"), "left")
       .select(col("_doc").as(idCol), col("label"),
-        (col("_logPrior") + coalesce(col("_tok"), lit(0.0))).as("logp"))
+        (col("_logPrior")
+          + coalesce(col("_s1"), lit(0.0))
+          + (col("_td") - coalesce(col("_n1"), lit(0L))) * logK
+          - col("_td").cast("double") *
+            log(col("_nt").cast("double") + model.k * model.vocabSize))
+          .as("logp"))
   }
 
   /** Argmax classification: (idCol, label, logp), ties broken by label

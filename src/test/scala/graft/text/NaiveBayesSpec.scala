@@ -68,6 +68,44 @@ class NaiveBayesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("10-way classification matches local brute-force NB (label-pruned path)") {
+    val s = spark
+    import s.implicits._
+    // 10 labels with heavily overlapping vocabularies — the shape the
+    // token-keyed (not token x label) scoring must stay exact on.
+    val labels = (0 until 10).map(i => s"dom$i")
+    val train = (0 until 60).map { i =>
+      val l = i % 10
+      (i.toLong, s"w${l} w${(l + 1) % 10} common shared w${i % 5} extra$i", labels(l))
+    }.toDF("doc_id", "text", "label")
+    val m = NaiveBayes.train(train, "text", "label", k = 1.0)
+    val probe = Seq(
+      (100L, "w3 w4 common shared"),
+      (101L, "unseen tokens entirely"),
+      (102L, "common common w7"),
+      (103L, "")).toDF("doc_id", "text")
+    val got = NaiveBayes.score(s, probe, "text", "doc_id", m)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.size == 4 * 10)
+    // brute force from the model's own distributed count table
+    val counts = m.tokenCounts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val probeLocal = Seq(
+      (100L, Seq("w3", "w4", "common", "shared")),
+      (101L, Seq("unseen", "tokens", "entirely")),
+      (102L, Seq("common", "common", "w7")),
+      (103L, Seq.empty[String]))
+    for ((id, toks) <- probeLocal; (l, prior, nt) <- m.labelStats) {
+      val want = prior + toks.map { t =>
+        math.log(counts.getOrElse((t, l), 0L) + m.k) -
+          math.log(nt + m.k * m.vocabSize)
+      }.sum
+      assert(math.abs(got((id, l)) - want) < 1e-9,
+        s"doc $id label $l: got ${got((id, l))} want $want")
+    }
+  }
+
   test("unseen tokens fall to the smoothing floor, not negative infinity") {
     val s = spark
     import s.implicits._
