@@ -2873,6 +2873,17 @@ object SparkEntry {
       graft.multimodal.ImageHash.nearDupPairs(hashes, maxHamming = 8)
         .orderBy("id_a", "id_b")
     },
+    // Audio fingerprint near-dup: REAL WAV decode -> 64-bit
+    // energy-delta fingerprint -> the same banded Hamming machinery.
+    // The 65-frame fixtures' fingerprint is exactly the closed-form
+    // pattern, so the oracle re-derives hashes + exact all-pairs.
+    "d13_audio_neardup" -> { (s, dir) =>
+      val assets =
+        graft.multimodal.AudioFingerprint.syntheticFingerprintAudio(s, 48)
+      val fps = graft.multimodal.AudioFingerprint.fingerprint(assets)
+      graft.multimodal.AudioFingerprint.nearDupPairs(fps, maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    },
     // Closed-form NB classifier (the pipeline's quality/domain/langid
     // classifier stage, fastText stand-in): train on the full labeled
     // corpus, classify a slice. logp rounded at 6 (log-space double
@@ -3358,6 +3369,14 @@ object SparkEntry {
           .syntheticHashImagesScaled(s, 4000, blockW = 4, blockH = 4)
         val hashes = graft.multimodal.ImageHash.dHash(assets)
         graft.multimodal.ImageHash.nearDupPairs(hashes, maxHamming = 8)
+          .agg(count(lit(1)).as("pairs"), sum("hamming").as("ham_sum"))
+      },
+      // Audio fingerprint + banded pairs over 4000 real decoded WAVs.
+      "bench_audio_neardup" -> { (s, dir) =>
+        val assets = graft.multimodal.AudioFingerprint
+          .syntheticFingerprintAudio(s, 4000)
+        val fps = graft.multimodal.AudioFingerprint.fingerprint(assets)
+        graft.multimodal.AudioFingerprint.nearDupPairs(fps, maxHamming = 8)
           .agg(count(lit(1)).as("pairs"), sum("hamming").as("ham_sum"))
       },
       // The leveled-compaction design point: a compacted base under a
@@ -5425,6 +5444,25 @@ object SparkEntry {
           |     + CASE WHEN (t.i%4=1 AND u.b%31=5) OR (t.i%4=2 AND u.b%10=7)
           |            OR (t.i%4=3 AND u.b%3=1) THEN 1 ELSE 0 END) % 2 AS bit
           |  FROM range(40) t(i), range(63) u(b)
+          |), hashes AS (
+          |  SELECT i, CAST(sum(bit * (1::BIGINT << CAST(b AS INT))) AS BIGINT) AS h
+          |  FROM bits GROUP BY i
+          |)
+          |SELECT a.i AS id_a, b.i AS id_b,
+          |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+          |FROM hashes a JOIN hashes b ON a.i < b.i
+          |WHERE bit_count(xor(a.h, b.h)) <= 8
+          |ORDER BY id_a, id_b""".stripMargin,
+      // Audio-fingerprint oracle: identical closed-form arithmetic
+      // (shared pattern) over 48 fixtures — checks the WAV decode ->
+      // frame-energy fingerprint path end-to-end.
+      "d13_audio_neardup" ->
+        """WITH bits AS (
+          |  SELECT t.i AS i, u.b AS b,
+          |    (CASE WHEN ((t.i//4)*13 + u.b*7) % 17 < 8 THEN 1 ELSE 0 END
+          |     + CASE WHEN (t.i%4=1 AND u.b%31=5) OR (t.i%4=2 AND u.b%10=7)
+          |            OR (t.i%4=3 AND u.b%3=1) THEN 1 ELSE 0 END) % 2 AS bit
+          |  FROM range(48) t(i), range(63) u(b)
           |), hashes AS (
           |  SELECT i, CAST(sum(bit * (1::BIGINT << CAST(b AS INT))) AS BIGINT) AS h
           |  FROM bits GROUP BY i

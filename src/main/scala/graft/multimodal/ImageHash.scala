@@ -112,9 +112,17 @@ object ImageHash {
     * codegen'd `functions` (shifts, masks, bit_count); the only
     * shuffles are the band-bucket join and the pair distinct.
     */
-  def nearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int,
+      hashCol: String = "dhash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       "maxHamming must be in [0, 64)")
+    val withStd =
+      if (hashCol == "dhash") hashes
+      else hashes.withColumnRenamed(hashCol, "dhash")
+    nearDupPairsStd(withStd, maxHamming)
+  }
+
+  private def nearDupPairsStd(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val baseW = 64 / bands
     val sizes = Array.tabulate(bands)(k => if (k < 64 % bands) baseW + 1 else baseW)

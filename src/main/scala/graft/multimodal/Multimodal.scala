@@ -130,16 +130,26 @@ object Multimodal {
     8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
 
   private def encodeWav(i: Int, ns: Int): Array[Byte] = {
-    val pcm = new Array[Byte](ns * 2)
+    val pcm = new Array[Short](ns)
     var t = 0
     while (t < ns) {
-      val v = ((i * 37 + t * 29) % 2001) - 1000
-      pcm(2 * t) = (v & 0xff).toByte
-      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      pcm(t) = (((i * 37 + t * 29) % 2001) - 1000).toShort
+      t += 1
+    }
+    encodePcmWav(pcm)
+  }
+
+  /** Encode raw 16-bit mono samples as a WAV blob (JDK-only). */
+  private[multimodal] def encodePcmWav(samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var t = 0
+    while (t < samples.length) {
+      pcm(2 * t) = (samples(t) & 0xff).toByte
+      pcm(2 * t + 1) = ((samples(t) >> 8) & 0xff).toByte
       t += 1
     }
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), wavFormat, ns.toLong)
+      new java.io.ByteArrayInputStream(pcm), wavFormat, samples.length.toLong)
     val out = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)

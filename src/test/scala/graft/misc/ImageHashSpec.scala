@@ -48,6 +48,18 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint of closed-form WAV fixtures equals the pattern") {
+    val assets = graft.multimodal.AudioFingerprint
+      .syntheticFingerprintAudio(spark, 16)
+    val got = graft.multimodal.AudioFingerprint.fingerprint(assets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 16)
+    (0 until 16).foreach { i =>
+      assert(got(i.toLong) == ImageHash.patternHash(i),
+        s"asset $i decoded-PCM fingerprint != closed form")
+    }
+  }
+
   test("undecodable blobs are dropped, not crashed") {
     import org.apache.spark.sql.Row
     val junk = spark.createDataFrame(
