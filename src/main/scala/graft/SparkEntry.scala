@@ -2962,6 +2962,53 @@ object SparkEntry {
           epoch = 2, binsPerShard = 4, out)
         .orderBy("bin", "doc_id")
     },
+    // URL canonicalization over messy crawl fixtures: tracking params,
+    // default ports, fragments, case, trailing slashes, two-level
+    // public suffixes, unparseable junk. Pure projection (parse_url +
+    // regex natives). Oracle pins the hand-derived canonical forms.
+    "u1_url_normalize" -> { (s, dir) =>
+      import s.implicits._
+      Seq(
+        (1L, "HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&id=3#frag"),
+        (2L, "http://example.com:8080/a//"),
+        (3L, "http://Sub.Shop.CO.UK/x?gclid=123"),
+        (4L, "https://news.example.org/story?a=1&fbclid=zz&b=2"),
+        (5L, "not a url"),
+        (6L, "https://example.com/"),
+        (7L, "http://a.b.example.com/p?ref=tw&utm_medium=m"),
+        (8L, "ftp://Files.Example.com/Data/"),
+        (9L, "https://shop.com.au:443/item/?id=9&utm_campaign=c"),
+        (10L, "http://example.com:80/x"))
+        .toDF("id", "url")
+        .select(col("id"),
+          graft.pipeline.UrlOps.normalizeUrl(col("url")).as("canonical"),
+          graft.pipeline.UrlOps.registeredDomain(col("url")).as("domain"))
+        .orderBy("id")
+    },
+    // Per-domain cap over synthesized provenance: deterministic
+    // (hash coin, id) selection via the salted two-level window. The
+    // oracle recomputes the exact kept set with a single window.
+    "u2_domain_cap" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(".co.uk/p/"))
+            .otherwise(lit(".example.com/p/")),
+          col("doc_id")))
+      graft.pipeline.UrlOps.capPerDomain(docs,
+          graft.pipeline.UrlOps.registeredDomain(col("url")),
+          "doc_id", maxPerDomain = 25, salt = "cap")
+        .select("doc_id").orderBy("doc_id")
+    },
+    // Per-domain datasheet over the same synthesized URLs.
+    "u3_domain_stats" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(".co.uk/p/"))
+            .otherwise(lit(".example.com/p/")),
+          col("doc_id")))
+      graft.pipeline.UrlOps.domainStats(docs, col("url"), col("n_chars"))
+        .orderBy("domain")
+    },
     // ---- V2 extras: hamming / sparse_ip / geo as constant fixtures --------
     "v2_hamming" -> { (s, dir) =>
       val rows = Seq(("ab_ad", "ab", "ad"), ("00_ff", "00", "ff"),
@@ -5534,6 +5581,44 @@ object SparkEntry {
           |  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS last_bin,
           |  CAST(floor((start_offset + greatest(n_tokens,1) - 1) / 512) - floor(start_offset / 512) + 1 AS BIGINT) AS n_bins
           |FROM o ORDER BY doc_id""".stripMargin,
+      // URL-normalization oracle: hand-derived canonical forms for the
+      // static fixture (DuckDB has no parse_url; each row was derived
+      // independently from the documented rules — scheme/host case,
+      // default ports, tracking params, fragments, trailing slashes,
+      // two-level public suffixes, unparseable -> NULL).
+      "u1_url_normalize" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), 'https://www.example.com/Path/Sub?id=3', 'example.com'),
+          |  (2, 'http://example.com:8080/a', 'example.com'),
+          |  (3, 'http://sub.shop.co.uk/x', 'shop.co.uk'),
+          |  (4, 'https://news.example.org/story?a=1&b=2', 'example.org'),
+          |  (5, NULL, NULL),
+          |  (6, 'https://example.com', 'example.com'),
+          |  (7, 'http://a.b.example.com/p', 'example.com'),
+          |  (8, 'ftp://files.example.com/Data', 'example.com'),
+          |  (9, 'https://shop.com.au/item?id=9', 'shop.com.au'),
+          |  (10, 'http://example.com/x', 'example.com'))
+          |AS t(id, canonical, domain) ORDER BY id""".stripMargin,
+      // Domain-cap oracle: single-window restatement of the salted
+      // two-level per-domain selection over the same synthesized
+      // provenance and md5 coin.
+      "u2_domain_cap" ->
+        """WITH d AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'
+          |         ELSE 'example.com' END AS domain
+          |  FROM documents WHERE doc_id < 400),
+          |r AS (SELECT doc_id, row_number() OVER (PARTITION BY domain
+          |    ORDER BY (('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE / 4294967296.0,
+          |      doc_id) AS rn
+          |  FROM d)
+          |SELECT doc_id FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+      "u3_domain_stats" ->
+        """SELECT CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'
+          |       ELSE 'example.com' END AS domain,
+          |  count(*) AS pages, CAST(sum(n_chars) AS BIGINT) AS chars,
+          |  count(DISTINCT doc_id) AS distinct_urls
+          |FROM documents WHERE doc_id < 400
+          |GROUP BY 1 ORDER BY domain""".stripMargin,
       // Shard-manifest oracle: the full composition (epoch-2 hash-coin
       // order -> exclusive cumsum -> bin explode -> span + bin-offset
       // arithmetic -> shard grouping) restated as one window over the

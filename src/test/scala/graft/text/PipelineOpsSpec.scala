@@ -376,6 +376,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("capPerDomain keeps exactly the cap lowest (coin, id) rows per domain") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 300).map(i => (i.toLong, s"dom${i % 4}"))
+    val df = rows.toDF("id", "dom")
+    val got = graft.pipeline.UrlOps.capPerDomain(df, col("dom"), "id",
+        maxPerDomain = 10, salt = "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // brute force: per-domain sort by the same md5 coin
+    val coins = df.select(col("id"),
+        graft.pipeline.Mixing.hashUniform(col("id"), "t").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._2).values.flatMap { g =>
+      g.map(_._1).sortBy(id => (coins(id), id)).take(10)
+    }.toSet
+    assert(got == want)
+    assert(got.size == 40)
+  }
+
+  test("normalizeUrl and registeredDomain are null-safe on junk") {
+    val s = spark
+    import s.implicits._
+    val out = Seq((1L, "not a url"), (2L, ""), (3L, "http:///nohost"))
+      .toDF("id", "url")
+      .select(graft.pipeline.UrlOps.normalizeUrl(col("url")).as("c"),
+        graft.pipeline.UrlOps.registeredDomain(col("url")).as("d"))
+      .collect()
+    out.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), r.toString))
+  }
+
   test("corpus report: exact per-group stats including interpolated median") {
     val s = spark
     import s.implicits._
