@@ -2666,6 +2666,22 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("clean_text"))
         .orderBy("doc_id")
     },
+    // Corpus-global line dedup (C4 keep-first): a header line planted
+    // in every doc survives only at its first (doc, pos) occurrence;
+    // an intra-doc repeat loses its second copy; unique prose
+    // survives. The oracle recomputes first occurrences with a window.
+    "t17_line_dedup" -> { (s, dir) =>
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 50),
+            lit("\nshared header line\n"),
+            substring(col("text"), 51, 50),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(lit("\n"), substring(col("text"), 1, 50)))
+              .otherwise(lit(""))).as("text"))
+      Boilerplate.dedupLines(corpus, "text", "doc_id")
+        .orderBy("doc_id")
+    },
     // PII counts + redaction over injected emails/IPs/phones; patterns
     // restricted to Java-regex/RE2-identical syntax (Pii.scala).
     "t11_pii" -> { (s, dir) =>
@@ -3391,6 +3407,13 @@ object SparkEntry {
             "text", "doc_id", minTokens = 10)
           .agg(count(lit(1)).as("spans"),
             sum("span_tokens").as("tokens"))
+      },
+      // Corpus-global line dedup at bench SF: one min-agg on the line
+      // key + keeper join + per-doc rebuild.
+      "bench_line_dedup" -> { (s, dir) =>
+        Boilerplate.dedupLines(tbl(s, dir, "documents"), "text", "doc_id")
+          .agg(sum("lines_removed").as("removed"),
+            sum(length(col("text_clean"))).as("chars"))
       },
       // The CUT path at bench SF — span detection PLUS the per-doc
       // token-stream rebuild (the part d10's span bench doesn't cover).
@@ -5249,6 +5272,27 @@ object SparkEntry {
           |  FROM kept GROUP BY doc_id)
           |SELECT c.doc_id, COALESCE(r.clean_text, '') AS clean_text
           |FROM corpus c LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // Line-dedup oracle: first occurrence per trimmed line by
+      // (doc_id, pos) via a window, rebuild + removed counts per doc.
+      "t17_line_dedup" ->
+        """WITH d0 AS (SELECT doc_id,
+          |    substr(text, 1, 50) || chr(10) || 'shared header line' || chr(10) || substr(text, 51, 50)
+          |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || substr(text, 1, 50) ELSE '' END AS text
+          |  FROM documents WHERE doc_id < 40),
+          |lns AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+          |ln AS (SELECT doc_id, i - 1 AS pos, trim(ls[CAST(i AS INT)]) AS line
+          |  FROM lns, UNNEST(range(1, len(ls) + 1)) t(i)
+          |  WHERE trim(ls[CAST(i AS INT)]) <> ''),
+          |r AS (SELECT doc_id, pos, line,
+          |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM ln),
+          |kept AS (SELECT doc_id, pos, line FROM r WHERE rn = 1),
+          |tot AS (SELECT doc_id, count(*) AS n FROM ln GROUP BY doc_id),
+          |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          |    count(*) AS k FROM kept GROUP BY doc_id)
+          |SELECT d0.doc_id, COALESCE(reb.text_clean, '') AS text_clean,
+          |  CAST(COALESCE(tot.n, 0) - COALESCE(reb.k, 0) AS BIGINT) AS lines_removed
+          |FROM d0 LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       // PII oracle: RE2 replays the exact Java-regex patterns (the
       // syntax subset is chosen to mean the same in both engines).
       "t11_pii" ->
