@@ -2889,6 +2889,21 @@ object SparkEntry {
       graft.multimodal.ImageHash.nearDupPairs(hashes, maxHamming = 8)
         .orderBy("id_a", "id_b")
     },
+    // Image dup CLUSTERS: the banded pairs fed through the generic
+    // pointer-jumping connected components (the d7 machinery), so an
+    // image joined to either end of a near-dup chain lands in one
+    // cluster with a deterministic min-id label.
+    "d14_image_dup_clusters" -> { (s, dir) =>
+      val assets = graft.multimodal.ImageHash.syntheticHashImages(s, 40)
+      val hashes = graft.multimodal.ImageHash.dHash(assets)
+      val pairs = graft.multimodal.ImageHash.nearDupPairs(hashes, 8)
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "asset_id")
+      hashes.select("asset_id").join(cc, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster_id"))
+        .orderBy("asset_id")
+    },
     // Audio fingerprint near-dup: REAL WAV decode -> 64-bit
     // energy-delta fingerprint -> the same banded Hamming machinery.
     // The 65-frame fixtures' fingerprint is exactly the closed-form
@@ -5544,6 +5559,33 @@ object SparkEntry {
           |FROM hashes a JOIN hashes b ON a.i < b.i
           |WHERE bit_count(xor(a.h, b.h)) <= 8
           |ORDER BY id_a, id_b""".stripMargin,
+      // Image-cluster oracle: same hash arithmetic, exact pairs at
+      // radius 8, recursive-CTE reachability, min-label per component.
+      "d14_image_dup_clusters" ->
+        """WITH RECURSIVE bits AS (
+          |  SELECT t.i AS i, u.b AS b,
+          |    (CASE WHEN ((t.i//4)*13 + u.b*7) % 17 < 8 THEN 1 ELSE 0 END
+          |     + CASE WHEN (t.i%4=1 AND u.b%31=5) OR (t.i%4=2 AND u.b%10=7)
+          |            OR (t.i%4=3 AND u.b%3=1) THEN 1 ELSE 0 END) % 2 AS bit
+          |  FROM range(40) t(i), range(63) u(b)
+          |), hashes AS (
+          |  SELECT i, CAST(sum(bit * (1::BIGINT << CAST(b AS INT))) AS BIGINT) AS h
+          |  FROM bits GROUP BY i
+          |), pairs AS (
+          |  SELECT a.i AS id_a, b.i AS id_b FROM hashes a JOIN hashes b
+          |  ON a.i < b.i WHERE bit_count(xor(a.h, b.h)) <= 8
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), reach(node, lbl) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+          |), cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+          |SELECT h.i AS asset_id,
+          |  CAST(COALESCE(cc.cluster, h.i) AS BIGINT) AS cluster_id
+          |FROM hashes h LEFT JOIN cc ON cc.node = h.i
+          |ORDER BY asset_id""".stripMargin,
       // Audio-fingerprint oracle: identical closed-form arithmetic
       // (shared pattern) over 48 fixtures — checks the WAV decode ->
       // frame-energy fingerprint path end-to-end.
