@@ -2682,6 +2682,63 @@ object SparkEntry {
       Boilerplate.dedupLines(corpus, "text", "doc_id")
         .orderBy("doc_id")
     },
+    // --- BPE subword tokenizer (graft.text.Bpe) -----------------------
+    // Round-0 weighted adjacent-pair counts over the real corpus's
+    // distinct-word vocab (the quantity every BPE merge decision ranks
+    // on). The oracle re-derives chars+end-of-word pairs per word
+    // arithmetically in SQL. Top 50 by (cnt desc, pair asc) — a total
+    // order, so LIMIT is deterministic on both engines.
+    "t18_bpe_pair_counts" -> { (s, dir) =>
+      graft.text.Bpe.pairCounts(
+          graft.text.Bpe.wordVocab(tbl(s, dir, "documents"), "text"))
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(50)
+    },
+    // Learned merge sequence on the canonical Sennrich fixture
+    // (low x5, lower x2, newest x6, widest x3). DETERMINISM PIN:
+    // iterative argmax isn't cheap in SQL; the 8 merges are
+    // hand-derivable (BpeSpec walks the counts) and independently
+    // produced by tools/ref_bpe.py; t18 cross-checks the pair-count
+    // arithmetic the ranking runs on.
+    "t19_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      graft.text.Bpe.mergesDf(s,
+        graft.text.Bpe.learnMerges(docs, "text", 8)).orderBy("rank")
+    },
+    // decode(encode(corpus)) == whitespace-normalized corpus, with
+    // merges learned from the corpus itself — a REAL-corpus oracle
+    // that holds for any merge list, so it gates the whole
+    // vocab->dictionary->join->reassemble->decode path.
+    "t20_bpe_roundtrip" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val merges = graft.text.Bpe.learnMerges(docs, "text", 24)
+      graft.text.Bpe.encode(docs, "text", "doc_id", merges)
+        .select(col("doc_id"),
+          graft.text.Bpe.decode(col("tokens")).as("decoded"))
+        .orderBy("doc_id")
+    },
+    // Subword encodes under the pinned fixture merges, including
+    // unseen words (lowest/newer/wide/zz fall back to learned pieces /
+    // raw chars). Pinned from the same hand-derivation as t19.
+    "t21_bpe_encode" -> { (s, dir) =>
+      import s.implicits._
+      val train = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val merges = graft.text.Bpe.learnMerges(train, "text", 8)
+      val docs = Seq((0L, "low"), (1L, "lower"), (2L, "newest"),
+        (3L, "widest"), (4L, "lowest"), (5L, "newer"), (6L, "wide"),
+        (7L, "zz")).toDF("doc_id", "text")
+      graft.text.Bpe.encode(docs, "text", "doc_id", merges)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy("doc_id")
+    },
     // PII counts + redaction over injected emails/IPs/phones; patterns
     // restricted to Java-regex/RE2-identical syntax (Pii.scala).
     "t11_pii" -> { (s, dir) =>
@@ -2903,6 +2960,51 @@ object SparkEntry {
         .select(col("asset_id"),
           coalesce(col("cluster"), col("asset_id")).as("cluster_id"))
         .orderBy("asset_id")
+    },
+    // Cluster-scoped semantic dedup (SemDeDup shape): nearest-of-8-seed
+    // cells via the IVF coarse quantizer, within-cell cosine pairs,
+    // keep-first verdicts. The oracle recomputes seeds (8 lowest ids),
+    // the argmin-L2 assignment with the same (distance, cid) tie-break,
+    // and the lower-id-similar-neighbor EXISTS — all from the raw
+    // embeddings table.
+    "d15_semantic_dedup" -> { (s, dir) =>
+      val embs = tbl(s, dir, "embeddings")
+      val m = graft.dedup.SemDedup.seedModel(embs, "embedding", "vec_id", 8)
+      graft.dedup.SemDedup
+        .semanticDedup(embs, "embedding", "vec_id", m, 0.45)
+        .orderBy("vec_id")
+    },
+    // Semantic decontamination: every 50th embedding plays the
+    // benchmark set; corpus rows cosine-similar to any of them are
+    // flagged. Broadcast nested-loop semi-join — the corpus never
+    // shuffles. Oracle: the same EXISTS, exact.
+    "d16_semantic_decontam" -> { (s, dir) =>
+      val embs = tbl(s, dir, "embeddings")
+      val bench = embs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      graft.dedup.Decontaminate.semanticContaminated(
+          embs, "embedding", "vec_id", bench, "embedding", 0.6)
+        .orderBy("vec_id")
+    },
+    // Incremental near-dup screening: a batch of 10 lightly-mutated
+    // corpus docs (one appended word -> Jaccard (N-2)/(N-1) >= ~0.87)
+    // plus 2 fresh docs, screened against the first 60 corpus docs.
+    // Banded cross-table MinHash (32 bands x 2 rows: band-hit prob
+    // ~1-1e-20 at J .87) + exact Jaccard verdicts; the oracle is the
+    // exact all-pairs max-Jaccard test.
+    "d17_incremental_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 60)
+        .select("doc_id", "text")
+      val mutated = tbl(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), concat(col("text"), lit(" extra")).as("text"))
+      val fresh = Seq(
+        (200L, "totally fresh content about catalyst codegen internals"),
+        (201L, "another brand new page describing tungsten memory layout"))
+        .toDF("doc_id", "text")
+      graft.dedup.Dedup.nearDupAgainst(
+          mutated.unionByName(fresh), corpus, "text", "doc_id",
+          threshold = 0.8, shingleSize = 3, numHashes = 64, bands = 32)
+        .orderBy("doc_id")
     },
     // Audio fingerprint near-dup: REAL WAV decode -> 64-bit
     // energy-delta fingerprint -> the same banded Hamming machinery.
@@ -3429,6 +3531,55 @@ object SparkEntry {
         Boilerplate.dedupLines(tbl(s, dir, "documents"), "text", "doc_id")
           .agg(sum("lines_removed").as("removed"),
             sum(length(col("text_clean"))).as("chars"))
+      },
+      // BPE training at bench SF: one corpus-sized vocab agg, then 32
+      // merge rounds over the distinct-word vocab (each a vocab-sized
+      // pair agg + a 1-row collect).
+      "bench_bpe_train" -> { (s, dir) =>
+        graft.text.Bpe.mergesDf(s, graft.text.Bpe.learnMerges(
+          tbl(s, dir, "documents"), "text", 32))
+      },
+      // BPE encode at bench SF: 16 learned merges folded over the
+      // distinct-word dictionary, corpus encoded via the word-keyed
+      // join + per-doc reassembly.
+      "bench_bpe_encode" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val merges = graft.text.Bpe.learnMerges(docs, "text", 16)
+        graft.text.Bpe.encode(docs, "text", "doc_id", merges)
+          .agg(sum(size(col("tokens"))).as("tokens"))
+      },
+      // Incremental near-dup at bench SF: a 10% mutated batch screened
+      // against the full corpus — the corpus's banded signature index
+      // is the dominant cost and is what a pipeline would persist.
+      "bench_neardup_against" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" extra")).as("text"))
+        graft.dedup.Dedup.nearDupAgainst(batch, docs, "text", "doc_id",
+            threshold = 0.8, numHashes = 64, bands = 32)
+          .agg(sum(when(col("near_dup"), 1L).otherwise(0L)).as("dups"),
+            count(lit(1)).as("n"))
+      },
+      // Semantic decontamination at bench SF: broadcast bench set,
+      // one corpus pass, no shuffle.
+      "bench_semantic_decontam" -> { (s, dir) =>
+        val embs = tbl(s, dir, "embeddings")
+        val bench = embs.filter(pmod(col("vec_id"), lit(50)) === 0)
+        graft.dedup.Decontaminate.semanticContaminated(
+            embs, "embedding", "vec_id", bench, "embedding", 0.6)
+          .agg(sum(when(col("contaminated"), 1L).otherwise(0L)).as("hits"),
+            count(lit(1)).as("n"))
+      },
+      // Cluster-scoped semantic dedup at bench SF: Lloyd-trained
+      // 64-cell quantizer, within-cell cosine pairs, keep-first.
+      "bench_semantic_dedup" -> { (s, dir) =>
+        val embs = tbl(s, dir, "embeddings")
+        val m = graft.dedup.SemDedup.trainedModel(embs, "embedding", 64)
+        graft.dedup.SemDedup
+          .semanticDedup(embs, "embedding", "vec_id", m, 0.8)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("dropped"))
       },
       // The CUT path at bench SF — span detection PLUS the per-doc
       // token-stream rebuild (the part d10's span bench doesn't cover).
@@ -5308,6 +5459,56 @@ object SparkEntry {
           |  CAST(COALESCE(tot.n, 0) - COALESCE(reb.k, 0) AS BIGINT) AS lines_removed
           |FROM d0 LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
+      // BPE pair-count oracle: distinct-word weights, then per-word
+      // adjacent (char, char-or-EOW) pairs enumerated arithmetically.
+      "t18_bpe_pair_counts" ->
+        """WITH words AS (SELECT unnest(list_filter(
+          |    regexp_split_to_array(text, '\s+'), w -> len(w) > 0)) AS word
+          |  FROM documents),
+          |wc AS (SELECT word, count(*) AS weight FROM words GROUP BY word),
+          |prs AS (SELECT word, weight,
+          |    CAST(unnest(range(1, len(word) + 1)) AS INT) AS i FROM wc)
+          |SELECT substr(word, i, 1) AS "left",
+          |  CASE WHEN i = len(word) THEN '</w>'
+          |       ELSE substr(word, i + 1, 1) END AS "right",
+          |  CAST(sum(weight) AS BIGINT) AS cnt
+          |FROM prs GROUP BY 1, 2
+          |ORDER BY cnt DESC, "left", "right" LIMIT 50""".stripMargin,
+      // DETERMINISM PIN (iterative argmax not SQL-cheap): the
+      // hand-derived Sennrich merge sequence — e-s (9) -> es-t ->
+      // est-</w> -> l-o (7) -> lo-w -> e-w (6) -> ew-est</w> ->
+      // n-ewest</w>; tie-breaks walked in BpeSpec, independently
+      // reproduced by tools/ref_bpe.py, pair arithmetic gated by t18.
+      "t19_bpe_merges" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), 'e', 's'),
+          |  (CAST(1 AS BIGINT), 'es', 't'),
+          |  (CAST(2 AS BIGINT), 'est', '</w>'),
+          |  (CAST(3 AS BIGINT), 'l', 'o'),
+          |  (CAST(4 AS BIGINT), 'lo', 'w'),
+          |  (CAST(5 AS BIGINT), 'e', 'w'),
+          |  (CAST(6 AS BIGINT), 'ew', 'est</w>'),
+          |  (CAST(7 AS BIGINT), 'n', 'ewest</w>')) t(rank, "left", "right")
+          |ORDER BY rank""".stripMargin,
+      // Roundtrip oracle: whitespace-normalized text, independent of
+      // the learned merges.
+      "t20_bpe_roundtrip" ->
+        """SELECT doc_id, array_to_string(list_filter(
+          |    regexp_split_to_array(text, '\s+'), w -> len(w) > 0), ' ') AS decoded
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // DETERMINISM PIN: encodes under the t19 merges, same
+      // derivation chain (ref_bpe.py + BpeSpec).
+      "t21_bpe_encode" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), 'low </w>'),
+          |  (CAST(1 AS BIGINT), 'low e r </w>'),
+          |  (CAST(2 AS BIGINT), 'newest</w>'),
+          |  (CAST(3 AS BIGINT), 'w i d est</w>'),
+          |  (CAST(4 AS BIGINT), 'low est</w>'),
+          |  (CAST(5 AS BIGINT), 'n ew e r </w>'),
+          |  (CAST(6 AS BIGINT), 'w i d e </w>'),
+          |  (CAST(7 AS BIGINT), 'z z </w>')) t(doc_id, tokens_str)
+          |ORDER BY doc_id""".stripMargin,
       // PII oracle: RE2 replays the exact Java-regex patterns (the
       // syntax subset is chosen to mean the same in both engines).
       "t11_pii" ->
@@ -5586,6 +5787,65 @@ object SparkEntry {
           |  CAST(COALESCE(cc.cluster, h.i) AS BIGINT) AS cluster_id
           |FROM hashes h LEFT JOIN cc ON cc.node = h.i
           |ORDER BY asset_id""".stripMargin,
+      // Semantic-dedup oracle: seeds = 8 lowest ids, argmin-L2 cell
+      // with (distance, cid) tie-break, keep-first EXISTS within the
+      // cell — every step recomputed from the raw embeddings.
+      "d15_semantic_dedup" ->
+        """WITH seeds AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+          |    embedding
+          |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+          |), assigned AS (
+          |  SELECT e.vec_id, e.embedding,
+          |    (SELECT s.cid FROM seeds s
+          |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) ASC,
+          |       s.cid ASC LIMIT 1) AS cell
+          |  FROM embeddings e
+          |)
+          |SELECT a.vec_id, a.cell,
+          |  NOT EXISTS (SELECT 1 FROM assigned b
+          |    WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+          |      AND list_cosine_similarity(a.embedding::DOUBLE[],
+          |            b.embedding::DOUBLE[]) >= 0.45) AS keep
+          |FROM assigned a ORDER BY a.vec_id""".stripMargin,
+      // Semantic-decontamination oracle: exact EXISTS over the bench
+      // subset.
+      "d16_semantic_decontam" ->
+        """WITH bench AS (
+          |  SELECT embedding FROM embeddings WHERE vec_id % 50 = 0)
+          |SELECT e.vec_id,
+          |  EXISTS (SELECT 1 FROM bench b
+          |    WHERE list_cosine_similarity(e.embedding::DOUBLE[],
+          |            b.embedding::DOUBLE[]) >= 0.6) AS contaminated
+          |FROM embeddings e ORDER BY e.vec_id""".stripMargin,
+      // Incremental near-dup oracle: exact all-pairs shingle Jaccard
+      // between the batch and the 60-doc corpus (same analyzer split
+      // as d2's oracle), flag batch docs whose best match >= 0.8.
+      "d17_incremental_neardup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 60),
+          |batch(doc_id, text) AS (
+          |  SELECT doc_id, text || ' extra' FROM documents WHERE doc_id < 10
+          |  UNION ALL SELECT * FROM (VALUES
+          |    (CAST(200 AS BIGINT), 'totally fresh content about catalyst codegen internals'),
+          |    (CAST(201 AS BIGINT), 'another brand new page describing tungsten memory layout'))),
+          |shc AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |    ELSE list_transform(range(1, len(ts) - 1),
+          |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset
+          |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus)),
+          |shb AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |    ELSE list_transform(range(1, len(ts) - 1),
+          |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset
+          |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM batch))
+          |SELECT b.doc_id,
+          |  EXISTS (SELECT 1 FROM shc c
+          |    WHERE len(list_intersect(b.sset, c.sset))::DOUBLE
+          |      / len(list_distinct(b.sset || c.sset)) >= 0.8) AS near_dup
+          |FROM shb b ORDER BY b.doc_id""".stripMargin,
       // Audio-fingerprint oracle: identical closed-form arithmetic
       // (shared pattern) over 48 fixtures — checks the WAV decode ->
       // frame-energy fingerprint path end-to-end.

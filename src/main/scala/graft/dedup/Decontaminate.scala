@@ -49,6 +49,35 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** SEMANTIC decontamination: flag corpus rows whose embedding is
+    * cosine-similar (≥ threshold) to ANY benchmark embedding — the
+    * paraphrase-robust companion to the exact n-gram check (verbatim
+    * leaks share grams; reworded leaks only share geometry; run both).
+    *
+    * Scale shape: the benchmark embedding set broadcasts (thousands of
+    * eval items vs billions of corpus rows) and the similarity test is
+    * a broadcast nested-loop SEMI join — one pass over the corpus, no
+    * shuffle, early-out per row on the first hit. Returns every corpus
+    * id with a boolean verdict: `(idCol, contaminated)`.
+    */
+  def semanticContaminated(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(benchVecCol).as("_bvec")))
+    val hits = corpus
+      .join(b, graft.Functions.vecCosine(col(vecCol), col("_bvec"))
+        >= threshold, "left_semi")
+      .select(col(idCol)).withColumn("_hit", lit(true))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_hit"), lit(false))
+        .as("contaminated"))
+  }
+
   /** The clean corpus: `corpus` minus contaminated documents — a
     * broadcast anti-join when the benchmark broadcasts, so the corpus
     * still never shuffles.

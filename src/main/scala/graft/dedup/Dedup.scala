@@ -79,17 +79,26 @@ object Dedup {
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       bands: Int, rows: Int): DataFrame = {
-    val buckets = signatures.select(col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), concat_ws("_",
-          (0 until rows).map(r => col("signature")(b * rows + r)): _*))): _*))
-        .as(Seq("band", "bucket")))
+    val buckets = bandBuckets(signatures, idCol, bands, rows)
     val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** `(id, band, bucket)` banded-signature buckets — the persistable
+    * LSH index side shared by the self-join ([[lshCandidatePairs]]),
+    * the cross-table probe ([[nearDupAgainst]]), and the streaming
+    * candidate state.
+    */
+  private def bandBuckets(signatures: DataFrame, idCol: String,
+      bands: Int, rows: Int): DataFrame =
+    signatures.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), concat_ws("_",
+          (0 until rows).map(r => col("signature")(b * rows + r)): _*))): _*))
+        .as(Seq("band", "bucket")))
 
   /** Exact Jaccard similarity over distinct shingle sets, computed for
     * given pairs only (posting-list join, no cross product).
@@ -275,6 +284,55 @@ object Dedup {
       .drop("_fp", "_rn")
   }
 
+  /** Incremental NEAR-dup screening: per-batch-document verdicts
+    * `(id, near_dup)` — true iff some corpus document's exact n-gram
+    * Jaccard with it reaches `threshold`, with candidates found by
+    * banded MinHash-LSH across the two tables.
+    *
+    * This is [[dedupAgainst]]'s fuzzy sibling and the shape a crawl
+    * pipeline actually runs: the CORPUS side reduces to its banded
+    * signature buckets `(id, band, bucket)` — an index that is
+    * persisted once and probed by every new batch; re-shingling the
+    * corpus per batch would be the scale bug. The batch explodes to
+    * the same bands and equi-joins the bucket index (shuffle volume
+    * O(batch × bands) plus the one-off corpus index build); exact
+    * verification re-shingles only documents named by a candidate
+    * pair. Batch and corpus ids may overlap — sets are keyed per side,
+    * never unioned.
+    */
+  def nearDupAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.8,
+      shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    def buckets(docs: DataFrame, side: String): DataFrame =
+      bandBuckets(
+        minhashSignatures(docs, textCol, idCol, shingleSize, numHashes),
+        idCol, bands, rows)
+        .select(col(idCol).as(side), col("band"), col("bucket"))
+    val cand = buckets(newDocs, "id_a")
+      .join(buckets(corpus, "id_b"), Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    def sets(docs: DataFrame, side: String): DataFrame =
+      docs.join(cand.select(col(side).as(idCol)).distinct(),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as(side),
+          array_distinct(TextOps.shingles(col(textCol), shingleSize))
+            .as(s"_s$side"))
+    val dup = cand
+      .join(sets(newDocs, "id_a"), "id_a")
+      .join(sets(corpus, "id_b"), "id_b")
+      .filter(size(array_intersect(col("_sid_a"), col("_sid_b")))
+        .cast("double") /
+        size(array_union(col("_sid_a"), col("_sid_b"))) >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    newDocs.select(col(idCol))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_dup"), lit(false)).as("near_dup"))
+  }
+
   // --- duplicate clusters (connected components) --------------------------
 
   /** Transitive duplicate clusters over a near-dup pair list: the
@@ -306,39 +364,65 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val raw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node"))
-      .persist()
+    // Size the per-round shuffles to the MEASURED graph, not the
+    // session default. AQE cannot coalesce the partitioning of plans
+    // that populate a cache (canChangeCachedPlanOutputPartitioning is
+    // off by default), so without this a fixture-sized graph pays
+    // O(log diameter) rounds of 32-task scheduling — measured ~1 s per
+    // round on a 40-node chain vs ~30 ms single-task. The count also
+    // materializes the (possibly expensive) pair plan exactly once.
+    // At scale the clamp saturates to defaultParallelism and the
+    // repartition branch is skipped entirely.
+    val defaultPar = pairs.sparkSession.sparkContext.defaultParallelism
+    val parts = math.max(1L, math.min(defaultPar.toLong,
+      (raw.count() + 499999L) / 500000L)).toInt
+    // Identity at scale (parts == defaultParallelism): the big-graph
+    // plan keeps its two data-proportional shuffles per round; only
+    // sub-500k-edge graphs take the narrow path.
+    def sized(df: DataFrame, key: String): DataFrame =
+      if (parts < defaultPar) df.repartition(parts, col(key)) else df
+    val edges =
+      if (parts < defaultPar) {
+        val e = raw.repartition(parts, col("src")).persist()
+        e.count(); raw.unpersist(false); e
+      } else raw
+    var labels = sized(edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")), "node")
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("cluster"))
-      val combined = labels.unionByName(viaEdges)
+      val combined = sized(labels.unionByName(viaEdges), "node")
         .groupBy("node").agg(min("cluster").as("cluster"))
       // Pointer jump: cluster := cluster(cluster). Every label is a
       // node id present in `combined`, so the left join only misses
       // when the label is already a component minimum pointing at
       // itself — coalesce covers both.
+      //
+      // The eager localCheckpoint is LOAD-BEARING: `combined` appears
+      // on BOTH sides of the pointer-jump join, so without truncation
+      // the LOGICAL plan doubles every round — persist() caches data
+      // but Catalyst still re-analyzes the full tree, and the
+      // driver-side planning cost goes exponential in the round count
+      // (measured: a 40-node chain over an RDD-backed pair plan spent
+      // ~10 s in analysis by round 8). Checkpointing resets each
+      // round's plan to a LogicalRDD; superseded generations are freed
+      // asynchronously by the ContextCleaner once unreachable.
       val next = combined.join(
           combined.select(col("node").as("cluster"), col("cluster").as("_c2")),
           Seq("cluster"), "left")
         .select(col("node"), coalesce(col("_c2"), col("cluster")).as("cluster"))
-        .persist()
-      // ONE action per round: the changed-count join both materializes
-      // `next` into the cache and decides convergence. Persist (not
-      // checkpoint) still truncates effective lineage — each round's
-      // plan bottoms out at the previous round's InMemoryRelation —
-      // and the explicit unpersist keeps block-manager usage at one
-      // generation, so block residency does not grow with iterations.
+        .transform(sized(_, "node"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "_old"), "node")
         .filter(col("cluster") =!= col("_old")).count()
-      labels.unpersist(false)
       labels = next
       converged = changed == 0
       iter += 1

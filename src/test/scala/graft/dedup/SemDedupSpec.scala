@@ -1,0 +1,73 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.ann.Ivf
+
+/** Cluster-scoped semantic dedup: seed-cell assignment, within-cell
+  * pair discovery, and the keep-first policy on a hand-computed
+  * three-cluster fixture. The d15 oracle entry recomputes the same
+  * plan in DuckDB over the real embeddings table.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  // ids 0/1/2 are the three cluster centers (and, being the lowest
+  // ids, the k=3 seed centroids); 3/4/6 are planted near-dups; 5 is a
+  // cell-2 resident below the threshold.
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0)),
+      (3L, Seq(0.98, 0.05, 0.0)),   // ~id0
+      (4L, Seq(0.1, 0.99, 0.0)),    // ~id1
+      (5L, Seq(0.6, 0.0, 0.8)),     // cell 2, cos(id2)=0.8 < t
+      (6L, Seq(0.97, -0.05, 0.0))   // ~id0, ~id3
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("seed model = embeddings of the k lowest ids") {
+    val m = SemDedup.seedModel(fixture, "embedding", "vec_id", 3)
+    assert(m.k == 3)
+    assert(m.centroids(0).toSeq == Seq(1.0, 0.0, 0.0))
+    assert(m.centroids(2).toSeq == Seq(0.0, 0.0, 1.0))
+  }
+
+  test("within-cell pairs: only same-cell, above-threshold, a<b") {
+    val m = SemDedup.seedModel(fixture, "embedding", "vec_id", 3)
+    val pairs = SemDedup.cellPairs(fixture, "embedding", "vec_id", m, 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 3L), (0L, 6L), (3L, 6L), (1L, 4L)))
+  }
+
+  test("keep-first verdicts match the hand-computed fixture") {
+    val m = SemDedup.seedModel(fixture, "embedding", "vec_id", 3)
+    val keep = SemDedup
+      .semanticDedup(fixture, "embedding", "vec_id", m, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(0L -> true, 1L -> true, 2L -> true,
+      3L -> false, 4L -> false, 5L -> true, 6L -> false))
+  }
+
+  test("cell column matches the IVF coarse quantizer assignment") {
+    val m = SemDedup.seedModel(fixture, "embedding", "vec_id", 3)
+    val cells = SemDedup
+      .semanticDedup(fixture, "embedding", "vec_id", m, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 2,
+      3L -> 0, 4L -> 1, 5L -> 2, 6L -> 0))
+  }
+
+  test("trained quantizer separates the planted dups the same way") {
+    // Lloyd-trained cells (different centroids, same geometry): the
+    // same dup set must fall out on a well-separated fixture.
+    val m = SemDedup.trainedModel(fixture, "embedding", k = 3, iters = 5)
+    val keep = SemDedup
+      .semanticDedup(fixture, "embedding", "vec_id", m, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep.count(!_._2) == 3)
+    assert(!keep(3L) && !keep(4L) && !keep(6L))
+  }
+}
