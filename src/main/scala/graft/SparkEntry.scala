@@ -3095,6 +3095,50 @@ object SparkEntry {
           epoch = 2, binsPerShard = 4, out)
         .orderBy("bin", "doc_id")
     },
+    // DSIR importance weights (Xie et al. 2023): every 20th document
+    // plays the target domain, the raw model is the full corpus; both
+    // hashed-(uni+bi)gram bucket models (B=4096, add-1) and the
+    // per-doc weight are recomputed end-to-end by the DuckDB oracle
+    // via the portable md5 bucket hash.
+    "p8_dsir_weights" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val tgt = graft.pipeline.Dsir.fit(
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "text", "doc_id", 4096)
+      val raw = graft.pipeline.Dsir.fit(docs, "text", "doc_id", 4096)
+      graft.pipeline.Dsir
+        .importanceWeights(docs, "text", "doc_id", tgt, raw)
+        .select(col("doc_id"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    },
+    // DSIR Gumbel top-k selection: deterministic without-replacement
+    // sample of 40 docs ∝ exp(log_weight); the Gumbel draw rides the
+    // md5 coin, so the oracle reproduces the exact selected set.
+    "p9_dsir_select" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val tgt = graft.pipeline.Dsir.fit(
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "text", "doc_id", 4096)
+      val raw = graft.pipeline.Dsir.fit(docs, "text", "doc_id", 4096)
+      graft.pipeline.Dsir
+        .resampleTop(docs, "text", "doc_id", tgt, raw, 40)
+        .select(col("doc_id"),
+          round(col("log_weight"), 6).as("log_weight"),
+          round(col("key"), 6).as("key"))
+        .orderBy(col("key").desc, col("doc_id").asc)
+    },
+    // Cluster-balanced sampling: at most 3 rows per seed-quantizer
+    // cell by the md5 coin. The oracle recomputes the argmin-L2
+    // assignment (d15's tie-break), the coin, and the per-cell
+    // row_number.
+    "p10_cluster_sample" -> { (s, dir) =>
+      val embs = tbl(s, dir, "embeddings")
+      val m = graft.dedup.SemDedup.seedModel(embs, "embedding", "vec_id", 8)
+      graft.dedup.SemDedup.clusterBalancedSample(
+          embs, "embedding", "vec_id", m, perCell = 3)
+        .orderBy("vec_id")
+    },
     // URL canonicalization over messy crawl fixtures: tracking params,
     // default ports, fragments, case, trailing slashes, two-level
     // public suffixes, unparseable junk. Pure projection (parse_url +
@@ -3580,6 +3624,30 @@ object SparkEntry {
           .semanticDedup(embs, "embedding", "vec_id", m, 0.8)
           .agg(count(lit(1)).as("n"),
             sum(when(col("keep"), 0L).otherwise(1L)).as("dropped"))
+      },
+      // DSIR at bench SF: two model fits (a corpus-sized explode+agg
+      // each, models bounded at 4096 rows) plus the broadcast-join
+      // scoring pass.
+      "bench_dsir_weights" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents").select("doc_id", "text")
+        val tgt = graft.pipeline.Dsir.fit(
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "text", "doc_id", 4096)
+        val raw = graft.pipeline.Dsir.fit(docs, "text", "doc_id", 4096)
+        graft.pipeline.Dsir
+          .importanceWeights(docs, "text", "doc_id", tgt, raw)
+          .agg(count(lit(1)).as("n"),
+            round(avg("log_weight"), 4).as("avg_lw"))
+      },
+      // Cluster-balanced sampling at bench SF: Lloyd-trained 64-cell
+      // quantizer, up to 16 rows kept per cell.
+      "bench_cluster_sample" -> { (s, dir) =>
+        val embs = tbl(s, dir, "embeddings")
+        val m = graft.dedup.SemDedup.trainedModel(embs, "embedding", 64)
+        graft.dedup.SemDedup
+          .clusterBalancedSample(embs, "embedding", "vec_id", m, 16)
+          .agg(count(lit(1)).as("kept"),
+            countDistinct("cell").as("cells"))
       },
       // The CUT path at bench SF — span detection PLUS the per-doc
       // token-stream rebuild (the part d10's span bench doesn't cover).
@@ -5986,6 +6054,87 @@ object SparkEntry {
           |  least((bin + 1) * 512 - so, n) - greatest(bin * 512 - so, 0) AS span_len,
           |  greatest(so - bin * 512, 0) AS bin_offset
           |FROM b ORDER BY bin, doc_id""".stripMargin,
+      // DSIR oracle: the full estimator re-derived in SQL — tokenize,
+      // hashed uni+bigram buckets (md5 mod 4096), add-1 bucket models
+      // for target (every 20th doc) and raw (all), per-doc
+      // Σ cnt·(ln p̂_t − ln p̂_r).
+      "p8_dsir_weights" ->
+        """WITH tok AS (SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM documents),
+          |grams AS (SELECT doc_id, UNNEST(ts || CASE WHEN len(ts) < 2
+          |      THEN []::VARCHAR[] ELSE list_transform(range(1, len(ts)),
+          |        i -> ts[i] || ' ' || ts[i+1]) END) AS gram FROM tok),
+          |fb AS (SELECT doc_id,
+          |    ('0x' || substr(md5(gram),1,8))::UBIGINT % 4096 AS bucket,
+          |    count(*) AS cnt FROM grams GROUP BY 1, 2),
+          |tm AS (SELECT bucket, sum(cnt)::DOUBLE AS c FROM fb
+          |  WHERE doc_id % 20 = 0 GROUP BY 1),
+          |rm AS (SELECT bucket, sum(cnt)::DOUBLE AS c FROM fb GROUP BY 1),
+          |tt AS (SELECT coalesce(sum(c), 0) + 4096.0 AS den FROM tm),
+          |rt AS (SELECT coalesce(sum(c), 0) + 4096.0 AS den FROM rm),
+          |w AS (SELECT f.doc_id, sum(f.cnt * (
+          |      ln((coalesce(t.c, 0) + 1.0) / tt.den) -
+          |      ln((coalesce(r.c, 0) + 1.0) / rt.den))) AS lw
+          |  FROM fb f LEFT JOIN tm t USING (bucket)
+          |  LEFT JOIN rm r USING (bucket)
+          |  CROSS JOIN tt CROSS JOIN rt GROUP BY 1)
+          |SELECT d.doc_id, round(coalesce(w.lw, 0.0), 6) AS log_weight
+          |FROM documents d LEFT JOIN w USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+      // p8's weights + the deterministic Gumbel draw; top-40 by
+      // unrounded key, presented by rounded key (both engines break
+      // ties by doc_id).
+      "p9_dsir_select" ->
+        """WITH tok AS (SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM documents),
+          |grams AS (SELECT doc_id, UNNEST(ts || CASE WHEN len(ts) < 2
+          |      THEN []::VARCHAR[] ELSE list_transform(range(1, len(ts)),
+          |        i -> ts[i] || ' ' || ts[i+1]) END) AS gram FROM tok),
+          |fb AS (SELECT doc_id,
+          |    ('0x' || substr(md5(gram),1,8))::UBIGINT % 4096 AS bucket,
+          |    count(*) AS cnt FROM grams GROUP BY 1, 2),
+          |tm AS (SELECT bucket, sum(cnt)::DOUBLE AS c FROM fb
+          |  WHERE doc_id % 20 = 0 GROUP BY 1),
+          |rm AS (SELECT bucket, sum(cnt)::DOUBLE AS c FROM fb GROUP BY 1),
+          |tt AS (SELECT coalesce(sum(c), 0) + 4096.0 AS den FROM tm),
+          |rt AS (SELECT coalesce(sum(c), 0) + 4096.0 AS den FROM rm),
+          |w AS (SELECT f.doc_id, sum(f.cnt * (
+          |      ln((coalesce(t.c, 0) + 1.0) / tt.den) -
+          |      ln((coalesce(r.c, 0) + 1.0) / rt.den))) AS lw
+          |  FROM fb f LEFT JOIN tm t USING (bucket)
+          |  LEFT JOIN rm r USING (bucket)
+          |  CROSS JOIN tt CROSS JOIN rt GROUP BY 1),
+          |g AS (SELECT d.doc_id, coalesce(w.lw, 0.0) AS lw,
+          |    coalesce(w.lw, 0.0) + -ln(-ln(
+          |      ((('0x' || substr(md5('dsir' || CAST(d.doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE + 0.5)
+          |      / 4294967296.0)) AS key
+          |  FROM documents d LEFT JOIN w USING (doc_id)),
+          |top AS (SELECT * FROM g ORDER BY key DESC, doc_id LIMIT 40)
+          |SELECT doc_id, round(lw, 6) AS log_weight,
+          |  round(key, 6) AS key
+          |FROM top ORDER BY round(key, 6) DESC, doc_id""".stripMargin,
+      // Cluster-balanced sample oracle: d15's seed assignment + the
+      // md5 coin per-cell row_number.
+      "p10_cluster_sample" ->
+        """WITH seeds AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+          |    embedding
+          |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+          |), assigned AS (
+          |  SELECT e.vec_id,
+          |    (SELECT s.cid FROM seeds s
+          |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) ASC,
+          |       s.cid ASC LIMIT 1) AS cell
+          |  FROM embeddings e
+          |), ranked AS (
+          |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+          |    ORDER BY (('0x' || substr(md5('cbs' || CAST(vec_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
+          |      / 4294967296.0 ASC, vec_id ASC) AS rn
+          |  FROM assigned)
+          |SELECT vec_id, cell FROM ranked WHERE rn <= 3
+          |ORDER BY vec_id""".stripMargin,
       "s8_dml_scenario" ->
         """SELECT id, category, content, version FROM (VALUES
           |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'v1_0', CAST(1 AS BIGINT)),

@@ -77,6 +77,34 @@ object SemDedup {
         col("cosine"))
   }
 
+  /** Cluster-balanced sample: up to `perCell` rows from EACH quantizer
+    * cell, chosen by the deterministic md5 coin (so the within-cell
+    * pick is an unbiased random sample, reproducible across engines)
+    * with id tie-break. This is the diversity-preserving selection
+    * step curation pipelines run after semantic dedup — a head-heavy
+    * corpus contributes at most `perCell` examples per region of
+    * embedding space instead of drowning the tail.
+    *
+    * 100 TB shape: one shuffle on the cell id; row_number streams over
+    * each sorted cell (no per-cell buffering), and cell sizes are
+    * already reducer-bounded by the k chosen for the quantizer.
+    * Returns the selected `(idCol, cell)` rows.
+    */
+  def clusterBalancedSample(embs: DataFrame, vecCol: String,
+      idCol: String, model: Ivf.Model, perCell: Int,
+      salt: String = "cbs"): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val coin = graft.pipeline.Mixing.hashUniform(col(idCol), salt)
+    Ivf.assign(embs, vecCol, model)
+      .select(col(idCol), col("_cid").as("cell"), coin.as("_coin"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("cell").orderBy(col("_coin").asc,
+          col(idCol).asc)))
+      .filter(col("_rn") <= perCell)
+      .select(col(idCol), col("cell"))
+  }
+
   /** Keep-first semantic dedup verdict per row: `(id, cell, keep)`.
     * keep=false iff a lower-id row in the same cell is similar above
     * the threshold. Implemented as the pair join reduced to its

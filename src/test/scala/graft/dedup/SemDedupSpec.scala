@@ -60,6 +60,27 @@ class SemDedupSpec extends SparkSpec {
       3L -> 0, 4L -> 1, 5L -> 2, 6L -> 0))
   }
 
+  test("clusterBalancedSample: per-cell cap, deterministic, covers all cells") {
+    val m = SemDedup.seedModel(fixture, "embedding", "vec_id", 3)
+    val s1 = SemDedup
+      .clusterBalancedSample(fixture, "embedding", "vec_id", m, perCell = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    // cell 0 holds {0,3,6} -> 2 kept; cells 1 {1,4} and 2 {2,5} whole
+    assert(s1.length === 6)
+    assert(s1.count(_._2 == 0) === 2)
+    assert(s1.count(_._2 == 1) === 2)
+    assert(s1.count(_._2 == 2) === 2)
+    val s2 = SemDedup
+      .clusterBalancedSample(fixture, "embedding", "vec_id", m, perCell = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    assert(s1.toSeq === s2.toSeq)
+    // perCell = 1 keeps exactly one row per cell
+    val s3 = SemDedup
+      .clusterBalancedSample(fixture, "embedding", "vec_id", m, perCell = 1)
+      .collect()
+    assert(s3.length === 3)
+  }
+
   test("trained quantizer separates the planted dups the same way") {
     // Lloyd-trained cells (different centroids, same geometry): the
     // same dup set must fall out on a well-separated fixture.
