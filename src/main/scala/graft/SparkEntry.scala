@@ -3139,6 +3139,40 @@ object SparkEntry {
           embs, "embedding", "vec_id", m, perCell = 3)
         .orderBy("vec_id")
     },
+    // END-TO-END curation: C4 clean -> exact dedup (keep-first) ->
+    // 8-gram benchmark decontamination -> growth-stable split ->
+    // per-split datasheet, one composed plan. Plants verbatim dups
+    // (exact-dedup food) and code-marker docs (cleaner food); bench =
+    // cleaned docs 10/20/30. The oracle recomputes every stage in SQL
+    // (t12's line rules, d1's normalized keep-first, d6's gram sets,
+    // p4's coin) — so the whole chain is value-gated, not just each
+    // stage alone.
+    "p11_curate_e2e" -> { (s, dir) =>
+      // corpus text is one unpunctuated line: terminate it (so the
+      // real content survives the line rules) and append a stub line
+      // the cleaner must strip
+      val base = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(".\nshort stub")).as("text"))
+      val dups = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val code = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit("\nif (x) { return; }")).as("text"))
+      val docs = base.unionByName(dups).unionByName(code)
+      val cleaned = C4Filters.c4(docs, "text").filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val deduped = graft.dedup.Dedup.exact(cleaned, "text", "doc_id")
+      val bench = cleaned.filter(col("doc_id").isin(10L, 20L, 30L))
+      val clean = graft.dedup.Decontaminate.clean(
+        deduped, "text", "doc_id", bench, "text", n = 8)
+      val spl = graft.pipeline.Mixing.split(clean, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "e2e")
+      spl.groupBy("split").agg(
+          count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
+        .orderBy("split")
+    },
     // URL canonicalization over messy crawl fixtures: tracking params,
     // default ports, fragments, case, trailing slashes, two-level
     // public suffixes, unparseable junk. Pure projection (parse_url +
@@ -3648,6 +3682,23 @@ object SparkEntry {
           .clusterBalancedSample(embs, "embedding", "vec_id", m, 16)
           .agg(count(lit(1)).as("kept"),
             countDistinct("cell").as("cells"))
+      },
+      // The composed curation chain at bench SF: clean -> dedup ->
+      // decontam -> split -> datasheet in ONE plan (what a nightly
+      // crawl-refresh job actually runs).
+      "bench_curate_e2e" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents").select("doc_id", "text")
+        val cleaned = C4Filters.c4(docs, "text", minWords = 2)
+          .filter(col("keep"))
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val deduped = graft.dedup.Dedup.exact(cleaned, "text", "doc_id")
+        val bench = cleaned.filter(pmod(col("doc_id"), lit(101)) === 0)
+        val clean = graft.dedup.Decontaminate.clean(
+          deduped, "text", "doc_id", bench, "text", n = 8)
+        graft.pipeline.Mixing.split(clean, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "e2e")
+          .groupBy("split").agg(count(lit(1)).as("docs"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
       },
       // The CUT path at bench SF — span detection PLUS the per-doc
       // token-stream rebuild (the part d10's span bench doesn't cover).
@@ -6135,6 +6186,52 @@ object SparkEntry {
           |  FROM assigned)
           |SELECT vec_id, cell FROM ranked WHERE rn <= 3
           |ORDER BY vec_id""".stripMargin,
+      // E2E-curation oracle: every stage recomputed (t12 line rules,
+      // keep-first over normalized text, d6 gram sets, p4 coin).
+      "p11_curate_e2e" ->
+        """WITH base AS (SELECT doc_id,
+          |    text || '.' || chr(10) || 'short stub' AS text
+          |  FROM documents),
+          |docs AS (
+          |  SELECT doc_id, text FROM base
+          |  UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id < 5
+          |  UNION ALL SELECT doc_id + 200000,
+          |    text || chr(10) || 'if (x) { return; }'
+          |  FROM base WHERE doc_id >= 5 AND doc_id < 10),
+          |kept AS (SELECT doc_id, text AS orig, list_filter(
+          |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+          |    l -> regexp_matches(l, '[.!?"]$')
+          |      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3) AS ks
+          |  FROM docs),
+          |cleaned AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text
+          |  FROM kept WHERE len(ks) >= 1 AND NOT contains(orig, '{')
+          |    AND NOT contains(lower(orig), 'lorem ipsum')),
+          |dedup AS (SELECT doc_id, text FROM (
+          |  SELECT doc_id, text, row_number() OVER (
+          |    PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          |    ORDER BY doc_id) AS rn FROM cleaned) WHERE rn = 1),
+          |btok AS (SELECT list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM cleaned WHERE doc_id IN (10,20,30)),
+          |bg AS (SELECT DISTINCT g FROM btok,
+          |  UNNEST(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6),
+          |      i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)),
+          |dtok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM dedup),
+          |contam AS (SELECT DISTINCT doc_id FROM dtok,
+          |  UNNEST(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6),
+          |      i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)
+          |  WHERE g IN (SELECT g FROM bg)),
+          |clean AS (SELECT d.doc_id, d.text FROM dedup d
+          |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
+          |spl AS (SELECT text, CASE WHEN coin < 0.8 THEN 'train'
+          |    WHEN coin < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT text, (('0x' || substr(md5('e2e' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
+          |      / 4294967296.0 AS coin FROM clean))
+          |SELECT split, count(*) AS docs, sum(len(text)) AS chars,
+          |  sum(len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS tokens
+          |FROM spl GROUP BY split ORDER BY split""".stripMargin,
       "s8_dml_scenario" ->
         """SELECT id, category, content, version FROM (VALUES
           |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'v1_0', CAST(1 AS BIGINT)),
