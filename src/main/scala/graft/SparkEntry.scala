@@ -2361,6 +2361,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
+    // ---- ST7: streaming decontamination — ingest-time benchmark
+    // leak gate: every 6th stream doc embeds a 9-token bench phrase
+    // (2 shared 8-grams); the oracle recomputes both gram sets and
+    // the per-doc hit counts from the same fixture. -------------------
+    "st7_stream_decontam" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val docs = mem.toDF().select(col("value").as("doc_id"),
+        concat(lit("Stream document number "), col("value").cast("string"),
+          lit(" discusses routine ingestion pipeline housekeeping chores"),
+          when(col("value") % 6 === 0,
+            lit(" and leaks the secret benchmark answer is forty two exactly here"))
+            .otherwise(lit(""))).as("text"))
+      mem.addData(0L until 40L: _*)
+      val bench = Seq(
+        "remember the secret benchmark answer is forty two exactly here ok",
+        "a totally unrelated clean benchmark prompt nobody leaked today")
+        .toDF("text")
+      val out = graft.streaming.StreamingOps.decontaminateStream(
+        docs, "text", "doc_id", bench, "text")
+      val q = out.writeStream.format("memory").queryName("st7_decontam")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.sql("""SELECT doc_id, n_hit_grams, contaminated FROM st7_decontam
+        |ORDER BY doc_id""".stripMargin)
+    },
     // ---- ST3: streaming change feed — store DML arrives at a CDC
     // consumer as micro-batches (delta dirs are the file-source's
     // atomically-renamed-in inputs). Nation rows in, three deleted;
@@ -2774,6 +2803,15 @@ object SparkEntry {
               .otherwise(lit(""))).as("text"))
       C4Filters.c4(corpus, "text", minWords = 3, minLines = 1)
         .select("doc_id", "keep", "clean_text")
+        .orderBy("doc_id")
+    },
+    // C4 "bad words" blocklist stage: distinct blocked-word count per
+    // doc as a literal-array intersect (pure codegen'd projection).
+    "t22_blocklist" -> { (s, dir) =>
+      tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          C4Filters.blocklistHits(col("text"), Seq("vector", "merge"))
+            .as("blocklist_hits"))
         .orderBy("doc_id")
     },
     // Corpus vocabulary heavy hitters: top 50 tokens by term frequency
@@ -5664,6 +5702,11 @@ object SparkEntry {
           |    AND NOT contains(lower(c.text), 'lorem ipsum')) AS keep,
           |  array_to_string(k.ks, chr(10)) AS clean_text
           |FROM corpus c JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t22_blocklist" ->
+        """SELECT doc_id, CAST(len(list_filter(list_distinct(
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+          |  t -> t IN ('vector', 'merge'))) AS INT) AS blocklist_hits
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
       "t13_vocab_topk" ->
         """WITH tok AS (SELECT doc_id, UNNEST(list_filter(
           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
@@ -5763,6 +5806,32 @@ object SparkEntry {
           |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
           |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted
           |FROM corpus c JOIN kept k USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+      // Streaming-decontam oracle: both 8-gram sets and the per-doc
+      // hit counts recomputed from the fixture (d6's gram machinery).
+      "st7_stream_decontam" ->
+        """WITH corpus AS (SELECT doc_id,
+          |  'Stream document number ' || CAST(doc_id AS VARCHAR)
+          |  || ' discusses routine ingestion pipeline housekeeping chores'
+          |  || CASE WHEN doc_id % 6 = 0
+          |       THEN ' and leaks the secret benchmark answer is forty two exactly here'
+          |       ELSE '' END AS text
+          |  FROM range(0, 40) t(doc_id)),
+          |bench(text) AS (VALUES
+          |  ('remember the secret benchmark answer is forty two exactly here ok'),
+          |  ('a totally unrelated clean benchmark prompt nobody leaked today')),
+          |ctok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus),
+          |cg AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) AS gs FROM ctok),
+          |btok AS (SELECT list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM bench),
+          |bg AS (SELECT DISTINCT g FROM btok, UNNEST(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)),
+          |hits AS (SELECT doc_id, count(*) AS nh FROM (
+          |    SELECT doc_id, g FROM cg, UNNEST(gs) t(g)
+          |    WHERE g IN (SELECT g FROM bg)) GROUP BY 1)
+          |SELECT c.doc_id, CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+          |  coalesce(h.nh, 0) > 0 AS contaminated
+          |FROM corpus c LEFT JOIN hits h USING (doc_id)
+          |ORDER BY c.doc_id""".stripMargin,
       // ORDER-SENSITIVE oracle: the driver compares rows in result
       // order, so this checks the exact epoch permutation, not the
       // member set.

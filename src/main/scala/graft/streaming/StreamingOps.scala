@@ -208,6 +208,55 @@ object StreamingOps {
       .select(col("idA").as("id_a"), col("idB").as("id_b"), col("band"))
   }
 
+  final case class ContamInput(docId: Long, grams: Seq[Long])
+  final case class ContamOutput(docId: Long, nHitGrams: Long,
+      contaminated: Boolean)
+
+  /** Streaming decontamination — the ingest-time twin of
+    * [[graft.dedup.Decontaminate.contaminated]]: flag arriving
+    * documents sharing an n-token gram with the benchmark set, so
+    * leaked eval items never land in the lake at all.
+    *
+    * Stateless by construction (append mode, no state store, no
+    * shuffle): the BENCHMARK side is bounded by design (eval suites,
+    * not corpora), so its distinct gram hashes collect once at stream
+    * definition and ride a broadcast; each arriving row's distinct
+    * grams are a pure projection probed against the broadcast set in
+    * a typed mapPartitions. Gram identity is xxhash64 — identical to
+    * the batch path's documented high-cardinality mode; a collision
+    * can only ADD a flagged doc, never hide one. Emits
+    * `(docId, nHitGrams, contaminated)` per arrival; run on a batch
+    * frame it produces the batch verdicts unchanged.
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+      idCol: String, bench: DataFrame, benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchGrams: Set[Long] = bench
+      .select(explode(array_distinct(
+        graft.text.TextOps.shingles(col(benchTextCol), n))).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(benchGrams)
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        transform(array_distinct(
+          graft.text.TextOps.shingles(col(textCol), n)),
+          g => xxhash64(g)).as("grams"))
+      .as[ContamInput]
+      .mapPartitions { it =>
+        val g = bc.value
+        it.map { r =>
+          val hits = r.grams.count(g.contains).toLong
+          ContamOutput(r.docId, hits, hits > 0)
+        }
+      }
+      .toDF()
+      .select(col("docId").as("doc_id"), col("nHitGrams").as("n_hit_grams"),
+        col("contaminated"))
+  }
+
   final case class SessionInput(userId: Long, ts: java.sql.Timestamp)
   final case class SessionState(count: Long, startMs: Long, lastMs: Long)
   final case class SessionOutput(userId: Long, events: Long, durationMs: Long,

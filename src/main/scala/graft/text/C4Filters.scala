@@ -33,6 +33,24 @@ object C4Filters {
       !c.contains("{") &&
       !lower(c).contains("lorem ipsum")
 
+  /** Number of DISTINCT blocklisted words present in the document —
+    * the C4 "bad words" stage (Raffel et al. 2020 §2.2 drops any page
+    * containing a listed word). The list rides as a literal array in
+    * the expression: a pure codegen'd projection, no shuffle, no
+    * broadcast round-trip — blocklists are hundreds of words, not
+    * data.
+    */
+  def blocklistHits(c: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must name at least one word")
+    size(array_intersect(Analyzer.standard(c),
+      array(words.map(w => lit(w.toLowerCase)): _*)))
+  }
+
+  /** Documents carrying NO blocklisted word (the C4 drop policy). */
+  def blocklistFilter(docs: DataFrame, textCol: String,
+      words: Seq[String]): DataFrame =
+    docs.filter(blocklistHits(col(textCol), words) === 0)
+
   /** Apply the full C4 pass: adds `keep` and `clean_text` columns;
     * callers filter on `keep` and swap in `clean_text` downstream.
     */

@@ -130,6 +130,61 @@ class StreamingSpec extends SparkSpec {
     assert(dups == 1L)
   }
 
+  test("streaming decontam: bench-gram hits flagged, clean docs pass, matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val leak = "the secret benchmark answer is forty two exactly here"
+    val bench = Seq(s"remember $leak ok", "clean prompt").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", bench, "text")
+    val q = out.writeStream.format("memory").queryName("sdc")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, s"this page quietly leaks $leak into the corpus"),
+      (2L, "an entirely innocent page about sourdough starter care"))
+    q.processAllAvailable()
+    mem.addData((3L, s"another leak later on $leak wrapped differently"))
+    q.processAllAvailable()
+    val rows = s.sql(
+      "SELECT doc_id, n_hit_grams, contaminated FROM sdc ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    q.stop()
+    // the 9-token leak run shares 9-8+1 = 2 distinct 8-grams
+    assert(rows == Seq((1L, 2L, true), (2L, 0L, false), (3L, 2L, true)))
+    // batch parity: the same frame run non-streaming gives identical
+    // verdicts to Decontaminate.contaminated
+    val docs = Seq((1L, s"x $leak y"), (2L, "nothing shared")).toDF("doc_id", "text")
+    val streamed = StreamingOps.decontaminateStream(
+      docs, "text", "doc_id", bench, "text")
+      .filter(col("contaminated")).select("doc_id", "n_hit_grams")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.dedup.Decontaminate.contaminated(
+      docs, "text", "doc_id", bench, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("blocklist: distinct-word hits and the C4 drop policy") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a perfectly Fine page"),
+      (2L, "badword one badword twice"),
+      (3L, "mixes badword and another blocked term")).toDF("doc_id", "text")
+    val hits = docs.select(col("doc_id"),
+      graft.text.C4Filters.blocklistHits(col("text"),
+        Seq("badword", "Blocked")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // repeated word counts once; blocklist casing is normalized
+    assert(hits == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    val kept = graft.text.C4Filters.blocklistFilter(docs, "text",
+      Seq("badword", "blocked")).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("streaming near-dup: cross-batch LSH candidates match batch, verified exactly") {
     val s = spark
     import s.implicits._
