@@ -2768,6 +2768,38 @@ object SparkEntry {
           concat_ws(" ", col("tokens")).as("tokens_str"))
         .orderBy("doc_id")
     },
+    // Per-benchmark-item leak report (the eval owner's view of d6):
+    // docs 10/20/30 leak verbatim (each found in >=1 corpus doc); the
+    // clean 999 item has no hits and is absent by inner-join
+    // semantics (absent = clean).
+    "d18_leak_report" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200)
+      val bench = corpus.filter(col("doc_id").isin(10L, 20L, 30L))
+        .select(col("doc_id").as("bench_id"), col("text"))
+        .unionByName(Seq(
+          (999L, "totally clean benchmark prompt with no overlap"))
+          .toDF("bench_id", "text"))
+      graft.dedup.Decontaminate.leakReport(
+          corpus, "text", "doc_id", bench, "text", "bench_id")
+        .orderBy("bench_id")
+    },
+    // Soft dedup: inverse-duplication-count training weights (doc 0
+    // planted in triplicate, docs 1/2 doubled; natural corpus dups
+    // weighted identically by both engines).
+    "d19_dup_weights" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      graft.dedup.Dedup.softWeights(
+          docs.unionByName(planted), "text", "doc_id")
+        .select(col("doc_id"), col("dup_count"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id")
+    },
     // PII counts + redaction over injected emails/IPs/phones; patterns
     // restricted to Java-regex/RE2-identical syntax (Pii.scala).
     "t11_pii" -> { (s, dir) =>
@@ -5855,6 +5887,35 @@ object SparkEntry {
           |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)),
           |hits AS (SELECT doc_id, g FROM cg, UNNEST(gs) t(g) WHERE g IN (SELECT g FROM bg))
           |SELECT doc_id, count(*) AS n_hit_grams FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      // Leak-report oracle: d6's gram machinery keyed back to the
+      // bench item.
+      "d18_leak_report" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+          |bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id IN (10,20,30)
+          |          UNION ALL SELECT 999, 'totally clean benchmark prompt with no overlap'),
+          |ctok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus),
+          |cg AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) AS gs FROM ctok),
+          |cgr AS (SELECT doc_id, g FROM cg, UNNEST(gs) t(g)),
+          |btok AS (SELECT bench_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS ts FROM bench),
+          |bg AS (SELECT DISTINCT bench_id, g FROM btok, UNNEST(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6), i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g))
+          |SELECT bg.bench_id, CAST(count(DISTINCT cgr.doc_id) AS BIGINT) AS n_leaked_docs,
+          |  CAST(count(DISTINCT cgr.g) AS BIGINT) AS n_leaked_grams
+          |FROM cgr JOIN bg ON cgr.g = bg.g
+          |GROUP BY bg.bench_id ORDER BY bg.bench_id""".stripMargin,
+      // Soft-dedup oracle: duplication count over the normalized text
+      // as one window.
+      "d19_dup_weights" ->
+        """WITH docs AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 3
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id = 0),
+          |c AS (SELECT doc_id, count(*) OVER (
+          |    PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dup_count
+          |  FROM docs)
+          |SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count,
+          |  round(1.0 / dup_count, 6) AS weight
+          |FROM c ORDER BY doc_id""".stripMargin,
       // Recursive-CTE oracle: min id reachable through the exact
       // all-pairs Jaccard graph == the component label our distributed
       // min-label propagation converges to.

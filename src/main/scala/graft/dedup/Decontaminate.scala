@@ -49,6 +49,41 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Per-BENCHMARK-ITEM leak report — the flip side of
+    * [[contaminated]]: for each eval item, how many corpus documents
+    * share at least one n-gram with it and how many of its distinct
+    * grams leaked. This is the report an eval owner reads (is MY
+    * benchmark compromised, and how badly?) where `contaminated`
+    * answers the corpus owner's question (which docs must go?).
+    *
+    * Scale shape: the bench gram table (bench id, gram) broadcasts;
+    * the corpus contributes its distinct (doc, gram) stream once; the
+    * per-item aggregation keys on the bench id — cardinality = the
+    * eval suite, not the corpus.
+    */
+  def leakReport(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      benchIdCol: String,
+      n: Int = 8,
+      broadcastBench: Boolean = true): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("_gram"))
+    val benchGrams0 = bench.select(col(benchIdCol),
+      explode(array_distinct(
+        TextOps.shingles(col(benchTextCol), n))).as("_gram"))
+      .distinct()
+    val benchGrams =
+      if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    corpusGrams.join(benchGrams, "_gram")
+      .groupBy(col(benchIdCol))
+      .agg(countDistinct(col(idCol)).as("n_leaked_docs"),
+        countDistinct(col("_gram")).as("n_leaked_grams"))
+  }
+
   /** SEMANTIC decontamination: flag corpus rows whose embedding is
     * cosine-similar (≥ threshold) to ANY benchmark embedding — the
     * paraphrase-robust companion to the exact n-gram check (verbatim

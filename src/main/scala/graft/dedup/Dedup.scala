@@ -38,6 +38,27 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("cnt") > 1)
 
+  /** SOFT dedup: instead of dropping exact duplicates, weight every
+    * document by the inverse of its duplication count —
+    * `(id, dup_count, weight = 1/dup_count)` — so a page crawled a
+    * thousand times contributes one page's worth of training loss
+    * while unique text keeps weight 1. The down-weighting alternative
+    * to [[exact]] for pipelines that re-weight the sampler rather
+    * than delete (duplication-aware temperature mixing).
+    *
+    * One fingerprint-keyed aggregation plus the join back — the same
+    * two shuffles as [[exact]], no windows.
+    */
+  def softWeights(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val fp = docs.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("_fp"))
+    val counts = fp.groupBy("_fp").agg(count(lit(1)).as("dup_count"))
+    fp.join(counts, "_fp")
+      .select(col(idCol), col("dup_count"),
+        (lit(1.0) / col("dup_count")).as("weight"))
+  }
+
   // --- MinHash + banded LSH ---------------------------------------------
 
   /** MinHash signatures over word n-gram shingles.

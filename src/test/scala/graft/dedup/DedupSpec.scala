@@ -24,6 +24,38 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 4L, 6L)) // 2 and 5 collapse into 1
   }
 
+  test("softWeights: inverse duplication-count weights, unique docs weigh 1") {
+    val w = Dedup.softWeights(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(w.size === 6)
+    // 1/2/5 are one normalized-dup group of 3
+    Seq(1L, 2L, 5L).foreach { id =>
+      assert(w(id)._1 === 3L)
+      assert(math.abs(w(id)._2 - 1.0 / 3) < 1e-12)
+    }
+    Seq(3L, 4L, 6L).foreach { id => assert(w(id) === (1L, 1.0)) }
+  }
+
+  test("leakReport: per-bench-item doc and gram counts; clean items absent") {
+    val s = spark
+    import s.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog" // 9 tokens
+    val bench = Seq(
+      (100L, s"prefix $leak suffix"),
+      (200L, "a perfectly clean eval prompt with nothing shared at all"))
+      .toDF("bench_id", "text")
+    val rep = Decontaminate.leakReport(
+        docs, "text", "doc_id", bench, "text", "bench_id", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // item 100's 9-token leak run = 2 distinct 8-grams, present in
+    // docs 1/2/3/5 (doc 3 shares both: its tail differs later)
+    assert(rep.keySet === Set(100L))
+    assert(rep(100L)._1 === 4L)
+    assert(rep(100L)._2 === 2L)
+  }
+
   test("exact-dup groups report members") {
     val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
     assert(g.length == 1)

@@ -61,6 +61,17 @@ class DsirSpec extends SparkSpec {
     assert(w(5L) === 0.0)
   }
 
+  test("both model tables ride broadcasts; no cartesian anywhere") {
+    val t = Dsir.fit(target, "text", "doc_id", 256)
+    val r = Dsir.fit(corpus, "text", "doc_id", 256)
+    val plan = Dsir.importanceWeights(corpus, "text", "doc_id", t, r)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket models not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the scoring plan:\n$plan")
+  }
+
   test("resampleTop: deterministic, ordered by key, n-bounded") {
     val t = Dsir.fit(target, "text", "doc_id", 1024)
     val r = Dsir.fit(corpus, "text", "doc_id", 1024)
