@@ -89,8 +89,14 @@ object Bench {
     val ioSuspects = entryStats.collect {
       case (k, w, _, r) if w > 0.3 && medianRatio > 0 && r < 0.4 * medianRatio => k
     }
+    // Locale-pinned numeric formatting: the f-interpolator uses the
+    // default locale, which renders "0,123" (invalid JSON) on
+    // comma-decimal locales.
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        Double.box(v))
     val statsJson = entryStats.map { case (k, w, c, _) =>
-      "\"" + k + "\":{\"wall\":" + f"$w%.3f" + ",\"cpu\":" + f"$c%.3f" + "}"
+      "\"" + k + "\":{\"wall\":" + num(w, 3) + ",\"cpu\":" + num(c, 3) + "}"
     }.mkString("{", ",", "}")
     val ioJson = ioSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The 1-min load averages make load-distorted runs self-evident in
@@ -107,10 +113,10 @@ object Bench {
     // at both ends.
     val warning =
       if (math.min(loadStart, loadEnd) > 5)
-        s""","warning":"load1m ${f"$loadStart%.2f"}->${f"$loadEnd%.2f"} during run: timings are load-contaminated, re-measure on a quiet machine""""
+        s""","warning":"load1m ${num(loadStart, 2)}->${num(loadEnd, 2)} during run: timings are load-contaminated, re-measure on a quiet machine""""
       else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart,"cpu_wall_median":${f"$medianRatio%.2f"},"io_suspect":$ioJson,"entry_stats":$statsJson$warning}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart,"cpu_wall_median":${num(medianRatio, 2)},"io_suspect":$ioJson,"entry_stats":$statsJson$warning}"""
     println(line)
     // Lossless copy for the driver: stdout tail-capture has truncated
     // the per-query head before (round 6); the file always has it all.

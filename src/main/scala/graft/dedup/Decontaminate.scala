@@ -91,9 +91,11 @@ object Decontaminate {
     *
     * Scale shape: the benchmark embedding set broadcasts (thousands of
     * eval items vs billions of corpus rows) and the similarity test is
-    * a broadcast nested-loop SEMI join — one pass over the corpus, no
-    * shuffle, early-out per row on the first hit. Returns every corpus
-    * id with a boolean verdict: `(idCol, contaminated)`.
+    * a pair of broadcast nested-loop SEMI/ANTI joins — two scans of
+    * the corpus, ZERO shuffle (the previous id-keyed verdict join
+    * sort-merged the whole corpus, contradicting exactly this note),
+    * early-out per row on the first hit. Returns every corpus id with
+    * a boolean verdict: `(idCol, contaminated)`.
     */
   def semanticContaminated(
       corpus: DataFrame,
@@ -103,14 +105,12 @@ object Decontaminate {
       benchVecCol: String,
       threshold: Double): DataFrame = {
     val b = broadcast(bench.select(col(benchVecCol).as("_bvec")))
-    val hits = corpus
-      .join(b, graft.Functions.vecCosine(col(vecCol), col("_bvec"))
-        >= threshold, "left_semi")
-      .select(col(idCol)).withColumn("_hit", lit(true))
-    corpus.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("_hit"), lit(false))
-        .as("contaminated"))
+    val cond = graft.Functions.vecCosine(col(vecCol), col("_bvec")) >=
+      threshold
+    corpus.join(b, cond, "left_semi")
+      .select(col(idCol), lit(true).as("contaminated"))
+      .unionByName(corpus.join(b, cond, "left_anti")
+        .select(col(idCol), lit(false).as("contaminated")))
   }
 
   /** The clean corpus: `corpus` minus contaminated documents — a

@@ -116,10 +116,11 @@ object ImageHash {
       hashCol: String = "dhash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       "maxHamming must be in [0, 64)")
-    val withStd =
-      if (hashCol == "dhash") hashes
-      else hashes.withColumnRenamed(hashCol, "dhash")
-    nearDupPairsStd(withStd, maxHamming)
+    // select (not rename): a frame already carrying BOTH `dhash` and
+    // hashCol would otherwise end up with two `dhash` columns and the
+    // downstream references would be ambiguous.
+    nearDupPairsStd(
+      hashes.select(col("asset_id"), col(hashCol).as("dhash")), maxHamming)
   }
 
   private def nearDupPairsStd(hashes: DataFrame, maxHamming: Int): DataFrame = {

@@ -62,21 +62,28 @@ object Dsir {
       .groupBy(idCol, "bucket").agg(count(lit(1)).as("cnt"))
   }
 
-  /** Fit the add-α bucket distribution of a training set. One
-    * aggregation to ≤ B rows plus a 1-row total; the returned count
-    * table is data but broadcast-sized by construction.
+  /** Fit the add-α bucket distribution of a training set: one corpus
+    * aggregation down to ≤ B rows, which then live DRIVER-SIDE — the
+    * hash trick bounds the model at `numBuckets` rows regardless of
+    * corpus size, so the log-probs are computed locally and the model
+    * rides as a LocalRelation (no persist to leak, broadcast for
+    * free). Pick B accordingly (the paper uses 10k; a million is still
+    * driver-trivial).
     */
   def fit(docs: DataFrame, textCol: String, idCol: String,
       numBuckets: Int, alpha: Double = 1.0): Model = {
     require(alpha > 0, "add-alpha smoothing needs alpha > 0")
-    val counts = docBuckets(docs, textCol, idCol, numBuckets)
-      .groupBy("bucket").agg(sum("cnt").as("c")).persist()
-    val tot = counts.agg(coalesce(sum("c"), lit(0L))).collect()(0).getLong(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docBuckets(docs, textCol, idCol, numBuckets)
+      .groupBy("bucket").agg(sum("cnt").as("c"))
+      .collect()
+    val tot = rows.map(_.getLong(1)).sum
     val denom = tot + alpha * numBuckets
-    Model(
-      counts.select(col("bucket"),
-        log((col("c").cast("double") + lit(alpha)) / lit(denom)).as("logp")),
-      math.log(alpha / denom), numBuckets)
+    val buckets = rows.toSeq
+      .map(r => (r.getLong(0), math.log((r.getLong(1) + alpha) / denom)))
+      .toDF("bucket", "logp")
+    Model(buckets, math.log(alpha / denom), numBuckets)
   }
 
   /** Per-document log importance weight: `(idCol, log_weight)` for

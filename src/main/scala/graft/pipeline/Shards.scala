@@ -68,7 +68,11 @@ object Shards {
     val m = manifest(spark, df, idCol, tokenCountCol, budget, epoch,
       binsPerShard, numPartitions)
     m.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // A partitioned read appends the partition column LAST; re-project
+    // to the manifest's column order so write() and manifest() agree
+    // for positional consumers.
     spark.read.parquet(outDir)
       .withColumn("shard", col("shard").cast("long"))
+      .select(m.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -66,28 +66,32 @@ object Boilerplate {
     * (idCol, text_clean, lines_removed) for every input document.
     *
     * Scale shape: one hash aggregation finds each line's minimal
-    * (id, pos) occurrence (map-side combined min on the line key — the
-    * only corpus-wide shuffle), an equi-join marks keepers, and the
-    * per-document rebuild is the same keyed agg as
-    * [[removeBoilerplate]]. A line repeated a billion times costs one
-    * min-agg cell, never a window over its occurrences.
+    * (id, pos) occurrence (map-side combined min on the line key), an
+    * equi-join marks keepers IN PLACE, and ONE per-document agg
+    * rebuilds the text and counts kept + total lines together — two
+    * corpus-wide shuffles (line key, doc key) and two corpus explodes
+    * (the agg scan and the join probe; a third totals scan previously
+    * re-exploded the corpus again). A line repeated a billion times
+    * costs one min-agg cell, never a window over its occurrences.
     */
   def dedupLines(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val ln = lines(docs, textCol, idCol)
     val first = ln.groupBy("line")
       .agg(min(struct(col(idCol), col("pos"))).as("_first"))
-    val kept = ln.join(first, Seq("line"))
-      .filter(col(idCol) === col("_first").getField(idCol) &&
-        col("pos") === col("_first").getField("pos"))
-      .select(col(idCol), col("pos"), col("line"))
-    val totals = ln.groupBy(idCol).agg(count(lit(1)).as("_n"))
-    val rebuilt = kept.groupBy(idCol).agg(
+    val marked = ln.join(first, Seq("line"))
+      .withColumn("_keep",
+        col(idCol) === col("_first").getField(idCol) &&
+          col("pos") === col("_first").getField("pos"))
+    // collect_list skips nulls, so the keeper filter rides inside the
+    // same agg that counts every occurrence.
+    val rebuilt = marked.groupBy(idCol).agg(
       concat_ws("\n", transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
+        array_sort(collect_list(when(col("_keep"),
+          struct(col("pos"), col("line"))))),
         x => x.getField("line"))).as("text_clean"),
-      count(lit(1)).as("_kept"))
-    docs.select(col(idCol)).join(totals, Seq(idCol), "left")
-      .join(rebuilt, Seq(idCol), "left")
+      count(lit(1)).as("_n"),
+      sum(when(col("_keep"), 1L).otherwise(0L)).as("_kept"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         (coalesce(col("_n"), lit(0L)) - coalesce(col("_kept"), lit(0L)))

@@ -196,6 +196,13 @@ object Bpe {
   private def learnMergesDistributed(vocab0: DataFrame, numMerges: Int,
       checkpointEvery: Int): Seq[(String, String)] = {
     var vocab = vocab0
+    // The superseded generation must be released once its successor is
+    // materialized — persist() entries are never GC-reclaimed, and a
+    // long merge run would otherwise pin every multi-GB vocab
+    // generation in the block manager (the exact path this fallback
+    // exists for). Checkpointed generations self-release via the
+    // ContextCleaner once unreachable.
+    var cached: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var r = 0
     var exhausted = false
@@ -210,11 +217,20 @@ object Bpe {
         val next = vocab.withColumn("symbols",
           mergeOnce(col("symbols"), l, ri))
         vocab =
-          if ((r + 1) % checkpointEvery == 0) next.localCheckpoint(true)
-          else { val p = next.persist(); p.count(); p }
+          if ((r + 1) % checkpointEvery == 0) {
+            val c = next.localCheckpoint(true)
+            cached.foreach(_.unpersist(false)); cached = None
+            c
+          } else {
+            val p = next.persist()
+            p.count()
+            cached.foreach(_.unpersist(false)); cached = Some(p)
+            p
+          }
       }
       r += 1
     }
+    cached.foreach(_.unpersist(false))
     out.toSeq
   }
 
