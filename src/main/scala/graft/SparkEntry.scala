@@ -3076,6 +3076,30 @@ object SparkEntry {
           threshold = 0.8, shingleSize = 3, numHashes = 64, bands = 32)
         .orderBy("doc_id")
     },
+    // d17 served through the PERSISTED index: lshIndex is written to
+    // parquet and read back before probing — gates the durable-index
+    // round-trip (schema, types, band bucketing) end-to-end against
+    // the same exact-Jaccard oracle.
+    "d20_neardup_indexed" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 60)
+        .select("doc_id", "text")
+      val mutated = tbl(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), concat(col("text"), lit(" extra")).as("text"))
+      val fresh = Seq(
+        (200L, "totally fresh content about catalyst codegen internals"),
+        (201L, "another brand new page describing tungsten memory layout"))
+        .toDF("doc_id", "text")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-lshidx").toString + "/idx"
+      graft.dedup.Dedup.lshIndex(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 32).write.parquet(idxDir)
+      graft.dedup.Dedup.nearDupAgainstIndex(
+          mutated.unionByName(fresh), s.read.parquet(idxDir), corpus,
+          "text", "doc_id", threshold = 0.8, shingleSize = 3,
+          numHashes = 64, bands = 32)
+        .orderBy("doc_id")
+    },
     // Audio fingerprint near-dup: REAL WAV decode -> 64-bit
     // energy-delta fingerprint -> the same banded Hamming machinery.
     // The 65-frame fixtures' fingerprint is exactly the closed-form
@@ -4184,6 +4208,34 @@ object SparkEntry {
     // clusterFixture corpus, exact all-pairs 3-gram Jaccard pairs at
     // the 0.7 threshold, and min-reachable-id labels via a recursive
     // CTE (DuckDB's UNION-dedup recursion terminates at the fixpoint).
+    // Shared by d17 (recomputing probe) and d20 (persisted-index
+    // probe): exact all-pairs shingle Jaccard between the batch and
+    // the 60-doc corpus, d2's analyzer-identical SQL.
+    val incrementalNearDupOracle =
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        |batch(doc_id, text) AS (
+        |  SELECT doc_id, text || ' extra' FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(200 AS BIGINT), 'totally fresh content about catalyst codegen internals'),
+        |    (CAST(201 AS BIGINT), 'another brand new page describing tungsten memory layout'))),
+        |shc AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus)),
+        |shb AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM batch))
+        |SELECT b.doc_id,
+        |  EXISTS (SELECT 1 FROM shc c
+        |    WHERE len(list_intersect(b.sset, c.sset))::DOUBLE
+        |      / len(list_distinct(b.sset || c.sset)) >= 0.8) AS near_dup
+        |FROM shb b ORDER BY b.doc_id""".stripMargin
     val clusterOracleCte =
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 120
@@ -6070,31 +6122,10 @@ object SparkEntry {
       // Incremental near-dup oracle: exact all-pairs shingle Jaccard
       // between the batch and the 60-doc corpus (same analyzer split
       // as d2's oracle), flag batch docs whose best match >= 0.8.
-      "d17_incremental_neardup" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id < 60),
-          |batch(doc_id, text) AS (
-          |  SELECT doc_id, text || ' extra' FROM documents WHERE doc_id < 10
-          |  UNION ALL SELECT * FROM (VALUES
-          |    (CAST(200 AS BIGINT), 'totally fresh content about catalyst codegen internals'),
-          |    (CAST(201 AS BIGINT), 'another brand new page describing tungsten memory layout'))),
-          |shc AS (SELECT doc_id, list_distinct(
-          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-          |    ELSE list_transform(range(1, len(ts) - 1),
-          |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset
-          |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
-          |    lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM corpus)),
-          |shb AS (SELECT doc_id, list_distinct(
-          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-          |    ELSE list_transform(range(1, len(ts) - 1),
-          |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS sset
-          |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
-          |    lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM batch))
-          |SELECT b.doc_id,
-          |  EXISTS (SELECT 1 FROM shc c
-          |    WHERE len(list_intersect(b.sset, c.sset))::DOUBLE
-          |      / len(list_distinct(b.sset || c.sset)) >= 0.8) AS near_dup
-          |FROM shb b ORDER BY b.doc_id""".stripMargin,
+      "d17_incremental_neardup" -> incrementalNearDupOracle,
+      // Same oracle, served through the PERSISTED lshIndex probe path
+      // (the verdicts must be identical by construction).
+      "d20_neardup_indexed" -> incrementalNearDupOracle,
       // Audio-fingerprint oracle: identical closed-form arithmetic
       // (shared pattern) over 48 fixtures — checks the WAV decode ->
       // frame-energy fingerprint path end-to-end.

@@ -324,6 +324,37 @@ object Dedup {
   def nearDupAgainst(newDocs: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.8,
       shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    nearDupAgainstIndex(newDocs,
+      lshIndex(corpus, textCol, idCol, shingleSize, numHashes, bands),
+      corpus, textCol, idCol, threshold, shingleSize, numHashes, bands)
+
+  /** The corpus's LSH signature index `(idCol, band, bucket)` — the
+    * PERSISTABLE artifact behind [[nearDupAgainst]]: build once, write
+    * to parquet (ideally partitioned/bucketed by `band, bucket`), and
+    * probe it with every incoming batch via [[nearDupAgainstIndex]].
+    * Re-shingling the corpus per batch is the scale bug this exists to
+    * avoid. Build parameters (shingleSize, numHashes, bands) are part
+    * of the index's identity and must match at probe time.
+    */
+  def lshIndex(corpus: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    bandBuckets(
+      minhashSignatures(corpus, textCol, idCol, shingleSize, numHashes),
+      idCol, bands, numHashes / bands)
+  }
+
+  /** [[nearDupAgainst]] with a PREBUILT corpus index (see
+    * [[lshIndex]]): the batch explodes to its band buckets and
+    * equi-joins the index — shuffle volume O(batch × bands); the
+    * corpus contributes text only for exact verification of
+    * candidate-named documents (a semi-join-pruned re-shingle).
+    */
+  def nearDupAgainstIndex(newDocs: DataFrame, corpusIndex: DataFrame,
+      corpus: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
@@ -333,7 +364,8 @@ object Dedup {
         idCol, bands, rows)
         .select(col(idCol).as(side), col("band"), col("bucket"))
     val cand = buckets(newDocs, "id_a")
-      .join(buckets(corpus, "id_b"), Seq("band", "bucket"))
+      .join(corpusIndex.select(col(idCol).as("id_b"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
     def sets(docs: DataFrame, side: String): DataFrame =
       docs.join(cand.select(col(side).as(idCol)).distinct(),

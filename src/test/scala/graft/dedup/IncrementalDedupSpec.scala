@@ -30,6 +30,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == Map(0L -> true, 101L -> true, 2L -> false))
   }
 
+  test("nearDupAgainstIndex over a parquet-round-tripped index matches nearDupAgainst") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "pack my box with five dozen liquor jugs for the long trip"),
+      (102L, "sphinx of black quartz judge my vow said the old librarian"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about spark catalyst expression codegen internals"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx")
+      .toString + "/idx"
+    Dedup.lshIndex(corpus, "text", "doc_id").write.parquet(dir)
+    val viaIndex = Dedup.nearDupAgainstIndex(batch, s.read.parquet(dir),
+        corpus, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val direct = Dedup.nearDupAgainst(batch, corpus, "text", "doc_id",
+        threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaIndex == direct)
+    assert(viaIndex == Map(0L -> true, 2L -> false))
+  }
+
   test("nearDupAgainst verdict covers every batch doc exactly once") {
     val s = spark
     import s.implicits._
