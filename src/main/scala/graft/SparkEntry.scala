@@ -3165,6 +3165,15 @@ object SparkEntry {
           fraction = 0.2)
         .select("doc_id").orderBy("doc_id")
     },
+    // Fractional upsampling at factor 2.3: every doc twice, plus a
+    // third copy for the coin-selected ~30% — the oracle regenerates
+    // the copy sequences from the same coin.
+    "p12_upsample" -> { (s, dir) =>
+      graft.pipeline.Mixing.upsample(
+          tbl(s, dir, "documents").select("doc_id"),
+          "doc_id", factor = 2.3, salt = "up")
+        .orderBy("doc_id", "copy")
+    },
     // Token-budget sequence packing (concat-and-chunk) through the
     // two-pass distributed prefix sum — the oracle is the
     // single-window cumsum DuckDB can afford at this SF.
@@ -5916,6 +5925,16 @@ object SparkEntry {
           |  coalesce(h.nh, 0) > 0 AS contaminated
           |FROM corpus c LEFT JOIN hits h USING (doc_id)
           |ORDER BY c.doc_id""".stripMargin,
+      // Upsample oracle: the fractional-part comparison reproduces the
+      // engine's exact float (2.3 - 2), not a re-rounded 0.3.
+      "p12_upsample" ->
+        """WITH c AS (SELECT doc_id,
+          |    2 + CASE WHEN (('0x' || substr(md5('up' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
+          |        / 4294967296.0 < (2.3 - 2) THEN 1 ELSE 0 END AS n
+          |  FROM documents)
+          |SELECT doc_id, CAST(u.g AS BIGINT) AS copy
+          |FROM c, UNNEST(generate_series(0, n - 1)) u(g)
+          |ORDER BY doc_id, copy""".stripMargin,
       // ORDER-SENSITIVE oracle: the driver compares rows in result
       // order, so this checks the exact epoch permutation, not the
       // member set.

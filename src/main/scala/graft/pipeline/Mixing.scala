@@ -72,6 +72,33 @@ object Mixing {
       .filter(hashUniform(col(idCol), salt) < rateCol)
   }
 
+  /** Deterministic fractional UPSAMPLING: each row is replicated
+    * floor(factor) times, plus one more when its hash coin falls below
+    * the fractional part — E[copies] = factor exactly, and the copy
+    * count per row is stable under corpus growth, repartitioning, and
+    * engine swaps (the same coin discipline as [[split]]). This is the
+    * epoch-decision counterpart [[mixBySource]]'s scaladoc defers to:
+    * a scarce source gets REPEATED here, never over-filtered there.
+    * Output = the input columns plus `copy` (0-based replica index,
+    * so downstream epoch shuffles can salt per copy). Pure per-row
+    * explode — no shuffle at any corpus size.
+    */
+  def upsample(
+      df: DataFrame,
+      idCol: String,
+      factor: Double,
+      salt: String = ""): DataFrame = {
+    require(factor >= 0, "factor must be nonnegative")
+    val base = math.floor(factor).toLong
+    val frac = factor - base
+    df.withColumn("_copies", lit(base) +
+        when(hashUniform(col(idCol), salt) < frac, 1L).otherwise(0L))
+      .filter(col("_copies") > 0)
+      .select(col("*"),
+        explode(sequence(lit(0L), col("_copies") - 1)).as("copy"))
+      .drop("_copies")
+  }
+
   /** Deterministic epoch shuffle: the global training order for one
     * epoch, as a sort on the per-row hash coin salted by the epoch
     * number (ties broken by id). Different epochs permute

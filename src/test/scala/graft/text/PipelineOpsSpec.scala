@@ -98,6 +98,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c != a)
   }
 
+  test("upsample: floor copies + coin-gated extra, rate-accurate, stable") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val up = graft.pipeline.Mixing.upsample(df, "id", 2.3, "u1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val copies = up.groupBy(_._1).view.mapValues(_.length).toMap
+    // every row appears 2 or 3 times, copy indices are 0..n-1
+    assert(copies.values.forall(n => n == 2 || n == 3))
+    assert(copies.size === 2000)
+    assert(up.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == (0L until rows.length.toLong) })
+    // E[copies] = 2.3 within sampling noise
+    assert(math.abs(up.length / 2000.0 - 2.3) < 0.05)
+    // partition-layout stable
+    val up2 = graft.pipeline.Mixing.upsample(df.repartition(7), "id", 2.3, "u1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(up2 == up.toSet)
+    // factor < 1 downsamples by membership with copy 0 only
+    val down = graft.pipeline.Mixing.upsample(df, "id", 0.4, "u1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(down.forall(_._2 == 0L))
+    assert(math.abs(down.length / 2000.0 - 0.4) < 0.05)
+  }
+
   test("split partitions exhaustively, near the weights, and is growth-stable") {
     val s = spark
     import s.implicits._
