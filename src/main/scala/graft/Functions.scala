@@ -39,6 +39,12 @@ object Functions {
     e2c(PqAdcLut(c2e(code), c2e(lut), ksub))
   def dictTokenize(text: Column, words: Seq[String]): Column =
     e2c(DictTokenize(c2e(text), words))
+  /** Unicode normalization (NFC default; NFD/NFKC/NFKD accepted) —
+    * run before fingerprint/dedup so composed and decomposed encodings
+    * of the same visible text hash identically.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    e2c(UnicodeNormalize(c2e(text), form))
   /** WKT square polygon of `areaSqKm` centered at (lon, lat) — the
     * reference's geo helper (2.6/cal_polygon_by_point.py:20-56):
     * 111.195 km per degree of latitude, cos(lat)-scaled longitude,
@@ -105,6 +111,7 @@ object Functions {
     "hamming_distance" -> { args => HammingDistance(args(0), args(1)) },
     "centered_sign_bits" -> { args => CenteredSignBits(args(0), args(1)) },
     "sparse_ip" -> { args => SparseInnerProduct(args(0), args(1)) },
+    "nfc_normalize" -> { args => UnicodeNormalize(args(0), "NFC") },
     "st_contains" -> { args => StContains(args(0), args(1)) },
     "st_equals" -> { args => StEquals(args(0), args(1)) },
   )

@@ -2837,6 +2837,22 @@ object SparkEntry {
         .select("doc_id", "keep", "clean_text")
         .orderBy("doc_id")
     },
+    // Unicode NFC normalization (codegen'd java.text.Normalizer
+    // expression): composed/decomposed pairs converge; the oracle is
+    // DuckDB's own nfc_normalize over chr()-composed fixtures.
+    "t23_unicode_normalize" -> { (s, dir) =>
+      import s.implicits._
+      Seq(
+        (1L, "café menu"),   // composed e-acute
+        (2L, "café menu"),  // e + combining acute
+        (3L, "Å ring"),      // ANGSTROM SIGN
+        (4L, "Å ring"),     // A + combining ring above
+        (5L, "plain ascii"))
+        .toDF("id", "text")
+        .select(col("id"),
+          graft.Functions.unicodeNormalize(col("text")).as("normalized"))
+        .orderBy("id")
+    },
     // C4 "bad words" blocklist stage: distinct blocked-word count per
     // doc as a literal-array intersect (pure codegen'd projection).
     "t22_blocklist" -> { (s, dir) =>
@@ -5795,6 +5811,15 @@ object SparkEntry {
           |    AND NOT contains(lower(c.text), 'lorem ipsum')) AS keep,
           |  array_to_string(k.ks, chr(10)) AS clean_text
           |FROM corpus c JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t23_unicode_normalize" ->
+        """WITH f(id, text) AS (VALUES
+          |  (CAST(1 AS BIGINT), 'caf' || chr(233) || ' menu'),
+          |  (CAST(2 AS BIGINT), 'cafe' || chr(769) || ' menu'),
+          |  (CAST(3 AS BIGINT), chr(8491) || ' ring'),
+          |  (CAST(4 AS BIGINT), 'A' || chr(778) || ' ring'),
+          |  (CAST(5 AS BIGINT), 'plain ascii'))
+          |SELECT id, nfc_normalize(text) AS normalized
+          |FROM f ORDER BY id""".stripMargin,
       "t22_blocklist" ->
         """SELECT doc_id, CAST(len(list_filter(list_distinct(
           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')),

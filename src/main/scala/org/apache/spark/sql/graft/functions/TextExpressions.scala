@@ -66,3 +66,43 @@ case class DictTokenize(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): DictTokenize =
     copy(child = c)
 }
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) — the CCNet-style text
+  * canonicalization step that runs BEFORE fingerprinting and dedup:
+  * composed vs decomposed encodings of the same visible text ("é" as
+  * one codepoint vs "e"+combining-acute) must hash identically or
+  * every dedup stage under-merges on real web text. Spark ships no
+  * normalizer, so this wraps `java.text.Normalizer` as a proper
+  * codegen'd expression (a static call per row inside whole-stage
+  * codegen — no UDF boundary, no fallback iterator).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  // Validated eagerly so a typo fails at plan time, not per row.
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def prettyName: String = "unicode_normalize"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, f))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    f // force validation at codegen time too
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        s"java.text.Normalizer.Form.$form))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+}

@@ -5,6 +5,41 @@ import org.apache.spark.sql.functions._
 
 class TextSpec extends SparkSpec {
 
+  test("unicodeNormalize: composed/decomposed forms converge, fingerprints merge") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "café menu"),     // composed é
+      (2L, "café menu"),    // e + combining acute
+      (3L, "Å ring"),        // ANGSTROM SIGN
+      (4L, "Å ring"),       // A + combining ring above
+      (5L, "plain ascii")).toDF("id", "text")
+    val n = df.select($"id",
+        graft.Functions.unicodeNormalize($"text").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n(1L) == n(2L))
+    assert(n(3L) == n(4L))
+    assert(n(3L).charAt(0) == 'Å')
+    assert(n(5L) == "plain ascii")
+    // the dedup motivation: normalized fingerprints collapse the pair
+    val fps = df.select(
+        TextOps.fingerprint(graft.Functions.unicodeNormalize($"text"))
+          .as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(2) == fps(3))
+    // NFKC goes further: the ﬁ ligature decomposes to "fi"
+    val k = Seq("ﬁsh").toDF("t")
+      .select(graft.Functions.unicodeNormalize($"t", "NFKC"))
+      .head().getString(0)
+    assert(k == "fish")
+    // SQL registration + bad form rejected at plan time
+    assert(s.sql("SELECT nfc_normalize('café')").head().getString(0)
+      == "café")
+    intercept[Exception] {
+      df.select(graft.Functions.unicodeNormalize($"text", "NFX")).collect()
+    }
+  }
+
   test("standard analyzer tokenizes, lowercases, drops empties") {
     val s = spark
     import s.implicits._
