@@ -19,14 +19,19 @@ object Dedup {
   // --- exact -------------------------------------------------------------
 
   /** Exact dedup on normalized text: keep the lowest-id document per
-    * fingerprint. One hash-shuffle; no text comparison.
+    * fingerprint. Map-side-combined min-agg on the fingerprint plus a
+    * keeper equi-join — NOT a window: a mass-duplicated page (a
+    * billion copies of one fingerprint) costs one agg cell here,
+    * whereas a window over the fingerprint serializes the hot key on
+    * one reducer and AQE's skew splitting does not apply to windows
+    * (it does to this join).
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy("_fp").orderBy(col(idCol).asc)
-    docs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_fp", "_rn")
+    val withFp = docs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    val keep = withFp.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
+    withFp.join(keep, Seq("_fp"))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_fp", "_keep")
   }
 
   /** Exact-dup groups: fingerprints appearing more than once, with
@@ -297,12 +302,15 @@ object Dedup {
       textCol: String, idCol: String): DataFrame = {
     val seen = corpus
       .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
-    val w = Window.partitionBy("_fp").orderBy(col(idCol).asc)
-    newDocs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    val fresh = newDocs
+      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
       .join(seen, Seq("_fp"), "left_anti")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_fp", "_rn")
+    // Same skew-proof keeper shape as [[exact]] for the intra-batch
+    // pass.
+    val keep = fresh.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
+    fresh.join(keep, Seq("_fp"))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_fp", "_keep")
   }
 
   /** Incremental NEAR-dup screening: per-batch-document verdicts
