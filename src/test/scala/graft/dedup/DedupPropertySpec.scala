@@ -75,4 +75,41 @@ class DedupPropertySpec extends SparkSpec {
           docs.mkString("\n"))
     }
   }
+
+  test("connectedComponents == brute-force union-find min labels on random graphs") {
+    val s = spark
+    import s.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(5, 40)           // node id space
+      m <- Gen.choose(1, 60)           // edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    (0 until 6).foreach { i =>
+      val edges = edgeGen(Gen.Parameters.default, Seed(3000L + i)).get
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        // min-relabel: union-find roots are not necessarily component
+        // minima, so normalize both sides by component member minimum
+        val wantMin = want.groupBy(_._2).flatMap { case (_, members) =>
+          val mn = members.keys.min
+          members.keys.map(_ -> mn)
+        }
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == wantMin, s"seed=${3000 + i} edges=$edges")
+      }
+    }
+  }
 }
