@@ -3005,6 +3005,31 @@ object SparkEntry {
       Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     },
+    // d9 with the corpus side served from the persisted BUCKETED
+    // fingerprint table (bucketBy 8 on _fp, external path): gates the
+    // write -> catalog -> bucketed-scan -> probe chain on values.
+    "d21_bucketed_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val recrawl = corpus.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val wsVariant = corpus.filter(col("doc_id").between(40, 59))
+        .select((col("doc_id") + 310000).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
+      val fresh = Seq(
+        (320001L, "a genuinely new document about incremental ingestion"),
+        (320002L, "another brand new document unseen by the corpus"),
+        (320003L, "a genuinely new document about incremental ingestion"),
+      ).toDF("doc_id", "text")
+      val batch = recrawl.unionByName(wsVariant).unionByName(fresh)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-fptab").toString + "/t"
+      graft.dedup.Dedup.writeFingerprintTable(corpus, "text", "doc_id",
+        "fp_idx_d21", numBuckets = 8, path = Some(path))
+      Dedup.dedupAgainstTable(batch, "text", "doc_id", "fp_idx_d21")
+        .select("doc_id").orderBy("doc_id")
+    },
     // Exact duplicated-substring spans (Lee et al. 2022 span-level
     // dedup): every maximal cross-document duplicated run of >= 10
     // tokens, ALL occurrences (audit view; shingle-hash + islands).
@@ -4233,6 +4258,27 @@ object SparkEntry {
     // clusterFixture corpus, exact all-pairs 3-gram Jaccard pairs at
     // the 0.7 threshold, and min-reachable-id labels via a recursive
     // CTE (DuckDB's UNION-dedup recursion terminates at the fixpoint).
+    // Shared by d9 (recomputing corpus side) and d21 (persisted
+    // bucketed fingerprint table): keep-first over fingerprints the
+    // corpus has never seen.
+    val incrementalExactDedupOracle =
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |batch AS (
+        |  SELECT doc_id + 300000 AS doc_id, text FROM corpus WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 310000, '  ' || replace(text, ' ', '   ')
+        |  FROM corpus WHERE doc_id BETWEEN 40 AND 59
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (320001, 'a genuinely new document about incremental ingestion'),
+        |    (320002, 'another brand new document unseen by the corpus'),
+        |    (320003, 'a genuinely new document about incremental ingestion')) v(doc_id, text)),
+        |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM batch),
+        |seen AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM corpus),
+        |kept AS (SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        |  FROM fp WHERE f NOT IN (SELECT f FROM seen))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
     // Shared by d17 (recomputing probe) and d20 (persisted-index
     // probe): exact all-pairs shingle Jaccard between the batch and
     // the 60-doc corpus, d2's analyzer-identical SQL.
@@ -6028,24 +6074,10 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin),
       // Incremental-dedup oracle: the same normalized-md5 fingerprint
       // (d1 parity idiom), corpus anti-join + intra-batch min-id.
-      "d9_incremental_dedup" ->
-        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
-          |batch AS (
-          |  SELECT doc_id + 300000 AS doc_id, text FROM corpus WHERE doc_id < 40
-          |  UNION ALL
-          |  SELECT doc_id + 310000, '  ' || replace(text, ' ', '   ')
-          |  FROM corpus WHERE doc_id BETWEEN 40 AND 59
-          |  UNION ALL
-          |  SELECT * FROM (VALUES
-          |    (320001, 'a genuinely new document about incremental ingestion'),
-          |    (320002, 'another brand new document unseen by the corpus'),
-          |    (320003, 'a genuinely new document about incremental ingestion')) v(doc_id, text)),
-          |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM batch),
-          |seen AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM corpus),
-          |kept AS (SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-          |  FROM fp WHERE f NOT IN (SELECT f FROM seen))
-          |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept WHERE rn = 1
-          |ORDER BY doc_id""".stripMargin,
+      "d9_incremental_dedup" -> incrementalExactDedupOracle,
+      // Same verdicts, corpus side served from the persisted BUCKETED
+      // fingerprint table.
+      "d21_bucketed_dedup" -> incrementalExactDedupOracle,
       // Substring-span oracle: DuckDB recomputes the duplicated
       // 10-gram windows on the shingle TEXT (the engine groups on
       // xxhash64 of the same window — identical spans absent a 2^-64

@@ -313,6 +313,47 @@ object Dedup {
       .drop("_fp", "_keep")
   }
 
+  // --- bucketed fingerprint index -----------------------------------------
+
+  /** Persist the corpus's exact-dedup fingerprint index as a BUCKETED,
+    * bucket-sorted parquet table (`bucketBy(numBuckets, "_fp")`): every
+    * future fingerprint probe — [[dedupAgainstTable]], or any join or
+    * aggregation keyed on `_fp` — reads the corpus side already hash
+    * partitioned, so Spark aligns the (small) probe side to the bucket
+    * layout and the corpus side NEVER shuffles again. This is the
+    * layout decision that matters at 100 TB: the big side's shuffle is
+    * paid once at write time instead of on every nightly batch.
+    * Written as an external table when `path` is given (keeps test
+    * warehouses in temp dirs). Schema: `(idCol, _fp)`.
+    */
+  def writeFingerprintTable(docs: DataFrame, textCol: String,
+      idCol: String, table: String, numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    docs.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = docs
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("_fp"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, "_fp").sortBy("_fp")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** [[dedupAgainst]] with the corpus side served by a persisted
+    * bucketed fingerprint table (see [[writeFingerprintTable]]): the
+    * distinct and the anti-join on `_fp` consume the table's bucket
+    * partitioning in place — only the batch side exchanges.
+    */
+  def dedupAgainstTable(newDocs: DataFrame, textCol: String,
+      idCol: String, table: String): DataFrame = {
+    val seen = newDocs.sparkSession.table(table).select("_fp").distinct()
+    val fresh = newDocs
+      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .join(seen, Seq("_fp"), "left_anti")
+    val keep = fresh.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
+    fresh.join(keep, Seq("_fp"))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_fp", "_keep")
+  }
+
   /** Incremental NEAR-dup screening: per-batch-document verdicts
     * `(id, near_dup)` — true iff some corpus document's exact n-gram
     * Jaccard with it reaches `threshold`, with candidates found by

@@ -55,6 +55,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaIndex == Map(0L -> true, 2L -> false))
   }
 
+  test("bucketed fingerprint table: probe parity, corpus side reads buckets without exchange") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 400L)
+      .map(i => (i, s"corpus document number $i with stable content"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 50L)
+      .map(i => (1000L + i, s"corpus document number ${i * 4} with stable content"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((2000L, "entirely fresh text")).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fptab")
+      .toString + "/t"
+    Dedup.writeFingerprintTable(corpus, "text", "doc_id",
+      "fp_idx_spec", numBuckets = 8, path = Some(dir))
+    val viaTable = Dedup.dedupAgainstTable(batch, "text", "doc_id",
+      "fp_idx_spec")
+    val direct = Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
+    val a = viaTable.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = direct.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a == Set(2000L))
+    // the point of the layout: the bucketed plan reads the corpus
+    // pre-partitioned (bucketed scan) and pays strictly fewer
+    // exchanges than the recomputing plan
+    viaTable.collect()
+    val bucketedPlan = viaTable.queryExecution.executedPlan.toString
+    direct.collect()
+    val directPlan = direct.queryExecution.executedPlan.toString
+    assert(bucketedPlan.contains("Bucketed: true"), bucketedPlan)
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(bucketedPlan) < exchanges(directPlan),
+      s"bucketed:\n$bucketedPlan\ndirect:\n$directPlan")
+    s.sql("DROP TABLE IF EXISTS fp_idx_spec")
+  }
+
   test("nearDupAgainst verdict covers every batch doc exactly once") {
     val s = spark
     import s.implicits._
