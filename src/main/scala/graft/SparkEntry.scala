@@ -40,6 +40,30 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared (corpus, batch) fixture for the incremental exact-dedup
+    * entries (d9 recomputing / d21 bucketed-table) — ONE builder so
+    * the two entries cannot drift from their shared oracle: re-crawled
+    * verbatim copies, whitespace variants, and fresh docs (one
+    * intra-batch duplicate pair).
+    */
+  private def incrementalDedupFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 150)
+      .select("doc_id", "text")
+    val recrawl = corpus.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+    val wsVariant = corpus.filter(col("doc_id").between(40, 59))
+      .select((col("doc_id") + 310000).as("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
+    val fresh = Seq(
+      (320001L, "a genuinely new document about incremental ingestion"),
+      (320002L, "another brand new document unseen by the corpus"),
+      (320003L, "a genuinely new document about incremental ingestion"),
+    ).toDF("doc_id", "text")
+    (corpus, recrawl.unionByName(wsVariant).unionByName(fresh))
+  }
+
   /** Shared corpus for the duplicate-cluster entries (d7/d8): a
     * documents slice, appended near-copies (J = (n-2)/(n+1) per n-token
     * doc), and a hand-built chain whose adjacent Jaccards sit above the
@@ -2988,20 +3012,7 @@ object SparkEntry {
     // an intra-batch dup) deduped against the existing corpus by
     // fingerprint anti-join.
     "d9_incremental_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 150)
-        .select("doc_id", "text")
-      val recrawl = corpus.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
-      val wsVariant = corpus.filter(col("doc_id").between(40, 59))
-        .select((col("doc_id") + 310000).as("doc_id"),
-          concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
-      val fresh = Seq(
-        (320001L, "a genuinely new document about incremental ingestion"),
-        (320002L, "another brand new document unseen by the corpus"),
-        (320003L, "a genuinely new document about incremental ingestion"),
-      ).toDF("doc_id", "text")
-      val batch = recrawl.unionByName(wsVariant).unionByName(fresh)
+      val (corpus, batch) = incrementalDedupFixture(s, dir)
       Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     },
@@ -3009,20 +3020,7 @@ object SparkEntry {
     // fingerprint table (bucketBy 8 on _fp, external path): gates the
     // write -> catalog -> bucketed-scan -> probe chain on values.
     "d21_bucketed_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val corpus = tbl(s, dir, "documents").filter(col("doc_id") < 150)
-        .select("doc_id", "text")
-      val recrawl = corpus.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
-      val wsVariant = corpus.filter(col("doc_id").between(40, 59))
-        .select((col("doc_id") + 310000).as("doc_id"),
-          concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
-      val fresh = Seq(
-        (320001L, "a genuinely new document about incremental ingestion"),
-        (320002L, "another brand new document unseen by the corpus"),
-        (320003L, "a genuinely new document about incremental ingestion"),
-      ).toDF("doc_id", "text")
-      val batch = recrawl.unionByName(wsVariant).unionByName(fresh)
+      val (corpus, batch) = incrementalDedupFixture(s, dir)
       val path = java.nio.file.Files
         .createTempDirectory("graft-fptab").toString + "/t"
       graft.dedup.Dedup.writeFingerprintTable(corpus, "text", "doc_id",
@@ -5996,12 +5994,14 @@ object SparkEntry {
           |  coalesce(h.nh, 0) > 0 AS contaminated
           |FROM corpus c LEFT JOIN hits h USING (doc_id)
           |ORDER BY c.doc_id""".stripMargin,
-      // Upsample oracle: the fractional-part comparison reproduces the
-      // engine's exact float (2.3 - 2), not a re-rounded 0.3.
+      // Upsample oracle: the fractional part is computed in DOUBLE
+      // arithmetic (CAST first — DuckDB's bare `2.3 - 2` is DECIMAL
+      // and exactly 0.3, a different double than the engine's
+      // 2.3d - 2).
       "p12_upsample" ->
         """WITH c AS (SELECT doc_id,
           |    2 + CASE WHEN (('0x' || substr(md5('up' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
-          |        / 4294967296.0 < (2.3 - 2) THEN 1 ELSE 0 END AS n
+          |        / 4294967296.0 < (CAST(2.3 AS DOUBLE) - 2) THEN 1 ELSE 0 END AS n
           |  FROM documents)
           |SELECT doc_id, CAST(u.g AS BIGINT) AS copy
           |FROM c, UNNEST(generate_series(0, n - 1)) u(g)

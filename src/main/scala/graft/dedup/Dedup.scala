@@ -18,21 +18,37 @@ object Dedup {
 
   // --- exact -------------------------------------------------------------
 
-  /** Exact dedup on normalized text: keep the lowest-id document per
-    * fingerprint. Map-side-combined min-agg on the fingerprint plus a
-    * keeper equi-join — NOT a window: a mass-duplicated page (a
+  /** The dedup fingerprint with null text coalesced to a sentinel
+    * (not a possible md5 hex string), so null-content rows form ONE
+    * duplicate group instead of silently falling out of null-keyed
+    * joins.
+    */
+  private def fpCol(textCol: String): Column =
+    coalesce(TextOps.fingerprint(col(textCol)), lit("_null_"))
+
+  /** Keep exactly one row — the lowest id; ties (identical ids from a
+    * retried write) collapse — per `_fp`. Map-side-combined min-agg
+    * plus a keeper equi-join, NOT a window: a mass-duplicated page (a
     * billion copies of one fingerprint) costs one agg cell here,
     * whereas a window over the fingerprint serializes the hot key on
     * one reducer and AQE's skew splitting does not apply to windows
-    * (it does to this join).
+    * (it does to this join). The single keeper shape shared by
+    * [[exact]], [[dedupAgainst]] and [[dedupAgainstTable]] — the d9
+    * and d21 oracles assume these cannot drift.
     */
-  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withFp = docs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+  private def keepFirst(withFp: DataFrame, idCol: String): DataFrame = {
     val keep = withFp.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
     withFp.join(keep, Seq("_fp"))
       .filter(col(idCol) === col("_keep"))
+      .dropDuplicates("_fp")
       .drop("_fp", "_keep")
   }
+
+  /** Exact dedup on normalized text: keep the lowest-id document per
+    * fingerprint (see [[keepFirst]] for the skew-proof shape).
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepFirst(docs.withColumn("_fp", fpCol(textCol)), idCol)
 
   /** Exact-dup groups: fingerprints appearing more than once, with
     * their member ids (for reporting / CORRECTNESS).
@@ -299,19 +315,19 @@ object Dedup {
     * fingerprint-keyed anti-join.
     */
   def dedupAgainst(newDocs: DataFrame, corpus: DataFrame,
-      textCol: String, idCol: String): DataFrame = {
-    val seen = corpus
-      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
-    val fresh = newDocs
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .join(seen, Seq("_fp"), "left_anti")
-    // Same skew-proof keeper shape as [[exact]] for the intra-batch
-    // pass.
-    val keep = fresh.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
-    fresh.join(keep, Seq("_fp"))
-      .filter(col(idCol) === col("_keep"))
-      .drop("_fp", "_keep")
-  }
+      textCol: String, idCol: String): DataFrame =
+    dedupAgainstSeen(newDocs, textCol, idCol,
+      corpus.select(fpCol(textCol).as("_fp")).distinct())
+
+  /** Batch anti-joined against a known-fingerprint set, then the
+    * intra-batch [[keepFirst]] pass.
+    */
+  private def dedupAgainstSeen(newDocs: DataFrame, textCol: String,
+      idCol: String, seen: DataFrame): DataFrame =
+    keepFirst(
+      newDocs.withColumn("_fp", fpCol(textCol))
+        .join(seen, Seq("_fp"), "left_anti"),
+      idCol)
 
   // --- bucketed fingerprint index -----------------------------------------
 
@@ -329,9 +345,11 @@ object Dedup {
   def writeFingerprintTable(docs: DataFrame, textCol: String,
       idCol: String, table: String, numBuckets: Int,
       path: Option[String] = None): Unit = {
-    docs.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    // No DROP first: mode("overwrite") replaces the table atomically
+    // at commit, so a failed rebuild leaves the PREVIOUS index
+    // serving instead of a TABLE_NOT_FOUND window.
     val w = docs
-      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("_fp"))
+      .select(col(idCol), fpCol(textCol).as("_fp"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, "_fp").sortBy("_fp")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
@@ -343,16 +361,9 @@ object Dedup {
     * partitioning in place — only the batch side exchanges.
     */
   def dedupAgainstTable(newDocs: DataFrame, textCol: String,
-      idCol: String, table: String): DataFrame = {
-    val seen = newDocs.sparkSession.table(table).select("_fp").distinct()
-    val fresh = newDocs
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .join(seen, Seq("_fp"), "left_anti")
-    val keep = fresh.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
-    fresh.join(keep, Seq("_fp"))
-      .filter(col(idCol) === col("_keep"))
-      .drop("_fp", "_keep")
-  }
+      idCol: String, table: String): DataFrame =
+    dedupAgainstSeen(newDocs, textCol, idCol,
+      newDocs.sparkSession.table(table).select("_fp").distinct())
 
   /** Incremental NEAR-dup screening: per-batch-document verdicts
     * `(id, near_dup)` — true iff some corpus document's exact n-gram
@@ -390,9 +401,17 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // Build params ride as column metadata (survives the parquet
+    // round trip), so a probe with mismatched params fails loudly
+    // instead of silently returning near-empty candidate sets.
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("shingleSize", shingleSize.toLong)
+      .putLong("numHashes", numHashes.toLong)
+      .putLong("bands", bands.toLong).build()
     bandBuckets(
       minhashSignatures(corpus, textCol, idCol, shingleSize, numHashes),
       idCol, bands, numHashes / bands)
+      .withColumn("bucket", col("bucket").as("bucket", meta))
   }
 
   /** [[nearDupAgainst]] with a PREBUILT corpus index (see
@@ -406,6 +425,16 @@ object Dedup {
       threshold: Double = 0.8, shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    corpusIndex.schema.find(_.name == "bucket").map(_.metadata)
+      .filter(_.contains("bands")).foreach { md =>
+        require(md.getLong("shingleSize") == shingleSize &&
+          md.getLong("numHashes") == numHashes &&
+          md.getLong("bands") == bands,
+          s"index built with (shingleSize=${md.getLong("shingleSize")}, " +
+            s"numHashes=${md.getLong("numHashes")}, " +
+            s"bands=${md.getLong("bands")}) but probed with " +
+            s"(shingleSize=$shingleSize, numHashes=$numHashes, bands=$bands)")
+      }
     val rows = numHashes / bands
     def buckets(docs: DataFrame, side: String): DataFrame =
       bandBuckets(

@@ -89,6 +89,9 @@ object Mixing {
       factor: Double,
       salt: String = ""): DataFrame = {
     require(factor >= 0, "factor must be nonnegative")
+    require(!df.columns.contains("copy") && !df.columns.contains("_copies"),
+      "upsample emits a `copy` column (and uses `_copies` internally); " +
+        "rename the input's conflicting column first")
     val base = math.floor(factor).toLong
     val frac = factor - base
     df.withColumn("_copies", lit(base) +

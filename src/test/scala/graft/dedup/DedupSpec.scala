@@ -24,6 +24,37 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 4L, 6L)) // 2 and 5 collapse into 1
   }
 
+  test("exact dedup: null texts form one group, tied ids collapse to one row") {
+    val s = spark
+    import s.implicits._
+    val messy = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, null),          // null content: one group
+      (3L, "same row twice"), (3L, "same row twice"), // retried write
+      (4L, "unique")).toDF("doc_id", "text")
+    val kept = Dedup.exact(messy, "text", "doc_id").collect()
+    assert(kept.length === 3)
+    assert(kept.map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("nearDupAgainstIndex rejects an index built with different params") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val idx = Dedup.lshIndex(corpus, "text", "doc_id", bands = 32)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndex(corpus, idx, corpus, "text", "doc_id",
+        bands = 16)
+    }
+    // metadata survives the parquet round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshmeta")
+      .toString + "/i"
+    idx.write.parquet(dir)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndex(corpus, s.read.parquet(dir), corpus,
+        "text", "doc_id", bands = 16)
+    }
+  }
+
   test("softWeights: inverse duplication-count weights, unique docs weigh 1") {
     val w = Dedup.softWeights(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
