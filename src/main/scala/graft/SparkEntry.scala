@@ -3301,19 +3301,14 @@ object SparkEntry {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit("\nif (x) { return; }")).as("text"))
       val docs = base.unionByName(dups).unionByName(code)
-      val cleaned = C4Filters.c4(docs, "text").filter(col("keep"))
+      val bench = C4Filters.c4(docs, "text").filter(col("keep"))
         .select(col("doc_id"), col("clean_text").as("text"))
-      val deduped = graft.dedup.Dedup.exact(cleaned, "text", "doc_id")
-      val bench = cleaned.filter(col("doc_id").isin(10L, 20L, 30L))
-      val clean = graft.dedup.Decontaminate.clean(
-        deduped, "text", "doc_id", bench, "text", n = 8)
-      val spl = graft.pipeline.Mixing.split(clean, "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "e2e")
-      spl.groupBy("split").agg(
-          count(lit(1)).as("docs"),
-          sum(length(col("text"))).as("chars"),
-          sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
-        .orderBy("split")
+        .filter(col("doc_id").isin(10L, 20L, 30L))
+      val curated = graft.pipeline.Curate.curate(docs, "text", "doc_id",
+        Some(bench), graft.pipeline.Curate.Config(
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "e2e"))
+      graft.pipeline.Curate.datasheet(curated, "text").orderBy("split")
     },
     // URL canonicalization over messy crawl fixtures: tracking params,
     // default ports, fragments, case, trailing slashes, two-level

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.text.{C4Filters, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation chain as ONE composable plan — what a
+  * nightly crawl-refresh job actually runs, in dependency order:
+  *
+  *   1. C4 line/document cleaning (terminal-punctuation line rule,
+  *      code/placeholder drops) — pure projections;
+  *   2. optional blocklist drop — literal-array intersect, projection;
+  *   3. exact dedup, keep-first on the normalized cleaned text —
+  *      skew-proof keeper agg+join;
+  *   4. optional n-gram benchmark decontamination — broadcast gram
+  *      probe, corpus never shuffles for it;
+  *   5. growth-stable hash split — pure projection.
+  *
+  * Everything stays ONE Catalyst plan: no intermediate
+  * materialization, filters and projections fuse into the scan, and
+  * the only corpus-sized shuffles are dedup's fingerprint agg+join.
+  * Returns `(idCol, textCol = cleaned text, split)` — feed it to
+  * [[Mixing.epochShuffle]] / [[Shards.write]] for the training-order
+  * stage, and [[Curate.datasheet]] for the per-split report.
+  *
+  * Gated end-to-end by the p11_curate_e2e oracle entry (every stage
+  * recomputed in SQL over the same inputs).
+  */
+object Curate {
+
+  final case class Config(
+      minWords: Int = 3,
+      minLines: Int = 1,
+      blocklist: Seq[String] = Nil,
+      benchGramN: Int = 8,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      salt: String = "curate")
+
+  /** Clean → (blocklist) → dedup → (decontaminate) → split. `bench`
+    * is the eval suite to strip leaks of; None skips that stage.
+    */
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+      bench: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    val cleaned0 = C4Filters.c4(docs, textCol, cfg.minWords, cfg.minLines)
+      .filter(col("keep"))
+      .drop(textCol).withColumnRenamed("clean_text", textCol)
+      .drop("keep")
+    val cleaned =
+      if (cfg.blocklist.isEmpty) cleaned0
+      else C4Filters.blocklistFilter(cleaned0, textCol, cfg.blocklist)
+    val deduped = graft.dedup.Dedup.exact(cleaned, textCol, idCol)
+    val clean = bench.fold(deduped)(b =>
+      graft.dedup.Decontaminate.clean(
+        deduped, textCol, idCol, b, textCol, cfg.benchGramN))
+    Mixing.split(clean, idCol, cfg.splits, cfg.salt)
+  }
+
+  /** Per-split datasheet of a curated frame: docs, chars, whitespace
+    * tokens. One hash agg.
+    */
+  def datasheet(curated: DataFrame, textCol: String): DataFrame =
+    curated.groupBy("split").agg(
+      count(lit(1)).as("docs"),
+      sum(length(col(textCol))).as("chars"),
+      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("tokens"))
+}

@@ -123,6 +123,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(down.length / 2000.0 - 0.4) < 0.05)
   }
 
+  test("Curate.curate: stages fire in order; blocklist and bench branches work") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "A proper sentence with enough words here.\nshort stub"),
+      (2L, "A proper sentence with enough words here.\nshort stub"), // dup of 1
+      (3L, "Another fine document about spark catalyst internals today."),
+      (4L, "This one mentions a badword so it must be dropped entirely."),
+      (5L, "code marker { dropped }"),
+      (6L, "An eval item that leaks the secret benchmark answer is forty two exactly here okay."))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      "remember the secret benchmark answer is forty two exactly here ok")
+      .toDF("text")
+    val out = graft.pipeline.Curate.curate(docs, "text", "doc_id",
+      Some(bench), graft.pipeline.Curate.Config(
+        blocklist = Seq("badword"))).collect()
+    val kept = out.map(_.getLong(0)).toSet
+    // 2 deduped into 1; 4 blocklisted; 5 code-dropped; 6 decontaminated
+    assert(kept === Set(1L, 3L))
+    // cleaned text: the stub line is gone
+    val textIdx = 1
+    assert(!out.find(_.getLong(0) == 1L).get.getString(textIdx)
+      .contains("short stub"))
+    // every surviving row carries a split label
+    val ds = graft.pipeline.Curate.datasheet(
+      graft.pipeline.Curate.curate(docs, "text", "doc_id"), "text")
+      .collect()
+    assert(ds.map(_.getLong(1)).sum >= 4) // no blocklist/bench: 4+ docs
+  }
+
   test("split partitions exhaustively, near the weights, and is growth-stable") {
     val s = spark
     import s.implicits._
