@@ -3333,6 +3333,22 @@ object SparkEntry {
           graft.pipeline.UrlOps.registeredDomain(col("url")).as("domain"))
         .orderBy("id")
     },
+    // UT1-style domain blocklist over the same synthesized URLs as
+    // u2: example.com (every non-%5 doc) and src3.co.uk blocked at
+    // the REGISTERED-domain level (subdomain paths roll up); junk
+    // URLs pass (null domain is not evidence).
+    "u4_domain_blocklist" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(".co.uk/p/"))
+            .otherwise(lit(".example.com/p/")),
+          col("doc_id")))
+        .withColumn("url",
+          when(col("doc_id") === 399, lit("not a url")).otherwise(col("url")))
+      graft.pipeline.UrlOps.domainBlocklistFilter(docs, col("url"),
+          Seq("example.com", "src3.co.uk"))
+        .select("doc_id").orderBy("doc_id")
+    },
     // Per-domain cap over synthesized provenance: deterministic
     // (hash coin, id) selection via the salted two-level window. The
     // oracle recomputes the exact kept set with a single window.
@@ -6299,6 +6315,15 @@ object SparkEntry {
       // Domain-cap oracle: single-window restatement of the salted
       // two-level per-domain selection over the same synthesized
       // provenance and md5 coin.
+      // Blocklist oracle: the kept set restated arithmetically —
+      // non-%5 docs are example.com (blocked) except the planted junk
+      // URL at 399 (null domain passes); %5 docs are <source>.co.uk,
+      // blocked only for src3.
+      "u4_domain_blocklist" ->
+        """SELECT doc_id FROM documents
+          |WHERE doc_id < 400
+          |  AND (doc_id = 399 OR (doc_id % 5 = 0 AND source <> 'src3'))
+          |ORDER BY doc_id""".stripMargin,
       "u2_domain_cap" ->
         """WITH d AS (SELECT doc_id,
           |    CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'

@@ -109,6 +109,22 @@ object UrlOps {
   /** Per-domain corpus datasheet: pages, total chars, distinct
     * normalized URLs — one hash aggregation.
     */
+  /** Drop rows whose REGISTERED domain is on a blocklist (the
+    * UT1/FineWeb adult-and-spam-domain stage). The list rides as a
+    * literal array — blocklists are thousands of domains, not data —
+    * so the filter is a pure projection inside the scan; subdomains of
+    * a blocked domain are blocked with it (that is what registered
+    * domain rollup is for). Unparseable URLs (null domain) pass — no
+    * evidence is not evidence of badness.
+    */
+  def domainBlocklistFilter(df: DataFrame, urlCol: Column,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist must name at least one domain")
+    val dom = registeredDomain(urlCol)
+    df.filter(dom.isNull ||
+      !dom.isin(blocked.map(_.toLowerCase): _*))
+  }
+
   def domainStats(df: DataFrame, urlCol: Column, charsCol: Column): DataFrame =
     df.groupBy(registeredDomain(urlCol).as("domain"))
       .agg(count(lit(1)).as("pages"),

@@ -123,6 +123,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(down.length / 2000.0 - 0.4) < 0.05)
   }
 
+  test("domainBlocklistFilter: registered-domain rollup, junk passes") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "https://www.bad.example.com/x"),   // subdomain of blocked
+      (2L, "https://example.com/y"),           // blocked apex
+      (3L, "https://good.org/z"),
+      (4L, "https://shop.bad.co.uk/p"),        // blocked two-level suffix
+      (5L, "junk ::: not a url")).toDF("doc_id", "url")
+    val kept = graft.pipeline.UrlOps.domainBlocklistFilter(docs,
+        org.apache.spark.sql.functions.col("url"),
+        Seq("example.com", "bad.co.uk"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 5L))
+  }
+
   test("Curate.curate: stages fire in order; blocklist and bench branches work") {
     val s = spark
     import s.implicits._
