@@ -2609,6 +2609,34 @@ object SparkEntry {
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
         .select("doc_id", "rank").orderBy("rank")
     },
+    // ---- V40: BM25 sealed/growing delta serving — build once, then
+    // insert + delete + upsert, then search WITHOUT a rebuild; the
+    // served scores use exactly-adjusted global stats (N', avgdl',
+    // df'), so the oracle is a from-scratch BM25 over the FINAL
+    // corpus state. ---------------------------------------------------
+    "v40_bm25_delta_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-bmds").toString)
+      val c = cat.createCollection(CollectionDef("docs", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text"))
+      c.createIndex(s, IndexDef("text", "BM25"))
+      // seal the build at the pre-DML seq
+      CollectionSearch.searchText(s, c, "text", "vector stream", 5).collect()
+      c.insert(s, Seq(
+        (990001L, "vector stream vector stream fresh page"),
+        (990002L, "nothing relevant at all")).toDF("doc_id", "text"))
+      c.delete(s, "doc_id < 5")
+      c.upsert(s, Seq(
+        (7L, "now a vector stream heavy rewrite vector"))
+        .toDF("doc_id", "text"))
+      CollectionSearch.searchText(s, c, "text", "vector stream", 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select("doc_id", "rank").orderBy("rank")
+    },
     // ---- V39: batched BM25 over the persisted postings — nq text
     // queries in ONE job (broadcast (term, qid) probe over the
     // bucket-pruned union scan, shared salted per-qid top-k). The
@@ -4048,6 +4076,30 @@ object SparkEntry {
           "data column", "filter value", "spark agg")
         val total = queries.map(q =>
           Bm25.topKPersisted(s, persisted, q, 100).count()).sum
+        Seq(Tuple1(total)).toDF("total_hits")
+      },
+      // BM25 sealed/growing serving at bench SF: ONE sealed build,
+      // then DML + 5 delta-served queries — contrast with what 5
+      // post-DML queries would cost if each forced a rebuild
+      // (~5x bench_bm25_indexed's build share).
+      "bench_bm25_delta_serve" -> { (s, dir) =>
+        import s.implicits._
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-bmdsb").toString)
+        val c = cat.createCollection(CollectionDef("docs", Seq(
+          FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("text", StringType))))
+        c.insert(s, tbl(s, dir, "documents").select("doc_id", "text"))
+        c.createIndex(s, IndexDef("text", "BM25"))
+        CollectionSearch.searchText(s, c, "text", "vector stream", 10).collect()
+        c.insert(s, (0 until 50).map(i =>
+          (900000L + i, s"delta page $i vector stream content"))
+          .toDF("doc_id", "text"))
+        c.delete(s, "doc_id < 20")
+        val queries = Seq("vector stream", "table scan", "hash join",
+          "query plan", "batch window")
+        val total = queries.map(q =>
+          CollectionSearch.searchText(s, c, "text", q, 100).count()).sum
         Seq(Tuple1(total)).toDF("total_hits")
       },
       // Distributed export fast path vs the iterator funnel
@@ -5585,6 +5637,34 @@ object SparkEntry {
           |       WHERE term IN ('vector', 'stream') GROUP BY doc_id, term),
           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
           |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |    sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+          |        * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+          |  GROUP BY tf.doc_id)
+          |SELECT doc_id, rank FROM (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+          |  FROM scored) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      // Delta-serve oracle: from-scratch BM25 over the POST-DML corpus
+      // (docs 0-4 deleted, 7 rewritten, two inserted).
+      "v40_bm25_delta_serve" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id >= 5 AND doc_id <> 7
+          |  UNION ALL SELECT * FROM (VALUES
+          |    (CAST(990001 AS BIGINT), 'vector stream vector stream fresh page'),
+          |    (CAST(990002 AS BIGINT), 'nothing relevant at all'),
+          |    (CAST(7 AS BIGINT), 'now a vector stream heavy rewrite vector')) v(doc_id, text)
+          |), tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+          |  FROM corpus
+          |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |       WHERE term IN ('vector', 'stream') GROUP BY doc_id, term),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+          |stats AS (SELECT (SELECT count(*) FROM corpus) AS n,
           |                 (SELECT avg(dl) FROM dl) AS avgdl),
           |scored AS (
           |  SELECT tf.doc_id,

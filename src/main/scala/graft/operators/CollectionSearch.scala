@@ -620,8 +620,11 @@ object CollectionSearch {
       params: Bm25.Params = Bm25.Params(),
       outputFields: Seq[String] = Seq.empty): DataFrame = {
     val pk = coll.definition.primaryField.name
-    val build = IndexStore.ensureBm25(spark, coll, textField, params)
-    val top = Bm25.topKPersisted(spark, build.persisted, query, k)
+    // Sealed/growing delta serving: small post-DML deltas are merged
+    // at query time with exactly-adjusted stats instead of triggering
+    // a full index rebuild (IndexStore.searchTextServed).
+    val top = IndexStore.searchTextServed(spark, coll, textField, params,
+      query, k)
     if (outputFields.isEmpty) top
     else top.join(coll.read(spark), pk)
       .select((pk +: outputFields :+ "score").distinct.map(col): _*)

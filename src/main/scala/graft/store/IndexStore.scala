@@ -55,6 +55,10 @@ object IndexStore {
     (String, String, String, Int, Long), IvfBuild]()
   private val bm25Cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), Bm25Build]()
+  // (collection, field, analyzer, builtSeq, committedSeq) -> adjusted
+  // stats for BM25 delta serving; stale generations evicted on DML.
+  private val bm25StatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Long, Long), Bm25.DeltaStats]()
 
   final case class RabitqBuild(model: Ivf.Model, dataPath: String,
       nlist: Int, builtSeq: Long)
@@ -1000,6 +1004,43 @@ object IndexStore {
       Bm25Build(Bm25.readIndexMeta(
         versionDir(dir, seq, "bm25", params.analyzer, 0).toString, params), seq)
     }
+
+  /** BM25 text top-k with sealed/growing delta serving: a build whose
+    * post-DML delta volume passes [[staleServable]] keeps serving —
+    * [[Bm25.topKDeltaServed]] adjusts the global stats exactly, so the
+    * result is identical to a rebuild's. Falls back to the usual lazy
+    * full rebuild above the gate (or for pre-doclen layouts / the
+    * late-import window).
+    */
+  def searchTextServed(spark: SparkSession, coll: Collection,
+      field: String, params: Bm25.Params, query: String,
+      k: Int): DataFrame = {
+    val seq = coll.committedSeq
+    val dir = indexDir(coll, field)
+    val stale = staleLoad[Bm25Build](spark, coll, dir, seq,
+      p => p.kind == "bm25" && p.metric == params.analyzer,
+      s => versionDir(dir, s, "bm25", params.analyzer, 0),
+      s => Some(Bm25Build(Bm25.readIndexMeta(
+        versionDir(dir, s, "bm25", params.analyzer, 0).toString, params), s)))
+    stale.filter(_.persisted.doclenPath.nonEmpty).foreach { b =>
+      coll.deltaViewSince(spark, b.builtSeq).foreach {
+        case (newRows, changedPks) =>
+          val growing = newRows.select(
+            col(coll.definition.primaryField.name), col(field))
+          // The stats adjustment scans the doclen table — once per
+          // (build, DML generation), not per query.
+          val statsKey = (coll.name, field, params.analyzer, b.builtSeq, seq)
+          bm25StatsCache.keySet.removeIf(kk =>
+            kk._1 == coll.name && kk._2 == field && kk._5 != seq)
+          val st = bm25StatsCache.computeIfAbsent(statsKey, _ =>
+            Bm25.deltaStats(spark, b.persisted, growing, changedPks, field))
+          return Bm25.topKDeltaServed(spark, b.persisted, query, k,
+            growing, changedPks, field, Some(st))
+      }
+    }
+    val b = ensureBm25(spark, coll, field, params)
+    Bm25.topKPersisted(spark, b.persisted, query, k)
+  }
 
   // ---- pointer ------------------------------------------------------------
 

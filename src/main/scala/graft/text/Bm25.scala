@@ -116,7 +116,9 @@ object Bm25 {
   final case class PersistedBm25(
       postingsPath: String, docFreqPath: String,
       numDocs: Long, avgdl: Double, idCol: String,
-      params: Params, numBuckets: Int)
+      params: Params, numBuckets: Int,
+      // "" for pre-doclen layouts (they can't delta-serve; rebuild)
+      doclenPath: String = "")
 
   /** Materialize an index under `dir`: `postings/` (partitionBy(_tb)),
     * `docfreq/`, `stats.json`. One linear shuffle-on-bucket job.
@@ -146,13 +148,20 @@ object Bm25 {
       .repartition(col("_tb"))
       .write.mode("overwrite").partitionBy("_tb").parquet(postingsPath)
     index.docFreq.write.mode("overwrite").parquet(docFreqPath)
+    // Per-doc lengths (one row per scoreable doc — zero-token docs are
+    // excluded from numDocs/avgdl by construction, so excluding them
+    // here keeps delta-serve stat adjustments consistent). This is
+    // what lets [[topKDeltaServed]] retire a deleted doc's (1, dl)
+    // contribution without re-tokenizing anything sealed.
+    index.postings.select(col(index.idCol), col("dl")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/doclen")
     val stats = ("numDocs" -> index.numDocs) ~ ("avgdl" -> index.avgdl) ~
       ("idCol" -> index.idCol) ~ ("numBuckets" -> numBuckets)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "stats.json"),
       org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(stats)).getBytes)
     PersistedBm25(postingsPath, docFreqPath, index.numDocs, index.avgdl,
-      index.idCol, index.params, numBuckets)
+      index.idCol, index.params, numBuckets, s"$dir/doclen")
   }
 
   // NOTE (measured, round 4): deriving docFreq/stats from the WRITTEN
@@ -170,7 +179,9 @@ object Bm25 {
     PersistedBm25(s"$dir/postings", s"$dir/docfreq",
       (j \ "numDocs").extract[Long], (j \ "avgdl").extract[Double],
       (j \ "idCol").extract[String], params,
-      (j \ "numBuckets").extract[Int])
+      (j \ "numBuckets").extract[Int],
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "doclen"))) s"$dir/doclen" else "")
   }
 
   /** Score a query against a persisted index. The postings scan is
@@ -260,6 +271,130 @@ object Bm25 {
     scorePersisted(spark, p, query)
       .orderBy(col("score").desc, col(p.idCol).asc)
       .limit(k)
+
+  /** EXACT BM25 top-k over (sealed \ changed) ∪ growing — post-DML
+    * serving WITHOUT rebuilding the sealed index (the Milvus
+    * sealed/growing model for FTS). Unlike the vector routes, BM25's
+    * scores depend on GLOBAL stats (N, avgdl, df), so serving stale
+    * stats would change every score; instead the stats are adjusted
+    * exactly:
+    *
+    *   - N' and avgdl' from the persisted per-doc length table: the
+    *     changed pks' (1, dl) contributions retire via one bounded
+    *     broadcast join, the growing rows' add via one delta-sized agg;
+    *   - df'(t), for the QUERY's terms only: sealed df (term-pruned
+    *     docfreq read) − changed-doc hits (term-pruned postings ∩
+    *     changed pks) + growing hits;
+    *   - sealed postings are RE-scored with idf'/avgdl' (they store tf
+    *     and dl, so the stored build-time idf is simply ignored), the
+    *     changed pks anti-joined out, and the growing mini-postings
+    *     unioned in.
+    *
+    * Per-query cost: the same bucket+term-pruned sealed scan a fresh
+    * query pays, plus delta-sized work — never a corpus re-tokenize.
+    * The result is bit-identical to a full rebuild's scores.
+    *
+    * `growingDocs` = the currently-visible rows committed after the
+    * build (upserts resolved, tombstones dropped); `changedPks` =
+    * every pk those deltas touched (both bounded by the caller's
+    * serve-stale gate).
+    */
+  /** Exactly-adjusted corpus stats for delta serving. The removed
+    * side's agg scans the (2-column) doclen table — the one
+    * corpus-sized input — so callers should compute this ONCE per
+    * (build, committedSeq) generation and pass it to every query
+    * ([[graft.store.IndexStore]] memoizes it).
+    */
+  final case class DeltaStats(nPrime: Long, avgdlPrime: Double)
+
+  def deltaStats(spark: SparkSession, p: PersistedBm25,
+      growingDocs: DataFrame, changedPks: DataFrame,
+      textCol: String): DeltaStats = {
+    val idc = p.idCol
+    val pks = broadcast(changedPks.select(col(changedPks.columns.head)
+      .as(idc)))
+    val tokenize = Analyzer.byName(p.params.analyzer)
+    val rem = spark.read.parquet(p.doclenPath).join(pks, idc)
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    val add = growingDocs
+      .select(col(idc), tokenize(col(textCol)).as("_toks"))
+      .select(col(idc), size(col("_toks")).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    val nPrime = p.numDocs - rem.getLong(0) + add.getLong(0)
+    DeltaStats(nPrime,
+      if (nPrime <= 0) 0.0
+      else (p.avgdl * p.numDocs - rem.getLong(1) + add.getLong(1)) / nPrime)
+  }
+
+  def topKDeltaServed(spark: SparkSession, p: PersistedBm25,
+      query: String, k: Int, growingDocs: DataFrame,
+      changedPks: DataFrame, textCol: String,
+      precomputed: Option[DeltaStats] = None): DataFrame = {
+    require(p.doclenPath.nonEmpty,
+      "delta serving needs a doclen-bearing index layout (rebuild once)")
+    val terms = tokenizeQuery(query, p.params.analyzer)
+    val idc = p.idCol
+    if (terms.isEmpty)
+      return spark.read.parquet(p.postingsPath)
+        .select(col(idc), lit(0.0).as("score")).limit(0)
+    val pks = broadcast(changedPks.select(col(changedPks.columns.head)
+      .as(idc)))
+    // Growing mini-postings: delta-sized; pinned so the df and scoring
+    // consumers don't re-tokenize.
+    val tokenize = Analyzer.byName(p.params.analyzer)
+    val gposts = growingDocs
+      .select(col(idc), tokenize(col(textCol)).as("_toks"))
+      .select(col(idc), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col(idc), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val st = precomputed.getOrElse(
+      deltaStats(spark, p, growingDocs, changedPks, textCol))
+    val nPrime = st.nPrime
+    if (nPrime <= 0)
+      return spark.read.parquet(p.postingsPath)
+        .select(col(idc), lit(0.0).as("score")).limit(0)
+    val avgdlPrime = st.avgdlPrime
+    // df'(t) for the query terms (three tiny term-keyed collects).
+    val buckets = termBuckets(spark, terms, p.numBuckets)
+    val sealedPruned = spark.read.parquet(p.postingsPath)
+      .filter(col("_tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    def toMap(rows: Array[org.apache.spark.sql.Row]): Map[String, Long] =
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfSealed = toMap(spark.read.parquet(p.docFreqPath)
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df")).collect())
+    val dfRem = toMap(sealedPruned.join(pks, idc)
+      .groupBy("term").agg(countDistinct(col(idc)).as("c")).collect())
+    val dfAdd = toMap(gposts.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(countDistinct(col(idc)).as("c")).collect())
+    val idf = terms.flatMap { t =>
+      val df = dfSealed.getOrElse(t, 0L) - dfRem.getOrElse(t, 0L) +
+        dfAdd.getOrElse(t, 0L)
+      if (df <= 0) None
+      else Some((t, math.log(1.0 + (nPrime - df + 0.5) / (df + 0.5))))
+    }
+    if (idf.isEmpty)
+      return spark.read.parquet(p.postingsPath)
+        .select(col(idc), lit(0.0).as("score")).limit(0)
+    import spark.implicits._
+    val idfDf = broadcast(idf.toDF("term", "_idf"))
+    val pr = p.params
+    def scored(posts: DataFrame): DataFrame = posts
+      .join(idfDf, "term")
+      .withColumn("_score",
+        col("_idf") * (col("tf") * (pr.k1 + 1)) /
+          (col("tf") + lit(pr.k1) *
+            (lit(1 - pr.b) + lit(pr.b) * col("dl") / avgdlPrime)))
+      .select(col(idc), col("_score"))
+    scored(sealedPruned.join(pks, Seq(idc), "left_anti"))
+      .unionByName(scored(gposts.filter(col("term").isin(terms: _*))))
+      .groupBy(idc).agg(sum("_score").as("score"))
+      .orderBy(col("score").desc, col(idc).asc)
+      .limit(k)
+  }
 
   /** Spark-hash term buckets, evaluated through the same `hash()`
     * expression the writer used (a LocalTableScan — no job).

@@ -131,6 +131,55 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(after.contains(990000L), "new doc missing: stale BM25 index")
   }
 
+  test("BM25 delta serving: post-DML search exact vs rebuild, sealed build untouched") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-bm25ds").toString
+    val cat = new Catalog(root)
+    val c = cat.createCollection(CollectionDef("dsdocs", Seq(
+      FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("text", StringType))))
+    c.insert(s, Tables.load(s, sfDir, "documents")
+      .filter(col("doc_id") < 300).select("doc_id", "text"))
+    c.createIndex(s, IndexDef("text", "BM25"))
+    CollectionSearch.searchText(s, c, "text", "vector stream", 5).collect()
+    def bm25Files(): Set[String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        val out = scala.collection.mutable.Set.empty[String]
+        st.forEach(p =>
+          if (p.toString.contains("/index/")) out += p.toString)
+        out.toSet
+      } finally st.close()
+    }
+    val sealedBefore = bm25Files()
+    // Mixed DML: insert (one relevant, one not), delete, upsert-rewrite
+    c.insert(s, Seq(
+      (990001L, "fresh vector stream vector page"),
+      (990002L, "totally unrelated content")).toDF("doc_id", "text"))
+    c.delete(s, "doc_id in [3, 7]")
+    c.upsert(s, Seq(
+      (5L, "rewritten page about stream processing vector engines"))
+      .toDF("doc_id", "text"))
+    val served = CollectionSearch.searchText(s, c, "text", "vector stream", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // sealed index untouched: served, not rebuilt
+    assert(bm25Files() == sealedBefore, "delta-served search rebuilt the index")
+    // EXACT parity with a from-scratch index over the current state
+    val fresh = graft.text.Bm25.topK(c.read(s), "text", "doc_id",
+      "vector stream", 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.map(_._1).toSeq == fresh.map(_._1).toSeq,
+      s"served=${served.toSeq} fresh=${fresh.toSeq}")
+    served.zip(fresh).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"score drift: $a vs $b")
+    }
+    // the new relevant doc surfaces; deleted docs do not
+    val ids = served.map(_._1).toSet
+    assert(ids.contains(990001L))
+    assert(!ids.contains(3L) && !ids.contains(7L))
+  }
+
   test("JSON-path index: pruned value scan, correct vs fallback, DML-fresh") {
     val s = spark
     import s.implicits._
