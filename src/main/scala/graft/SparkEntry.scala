@@ -1718,6 +1718,31 @@ object SparkEntry {
       c.createIndex(s, IndexDef("vec", "SPARSE_WAND"))
       CollectionSearch.searchSparse(s, c, "vec", Map(1 -> 1.0, 9 -> 2.0), 3)
     },
+    // ---- V41: sparse sealed/growing delta serving — WAND build, then
+    // insert + delete + upsert, search WITHOUT rebuild (the delta
+    // route answers via the exact bucket-pruned search; persisted
+    // impact bounds don't cover growing postings). Oracle =
+    // hand-derived inner products over the post-DML state. ------------
+    "v41_sparse_delta_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-spds").toString)
+      val c = cat.createCollection(CollectionDef("spds", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("vec", MapType(IntegerType, DoubleType)))))
+      c.insert(s, (Seq(
+        (1L, Map(9 -> 7.0)), (2L, Map(9 -> 6.0)),
+        (3L, Map(1 -> 0.5, 9 -> 1.0))) ++
+        (100L until 140L).map(i => (i, Map(1 -> 0.1)))).toDF("id", "vec"))
+      c.createIndex(s, IndexDef("vec", "SPARSE_WAND"))
+      CollectionSearch.searchSparse(s, c, "vec", Map(9 -> 1.0), 3).collect()
+      c.insert(s, Seq((900L, Map(9 -> 9.0, 1 -> 1.0))).toDF("id", "vec"))
+      c.delete(s, "id == 1")
+      c.upsert(s, Seq((2L, Map(1 -> 0.3))).toDF("id", "vec"))
+      CollectionSearch.searchSparse(s, c, "vec", Map(1 -> 1.0, 9 -> 2.0), 3)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+    },
     // ---- V28: batched nq sparse search through the collection route
     // (the client's search(data=[...]) shape, common/workload.py:213-
     // 229): one job answers both queries over the same persisted WAND
@@ -4564,6 +4589,14 @@ object SparkEntry {
           |  (CAST(1 AS BIGINT), CAST(14.0 AS DOUBLE)),
           |  (CAST(2 AS BIGINT), CAST(12.0 AS DOUBLE)),
           |  (CAST(3 AS BIGINT), CAST(10.0 AS DOUBLE))
+          |) t(id, score) ORDER BY score DESC, id""".stripMargin,
+      // Post-DML hand-derivation: 900 = 9*2 + 1*1 = 19; 3 = 0.5 + 2 =
+      // 2.5; 2 (rewritten) = 0.3; id 1 deleted.
+      "v41_sparse_delta_serve" ->
+        """SELECT id, score FROM (VALUES
+          |  (CAST(900 AS BIGINT), CAST(19.0 AS DOUBLE)),
+          |  (CAST(3 AS BIGINT), CAST(2.5 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(0.3 AS DOUBLE))
           |) t(id, score) ORDER BY score DESC, id""".stripMargin,
       // Hand-derived per-query exact top-2: query a = {1:1.0, 9:2.0}
       // (doc1 14, doc2 12), query b = {1:10.0} (doc4 5.0, doc5 2.0).

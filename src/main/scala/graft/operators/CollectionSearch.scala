@@ -315,23 +315,27 @@ object CollectionSearch {
     if (sparseIx.isDefined) {
       val buckets = sparseIx.flatMap(_.params.get("buckets"))
         .map(_.toInt).getOrElse(64)
-      val build = IndexStore.ensureSparse(spark, coll, vecField, buckets)
-      val postings = scoped(spark.read.parquet(build.postingsPath))
+      val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
+      val postings = scoped(serve.postings)
       // Filters over non-pk columns need the doc row, not the posting;
       // restrict to pk predicates the exploded table still carries.
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, postings))
-      if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND")) {
+      if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND") &&
+          !serve.deltaServed) {
         // Max-score/WAND pruning from the persisted per-dim impact
         // stats (collected once per build, cached driver-side) —
         // exact, with automatic fallback when the bounds cannot
-        // exclude anything (SparseInverted.searchWand doc).
-        val stats = IndexStore.sparseDimStats(spark, build)
+        // exclude anything (SparseInverted.searchWand doc). The
+        // delta-served frame takes the exact route instead: the
+        // persisted bounds don't cover growing postings.
+        val stats = IndexStore.sparseDimStats(spark, serve.build)
         SparseInverted.searchWand(postings, stats, query, pk, k,
-          build.numBuckets, pred).df
+          serve.build.numBuckets, pred).df
       } else {
-        SparseInverted.search(postings, query, pk, k, build.numBuckets, pred)
+        SparseInverted.search(postings, query, pk, k,
+          serve.build.numBuckets, pred)
       }
     } else {
       val data = coll.read(spark, partitionNames)
@@ -374,21 +378,23 @@ object CollectionSearch {
     if (sparseIx.isDefined) {
       val buckets = sparseIx.flatMap(_.params.get("buckets"))
         .map(_.toInt).getOrElse(64)
-      val build = IndexStore.ensureSparse(spark, coll, vecField, buckets)
-      val postings = scoped(spark.read.parquet(build.postingsPath))
+      val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
+      val postings = scoped(serve.postings)
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, postings))
-      if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND")) {
+      if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND") &&
+          !serve.deltaServed) {
         // Global per-dim bounds remain VALID (conservative) for any
         // partition-scoped subset — the prune may keep more candidates,
-        // the exact aggregation result is unchanged.
-        val stats = IndexStore.sparseDimStats(spark, build)
+        // the exact aggregation result is unchanged. (Delta-served
+        // frames take the exact route: bounds don't cover growing.)
+        val stats = IndexStore.sparseDimStats(spark, serve.build)
         SparseInverted.searchWandBatch(postings, stats, queries, pk, k,
-          build.numBuckets, pred)
+          serve.build.numBuckets, pred)
       } else {
         SparseInverted.searchBatch(postings, queries, pk, k,
-          build.numBuckets, pred)
+          serve.build.numBuckets, pred)
       }
     } else {
       // No declared index: explode the live rows into transient

@@ -456,6 +456,45 @@ object IndexStore {
     })
   }
 
+  /** The servable sparse postings frame: sealed alone when fresh,
+    * otherwise sealed ∖ changed-pks ∪ growing (exact — IP scores carry
+    * no corpus stats, so unlike BM25 nothing needs adjusting).
+    * `deltaServed` tells WAND callers to take the exact bucket-pruned
+    * route instead: the persisted per-dim impact bounds do NOT cover
+    * the growing postings, so max-score pruning with them could
+    * wrongly exclude a new high-impact posting (the exact route
+    * returns identical results; pruning resumes at the next rebuild).
+    */
+  final case class SparseServe(postings: DataFrame, deltaServed: Boolean,
+      build: SparseBuild)
+
+  def serveSparse(spark: SparkSession, coll: Collection, field: String,
+      numBuckets: Int): SparseServe = {
+    val seq = coll.committedSeq
+    val dir = indexDir(coll, field)
+    val stale = staleLoad[SparseBuild](spark, coll, dir, seq,
+      p => p.kind == "sparse2" && p.nlist == numBuckets,
+      s => versionDir(dir, s, "sparse2", "IP", numBuckets),
+      s => loadSparse(dir, numBuckets, s))
+    stale.foreach { b =>
+      coll.deltaViewSince(spark, b.builtSeq).foreach {
+        case (newRows, changedPks) =>
+          val pk = coll.definition.primaryField.name
+          val sealedSide = spark.read.parquet(b.postingsPath)
+            .join(broadcast(changedPks), Seq(pk), "left_anti")
+          val growing = SparseInverted.postings(
+            newRows.filter(col(field).isNotNull), field, pk, numBuckets,
+            carry = Seq("_part"))
+          val aligned = growing.select(sealedSide.columns.map(c =>
+            col(c).cast(sealedSide.schema(c).dataType).as(c)): _*)
+          return SparseServe(sealedSide.unionByName(aligned),
+            deltaServed = true, b)
+      }
+    }
+    val b = ensureSparse(spark, coll, field, numBuckets)
+    SparseServe(spark.read.parquet(b.postingsPath), deltaServed = false, b)
+  }
+
   private def loadSparse(dir: StorePath, numBuckets: Int,
       seq: Long): Option[SparseBuild] =
     readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sparse2" &&

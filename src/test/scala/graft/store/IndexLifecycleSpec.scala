@@ -180,6 +180,46 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(!ids.contains(3L) && !ids.contains(7L))
   }
 
+  test("sparse delta serving: post-DML search exact, sealed build untouched, WAND falls back exact") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-spds").toString
+    val cat = new Catalog(root)
+    val c = cat.createCollection(CollectionDef("spds", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("vec", MapType(IntegerType, DoubleType)))))
+    c.insert(s, (Seq(
+      (1L, Map(9 -> 7.0)), (2L, Map(9 -> 6.0)), (3L, Map(1 -> 0.5, 9 -> 1.0))) ++
+      (100L until 140L).map(i => (i, Map(1 -> 0.1)))).toDF("id", "vec"))
+    c.createIndex(s, IndexDef("vec", "SPARSE_WAND"))
+    CollectionSearch.searchSparse(s, c, "vec", Map(9 -> 1.0), 3).collect()
+    def indexFiles(): Set[String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        val out = scala.collection.mutable.Set.empty[String]
+        st.forEach(p =>
+          if (p.toString.contains("/index/")) out += p.toString)
+        out.toSet
+      } finally st.close()
+    }
+    val sealedBefore = indexFiles()
+    // DML: a new top hit, a deletion of the old #1, a rewrite of #2
+    c.insert(s, Seq((900L, Map(9 -> 9.0, 1 -> 1.0))).toDF("id", "vec"))
+    c.delete(s, "id == 1")
+    c.upsert(s, Seq((2L, Map(1 -> 0.3))).toDF("id", "vec"))
+    val served = CollectionSearch.searchSparse(s, c, "vec",
+      Map(1 -> 1.0, 9 -> 2.0), 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexFiles() == sealedBefore, "delta-served search rebuilt the index")
+    // exact expectations over the post-DML state:
+    // 900: 9*2 + 1*1 = 19; 3: 0.5 + 2 = 2.5; 2: 0.3; tail: 0.1
+    assert(served.take(3).toSeq ==
+      Seq((900L, 19.0), (3L, 2.5), (2L, 0.3)), served.toSeq)
+    assert(served.length == 4 && served(3)._2 == 0.1)
+    // deleted id 1 gone
+    assert(!served.map(_._1).contains(1L))
+  }
+
   test("JSON-path index: pruned value scan, correct vs fallback, DML-fresh") {
     val s = spark
     import s.implicits._
