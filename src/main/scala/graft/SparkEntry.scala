@@ -1644,6 +1644,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum("event_id").cast("long").as("sum_id"))
     },
+    // ---- S41: JSON-path index sealed/growing delta serving — index,
+    // DML that moves rows INTO and OUT of the predicate (plus an
+    // insert and a delete), query WITHOUT rebuild. Oracle: the exact
+    // final k=7 id set, arithmetically restated. ----------------------
+    "s41_json_delta_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-jpds").toString)
+      val c = cat.createCollection(CollectionDef("jpds", Seq(
+        FieldDef("id", LongType, nullable = false, isPrimary = true),
+        FieldDef("props", StringType))))
+      c.insert(s, (0L until 100L).map(i => (i, s"""{"k": ${i % 10}}"""))
+        .toDF("id", "props"))
+      c.createIndex(s, IndexDef("props", "JSON_PATH",
+        params = Map("path" -> "$.k", "cast" -> "long")))
+      c.queryJsonPath(s, "props", "$.k", "long", v => v === 7,
+        outputFields = Seq("id")).collect()
+      c.insert(s, Seq((500L, """{"k": 7}""")).toDF("id", "props"))
+      c.delete(s, "id == 7")
+      c.upsert(s, Seq(
+        (3L, """{"k": 7}"""), (17L, """{"k": 1}"""))
+        .toDF("id", "props"))
+      c.queryJsonPath(s, "props", "$.k", "long", v => v === 7,
+        outputFields = Seq("id")).select("id").orderBy("id")
+    },
     // ---- S33: JSON Path index kinds Bitmap + Hybrid (3.0 plan §4;
     // Sort is s25). Bitmap partitions the index files BY value
     // (equality = directory prune); Hybrid measures cardinality at
@@ -5393,6 +5418,13 @@ object SparkEntry {
         """SELECT 3 AS batches, 2 AS deny_times,
           |  CAST(120 AS BIGINT) AS entities, max(o_orderkey) AS max_pk
           |FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 120)""".stripMargin,
+      // Final k=7 members: sealed {7,17,...,97} minus deleted 7 and
+      // moved-out 17, plus moved-in 3 and inserted 500.
+      "s41_json_delta_serve" ->
+        """SELECT id FROM (
+          |  SELECT unnest(generate_series(27, 97, 10)) AS id
+          |  UNION ALL SELECT 3 UNION ALL SELECT 500)
+          |ORDER BY id""".stripMargin,
       "s25_json_path_index" ->
         """SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
           |FROM events

@@ -1579,11 +1579,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
         ix.params.get("path").contains(path))
     val base = declared match {
       case Some(ix) =>
-        val b = IndexStore.ensureJsonPath(spark, this, field, path,
-          ix.params.getOrElse("cast", castType),
+        // Sealed/growing delta serving: post-DML queries filter the
+        // served value frame (sealed minus changed pks, plus delta
+        // values) instead of forcing a rebuild.
+        val values = IndexStore.serveJsonPathValues(spark, this, field,
+          path, ix.params.getOrElse("cast", castType),
           ix.params.getOrElse("kind", "sort"),
           ix.params.get("bitmap_cardinality").map(_.toInt).getOrElse(1024))
-        val pks = spark.read.parquet(b.dataPath)
+        val pks = values
           .filter(valuePred(col("_v"))).select(col(pk))
         assemble(spark, Seq.empty, None, None, keepInternals = false,
           pkSemi = Some(pks))

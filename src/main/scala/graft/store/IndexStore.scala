@@ -589,6 +589,44 @@ object IndexStore {
     })
   }
 
+  /** The servable (pk, _v) value frame of a JSON-path index: the
+    * sealed table alone when fresh; otherwise sealed ∖ changed-pks ∪
+    * the delta rows' freshly-extracted values. Stale sealed values can
+    * neither hide a new match (delta values are present) nor leak an
+    * old one (the changed pk's sealed value is masked), so the
+    * pk-semi-join consumer stays exact without a rebuild. Both union
+    * sides are cast to `castType` — the bitmap layout's directory
+    * values read back as inferred types.
+    */
+  def serveJsonPathValues(spark: SparkSession, coll: Collection,
+      field: String, path: String, castType: String,
+      kind: String = "sort", bitmapCardinality: Int = 1024): DataFrame = {
+    val seq = coll.committedSeq
+    val dir = indexDir(coll, field)
+    val tag = jsonPathTag(path, kind)
+    val pk = coll.definition.primaryField.name
+    val stale = staleLoad[JsonPathBuild](spark, coll, dir, seq,
+      p => p.kind == tag && p.metric == castType,
+      s => versionDir(dir, s, tag, castType, 0),
+      s => Some(JsonPathBuild(
+        versionDir(dir, s, tag, castType, 0).resolve("data").toString,
+        path, castType, s)))
+    stale.foreach { b =>
+      coll.deltaViewSince(spark, b.builtSeq).foreach {
+        case (newRows, changedPks) =>
+          val sealedSide = spark.read.parquet(b.dataPath)
+            .join(broadcast(changedPks), Seq(pk), "left_anti")
+            .select(col(pk), col("_v").cast(castType).as("_v"))
+          val growing = newRows.select(col(pk),
+            expr(s"try_cast(get_json_object($field, '$path') AS $castType)")
+              .as("_v"))
+          return sealedSide.unionByName(growing)
+      }
+    }
+    spark.read.parquet(ensureJsonPath(spark, coll, field, path, castType,
+      kind, bitmapCardinality).dataPath)
+  }
+
   private def jsonPathTag(path: String, kind: String): String =
     s"jp${kind.toLowerCase.take(1)}${(path.hashCode.toLong & 0xffffffffL).toString}"
 

@@ -220,6 +220,48 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(!served.map(_._1).contains(1L))
   }
 
+  test("JSON-path delta serving: value changes tracked both ways, sealed untouched") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-jpds").toString
+    val cat = new Catalog(root)
+    val c = cat.createCollection(CollectionDef("jpds", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("props", StringType))))
+    c.insert(s, (0L until 100L).map(i => (i, s"""{"k": ${i % 10}}"""))
+      .toDF("id", "props"))
+    c.createIndex(s, IndexDef("props", "JSON_PATH",
+      params = Map("path" -> "$.k", "cast" -> "long")))
+    c.queryJsonPath(s, "props", "$.k", "long", v => v === 7,
+      outputFields = Seq("id")).collect()
+    def indexFiles(): Set[String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        val out = scala.collection.mutable.Set.empty[String]
+        st.forEach(p =>
+          if (p.toString.contains("/index/")) out += p.toString)
+        out.toSet
+      } finally st.close()
+    }
+    val sealedBefore = indexFiles()
+    // DML: new k=7 row; delete one sealed k=7 row; upsert one row INTO
+    // k=7 and one row OUT of it
+    c.insert(s, Seq((500L, """{"k": 7}""")).toDF("id", "props"))
+    c.delete(s, "id == 7")
+    c.upsert(s, Seq(
+      (3L, """{"k": 7}"""),     // was k=3 -> now matches
+      (17L, """{"k": 1}"""))    // was k=7 -> no longer matches
+      .toDF("id", "props"))
+    val got = c.queryJsonPath(s, "props", "$.k", "long", v => v === 7,
+      outputFields = Seq("id")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(indexFiles() == sealedBefore, "delta-served query rebuilt the index")
+    // sealed k=7 ids were 7,17,...,97; 7 deleted, 17 moved out, 3 and
+    // 500 moved in
+    val want = (7L until 100L by 10).toSet - 7L - 17L + 3L + 500L
+    assert(got == want, s"got $got want $want")
+  }
+
   test("JSON-path index: pruned value scan, correct vs fallback, DML-fresh") {
     val s = spark
     import s.implicits._
