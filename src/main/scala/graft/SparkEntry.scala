@@ -6457,9 +6457,6 @@ object SparkEntry {
           |  (9, 'https://shop.com.au/item?id=9', 'shop.com.au'),
           |  (10, 'http://example.com/x', 'example.com'))
           |AS t(id, canonical, domain) ORDER BY id""".stripMargin,
-      // Domain-cap oracle: single-window restatement of the salted
-      // two-level per-domain selection over the same synthesized
-      // provenance and md5 coin.
       // Blocklist oracle: the kept set restated arithmetically —
       // non-%5 docs are example.com (blocked) except the planted junk
       // URL at 399 (null domain passes); %5 docs are <source>.co.uk,
@@ -6469,6 +6466,9 @@ object SparkEntry {
           |WHERE doc_id < 400
           |  AND (doc_id = 399 OR (doc_id % 5 = 0 AND source <> 'src3'))
           |ORDER BY doc_id""".stripMargin,
+      // Domain-cap oracle: single-window restatement of the salted
+      // two-level per-domain selection over the same synthesized
+      // provenance and md5 coin.
       "u2_domain_cap" ->
         """WITH d AS (SELECT doc_id,
           |    CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'

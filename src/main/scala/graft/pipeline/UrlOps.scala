@@ -106,9 +106,6 @@ object UrlOps {
       .drop("_dsalt", "_r1", "_r2", "_dom")
   }
 
-  /** Per-domain corpus datasheet: pages, total chars, distinct
-    * normalized URLs — one hash aggregation.
-    */
   /** Drop rows whose REGISTERED domain is on a blocklist (the
     * UT1/FineWeb adult-and-spam-domain stage). The list rides as a
     * literal array — blocklists are thousands of domains, not data —
@@ -125,6 +122,9 @@ object UrlOps {
       !dom.isin(blocked.map(_.toLowerCase): _*))
   }
 
+  /** Per-domain corpus datasheet: pages, total chars, distinct
+    * normalized URLs — one hash aggregation.
+    */
   def domainStats(df: DataFrame, urlCol: Column, charsCol: Column): DataFrame =
     df.groupBy(registeredDomain(urlCol).as("domain"))
       .agg(count(lit(1)).as("pages"),

@@ -56,9 +56,13 @@ object IndexStore {
   private val bm25Cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), Bm25Build]()
   // (collection, field, analyzer, builtSeq, committedSeq) -> adjusted
-  // stats for BM25 delta serving; stale generations evicted on DML.
+  // stats / pinned growing mini-postings for BM25 delta serving; stale
+  // generations evicted on DML, whole fields on drop (the name-keyed
+  // entries would otherwise be REUSED by a recreated collection).
   private val bm25StatsCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long, Long), Bm25.DeltaStats]()
+  private val bm25GrowingCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Long, Long), DataFrame]()
 
   final case class RabitqBuild(model: Ivf.Model, dataPath: String,
       nlist: Int, builtSeq: Long)
@@ -836,6 +840,12 @@ object IndexStore {
     binIvfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    // The stats/growing caches' (name, field, ..., seq) keys would be
+    // REUSED verbatim by a recreated same-name collection whose seq
+    // counter restarts — evict here or a new incarnation silently
+    // serves the old corpus's stats.
+    bm25StatsCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    bm25GrowingCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     rtreeCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     lshCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
@@ -1104,15 +1114,20 @@ object IndexStore {
         case (newRows, changedPks) =>
           val growing = newRows.select(
             col(coll.definition.primaryField.name), col(field))
-          // The stats adjustment scans the doclen table — once per
-          // (build, DML generation), not per query.
-          val statsKey = (coll.name, field, params.analyzer, b.builtSeq, seq)
+          // Growing mini-postings (a delta-sized tokenize, pinned) and
+          // the stats adjustment (a doclen-table scan) each run once
+          // per (build, DML generation), not per query.
+          val genKey = (coll.name, field, params.analyzer, b.builtSeq, seq)
           bm25StatsCache.keySet.removeIf(kk =>
             kk._1 == coll.name && kk._2 == field && kk._5 != seq)
-          val st = bm25StatsCache.computeIfAbsent(statsKey, _ =>
-            Bm25.deltaStats(spark, b.persisted, growing, changedPks, field))
+          bm25GrowingCache.keySet.removeIf(kk =>
+            kk._1 == coll.name && kk._2 == field && kk._5 != seq)
+          val gposts = bm25GrowingCache.computeIfAbsent(genKey, _ =>
+            Bm25.growingPostings(b.persisted, growing, field))
+          val st = bm25StatsCache.computeIfAbsent(genKey, _ =>
+            Bm25.deltaStats(spark, b.persisted, gposts, changedPks))
           return Bm25.topKDeltaServed(spark, b.persisted, query, k,
-            growing, changedPks, field, Some(st))
+            growing, changedPks, field, Some(st), Some(gposts))
       }
     }
     val b = ensureBm25(spark, coll, field, params)

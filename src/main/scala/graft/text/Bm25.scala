@@ -272,6 +272,49 @@ object Bm25 {
       .orderBy(col("score").desc, col(p.idCol).asc)
       .limit(k)
 
+  /** Exactly-adjusted corpus stats for delta serving. The removed
+    * side's agg scans the (2-column) doclen table — the one
+    * corpus-sized input — so callers should compute this ONCE per
+    * (build, committedSeq) generation and pass it to every query
+    * ([[graft.store.IndexStore]] memoizes it alongside the growing
+    * postings).
+    */
+  final case class DeltaStats(nPrime: Long, avgdlPrime: Double)
+
+  /** The growing side's mini-postings — delta-sized, eagerly pinned
+    * (localCheckpoint), meant to be built ONCE per DML generation and
+    * shared by [[deltaStats]] and every [[topKDeltaServed]] query.
+    */
+  def growingPostings(p: PersistedBm25, growingDocs: DataFrame,
+      textCol: String): DataFrame = {
+    val idc = p.idCol
+    val tokenize = Analyzer.byName(p.params.analyzer)
+    growingDocs
+      .select(col(idc), tokenize(col(textCol)).as("_toks"))
+      .select(col(idc), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col(idc), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+  }
+
+  def deltaStats(spark: SparkSession, p: PersistedBm25,
+      gposts: DataFrame, changedPks: DataFrame): DeltaStats = {
+    val idc = p.idCol
+    val pks = broadcast(changedPks.select(col(changedPks.columns.head)
+      .as(idc)))
+    val rem = spark.read.parquet(p.doclenPath).join(pks, idc)
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    // One row per growing doc with >= 1 token — the same scoreable-doc
+    // universe the sealed build's numDocs/avgdl count.
+    val add = gposts.select(col(idc), col("dl")).distinct()
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    val nPrime = p.numDocs - rem.getLong(0) + add.getLong(0)
+    DeltaStats(nPrime,
+      if (nPrime <= 0) 0.0
+      else (p.avgdl * p.numDocs - rem.getLong(1) + add.getLong(1)) / nPrime)
+  }
+
   /** EXACT BM25 top-k over (sealed \ changed) ∪ growing — post-DML
     * serving WITHOUT rebuilding the sealed index (the Milvus
     * sealed/growing model for FTS). Unlike the vector routes, BM25's
@@ -292,45 +335,19 @@ object Bm25 {
     *
     * Per-query cost: the same bucket+term-pruned sealed scan a fresh
     * query pays, plus delta-sized work — never a corpus re-tokenize.
-    * The result is bit-identical to a full rebuild's scores.
+    * The result equals a full rebuild's scores up to the floating-point
+    * reconstruction of avgdl' (the parity spec asserts 1e-9 relative).
     *
     * `growingDocs` = the currently-visible rows committed after the
     * build (upserts resolved, tombstones dropped); `changedPks` =
     * every pk those deltas touched (both bounded by the caller's
     * serve-stale gate).
     */
-  /** Exactly-adjusted corpus stats for delta serving. The removed
-    * side's agg scans the (2-column) doclen table — the one
-    * corpus-sized input — so callers should compute this ONCE per
-    * (build, committedSeq) generation and pass it to every query
-    * ([[graft.store.IndexStore]] memoizes it).
-    */
-  final case class DeltaStats(nPrime: Long, avgdlPrime: Double)
-
-  def deltaStats(spark: SparkSession, p: PersistedBm25,
-      growingDocs: DataFrame, changedPks: DataFrame,
-      textCol: String): DeltaStats = {
-    val idc = p.idCol
-    val pks = broadcast(changedPks.select(col(changedPks.columns.head)
-      .as(idc)))
-    val tokenize = Analyzer.byName(p.params.analyzer)
-    val rem = spark.read.parquet(p.doclenPath).join(pks, idc)
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    val add = growingDocs
-      .select(col(idc), tokenize(col(textCol)).as("_toks"))
-      .select(col(idc), size(col("_toks")).as("dl"))
-      .filter(col("dl") > 0)
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    val nPrime = p.numDocs - rem.getLong(0) + add.getLong(0)
-    DeltaStats(nPrime,
-      if (nPrime <= 0) 0.0
-      else (p.avgdl * p.numDocs - rem.getLong(1) + add.getLong(1)) / nPrime)
-  }
-
   def topKDeltaServed(spark: SparkSession, p: PersistedBm25,
       query: String, k: Int, growingDocs: DataFrame,
       changedPks: DataFrame, textCol: String,
-      precomputed: Option[DeltaStats] = None): DataFrame = {
+      precomputed: Option[DeltaStats] = None,
+      precomputedPostings: Option[DataFrame] = None): DataFrame = {
     require(p.doclenPath.nonEmpty,
       "delta serving needs a doclen-bearing index layout (rebuild once)")
     val terms = tokenizeQuery(query, p.params.analyzer)
@@ -340,18 +357,10 @@ object Bm25 {
         .select(col(idc), lit(0.0).as("score")).limit(0)
     val pks = broadcast(changedPks.select(col(changedPks.columns.head)
       .as(idc)))
-    // Growing mini-postings: delta-sized; pinned so the df and scoring
-    // consumers don't re-tokenize.
-    val tokenize = Analyzer.byName(p.params.analyzer)
-    val gposts = growingDocs
-      .select(col(idc), tokenize(col(textCol)).as("_toks"))
-      .select(col(idc), size(col("_toks")).as("dl"),
-        explode(col("_toks")).as("term"))
-      .groupBy(col(idc), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val gposts = precomputedPostings.getOrElse(
+      growingPostings(p, growingDocs, textCol))
     val st = precomputed.getOrElse(
-      deltaStats(spark, p, growingDocs, changedPks, textCol))
+      deltaStats(spark, p, gposts, changedPks))
     val nPrime = st.nPrime
     if (nPrime <= 0)
       return spark.read.parquet(p.postingsPath)
