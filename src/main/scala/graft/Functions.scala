@@ -39,6 +39,11 @@ object Functions {
     e2c(PqAdcLut(c2e(code), c2e(lut), ksub))
   def dictTokenize(text: Column, words: Seq[String]): Column =
     e2c(DictTokenize(c2e(text), words))
+  /** Char-budget boundary chunking → array<struct> for `inline()`;
+    * see [[graft.text.Chunker.boundaryChunks]].
+    */
+  def chunkByBudget(text: Column, budget: Int, delim: String): Column =
+    e2c(ChunkByBudget(c2e(text), budget, delim))
   /** Unicode normalization (NFC default; NFD/NFKC/NFKD accepted) —
     * run before fingerprint/dedup so composed and decomposed encodings
     * of the same visible text hash identically.

@@ -2955,6 +2955,24 @@ object SparkEntry {
           graft.Functions.unicodeNormalize(col("text")).as("normalized"))
         .orderBy("id")
     },
+    // Sliding token windows (RAG/embedding passage chunking): 32-token
+    // windows at stride 24 — zero-shuffle per-row generator; the
+    // oracle regenerates every window by list slicing.
+    "t24_chunk_windows" -> { (s, dir) =>
+      graft.text.Chunker.tokenWindows(
+          tbl(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+    // Char-budget boundary chunking (one codegen-stage pass, no token
+    // explode/shuffle): word-boundary chunks under a 200-char budget;
+    // the oracle recomputes the per-unit prefix sums with a window.
+    "t25_chunk_boundary" -> { (s, dir) =>
+      graft.text.Chunker.boundaryChunks(
+          tbl(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", budgetChars = 200)
+        .orderBy("doc_id", "chunk_id")
+    },
     // C4 "bad words" blocklist stage: distinct blocked-word count per
     // doc as a literal-array intersect (pure codegen'd projection).
     "t22_blocklist" -> { (s, dir) =>
@@ -6020,6 +6038,41 @@ object SparkEntry {
           |  (CAST(5 AS BIGINT), 'plain ascii'))
           |SELECT id, nfc_normalize(text) AS normalized
           |FROM f ORDER BY id""".stripMargin,
+      "t24_chunk_windows" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |), c AS (
+          |  SELECT doc_id, t, CAST(len(t) AS INT) AS n,
+          |    CASE WHEN len(t) <= 32 THEN 1
+          |         ELSE CAST((len(t) - 32 + 23) // 24 AS INT) + 1 END AS nw
+          |  FROM toks
+          |), g AS (
+          |  SELECT doc_id, t, n,
+          |    CAST(unnest(generate_series(0, nw - 1)) AS INT) AS i FROM c
+          |)
+          |SELECT doc_id, i AS chunk_id,
+          |  array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text,
+          |  CAST(least(32, n - i*24) AS INT) AS n_tokens
+          |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+      "t25_chunk_boundary" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |), idx AS (
+          |  SELECT doc_id, t,
+          |    CAST(unnest(generate_series(1, len(t))) AS INT) AS i FROM toks
+          |), w AS (
+          |  SELECT doc_id, t[i] AS unit, i,
+          |    coalesce(sum(length(t[i]) + 1) OVER (PARTITION BY doc_id
+          |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS cumb
+          |  FROM idx
+          |)
+          |SELECT doc_id, CAST(cumb // 200 AS INT) AS chunk_id,
+          |  string_agg(unit, ' ' ORDER BY i) AS chunk_text,
+          |  CAST(count(*) AS INT) AS n_units,
+          |  CAST(length(string_agg(unit, ' ' ORDER BY i)) AS INT) AS n_chars
+          |FROM w GROUP BY doc_id, cumb // 200
+          |ORDER BY doc_id, chunk_id""".stripMargin,
       "t22_blocklist" ->
         """SELECT doc_id, CAST(len(list_filter(list_distinct(
           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')),
