@@ -3179,6 +3179,17 @@ object SparkEntry {
         .semanticDedup(embs, "embedding", "vec_id", m, 0.45)
         .orderBy("vec_id")
     },
+    // D4-style prototypicality pruning: per quantizer cell, drop the
+    // 25% of rows closest to their centroid (ranked by rounded L2 +
+    // id tie-break). Oracle recomputes seeds, argmin assignment, the
+    // per-cell row_number ranking, and the floor(n*0.25) cut.
+    "d22_prototype_prune" -> { (s, dir) =>
+      val embs = tbl(s, dir, "embeddings")
+      val m = graft.dedup.SemDedup.seedModel(embs, "embedding", "vec_id", 8)
+      graft.dedup.SemDedup
+        .prototypicalityPrune(embs, "embedding", "vec_id", m, 0.25)
+        .orderBy("vec_id")
+    },
     // Semantic decontamination: every 50th embedding plays the
     // benchmark set; corpus rows cosine-similar to any of them are
     // flagged. Broadcast nested-loop semi-join — the corpus never
@@ -6376,6 +6387,29 @@ object SparkEntry {
       // Semantic-dedup oracle: seeds = 8 lowest ids, argmin-L2 cell
       // with (distance, cid) tie-break, keep-first EXISTS within the
       // cell — every step recomputed from the raw embeddings.
+      "d22_prototype_prune" ->
+        """WITH seeds AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+          |    embedding
+          |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+          |), assigned AS (
+          |  SELECT e.vec_id,
+          |    (SELECT s.cid FROM seeds s
+          |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) ASC,
+          |       s.cid ASC LIMIT 1) AS cell,
+          |    (SELECT round(list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]), 6)
+          |     FROM seeds s
+          |     ORDER BY list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) ASC,
+          |       s.cid ASC LIMIT 1) AS d
+          |  FROM embeddings e
+          |), ranked AS (
+          |  SELECT vec_id, cell,
+          |    row_number() OVER (PARTITION BY cell ORDER BY d ASC, vec_id ASC) AS rn,
+          |    count(*) OVER (PARTITION BY cell) AS n
+          |  FROM assigned
+          |)
+          |SELECT vec_id, cell, rn > CAST(floor(n * 0.25) AS BIGINT) AS keep
+          |FROM ranked ORDER BY vec_id""".stripMargin,
       "d15_semantic_dedup" ->
         """WITH seeds AS (
           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,

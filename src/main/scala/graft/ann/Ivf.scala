@@ -118,6 +118,13 @@ object Ivf {
   def cellId(model: Model, vec: Column): Column =
     element_at(sortedCells(model, vec), 1).getField("cid")
 
+  /** `struct(d, cid)` of the nearest centroid — the assignment AND its
+    * distance from one projection (no second distance pass). Feeds the
+    * prototypicality ranking in [[graft.dedup.SemDedup]].
+    */
+  def nearestCell(model: Model, vec: Column): Column =
+    element_at(sortedCells(model, vec), 1)
+
   /** Augment a table with its IVF cell assignment. Persist this
     * `partitionBy("_cid")` to get pruning on disk.
     */

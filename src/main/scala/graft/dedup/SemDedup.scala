@@ -105,6 +105,41 @@ object SemDedup {
       .select(col(idCol), col("cell"))
   }
 
+  /** Prototypicality pruning (the "diversify" half of D4, Tirumala et
+    * al. 2023): within each quantizer cell, DROP the `dropFraction`
+    * most-prototypical rows — the ones CLOSEST to their centroid —
+    * and keep the tail. Semantic dedup removes near-copies; this
+    * removes the redundant cluster cores that survive it (many
+    * non-duplicate but mutually-generic documents around each
+    * centroid), which the paper shows beats either step alone.
+    *
+    * Ranking is by `(round(L2-to-centroid, 6), id)` — the rounding
+    * pins the order against last-ulp float divergence so any engine
+    * recomputing the same centroids ranks identically (the d22 oracle
+    * does exactly that). Per cell of size n, the `floor(n *
+    * dropFraction)` lowest-ranked rows are dropped.
+    *
+    * 100 TB shape: one projection (assignment + distance), one
+    * cell-keyed window — cells are reducer-sized by the quantizer's k,
+    * and nothing compares row pairs at all.
+    */
+  def prototypicalityPrune(embs: DataFrame, vecCol: String,
+      idCol: String, model: Ivf.Model, dropFraction: Double): DataFrame = {
+    require(dropFraction >= 0 && dropFraction < 1,
+      s"dropFraction must be in [0, 1), got $dropFraction")
+    import org.apache.spark.sql.expressions.Window
+    val nc = Ivf.nearestCell(model, col(vecCol))
+    val w = Window.partitionBy("cell")
+    embs.select(col(idCol), nc.getField("cid").as("cell"),
+        round(nc.getField("d"), 6).as("_d"))
+      .withColumn("_rn", row_number().over(
+        w.orderBy(col("_d").asc, col(idCol).asc)))
+      .withColumn("_n", count(lit(1)).over(w))
+      .select(col(idCol), col("cell"),
+        (col("_rn") > floor(col("_n") * dropFraction).cast("long"))
+          .as("keep"))
+  }
+
   /** Keep-first semantic dedup verdict per row: `(id, cell, keep)`.
     * keep=false iff a lower-id row in the same cell is similar above
     * the threshold. Implemented as the pair join reduced to its

@@ -81,6 +81,39 @@ class SemDedupSpec extends SparkSpec {
     assert(s3.length === 3)
   }
 
+  test("prototypicalityPrune: drops the closest-to-centroid fraction per cell") {
+    val m = SemDedup.seedModel(fixture, "embedding", "vec_id", 3)
+    // cells: 0={0,3,6} 1={1,4} 2={2,5}; at 0.5 each cell drops
+    // floor(n/2) nearest rows — the seed row itself in every cell,
+    // plus nobody else (floor(3*.5)=1, floor(2*.5)=1)
+    val keep = SemDedup
+      .prototypicalityPrune(fixture, "embedding", "vec_id", m, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> true, 4L -> true, 5L -> true, 6L -> true))
+    // dropFraction 0 keeps everything
+    val all = SemDedup
+      .prototypicalityPrune(fixture, "embedding", "vec_id", m, 0.0)
+      .collect()
+    assert(all.forall(_.getBoolean(2)))
+  }
+
+  test("prototypicalityPrune: equal-distance ties cut by id, lower id first") {
+    val s = spark
+    import s.implicits._
+    val rows = fixture.union(Seq(
+      (10L, Seq(0.0, 0.9, 0.1)),
+      (11L, Seq(0.0, 0.9, 0.1))).toDF("vec_id", "embedding"))
+    val m = SemDedup.seedModel(rows, "embedding", "vec_id", 3)
+    // cell 1 = {1, 4, 10, 11} by distance {0, .1005, .1414, .1414};
+    // at 0.75 it drops floor(3) = 3: ids 1, 4, then the TIE resolves
+    // to 10 (lower id ranks more prototypical), keeping 11.
+    val keep = SemDedup
+      .prototypicalityPrune(rows, "embedding", "vec_id", m, 0.75)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!keep(1L) && !keep(4L) && !keep(10L) && keep(11L))
+  }
+
   test("trained quantizer separates the planted dups the same way") {
     // Lloyd-trained cells (different centroids, same geometry): the
     // same dup set must fall out on a well-separated fixture.
