@@ -3320,6 +3320,21 @@ object SparkEntry {
           "doc_id", factor = 2.3, salt = "up")
         .orderBy("doc_id", "copy")
     },
+    // Corpus snapshot diff: v2 = corpus minus every-11th doc, plus
+    // ' v2'-mutated every-7th, plus 5 fresh ids. Fingerprint full-outer
+    // join; the oracle compares the texts directly.
+    "p13_corpus_diff" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.pipeline.CorpusDiff.diff(
+          docs, mutated.unionByName(added), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // Token-budget sequence packing (concat-and-chunk) through the
     // two-pass distributed prefix sum — the oracle is the
     // single-window cumsum DuckDB can afford at this SF.
@@ -6226,6 +6241,24 @@ object SparkEntry {
           |SELECT doc_id, CAST(u.g AS BIGINT) AS copy
           |FROM c, UNNEST(generate_series(0, n - 1)) u(g)
           |ORDER BY doc_id, copy""".stripMargin,
+      // Diff oracle compares TEXT equality directly — independently
+      // checks the engine's digest-equality stand-in.
+      "p13_corpus_diff" ->
+        """WITH oldc AS (SELECT doc_id, text FROM documents),
+          |newc AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 11 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
+          |)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |       WHEN n.doc_id IS NULL THEN 'removed'
+          |       WHEN o.text = n.text THEN 'unchanged'
+          |       ELSE 'changed' END AS status
+          |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+          |ORDER BY doc_id""".stripMargin,
       // ORDER-SENSITIVE oracle: the driver compares rows in result
       // order, so this checks the exact epoch permutation, not the
       // member set.
