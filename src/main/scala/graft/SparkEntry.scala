@@ -3432,6 +3432,35 @@ object SparkEntry {
           salt = "e2e"))
       graft.pipeline.Curate.datasheet(curated, "text").orderBy("split")
     },
+    // Per-doc curation provenance (Dolma-style attributes): p11's
+    // planted corpus plus blocklisted '+300000' copies carrying an
+    // injected 'contraband' token; every input id must come back with
+    // its first rejecting stage or its split. The oracle re-derives
+    // all five stage verdicts per doc in SQL.
+    "p14_curate_audit" -> { (s, dir) =>
+      val base = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(".\nshort stub")).as("text"))
+      val dups = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val code = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit("\nif (x) { return; }")).as("text"))
+      val blocked = tbl(s, dir, "documents")
+        .filter(col("doc_id") >= 10 && col("doc_id") < 15)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" contraband.\nshort stub")).as("text"))
+      val docs = base.unionByName(dups).unionByName(code)
+        .unionByName(blocked)
+      val bench = C4Filters.c4(docs, "text").filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .filter(col("doc_id").isin(10L, 20L, 30L))
+      graft.pipeline.Curate.audit(docs, "text", "doc_id", Some(bench),
+          graft.pipeline.Curate.Config(
+            blocklist = Seq("contraband"),
+            splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "e2e"))
+        .orderBy("doc_id")
+    },
     // URL canonicalization over messy crawl fixtures: tracking params,
     // default ports, fragments, case, trailing slashes, two-level
     // public suffixes, unparseable junk. Pure projection (parse_url +
@@ -6710,6 +6739,68 @@ object SparkEntry {
           |ORDER BY vec_id""".stripMargin,
       // E2E-curation oracle: every stage recomputed (t12 line rules,
       // keep-first over normalized text, d6 gram sets, p4 coin).
+      // Audit oracle: the p11 chain restated per-doc — every stage's
+      // verdict recomputed, then first-failure CASE'd in chain order.
+      "p14_curate_audit" ->
+        """WITH base AS (SELECT doc_id,
+          |    text || '.' || chr(10) || 'short stub' AS text
+          |  FROM documents),
+          |docs AS (
+          |  SELECT doc_id, text FROM base
+          |  UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id < 5
+          |  UNION ALL SELECT doc_id + 200000,
+          |    text || chr(10) || 'if (x) { return; }'
+          |  FROM base WHERE doc_id >= 5 AND doc_id < 10
+          |  UNION ALL SELECT d.doc_id + 300000,
+          |    d.text || ' contraband.' || chr(10) || 'short stub'
+          |  FROM documents d WHERE d.doc_id >= 10 AND d.doc_id < 15),
+          |kept AS (SELECT doc_id, text AS orig, list_filter(
+          |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+          |    l -> regexp_matches(l, '[.!?"]$')
+          |      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3) AS ks
+          |  FROM docs),
+          |flags AS (SELECT doc_id, array_to_string(ks, chr(10)) AS ctext,
+          |    (len(ks) >= 1 AND NOT contains(orig, '{')
+          |      AND NOT contains(lower(orig), 'lorem ipsum')) AS c4k
+          |  FROM kept),
+          |bl AS (SELECT doc_id, c4k, ctext,
+          |    len(list_filter(list_distinct(list_filter(
+          |      regexp_split_to_array(lower(ctext), '[^a-z0-9]+'), x -> x <> '')),
+          |      t -> t IN ('contraband'))) > 0 AS blhit
+          |  FROM flags),
+          |surv AS (SELECT doc_id, ctext,
+          |    trim(regexp_replace(lower(ctext), '\s+', ' ', 'g')) AS fp
+          |  FROM bl WHERE c4k AND NOT blhit),
+          |keepers AS (SELECT fp, min(doc_id) AS keeper FROM surv GROUP BY fp),
+          |dup AS (SELECT s.doc_id, s.doc_id <> k.keeper AS isdup
+          |  FROM surv s JOIN keepers k USING (fp)),
+          |dedup AS (SELECT s.doc_id, s.ctext FROM surv s
+          |  JOIN dup d USING (doc_id) WHERE NOT d.isdup),
+          |btok AS (SELECT list_filter(regexp_split_to_array(lower(ctext),'[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM flags WHERE doc_id IN (10,20,30) AND c4k),
+          |bg AS (SELECT DISTINCT g FROM btok,
+          |  UNNEST(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6),
+          |      i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)),
+          |dtok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(ctext),'[^a-z0-9]+'), x -> x <> '') AS ts
+          |  FROM dedup),
+          |contam AS (SELECT DISTINCT doc_id FROM dtok,
+          |  UNNEST(CASE WHEN len(ts) < 8 THEN [array_to_string(ts,' ')]
+          |    ELSE list_transform(range(1, len(ts) - 6),
+          |      i -> array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)],' ')) END) t(g)
+          |  WHERE g IN (SELECT g FROM bg)),
+          |spl AS (SELECT doc_id, CASE WHEN coin < 0.8 THEN 'train'
+          |    WHEN coin < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT doc_id, (('0x' || substr(md5('e2e' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
+          |      / 4294967296.0 AS coin FROM docs))
+          |SELECT b.doc_id,
+          |  CASE WHEN NOT b.c4k THEN 'c4_clean'
+          |       WHEN b.blhit THEN 'blocklist'
+          |       WHEN coalesce(d.isdup, false) THEN 'exact_dup'
+          |       WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'decontaminated'
+          |       ELSE s.split END AS stage
+          |FROM bl b LEFT JOIN dup d USING (doc_id) JOIN spl s USING (doc_id)
+          |ORDER BY b.doc_id""".stripMargin,
       "p11_curate_e2e" ->
         """WITH base AS (SELECT doc_id,
           |    text || '.' || chr(10) || 'short stub' AS text

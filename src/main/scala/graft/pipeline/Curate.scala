@@ -65,4 +65,57 @@ object Curate {
       count(lit(1)).as("docs"),
       sum(length(col(textCol))).as("chars"),
       sum(TextOps.tokenCount(col(textCol)).cast("long")).as("tokens"))
+
+  /** Per-document provenance of the SAME chain [[curate]] runs —
+    * the Dolma-style attributes answer to "why is my doc not in the
+    * training set": every INPUT doc comes back as `(idCol, stage)`
+    * where `stage` names the FIRST stage that rejected it
+    * (`c4_clean`, `blocklist`, `exact_dup`, `decontaminated`) or,
+    * for survivors, the split it landed in. By construction
+    * `audit(...).filter(stage is a split name)` selects exactly
+    * [[curate]]'s output ids — the p14 oracle entry re-derives every
+    * verdict in SQL.
+    *
+    * Same shuffle budget as [[curate]] itself: the flags are pure
+    * projections, dup verdicts reuse the skew-proof keeper agg+join
+    * (computed over the SAME survivor population the chain dedups —
+    * a doc dropped by cleaning can't shadow a later dup), and the
+    * contamination probe joins gram hits for dedup survivors only.
+    * Assumes `idCol` is unique (the PK contract [[curate]] shares).
+    */
+  def audit(docs: DataFrame, textCol: String, idCol: String,
+      bench: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    val flagged = C4Filters.c4(docs, textCol, cfg.minWords, cfg.minLines)
+    val bl =
+      if (cfg.blocklist.isEmpty) lit(false)
+      else C4Filters.blocklistHits(col("clean_text"), cfg.blocklist) > 0
+    val base = flagged.select(col(idCol), col("clean_text").as("_ct"),
+      col("keep").as("_c4"), bl.as("_bl"),
+      coalesce(TextOps.fingerprint(col("clean_text")), lit("_null_"))
+        .as("_fp"))
+    val survivors = base.filter(col("_c4") && !col("_bl"))
+    val keepers = survivors.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
+    val withDup = base.join(keepers, Seq("_fp"), "left")
+      .withColumn("_dup",
+        col("_c4") && !col("_bl") && col(idCol) =!= col("_keep"))
+    val withCont = bench match {
+      case Some(b) =>
+        val dedupKept = withDup
+          .filter(col("_c4") && !col("_bl") && !col("_dup"))
+          .select(col(idCol), col("_ct"))
+        val hits = graft.dedup.Decontaminate
+          .contaminated(dedupKept, "_ct", idCol, b, textCol, cfg.benchGramN)
+          .select(col(idCol), lit(true).as("_cont"))
+        withDup.join(hits, Seq(idCol), "left")
+      case None => withDup.withColumn("_cont", lit(false))
+    }
+    Mixing.split(withCont, idCol, cfg.splits, cfg.salt)
+      .select(col(idCol),
+        when(!col("_c4"), "c4_clean")
+          .when(col("_bl"), "blocklist")
+          .when(col("_dup"), "exact_dup")
+          .when(coalesce(col("_cont"), lit(false)), "decontaminated")
+          .otherwise(col("split")).as("stage"))
+  }
 }

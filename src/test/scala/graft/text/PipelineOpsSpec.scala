@@ -170,6 +170,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ds.map(_.getLong(1)).sum >= 4) // no blocklist/bench: 4+ docs
   }
 
+  test("Curate.audit: every input labeled with its first rejecting stage") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "A proper sentence with enough words here.\nshort stub"),
+      (2L, "A proper sentence with enough words here.\nshort stub"), // dup of 1
+      (3L, "Another fine document about spark catalyst internals today."),
+      (4L, "This one mentions a badword so it must be dropped entirely."),
+      (5L, "code marker { dropped }"),
+      (6L, "An eval item that leaks the secret benchmark answer is forty two exactly here okay."))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      "remember the secret benchmark answer is forty two exactly here ok")
+      .toDF("text")
+    val cfg = graft.pipeline.Curate.Config(blocklist = Seq("badword"))
+    val stages = graft.pipeline.Curate
+      .audit(docs, "text", "doc_id", Some(bench), cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stages(2L) == "exact_dup")
+    assert(stages(4L) == "blocklist")
+    assert(stages(5L) == "c4_clean")
+    assert(stages(6L) == "decontaminated")
+    val splitNames = cfg.splits.map(_._1).toSet
+    assert(splitNames.contains(stages(1L)) && splitNames.contains(stages(3L)))
+    // contract: split-labeled audit ids == curate's surviving ids
+    val curated = graft.pipeline.Curate
+      .curate(docs, "text", "doc_id", Some(bench), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stages.collect {
+      case (id, st) if splitNames.contains(st) => id
+    }.toSet == curated)
+    // and the audit's split label matches curate's assignment
+    val curSplits = graft.pipeline.Curate
+      .curate(docs, "text", "doc_id", Some(bench), cfg)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    curSplits.foreach { case (id, sp) => assert(stages(id) == sp) }
+  }
+
   test("split partitions exhaustively, near the weights, and is growth-stable") {
     val s = spark
     import s.implicits._
