@@ -3907,6 +3907,30 @@ object SparkEntry {
           .agg(count(lit(1)).as("spans"),
             sum("span_tokens").as("tokens"))
       },
+      // Passage chunking at bench SF: both chunkers over the full
+      // corpus — zero-shuffle per-row generators; the agg is the only
+      // exchange in the plan.
+      "bench_chunk_windows" -> { (s, dir) =>
+        graft.text.Chunker.tokenWindows(tbl(s, dir, "documents"),
+            "text", "doc_id", size = 64, stride = 48)
+          .agg(count(lit(1)).as("chunks"), sum("n_tokens").as("tokens"))
+      },
+      "bench_chunk_boundary" -> { (s, dir) =>
+        graft.text.Chunker.boundaryChunks(tbl(s, dir, "documents"),
+            "text", "doc_id", budgetChars = 400)
+          .agg(count(lit(1)).as("chunks"), sum("n_chars").as("chars"))
+      },
+      // Snapshot diff at bench SF: full corpus vs a mutated copy —
+      // the fingerprint full-outer join is the only corpus shuffle.
+      "bench_corpus_diff" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents").select("doc_id", "text")
+        val v2 = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        graft.pipeline.CorpusDiff.summary(
+          graft.pipeline.CorpusDiff.diff(docs, v2, "doc_id", "text"))
+      },
       // Corpus-global line dedup at bench SF: one min-agg on the line
       // key + keeper join + per-doc rebuild.
       "bench_line_dedup" -> { (s, dir) =>
