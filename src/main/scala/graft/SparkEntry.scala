@@ -1453,6 +1453,27 @@ object SparkEntry {
             (a, x) => a + x).cast("long").as("emb_sum"))
         .orderBy("doc_id")
     },
+    // ---- V42: RAG retrieval end-to-end — documents chunked into
+    // sliding token windows, every CHUNK embedded by the deterministic
+    // TEXT_EMBEDDING encoder, query text encoded the same way, exact
+    // integer inner-product top-20 with (ip DESC, doc, chunk)
+    // tie-break. Gates the chunk->embed->score composition the
+    // retrieval side of a pipeline runs; the oracle re-derives chunks,
+    // both embeddings, and the ranking from raw text. ----------------
+    "v42_rag_chunk_search" -> { (s, dir) =>
+      val chunks = graft.text.Chunker.tokenWindows(
+        tbl(s, dir, "documents").filter(col("doc_id") < 200)
+          .select("doc_id", "text"),
+        "text", "doc_id", size = 32, stride = 24)
+      val q = graft.functions.TextEmbedding
+        .encodeLocal("vector stream data engine", 8)
+      chunks.select(col("doc_id"), col("chunk_id"),
+          graft.Functions.vecDot(
+            graft.functions.TextEmbedding.encode(col("chunk_text"), 8),
+            typedlit(q)).cast("long").as("ip"))
+        .orderBy(desc("ip"), col("doc_id"), col("chunk_id"))
+        .limit(20)
+    },
     // ---- V24: dense search by query TEXT through the bound
     // TEXT_EMBEDDING function (search(data=["..."]) server-side encode
     // semantics). Exhaustive k then a deterministic (dist, doc_id)
@@ -5243,6 +5264,47 @@ object SparkEntry {
           |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
           |LEFT JOIN emb e USING (doc_id)
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      // ORDER-SENSITIVE oracle: chunks, chunk/query embeddings, and
+      // the integer-IP ranking all re-derived from raw text.
+      "v42_rag_chunk_search" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE doc_id < 200
+          |), c AS (
+          |  SELECT doc_id, t, CAST(len(t) AS INT) AS n,
+          |    CASE WHEN len(t) <= 32 THEN 1
+          |         ELSE CAST((len(t) - 32 + 23) // 24 AS INT) + 1 END AS nw
+          |  FROM toks
+          |), g AS (
+          |  SELECT doc_id, t,
+          |    CAST(unnest(generate_series(0, nw - 1)) AS INT) AS i FROM c
+          |), chunks AS (
+          |  SELECT doc_id, i AS chunk_id,
+          |    array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text FROM g
+          |), ctok AS (
+          |  SELECT doc_id, chunk_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(chunk_text), '[^a-z0-9]+'), x -> x <> '')) AS tk
+          |  FROM chunks
+          |), cemb AS (
+          |  SELECT doc_id, chunk_id, (ascii(tk) * 31 + length(tk)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(tk) + length(tk)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM ctok GROUP BY doc_id, chunk_id, bucket
+          |), qemb AS (
+          |  SELECT (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          |    lower('vector stream data engine'), '[^a-z0-9]+'), x -> x <> '')) AS t)
+          |  GROUP BY bucket
+          |), ip AS (
+          |  SELECT ch.doc_id, ch.chunk_id,
+          |    CAST(coalesce(sum(ce.v * q.v), 0) AS BIGINT) AS ip
+          |  FROM chunks ch
+          |  LEFT JOIN cemb ce ON ce.doc_id = ch.doc_id AND ce.chunk_id = ch.chunk_id
+          |  LEFT JOIN qemb q ON q.bucket = ce.bucket
+          |  GROUP BY ch.doc_id, ch.chunk_id
+          |)
+          |SELECT doc_id, chunk_id, ip FROM ip
+          |ORDER BY ip DESC, doc_id, chunk_id LIMIT 20""".stripMargin,
       "v24_text_to_vector_search" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(
