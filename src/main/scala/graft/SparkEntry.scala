@@ -3124,6 +3124,15 @@ object SparkEntry {
       clusterFixture(s, dir).join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id").orderBy("doc_id")
     },
+    // Keep-BEST-per-cluster over the same component labels: the
+    // LONGEST member survives (ties -> lowest id) — the chain cluster
+    // keeps 200003 where d8's keep-first kept 200001, and the planted
+    // '+100000' copies (3 tokens longer) beat their originals.
+    "d23_cluster_dedup_best" -> { (s, dir) =>
+      Dedup.keepBestPerCluster(clusterFixture(s, dir), "doc_id",
+          length(col("text")), clusterCc(s, dir))
+        .select("doc_id").orderBy("doc_id")
+    },
     // Incremental dedup: a "new crawl" batch (verbatim re-crawls of
     // corpus docs + whitespace-variant copies + genuinely new rows +
     // an intra-batch dup) deduped against the existing corpus by
@@ -6439,6 +6448,15 @@ object SparkEntry {
         (clusterOracleCte +
           """SELECT CAST(c.doc_id AS BIGINT) AS doc_id FROM corpus c
           |WHERE c.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
+          |ORDER BY doc_id""".stripMargin),
+      "d23_cluster_dedup_best" ->
+        (clusterOracleCte +
+          """, lab AS (SELECT c.doc_id, COALESCE(cc.cluster, c.doc_id) AS cl,
+          |    length(c.text) AS sc
+          |  FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id),
+          |win AS (SELECT cl, doc_id, row_number() OVER (PARTITION BY cl
+          |    ORDER BY sc DESC, doc_id ASC) AS rn FROM lab)
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM win WHERE rn = 1
           |ORDER BY doc_id""".stripMargin),
       // Incremental-dedup oracle: the same normalized-md5 fingerprint
       // (d1 parity idiom), corpus anti-join + intra-batch min-id.

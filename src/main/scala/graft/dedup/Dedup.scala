@@ -575,6 +575,41 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep-BEST-per-cluster: [[dedupByPairs]] keeps the min-id member;
+    * this keeps the member with the highest `score` (ties: lowest id)
+    * — the keep-longest / keep-highest-quality policy curation
+    * pipelines often prefer, since a near-dup cluster's members are
+    * NOT interchangeable (one is usually the full page, the rest
+    * truncated or boilerplate-padded copies). Rows in no cluster are
+    * their own singleton and always survive.
+    *
+    * Same skew-proof shape as [[keepFirst]]: per-cluster argmax via a
+    * map-side-combined `max(struct(score, -id))` agg + keeper
+    * equi-join — a billion-member cluster costs one agg cell, and no
+    * window serializes the hot cluster on one reducer.
+    */
+  def dedupByPairsBest(docs: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame =
+    keepBestPerCluster(docs, idCol, score,
+      connectedComponents(pairs, aCol, bCol))
+
+  /** The keeper stage of [[dedupByPairsBest]], reusable against
+    * precomputed component labels (`(node, cluster)` — e.g. persisted
+    * [[connectedComponents]] output). Unlabeled rows are singletons.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, score: Column,
+      labels: DataFrame): DataFrame = {
+    val labeled = docs
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
+    val winners = labeled.groupBy("_cl")
+      .agg(max(struct(score.as("_s"), (-col(idCol)).as("_negid"))).as("_w"))
+    labeled.join(winners, Seq("_cl"))
+      .filter(col(idCol) === -col("_w").getField("_negid"))
+      .drop("_cl", "cluster", "_w")
+  }
+
   /** Random-hyperplane sign sketch: bit p = sign(<v, r_p>) where r_p is
     * a deterministic pseudo-random ±1 vector derived from xxhash64(p, i).
     */

@@ -225,4 +225,24 @@ class DedupSpec extends SparkSpec {
     // {2,5,7} -> keep 2; {3,8} -> keep 3; untouched 1,4,6 survive.
     assert(kept == Set(1L, 2L, 3L, 4L, 6L))
   }
+
+  test("dedupByPairsBest keeps the highest-score member, ties to lowest id") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "short"), (2L, "the much longer member"), (3L, "mid size"),
+      (4L, "same len"), (5L, "same len"),  // tied cluster
+      (6L, "lone doc")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairsBest(corpus, "doc_id",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {1,2,3} -> 2 (longest); {4,5} -> 4 (tie, lower id); 6 singleton.
+    assert(kept == Set(2L, 4L, 6L))
+    // exactly one survivor per cluster + every singleton
+    assert(Dedup.dedupByPairsBest(corpus, "doc_id",
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")), pairs).count() == 3)
+  }
 }
