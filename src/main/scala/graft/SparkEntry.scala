@@ -2485,6 +2485,32 @@ object SparkEntry {
       s.sql("""SELECT doc_id, n_hit_grams, contaminated FROM st7_decontam
         |ORDER BY doc_id""".stripMargin)
     },
+    // ---- ST8: streaming passage chunking — the chunker is a
+    // stateless per-row generator, so it runs unchanged on a document
+    // stream in append mode (no state store, no watermark). Fixture
+    // docs carry 5..11 value-dependent tokens; the oracle regenerates
+    // text and windows (size 8, stride 6) arithmetically. ------------
+    "st8_stream_chunks" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val docs = mem.toDF().select(col("value").as("doc_id"),
+        array_join(transform(
+          sequence(lit(1), (lit(5) + pmod(col("value"), lit(7))).cast("int")),
+          i => concat(lit("tok"), col("value").cast("string"),
+            lit("_"), i.cast("string"))), " ").as("text"))
+      val out = graft.text.Chunker.tokenWindows(
+        docs, "text", "doc_id", size = 8, stride = 6)
+      val q = out.writeStream.format("memory").queryName("st8_chunks")
+        .outputMode("append").start()
+      mem.addData(0L until 25L: _*)
+      q.processAllAvailable()
+      mem.addData(25L until 40L: _*)  // second micro-batch: no state carried
+      q.processAllAvailable()
+      q.stop()
+      s.sql("SELECT * FROM st8_chunks").orderBy("doc_id", "chunk_id")
+    },
     // ---- ST3: streaming change feed — store DML arrives at a CDC
     // consumer as micro-batches (delta dirs are the file-source's
     // atomically-renamed-in inputs). Nation rows in, three deleted;
@@ -6329,6 +6355,27 @@ object SparkEntry {
           |FROM corpus c JOIN kept k USING (doc_id) ORDER BY c.doc_id""".stripMargin,
       // Streaming-decontam oracle: both 8-gram sets and the per-doc
       // hit counts recomputed from the fixture (d6's gram machinery).
+      // Streaming chunking oracle: fixture text and the size-8 /
+      // stride-6 windows regenerated arithmetically.
+      "st8_stream_chunks" ->
+        """WITH ids AS (SELECT CAST(unnest(range(0, 40)) AS BIGINT) AS doc_id),
+          |docs AS (SELECT doc_id, array_to_string(list_transform(
+          |    range(1, 6 + CAST(doc_id % 7 AS INT)),
+          |    i -> 'tok' || doc_id || '_' || i), ' ') AS text FROM ids),
+          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+          |c AS (
+          |  SELECT doc_id, t, CAST(len(t) AS INT) AS n,
+          |    CASE WHEN len(t) <= 8 THEN 1
+          |         ELSE CAST((len(t) - 8 + 5) // 6 AS INT) + 1 END AS nw
+          |  FROM toks
+          |), g AS (
+          |  SELECT doc_id, t, n,
+          |    CAST(unnest(generate_series(0, nw - 1)) AS INT) AS i FROM c
+          |)
+          |SELECT doc_id, i AS chunk_id,
+          |  array_to_string(t[i*6+1 : i*6+8], ' ') AS chunk_text,
+          |  CAST(least(8, n - i*6) AS INT) AS n_tokens
+          |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
       "st7_stream_decontam" ->
         """WITH corpus AS (SELECT doc_id,
           |  'Stream document number ' || CAST(doc_id AS VARCHAR)

@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
     assert(dups == 1L)
   }
 
+  test("streaming chunking: stateless append windows match the batch chunker") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j"),   // 10 toks: windows at 0, 3, 6
+      (2L, "one two three"),          // short: one window
+      (3L, (1 to 14).map("w" + _).mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.text.Chunker.tokenWindows(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", 6, 3)
+    val q = out.writeStream.format("memory").queryName("sc")
+      .outputMode("append").start()
+    mem.addData(fixture(0), fixture(1))
+    q.processAllAvailable()
+    mem.addData(fixture(2)) // second micro-batch, no state expected
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql(
+        "SELECT doc_id, chunk_id, chunk_text, n_tokens FROM sc")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3))).sortBy(x => (x._1, x._2)).toSeq
+    val batch = graft.text.Chunker.tokenWindows(
+        fixture.toDF("doc_id", "text"), "text", "doc_id", 6, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3))).sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed == batch)
+    assert(streamed.count(_._1 == 1L) == 3) // 10 toks -> starts 0, 3, 6
+  }
+
   test("streaming decontam: bench-gram hits flagged, clean docs pass, matches batch") {
     val s = spark
     import s.implicits._
