@@ -134,4 +134,73 @@ class HammerSpec extends SparkSpec {
     assert(cat.collection("hl").read(s).select("id").distinct().count()
       == 2000 + 3 * 6 * 10)
   }
+
+  test("BM25 delta serving under concurrent DML: no torn search, final parity with a fresh index") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.StringType
+    val cat = new Catalog(Files.createTempDirectory("graft-hbm").toString)
+    val c = cat.createCollection(CollectionDef("hbm", Seq(
+      FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("text", StringType))))
+    c.insert(s, (0L until 500L).map(i => (i,
+      if (i % 2 == 0) s"page $i about vector stream processing engines"
+      else s"page $i about batch table scans and joins"))
+      .toDF("doc_id", "text")): Unit
+    c.createIndex(s, graft.store.IndexDef("text", "BM25"))
+    graft.operators.CollectionSearch
+      .searchText(s, c, "text", "vector stream", 5).collect()
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    // Writers mutate DISJOINT id ranges, so the final corpus is the
+    // same set regardless of interleaving; every search mid-flight is
+    // served from sealed + whatever deltas have landed.
+    val writers = (0 until 2).map { t =>
+      new Thread(() => {
+        try (0 until 4).foreach { b =>
+          val h = cat.collection("hbm")
+          h.insert(s, (0L until 5L).map(i =>
+            (100000L * (t + 1) + b * 10L + i,
+              s"fresh vector stream delta page $t $b $i"))
+            .toDF("doc_id", "text")): Unit
+          h.delete(s, s"doc_id in [${t * 8 + b * 2}, ${t * 8 + b * 2 + 1}]"): Unit
+        } catch { case e: Exception =>
+          errors.compareAndSet(null, s"writer$t: ${e.getMessage}"): Unit }
+      })
+    }
+    val reader = new Thread(() => {
+      try (1 to 12).foreach { _ =>
+        val hits = graft.operators.CollectionSearch
+          .searchText(s, cat.collection("hbm"), "text", "vector stream", 10)
+          .collect()
+        assert(hits.length <= 10, s"k overflow: ${hits.length}")
+        hits.foreach { r =>
+          val (id, score) = (r.getLong(0), r.getDouble(1))
+          assert(java.lang.Double.isFinite(score) && score > 0,
+            s"bad score $score for $id")
+          assert(id < 500L || (id >= 100000L && id < 300000L),
+            s"doc id $id outside any written universe")
+        }
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"reader: ${e.getMessage}"): Unit }
+    })
+    (writers :+ reader).foreach(_.start())
+    (writers :+ reader).foreach(_.join())
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    // Quiesced: the served search must match a from-scratch BM25 over
+    // the final corpus exactly (same contract as IndexLifecycleSpec,
+    // now after 8 interleaved insert+delete generations).
+    val h = cat.collection("hbm")
+    val served = graft.operators.CollectionSearch
+      .searchText(s, h, "text", "vector stream", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val fresh = graft.text.Bm25.topK(h.read(s), "text", "doc_id",
+        "vector stream", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.map(_._1).toSeq == fresh.map(_._1).toSeq,
+      s"served=${served.toSeq} fresh=${fresh.toSeq}")
+    served.zip(fresh).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"score drift: $a vs $b")
+    }
+  }
 }
