@@ -3002,6 +3002,32 @@ object SparkEntry {
           graft.Functions.unicodeNormalize(col("text")).as("normalized"))
         .orderBy("id")
     },
+    // One-pass Dolma-style signal bundle over PII-injected docs (t11's
+    // fixture shape + a terminal '.' on even ids so the C4 verdict
+    // splits): the oracle recomputes fingerprint, sizes, PII counts,
+    // and the document-keep rule per doc.
+    "t26_signals" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" contact jane.doe@example.com or web.admin@sub.example.org"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(" server at 192.168.10.1 and 10.0.0.255")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" call +1 555-123-4567 today")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(" end."))
+            .otherwise(lit(""))).as("text"))
+      graft.text.Signals.annotate(docs, "text").select(col("doc_id"),
+          col("signals.fingerprint").as("fingerprint"),
+          col("signals.n_chars").as("n_chars"),
+          col("signals.n_tokens").as("n_tokens"),
+          col("signals.n_emails").as("n_emails"),
+          col("signals.n_ips").as("n_ips"),
+          col("signals.n_phones").as("n_phones"),
+          col("signals.c4_keep").as("c4_keep"))
+        .orderBy("doc_id")
+    },
     // Sliding token windows (RAG/embedding passage chunking): 32-token
     // windows at stride 24 — zero-shuffle per-row generator; the
     // oracle regenerates every window by list slicing.
@@ -6214,6 +6240,28 @@ object SparkEntry {
           |  (CAST(5 AS BIGINT), 'plain ascii'))
           |SELECT id, nfc_normalize(text) AS normalized
           |FROM f ORDER BY id""".stripMargin,
+      "t26_signals" ->
+        """WITH corpus AS (SELECT doc_id, text
+          |  || CASE WHEN doc_id % 3 = 0 THEN ' contact jane.doe@example.com or web.admin@sub.example.org' ELSE '' END
+          |  || CASE WHEN doc_id % 4 = 0 THEN ' server at 192.168.10.1 and 10.0.0.255' ELSE '' END
+          |  || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-123-4567 today' ELSE '' END
+          |  || CASE WHEN doc_id % 2 = 0 THEN ' end.' ELSE '' END AS text
+          |  FROM documents WHERE doc_id < 80),
+          |kept AS (SELECT doc_id, text, list_filter(
+          |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+          |    l -> regexp_matches(l, '[.!?"]$')
+          |      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3) AS ks
+          |  FROM corpus)
+          |SELECT doc_id,
+          |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+          |  CAST(length(text) AS INT) AS n_chars,
+          |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+          |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phones,
+          |  (len(ks) >= 1 AND NOT contains(text, '{')
+          |    AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+          |FROM kept ORDER BY doc_id""".stripMargin,
       "t24_chunk_windows" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -24,6 +24,44 @@ class CleaningSpec extends SparkSpec {
     }
   }
 
+  test("Signals.annotate: one projection, fields agree with the individual ops") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox and the lazy dog met at noon today."),
+      (2L, "mail me at a.b@example.com or ring +1 555-123-4567 now ok."),
+      (3L, "code { dropped }"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Signals.annotate(docs, "text")
+    // fields equal the standalone operators they compose
+    val joined = out.select(col("doc_id"), col("signals"),
+        TextOps.fingerprint(col("text")).as("_fp"),
+        TextOps.tokenCount(col("text")).as("_nt"),
+        TextOps.qualityScore(col("text")).as("_q"),
+        TextOps.langId(col("text")).as("_lang"),
+        Pii.emailCount(col("text")).as("_ne"),
+        C4Filters.docKeep(col("text")).as("_keep"))
+      .collect()
+    joined.foreach { r =>
+      val sg = r.getStruct(1)
+      assert(sg.getAs[String]("fingerprint") == r.getString(2))
+      assert(sg.getAs[Int]("n_tokens") == r.getInt(3))
+      assert(sg.getAs[Double]("quality") == r.getDouble(4))
+      assert(sg.getAs[String]("lang") == r.getString(5))
+      assert(sg.getAs[Int]("n_emails") == r.getInt(6))
+      assert(sg.getAs[Boolean]("c4_keep") == r.getBoolean(7))
+    }
+    // spot values: PII doc counts, code doc rejected, english detected
+    val byId = joined.map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(byId(2L).getAs[Int]("n_emails") == 1)
+    assert(byId(2L).getAs[Int]("n_phones") == 1)
+    assert(!byId(3L).getAs[Boolean]("c4_keep"))
+    assert(byId(1L).getAs[String]("lang") == "en")
+    // plan: a pure projection — no Exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("boilerplate: doc reduced to nothing comes back with empty text, not dropped") {
     val s = spark
     import s.implicits._
