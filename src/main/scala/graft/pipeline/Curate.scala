@@ -82,6 +82,13 @@ object Curate {
     * a doc dropped by cleaning can't shadow a later dup), and the
     * contamination probe joins gram hits for dedup survivors only.
     * Assumes `idCol` is unique (the PK contract [[curate]] shares).
+    *
+    * Plan shape (audited): 4 hash exchanges, 4 broadcasts, 0 sorts —
+    * but the corpus SCAN appears ~5x (the flag projection feeds both
+    * sides of the keeper join and the gram probe, and scans aren't
+    * exchange-reused). The scans prune to (id, text); if the input is
+    * wide or the source expensive, persist the 2-column projection
+    * first and pass that.
     */
   def audit(docs: DataFrame, textCol: String, idCol: String,
       bench: Option[DataFrame] = None,
