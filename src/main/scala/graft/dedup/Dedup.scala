@@ -36,19 +36,36 @@ object Dedup {
     * [[exact]], [[dedupAgainst]] and [[dedupAgainstTable]] — the d9
     * and d21 oracles assume these cannot drift.
     */
-  private def keepFirst(withFp: DataFrame, idCol: String): DataFrame = {
-    val keep = withFp.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
-    withFp.join(keep, Seq("_fp"))
+  private def keeperIds(withFp: DataFrame, idCol: String): DataFrame =
+    withFp.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
+
+  private def keepFirst(withFp: DataFrame, idCol: String): DataFrame =
+    withFp.join(keeperIds(withFp, idCol), Seq("_fp"))
       .filter(col(idCol) === col("_keep"))
       .dropDuplicates("_fp")
       .drop("_fp", "_keep")
-  }
 
   /** Exact dedup on normalized text: keep the lowest-id document per
     * fingerprint (see [[keepFirst]] for the skew-proof shape).
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     keepFirst(docs.withColumn("_fp", fpCol(textCol)), idCol)
+
+  /** [[exact]] without the filter: every input row plus a `keep`
+    * boolean (true = this row is the fingerprint's keeper). Built on
+    * the SAME fingerprint and keeper rule as [[exact]] (shared
+    * [[fpCol]]/[[keeperIds]]), so audit/attribute consumers — e.g.
+    * [[graft.pipeline.Curate.audit]] — can't drift from the dedup the
+    * chain actually runs. Rows duplicated on id both read keep=true
+    * (the verdict frame doesn't collapse rows; [[exact]] does).
+    */
+  def exactVerdicts(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val withFp = docs.withColumn("_fp", fpCol(textCol))
+    withFp.join(keeperIds(withFp, idCol), Seq("_fp"))
+      .withColumn("keep", col(idCol) === col("_keep"))
+      .drop("_fp", "_keep")
+  }
 
   /** Exact-dup groups: fingerprints appearing more than once, with
     * their member ids (for reporting / CORRECTNESS).
@@ -597,6 +614,13 @@ object Dedup {
   /** The keeper stage of [[dedupByPairsBest]], reusable against
     * precomputed component labels (`(node, cluster)` — e.g. persisted
     * [[connectedComponents]] output). Unlabeled rows are singletons.
+    *
+    * The argmax is `min(struct(-score, id))` — the SCORE is negated
+    * (it must be numeric and non-null; quality scores and lengths
+    * are), never the id, so string/any-ordered PKs work and the id
+    * tie-break uses native column ordering. Rows duplicated on id
+    * (retried write) collapse to one surviving row, the same contract
+    * [[keepFirst]] documents.
     */
   def keepBestPerCluster(docs: DataFrame, idCol: String, score: Column,
       labels: DataFrame): DataFrame = {
@@ -604,9 +628,10 @@ object Dedup {
       .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
     val winners = labeled.groupBy("_cl")
-      .agg(max(struct(score.as("_s"), (-col(idCol)).as("_negid"))).as("_w"))
+      .agg(min(struct((-score).as("_ns"), col(idCol).as("_id"))).as("_w"))
     labeled.join(winners, Seq("_cl"))
-      .filter(col(idCol) === -col("_w").getField("_negid"))
+      .filter(col(idCol) === col("_w").getField("_id"))
+      .dropDuplicates(idCol)
       .drop("_cl", "cluster", "_w")
   }
 

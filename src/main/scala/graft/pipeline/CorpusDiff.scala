@@ -29,13 +29,20 @@ object CorpusDiff {
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def fp(df: DataFrame, as: String) =
-      df.select(col(idCol), md5(col(textCol).cast("binary")).as(as))
-    fp(oldDf, "_ho").join(fp(newDf, "_hn"), Seq(idCol), "full_outer")
+    // Presence is its own flag: md5(NULL) is NULL, so a null-text row
+    // would otherwise be indistinguishable from a missing row and a
+    // REMOVED null-text doc would report 'added'. Null-safe hash
+    // equality (<=>) makes NULL text compare as a value: null -> null
+    // across versions is 'unchanged', null -> text is 'changed'.
+    def fp(df: DataFrame, h: String, p: String) =
+      df.select(col(idCol), md5(col(textCol).cast("binary")).as(h),
+        lit(true).as(p))
+    fp(oldDf, "_ho", "_po")
+      .join(fp(newDf, "_hn", "_pn"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("_ho").isNull, "added")
-          .when(col("_hn").isNull, "removed")
-          .when(col("_ho") === col("_hn"), "unchanged")
+        when(col("_po").isNull, "added")
+          .when(col("_pn").isNull, "removed")
+          .when(col("_ho") <=> col("_hn"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

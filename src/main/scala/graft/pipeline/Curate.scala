@@ -98,14 +98,16 @@ object Curate {
       if (cfg.blocklist.isEmpty) lit(false)
       else C4Filters.blocklistHits(col("clean_text"), cfg.blocklist) > 0
     val base = flagged.select(col(idCol), col("clean_text").as("_ct"),
-      col("keep").as("_c4"), bl.as("_bl"),
-      coalesce(TextOps.fingerprint(col("clean_text")), lit("_null_"))
-        .as("_fp"))
+      col("keep").as("_c4"), bl.as("_bl"))
     val survivors = base.filter(col("_c4") && !col("_bl"))
-    val keepers = survivors.groupBy("_fp").agg(min(col(idCol)).as("_keep"))
-    val withDup = base.join(keepers, Seq("_fp"), "left")
+    // Dup verdicts come from the SAME fingerprint + keeper rule the
+    // chain's Dedup.exact runs (shared code, can't drift).
+    val dupVerdicts = graft.dedup.Dedup
+      .exactVerdicts(survivors.select(col(idCol), col("_ct")), "_ct", idCol)
+      .select(col(idCol), col("keep").as("_dkeep"))
+    val withDup = base.join(dupVerdicts, Seq(idCol), "left")
       .withColumn("_dup",
-        col("_c4") && !col("_bl") && col(idCol) =!= col("_keep"))
+        col("_c4") && !col("_bl") && !coalesce(col("_dkeep"), lit(true)))
     val withCont = bench match {
       case Some(b) =>
         val dedupKept = withDup

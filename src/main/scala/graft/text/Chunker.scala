@@ -40,8 +40,11 @@ object Chunker {
     require(size > 0, s"size must be positive, got $size")
     require(stride > 0 && stride <= size,
       s"stride must be in [1, size], got $stride")
-    val toks =
-      split(col(textCol), java.util.regex.Pattern.quote(delimiter), -1)
+    // NULL text is treated as empty: the doc comes back as one empty
+    // window rather than silently vanishing from the chunk output (a
+    // generator over a null array emits zero rows — id loss).
+    val toks = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(delimiter), -1)
     val nTok = org.apache.spark.sql.functions.size(col("_toks"))
     // Integer window count: 1 + ceil((n - size) / stride) when n > size.
     // floor of a double ratio is exact far beyond any real doc length.
@@ -73,6 +76,9 @@ object Chunker {
     */
   def boundaryChunks(docs: DataFrame, textCol: String, idCol: String,
       budgetChars: Int, delimiter: String = " "): DataFrame =
+    // coalesce for the same no-id-loss contract as tokenWindows: the
+    // expression is null-intolerant and inline(NULL) drops the row.
     docs.select(col(idCol),
-      inline(Functions.chunkByBudget(col(textCol), budgetChars, delimiter)))
+      inline(Functions.chunkByBudget(
+        coalesce(col(textCol), lit("")), budgetChars, delimiter)))
 }

@@ -26,20 +26,28 @@ object Signals {
     */
   def annotate(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val qf = TextOps.qualityFeatures(t)
-    docs.withColumn("signals", struct(
-      TextOps.fingerprint(t).as("fingerprint"),
-      qf.getField("n_chars").as("n_chars"),
-      qf.getField("n_tokens").as("n_tokens"),
-      qf.getField("mean_token_len").as("mean_token_len"),
-      qf.getField("punct_ratio").as("punct_ratio"),
-      qf.getField("stopword_ratio").as("stopword_ratio"),
-      qf.getField("distinct_ratio").as("distinct_ratio"),
-      TextOps.qualityScore(t).as("quality"),
-      TextOps.langId(t).as("lang"),
-      Pii.emailCount(t).as("n_emails"),
-      Pii.ipv4Count(t).as("n_ips"),
-      Pii.phoneCount(t).as("n_phones"),
-      C4Filters.docKeep(t).as("c4_keep")))
+    // The feature struct is materialized as its OWN projection step:
+    // it holds lambda subtrees, which Catalyst excludes from both
+    // subexpression elimination and CollapseProject inlining, so
+    // referencing `qualityFeatures(t)` eight times below would run
+    // the per-char/per-token scans eight times per row. One named
+    // column + getField reads = one feature pass.
+    val qf = col("_qf")
+    docs.withColumn("_qf", TextOps.qualityFeatures(t))
+      .withColumn("signals", struct(
+        TextOps.fingerprint(t).as("fingerprint"),
+        qf.getField("n_chars").as("n_chars"),
+        qf.getField("n_tokens").as("n_tokens"),
+        qf.getField("mean_token_len").as("mean_token_len"),
+        qf.getField("punct_ratio").as("punct_ratio"),
+        qf.getField("stopword_ratio").as("stopword_ratio"),
+        qf.getField("distinct_ratio").as("distinct_ratio"),
+        TextOps.qualityScoreFrom(qf).as("quality"),
+        TextOps.langId(t).as("lang"),
+        Pii.emailCount(t).as("n_emails"),
+        Pii.ipv4Count(t).as("n_ips"),
+        Pii.phoneCount(t).as("n_phones"),
+        C4Filters.docKeep(t).as("c4_keep")))
+      .drop("_qf")
   }
 }

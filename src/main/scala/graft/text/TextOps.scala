@@ -97,8 +97,16 @@ object TextOps {
     * vocabulary diversity, penalizes extreme punctuation and degenerate
     * token lengths.
     */
-  def qualityScore(c: Column): Column = {
-    val f = qualityFeatures(c)
+  def qualityScore(c: Column): Column = qualityScoreFrom(qualityFeatures(c))
+
+  /** The score as pure arithmetic over an ALREADY-COMPUTED
+    * [[qualityFeatures]] struct — callers that materialize the
+    * features (e.g. [[Signals.annotate]]) reuse them instead of
+    * re-running the HOF-heavy feature pass (lambda subtrees are
+    * excluded from Catalyst subexpression elimination, so the
+    * per-char/per-token scans would genuinely run twice).
+    */
+  def qualityScoreFrom(f: Column): Column = {
     val lenOk = when(f.getField("n_tokens").between(5, 100000), 1.0).otherwise(0.2)
     val punctOk = when(f.getField("punct_ratio") <= 0.2, 1.0)
       .when(f.getField("punct_ratio") <= 0.5, 0.5)

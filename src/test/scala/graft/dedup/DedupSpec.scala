@@ -245,4 +245,26 @@ class DedupSpec extends SparkSpec {
       org.apache.spark.sql.functions.length(
         org.apache.spark.sql.functions.col("text")), pairs).count() == 3)
   }
+
+  test("dedupByPairsBest works with STRING ids (only the score is negated)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      ("url/a", "short"), ("url/b", "the much longer member"),
+      ("url/c", "same len"), ("url/d", "same len"),
+      ("url/e", "lone")).toDF("doc_id", "text")
+    val pairs = Seq(("url/a", "url/b"), ("url/c", "url/d"))
+      .toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairsBest(corpus, "doc_id",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")), pairs)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // b longest of {a,b}; {c,d} tie -> lexicographically lower id c.
+    assert(kept == Set("url/b", "url/c", "url/e"))
+    // duplicate-id rows (retried write) collapse to one survivor
+    val dup = corpus.union(Seq(("url/e", "lone")).toDF("doc_id", "text"))
+    assert(Dedup.dedupByPairsBest(dup, "doc_id",
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")), pairs).count() == 3)
+  }
 }

@@ -45,6 +45,19 @@ class CorpusDiffSpec extends SparkSpec {
       .collect().forall(_.getString(1) == "added"))
   }
 
+  test("null text is a value: compared null-safely, never read as absence") {
+    val s = spark
+    import s.implicits._
+    val oldc = Seq((1L, null.asInstanceOf[String]), (2L, null), (3L, "x"),
+      (4L, null)).toDF("doc_id", "text")
+    val newc = Seq((1L, null.asInstanceOf[String]), (2L, "now text"),
+      (3L, null)).toDF("doc_id", "text")
+    val v = CorpusDiff.diff(oldc, newc, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed"))
+  }
+
   test("plan shape: the join carries digests, not document text") {
     val s = spark
     import s.implicits._

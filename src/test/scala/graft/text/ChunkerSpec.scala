@@ -87,6 +87,19 @@ class ChunkerSpec extends SparkSpec {
     assert(d2.length == 1 && d2(0).getString(2) == "" && d2(0).getInt(3) == 1)
   }
 
+  test("null text: the doc keeps its id as one empty chunk, never vanishes") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w = Chunker.tokenWindows(docs, "text", "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(w.toSet == Set((1L, "a b c"), (2L, "")))
+    val b = Chunker.boundaryChunks(docs, "text", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(b.toSet == Set((1L, "a b c"), (2L, "")))
+  }
+
   test("plan shape: both chunkers are shuffle-free (no Exchange)") {
     val s = spark
     import s.implicits._
