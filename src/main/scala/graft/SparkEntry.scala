@@ -3402,6 +3402,16 @@ object SparkEntry {
           "doc_id", factor = 2.3, salt = "up")
         .orderBy("doc_id", "copy")
     },
+    // Curriculum order (ORDER-SENSITIVE): 4 quality stages from the
+    // portable md5 coin, best stage first, epoch-2 permutation within
+    // each stage — the oracle restates the exact sort.
+    "p15_curriculum" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 300)
+      graft.pipeline.Mixing.curriculumOrder(docs, "doc_id",
+          graft.pipeline.Mixing.hashUniform(col("doc_id"), "q"),
+          stages = 4, epoch = 2)
+        .select("doc_id").limit(80)
+    },
     // Corpus snapshot diff: v2 = corpus minus every-11th doc, plus
     // ' v2'-mutated every-7th, plus 5 fresh ids. Fingerprint full-outer
     // join; the oracle compares the texts directly.
@@ -3988,6 +3998,15 @@ object SparkEntry {
             "text", "doc_id", minTokens = 10)
           .agg(count(lit(1)).as("spans"),
             sum("span_tokens").as("tokens"))
+      },
+      // One-pass signal bundle at bench SF: fingerprint + features +
+      // quality + lang + PII + C4 verdict over the full corpus in a
+      // single projection (the feature struct materialized once).
+      "bench_signals" -> { (s, dir) =>
+        graft.text.Signals.annotate(tbl(s, dir, "documents"), "text")
+          .agg(sum(col("signals.n_tokens").cast("long")).as("tokens"),
+            sum(when(col("signals.c4_keep"), 1L).otherwise(0L)).as("kept"),
+            countDistinct(col("signals.lang")).as("langs"))
       },
       // Passage chunking at bench SF: both chunkers over the full
       // corpus — zero-shuffle per-row generators; the agg is the only
@@ -6460,6 +6479,19 @@ object SparkEntry {
           |SELECT doc_id, CAST(u.g AS BIGINT) AS copy
           |FROM c, UNNEST(generate_series(0, n - 1)) u(g)
           |ORDER BY doc_id, copy""".stripMargin,
+      // ORDER-SENSITIVE: the staged sort restated exactly (stage from
+      // the same md5 coin, epoch coin, id tie-break).
+      "p15_curriculum" ->
+        """SELECT doc_id FROM (
+          |  SELECT doc_id,
+          |    greatest(0, least(CAST(floor(coin * 4) AS INT), 3)) AS stage,
+          |    (('0x' || substr(md5('epoch:2' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
+          |      / 4294967296.0 AS ec
+          |  FROM (SELECT doc_id,
+          |      (('0x' || substr(md5('q' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
+          |        / 4294967296.0 AS coin
+          |    FROM documents WHERE doc_id < 300))
+          |ORDER BY stage DESC, ec ASC, doc_id ASC LIMIT 80""".stripMargin,
       // Diff oracle compares TEXT equality directly — independently
       // checks the engine's digest-equality stand-in.
       "p13_corpus_diff" ->

@@ -114,6 +114,25 @@ object Mixing {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
     df.orderBy(hashUniform(col(idCol), s"epoch:$epoch").asc, col(idCol).asc)
 
+  /** Curriculum training order: best-quality stage first, shuffled
+    * WITHIN each stage by the epoch's hash-coin permutation (the
+    * staged-curriculum schedule — train on the cleanest slice first,
+    * anneal toward the tail — with [[epochShuffle]]'s determinism
+    * inside each stage). `score` must be in [0, 1] (a quality score
+    * or selection coin); stage = `floor(score * stages)` clamped, a
+    * pure projection, so membership is growth- and layout-stable.
+    * Physically one range-partitioned sort on (stage, coin, id) —
+    * balanced and all-parallel at any scale, no global row numbering.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, score: Column,
+      stages: Int, epoch: Int): DataFrame = {
+    require(stages > 0, s"stages must be positive, got $stages")
+    val stage = greatest(lit(0),
+      least(floor(score * stages), lit(stages - 1))).cast("int")
+    df.orderBy(stage.desc,
+      hashUniform(col(idCol), s"epoch:$epoch").asc, col(idCol).asc)
+  }
+
   /** Deterministic train/val/test split: each row is assigned the
     * first split whose cumulative weight range contains its hash coin.
     * Membership is a pure per-row projection — stable under

@@ -170,6 +170,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ds.map(_.getLong(1)).sum >= 4) // no blocklist/bench: 4+ docs
   }
 
+  test("curriculumOrder: stages descend, within-stage order is the epoch permutation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 40L).map(i => (i, i / 40.0)).toDF("id", "q")
+    val out = graft.pipeline.Mixing
+      .curriculumOrder(docs, "id", col("q"), stages = 4, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // stage sequence (floor(q*4) clamped) must be non-increasing
+    val stages = out.map(x => math.min((x._2 * 4).toInt, 3))
+    assert(stages.zip(stages.tail).forall { case (a, b) => a >= b })
+    // best stage (q >= 0.75) occupies the head, worst the tail
+    assert(out.take(10).forall(_._2 >= 0.75))
+    assert(out.takeRight(10).forall(_._2 < 0.25))
+    // same epoch reproduces; a different epoch permutes within stages
+    val again = graft.pipeline.Mixing
+      .curriculumOrder(docs, "id", col("q"), 4, epoch = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == out.map(_._1).toSeq)
+    val e2 = graft.pipeline.Mixing
+      .curriculumOrder(docs, "id", col("q"), 4, epoch = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(e2 != again)
+    assert(e2.toSet == again.toSet)
+  }
+
   test("Curate.audit: every input labeled with its first rejecting stage") {
     val s = spark
     import s.implicits._
