@@ -829,6 +829,25 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   /** Flush is a no-op: parquet writes are atomic per job (S11). */
   def flush(): Unit = ()
 
+  /** Crash-debris GC: a writer killed between its staging write and
+    * the atomic rename leaves a `_staging_*` directory that readers
+    * never see (every listing filters on its real prefix) but that
+    * holds disk forever. Deletes staging dirs older than
+    * `olderThanMs` (default 24 h — far beyond any real write) and
+    * returns the swept names. Age-gated so a LIVE slow writer's
+    * staging dir survives — which is also why this is NOT run on the
+    * DML path: call it from the maintenance window that runs
+    * [[compact]] (the Milvus GC analog).
+    */
+  def vacuumStaging(olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stale = dataDir.list.filter(p =>
+      p.name.startsWith("_staging") && p.isDirectory &&
+        p.modifiedAt < cutoff)
+    stale.foreach(_.deleteRecursively())
+    stale.map(_.name)
+  }
+
   /** TruncateCollection (3.0 API, feature-inventory plan §4): drop all
     * entities, keep the schema, partitions, indexes, and functions.
     * Removes every committed delta and invalidates persisted index

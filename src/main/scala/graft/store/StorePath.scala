@@ -33,6 +33,7 @@ private[graft] final class StorePath private (val hp: HPath) {
   def exists: Boolean = fs.exists(hp)
   def isDirectory: Boolean = exists && fs.getFileStatus(hp).isDirectory
   def createDirectories(): Unit = { fs.mkdirs(hp); () }
+  def modifiedAt: Long = fs.getFileStatus(hp).getModificationTime
 
   def list: Seq[StorePath] =
     if (!exists) Seq.empty

@@ -1010,4 +1010,31 @@ class StoreSpec extends SparkSpec {
       cat.createExternalCollection(s, simpleDef("cfx"), extSrc.toString)
         .changeFeed(s))
   }
+
+  test("vacuumStaging sweeps only OLD crash debris; reads never see staging dirs") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("vs"))
+    c.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    // plant crash debris: a staging dir a killed writer left behind
+    val dataDir = new java.io.File(cat.root, "vs/data")
+    val debris = new java.io.File(dataDir, "_staging_delta_000000000999")
+    assert(debris.mkdirs())
+    java.nio.file.Files.writeString(
+      debris.toPath.resolve("part-zzz.parquet"), "junk")
+    // invisible to reads
+    assert(c.read(s).count() == 2)
+    // young debris survives an age-gated sweep (live writer safety)
+    assert(c.vacuumStaging(olderThanMs = 3600 * 1000L).isEmpty)
+    assert(debris.exists)
+    // stale debris is swept; data unaffected
+    val swept = c.vacuumStaging(olderThanMs = 0L)
+    assert(swept == Seq("_staging_delta_000000000999"), swept.toString)
+    assert(!debris.exists)
+    assert(c.read(s).count() == 2)
+    // committed deltas are never candidates
+    assert(dataDir.listFiles().exists(_.getName.startsWith("delta_")))
+  }
 }
