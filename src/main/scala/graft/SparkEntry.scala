@@ -1,7 +1,7 @@
 package graft
 
 import graft.expr.MilvusExpr
-import graft.operators.{Fusion, Knn, QueryOps}
+import graft.operators.{Fusion, Knn, QueryOps, Rerank}
 import graft.ann.{BinIvf, Ivf, Lsh, Pq, RaBitQ, Sq8}
 import graft.dedup.{Dedup, SubstringDedup}
 import graft.operators.HybridSearch.{AnnSearchRequest, CollectionAnnRequest, CollectionSparseRequest, RrfRanker, WeightedRanker}
@@ -1473,6 +1473,91 @@ object SparkEntry {
             typedlit(q)).cast("long").as("ip"))
         .orderBy(desc("ip"), col("doc_id"), col("chunk_id"))
         .limit(20)
+    },
+    // ---- V43: decay rerank (feature-inventory §6 rerank surface,
+    // engine-local decay rankers): top-20 cosine candidates, reordered
+    // by each decay curve over the numeric vec_id field (the recency
+    // proxy in this fixture — embeddings has no timestamp). One leg per
+    // curve; scores rounded to 6 so the one transcendental (exp/ln)
+    // evaluation per row can differ by an ulp across engines without
+    // flapping the hash. --------------------------------------------
+    "v43_decay_rerank" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = queryDf(s, dir, Seq(0))
+      val hits = Knn.search(emb, q, "embedding", "vec_id", "COSINE", 20)
+      val legs = Seq("gauss", "exp", "linear").map { fn =>
+        Rerank.decay(hits, "vec_id", fn, origin = 0.0, scale = 200.0,
+          idCols = Seq("vec_id"), offsetParam = 10.0, decayParam = 0.5,
+          limit = 5).withColumn("fn", lit(fn))
+      }
+      legs.reduce(_.unionByName(_))
+        .select(col("fn"), col("vec_id"),
+          round(col("rerank_score"), 6).as("rerank_score"),
+          col("rerank_rank"))
+        .orderBy("fn", "rerank_rank")
+    },
+    // ---- V44: model-ranker rerank (feature-inventory §6
+    // rerank_provider_smoke, deterministic provider): stage 1 retrieves
+    // top-50 candidates by L2 over the bound TEXT_EMBEDDING field for
+    // one query text; stage 2 re-scores the candidates' RAW TEXT
+    // against a different refinement query with the deterministic
+    // encoder's integer dot product — exactly the two-stage
+    // retrieve-then-rerank shape, with every score integer-exact for
+    // the oracle. The candidate boundary is deterministic: L2 ties
+    // break on doc_id in both engines. -------------------------------
+    "v44_model_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v44").toString)
+      val c = cat.createCollection(CollectionDef("emb", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200))
+      c.addFunction(graft.store.FunctionDef("enc", "TEXT_EMBEDDING",
+        Seq("text"), Seq("emb_vec"), Map("dim" -> "8")))
+      val hits = graft.operators.CollectionSearch.searchByQueryText(
+        s, c, "emb_vec", "vector stream data engine", 50,
+        searchParams = Map("metric_type" -> "L2"),
+        outputFields = Seq("text"))
+      Rerank.model(hits, "text", "stream processing pipeline",
+        idCols = Seq("doc_id"), dim = 8, limit = 10)
+        .select(col("doc_id"), col("rerank_score"), col("rerank_rank"))
+        .orderBy("rerank_rank")
+    },
+    // ---- S42: alter_function (feature-inventory §6 lifecycle triple):
+    // re-parameterize the bound TEXT_EMBEDDING from dim 4 to dim 8 —
+    // served vectors re-derive at the new dim immediately (function
+    // outputs are engine-computed, so the "backfill" of pre-alter rows
+    // is the definition swap itself). L1/signed sums are integer-exact
+    // per the encode spec. -------------------------------------------
+    "s42_alter_function" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s42").toString)
+      val c = cat.createCollection(CollectionDef("emb", Seq(
+        FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("text", StringType))))
+      c.insert(s, tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 200))
+      c.addFunction(graft.store.FunctionDef("enc", "TEXT_EMBEDDING",
+        Seq("text"), Seq("emb_vec"), Map("dim" -> "4")))
+      def phase(name: String) = c.read(s)
+        .agg(count(lit(1)).as("docs"),
+          sum(aggregate(col("emb_vec"), lit(0.0), (a, x) => a + abs(x)))
+            .cast("long").as("sum_l1"),
+          sum(aggregate(col("emb_vec"), lit(0.0), (a, x) => a + x))
+            .cast("long").as("sum_signed"))
+        .select(lit(name).as("phase"), col("docs"), col("sum_l1"),
+          col("sum_signed"))
+      val before = phase("dim4")
+      // materialize BEFORE the alter: the plan is lazy and the
+      // definition swap below would otherwise re-bind it to dim 8
+      val beforeRows = before.collect().toSeq
+      c.alterFunction("enc", Map("dim" -> "8"))
+      val after = phase("dim8")
+      s.createDataFrame(s.sparkContext.parallelize(beforeRows, 1),
+        before.schema).unionByName(after).orderBy("phase")
     },
     // ---- V24: dense search by query TEXT through the bound
     // TEXT_EMBEDDING function (search(data=["..."]) server-side encode
@@ -5385,6 +5470,108 @@ object SparkEntry {
           |)
           |SELECT doc_id, chunk_id, ip FROM ip
           |ORDER BY ip DESC, doc_id, chunk_id LIMIT 20""".stripMargin,
+      // Decay formulas restated from the spec (gauss | exp | linear
+      // with origin 0, scale 200, offset 10, decay 0.5); constants are
+      // built from ln(0.5) the same way the engine builds them so the
+      // arithmetic matches op-for-op, and the one transcendental per
+      // row is absorbed by round(.., 6) on both sides.
+      "v43_decay_rerank" ->
+        s"""WITH hits AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_cosine_similarity(embedding::DOUBLE[], $q0) DESC, vec_id) AS INT) AS rank
+           |  FROM embeddings QUALIFY rank <= 20
+           |), d AS (
+           |  SELECT vec_id, greatest(0.0, abs(vec_id::DOUBLE - 0.0) - 10.0) AS dd FROM hits
+           |), scored AS (
+           |  SELECT 'gauss' AS fn, vec_id,
+           |    exp(-(dd * dd) / (-(200.0 * 200.0) / ln(0.5))) AS sc FROM d
+           |  UNION ALL SELECT 'exp', vec_id, exp(dd * (ln(0.5) / 200.0)) FROM d
+           |  UNION ALL SELECT 'linear', vec_id,
+           |    greatest(0.0, ((200.0 / (1.0 - 0.5)) - dd) / (200.0 / (1.0 - 0.5))) FROM d
+           |)
+           |SELECT fn, vec_id, round(sc, 6) AS rerank_score, rerank_rank FROM (
+           |  SELECT fn, vec_id, sc, CAST(row_number() OVER (
+           |    PARTITION BY fn ORDER BY sc DESC, vec_id) AS INT) AS rerank_rank
+           |  FROM scored)
+           |WHERE rerank_rank <= 5 ORDER BY fn, rerank_rank""".stripMargin,
+      // Two-stage retrieve-then-rerank: stage 1 = integer squared-L2
+      // top-50 for query 1 (ties on doc_id — same boundary as the
+      // engine's (score, id) order), stage 2 = integer dot with query
+      // 2's embedding over the candidates' raw text.
+      "v44_model_rerank" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |contrib AS (
+          |  SELECT doc_id, (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM tok),
+          |emb AS (SELECT doc_id, bucket, sum(sgn) AS v
+          |        FROM contrib GROUP BY doc_id, bucket),
+          |q1 AS (
+          |  SELECT (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          |    lower('vector stream data engine'), '[^a-z0-9]+'), x -> x <> '')) AS t)
+          |  GROUP BY bucket),
+          |q2 AS (
+          |  SELECT (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          |    lower('stream processing pipeline'), '[^a-z0-9]+'), x -> x <> '')) AS t)
+          |  GROUP BY bucket),
+          |grid AS (
+          |  SELECT d.doc_id, b.bucket,
+          |    coalesce(e.v, 0) AS dv, coalesce(q.v, 0) AS qv
+          |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) b
+          |  LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.bucket = b.bucket
+          |  LEFT JOIN q1 q ON q.bucket = b.bucket),
+          |cand AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, CAST(row_number() OVER (ORDER BY
+          |      sum((dv - qv) * (dv - qv)), doc_id) AS INT) AS rank
+          |    FROM grid GROUP BY doc_id)
+          |  WHERE rank <= 50),
+          |dot AS (
+          |  SELECT c.doc_id,
+          |    CAST(coalesce(sum(e.v * q.v), 0) AS BIGINT) AS rerank_score
+          |  FROM cand c
+          |  LEFT JOIN emb e ON e.doc_id = c.doc_id
+          |  LEFT JOIN q2 q ON q.bucket = e.bucket
+          |  GROUP BY c.doc_id)
+          |SELECT doc_id, rerank_score, rerank_rank FROM (
+          |  SELECT doc_id, rerank_score, CAST(row_number() OVER (
+          |    ORDER BY rerank_score DESC, doc_id) AS INT) AS rerank_rank
+          |  FROM dot)
+          |WHERE rerank_rank <= 10 ORDER BY rerank_rank""".stripMargin,
+      // Both phases re-derived from raw text at their dim; the signed
+      // sum is dim-independent (it's the total signed token count) —
+      // a built-in cross-check that only the L1 moves with the alter.
+      "s42_alter_function" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |c4 AS (
+          |  SELECT doc_id, (ascii(t) * 31 + length(t)) % 4 AS bucket,
+          |    CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM tok),
+          |e4 AS (SELECT doc_id, bucket, sum(sgn) AS v FROM c4 GROUP BY 1, 2),
+          |c8 AS (
+          |  SELECT doc_id, (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM tok),
+          |e8 AS (SELECT doc_id, bucket, sum(sgn) AS v FROM c8 GROUP BY 1, 2),
+          |n AS (SELECT count(*) AS docs FROM documents WHERE doc_id < 200)
+          |SELECT 'dim4' AS phase, (SELECT docs FROM n) AS docs,
+          |  CAST(sum(abs(v)) AS BIGINT) AS sum_l1,
+          |  CAST(sum(v) AS BIGINT) AS sum_signed FROM e4
+          |UNION ALL
+          |SELECT 'dim8', (SELECT docs FROM n),
+          |  CAST(sum(abs(v)) AS BIGINT), CAST(sum(v) AS BIGINT) FROM e8
+          |ORDER BY phase""".stripMargin,
       "v24_text_to_vector_search" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(

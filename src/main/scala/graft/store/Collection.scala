@@ -257,6 +257,50 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   }
 
 
+  /** Re-parameterize a bound function in place (alter_function,
+    * feature-inventory §6): the function keeps its name, type and
+    * field bindings, but its params are REPLACED — e.g. a
+    * TEXT_EMBEDDING dim change re-declares the output field at the new
+    * dim. Indexes on the output fields are invalidated (their builds
+    * encode the OLD function's values) but input-field indexes stay:
+    * the stored input column is untouched by a param change.
+    */
+  def alterFunction(fn: String, params: Map[String, String]): Unit = {
+    val f = definition.functions.find(_.name == fn).getOrElse(
+      throw new IllegalArgumentException(s"no function $fn"))
+    catalog.mutateDef(name) { d =>
+      val cur = d.functions.find(_.name == fn).getOrElse(
+        throw new IllegalArgumentException(s"no function $fn"))
+      val kind = cur.functionType.toUpperCase
+      val fields =
+        if (kind == "TEXT_EMBEDDING") {
+          val provider = params.getOrElse("provider", "deterministic")
+          require(provider == "deterministic",
+            s"text-embedding provider '$provider' needs external " +
+              "credentials; only 'deterministic' runs in-engine")
+          val dim = try params.getOrElse("dim",
+            throw new IllegalArgumentException(
+              "TEXT_EMBEDDING needs a 'dim' param")).toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"TEXT_EMBEDDING dim '${params("dim")}' is not an integer")
+          }
+          require(dim > 0, s"dim must be positive, got $dim")
+          d.fields.map(fd =>
+            if (cur.outputFields.contains(fd.name)) fd.copy(dim = Some(dim))
+            else fd)
+        } else d.fields
+      d.copy(fields = fields,
+        functions = d.functions.map(g =>
+          if (g.name == fn) g.copy(params = params) else g),
+        indexes = d.indexes.filterNot(ix =>
+          cur.outputFields.contains(ix.field)))
+    }
+    f.outputFields.foreach(IndexStore.drop(this, _))
+    refreshCachedSchema()
+  }
+
   /** Unbind a function: its output fields stop being served (dropped
     * from the schema — drop_collection_function + drop_function_field
     * semantics) and indexes touching its input/output fields are

@@ -329,6 +329,39 @@ class StoreSpec extends SparkSpec {
       s"unprojected function output not pruned:\n$plan")
   }
 
+  test("alterFunction re-parameterizes in place and invalidates output indexes") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("fna"))
+    c.insert(s, Seq((1L, 1L, "hello world", 0L), (2L, 2L, "spark", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    c.addFunction(FunctionDef("enc", "TEXT_EMBEDDING",
+      Seq("content"), Seq("emb"), Map("dim" -> "4")))
+    assert(c.read(s).select("emb").head().getSeq[Float](0).length == 4)
+    // index on the function OUTPUT + an unrelated scalar index
+    c.createIndex(IndexDef("emb", "IVF_FLAT", Some("L2")))
+    c.createIndex(IndexDef("category", "INVERTED"))
+    assert(c.listIndexes().map(_.field).sorted == Seq("category", "emb"))
+    // alter: dim 4 -> 8; same binding, output re-declared at the new dim
+    c.alterFunction("enc", Map("dim" -> "8"))
+    assert(c.definition.functions.head.params("dim") == "8")
+    assert(c.definition.fields.find(_.name == "emb").flatMap(_.dim)
+      .contains(8))
+    assert(c.read(s).select("emb").head().getSeq[Float](0).length == 8)
+    // output-field index dropped (its build encoded dim-4 values);
+    // the scalar index is untouched
+    assert(c.listIndexes().map(_.field) == Seq("category"))
+    // validation: unknown name, bad dim, remote provider
+    intercept[IllegalArgumentException](c.alterFunction("nope", Map.empty))
+    intercept[IllegalArgumentException](
+      c.alterFunction("enc", Map("dim" -> "zero")))
+    intercept[IllegalArgumentException](
+      c.alterFunction("enc", Map("dim" -> "8", "provider" -> "remote")))
+    // the alter survives the catalog round-trip
+    assert(cat.describeCollection("fna").functions.head.params("dim") == "8")
+  }
+
   test("truncate drops all entities, keeps schema and index metadata") {
     val s = spark
     import s.implicits._
