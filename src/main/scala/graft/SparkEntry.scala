@@ -1525,6 +1525,46 @@ object SparkEntry {
         .select(col("doc_id"), col("rerank_score"), col("rerank_rank"))
         .orderBy("rerank_rank")
     },
+    // ---- V45: hybrid search fused by a DECAY ranker (function-score
+    // fusion): the two legs only pool candidates (distinct union of
+    // each top-10); the gauss curve over vec_id supplies the unified
+    // score, so the heterogeneous COSINE/L2 leg scores never need
+    // normalizing. --------------------------------------------------
+    "v45_hybrid_decay" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = queryDf(s, dir, Seq(0))
+      HybridSearch.hybridSearch(emb,
+        Seq(AnnSearchRequest(q, "embedding", "COSINE", limit = 10),
+          AnnSearchRequest(q, "embedding", "L2", limit = 10)),
+        HybridSearch.DecayRanker("vec_id", "gauss", origin = 0.0,
+          scale = 200.0, offsetParam = 10.0),
+        idCol = "vec_id", limit = 5)
+        .select(col("vec_id"),
+          round(col("fused_score"), 6).as("fused_score"), col("fused_rank"))
+        .orderBy("fused_rank")
+    },
+    // ---- V46: hybrid search fused by the MODEL ranker: two L2 legs
+    // for different query texts pool candidates; the deterministic
+    // relevance model against a third refinement text scores the pool
+    // (integer dot — oracle-exact). ------------------------------------
+    "v46_hybrid_model" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextEmbedding.encode(col("text"), 8).as("emb"))
+      val q1 = Seq((0L, graft.functions.TextEmbedding
+        .encodeLocal("vector stream data engine", 8))).toDF("qid", "qvec")
+      val q2 = Seq((0L, graft.functions.TextEmbedding
+        .encodeLocal("table columnar storage", 8))).toDF("qid", "qvec")
+      HybridSearch.hybridSearch(docs,
+        Seq(AnnSearchRequest(q1, "emb", "L2", limit = 20),
+          AnnSearchRequest(q2, "emb", "L2", limit = 20)),
+        HybridSearch.ModelRanker("text", "stream processing pipeline"),
+        idCol = "doc_id", limit = 10)
+        .select(col("doc_id"), col("fused_score").cast("long").as("ip"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    },
     // ---- S42: alter_function (feature-inventory §6 lifecycle triple):
     // re-parameterize the bound TEXT_EMBEDDING from dim 4 to dim 8 —
     // served vectors re-derive at the new dim immediately (function
@@ -5546,6 +5586,93 @@ object SparkEntry {
           |    ORDER BY rerank_score DESC, doc_id) AS INT) AS rerank_rank
           |  FROM dot)
           |WHERE rerank_rank <= 10 ORDER BY rerank_rank""".stripMargin,
+      // Function-score hybrid fusion: the pool is the distinct union
+      // of both legs' top-10 (leg order defined by (similarity, id) —
+      // same boundary rule both engines); only the decay value ranks.
+      "v45_hybrid_decay" ->
+        s"""WITH c AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_cosine_similarity(embedding::DOUBLE[], $q0) DESC, vec_id) AS INT) AS rank
+           |  FROM embeddings QUALIFY rank <= 10
+           |), l AS (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(embedding::DOUBLE[], $q0), vec_id) AS INT) AS rank
+           |  FROM embeddings QUALIFY rank <= 10
+           |), pool AS (
+           |  SELECT DISTINCT vec_id FROM (
+           |    SELECT vec_id FROM c UNION ALL SELECT vec_id FROM l)
+           |), scored AS (
+           |  SELECT vec_id, exp(-(dd * dd) / (-(200.0 * 200.0) / ln(0.5))) AS sc
+           |  FROM (SELECT vec_id,
+           |          greatest(0.0, abs(vec_id::DOUBLE - 0.0) - 10.0) AS dd
+           |        FROM pool)
+           |)
+           |SELECT vec_id, round(sc, 6) AS fused_score, fused_rank FROM (
+           |  SELECT vec_id, sc, CAST(row_number() OVER (
+           |    ORDER BY sc DESC, vec_id) AS INT) AS fused_rank FROM scored)
+           |WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      // Two L2 legs (different query texts) pool candidates; the model
+      // ranker's integer dot against the refinement text decides.
+      "v46_hybrid_model" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          |  FROM documents WHERE doc_id < 200),
+          |contrib AS (
+          |  SELECT doc_id, (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          |  FROM tok),
+          |emb AS (SELECT doc_id, bucket, sum(sgn) AS v
+          |        FROM contrib GROUP BY doc_id, bucket),
+          |q1 AS (
+          |  SELECT (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          |    lower('vector stream data engine'), '[^a-z0-9]+'), x -> x <> '')) AS t)
+          |  GROUP BY bucket),
+          |q2 AS (
+          |  SELECT (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          |    lower('table columnar storage'), '[^a-z0-9]+'), x -> x <> '')) AS t)
+          |  GROUP BY bucket),
+          |q3 AS (
+          |  SELECT (ascii(t) * 31 + length(t)) % 8 AS bucket,
+          |    sum(CASE WHEN (ascii(t) + length(t)) % 2 = 0 THEN 1 ELSE -1 END) AS v
+          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+          |    lower('stream processing pipeline'), '[^a-z0-9]+'), x -> x <> '')) AS t)
+          |  GROUP BY bucket),
+          |grid AS (
+          |  SELECT d.doc_id, b.bucket, coalesce(e.v, 0) AS dv,
+          |    coalesce(a.v, 0) AS qv1, coalesce(c.v, 0) AS qv2
+          |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) b
+          |  LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.bucket = b.bucket
+          |  LEFT JOIN q1 a ON a.bucket = b.bucket
+          |  LEFT JOIN q2 c ON c.bucket = b.bucket),
+          |cand1 AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, CAST(row_number() OVER (ORDER BY
+          |      sum((dv - qv1) * (dv - qv1)), doc_id) AS INT) AS rank
+          |    FROM grid GROUP BY doc_id) WHERE rank <= 20),
+          |cand2 AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, CAST(row_number() OVER (ORDER BY
+          |      sum((dv - qv2) * (dv - qv2)), doc_id) AS INT) AS rank
+          |    FROM grid GROUP BY doc_id) WHERE rank <= 20),
+          |pool AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT doc_id FROM cand1 UNION ALL SELECT doc_id FROM cand2)),
+          |dot AS (
+          |  SELECT p.doc_id, CAST(coalesce(sum(e.v * q.v), 0) AS BIGINT) AS ip
+          |  FROM pool p
+          |  LEFT JOIN emb e ON e.doc_id = p.doc_id
+          |  LEFT JOIN q3 q ON q.bucket = e.bucket
+          |  GROUP BY p.doc_id)
+          |SELECT doc_id, ip, fused_rank FROM (
+          |  SELECT doc_id, ip, CAST(row_number() OVER (
+          |    ORDER BY ip DESC, doc_id) AS INT) AS fused_rank FROM dot)
+          |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
       // Both phases re-derived from raw text at their dim; the signed
       // sum is dim-independent (it's the total signed token count) —
       // a built-in cross-check that only the L1 moves with the alter.

@@ -33,6 +33,58 @@ object HybridSearch {
   final case class RrfRanker(k: Int = 60) extends Ranker
   final case class WeightedRanker(weights: Seq[Double]) extends Ranker
 
+  /** Function-score rankers (feature-inventory §6 rerank surface): the
+    * legs supply the CANDIDATE POOL (distinct union of every leg's
+    * nq × k hits) and the ranker function supplies the unified score —
+    * leg scores never mix, so heterogeneous metrics need no
+    * normalization. [[DecayRanker]] scores by a decay curve over a
+    * stored numeric field; [[ModelRanker]] scores by the deterministic
+    * (query text, doc text) relevance model. Both delegate to
+    * [[Rerank]]; the only collection-sized work is one field-fetch
+    * join of the broadcast pool against the store.
+    */
+  final case class DecayRanker(fieldName: String, function: String,
+      origin: Double, scale: Double, offsetParam: Double = 0.0,
+      decay: Double = 0.5) extends Ranker
+  final case class ModelRanker(textField: String, queryText: String,
+      dim: Int = 8, provider: String = "deterministic") extends Ranker
+
+  /** Distinct (qid, id) candidate pool of all legs, with the ranker's
+    * input column fetched from the base relation by one broadcast-pool
+    * equi-join (the pool is nq × k × legs rows — always the small side).
+    */
+  private def candidatePool(results: Seq[DataFrame], idCol: String,
+      base: DataFrame, fieldName: String): DataFrame = {
+    val pool = results.map(_.select(col("qid"), col(idCol)))
+      .reduce(_.unionByName(_)).distinct()
+    broadcast(pool).join(
+      base.select(col(idCol), col(fieldName)), Seq(idCol))
+  }
+
+  /** Shared function-score fusion: pool -> Rerank -> fused_* columns
+    * (the hybrid output contract).
+    */
+  private def functionScoreFuse(ranker: Ranker, results: Seq[DataFrame],
+      idCol: String, base: DataFrame, limit: Int, offset: Int): DataFrame = {
+    val reranked = ranker match {
+      case DecayRanker(field, fn, origin, scale, off, dec) =>
+        Rerank.decay(candidatePool(results, idCol, base, field),
+          field, fn, origin, scale, idCols = Seq(idCol),
+          offsetParam = off, decayParam = dec, limit = limit,
+          offset = offset)
+      case ModelRanker(textField, q, dim, provider) =>
+        Rerank.model(candidatePool(results, idCol, base, textField),
+          textField, q, idCols = Seq(idCol), dim = dim,
+          provider = provider, limit = limit, offset = offset)
+      case other =>
+        throw new IllegalArgumentException(s"not a function-score ranker: $other")
+    }
+    // Match the Fusion output contract: (qid, id, fused_score, fused_rank)
+    reranked.select(col("qid"), col(idCol),
+      col("rerank_score").cast("double").as("fused_score"),
+      col("rerank_rank").as("fused_rank"))
+  }
+
   private def similarityLike(metric: String): Boolean =
     metric.toUpperCase match {
       case "IP" | "COSINE" | "BM25" => true
@@ -64,6 +116,8 @@ object HybridSearch {
       case WeightedRanker(ws) =>
         Fusion.weighted(results, ws, Seq(idCol), limit = limit, offset = offset,
           similarityLike = requests.map(r => similarityLike(r.metricType)))
+      case fs @ (_: DecayRanker | _: ModelRanker) =>
+        functionScoreFuse(fs, results, idCol, data, limit, offset)
     }
     if (outputCols.isEmpty) fused
     else fused.join(data.select((idCol +: outputCols).distinct.map(col): _*), idCol)
@@ -159,6 +213,9 @@ object HybridSearch {
       case WeightedRanker(ws) =>
         Fusion.weighted(legs.map(_._1), ws, Seq(pk), limit = limit,
           offset = offset, similarityLike = legs.map(_._2))
+      case fs @ (_: DecayRanker | _: ModelRanker) =>
+        functionScoreFuse(fs, legs.map(_._1), pk, coll.read(spark),
+          limit, offset)
     }
     if (outputCols.isEmpty) fused
     else fused.join(

@@ -127,6 +127,51 @@ class RerankSpec extends SparkSpec {
     }
   }
 
+  test("hybrid DecayRanker: legs pool candidates, decay field orders them") {
+    import graft.operators.HybridSearch._
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 10.0, "alpha"),
+      (2L, Seq(0.9f, 0.1f), 20.0, "beta"),
+      (3L, Seq(0f, 1f), 30.0, "gamma"),
+      (4L, Seq(0.1f, 0.9f), 40.0, "delta"))
+      .toDF("vec_id", "embedding", "ts", "txt")
+    val q = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+    // two legs with opposite metrics: every row lands in the pool
+    val out = hybridSearch(emb,
+      Seq(AnnSearchRequest(q, "embedding", "COSINE", limit = 2),
+        AnnSearchRequest(q, "embedding", "L2", limit = 2)),
+      DecayRanker("ts", "gauss", origin = 40.0, scale = 20.0),
+      idCol = "vec_id", limit = 4)
+    assert(out.columns.toSeq ==
+      Seq("qid", "vec_id", "fused_score", "fused_rank"))
+    val ranks = out.select("vec_id", "fused_rank")
+      .as[(Long, Int)].collect().toMap
+    // pool = cosine top2 {1,2} union L2-as-similarity legs... both legs
+    // return 2 candidates each; decay toward ts=40 orders descending ts
+    assert(ranks.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    val ordered = out.orderBy("fused_rank").select("vec_id").as[Long].collect()
+    assert(ordered.sameElements(ordered.sortBy(id =>
+      -Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0)(id))),
+      s"decay toward ts=40 must order by ts desc: ${ordered.toSeq}")
+  }
+
+  test("hybrid ModelRanker scores the pooled candidates' text") {
+    import graft.operators.HybridSearch._
+    val emb = Seq(
+      (1L, Seq(1f, 0f), "vector stream data engine"),
+      (2L, Seq(0.9f, 0.1f), "unrelated words entirely"),
+      (3L, Seq(0f, 1f), "stream engine"))
+      .toDF("vec_id", "embedding", "txt")
+    val q = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val out = hybridSearch(emb,
+      Seq(AnnSearchRequest(q, "embedding", "COSINE", limit = 3),
+        AnnSearchRequest(q, "embedding", "L2", limit = 3)),
+      ModelRanker("txt", "vector stream data engine"),
+      idCol = "vec_id", limit = 3)
+      .orderBy("fused_rank").select("vec_id").as[Long].collect()
+    assert(out.head == 1L, s"exact text match must rank first: ${out.toSeq}")
+  }
+
   test("rerank over a real Knn result carries output columns through") {
     val emb = Seq(
       (1L, Seq(1f, 0f), 10.0),
