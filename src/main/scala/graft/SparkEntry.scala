@@ -1599,6 +1599,58 @@ object SparkEntry {
       s.createDataFrame(s.sparkContext.parallelize(beforeRows, 1),
         before.schema).unionByName(after).orderBy("phase")
     },
+    // ---- S43: CDC failover promote (feature-inventory §7
+    // cdc_failover_probe): replica rebuilt from the feed, incremental
+    // window applied, catch-up promote swaps the alias and demotes the
+    // source (writes denied); a second pair exercises FORCE promote —
+    // the un-replayed tail is deliberately lost. All counts re-derived
+    // by the oracle from the same nation/region slices; the
+    // standby-denied flag is the engine-internal assertion (pinned
+    // TRUE). ----------------------------------------------------------
+    "s43_cdc_promote" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s43").toString)
+      def nationDef(n: String) = CollectionDef(n, Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType)))
+      val src = cat.createCollection(nationDef("src"))
+      val rep = cat.createCollection(nationDef("rep"))
+      cat.createAlias("live", "src")
+      src.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      rep.restoreFrom(s, src.changeFeed(s)): Unit
+      cat.alterCollectionProperties("rep",
+        Map("cdc.cursor" -> src.committedSeq.toString))
+      // un-replicated window: 3 deletes + 5 inserts
+      src.delete(s, "n_nationkey < 3")
+      src.insert(s, tbl(s, dir, "region")
+        .select((col("r_regionkey") + 100L).as("n_nationkey"),
+          col("r_name").as("n_name")))
+      val applied = cat.promoteReplica(s, "src", "rep", "live")
+      val live = cat.collection("live").read(s)
+        .agg(count(lit(1)).as("rows"),
+          sum("n_nationkey").cast("long").as("sum_keys")).head()
+      val standbyDenied =
+        try { src.delete(s, "n_nationkey == 3"); false }
+        catch { case _: IllegalArgumentException => true }
+      // force promote: the tail never reaches the replica
+      val src2 = cat.createCollection(nationDef("src2"))
+      val rep2 = cat.createCollection(nationDef("rep2"))
+      cat.createAlias("live2", "src2")
+      src2.insert(s, tbl(s, dir, "region")
+        .select(col("r_regionkey").as("n_nationkey"),
+          col("r_name").as("n_name")))
+      rep2.restoreFrom(s, src2.changeFeed(s)): Unit
+      src2.insert(s, tbl(s, dir, "nation")
+        .select((col("n_nationkey") + 200L).as("n_nationkey"), col("n_name")))
+      val forced = cat.promoteReplica(s, "src2", "rep2", "live2",
+        force = true)
+      val live2Rows = cat.collection("live2").read(s).count()
+      Seq((applied, live.getLong(0), live.getLong(1), standbyDenied,
+        forced, live2Rows))
+        .toDF("applied", "rows", "sum_keys", "standby_denied",
+          "forced_applied", "force_rows")
+    },
     // ---- V24: dense search by query TEXT through the bound
     // TEXT_EMBEDDING function (search(data=["..."]) server-side encode
     // semantics). Exhaustive k then a deterministic (dist, doc_id)
@@ -5673,6 +5725,23 @@ object SparkEntry {
           |  SELECT doc_id, ip, CAST(row_number() OVER (
           |    ORDER BY ip DESC, doc_id) AS INT) AS fused_rank FROM dot)
           |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
+      // Counts re-derived from the nation/region slices the scenario
+      // replays; standby_denied is the engine-internal split-brain
+      // assertion (pinned TRUE — a demoted source accepting a write
+      // flips it).
+      "s43_cdc_promote" ->
+        """SELECT
+          |  (SELECT count(*) FROM nation WHERE n_nationkey < 3)
+          |    + (SELECT count(*) FROM region) AS applied,
+          |  (SELECT count(*) FROM nation WHERE n_nationkey >= 3)
+          |    + (SELECT count(*) FROM region) AS rows,
+          |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+          |     WHERE n_nationkey >= 3)
+          |    + (SELECT CAST(sum(r_regionkey + 100) AS BIGINT) FROM region)
+          |    AS sum_keys,
+          |  true AS standby_denied,
+          |  CAST(0 AS BIGINT) AS forced_applied,
+          |  (SELECT count(*) FROM region) AS force_rows""".stripMargin,
       // Both phases re-derived from raw text at their dim; the signed
       // sum is dim-independent (it's the total signed token count) —
       // a built-in cross-check that only the L1 moves with the alter.

@@ -265,6 +265,51 @@ final class Catalog(val root: String) {
   def dropAlias(alias: String): Unit = writeAliases(readAliases - alias)
   def listAliases(): Map[String, String] = readAliases
 
+  /** CDC failover promote (feature-inventory §7 `cdc_failover_probe` /
+    * "CDC force promote"): switch serving from `sourceName` to its
+    * change-feed replica `replicaName`.
+    *
+    *  1. Unless `force`, catch the replica up first: replay the
+    *     source's feed past the replica's stored cursor
+    *     (`cdc.cursor` property) via [[Collection.applyFeed]].
+    *     `force = true` skips the catch-up — the Milvus force-promote
+    *     semantic: accept loss of the un-replayed tail to fail over
+    *     NOW (the upstream may be unreachable).
+    *  2. Demote the source: `cdc.standby = true` denies further writes
+    *     so a client still pointed at the old primary can't
+    *     split-brain it (reads stay up for diffing/salvage).
+    *  3. Repoint `alias` at the replica — one atomic alias-file
+    *     rename, the same swap discipline as S13, so readers of the
+    *     alias never observe an intermediate state.
+    *
+    * Returns the number of change rows replayed by the catch-up (0
+    * under `force`). The replica's cursor advances to the source seq
+    * observed before the replay, keeping a later diff/salvage honest.
+    */
+  def promoteReplica(spark: org.apache.spark.sql.SparkSession,
+      sourceName: String, replicaName: String, alias: String,
+      force: Boolean = false): Long = {
+    val srcN = resolve(sourceName)
+    val repN = resolve(replicaName)
+    require(srcN != repN, "source and replica are the same collection")
+    val src = collection(srcN)
+    val rep = collection(repN)
+    val applied =
+      if (force) 0L
+      else {
+        val cursor = rep.definition.properties
+          .get("cdc.cursor").map(_.toLong).getOrElse(0L)
+        val upTo = src.committedSeq
+        val n = rep.applyFeed(spark, src.changeFeed(spark, cursor))
+        alterCollectionProperties(repN,
+          Map("cdc.cursor" -> upTo.toString))
+        n
+      }
+    alterCollectionProperties(srcN, Map("cdc.standby" -> "true"))
+    alterAlias(alias, repN)
+    applied
+  }
+
   /** Resolve an alias to its target (identity for real names). */
   def resolve(name: String): String = readAliases.getOrElse(name, name)
 

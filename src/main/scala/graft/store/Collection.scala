@@ -377,10 +377,15 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     p.contains("external.source") || p.contains("external.snapshot")
   }
 
-  private def requireWritable(d: CollectionDef): Unit =
+  private def requireWritable(d: CollectionDef): Unit = {
     require(!d.properties.contains("external.source") &&
       !d.properties.contains("external.snapshot"),
       s"collection $name is external (read-only)")
+    // Demoted CDC source (see Catalog.promoteReplica): writes denied so
+    // a client still pointed at the old primary can't split-brain it.
+    require(!d.properties.get("cdc.standby").contains("true"),
+      s"collection $name is standby (demoted by a CDC promote)")
+  }
 
   private def externalManifestFile: StorePath =
     catalog.collectionDir(name).resolve("external_manifest.txt")
@@ -1184,6 +1189,45 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val internal = resolved.select(cols: _*)
       .withColumn(SEQ, lit(seq))
       .withColumn(DEL, lit(false))
+      .withColumn(TS, lit(System.currentTimeMillis()))
+    val routed =
+      if (internal.rdd.getNumPartitions > 1) internal.repartition(col(PART))
+      else internal
+    val deltaPath = commitDelta(routed.sortWithinPartitions(pk), seq)
+    spark.read.parquet(deltaPath).count()
+  }
+
+  /** Incrementally replay a change-feed batch onto this (possibly
+    * non-empty) collection — the CDC REPLICA apply loop, the piece
+    * between [[restoreFrom]] (initial full rebuild) and
+    * [[graft.store.Catalog.promoteReplica]] (failover). The batch's
+    * per-key history is resolved first (last `_seq` wins — the feed's
+    * internal ordering never leaks into the replica as distinct
+    * writes), then the winners land as ONE delta: upserts as live
+    * rows, deletes as tombstones, each in its recorded `_part`. The
+    * replica's own LWW read merge does the rest, so repeated applies
+    * of successive feed windows reconstruct the upstream exactly.
+    * Returns the number of applied change rows. One Spark job per
+    * batch regardless of how many upstream commits it spans.
+    */
+  def applyFeed(spark: SparkSession, feed: DataFrame): Long = {
+    val d = definition
+    requireWritable(d)
+    checkWriteQuota(spark, d)
+    val pk = d.primaryField.name
+    val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
+    val resolved = feed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val seq = catalog.nextSeq(name)
+    val present = resolved.columns.toSet
+    val cols = d.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ (if (d.enableDynamicField) Seq(col(DYN)) else Nil) :+ col(PART)
+    val internal = resolved.select(cols :+
+        (col("_op") === "delete").as(DEL): _*)
+      .withColumn(SEQ, lit(seq))
       .withColumn(TS, lit(System.currentTimeMillis()))
     val routed =
       if (internal.rdd.getNumPartitions > 1) internal.repartition(col(PART))

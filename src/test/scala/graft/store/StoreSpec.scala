@@ -1044,6 +1044,85 @@ class StoreSpec extends SparkSpec {
         .changeFeed(s))
   }
 
+  test("applyFeed replays incremental CDC windows onto a live replica") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val src = cat.createCollection(simpleDef("cdc_src"))
+    val rep = cat.createCollection(simpleDef("cdc_rep"))
+    src.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L), (3L, 30L, "c", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    // initial rebuild, then cursor
+    rep.restoreFrom(s, src.changeFeed(s)): Unit
+    val cur1 = src.committedSeq
+    // window 2: update key 2, delete key 1, add key 4 — multiple commits
+    src.upsert(s, Seq((2L, 21L, "b2", 1L))
+      .toDF("id", "category", "content", "version")): Unit
+    src.delete(s, "id == 1")
+    src.insert(s, Seq((4L, 40L, "d", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    val applied = rep.applyFeed(s, src.changeFeed(s, cur1))
+    assert(applied == 3, s"3 change rows in the window, got $applied")
+    // replica == source, row for row
+    def snap(c: Collection) = c.read(s)
+      .select("id", "category", "content")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap(rep) == snap(src))
+    assert(snap(rep).map(_._1) == Seq(2L, 3L, 4L))
+    // idempotent-ish: replaying an already-applied window keeps LWW
+    // state (same winners re-asserted under a newer seq)
+    rep.applyFeed(s, src.changeFeed(s, cur1)): Unit
+    assert(snap(rep) == snap(src))
+  }
+
+  test("promoteReplica: catch-up promote, force promote, standby guard") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val src = cat.createCollection(simpleDef("p_src"))
+    val rep = cat.createCollection(simpleDef("p_rep"))
+    cat.createAlias("serving", "p_src")
+    src.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    rep.restoreFrom(s, src.changeFeed(s)): Unit
+    cat.alterCollectionProperties("p_rep",
+      Map("cdc.cursor" -> src.committedSeq.toString))
+    // un-replicated tail on the source
+    src.insert(s, Seq((3L, 30L, "c", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    // catch-up promote replays the tail, then swaps the alias
+    val applied = cat.promoteReplica(s, "p_src", "p_rep", "serving")
+    assert(applied == 1L)
+    assert(cat.listAliases()("serving") == "p_rep")
+    assert(cat.collection("serving").read(s).count() == 3)
+    // demoted source denies writes (split-brain guard) but still reads
+    val ex = intercept[IllegalArgumentException](
+      src.insert(s, Seq((9L, 90L, "x", 0L))
+        .toDF("id", "category", "content", "version")))
+    assert(ex.getMessage.contains("standby"))
+    assert(src.read(s).count() == 3)
+    // the promoted replica serves writes through the alias
+    cat.collection("serving").insert(s, Seq((4L, 40L, "d", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    assert(cat.collection("serving").read(s).count() == 4)
+
+    // FORCE promote: un-replayed tail is deliberately lost
+    val src2 = cat.createCollection(simpleDef("f_src"))
+    val rep2 = cat.createCollection(simpleDef("f_rep"))
+    cat.createAlias("serving2", "f_src")
+    src2.insert(s, Seq((1L, 10L, "a", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    rep2.restoreFrom(s, src2.changeFeed(s)): Unit
+    src2.insert(s, Seq((2L, 20L, "b", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    assert(cat.promoteReplica(s, "f_src", "f_rep", "serving2",
+      force = true) == 0L)
+    assert(cat.collection("serving2").read(s).count() == 1,
+      "force promote must not replay the tail")
+    intercept[IllegalArgumentException](
+      cat.promoteReplica(s, "f_src", "f_src", "x"))
+  }
+
   test("vacuumStaging sweeps only OLD crash debris; reads never see staging dirs") {
     val s = spark
     import s.implicits._
