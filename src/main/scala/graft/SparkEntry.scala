@@ -1651,6 +1651,34 @@ object SparkEntry {
         .toDF("applied", "rows", "sum_keys", "standby_denied",
           "forced_applied", "force_rows")
     },
+    // ---- S44: replication-configuration probe (feature-inventory §7
+    // GetReplicateConfiguration): after a catch-up promote, the
+    // topology report shows the demoted source fenced as standby, the
+    // promoted replica holding the serving alias and its replication
+    // cursor (the ancestry a later diff/salvage needs). Pure-metadata
+    // call — no data scan. --------------------------------------------
+    "s44_replicate_config" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s44").toString)
+      def rdef(n: String) = CollectionDef(n, Seq(
+        FieldDef("r_regionkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("r_name", StringType)))
+      val src = cat.createCollection(rdef("rcsrc"))
+      val rep = cat.createCollection(rdef("rcrep"))
+      cat.createAlias("rc_live", "rcsrc")
+      src.insert(s, tbl(s, dir, "region").select("r_regionkey", "r_name"))
+      rep.restoreFrom(s, src.changeFeed(s)): Unit
+      cat.alterCollectionProperties("rcrep",
+        Map("cdc.cursor" -> src.committedSeq.toString))
+      // a tail so the catch-up replays something real
+      src.insert(s, tbl(s, dir, "region")
+        .select((col("r_regionkey") + 10L).as("r_regionkey"),
+          col("r_name").as("r_name")))
+      cat.promoteReplica(s, "rcsrc", "rcrep", "rc_live"): Unit
+      cat.describeReplication()
+        .toDF("collection", "role", "cursor", "aliases")
+    },
     // ---- V24: dense search by query TEXT through the bound
     // TEXT_EMBEDDING function (search(data=["..."]) server-side encode
     // semantics). Exhaustive k then a deterministic (dist, doc_id)
@@ -2687,6 +2715,49 @@ object SparkEntry {
       q.processAllAvailable()
       q.stop()
       s.sql("SELECT * FROM st8_chunks").orderBy("doc_id", "chunk_id")
+    },
+    // ---- ST9: continuous CDC replication — changeFeedStream drained
+    // into a live replica via foreachBatch(applyFeed), checkpointed so
+    // a restarted drain replays ONLY deltas committed since the last
+    // run (the applied-row counter on drain 2 proves the checkpoint
+    // pruned drain 1's inputs). Completes the CDC chain: capture (s36)
+    // → stream (st3) → apply (s43) → promote; the replica converges to
+    // the source after every drain. -----------------------------------
+    "st9_replication_stream" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-st9").toString)
+      def ndef(n: String) = CollectionDef(n, Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType)))
+      val src = cat.createCollection(ndef("rsrc"))
+      val rep = cat.createCollection(ndef("rrep"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-st9-ckpt").toString
+      val applied = new java.util.concurrent.atomic.AtomicLong(0)
+      def drain(): Unit = {
+        val q = src.changeFeedStream(s).writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            applied.addAndGet(rep.applyFeed(s, batch)): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000): Unit
+      }
+      src.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      src.delete(s, "n_nationkey >= 20")
+      drain()
+      // second window lands AFTER the first drain finished
+      src.insert(s, tbl(s, dir, "region")
+        .select((col("r_regionkey") + 100L).as("n_nationkey"),
+          col("r_name").as("n_name")))
+      applied.set(0)
+      drain()
+      val st = rep.read(s).agg(count(lit(1)).as("rows"),
+        sum("n_nationkey").cast("long").as("sum_keys")).head()
+      Seq((st.getLong(0), st.getLong(1), applied.get()))
+        .toDF("rows", "sum_keys", "applied_second_drain")
     },
     // ---- ST3: streaming change feed — store DML arrives at a CDC
     // consumer as micro-batches (delta dirs are the file-source's
@@ -5725,6 +5796,15 @@ object SparkEntry {
           |  SELECT doc_id, ip, CAST(row_number() OVER (
           |    ORDER BY ip DESC, doc_id) AS INT) AS fused_rank FROM dot)
           |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
+      // Topology pinned: the promoted replica holds the alias and the
+      // post-replay cursor (seq 2 = the source's two committed
+      // inserts), the demoted source is fenced and alias-less.
+      "s44_replicate_config" ->
+        """SELECT collection, role, cursor, aliases FROM (VALUES
+          |  ('rcrep', 'primary', CAST(2 AS BIGINT), 'rc_live'),
+          |  ('rcsrc', 'standby', CAST(-1 AS BIGINT), ''))
+          |AS t(collection, role, cursor, aliases)
+          |ORDER BY collection""".stripMargin,
       // Counts re-derived from the nation/region slices the scenario
       // replays; standby_denied is the engine-internal split-brain
       // assertion (pinned TRUE — a demoted source accepting a write
@@ -5858,6 +5938,19 @@ object SparkEntry {
           |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
           |  round(jaccard, 6) AS jaccard
           |FROM pairs WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+      // Replica convergence re-derived from the slices the stream
+      // replayed; applied_second_drain counts ONLY window-2 rows (the
+      // region tail) — a checkpoint regression that re-reads window 1
+      // inflates it.
+      "st9_replication_stream" ->
+        """SELECT
+          |  (SELECT count(*) FROM nation WHERE n_nationkey < 20)
+          |    + (SELECT count(*) FROM region) AS rows,
+          |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+          |     WHERE n_nationkey < 20)
+          |    + (SELECT CAST(sum(r_regionkey + 100) AS BIGINT) FROM region)
+          |    AS sum_keys,
+          |  (SELECT count(*) FROM region) AS applied_second_drain""".stripMargin,
       "st3_changefeed_stream" ->
         """SELECT op, cnt, keys FROM (
           |  SELECT 'delete' AS op,

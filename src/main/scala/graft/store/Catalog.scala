@@ -310,6 +310,29 @@ final class Catalog(val root: String) {
     applied
   }
 
+  /** Replication topology report (feature-inventory §7
+    * `replicate_configuration_probe` / GetReplicateConfiguration): one
+    * row per collection — write role (`primary`, or `standby` once
+    * demoted by [[promoteReplica]]'s fence), the CDC cursor if the
+    * collection has ever applied a feed (-1 otherwise; a promoted
+    * replica keeps its cursor — that ancestry is what a later
+    * diff/salvage needs), and the aliases currently pointing at it.
+    * Pure metadata: one meta.json read per collection, no data scan.
+    */
+  def describeReplication(): Seq[(String, String, Long, String)] = {
+    val aliases = listAliases()
+    listCollections().sorted.map { n =>
+      val d = readMeta(n).d
+      val role =
+        if (d.properties.get("cdc.standby").contains("true")) "standby"
+        else "primary"
+      val cursor = d.properties.get("cdc.cursor").map(_.toLong).getOrElse(-1L)
+      val pointed = aliases.collect { case (a, t) if t == n => a }
+        .toSeq.sorted.mkString(",")
+      (n, role, cursor, pointed)
+    }
+  }
+
   /** Resolve an alias to its target (identity for real names). */
   def resolve(name: String): String = readAliases.getOrElse(name, name)
 

@@ -1214,6 +1214,9 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     val d = definition
     requireWritable(d)
     checkWriteQuota(spark, d)
+    // An empty window (caught-up replica, re-drained stream) must not
+    // burn a seq on an empty delta.
+    if (feed.isEmpty) return 0L
     val pk = d.primaryField.name
     val w = Window.partitionBy(pk).orderBy(col(SEQ).desc)
     val resolved = feed
