@@ -1679,6 +1679,69 @@ object SparkEntry {
       cat.describeReplication()
         .toDF("collection", "role", "cursor", "aliases")
     },
+    // ---- S45: RBAC user description (feature-inventory §7
+    // rbac_user_description): user registry CRUD with the 3.0
+    // description field, plus the binding that has engine semantics —
+    // the user's resource group, which runAs attributes query jobs to
+    // (verified by reading the scheduler-pool property inside the
+    // attributed query). Auth itself is a credentialed deployment
+    // concern, rejected like the other external surfaces. -------------
+    "s45_user_rbac" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s45").toString)
+      graft.workload.ResourceGroups.create("rg_s45")
+      cat.createUser("ana", "ingest owner")
+      cat.createUser("raj", "analyst", Some("rg_s45"))
+      cat.alterUser("raj", description = Some("senior analyst"))
+      val (rows, pool) = cat.runAs(s, "raj") {
+        (tbl(s, dir, "region").count(),
+          s.sparkContext.getLocalProperty("spark.scheduler.pool"))
+      }
+      cat.listUsers().map(u => (u.name, u.description,
+          u.resourceGroup.getOrElse(""),
+          if (u.name == "raj") rows else 0L,
+          if (u.name == "raj") pool else ""))
+        .toDF("name", "description", "resource_group", "rows", "pool")
+        .orderBy("name")
+    },
+    // ---- S46: key-revocation fence (feature-inventory §7
+    // kms_revocation_guard): revoking access denies reads AND writes
+    // immediately (property hot-update — no reload), clearing restores
+    // with no rebuild. The phases' row counts re-derive from nation;
+    // the denied flags are the engine-internal fence assertions
+    // (pinned TRUE). -------------------------------------------------
+    "s46_kms_revocation" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s46").toString)
+      val c = cat.createCollection(CollectionDef("kms", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      val before = c.read(s).count()
+      cat.alterCollectionProperties("kms", Map("access.revoked" -> "true"))
+      val readDenied =
+        try { c.read(s).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      val writeDenied =
+        try { c.delete(s, "n_nationkey == 0"); false }
+        catch { case _: IllegalArgumentException => true }
+      cat.alterCollectionProperties("kms", Map("access.revoked" -> ""))
+      c.delete(s, "n_nationkey >= 20")
+      Seq((before, readDenied, writeDenied, c.read(s).count()))
+        .toDF("rows_before", "read_denied", "write_denied", "rows_after")
+    },
+    // ---- S47: liveness probe (feature-inventory §7 livez_probe):
+    // storage = a real write/read/delete round-trip under the catalog
+    // root, metadata = registries parse, scheduler = context alive.
+    // All pinned healthy in the gate environment. ---------------------
+    "s47_livez" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s47").toString)
+      cat.livez(s).toDF("component", "ok").orderBy("component")
+    },
     // ---- V24: dense search by query TEXT through the bound
     // TEXT_EMBEDDING function (search(data=["..."]) server-side encode
     // semantics). Exhaustive k then a deterministic (dist, doc_id)
@@ -5796,6 +5859,27 @@ object SparkEntry {
           |  SELECT doc_id, ip, CAST(row_number() OVER (
           |    ORDER BY ip DESC, doc_id) AS INT) AS fused_rank FROM dot)
           |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
+      "s47_livez" ->
+        """SELECT component, ok FROM (VALUES
+          |  ('metadata', true), ('scheduler', true), ('storage', true))
+          |AS t(component, ok) ORDER BY component""".stripMargin,
+      // Fence assertions pinned TRUE; counts re-derived from nation.
+      "s46_kms_revocation" ->
+        """SELECT (SELECT count(*) FROM nation) AS rows_before,
+          |  true AS read_denied, true AS write_denied,
+          |  (SELECT count(*) FROM nation WHERE n_nationkey < 20)
+          |    AS rows_after""".stripMargin,
+      // Registry pinned; the attributed query's row count re-derived
+      // from region, and the pool echo is the engine-internal
+      // attribution assertion.
+      "s45_user_rbac" ->
+        """SELECT name, description, resource_group, rows, pool FROM (
+          |  SELECT 'ana' AS name, 'ingest owner' AS description,
+          |    '' AS resource_group, CAST(0 AS BIGINT) AS rows, '' AS pool
+          |  UNION ALL
+          |  SELECT 'raj', 'senior analyst', 'rg_s45',
+          |    (SELECT count(*) FROM region), 'rg_s45')
+          |ORDER BY name""".stripMargin,
       // Topology pinned: the promoted replica holds the alias and the
       // post-replay cursor (seq 2 = the source's two committed
       // inserts), the demoted source is fenced and alias-less.

@@ -310,6 +310,109 @@ final class Catalog(val root: String) {
     applied
   }
 
+  // --- users (feature-inventory §7 `rbac_user_description`) --------------
+
+  /** A catalog user: the engine-meaningful slice of the RBAC surface —
+    * the 3.0 user DESCRIPTION field plus the one binding that changes
+    * execution semantics here: the user's resource group
+    * ([[graft.workload.ResourceGroups]] scheduler pool) that
+    * [[runAs]] attributes their jobs to. Authentication itself is a
+    * deployment concern (credentials/tokens), out of scope like the
+    * other credentialed surfaces.
+    */
+  final case class UserDef(name: String, description: String,
+      resourceGroup: Option[String])
+
+  def createUser(name: String, description: String = "",
+      resourceGroup: Option[String] = None): Unit = this.synchronized {
+    require(name.nonEmpty, "user name must be non-empty")
+    val m = readUsers
+    require(!m.contains(name), s"user $name already exists")
+    writeUsers(m + (name -> userRecord(description, resourceGroup)))
+  }
+
+  /** Alter the description and/or resource-group binding in place
+    * (alter-user semantics: absent fields keep their value).
+    */
+  def alterUser(name: String, description: Option[String] = None,
+      resourceGroup: Option[Option[String]] = None): Unit =
+    this.synchronized {
+      val m = readUsers
+      val cur = m.getOrElse(name,
+        throw new IllegalArgumentException(s"no user $name"))
+      val desc = description.getOrElse(cur.getOrElse("description", ""))
+      val rg = resourceGroup.getOrElse(cur.get("resourceGroup"))
+      writeUsers(m + (name -> userRecord(desc, rg)))
+    }
+
+  def describeUser(name: String): UserDef = {
+    val r = readUsers.getOrElse(name,
+      throw new IllegalArgumentException(s"no user $name"))
+    UserDef(name, r.getOrElse("description", ""), r.get("resourceGroup"))
+  }
+
+  def dropUser(name: String): Unit = this.synchronized {
+    val m = readUsers
+    require(m.contains(name), s"no user $name")
+    writeUsers(m - name)
+  }
+
+  def listUsers(): Seq[UserDef] =
+    readUsers.keys.toSeq.sorted.map(describeUser)
+
+  /** Run `body` attributed to the user: jobs land in the user's
+    * resource-group scheduler pool (users without a binding run in the
+    * default pool).
+    */
+  def runAs[T](spark: org.apache.spark.sql.SparkSession, user: String)(
+      body: => T): T =
+    describeUser(user).resourceGroup match {
+      case Some(rg) => graft.workload.ResourceGroups.withGroup(spark, rg)(body)
+      case None => body
+    }
+
+  private def userRecord(description: String,
+      resourceGroup: Option[String]): Map[String, String] =
+    Map("description" -> description) ++
+      resourceGroup.map("resourceGroup" -> _)
+
+  /** Liveness probe (feature-inventory §7 `livez_probe`): one row per
+    * component — storage (a real write+delete round-trip under the
+    * catalog root, not just an exists() — a read-only or full volume
+    * must fail it), metadata (the alias/user registries parse), and
+    * the Spark scheduler (context alive). The k8s endpoint plumbing is
+    * a deployment concern; this is the check it would serve.
+    */
+  def livez(spark: org.apache.spark.sql.SparkSession)
+      : Seq[(String, Boolean)] = {
+    val storage =
+      try {
+        val probe = rootPath.resolve(
+          s"_livez_probe.${Thread.currentThread().getId}")
+        probe.writeBytes("ok".getBytes)
+        val ok = new String(probe.readBytes) == "ok"
+        probe.deleteRecursively()
+        ok
+      } catch { case _: Exception => false }
+    val metadata =
+      try { readAliases; readUsers; true }
+      catch { case _: Exception => false }
+    val scheduler =
+      try !spark.sparkContext.isStopped
+      catch { case _: Exception => false }
+    Seq(("metadata", metadata), ("scheduler", scheduler),
+      ("storage", storage))
+  }
+
+  private def usersFile: StorePath = rootPath.resolve("_users.json")
+
+  private def readUsers: Map[String, Map[String, String]] =
+    if (!usersFile.exists) Map.empty
+    else MetaJson.readUsers(new String(usersFile.readBytes))
+
+  private def writeUsers(m: Map[String, Map[String, String]]): Unit =
+    usersFile.writeBytes(MetaJson.writeUsers(m).getBytes)
+
   /** Replication topology report (feature-inventory §7
     * `replicate_configuration_probe` / GetReplicateConfiguration): one
     * row per collection — write role (`primary`, or `standby` once

@@ -385,7 +385,24 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     // a client still pointed at the old primary can't split-brain it.
     require(!d.properties.get("cdc.standby").contains("true"),
       s"collection $name is standby (demoted by a CDC promote)")
+    requireAccessible(d)
   }
+
+  /** Encryption-key revocation fence (feature-inventory §7
+    * `kms_revocation_guard`: "deny reads and writes once the key is
+    * revoked"). The KMS itself is a deployment concern; the
+    * engine-meaningful contract is the fence — `access.revoked=true`
+    * denies READS (checked at the one merged-read entry every
+    * query/search path funnels through) and WRITES (via
+    * requireWritable), takes effect immediately on
+    * alterCollectionProperties (the "config hot update" analog:
+    * property changes drop the pinned snapshot, and this guard reads
+    * the live definition), and clearing the property restores access
+    * with no rebuild — data was never touched, only fenced.
+    */
+  private def requireAccessible(d: CollectionDef): Unit =
+    require(!d.properties.get("access.revoked").contains("true"),
+      s"collection $name access revoked (encryption key revoked)")
 
   private def externalManifestFile: StorePath =
     catalog.collectionDir(name).resolve("external_manifest.txt")
@@ -1123,6 +1140,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   def changeFeed(spark: SparkSession, sinceSeq: Long = 0L): DataFrame = {
     val d = definition
+    requireAccessible(d)
     require(!isExternal, "external collections have no delta log")
     val live = deltaPaths.filter(
       _.name.stripPrefix("delta_").toLong > sinceSeq)
@@ -1254,6 +1272,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   def changeFeedStream(spark: SparkSession): DataFrame = {
     val d = definition
+    requireAccessible(d)
     require(!isExternal, "external collections have no delta log")
     val stored = d.fields.filterNot(f =>
       d.functionOutputFields.contains(f.name)).map(_.name)
@@ -1373,6 +1392,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     */
   private[store] def read(spark: SparkSession, partitionNames: Seq[String],
       asOfMillis: Option[Long], pkPrefilter: Option[Column]): DataFrame = {
+    requireAccessible(definition)
     if (isExternal) {
       require(partitionNames.isEmpty && asOfMillis.isEmpty,
         s"external collection $name has no partitions or time travel")

@@ -100,6 +100,14 @@ private[store] object MetaJson {
   def writeAliases(m: Map[String, String]): String =
     JsonMethods.pretty(JsonMethods.render(m))
 
+  def writeUsers(m: Map[String, Map[String, String]]): String =
+    JsonMethods.pretty(JsonMethods.render(m))
+
+  def readUsers(s: String): Map[String, Map[String, String]] = {
+    implicit val fmt: Formats = DefaultFormats
+    JsonMethods.parse(s).extract[Map[String, Map[String, String]]]
+  }
+
   def readAliases(s: String): Map[String, String] = {
     implicit val fmt: Formats = DefaultFormats
     JsonMethods.parse(s).extract[Map[String, String]]

@@ -1123,6 +1123,69 @@ class StoreSpec extends SparkSpec {
       cat.promoteReplica(s, "f_src", "f_src", "x"))
   }
 
+  test("user registry: CRUD, persistence, resource-group attribution") {
+    val s = spark
+    val cat = freshCatalog()
+    cat.createUser("ana", "ingest pipeline owner")
+    graft.workload.ResourceGroups.create("rg_analytics")
+    cat.createUser("raj", "analyst", Some("rg_analytics"))
+    assert(cat.describeUser("ana") ==
+      cat.UserDef("ana", "ingest pipeline owner", None))
+    assert(cat.listUsers().map(_.name) == Seq("ana", "raj"))
+    // alter: description only, binding kept; then rebind
+    cat.alterUser("raj", description = Some("senior analyst"))
+    assert(cat.describeUser("raj") ==
+      cat.UserDef("raj", "senior analyst", Some("rg_analytics")))
+    cat.alterUser("ana", resourceGroup = Some(Some("rg_analytics")))
+    assert(cat.describeUser("ana").resourceGroup.contains("rg_analytics"))
+    // registry survives a fresh catalog handle over the same root
+    val cat2 = new Catalog(cat.root)
+    assert(cat2.listUsers().map(_.name) == Seq("ana", "raj"))
+    // runAs attributes jobs to the user's pool
+    val pool = cat.runAs(s, "raj") {
+      s.sparkContext.getLocalProperty("spark.scheduler.pool")
+    }
+    assert(pool == "rg_analytics")
+    assert(s.sparkContext.getLocalProperty("spark.scheduler.pool") == null)
+    // validation
+    intercept[IllegalArgumentException](cat.createUser("ana"))
+    intercept[IllegalArgumentException](cat.describeUser("nobody"))
+    intercept[IllegalArgumentException](cat.alterUser("nobody"))
+    cat.dropUser("ana")
+    assert(cat.listUsers().map(_.name) == Seq("raj"))
+    intercept[IllegalArgumentException](cat.dropUser("ana"))
+    // ResourceGroups is JVM-global: leave no residue for other suites
+    graft.workload.ResourceGroups.drop("rg_analytics")
+  }
+
+  test("access revocation fences reads, writes, and feeds; clearing restores") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("kms"))
+    c.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    assert(c.read(s).count() == 2)
+    // revoke: reads, writes and the change feed all deny — and the
+    // property hot-applies (no reload, no new handle)
+    cat.alterCollectionProperties("kms", Map("access.revoked" -> "true"))
+    val er = intercept[IllegalArgumentException](c.read(s).count())
+    assert(er.getMessage.contains("revoked"))
+    intercept[IllegalArgumentException](
+      c.insert(s, Seq((3L, 30L, "c", 0L))
+        .toDF("id", "category", "content", "version")))
+    intercept[IllegalArgumentException](c.changeFeed(s))
+    intercept[IllegalArgumentException](c.delete(s, "id == 1"))
+    // metadata stays readable (describe is not data access)
+    assert(cat.describeCollection("kms").name == "kms")
+    // restore (key re-granted): data intact, no rebuild
+    cat.alterCollectionProperties("kms", Map("access.revoked" -> ""))
+    assert(c.read(s).count() == 2)
+    c.insert(s, Seq((3L, 30L, "c", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    assert(c.read(s).count() == 3)
+  }
+
   test("vacuumStaging sweeps only OLD crash debris; reads never see staging dirs") {
     val s = spark
     import s.implicits._
