@@ -248,6 +248,18 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
                 s"TEXT_EMBEDDING dim '$dimStr' is not an integer")
           }
           require(dim > 0, s"dim must be positive, got $dim")
+          // batch_factor (feature-inventory §6): the remote-provider
+          // RPC batching knob. Validated for API fidelity; a no-op
+          // here — the in-engine encoder is a codegen'd expression, so
+          // "batching" is whatever the vectorized scan already does.
+          f.params.get("batch_factor").foreach { bf =>
+            val v = try bf.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"batch_factor '$bf' is not an integer")
+            }
+            require(v > 0, s"batch_factor must be positive, got $v")
+          }
           f.outputFields.filterNot(o => d.fields.exists(_.name == o))
             .map(o => FieldDef(o, ArrayType(FloatType), dim = Some(dim)))
         }
