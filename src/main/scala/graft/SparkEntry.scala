@@ -3762,6 +3762,25 @@ object SparkEntry {
           epoch = 2, binsPerShard = 4, out)
         .orderBy("bin", "doc_id")
     },
+    // ---- P16: link-authority quality prior (integer mass propagation
+    // — deterministic PageRank variant; LinkRank scaladoc). Graph =
+    // customer -> supplier edges via orders x lineitem (supplier ids
+    // offset by 1e6 so the bipartite key spaces cannot collide); 3
+    // iterations, top-20 authorities. Every value is exact Long
+    // arithmetic, so the oracle's unrolled iterations must match
+    // hash-for-hash. --------------------------------------------------
+    "p16_link_rank" -> { (s, dir) =>
+      val edges = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.pipeline.LinkRank.linkRank(edges, "src", "dst", iters = 3)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("mass"), col("id"))).cast("int"))
+        .filter(col("rank") <= 20)
+        .orderBy("rank")
+    },
     // DSIR importance weights (Xie et al. 2023): every 20th document
     // plays the target domain, the raw model is the full corpus; both
     // hashed-(uni+bi)gram bucket models (B=4096, add-1) and the
@@ -7430,6 +7449,38 @@ object SparkEntry {
       // order -> exclusive cumsum -> bin explode -> span + bin-offset
       // arithmetic -> shard grouping) restated as one window over the
       // same deterministic order.
+      // Three unrolled integer-exact iterations; `//` is DuckDB floor
+      // division on BIGINT, matching the engine's `div`.
+      "p16_link_rank" ->
+        """WITH e AS (
+          |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |nodes AS (SELECT DISTINCT src AS id FROM e
+          |          UNION SELECT DISTINCT dst FROM e),
+          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          |m0 AS (SELECT id, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+          |c1 AS (SELECT e.dst AS id,
+          |         CAST(sum((m.mass * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+          |       FROM e JOIN m0 m ON m.id = e.src JOIN deg d ON d.src = e.src
+          |       GROUP BY e.dst),
+          |m1 AS (SELECT n.id, 150000 + coalesce(c.s, 0) AS mass
+          |       FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+          |c2 AS (SELECT e.dst AS id,
+          |         CAST(sum((m.mass * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+          |       FROM e JOIN m1 m ON m.id = e.src JOIN deg d ON d.src = e.src
+          |       GROUP BY e.dst),
+          |m2 AS (SELECT n.id, 150000 + coalesce(c.s, 0) AS mass
+          |       FROM nodes n LEFT JOIN c2 c ON c.id = n.id),
+          |c3 AS (SELECT e.dst AS id,
+          |         CAST(sum((m.mass * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+          |       FROM e JOIN m2 m ON m.id = e.src JOIN deg d ON d.src = e.src
+          |       GROUP BY e.dst),
+          |m3 AS (SELECT n.id, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS mass
+          |       FROM nodes n LEFT JOIN c3 c ON c.id = n.id)
+          |SELECT id, mass, rank FROM (
+          |  SELECT id, mass, CAST(row_number() OVER (
+          |    ORDER BY mass DESC, id) AS INT) AS rank FROM m3)
+          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
       "p7_shard_manifest" ->
         """WITH t AS (SELECT doc_id,
           |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n,
