@@ -4226,6 +4226,33 @@ object SparkEntry {
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
       "bench_topk15000" -> knnSweep(15000),
+      // Two-stage retrieve-then-rerank at bench SF: brute-force top-200
+      // candidates over the full documents table, model-reranked to 20.
+      // The retrieval dominates; the rerank adds one nq x k pass.
+      "bench_model_rerank" -> { (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.functions.TextEmbedding.encode(col("text"), 8).as("emb"))
+        val q = graft.functions.TextEmbedding
+          .encodeLocal("vector stream data engine", 8)
+        import s.implicits._
+        val hits = Knn.search(docs, Seq((0L, q)).toDF("qid", "qvec"),
+          "emb", "doc_id", "IP", 200, outputCols = Seq("text"))
+        Rerank.model(hits, "text", "stream processing pipeline",
+          idCols = Seq("doc_id"), limit = 20)
+      },
+      // Link-authority over the full customer->supplier graph (orders x
+      // lineitem edges) — 3 integer-mass iterations; cost = 3 equi-join
+      // + hash-agg rounds over the edge relation.
+      "bench_link_rank" -> { (s, dir) =>
+        val edges = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .join(tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.pipeline.LinkRank.linkRank(edges, "src", "dst", iters = 3)
+          .orderBy(desc("mass"), col("id")).limit(50)
+      },
       // Growing-segment serving at bench SF: batched nq=10 search over
       // the shared stale-build fixture (~1% delta) — the post-DML
       // steady-state query cost WITHOUT a rebuild. The require guards

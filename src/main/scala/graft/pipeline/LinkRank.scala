@@ -28,10 +28,15 @@ import org.apache.spark.sql.DataFrame
   * Scale shape: per iteration, one equi-join of the edge relation with
   * the current mass vector and one map-side-combined groupBy(dst) sum —
   * both shuffle on the node key; no driver-side state beyond the loop
-  * counter. The logical plan grows linearly with `iters`; past ~10
-  * iterations callers should `localCheckpoint()` the returned frame (or
-  * intermediate masses) to keep planning cost flat — at the typical 3-5
-  * iterations of a quality prior it is irrelevant.
+  * counter. The edge-dedup and outdeg exchanges appear once per
+  * iteration in the LOGICAL plan but execute ONCE: AQE's runtime stage
+  * reuse dedupes the identical shuffle stages (ReusedExchange,
+  * plan-asserted in LinkRankSpec), so the upstream edge derivation — a
+  * potentially huge join — is not re-run per round. The logical plan
+  * still grows linearly with `iters`; past ~10 iterations callers
+  * should `localCheckpoint()` intermediate masses to keep planning
+  * cost flat — at the typical 3-5 iterations of a quality prior it is
+  * irrelevant.
   *
   * Overflow: total mass never exceeds nodes · initMass (folding only
   * moves or destroys mass), so contributions stay below

@@ -172,6 +172,24 @@ class RerankSpec extends SparkSpec {
     assert(out.head == 1L, s"exact text match must rank first: ${out.toSeq}")
   }
 
+  test("hybrid function-score pool fetch is a broadcast join, never a shuffle of the base") {
+    import graft.operators.HybridSearch._
+    val base = spark.range(0, 10000).selectExpr("id AS vec_id",
+      "array(cast(id % 7 as float), cast(id % 11 as float)) AS embedding",
+      "cast(id as double) AS ts")
+    val q = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val out = hybridSearch(base,
+      Seq(AnnSearchRequest(q, "embedding", "COSINE", limit = 5),
+        AnnSearchRequest(q, "embedding", "L2", limit = 5)),
+      DecayRanker("ts", "exp", origin = 0.0, scale = 100.0),
+      idCol = "vec_id", limit = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate pool must broadcast against the base:\n$plan")
+    assert(out.count() == 5)
+  }
+
   test("rerank over a real Knn result carries output columns through") {
     val emb = Seq(
       (1L, Seq(1f, 0f), 10.0),

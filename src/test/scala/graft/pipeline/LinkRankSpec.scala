@@ -45,6 +45,22 @@ class LinkRankSpec extends SparkSpec {
     }
   }
 
+  test("runtime plan reuses the edge exchange across iterations (no per-iter rescan)") {
+    val edges = spark.range(0, 5000).selectExpr(
+      "id % 97 AS s", "(id * 31) % 89 AS d")
+    val df = LinkRank.linkRank(edges, "s", "d", iters = 3)
+    df.collect(): Unit // AQE reuses identical shuffle stages at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"),
+      "expected the executed adaptive plan")
+    val reused = "ReusedExchange".r.findAllIn(plan).length +
+      "ReusedQueryStage".r.findAllIn(plan).length
+    assert(reused >= 3,
+      s"iterations must reuse the deduped edge/outdeg exchanges " +
+        s"instead of recomputing the source per round (got $reused):\n" +
+        plan.linesIterator.take(60).mkString("\n"))
+  }
+
   test("scores order like float PageRank on a hub-spoke graph") {
     // 5 spokes all link to the hub; hub links to one spoke
     val edges = (Seq((10L, 1L)) ++ (1L to 5L).map(s => (s, 10L)))
