@@ -1565,6 +1565,33 @@ object SparkEntry {
           col("fused_rank"))
         .orderBy("fused_rank")
     },
+    // ---- V47: decay ranker on the COLLECTION route: the leg serves
+    // from the declared IVF index at full probe (exact, deterministic
+    // pool), the linear curve over the stored ts field orders it —
+    // transcendental-free, so engine and oracle match exactly. --------
+    "v47_collection_decay" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v47").toString)
+      val c = cat.createCollection(CollectionDef("dcy", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)),
+        FieldDef("ts", LongType))))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (col("vec_id") * 10L).as("ts")))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "8")))
+      val q0 = vecOf(s, dir, 0)
+      HybridSearch.hybridSearchCollection(s, c,
+        Seq(CollectionAnnRequest(Seq("q0" -> q0), "embedding", limit = 10,
+          params = Map("nprobe" -> "8"))),
+        HybridSearch.DecayRanker("ts", "linear", origin = 0.0,
+          scale = 1000.0),
+        limit = 5)
+        .select(col("vec_id"),
+          round(col("fused_score"), 6).as("fused_score"), col("fused_rank"))
+        .orderBy("fused_rank")
+    },
     // ---- S42: alter_function (feature-inventory §6 lifecycle triple):
     // re-parameterize the bound TEXT_EMBEDDING from dim 4 to dim 8 —
     // served vectors re-derive at the new dim immediately (function
@@ -3762,6 +3789,21 @@ object SparkEntry {
           epoch = 2, binsPerShard = 4, out)
         .orderBy("bin", "doc_id")
     },
+    // ---- P17: hard-negative mining (contrastive-training data prep):
+    // per query, the strongest corpus candidates that are neither the
+    // query row nor a known positive — self + 2 positives per query
+    // here, overfetch-exact at the k boundary (MiningSpec pins the
+    // under-fill case). ------------------------------------------------
+    "p17_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val pos = Seq(0L, 1L, 2L)
+        .flatMap(q => Seq((q, q + 10L), (q, q + 20L)))
+        .toDF("qid", "vec_id")
+      graft.pipeline.Mining.hardNegatives(tbl(s, dir, "embeddings"),
+          queryDf(s, dir, Seq(0, 1, 2)), pos, "embedding", "vec_id",
+          metric = "L2", k = 5)
+        .select("qid", "vec_id", "rank").orderBy("qid", "rank")
+    },
     // ---- P16: link-authority quality prior (integer mass propagation
     // — deterministic PageRank variant; LinkRank scaladoc). Graph =
     // customer -> supplier edges via orders x lineitem (supplier ids
@@ -5843,6 +5885,26 @@ object SparkEntry {
            |  SELECT vec_id, sc, CAST(row_number() OVER (
            |    ORDER BY sc DESC, vec_id) AS INT) AS fused_rank FROM scored)
            |WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
+      // Collection-route decay: exact full-probe L2 top-10 pool, then
+      // the linear curve over ts = vec_id*10 (s = scale/(1-decay) =
+      // 2000, written in the same form the engine folds on the driver).
+      "v47_collection_decay" ->
+        s"""WITH hits AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, CAST(row_number() OVER (
+           |      ORDER BY list_distance(embedding::DOUBLE[], $q0), vec_id) AS INT) AS r
+           |    FROM embeddings) WHERE r <= 10
+           |), scored AS (
+           |  SELECT vec_id, greatest(0.0,
+           |    ((1000.0 / (1.0 - 0.5)) - greatest(0.0,
+           |       abs((vec_id * 10)::DOUBLE - 0.0) - 0.0))
+           |      / (1000.0 / (1.0 - 0.5))) AS sc
+           |  FROM hits
+           |)
+           |SELECT vec_id, round(sc, 6) AS fused_score, fused_rank FROM (
+           |  SELECT vec_id, sc, CAST(row_number() OVER (
+           |    ORDER BY sc DESC, vec_id) AS INT) AS fused_rank FROM scored)
+           |WHERE fused_rank <= 5 ORDER BY fused_rank""".stripMargin,
       // Two L2 legs (different query texts) pool candidates; the model
       // ranker's integer dot against the refinement text decides.
       "v46_hybrid_model" ->
@@ -7476,6 +7538,19 @@ object SparkEntry {
       // order -> exclusive cumsum -> bin explode -> span + bin-offset
       // arithmetic -> shard grouping) restated as one window over the
       // same deterministic order.
+      // Exact per-query ranking with the self row and the two
+      // positives (qid+10, qid+20) excluded BEFORE ranking.
+      "p17_hard_negatives" ->
+        """SELECT qid, vec_id, rank FROM (
+          |  SELECT q.vec_id AS qid, e.vec_id,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) AS INT) AS rank
+          |  FROM embeddings e
+          |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+          |              WHERE vec_id IN (0, 1, 2)) q
+          |  WHERE e.vec_id <> q.vec_id
+          |    AND e.vec_id <> q.vec_id + 10 AND e.vec_id <> q.vec_id + 20
+          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
       // Three unrolled integer-exact iterations; `//` is DuckDB floor
       // division on BIGINT, matching the engine's `div`.
       "p16_link_rank" ->
