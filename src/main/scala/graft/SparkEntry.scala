@@ -1759,6 +1759,29 @@ object SparkEntry {
       Seq((before, readDenied, writeDenied, c.read(s).count()))
         .toDF("rows_before", "read_denied", "write_denied", "rows_after")
     },
+    // ---- S48: add_collection_field with default_value (the
+    // schema-evolution workload attaches a type-appropriate default to
+    // every added field, schema_evolution_workload.py:44-64): nation
+    // rows written BEFORE the field existed read the default; region
+    // rows inserted after carry explicit values. Defaults are virtual
+    // (read-time coalesce — no data rewrite). -------------------------
+    "s48_default_value" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s48").toString)
+      val c = cat.createCollection(CollectionDef("dfl", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      c.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      c.addField(FieldDef("priority", LongType, nullable = false,
+        defaultValue = Some("5")))
+      c.insert(s, tbl(s, dir, "region")
+        .select((col("r_regionkey") + 100L).as("n_nationkey"),
+          col("r_name").as("n_name"), col("r_regionkey").as("priority")))
+      c.read(s).groupBy("priority")
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_nationkey").cast("long").as("sum_keys"))
+        .orderBy("priority")
+    },
     // ---- S47: liveness probe (feature-inventory §7 livez_probe):
     // storage = a real write/read/delete round-trip under the catalog
     // root, metadata = registries parse, scheduler = context alive.
@@ -5967,6 +5990,17 @@ object SparkEntry {
           |  SELECT doc_id, ip, CAST(row_number() OVER (
           |    ORDER BY ip DESC, doc_id) AS INT) AS fused_rank FROM dot)
           |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
+      // Nation rows (pre-add) read the default priority 5; region
+      // rows carry their explicit r_regionkey priorities.
+      "s48_default_value" ->
+        """SELECT priority, cnt, sum_keys FROM (
+          |  SELECT CAST(r_regionkey AS BIGINT) AS priority,
+          |    CAST(1 AS BIGINT) AS cnt,
+          |    CAST(r_regionkey + 100 AS BIGINT) AS sum_keys FROM region
+          |  UNION ALL
+          |  SELECT 5, (SELECT count(*) FROM nation),
+          |    (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation)
+          |) ORDER BY priority""".stripMargin,
       "s47_livez" ->
         """SELECT component, ok FROM (VALUES
           |  ('metadata', true), ('scheduler', true), ('storage', true))

@@ -15,7 +15,8 @@ final case class FieldDef(
     autoId: Boolean = false,
     isPartitionKey: Boolean = false,
     maxLength: Option[Int] = None,
-    dim: Option[Int] = None)
+    dim: Option[Int] = None,
+    defaultValue: Option[String] = None)
 
 /** Index declaration — metadata only: the exact engine scans, and the
   * ANN module consults these to pick an accelerated path
@@ -114,6 +115,10 @@ final case class CollectionDef(
     }
     val names = fields.map(_.name)
     require(names.distinct.length == names.length, "duplicate field names")
+    fields.foreach(f => f.defaultValue.foreach { v =>
+      require(!f.isPrimary, s"primary field ${f.name} cannot have a default")
+      Collection.validateDefault(f, v)
+    })
     indexes.foreach { ix =>
       require(names.contains(ix.field),
         s"index references undeclared field ${ix.field}")

@@ -160,8 +160,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 
   def addField(f: FieldDef): Unit = {
     catalog.mutateDef(name) { d =>
-      require(f.nullable, "added fields must be nullable")
+      require(f.nullable || f.defaultValue.isDefined,
+        "added fields must be nullable or carry a default_value " +
+          "(existing rows have no stored value for them)")
       require(!d.fields.exists(_.name == f.name), s"field ${f.name} exists")
+      f.defaultValue.foreach(Collection.validateDefault(f, _))
       d.copy(fields = d.fields :+ f)
     }
     refreshCachedSchema()
@@ -1523,7 +1526,19 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       out = out.filter(col(f).isNull || col(f) > lit(now))
     }
     val derived = functionOutputColumns(d)
-    out.select(outCols.map(c => derived.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    // default_value fill (add_collection_field semantics,
+    // schema_evolution_workload.py:44-64: every added field carries a
+    // type-appropriate default): a null — whether from a row written
+    // BEFORE the field existed, or a batch that omitted it — reads as
+    // the default. Defaults are VIRTUAL (read-time coalesce, no data
+    // rewrite), which is what lets an add-field-with-default
+    // retro-apply to committed rows for free; the trade is that a
+    // filter on a defaulted field evaluates above the coalesce rather
+    // than pushing to the scan.
+    val defaults = d.fields.flatMap(f => f.defaultValue.map(v =>
+      f.name -> coalesce(col(f.name), lit(v).cast(f.dataType)))).toMap
+    out.select(outCols.map(c => derived.get(c).map(_.as(c))
+      .orElse(defaults.get(c).map(_.as(c))).getOrElse(col(c))): _*)
   }
 
   /** Fold all deltas into a single base delta (bounds read
@@ -1860,7 +1875,10 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       if (present.contains(f.name))
         Some(col(f.name).cast(f.dataType).as(f.name))
       else if (f.isPrimary && allowMissingPk) None
-      else if (f.nullable) Some(lit(null).cast(f.dataType).as(f.name))
+      // A defaulted field may be omitted even when non-nullable: the
+      // stored null reads back as the default (assemble's coalesce).
+      else if (f.nullable || f.defaultValue.isDefined)
+        Some(lit(null).cast(f.dataType).as(f.name))
       else throw new IllegalArgumentException(
         s"missing non-nullable column ${f.name}")
     }
@@ -2006,6 +2024,31 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
 }
 
 object Collection {
+  /** Fail a malformed default at DECLARATION time — a bad literal
+    * surfacing as a null-producing cast on the first read would read
+    * as "no default". Defaults are restricted to atomic types (the
+    * reference's schema-evolution workload uses ""/0/0.0/false).
+    */
+  private[store] def validateDefault(f: FieldDef, v: String): Unit = {
+    import org.apache.spark.sql.types._
+    def ok(parse: => Any): Unit =
+      try { parse; () } catch {
+        case _: IllegalArgumentException | _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"default_value '$v' does not parse as ${f.dataType.simpleString} " +
+              s"for field ${f.name}")
+      }
+    f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ok(v.toLong)
+      case DoubleType | FloatType => ok(v.toDouble)
+      case BooleanType => ok(v.toBoolean)
+      case StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"default_value is only supported on atomic types, " +
+          s"not ${other.simpleString} (field ${f.name})")
+    }
+  }
+
   // One compaction at a time per collection DIRECTORY (not instance:
   // catalog.collection(name) hands out fresh instances over the same
   // storage).

@@ -32,7 +32,8 @@ private[store] object MetaJson {
         ("autoId" -> f.autoId) ~
         ("isPartitionKey" -> f.isPartitionKey) ~
         ("maxLength" -> f.maxLength) ~
-        ("dim" -> f.dim)
+        ("dim" -> f.dim) ~
+        ("defaultValue" -> f.defaultValue)
       }) ~
       ("indexes" -> d.indexes.map { ix =>
         ("field" -> ix.field) ~
@@ -62,7 +63,8 @@ private[store] object MetaJson {
         autoId = (fj \ "autoId").extract[Boolean],
         isPartitionKey = (fj \ "isPartitionKey").extract[Boolean],
         maxLength = (fj \ "maxLength").extractOpt[Int],
-        dim = (fj \ "dim").extractOpt[Int])
+        dim = (fj \ "dim").extractOpt[Int],
+        defaultValue = (fj \ "defaultValue").extractOpt[String])
     }
     val indexes = (j \ "indexes").extract[Seq[JValue]].map { ij =>
       IndexDef(

@@ -1186,6 +1186,51 @@ class StoreSpec extends SparkSpec {
     assert(c.read(s).count() == 3)
   }
 
+  test("default_value: add-field retro-applies, omitted inserts fill, explicit values win") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("dfv"))
+    c.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    // add_collection_field with a default: rows written BEFORE the
+    // field existed read the default (the workload's add-field shape)
+    c.addField(FieldDef("score", LongType, nullable = false,
+      defaultValue = Some("7")))
+    assert(c.read(s).select("id", "score").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 7L, 2L -> 7L))
+    // a batch OMITTING the defaulted (non-nullable!) field is accepted
+    c.insert(s, Seq((3L, 30L, "c", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    // a batch providing it keeps its explicit value
+    c.insert(s, Seq((4L, 40L, "d", 0L, 99L))
+      .toDF("id", "category", "content", "version", "score")): Unit
+    assert(c.read(s).select("id", "score").as[(Long, Long)]
+      .collect().toMap ==
+      Map(1L -> 7L, 2L -> 7L, 3L -> 7L, 4L -> 99L))
+    // filters see the default (a query on the added field works)
+    assert(c.query(s, "score == 7").count() == 3)
+    // survives the catalog round-trip and a compaction
+    assert(new Catalog(cat.root).describeCollection("dfv")
+      .fields.find(_.name == "score").flatMap(_.defaultValue)
+      .contains("7"))
+    c.compact(s)
+    assert(c.read(s).filter($"id" === 3L).select("score").as[Long]
+      .head() == 7L)
+    // validation: bad literal, non-atomic type, defaultless
+    // non-nullable add, primary-key default
+    intercept[IllegalArgumentException](c.addField(
+      FieldDef("bad", LongType, defaultValue = Some("zero"))))
+    intercept[IllegalArgumentException](c.addField(
+      FieldDef("bad", org.apache.spark.sql.types.ArrayType(LongType),
+        defaultValue = Some("[]"))))
+    intercept[IllegalArgumentException](c.addField(
+      FieldDef("bad", LongType, nullable = false)))
+    intercept[IllegalArgumentException](cat.createCollection(
+      CollectionDef("dfv2", Seq(FieldDef("id", LongType,
+        nullable = false, isPrimary = true, defaultValue = Some("1"))))))
+  }
+
   test("vacuumStaging sweeps only OLD crash debris; reads never see staging dirs") {
     val s = spark
     import s.implicits._
