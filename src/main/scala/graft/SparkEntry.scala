@@ -3704,6 +3704,20 @@ object SparkEntry {
     // classifier stage, fastText stand-in): train on the full labeled
     // corpus, classify a slice. logp rounded at 6 (log-space double
     // noise ~1e-10 across engines' sum orders).
+    // ---- T17: corpus-scale phrase tagging (topic/safety keyword
+    // lists): which phrases occur in each document as analyzed token
+    // runs — mixed 1/2/3-word patterns, distinct per doc, counted per
+    // tag. Pure codegen projection (n-grams only for the lengths the
+    // list uses, membership against driver-constant sets). -----------
+    "t27_phrase_tags" -> { (s, dir) =>
+      val phrases = Seq("hash join", "table scan", "batch window",
+        "spark", "key agg row")
+      tbl(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(explode(graft.text.TextOps.tagPhrases(col("text"),
+          phrases)).as("tag"))
+        .groupBy("tag").agg(count(lit(1)).as("docs"))
+        .orderBy("tag")
+    },
     "t16_nb_classify" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
       val m = graft.text.NaiveBayes.train(docs, "text", "lang", k = 1.0)
@@ -7462,6 +7476,28 @@ object SparkEntry {
       // NB-classifier oracle: DuckDB retrains the same add-1 counts
       // model (priors, per-label token totals, training vocab V) and
       // rescores with the same tie-break.
+      // N-grams re-derived with 1-based list_transform windows; short
+      // docs fall out naturally (range with stop <= start is empty).
+      "t27_phrase_tags" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |    x -> x <> '') AS t
+          |  FROM documents WHERE doc_id < 300),
+          |grams AS (
+          |  SELECT doc_id,
+          |    t || list_transform(range(1, len(t)),
+          |           i -> t[i] || ' ' || t[i+1])
+          |      || list_transform(range(1, len(t) - 1),
+          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+          |  FROM toks),
+          |m AS (
+          |  SELECT doc_id, unnest(list_distinct(list_filter(g, x ->
+          |    list_contains(['hash join', 'table scan', 'batch window',
+          |                   'spark', 'key agg row'], x)))) AS tag
+          |  FROM grams)
+          |SELECT tag, count(*) AS docs FROM m
+          |GROUP BY tag ORDER BY tag""".stripMargin,
       "t16_nb_classify" ->
         """WITH tok AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x->x<>'') AS ts FROM documents),
           |tr AS (SELECT lang AS label, unnest(ts) AS token FROM tok),

@@ -125,6 +125,52 @@ object TextOps {
     * common-subexpression elimination across lambda bodies (measured
     * ~9x slower on the sf0.1 corpus).
     */
+  /** Multi-word phrase tagging at corpus scale — the topic/safety
+    * tagging stage of curation pipelines (phrase blocklists, taxonomy
+    * keyword lists): which of `phrases` occur in each document, as
+    * token sequences under the standard analyzer (so punctuation and
+    * case differences don't break matches, same rule as PHRASE_MATCH).
+    *
+    * Scale shape: the phrase list is grouped by word count on the
+    * driver, the document generates its token n-grams ONLY for the
+    * lengths that actually occur in the list, and membership is an
+    * `isin` against the driver-constant phrase set per length — pure
+    * codegen projection, no join, no shuffle, corpus read once. Fits
+    * phrase lists up to the usual blocklist/taxonomy sizes (thousands);
+    * a list too big to inline belongs in [[C4Filters.blocklistFilter]]
+    * -style broadcast-join territory.
+    *
+    * @return ARRAY<STRING> of the distinct matched phrases (normalized
+    *         form), sorted — empty array when nothing matches
+    */
+  def tagPhrases(c: Column, phrases: Seq[String]): Column = {
+    val normalized = phrases.map(_.toLowerCase
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).distinct
+    require(normalized.nonEmpty, "phrase list must contain a non-empty phrase")
+    val byLen = normalized.groupBy(_.length)
+    val toks = Analyzer.standard(c)
+    val perLen = byLen.toSeq.sortBy(_._1).map { case (n, ps) =>
+      val set = ps.map(_.mkString(" "))
+      val grams =
+        if (n == 1) toks
+        else {
+          // n-grams via index transform: join tokens i..i+n-1. The
+          // short-doc guard matters: sequence(0, negative) counts DOWN
+          // in Spark, it is not empty.
+          val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+            .otherwise(array().cast("array<int>"))
+          transform(idx, i =>
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(toks, (i + j + 1).cast("int"))): _*))
+        }
+      array_distinct(filter(grams, g => g.isin(set: _*)))
+    }
+    // null text tags as empty, not null — taggers feed filters
+    coalesce(array_sort(array_distinct(
+      perLen.reduce((a, b) => concat(a, b)))), array().cast("array<string>"))
+  }
+
   def shingles(c: Column, n: Int): Column =
     element_at(
       transform(array(Analyzer.standard(c)), t => {

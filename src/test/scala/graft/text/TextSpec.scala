@@ -357,4 +357,39 @@ class TextSpec extends SparkSpec {
     val plan = batch.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("tagPhrases matches multi-word phrases as analyzed token runs") {
+    val s = spark
+    import s.implicits._
+    val phrases = Seq("machine learning", "Deep Learning", "spark",
+      "large language model")
+    val docs = Seq(
+      (1L, "Machine Learning, and deep-learning too"),
+      (2L, "a large   LANGUAGE model beats a small one"),
+      (3L, "sparkling water"), // 'spark' must not match inside a token
+      (4L, "learning machine"), // order matters
+      (5L, "spark spark spark"), // distinct
+      (6L, null.asInstanceOf[String]),
+      (7L, "ml")).toDF("id", "text")
+    val out = docs.select(col("id"),
+        graft.text.TextOps.tagPhrases(col("text"), phrases).as("tags"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("deep learning", "machine learning"),
+      out(1L).toString) // punctuation/case/hyphen-normalized, sorted
+    assert(out(2L) == Seq("large language model"))
+    assert(out(3L) == Seq.empty)
+    assert(out(4L) == Seq.empty)
+    assert(out(5L) == Seq("spark"))
+    assert(out(6L) == Seq.empty, "null text tags empty")
+    assert(out(7L) == Seq.empty)
+    // short-doc guard: a 1-token doc against a 3-word phrase is empty,
+    // not a descending-sequence artifact
+    val short = Seq((1L, "model")).toDF("id", "text")
+      .select(graft.text.TextOps.tagPhrases(col("text"),
+        Seq("large language model")).as("t"))
+      .as[Seq[String]].head()
+    assert(short == Seq.empty)
+    intercept[IllegalArgumentException](
+      graft.text.TextOps.tagPhrases(col("text"), Seq("  ")))
+  }
 }
