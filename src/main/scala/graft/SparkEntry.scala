@@ -1782,6 +1782,32 @@ object SparkEntry {
           sum("n_nationkey").cast("long").as("sum_keys"))
         .orderBy("priority")
     },
+    // ---- S49: cold backup/restore (the DR complement of snapshot +
+    // replica-promote): a folded consistent copy + full definition
+    // restores into a DIFFERENT catalog root as one delta; tombstoned
+    // rows never travel. Counts re-derived from the orders slice. ------
+    "s49_backup_restore" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s49a").toString)
+      val cat2 = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s49b").toString)
+      val c = cat.createCollection(CollectionDef("bk", Seq(
+        FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("o_custkey", LongType))))
+      c.insert(s, tbl(s, dir, "orders")
+        .filter(col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_custkey"))
+      c.delete(s, "o_orderkey % 10 == 0")
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft-s49d").toString
+      val backed = c.backupTo(s, dest)
+      val r = cat2.restoreBackup(s, dest, "bk_dr")
+      val st = r.read(s).agg(count(lit(1)).as("rows"),
+        sum("o_orderkey").cast("long").as("sum_pk")).head()
+      Seq((backed, st.getLong(0), st.getLong(1), c.listSnapshots().isEmpty))
+        .toDF("backed", "rows", "sum_pk", "unpinned")
+    },
     // ---- S47: liveness probe (feature-inventory §7 livez_probe):
     // storage = a real write/read/delete round-trip under the catalog
     // root, metadata = registries parse, scheduler = context alive.
@@ -6004,6 +6030,14 @@ object SparkEntry {
           |  SELECT doc_id, ip, CAST(row_number() OVER (
           |    ORDER BY ip DESC, doc_id) AS INT) AS fused_rank FROM dot)
           |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
+      // Visible (non-tombstoned) slice re-derived; `unpinned` is the
+      // engine-internal backups-don't-pin assertion (pinned TRUE).
+      "s49_backup_restore" ->
+        """SELECT count(*) AS backed, count(*) AS rows,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_pk,
+          |  true AS unpinned
+          |FROM orders
+          |WHERE o_orderkey < 5000 AND o_orderkey % 10 <> 0""".stripMargin,
       // Nation rows (pre-add) read the default priority 5; region
       // rows carry their explicit r_regionkey priorities.
       "s48_default_value" ->

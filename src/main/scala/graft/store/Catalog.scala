@@ -418,6 +418,31 @@ final class Catalog(val root: String) {
   private def writeUsers(m: Map[String, Map[String, String]]): Unit =
     usersFile.writeBytes(MetaJson.writeUsers(m).getBytes)
 
+  /** Restore a [[Collection.backupTo]] backup as `newName` (possibly
+    * in a different catalog — the cold-DR path). The full definition
+    * round-trips: indexes come back DECLARED and rebuild lazily on
+    * first indexed access, functions re-bind (their outputs recompute
+    * at read), rows land in their recorded partitions as one delta.
+    */
+  def restoreBackup(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, newName: String): Collection = {
+    val src = StorePath(srcDir)
+    val metaFile = src.resolve("backup_meta.json")
+    require(metaFile.exists, s"no backup at $srcDir")
+    val meta = MetaJson.read(new String(metaFile.readBytes))
+    // Operational fences are state of the SOURCE deployment, not
+    // schema: a backup of a demoted/revoked collection must restore
+    // writable (restoring IS the recovery).
+    val d = meta.d.copy(name = newName,
+      properties = meta.d.properties - "cdc.standby" - "access.revoked")
+    val c = createCollection(d)
+    val rows = spark.read.parquet(src.resolve("data").toString)
+      .withColumn("_op", org.apache.spark.sql.functions.lit("upsert"))
+      .withColumn("_seq", org.apache.spark.sql.functions.lit(0L))
+    c.restoreFrom(spark, rows): Unit
+    c
+  }
+
   /** Replication topology report (feature-inventory §7
     * `replicate_configuration_probe` / GetReplicateConfiguration): one
     * row per collection — write role (`primary`, or `standby` once

@@ -552,6 +552,40 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     assemble(spark, Seq.empty, None, None, deltaOverride = Some(paths))
   }
 
+  /** Cold backup (the DR complement of the hot path — snapshots pin,
+    * replicas fail over, THIS survives losing the whole catalog root):
+    * writes `backup_meta.json` (the full definition: fields, indexes,
+    * functions, properties, seq) plus ONE folded parquet copy of the
+    * visible rows with their partition placement, under `destDir`.
+    * Consistency comes from a snapshot taken for the duration of the
+    * copy (dropped afterward — backups don't pin storage); the data
+    * copy is a distributed write of the merged read, so the backup is
+    * compact (no tombstones, no superseded versions) and restores in
+    * one delta regardless of the source's delta-chain length.
+    * Function outputs are not copied — they are virtual columns and
+    * recompute on the restored collection. Returns the row count.
+    */
+  def backupTo(spark: SparkSession, destDir: String): Long = {
+    val id = createSnapshot()
+    try {
+      val dest = StorePath(destDir)
+      dest.createDirectories()
+      dest.resolve("backup_meta.json").writeBytes(
+        MetaJson.write(catalog.readMeta(name)).getBytes)
+      val d = definition
+      val stored = d.fields.filterNot(f =>
+        d.functionOutputFields.contains(f.name)).map(_.name) ++
+        (if (d.enableDynamicField) Seq(DYN) else Nil) :+ PART
+      val paths = snapshotDeltaNames(id).map(dataDir.resolve)
+      val out = dest.resolve("data").toString
+      assemble(spark, Seq.empty, None, None, keepInternals = true,
+          deltaOverride = Some(paths))
+        .select(stored.map(col): _*)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).count()
+    } finally dropSnapshot(id)
+  }
+
   private def snapshotDeltaNames(id: Long): Seq[String] =
     new String(snapshotFile(id).readBytes).split("\n").toSeq.filter(_.nonEmpty)
 

@@ -1231,6 +1231,52 @@ class StoreSpec extends SparkSpec {
         nullable = false, isPrimary = true, defaultValue = Some("1"))))))
   }
 
+  test("backup/restore round-trips data, partitions, schema, indexes, functions") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("bk", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("category", LongType),
+      FieldDef("content", StringType)),
+      partitions = Seq("p0", "p1")))
+    c.insert(s, Seq((1L, 10L, "hello world"), (2L, 20L, "spark engine"))
+      .toDF("id", "category", "content"), partition = Some("p0")): Unit
+    c.insert(s, Seq((3L, 30L, "third doc"))
+      .toDF("id", "category", "content"), partition = Some("p1")): Unit
+    c.delete(s, "id == 2") // tombstone must NOT travel into the backup
+    c.createIndex(IndexDef("category", "INVERTED"))
+    c.addFunction(FunctionDef("fts", "BM25", Seq("content"), Seq("sparse")))
+    val dest = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    assert(c.backupTo(s, dest) == 2L, "visible rows only")
+    // backups don't pin storage
+    assert(c.listSnapshots().isEmpty)
+    // restore into a DIFFERENT catalog root (the DR shape)
+    val cat2 = freshCatalog()
+    val r = cat2.restoreBackup(s, dest, "bk_restored")
+    assert(r.read(s).select("id", "category").as[(Long, Long)]
+      .collect().sorted.toSeq == Seq((1L, 10L), (3L, 30L)))
+    // partition placement survived: scoped reads prune correctly
+    assert(r.query(s, "", partitionNames = Seq("p0")).count() == 1)
+    assert(r.query(s, "", partitionNames = Seq("p1")).count() == 1)
+    // schema extras round-tripped: index declared, function serves
+    assert(r.listIndexes().map(_.field) == Seq("category"))
+    assert(r.read(s).columns.contains("sparse"))
+    assert(r.read(s).filter($"id" === 1L).select("sparse")
+      .head().getMap[Int, Double](0).size == 2)
+    // the restored collection is independent and writable
+    r.insert(s, Seq((9L, 90L, "post-restore"))
+      .toDF("id", "category", "content"), partition = Some("p0")): Unit
+    assert(r.read(s).count() == 3 && c.read(s).count() == 2)
+    // a fenced source restores writable
+    cat.alterCollectionProperties("bk", Map("access.revoked" -> "true"))
+    intercept[IllegalArgumentException](c.read(s).count())
+    val r2 = cat2.restoreBackup(s, dest, "bk2")
+    assert(r2.read(s).count() == 2)
+    intercept[IllegalArgumentException](
+      cat2.restoreBackup(s, dest + "/nope", "x"))
+  }
+
   test("vacuumStaging sweeps only OLD crash debris; reads never see staging dirs") {
     val s = spark
     import s.implicits._
