@@ -1808,6 +1808,39 @@ object SparkEntry {
       Seq((backed, st.getLong(0), st.getLong(1), c.listSnapshots().isEmpty))
         .toDF("backed", "rows", "sum_pk", "unpinned")
     },
+    // ---- S50: full + incremental backup chain (point-in-time
+    // recovery): full backup, then the post-backup change-feed window
+    // dumped to parquet; DR = restore the full + applyFeed the
+    // increment — final state equals the source, re-derived by the
+    // oracle from the same nation/region slices. ----------------------
+    "s50_incremental_backup" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s50a").toString)
+      val cat2 = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-s50b").toString)
+      val src = cat.createCollection(CollectionDef("ib", Seq(
+        FieldDef("n_nationkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("n_name", StringType))))
+      src.insert(s, tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+      val full = java.nio.file.Files
+        .createTempDirectory("graft-s50f").toString
+      val backed = src.backupTo(s, full)
+      val cursor = src.committedSeq
+      src.delete(s, "n_nationkey < 3")
+      src.insert(s, tbl(s, dir, "region")
+        .select((col("r_regionkey") + 100L).as("n_nationkey"),
+          col("r_name").as("n_name")))
+      val inc = java.nio.file.Files
+        .createTempDirectory("graft-s50i").toString
+      src.changeFeed(s, cursor).write.mode("overwrite").parquet(inc)
+      val r = cat2.restoreBackup(s, full, "ib_dr")
+      val applied = r.applyFeed(s, s.read.parquet(inc))
+      val st = r.read(s).agg(count(lit(1)).as("rows"),
+        sum("n_nationkey").cast("long").as("sum_keys")).head()
+      Seq((backed, applied, st.getLong(0), st.getLong(1)))
+        .toDF("backed", "applied", "rows", "sum_keys")
+    },
     // ---- S47: liveness probe (feature-inventory §7 livez_probe):
     // storage = a real write/read/delete round-trip under the catalog
     // root, metadata = registries parse, scheduler = context alive.
@@ -6030,6 +6063,18 @@ object SparkEntry {
           |  SELECT doc_id, ip, CAST(row_number() OVER (
           |    ORDER BY ip DESC, doc_id) AS INT) AS fused_rank FROM dot)
           |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin,
+      // Full-backup count + window size + final recovered state, all
+      // re-derived from the nation/region slices the chain replays.
+      "s50_incremental_backup" ->
+        """SELECT (SELECT count(*) FROM nation) AS backed,
+          |  (SELECT count(*) FROM nation WHERE n_nationkey < 3)
+          |    + (SELECT count(*) FROM region) AS applied,
+          |  (SELECT count(*) FROM nation WHERE n_nationkey >= 3)
+          |    + (SELECT count(*) FROM region) AS rows,
+          |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+          |     WHERE n_nationkey >= 3)
+          |    + (SELECT CAST(sum(r_regionkey + 100) AS BIGINT) FROM region)
+          |    AS sum_keys""".stripMargin,
       // Visible (non-tombstoned) slice re-derived; `unpinned` is the
       // engine-internal backups-don't-pin assertion (pinned TRUE).
       "s49_backup_restore" ->

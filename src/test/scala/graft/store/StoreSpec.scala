@@ -1277,6 +1277,39 @@ class StoreSpec extends SparkSpec {
       cat2.restoreBackup(s, dest + "/nope", "x"))
   }
 
+  test("incremental backup: feed window round-trips through parquet into applyFeed") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val cat2 = freshCatalog()
+    val src = cat.createCollection(simpleDef("ib"))
+    src.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    // full backup + cursor
+    val full = java.nio.file.Files.createTempDirectory("graft-ibf").toString
+    src.backupTo(s, full): Unit
+    val cursor = src.committedSeq
+    // post-backup window: update, delete, insert
+    src.upsert(s, Seq((2L, 21L, "b2", 1L))
+      .toDF("id", "category", "content", "version")): Unit
+    src.delete(s, "id == 1")
+    src.insert(s, Seq((3L, 30L, "c", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    // incremental = the feed window dumped to parquet (survives the
+    // file round-trip: _op/_seq/_part are plain columns)
+    val inc = java.nio.file.Files.createTempDirectory("graft-ibi").toString
+    src.changeFeed(s, cursor).write.mode("overwrite").parquet(inc)
+    // DR: restore the full backup, then apply the increment
+    val r = cat2.restoreBackup(s, full, "ib_dr")
+    assert(r.read(s).count() == 2, "full backup state first")
+    val applied = r.applyFeed(s, s.read.parquet(inc))
+    assert(applied == 3)
+    def snap(c: Collection) = c.read(s)
+      .select("id", "category", "content")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap(r) == snap(src), "restored + increment == source")
+  }
+
   test("vacuumStaging sweeps only OLD crash debris; reads never see staging dirs") {
     val s = spark
     import s.implicits._
