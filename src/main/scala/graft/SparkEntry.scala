@@ -1474,6 +1474,38 @@ object SparkEntry {
         .orderBy(desc("ip"), col("doc_id"), col("chunk_id"))
         .limit(20)
     },
+    // ---- V48: genuine HNSW graph index (per-SEGMENT hierarchical
+    // graphs built in-task, beam-searched in parallel, exact global
+    // merge — the Milvus sealed-segment execution model; deterministic
+    // by construction: hash levels, id-ordered insertion, (dist, id)
+    // tie-breaks). Exact entry: ef >= segment size switches every
+    // segment to its brute-force fallback, so the merged result IS the
+    // true top-10. ----------------------------------------------------
+    "v48_hnsw_exact" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+        metric = "L2")
+      val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
+        segments = 4)
+      graft.ann.Hnsw.search(g, Seq(("q7", vecOf(s, dir, 7))), "vec_id",
+          k = 10, ef = 100000, p)
+        .orderBy("rank").select("vec_id")
+    },
+    // ---- V48 recall: the OPERATING point (beam ef=32, m=8, two
+    // segments) — invariant bound like v25/v36; the deterministic
+    // build measures 1.0 here, pinned at >= 0.9. ----------------------
+    "v48_hnsw_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+        metric = "L2")
+      val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
+        segments = 2)
+      val queries = Seq(0L, 7L, 42L).map(i => (i, vecOf(s, dir, i.toInt)))
+      val recall = graft.ann.Hnsw.recallAtK(emb, g, queries,
+        "embedding", "vec_id", k = 10, ef = 32, p)
+      Seq(Tuple1(recall >= 0.9)).toDF("recall_ok")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -4364,6 +4396,18 @@ object SparkEntry {
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
       "bench_topk15000" -> knnSweep(15000),
+      // HNSW segment-graph build + batched beam search at bench SF
+      // (the bench_ivf_build_search counterpart for the graph family).
+      "bench_hnsw_build_search" -> { (s, dir) =>
+        val emb = tbl(s, dir, "embeddings")
+        val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+          metric = "L2")
+        val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
+          segments = 8)
+        val queries = (0 until 10).map(i =>
+          (s"q$i", vecOf(s, dir, i)))
+        graft.ann.Hnsw.search(g, queries, "vec_id", k = 10, ef = 64, p)
+      },
       // Two-stage retrieve-then-rerank at bench SF: brute-force top-200
       // candidates over the full documents table, model-reranked to 20.
       // The retrieval dominates; the rerank adds one nq x k pass.
@@ -5489,6 +5533,16 @@ object SparkEntry {
       // ADC estimator costs no recall beyond cell misses. Exactness of
       // the machinery is independently verified by v25_sq8_exact.
       "v25_sq8_recall" ->
+        "SELECT true AS recall_ok",
+      // GENUINE exact oracle: every segment on its brute-force
+      // fallback merges to the true global top-k.
+      "v48_hnsw_exact" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(7)}), vec_id
+           |LIMIT 10""".stripMargin,
+      // INVARIANT BOUND (v25/v36 status): graph-walk recall >= 0.9 at
+      // the beam operating point; exactness is pinned by v48_hnsw_exact.
+      "v48_hnsw_recall" ->
         "SELECT true AS recall_ok",
       "v36_pq_recall" ->
         "SELECT true AS recall_ok",

@@ -56,12 +56,15 @@ object CollectionSearch {
     val pqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_PQ")
     // HNSW / DISKANN declarations serve from the IVF physical path:
-    // a per-query graph walk is a serial-machine shape with no
-    // data-parallel analog, and the Spark-native equivalent of "skip
-    // most of the data per query" is cell-pruned search — so their
-    // create_index calls still get accelerated serving (AUTOINDEX
-    // semantics), with `ef`/`search_list_size` accepted as the probe
-    // budget (workload.py:141-147 maps per-type search params).
+    // cell-pruned search is the Spark shape whose persisted layout
+    // already carries the partition level and the sealed/growing delta
+    // discipline, so declared-index serving stays on it, with
+    // `ef`/`search_list_size` accepted as the probe budget
+    // (workload.py:141-147 maps per-type search params). A GENUINE
+    // segment-graph HNSW exists as a first-class operator
+    // (graft.ann.Hnsw — per-segment graphs beam-searched in parallel,
+    // v48 entries); routing declared HNSW through it would need the
+    // graph builds wired into IndexStore's freshness/delta machinery.
     val ivfDeclared = !rabitqDeclared && !sq8Declared && !pqDeclared &&
       index.exists(ix =>
         ix.indexType.toUpperCase.startsWith("IVF") ||
