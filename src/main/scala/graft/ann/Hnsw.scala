@@ -124,10 +124,15 @@ object Hnsw {
     */
   private final class LocalGraph(
       val ids: Array[Long], val vecs: Array[Array[Double]],
-      p: Params) {
+      p: Params, providedLevels: Array[Int] = null) {
     private val dist = distFn(p.metric)
     val n: Int = ids.length
-    val levels: Array[Int] = Array.tabulate(n)(i => levelOf(ids(i), p.m, p.seed))
+    // Search over a persisted graph adopts the PERSISTED levels — the
+    // walk must match the graph that was built, not whatever (m, seed)
+    // the caller passed; only `metric` matters at search time.
+    val levels: Array[Int] =
+      if (providedLevels != null) providedLevels
+      else Array.tabulate(n)(i => levelOf(ids(i), p.m, p.seed))
     // nbrs(i)(l): neighbor local indices of node i at layer l
     val nbrs: Array[Array[mutable.ArrayBuffer[Int]]] =
       Array.tabulate(n)(i =>
@@ -286,11 +291,14 @@ object Hnsw {
         val nodes = it.toArray.sortBy(_.id)
         val ids = nodes.map(_.id)
         val idx = ids.zipWithIndex.toMap
-        val g = new LocalGraph(ids, nodes.map(_.vec.toArray), params)
-        // adopt the persisted adjacency (no rebuild)
+        // adopt the persisted levels + adjacency (no rebuild; the
+        // caller's m/efC/seed are irrelevant to the walk — a mismatch
+        // must not silently truncate the graph)
+        val g = new LocalGraph(ids, nodes.map(_.vec.toArray), params,
+          providedLevels = nodes.map(_.level))
         nodes.zipWithIndex.foreach { case (nd, i) =>
           nd.nbrs.zipWithIndex.foreach { case (ns, l) =>
-            if (l < g.nbrs(i).length) g.nbrs(i)(l) ++= ns.flatMap(idx.get)
+            g.nbrs(i)(l) ++= ns.flatMap(idx.get)
           }
         }
         g.entry = {
@@ -328,7 +336,12 @@ object Hnsw {
     val approx = search(graph,
       queries.map { case (q, v) => (q.toString, v) }, idCol, k, ef, params)
       .select(col("qid"), col(idCol))
-    exact.join(approx, Seq("qid", idCol), "left_semi").count().toDouble /
-      (queries.size.toLong * k)
+    // Denominator = what exact actually RETURNED (min(k, n) per query
+    // after dedup) — dividing by nq·k would cap recall below 1.0 on
+    // datasets smaller than k.
+    val denom = exact.count()
+    if (denom == 0) 1.0
+    else exact.join(approx, Seq("qid", idCol), "left_semi")
+      .count().toDouble / denom
   }
 }

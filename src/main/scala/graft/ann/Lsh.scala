@@ -237,7 +237,11 @@ object Lsh {
       .select(col("qid").cast("string").as("qid"), col(idCol)).distinct()
     val approx = search(assigned, model, qdf, vecCol, idCol, k, radius)
       .select(col("qid").cast("string").as("qid"), col(idCol))
-    exact.join(approx, Seq("qid", idCol), "left_semi").count().toDouble /
-      (queries.size.toLong * k)
+    // Denominator = what exact actually RETURNED (min(k, n) per query
+    // after dedup) — nq*k would cap recall below 1.0 when data < k.
+    val denom = exact.count()
+    if (denom == 0) 1.0
+    else exact.join(approx, Seq("qid", idCol), "left_semi")
+      .count().toDouble / denom
   }
 }

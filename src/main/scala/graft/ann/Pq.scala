@@ -283,7 +283,11 @@ object Pq {
         (qid.toString, qv.map(_.toDouble).toArray)
       }, vecCol, idCol, k, nprobe, refine)
       .select(col("qid"), col(idCol))
-    exact.join(approx, Seq("qid", idCol), "left_semi").count().toDouble /
-      (queries.size.toLong * k)
+    // Denominator = what exact actually RETURNED (min(k, n) per query
+    // after dedup) — nq*k would cap recall below 1.0 when data < k.
+    val denom = exact.count()
+    if (denom == 0) 1.0
+    else exact.join(approx, Seq("qid", idCol), "left_semi")
+      .count().toDouble / denom
   }
 }

@@ -64,10 +64,12 @@ object Mining {
         hits.filter(col(qidCol) =!= col(idCol))
       else hits)
       .join(posKeys, Seq(qidCol, idCol), "left_anti")
-    val simLike = metric.toUpperCase match {
-      case "L2" | "HAMMING" => false
-      case _ => true
-    }
+    // The rank direction comes from the SAME metric registry the
+    // retrieval used — a locally re-derived mapping would silently
+    // invert the ranking (worst candidates as "hard" negatives) the
+    // day a new distance-like metric lands in metricFor.
+    val (_, simLike) = graft.Functions.metricFor(metric,
+      corpus.schema(vecCol).dataType, col(vecCol), col(vecCol))
     val primary = if (simLike) col("score").desc else col("score").asc
     val w = Window.partitionBy(qidCol).orderBy(primary, col(idCol).asc)
     negatives

@@ -299,18 +299,26 @@ final class Catalog(val root: String) {
     require(srcN != repN, "source and replica are the same collection")
     val src = collection(srcN)
     val rep = collection(repN)
+    // FENCE FIRST: demote the source before draining its feed — a
+    // write acknowledged after the feed listing but before the fence
+    // would be silently absent from the promoted replica (a data-loss
+    // window proportional to replay time). With the fence up, the
+    // drain reads a frozen log; reads/snapshots on the source stay up.
+    alterCollectionProperties(srcN, Map("cdc.standby" -> "true"))
     val applied =
       if (force) 0L
-      else {
-        val cursor = rep.definition.properties
-          .get("cdc.cursor").map(_.toLong).getOrElse(0L)
-        val upTo = src.committedSeq
-        val n = rep.applyFeed(spark, src.changeFeed(spark, cursor))
-        alterCollectionProperties(repN,
-          Map("cdc.cursor" -> upTo.toString))
-        n
-      }
-    alterCollectionProperties(srcN, Map("cdc.standby" -> "true"))
+      else
+        try {
+          val cursor = rep.definition.properties
+            .get("cdc.cursor").map(_.toLong).getOrElse(0L)
+          rep.applyFeed(spark, src.changeFeed(spark, cursor))
+        } catch {
+          case e: Throwable =>
+            // failed catch-up: lift the fence — the source is still
+            // the primary, nothing was swapped
+            alterCollectionProperties(srcN, Map("cdc.standby" -> ""))
+            throw e
+        }
     alterAlias(alias, repN)
     applied
   }

@@ -407,13 +407,16 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * `kms_revocation_guard`: "deny reads and writes once the key is
     * revoked"). The KMS itself is a deployment concern; the
     * engine-meaningful contract is the fence — `access.revoked=true`
-    * denies READS (checked at the one merged-read entry every
-    * query/search path funnels through) and WRITES (via
-    * requireWritable), takes effect immediately on
-    * alterCollectionProperties (the "config hot update" analog:
-    * property changes drop the pinned snapshot, and this guard reads
-    * the live definition), and clearing the property restores access
-    * with no rebuild — data was never touched, only fenced.
+    * denies READS (the merged-read entry, snapshots, feeds, and the
+    * index-build read) and WRITES (via requireWritable), takes effect
+    * immediately on alterCollectionProperties (the "config hot
+    * update" analog: property changes drop the pinned snapshot, and
+    * this guard reads the live definition), and clearing the property
+    * restores access with no rebuild — data was never touched, only
+    * fenced. Boundary: index files ALREADY persisted before the
+    * revocation keep serving routed searches until invalidated — a
+    * real KMS revocation makes the underlying FILES unreadable at the
+    * storage layer; this engine-level fence gates the data-path APIs.
     */
   private def requireAccessible(d: CollectionDef): Unit =
     require(!d.properties.get("access.revoked").contains("true"),
@@ -513,7 +516,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * compaction). Returns the snapshot id.
     */
   def createSnapshot(): Long = {
-    requireWritable(definition)
+    // Read-side DR operation: a DEMOTED (cdc.standby) source must stay
+    // snapshot/backup-able — preserving the un-replayed tail after a
+    // failover is exactly when you need it — so this is deliberately
+    // NOT requireWritable. External collections have no delta log to
+    // pin, and a revoked key fences snapshots like any read.
+    val d = definition
+    requireAccessible(d)
+    require(!isExternal, s"external collection $name has no delta log")
     val id = catalog.nextSeq(name)
     snapshotsDir.createDirectories()
     snapshotFile(id).writeBytes(deltaPaths.map(_.name).mkString("\n").getBytes)
@@ -542,6 +552,9 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * since read null; fields dropped since don't read back).
     */
   def readSnapshot(spark: SparkSession, id: Long): DataFrame = {
+    // A pre-revocation snapshot must not bypass the access fence — it
+    // reads the same data the merged read does.
+    requireAccessible(definition)
     require(snapshotFile(id).exists, s"no snapshot $id")
     val paths = snapshotDeltaNames(id).map { n =>
       val live = dataDir.resolve(n)
@@ -1261,8 +1274,30 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       if (internal.rdd.getNumPartitions > 1) internal.repartition(col(PART))
       else internal
     val deltaPath = commitDelta(routed.sortWithinPartitions(pk), seq)
+    recordCursor(feed)
     spark.read.parquet(deltaPath).count()
   }
+
+  /** Advance `cdc.cursor` to the applied feed's max `_commit_seq` —
+    * recorded HERE, by the operation that consumed the window, so the
+    * natural restoreFrom → promoteReplica flow never replays full
+    * history because nobody remembered to set a property by hand.
+    * Monotone (a re-applied old window can't rewind it); skipped for
+    * synthetic feeds that carry no commit column (e.g. a cold-backup
+    * restore — a fresh primary has no replication ancestry).
+    */
+  private def recordCursor(feed: DataFrame): Unit =
+    if (feed.columns.contains(COMMIT_SEQ)) {
+      val m = feed.agg(max(col(COMMIT_SEQ))).head()
+      if (!m.isNullAt(0)) {
+        val upTo = m.getLong(0)
+        val cur = definition.properties.get("cdc.cursor")
+          .map(_.toLong).getOrElse(-1L)
+        if (upTo > cur)
+          catalog.alterCollectionProperties(name,
+            Map("cdc.cursor" -> upTo.toString))
+      }
+    }
 
   /** Incrementally replay a change-feed batch onto this (possibly
     * non-empty) collection — the CDC REPLICA apply loop, the piece
@@ -1303,6 +1338,7 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       if (internal.rdd.getNumPartitions > 1) internal.repartition(col(PART))
       else internal
     val deltaPath = commitDelta(routed.sortWithinPartitions(pk), seq)
+    recordCursor(feed)
     spark.read.parquet(deltaPath).count()
   }
 
@@ -1362,12 +1398,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * layout) so partition-scoped searches prune the INDEX directories
     * too instead of falling back to the exact scan.
     */
-  private[store] def readWithPartition(spark: SparkSession): DataFrame =
+  private[store] def readWithPartition(spark: SparkSession): DataFrame = {
+    requireAccessible(definition) // index builds read the same data
     // External collections have no delta log (and no partitions):
     // their rows all belong to the default partition.
     if (isExternal) read(spark).withColumn(PART, lit(DEFAULT_PART))
     else assemble(spark, Seq.empty, None, None, keepInternals = true)
       .drop("_ts")
+  }
 
   /** Bytes of deltas committed after `sinceSeq` — the driver-side
     * (no Spark job) eligibility input for growing-segment index
@@ -2073,7 +2111,13 @@ object Collection {
               s"for field ${f.name}")
       }
     f.dataType match {
-      case LongType | IntegerType | ShortType | ByteType => ok(v.toLong)
+      // Width-exact parses: an out-of-range literal (e.g. 3e9 on INT)
+      // would pass a toLong check, then the read-time cast would yield
+      // null — "no default" — silently.
+      case LongType => ok(v.toLong)
+      case IntegerType => ok(v.toInt)
+      case ShortType => ok(v.toShort)
+      case ByteType => ok(v.toByte)
       case DoubleType | FloatType => ok(v.toDouble)
       case BooleanType => ok(v.toBoolean)
       case StringType => ()

@@ -60,6 +60,29 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("search adopts the persisted graph regardless of caller m/seed") {
+    // built with non-default (m, seed); searched with default Params —
+    // the persisted levels/adjacency must serve unchanged (only the
+    // metric matters at walk time)
+    val g = Hnsw.build(corpus(300), "embedding", "vec_id",
+      Hnsw.Params(m = 16, efConstruction = 32, seed = 7L), segments = 4)
+    val q = Array[Double](3.0, 5.0, 2.0, 1.0)
+    val got = Hnsw.search(g, Seq(("q0", q.map(_.toFloat).toSeq)),
+      "vec_id", k = 10, ef = 1000)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == bruteTop(300, q, 10), got.toString)
+  }
+
+  test("recall reaches 1.0 on datasets smaller than k") {
+    val tiny = corpus(6)
+    val g = Hnsw.build(tiny, "embedding", "vec_id",
+      Hnsw.Params(m = 2, efConstruction = 4), segments = 1)
+    val r = Hnsw.recallAtK(tiny, g,
+      Seq((0L, Seq(0f, 0f, 0f, 0f))), "embedding", "vec_id",
+      k = 10, ef = 100, Hnsw.Params(m = 2, efConstruction = 4))
+    assert(r == 1.0, s"recall $r must not be capped by nq*k")
+  }
+
   test("similarity metrics rank descending (COSINE)") {
     val data = Seq(
       (1L, Seq(1f, 0f, 0f, 0f)),

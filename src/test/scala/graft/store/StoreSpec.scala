@@ -1085,8 +1085,10 @@ class StoreSpec extends SparkSpec {
     src.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
       .toDF("id", "category", "content", "version")): Unit
     rep.restoreFrom(s, src.changeFeed(s)): Unit
-    cat.alterCollectionProperties("p_rep",
-      Map("cdc.cursor" -> src.committedSeq.toString))
+    // restoreFrom RECORDS the cursor itself — the natural flow must
+    // not replay full history because nobody set a property by hand
+    assert(rep.definition.properties.get("cdc.cursor")
+      .contains(src.committedSeq.toString))
     // un-replicated tail on the source
     src.insert(s, Seq((3L, 30L, "c", 0L))
       .toDF("id", "category", "content", "version")): Unit
@@ -1101,6 +1103,11 @@ class StoreSpec extends SparkSpec {
         .toDF("id", "category", "content", "version")))
     assert(ex.getMessage.contains("standby"))
     assert(src.read(s).count() == 3)
+    // ...and stays snapshot/backup-able: preserving the demoted
+    // primary's state is exactly the post-failover salvage need
+    val bdir = java.nio.file.Files
+      .createTempDirectory("graft-standby-bk").toString
+    assert(src.backupTo(s, bdir) == 3L)
     // the promoted replica serves writes through the alias
     cat.collection("serving").insert(s, Seq((4L, 40L, "d", 0L))
       .toDF("id", "category", "content", "version")): Unit
@@ -1166,11 +1173,15 @@ class StoreSpec extends SparkSpec {
     c.insert(s, Seq((1L, 10L, "a", 0L), (2L, 20L, "b", 0L))
       .toDF("id", "category", "content", "version")): Unit
     assert(c.read(s).count() == 2)
+    val snap = c.createSnapshot()
     // revoke: reads, writes and the change feed all deny — and the
     // property hot-applies (no reload, no new handle)
     cat.alterCollectionProperties("kms", Map("access.revoked" -> "true"))
     val er = intercept[IllegalArgumentException](c.read(s).count())
     assert(er.getMessage.contains("revoked"))
+    // a PRE-revocation snapshot must not bypass the fence
+    intercept[IllegalArgumentException](c.readSnapshot(s, snap).count())
+    intercept[IllegalArgumentException](c.createSnapshot())
     intercept[IllegalArgumentException](
       c.insert(s, Seq((3L, 30L, "c", 0L))
         .toDF("id", "category", "content", "version")))
@@ -1221,6 +1232,14 @@ class StoreSpec extends SparkSpec {
     // non-nullable add, primary-key default
     intercept[IllegalArgumentException](c.addField(
       FieldDef("bad", LongType, defaultValue = Some("zero"))))
+    // width-exact: an out-of-range INT default would cast to null at
+    // read — "no default" — so it must fail at declaration
+    intercept[IllegalArgumentException](c.addField(
+      FieldDef("bad", org.apache.spark.sql.types.IntegerType,
+        defaultValue = Some("3000000000"))))
+    intercept[IllegalArgumentException](c.addField(
+      FieldDef("bad", org.apache.spark.sql.types.ByteType,
+        defaultValue = Some("300"))))
     intercept[IllegalArgumentException](c.addField(
       FieldDef("bad", org.apache.spark.sql.types.ArrayType(LongType),
         defaultValue = Some("[]"))))
