@@ -1506,6 +1506,20 @@ object SparkEntry {
         "embedding", "vec_id", k = 10, ef = 32, p)
       Seq(Tuple1(recall >= 0.9)).toDF("recall_ok")
     },
+    // ---- V49: HNSW under COSINE — the similarity-metric walk end to
+    // end (build, descend, beam, merge all order by cosine DISTANCE
+    // with id ties); exact via the per-segment brute-force fallback,
+    // so the oracle is the true cosine top-10. ------------------------
+    "v49_hnsw_cosine" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+        metric = "COSINE")
+      val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
+        segments = 4)
+      graft.ann.Hnsw.search(g, Seq(("q7", vecOf(s, dir, 7))), "vec_id",
+          k = 10, ef = 100000, p)
+        .orderBy("rank").select("vec_id")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -5544,6 +5558,10 @@ object SparkEntry {
       // the beam operating point; exactness is pinned by v48_hnsw_exact.
       "v48_hnsw_recall" ->
         "SELECT true AS recall_ok",
+      "v49_hnsw_cosine" ->
+        s"""SELECT vec_id FROM embeddings
+           |ORDER BY list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(7)}) DESC, vec_id
+           |LIMIT 10""".stripMargin,
       "v36_pq_recall" ->
         "SELECT true AS recall_ok",
       // GENUINE exact oracle: with nprobe = nlist and a candidate
