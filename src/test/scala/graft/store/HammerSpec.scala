@@ -203,4 +203,52 @@ class HammerSpec extends SparkSpec {
         s"score drift: $a vs $b")
     }
   }
+
+  test("CDC replication under concurrent DML: promote converges to the source") {
+    // Writer hammers the source while a replication loop drains feed
+    // windows onto the replica; whatever the interleaving, the final
+    // catch-up promote must leave the replica row-for-row equal to the
+    // source — the invariant the whole apply/promote design rests on.
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-cdch").toString)
+    def ndef(n: String) = CollectionDef(n, Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("v", LongType)))
+    val src = cat.createCollection(ndef("hs"))
+    val rep = cat.createCollection(ndef("hr"))
+    cat.createAlias("hserv", "hs")
+    src.insert(s, (0L until 50L).map(i => (i, i)).toDF("id", "v")): Unit
+    rep.restoreFrom(s, src.changeFeed(s)): Unit
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        (1 to 12).foreach { round =>
+          src.insert(s, (0L until 10L).map(i =>
+            (1000L * round + i, round.toLong)).toDF("id", "v")): Unit
+          if (round % 3 == 0) src.delete(s, s"id == ${1000 * round}")
+          src.upsert(s, Seq((round.toLong, -round.toLong))
+            .toDF("id", "v")): Unit
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+      finally writerDone.set(true)
+    })
+    writer.start()
+    // replication loop: drain whatever window exists, repeatedly
+    while (!writerDone.get()) {
+      val cursor = rep.definition.properties
+        .get("cdc.cursor").map(_.toLong).getOrElse(0L)
+      rep.applyFeed(s, src.changeFeed(s, cursor)): Unit
+    }
+    writer.join()
+    assert(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
+    // final catch-up promote drains the tail behind the fence
+    cat.promoteReplica(s, "hs", "hr", "hserv"): Unit
+    def snap(c: Collection) = c.read(s).select("id", "v")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val (a, b) = (snap(src), snap(cat.collection("hserv")))
+    assert(a == b, s"replica diverged: src=${a.size} rows, rep=${b.size} rows; " +
+      s"diff=${(a.toSet -- b.toSet).take(5)} / ${(b.toSet -- a.toSet).take(5)}")
+  }
 }
