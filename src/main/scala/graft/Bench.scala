@@ -34,6 +34,31 @@ object Bench {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
         case _ => -1L
       }
+    // Accumulated GC elapsed time (ms, all collectors). Process-CPU of a
+    // 32-thread JVM includes GC and scheduler spin, which scale WITH
+    // contention — the round-10 driver artifact inflated cpu roughly
+    // proportionally with wall (x7: wall 0.11->0.67, cpu 0.13->0.84), so
+    // the plain cpu/wall ratio stayed near the median and io_suspect came
+    // back empty while 20+ entries ran hot. (cpu - gc) is the
+    // stall-invariant signal: real extra work raises it, contention does
+    // not. We multiply gc wall-time by the parallel-GC thread estimate to
+    // approximate its CPU cost before subtracting.
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Task-level bytes read (file input + shuffle read), via listener:
+    // an IO-stalled entry shows wall growth with FLAT bytes_read, a
+    // genuinely bigger scan shows both growing.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) bytesRead.addAndGet(
+            m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead)
+        }
+      })
     // Sampled at start AND end: a run that STARTS loaded (a lingering
     // forked test JVM, a concurrent build) is already distorted before
     // the first timed entry, and an end-only sample hides it.
@@ -54,15 +79,19 @@ object Bench {
     val all = (SparkEntry.queries ++ SparkEntry.benchQueries)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Per rep: (wall sec, process-cpu sec). Report the min-wall rep's
-      // pair so cpu corresponds to the wall we publish.
+      // Per rep: (wall, process-cpu, gc, bytes-read) — all seconds except
+      // bytes. Report the min-wall rep's tuple so the stats correspond to
+      // the wall we publish.
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime(); val c0 = processCpuNs
+        val g0 = gcMs; val b0 = bytesRead.get()
         try {
           fn(spark, sfDir).count()
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = if (c0 >= 0) (processCpuNs - c0) / 1e9 else -1.0
-          Some((wall, cpu))
+          val gc = (gcMs - g0) / 1e3
+          val br = bytesRead.get() - b0
+          Some((wall, cpu, gc, br))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -70,24 +99,34 @@ object Bench {
         }
       }
       if (times.size < reps) failures ::= name
-      name -> (if (times.nonEmpty) times.minBy(_._1) else (-1.0, -1.0))
+      name -> (if (times.nonEmpty) times.minBy(_._1)
+               else (-1.0, -1.0, -1.0, -1L))
     }
-    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
+    val qs = results.map { case (k, (w, _, _, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (w, _)) if w >= 0 => w }.sum
-    // IO-stall self-diagnosis: entries whose cpu/wall ratio sits far
-    // below the suite median were waiting (cold page cache, disk
-    // contention), not computing. Only entries long enough to measure
-    // (>0.3 s wall) participate; the ratio spans ~1-32 on this
-    // 32-thread JVM so "far below" = under 40% of the median.
-    val entryStats = results.collect { case (k, (w, c)) if w >= 0 && c >= 0 =>
-      (k, w, c, c / math.max(w, 1e-9))
+    val total = results.collect { case (_, (w, _, _, _)) if w >= 0 => w }.sum
+    // IO-stall self-diagnosis: entries whose GC-ADJUSTED cpu/wall ratio
+    // sits far below the suite median were waiting (cold page cache, disk
+    // contention), not computing. GC cpu cost is approximated as gc
+    // wall-time x the parallel-collector thread count (~cpus/4 on G1,
+    // floor 1) and subtracted, so contention-driven GC inflation no
+    // longer masks the stall (the round-10 blind spot). Only entries long
+    // enough to measure (>0.3 s wall) participate; the adjusted ratio
+    // spans ~1-32 on this 32-thread JVM so "far below" = under 40% of
+    // the median.
+    val gcThreads = math.max(1, cpus.toInt / 4).toDouble
+    val entryStats = results.collect {
+      case (k, (w, c, g, b)) if w >= 0 && c >= 0 =>
+        val adjCpu = math.max(c - g * gcThreads, 0.0)
+        (k, w, c, g, b, adjCpu / math.max(w, 1e-9))
     }
-    val ratios = entryStats.collect { case (_, w, _, r) if w > 0.3 => r }.sorted
+    val ratios = entryStats.collect {
+      case (_, w, _, _, _, r) if w > 0.3 => r }.sorted
     val medianRatio =
       if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
     val ioSuspects = entryStats.collect {
-      case (k, w, _, r) if w > 0.3 && medianRatio > 0 && r < 0.4 * medianRatio => k
+      case (k, w, _, _, _, r)
+        if w > 0.3 && medianRatio > 0 && r < 0.4 * medianRatio => k
     }
     // Locale-pinned numeric formatting: the f-interpolator uses the
     // default locale, which renders "0,123" (invalid JSON) on
@@ -95,8 +134,9 @@ object Bench {
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f",
         Double.box(v))
-    val statsJson = entryStats.map { case (k, w, c, _) =>
-      "\"" + k + "\":{\"wall\":" + num(w, 3) + ",\"cpu\":" + num(c, 3) + "}"
+    val statsJson = entryStats.map { case (k, w, c, g, b, _) =>
+      "\"" + k + "\":{\"wall\":" + num(w, 3) + ",\"cpu\":" + num(c, 3) +
+        ",\"gc\":" + num(g, 3) + ",\"bytes_read\":" + b + "}"
     }.mkString("{", ",", "}")
     val ioJson = ioSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The 1-min load averages make load-distorted runs self-evident in

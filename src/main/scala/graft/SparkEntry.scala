@@ -5222,7 +5222,8 @@ object SparkEntry {
           |FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "a8_window_agg" ->
-        """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt,
+        """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+          |  count(*) AS cnt,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
       "j1_join_agg" ->
@@ -8007,8 +8008,8 @@ object SparkEntry {
           |    WHEN coin < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
           |  FROM (SELECT text, (('0x' || substr(md5('e2e' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::DOUBLE
           |      / 4294967296.0 AS coin FROM clean))
-          |SELECT split, count(*) AS docs, sum(len(text)) AS chars,
-          |  sum(len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS tokens
+          |SELECT split, count(*) AS docs, CAST(sum(len(text)) AS BIGINT) AS chars,
+          |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS BIGINT) AS tokens
           |FROM spl GROUP BY split ORDER BY split""".stripMargin,
       "s8_dml_scenario" ->
         """SELECT id, category, content, version FROM (VALUES

@@ -55,6 +55,16 @@ object Hnsw {
   final case class Node(seg: Int, id: Long, vec: Seq[Double],
       level: Int, nbrs: Seq[Seq[Long]])
 
+  /** Persisted-route node row (the [[graft.store.IndexStore]] layout):
+    * `part` is the collection partition the node lives in — graphs are
+    * built per (partition, segment) so partition-scoped searches prune
+    * whole partition subtrees of the index parquet; `vec` persists as
+    * float (the collection's own width — the double cast happens
+    * in-task at walk time).
+    */
+  final case class GraphRow(part: String, seg: Int, id: Long,
+      vec: Seq[Float], level: Int, nbrs: Seq[Seq[Long]])
+
   // ---- deterministic hashing ----------------------------------------
 
   private def splitmix64(x0: Long): Long = {
@@ -244,6 +254,40 @@ object Hnsw {
         levels(i), nbrs(i).map(_.map(ids(_)).sorted.toSeq).toSeq))
   }
 
+  /** Reconstruct a walkable graph from persisted node rows: adopt the
+    * persisted levels + adjacency (no rebuild — the caller's m/efC/seed
+    * are irrelevant to the walk; a mismatch must not silently truncate
+    * the graph). Neighbor ids absent from `ids` (rows masked out by the
+    * growing-segment anti-join, or a partition-scoped read) drop from
+    * the adjacency; the entry point is recomputed over the PRESENT
+    * nodes, so a masked graph stays walkable — the Milvus
+    * tombstone-mask discipline, with the documented recall trade that
+    * heavy masking thins the graph until [[staleServable]]'s byte gate
+    * forces the rebuild.
+    */
+  private def adopt(ids: Array[Long], vecs: Array[Array[Double]],
+      levels: Array[Int], adj: Array[Seq[Seq[Long]]],
+      params: Params): LocalGraph = {
+    val idx = ids.zipWithIndex.toMap
+    val g = new LocalGraph(ids, vecs, params, providedLevels = levels)
+    adj.zipWithIndex.foreach { case (nbrs, i) =>
+      nbrs.zipWithIndex.foreach { case (ns, l) =>
+        if (l < g.nbrs(i).length) g.nbrs(i)(l) ++= ns.flatMap(idx.get)
+      }
+    }
+    g.entry = {
+      var best = 0
+      var i = 1
+      while (i < ids.length) {
+        if (g.levels(i) > g.levels(best) ||
+          (g.levels(i) == g.levels(best) && ids(i) < ids(best))) best = i
+        i += 1
+      }
+      if (ids.isEmpty) -1 else best
+    }
+    g
+  }
+
   // ---- distributed surface -------------------------------------------
 
   /** Build per-segment graphs: one shuffle on the hash-assigned
@@ -271,6 +315,75 @@ object Hnsw {
       }
   }
 
+  /** Build per-(partition, segment) graphs over a collection snapshot
+    * — the [[build]] shuffle with the collection partition as the
+    * outer key, producing rows [[graft.store.IndexStore]] persists
+    * `partitionBy(_part, seg)` so partition-scoped searches prune
+    * directories. One shuffle, one in-memory build per (part, seg).
+    */
+  def buildParts(df: DataFrame, vecCol: String, idCol: String,
+      partCol: String, params: Params = Params(),
+      segments: Int = 0): Dataset[GraphRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val segs = if (segments > 0) segments
+      else spark.sessionState.conf.numShufflePartitions
+    df.select(col(partCol).cast("string").as("part"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"),
+        pmod(xxhash64(col(idCol)), lit(segs)).cast("int").as("seg"))
+      .as[(String, Long, Seq[Double], Int)]
+      .groupByKey(r => (r._1, r._4))
+      .flatMapGroups { (key: (String, Int), it) =>
+        val rows = it.toArray
+        val g = new LocalGraph(rows.map(_._2),
+          rows.map(_._3.toArray), params)
+        g.insertAll()
+        g.toNodes(key._2).map(n => GraphRow(key._1, n.seg, n.id,
+          n.vec.map(_.toFloat), n.level, n.nbrs))
+      }
+  }
+
+  /** Beam-search persisted per-(partition, segment) graphs for the
+    * query batch — the serving-path twin of [[search]] over the
+    * [[GraphRow]] parquet layout (read back as a plain DataFrame so
+    * the growing-segment anti-join and partition pruning compose
+    * upstream). Returns per-query global top-k (qid, idCol, score,
+    * rank).
+    */
+  def searchParts(graphRows: DataFrame, queries: Seq[(String, Seq[Float])],
+      idCol: String, k: Int, ef: Int, metric: String): DataFrame = {
+    require(k > 0 && ef > 0, "k and ef must be positive")
+    val spark = graphRows.sparkSession
+    import spark.implicits._
+    val params = Params(metric = metric)
+    val qs = queries.map { case (qid, v) => (qid, v.map(_.toDouble).toArray) }
+    val candidates = graphRows.select(
+        col("_part").cast("string").as("part"),
+        col("seg").cast("int").as("seg"),
+        col("id").cast("long").as("id"),
+        col("vec").cast("array<float>").as("vec"),
+        col("level").cast("int").as("level"),
+        col("nbrs").cast("array<array<bigint>>").as("nbrs"))
+      .as[GraphRow]
+      .groupByKey(r => (r.part, r.seg))
+      .flatMapGroups { (_: (String, Int), it) =>
+        val nodes = it.toArray.sortBy(_.id)
+        val g = adopt(nodes.map(_.id),
+          nodes.map(_.vec.map(_.toDouble).toArray),
+          nodes.map(_.level), nodes.map(_.nbrs), params)
+        qs.iterator.flatMap { case (qid, qv) =>
+          g.searchK(qv, k, ef).map { case (id, d) =>
+            (qid, id, outputScore(metric, d))
+          }
+        }
+      }
+      .toDF("qid", idCol, "score")
+    val primary =
+      if (similarityLike(metric)) col("score").desc else col("score").asc
+    Knn.limitPerQid(candidates, "qid", Seq(primary, col(idCol).asc), k)
+  }
+
   /** Beam-search every segment's graph for the query batch, merge the
     * per-segment candidates with an exact global top-k. Queries are a
     * driver-side batch (the reference's nq shape), captured by the
@@ -289,28 +402,8 @@ object Hnsw {
       .groupByKey(_.seg)
       .flatMapGroups { (_, it) =>
         val nodes = it.toArray.sortBy(_.id)
-        val ids = nodes.map(_.id)
-        val idx = ids.zipWithIndex.toMap
-        // adopt the persisted levels + adjacency (no rebuild; the
-        // caller's m/efC/seed are irrelevant to the walk — a mismatch
-        // must not silently truncate the graph)
-        val g = new LocalGraph(ids, nodes.map(_.vec.toArray), params,
-          providedLevels = nodes.map(_.level))
-        nodes.zipWithIndex.foreach { case (nd, i) =>
-          nd.nbrs.zipWithIndex.foreach { case (ns, l) =>
-            g.nbrs(i)(l) ++= ns.flatMap(idx.get)
-          }
-        }
-        g.entry = {
-          var best = 0
-          var i = 1
-          while (i < ids.length) {
-            if (g.levels(i) > g.levels(best) ||
-              (g.levels(i) == g.levels(best) && ids(i) < ids(best))) best = i
-            i += 1
-          }
-          if (ids.isEmpty) -1 else best
-        }
+        val g = adopt(nodes.map(_.id), nodes.map(_.vec.toArray),
+          nodes.map(_.level), nodes.map(_.nbrs), params)
         qs.iterator.flatMap { case (qid, qv) =>
           g.searchK(qv, k, ef).map { case (id, d) =>
             (qid, id, outputScore(metric, d))

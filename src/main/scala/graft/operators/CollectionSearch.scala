@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.ann.{BinIvf, Ivf, RaBitQ, SparseInverted, Sq8}
+import graft.ann.{BinIvf, Hnsw, Ivf, RaBitQ, SparseInverted, Sq8}
 import graft.expr.MilvusExpr
 import graft.store.{Collection, IndexStore}
 import graft.text.Bm25
@@ -31,6 +31,81 @@ object CollectionSearch {
     ix.params.get("nbits").map(b => 1 << b.toInt)
       .orElse(ix.params.get("ksub").map(_.toInt)).getOrElse(256))
 
+  /** Declared HNSW routes to the GENUINE per-segment graph family
+    * ([[graft.ann.Hnsw]] persisted via [[IndexStore.ensureHnsw]]) when
+    * the graph can serve the request: no filter (the graph node table
+    * carries no scalar columns to mask on — Milvus evaluates filters
+    * into a bitmask from the scalar segment data, which for us IS the
+    * cell-pruned IVF route the filtered case falls back to), an
+    * integral pk (graph ids are longs), and a graph metric. The
+    * fallback keeps the pre-round-11 behavior; note a collection
+    * alternating filtered/unfiltered HNSW searches re-materializes the
+    * pointer per family (both builds stay on disk — commitPointer's GC
+    * keeps the latest two version dirs).
+    */
+  private def hnswGraphRoutable(coll: Collection, vecField: String,
+      filterExpr: String, metric: String): Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val d = coll.definition
+    d.indexes.exists(ix => ix.field == vecField &&
+        ix.indexType.toUpperCase == "HNSW") &&
+      filterExpr.trim.isEmpty &&
+      Set[org.apache.spark.sql.types.DataType](LongType, IntegerType)
+        .contains(d.primaryField.dataType) &&
+      Set("L2", "IP", "COSINE").contains(metric.toUpperCase)
+  }
+
+  /** The graph serving path: sealed per-(partition, segment) graphs
+    * beam-searched with `ef` as the live budget, growing delta rows
+    * brute-forced exactly, one global top-k merge — then output fields
+    * fetched with a broadcast join of the (nq x k)-row hit set against
+    * the collection. Returns (qid, pk, <outputFields>, score).
+    */
+  private def hnswHits(spark: SparkSession, coll: Collection,
+      vecField: String, queries: Seq[(String, Seq[Float])], k: Int,
+      ef: Int, metric: String, outputFields: Seq[String],
+      partitionNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val ix = d.indexes.find(_.field == vecField).get
+    val m = ix.params.get("M").orElse(ix.params.get("m")).map(_.toInt)
+      .getOrElse(8)
+    val efc = ix.params.get("efConstruction").map(_.toInt).getOrElse(64)
+    val segs = ix.params.get("segments").map(_.toInt).getOrElse(0)
+    val seed = ix.params.get("seed").map(_.toLong).getOrElse(42L)
+    val build = IndexStore.ensureHnsw(spark, coll, vecField, metric, m,
+      efc, segs, seed)
+    val serve = IndexStore.serveHnsw(spark, coll, vecField, build)
+    def scopedPart(df: DataFrame): DataFrame =
+      if (partitionNames.isEmpty) df
+      else df.filter(col("_part").isin(partitionNames: _*))
+    val sealedHits =
+      Hnsw.searchParts(scopedPart(serve.sealedGraph), queries, pk, k, ef,
+          metric)
+        .select(col("qid"), col(pk).cast(d.primaryField.dataType),
+          col("score"))
+    val all = serve.growing match {
+      case None => sealedHits
+      case Some(g) =>
+        val qdf = queries.toDF("qid", "qvec")
+        sealedHits.unionByName(
+          Knn.search(scopedPart(g), qdf, vecField, pk, metric, k)
+            .select(col("qid"), col(pk), col("score")))
+    }
+    val simLike = Set("IP", "COSINE").contains(metric.toUpperCase)
+    val primary = if (simLike) col("score").desc else col("score").asc
+    val top = Knn.limitPerQid(all, "qid", Seq(primary, col(pk).asc), k)
+      .drop("rank")
+    val extra = outputFields.distinct.filterNot(f => f == pk || f == "score")
+    val withFields =
+      if (extra.isEmpty) top
+      else coll.read(spark, partitionNames)
+        .select((pk +: extra).map(col): _*)
+        .join(broadcast(top), Seq(pk))
+    withFields.orderBy(col("qid"), primary, col(pk).asc)
+  }
+
   def search(
       spark: SparkSession,
       coll: Collection,
@@ -55,17 +130,17 @@ object CollectionSearch {
       index.exists(_.indexType.toUpperCase == "IVF_SQ8")
     val pqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_PQ")
-    // HNSW / DISKANN declarations serve from the IVF physical path:
+    // Declared HNSW serves from the GENUINE per-segment graph family
+    // (see [[hnswGraphRoutable]]) when unfiltered; filtered HNSW and
+    // DISKANN declarations serve from the IVF physical path —
     // cell-pruned search is the Spark shape whose persisted layout
-    // already carries the partition level and the sealed/growing delta
-    // discipline, so declared-index serving stays on it, with
+    // carries the partition level, the sealed/growing delta discipline
+    // AND the scalar columns a filter bitmask needs, with
     // `ef`/`search_list_size` accepted as the probe budget
-    // (workload.py:141-147 maps per-type search params). A GENUINE
-    // segment-graph HNSW exists as a first-class operator
-    // (graft.ann.Hnsw — per-segment graphs beam-searched in parallel,
-    // v48 entries); routing declared HNSW through it would need the
-    // graph builds wired into IndexStore's freshness/delta machinery.
+    // (workload.py:141-147 maps per-type search params).
+    val hnswRoutable = hnswGraphRoutable(coll, vecField, filterExpr, metric)
     val ivfDeclared = !rabitqDeclared && !sq8Declared && !pqDeclared &&
+      !hnswRoutable &&
       index.exists(ix =>
         ix.indexType.toUpperCase.startsWith("IVF") ||
           Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
@@ -99,6 +174,12 @@ object CollectionSearch {
       graft.ann.Lsh.searchOnePersisted(indexDf, build.model, queryVec,
         vecField, pk, k, radius, pred, outputFields)
     } else probeBudget.map(_.toInt) match {
+      case Some(ef) if hnswRoutable =>
+        // Graph path: ef is the beam budget (>= a segment's size
+        // switches that segment to its exact fallback).
+        hnswHits(spark, coll, vecField, Seq(("q", queryVec)), k, ef,
+          metric, outputFields, partitionNames)
+          .drop("qid")
       case Some(nprobe) if sq8Declared =>
         // 8-bit quantized path: ADC estimates over the probed cells'
         // byte-code column (4x narrower than the float vectors), exact
@@ -210,7 +291,9 @@ object CollectionSearch {
       index.exists(_.indexType.toUpperCase == "IVF_SQ8")
     val pqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_PQ")
+    val hnswRoutable = hnswGraphRoutable(coll, vecField, filterExpr, metric)
     val ivfDeclared = !rabitqDeclared && !sq8Declared && !pqDeclared &&
+      !hnswRoutable &&
       index.exists(ix =>
         ix.indexType.toUpperCase.startsWith("IVF") ||
           Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
@@ -245,6 +328,9 @@ object CollectionSearch {
       graft.ann.Lsh.searchPersistedBatch(indexDf, build.model, queryVecs,
         vecField, pk, k, radius, pred(indexDf), outputFields)
     } else probeBudget.map(_.toInt) match {
+      case Some(ef) if hnswRoutable =>
+        hnswHits(spark, coll, vecField, queryVecs, k, ef, metric,
+          outputFields, partitionNames)
       case Some(nprobe) if sq8Declared =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)

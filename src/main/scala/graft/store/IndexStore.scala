@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.{BinIvf, Ivf, Lsh, Pq, RaBitQ, SparseInverted, Sq8}
+import graft.ann.{BinIvf, Hnsw, Ivf, Lsh, Pq, RaBitQ, SparseInverted, Sq8}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -121,11 +121,34 @@ object IndexStore {
   private val rtreeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), RtreeBuild]()
 
+  /** Persisted per-(partition, segment) HNSW graph build — the genuine
+    * graph family ([[graft.ann.Hnsw]]) under the same pointer /
+    * freshness / growing-segment lifecycle as the IVF families. The
+    * payload is the graph NODE table (id, vec, level, adjacency),
+    * `partitionBy(_part, seg)`.
+    */
+  final case class HnswBuild(dataPath: String, m: Int,
+      efConstruction: Int, segments: Int, seed: Long, metric: String,
+      builtSeq: Long)
+
+  /** The servable frame of an HNSW build: the sealed per-segment
+    * graphs (post-build-changed pks masked out — dangling edges drop
+    * at walk time, [[graft.ann.Hnsw.searchParts]]) plus the growing
+    * delta rows, which have no graph and are brute-forced exactly at
+    * query time — the reference's sealed/growing serving for graph
+    * indexes. `growing` is None when the build is fresh.
+    */
+  final case class HnswServe(sealedGraph: DataFrame,
+      growing: Option[DataFrame], deltaServed: Boolean)
+
   final case class LshBuild(model: Lsh.Model, dataPath: String,
       builtSeq: Long)
 
   private val lshCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), LshBuild]()
+
+  private val hnswCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String, Long), HnswBuild]()
 
   private def indexDir(coll: Collection, field: String): StorePath =
     coll.catalog.collectionDir(coll.name).resolve("index").resolve(field)
@@ -764,6 +787,100 @@ object IndexStore {
     }
 
   /** Force a rebuild at the current seq (reference rebuild-index op). */
+  // ---- HNSW (persisted graph family) --------------------------------------
+
+  private def hnswKind(m: Int, efc: Int, segs: Int, seed: Long): String =
+    s"hnsw1-${m}-${efc}-${segs}-$seed"
+
+  /** Ensure a servable persisted HNSW graph index — the [[ensureIvf]]
+    * lifecycle with a graph-node payload: reuse at the current seq,
+    * stale-serve under the growing-segment gate (searches must then
+    * read through [[serveHnsw]], which masks changed pks out of the
+    * sealed graphs and brute-forces the delta), full rebuild
+    * otherwise. `segments = 0` resolves to the session's shuffle
+    * parallelism at BUILD time and is then pinned in the pointer kind.
+    */
+  def ensureHnsw(spark: SparkSession, coll: Collection, field: String,
+      metric: String, m: Int, efConstruction: Int, segments: Int = 0,
+      seed: Long = 42L, allowStale: Boolean = true): HnswBuild = {
+    val seq = coll.committedSeq
+    val segs = if (segments > 0) segments
+      else spark.sessionState.conf.numShufflePartitions
+    val kind = hnswKind(m, efConstruction, segs, seed)
+    val key = (coll.name, field, metric, kind, seq)
+    hnswCache.keySet.removeIf(k =>
+      k._1 == coll.name && k._2 == field && k._5 != seq)
+    if (!allowStale)
+      hnswCache.keySet.removeIf(k => k == key && hnswCache.get(k) != null &&
+        hnswCache.get(k).builtSeq != seq)
+    hnswCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      loadHnsw(dir, metric, m, efConstruction, segs, seed, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == kind && p.metric == metric && p.nlist == m,
+            s => versionDir(dir, s, kind, metric, m),
+            s => loadHnsw(dir, metric, m, efConstruction, segs, seed, s)))
+        .getOrElse(buildHnsw(spark, dir, coll, field, metric, m,
+          efConstruction, segs, seed, seq))
+    })
+  }
+
+  /** Sealed ⊎ growing view of an HNSW build (see [[HnswServe]]). The
+    * changed-pk mask is a broadcast anti-join on the graph's `id`
+    * column (bounded by [[staleServable]]'s byte cap); the rare
+    * late-committed-import window (deltaViewSince → None) degrades to
+    * an exact brute-force over the full current snapshot rather than
+    * serving an unsound merge.
+    */
+  def serveHnsw(spark: SparkSession, coll: Collection, field: String,
+      b: HnswBuild): HnswServe = {
+    val base = spark.read.parquet(b.dataPath)
+    if (b.builtSeq >= coll.committedSeq)
+      return HnswServe(base, None, deltaServed = false)
+    val pk = coll.definition.primaryField.name
+    coll.deltaViewSince(spark, b.builtSeq) match {
+      case Some((newRows, changedPks)) =>
+        val mask = changedPks.select(col(pk).cast("long").as("id"))
+        HnswServe(base.join(broadcast(mask), Seq("id"), "left_anti"),
+          Some(newRows.filter(col(field).isNotNull)), deltaServed = true)
+      case None =>
+        HnswServe(base.limit(0),
+          Some(coll.readWithPartition(spark).filter(col(field).isNotNull)),
+          deltaServed = true)
+    }
+  }
+
+  private def buildHnsw(spark: SparkSession, dir: StorePath,
+      coll: Collection, field: String, metric: String, m: Int,
+      efc: Int, segs: Int, seed: Long, seq: Long): HnswBuild = {
+    // Null vectors are not indexed (see buildIvf).
+    val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
+    val pk = coll.definition.primaryField.name
+    val kind = hnswKind(m, efc, segs, seed)
+    val vdir = versionDir(dir, seq, kind, metric, m)
+    val dataPath = vdir.resolve("data").toString
+    val parts = vectorLayout(coll, "seg")
+    val params = Hnsw.Params(m, efc, metric, seed)
+    // One shuffle on the (part, seg) key — each task builds its
+    // segment's graph in memory and writes one leaf directory.
+    Hnsw.buildParts(snapshot, field, pk, "_part", params, segs)
+      .toDF().withColumnRenamed("part", "_part")
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+    commitPointer(dir, seq, kind, metric, m)
+    HnswBuild(dataPath, m, efc, segs, seed, metric, seq)
+  }
+
+  private def loadHnsw(dir: StorePath, metric: String, m: Int, efc: Int,
+      segs: Int, seed: Long, seq: Long): Option[HnswBuild] = {
+    val kind = hnswKind(m, efc, segs, seed)
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == kind &&
+      p.metric == metric && p.nlist == m).map { _ =>
+      HnswBuild(versionDir(dir, seq, kind, metric, m)
+        .resolve("data").toString, m, efc, segs, seed, metric, seq)
+    }
+  }
+
   def rebuild(spark: SparkSession, coll: Collection,
       field: String): Unit = {
     val d = coll.definition
@@ -800,6 +917,14 @@ object IndexStore {
         .orElse(ix.params.get("ksub").map(_.toInt)).getOrElse(256)
       ensurePq(spark, coll, ix.field,
         ix.metricType.getOrElse("COSINE"), nlist, m, ksub,
+        allowStale = false): Unit
+    } else if (t == "HNSW") {
+      ensureHnsw(spark, coll, ix.field, ix.metricType.getOrElse("COSINE"),
+        ix.params.get("M").orElse(ix.params.get("m")).map(_.toInt)
+          .getOrElse(8),
+        ix.params.get("efConstruction").map(_.toInt).getOrElse(64),
+        ix.params.get("segments").map(_.toInt).getOrElse(0),
+        ix.params.get("seed").map(_.toLong).getOrElse(42L),
         allowStale = false): Unit
     } else if (t.startsWith("IVF") || t == "AUTOINDEX") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
@@ -849,6 +974,7 @@ object IndexStore {
     jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     rtreeCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     lshCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    hnswCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
     indexDir(coll, field).deleteRecursively()
   }
 

@@ -545,17 +545,69 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(hits == exact)
   }
 
-  test("HNSW/DISKANN declarations serve from the accelerated path (ef budget)") {
+  test("declared HNSW serves from the per-segment graph route (exact at full beam)") {
+    val s = spark
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+      Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+    // create_index materialized the GRAPH build (not an IVF one)
+    val desc = IndexStore.describe(c, "embedding").get
+    assert(desc("build_kind").startsWith("hnsw1"),
+      s"expected a graph build, got $desc")
+    // ef >= every segment size -> per-segment exact fallback -> the
+    // merged result is the true global top-k
+    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+        searchParams = Map("ef" -> "1000000"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
+      "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits == exact)
+  }
+
+  test("HNSW delta-serves post-DML from sealed graphs + growing delta, no rebuild") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-hnswd").toString)
+    val c = cat.createCollection(CollectionDef("hvecs", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+      Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+    val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+    // DML: delete a current top hit, upsert one vector to a new value,
+    // insert a near-copy of the query vector (must rank first)
+    val q = queryVec(7)
+    c.delete(s, "vec_id == 7")
+    c.upsert(s, Seq((11L, q.map(v => v + 0.25f)))
+      .toDF("vec_id", "embedding"))
+    c.insert(s, Seq((990001L, q.map(v => v + 0.01f)))
+      .toDF("vec_id", "embedding"))
+    val hits = CollectionSearch.search(s, c, "embedding", q, 10,
+        searchParams = Map("ef" -> "1000000"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.searchOne(c.read(s), q, "embedding", "vec_id",
+      "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits == exact, s"delta-served hits $hits != exact $exact")
+    assert(hits.head == 990001L && !hits.contains(7L))
+    // the sealed build was NOT rebuilt — the pointer still holds the
+    // pre-DML seq (growing-segment serving)
+    assert(IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq,
+      "post-DML search rebuilt the graph instead of delta-serving")
+  }
+
+  test("filtered / DISKANN searches keep the cell-pruned IVF path") {
     val s = spark
     val (_, c) = vecCollection()
     c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
       Map("nlist" -> "8")))
-    // ef >= nlist probes every cell -> exact; plan must prune via _cid
+    // a FILTERED declared-HNSW search needs scalar columns -> IVF route
     val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
-      searchParams = Map("ef" -> "32"))
+      filterExpr = "vec_id >= 0", searchParams = Map("ef" -> "32"))
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("_cid"),
-      s"HNSW declaration did not route to the pruned index path:\n$plan")
+      s"filtered HNSW did not route to the pruned index path:\n$plan")
     val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
       "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == exact)

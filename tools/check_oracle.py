@@ -26,8 +26,11 @@ for name, sql in sorted(oracle.items()):
         n_fail += 1
         continue
     try:
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
-        want = con.sql(sql).df()
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        want_rel = con.sql(sql)
+        got, want = got_rel.df(), want_rel.df()
+        got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+        want_types = dict(zip(want_rel.columns, [str(t) for t in want_rel.types]))
     except Exception as e:
         print(f"FAIL {name}: {e}")
         n_fail += 1
@@ -36,6 +39,23 @@ for name, sql in sorted(oracle.items()):
     want = want[sorted(want.columns)]
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        n_fail += 1
+        continue
+    # Type lint: the driver's hasher is TYPED, so a DuckDB HUGEINT/DECIMAL
+    # column vs a Spark BIGINT/DOUBLE hash-mismatches even when every value
+    # is equal (pandas coerces, hiding it from the value compare below).
+    # Fail loudly here so the oracle gets an explicit CAST instead.
+    type_drift = []
+    for c in got.columns:
+        gt, wt = got_types.get(c, "?"), want_types.get(c, "?")
+        if gt != wt:
+            benign = {("BIGINT", "INTEGER"), ("INTEGER", "BIGINT"),
+                      ("DOUBLE", "FLOAT"), ("FLOAT", "DOUBLE")}
+            if (gt, wt) not in benign:
+                type_drift.append(f"{c}: spark={gt} oracle={wt}")
+    if type_drift:
+        print(f"FAIL {name}: ORACLE TYPE DRIFT (add CAST in oracle SQL): "
+              + "; ".join(type_drift))
         n_fail += 1
         continue
     if len(got) != len(want):
