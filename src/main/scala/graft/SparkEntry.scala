@@ -1520,6 +1520,76 @@ object SparkEntry {
           k = 10, ef = 100000, p)
         .orderBy("rank").select("vec_id")
     },
+    // ---- V50: declared-HNSW collection SERVES from the persisted
+    // graph route (round-11) — create_index(HNSW) builds
+    // per-(partition, segment) graph node tables under IndexStore's
+    // pointer lifecycle; the post-DML search delta-serves: sealed
+    // graphs masked of changed pks + the growing delta brute-forced,
+    // NO rebuild (the pointer seq is asserted unchanged in the
+    // served_stale column). ef >= every segment size switches each
+    // segment to its exact fallback, so the oracle is the true
+    // post-DML L2 top-10 over the mutated corpus. --------------------
+    "v50_hnsw_delta_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-hnsw50").toString)
+      val c = cat.createCollection(CollectionDef("hvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      // DML: drop the query row itself, rewrite 11 to a far vector,
+      // insert an exact copy of the query (must rank first)
+      c.delete(s, "vec_id == 7")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s, Seq((990001L, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
+      val hits = CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
+        10, searchParams = Map("ef" -> "1000000"))
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      hits.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").asc, col("vec_id").asc)).cast("int"))
+        .select(col("vec_id"), col("rank"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("rank")
+    },
+    // ---- V50 recall: the graph SERVING route at the beam operating
+    // point (ef=64, segments=4) vs the IVF route at v1's operating
+    // point (nlist=8, nprobe=4, same query batch, same L2 exact
+    // denominator) — the graph walk must hold the invariant bound AND
+    // not trail the cell-probe route it replaced for declared HNSW. --
+    "v50_hnsw_recall" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-hnsw50r").toString)
+      val c = cat.createCollection(CollectionDef("rvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      val emb = tbl(s, dir, "embeddings")
+      c.insert(s, emb.select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+      val qids = Seq(0L, 7L, 42L)
+      val served = CollectionSearch.searchBatch(s, c, "embedding",
+          qids.map(i => (i.toString, vecOf(s, dir, i))), 10,
+          searchParams = Map("ef" -> "64", "metric_type" -> "L2"))
+        .select(col("qid"), col("vec_id"))
+      val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
+          "embedding", "vec_id", "L2", 10)
+        .select(col("qid").cast("string").as("qid"), col("vec_id")).distinct()
+      val denom = exact.count().toDouble
+      val hnswRecall =
+        exact.join(served, Seq("qid", "vec_id"), "left_semi").count() / denom
+      val model = Ivf.train(emb, "embedding", k = 8, metric = "L2",
+        sampleSize = 1000)
+      val ivfRecall = Ivf.recallAtK(emb, Ivf.assign(emb, "embedding", model),
+        model, vecsOf(s, dir, qids), "embedding", "vec_id", k = 10,
+        nprobe = 4)
+      Seq((hnswRecall >= 0.9, hnswRecall >= ivfRecall))
+        .toDF("recall_ok", "recall_ge_ivf")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -5563,6 +5633,27 @@ object SparkEntry {
         s"""SELECT vec_id FROM embeddings
            |ORDER BY list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(7)}) DESC, vec_id
            |LIMIT 10""".stripMargin,
+      // GENUINE exact oracle for the delta-served graph route: the
+      // post-DML corpus (7 deleted, 11 rewritten to row 483's vector,
+      // 990001 an exact copy of row 7's) ranked by true L2. The float
+      // vectors are copied VERBATIM on the Spark side, so both engines
+      // score identical float32 payloads in float64. served_stale is
+      // the no-rebuild assertion (pointer seq unchanged through DML).
+      "v50_hnsw_delta_serve" ->
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  WHERE vec_id NOT IN (7, 11)
+           |  UNION ALL SELECT CAST(11 AS BIGINT), ${qvec.format(483)}
+           |  UNION ALL SELECT CAST(990001 AS BIGINT), ${qvec.format(7)})
+           |SELECT vec_id, rank, true AS served_stale FROM (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT) AS rank
+           |  FROM corpus) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      // INVARIANT BOUNDS (v48_hnsw_recall status): the SERVED graph
+      // walk holds >= 0.9 at the beam operating point and does not
+      // trail the IVF route it replaced for declared HNSW.
+      "v50_hnsw_recall" ->
+        "SELECT true AS recall_ok, true AS recall_ge_ivf",
       "v36_pq_recall" ->
         "SELECT true AS recall_ok",
       // GENUINE exact oracle: with nprobe = nlist and a candidate
