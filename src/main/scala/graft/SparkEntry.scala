@@ -112,6 +112,30 @@ object SparkEntry {
   /** Query-side embedding lookup (nq is tiny; a driver-side fetch of one
     * row is the reference's own shape — queries arrive from outside).
     */
+  /** Shared fixture for the BPE-exact accounting entries (p18/p19):
+    * the t19/t21 training vocabulary's 8 learned merges and a six-doc
+    * corpus built ONLY from words whose piece counts the t21 oracle
+    * pins (low=2, lower=4, newest=1, widest=4, lowest=2, newer=5,
+    * wide=5, zz=3).
+    */
+  private def bpeCountFixture(
+      s: SparkSession): (Seq[(String, String)], DataFrame) = {
+    import s.implicits._
+    val train = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.text.Bpe.learnMerges(train, "text", 8)
+    val docs = Seq(
+      (0L, "low lower newest"),
+      (1L, "widest lowest"),
+      (2L, "newer wide zz"),
+      (3L, "low low low low"),
+      (4L, "zz widest"),
+      (5L, "newest newest lower")).toDF("doc_id", "text")
+    (merges, docs)
+  }
+
   private def vecOf(s: SparkSession, dir: String, id: Long): Seq[Float] = {
     val r = tbl(s, dir, "embeddings").filter(col("vec_id") === id)
       .select("embedding").head()
@@ -4000,6 +4024,33 @@ object SparkEntry {
           "doc_id", TextOps.tokenCount(col("text")), budget = 512,
           epoch = 2, binsPerShard = 4, out)
         .orderBy("bin", "doc_id")
+    },
+    // ---- P18/P19: BPE-exact token accounting (round-11) — the shard
+    // manifest and token-budget head under a BpeTokenizer instead of
+    // whitespace counts (what a real pipeline bills by). Merges are
+    // learned from the t19/t21 fixture vocabulary, so every word's
+    // piece count is pinned by the t21-gated derivation chain
+    // (ref_bpe.py); the oracle recomputes the counts from that pinned
+    // word->pieces dictionary and restates the full epoch-order /
+    // cumsum arithmetic in SQL. -------------------------------------
+    "p18_shard_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val (merges, docs) = bpeCountFixture(s)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-shard-bpe").toString + "/m"
+      graft.pipeline.Shards.write(s, docs, "doc_id", "text",
+          graft.text.BpeTokenizer(merges), budget = 8, epoch = 2,
+          binsPerShard = 2, out)
+        .orderBy("bin", "doc_id", "span_start")
+    },
+    "p19_token_budget_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val (merges, docs) = bpeCountFixture(s)
+      graft.pipeline.Mixing.tokenBudgetHead(s, docs, "doc_id",
+          scoreCol = -col("doc_id"), "text",
+          graft.text.BpeTokenizer(merges), budget = 30)
+        .select(col("doc_id"), col("cum_tokens"))
+        .orderBy("doc_id")
     },
     // ---- P17: hard-negative mining (contrastive-training data prep):
     // per query, the strongest corpus candidates that are neither the
@@ -7913,6 +7964,61 @@ object SparkEntry {
           |  least((bin + 1) * 512 - so, n) - greatest(bin * 512 - so, 0) AS span_len,
           |  greatest(so - bin * 512, 0) AS bin_offset
           |FROM b ORDER BY bin, doc_id""".stripMargin,
+      // BPE-exact shard manifest: per-word piece counts from the
+      // t21-pinned dictionary (ref_bpe.py derivation), then the same
+      // epoch-2-order cumsum / chunk / shard arithmetic as p7 at
+      // budget=8, binsPerShard=2.
+      "p18_shard_bpe" ->
+        """WITH pieces(word, np) AS (VALUES ('low', 2), ('lower', 4),
+          |    ('newest', 1), ('widest', 4), ('lowest', 2), ('newer', 5),
+          |    ('wide', 5), ('zz', 3)),
+          |docs(doc_id, text) AS (VALUES
+          |  (CAST(0 AS BIGINT), 'low lower newest'),
+          |  (CAST(1 AS BIGINT), 'widest lowest'),
+          |  (CAST(2 AS BIGINT), 'newer wide zz'),
+          |  (CAST(3 AS BIGINT), 'low low low low'),
+          |  (CAST(4 AS BIGINT), 'zz widest'),
+          |  (CAST(5 AS BIGINT), 'newest newest lower')),
+          |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          |  FROM docs),
+          |t AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n,
+          |    (('0x' || substr(md5('epoch:2' || CAST(min(doc_id) AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE / 4294967296.0 AS coin
+          |  FROM words JOIN pieces USING (word) GROUP BY doc_id),
+          |o AS (SELECT doc_id, n,
+          |    CAST(COALESCE(sum(n) OVER (ORDER BY coin, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+          |  FROM t),
+          |b AS (SELECT doc_id, n, so,
+          |    unnest(generate_series(CAST(floor(so / 8) AS BIGINT),
+          |      CAST(floor((so + greatest(n, 1) - 1) / 8) AS BIGINT))) AS bin
+          |  FROM o)
+          |SELECT CAST(floor(bin / 2) AS BIGINT) AS shard, bin, doc_id,
+          |  greatest(bin * 8 - so, 0) AS span_start,
+          |  least((bin + 1) * 8 - so, n) - greatest(bin * 8 - so, 0) AS span_len,
+          |  greatest(so - bin * 8, 0) AS bin_offset
+          |FROM b ORDER BY bin, doc_id, span_start""".stripMargin,
+      // BPE-exact token budget: score -doc_id orders doc_id ascending;
+      // cumulative BPE counts (7, 13, 26, 34, ...) keep docs 0-2 at
+      // budget 30 — recomputed, not pinned.
+      "p19_token_budget_bpe" ->
+        """WITH pieces(word, np) AS (VALUES ('low', 2), ('lower', 4),
+          |    ('newest', 1), ('widest', 4), ('lowest', 2), ('newer', 5),
+          |    ('wide', 5), ('zz', 3)),
+          |docs(doc_id, text) AS (VALUES
+          |  (CAST(0 AS BIGINT), 'low lower newest'),
+          |  (CAST(1 AS BIGINT), 'widest lowest'),
+          |  (CAST(2 AS BIGINT), 'newer wide zz'),
+          |  (CAST(3 AS BIGINT), 'low low low low'),
+          |  (CAST(4 AS BIGINT), 'zz widest'),
+          |  (CAST(5 AS BIGINT), 'newest newest lower')),
+          |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          |  FROM docs),
+          |t AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n
+          |  FROM words JOIN pieces USING (word) GROUP BY doc_id),
+          |c AS (SELECT doc_id,
+          |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+          |  FROM t)
+          |SELECT doc_id, cum_tokens FROM c WHERE cum_tokens <= 30
+          |ORDER BY doc_id""".stripMargin,
       // DSIR oracle: the full estimator re-derived in SQL — tokenize,
       // hashed uni+bigram buckets (md5 mod 4096), add-1 bucket models
       // for target (every 20th doc) and raw (all), per-doc

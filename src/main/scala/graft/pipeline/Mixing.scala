@@ -182,6 +182,23 @@ object Mixing {
     * Output: the input columns plus `cum_tokens` (the inclusive
     * running total, handy for budget reporting).
     */
+  /** Tokenizer-parameterized budget head: the token ceiling is counted
+    * by the given [[graft.text.Tokenizer]] over `textCol` (BPE-exact
+    * with [[graft.text.BpeTokenizer]]) instead of a caller-supplied
+    * count column.
+    */
+  def tokenBudgetHead(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      textCol: String,
+      tokenizer: graft.text.Tokenizer,
+      budget: Long): DataFrame =
+    tokenBudgetHead(spark,
+      tokenizer.withCounts(df, textCol, idCol, "_tok_nt"), idCol,
+      scoreCol, col("_tok_nt"), budget).drop("_tok_nt")
+
   def tokenBudgetHead(
       spark: org.apache.spark.sql.SparkSession,
       df: DataFrame,

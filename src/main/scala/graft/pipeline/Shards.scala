@@ -52,6 +52,25 @@ object Shards {
         col("span_start"), col("span_len"), col("bin_offset"))
   }
 
+  /** Tokenizer-parameterized manifest: counts come from the given
+    * [[graft.text.Tokenizer]] over `textCol` (e.g.
+    * [[graft.text.BpeTokenizer]] for BPE-exact budgets — what a real
+    * pipeline's shard manifests bill by) instead of a caller-supplied
+    * count column.
+    */
+  def manifest(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, tokenizer: graft.text.Tokenizer, budget: Long,
+      epoch: Int, binsPerShard: Int): DataFrame =
+    manifest(spark, tokenizer.withCounts(df, textCol, idCol, "_n_tok"),
+      idCol, col("_n_tok"), budget, epoch, binsPerShard)
+
+  /** Tokenizer-parameterized [[write]] (see the manifest overload). */
+  def write(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, tokenizer: graft.text.Tokenizer, budget: Long,
+      epoch: Int, binsPerShard: Int, outDir: String): DataFrame =
+    write(spark, tokenizer.withCounts(df, textCol, idCol, "_n_tok"),
+      idCol, col("_n_tok"), budget, epoch, binsPerShard, outDir)
+
   /** Write the manifest partitioned by shard and return the re-read
     * frame (the durable artifact a trainer consumes).
     */
