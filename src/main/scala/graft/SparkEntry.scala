@@ -4520,6 +4520,105 @@ object SparkEntry {
     * scalar query/count load, BM25, dedup over the full documents
     * table, IVF probe path. Run by [[Bench]] alongside `queries`.
     */
+  // ---- Scale-probe tier (round-11): the 100 TB claims rest on plan
+  // shape; these entries measure it. A crossJoin-free synthetic
+  // multiplier fans each base table out X-fold (SPARK_GRAFT_SCALE_X,
+  // default 10) with copies made CONTENT-DISTINCT — word-suffix tags
+  // for text, dimension rotations for vectors, disjoint id ranges for
+  // graphs — so candidate generation scales like MORE DATA, not like
+  // X-fold near-duplicates of one corpus. Each probed op has a _base
+  // (X=1) twin with the identical generator+fixture cost; the judge
+  // reads wall(_scaled)/wall(_base) from entry_stats and flags
+  // superlinear growth (BASELINE.md records the expected ratios).
+  private def scaleX: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt)
+
+  /** X-fold documents: copy c remaps ids into a disjoint range and
+    * suffixes every word with the copy tag, so shingle/term spaces are
+    * disjoint across copies (each copy reproduces the base corpus's
+    * INTERNAL near-dup structure; no cross-copy candidates).
+    */
+  private def scaledDocs(s: SparkSession, dir: String, x: Int): DataFrame =
+    tbl(s, dir, "documents").select("doc_id", "text")
+      .withColumn("_c", explode(sequence(lit(0), lit(x - 1))))
+      .select((col("doc_id") + col("_c") * lit(10000000L)).as("doc_id"),
+        when(col("_c") === 0, col("text"))
+          .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit("x"), col("_c"))))).as("text"))
+
+  /** X-fold embeddings: copy c rotates the dimensions by 7c mod 64 —
+    * an isometry (within-copy geometry identical to the base corpus)
+    * whose cross-copy cosines are uncorrelated, so IVF cells spread
+    * instead of stacking X duplicates per cell.
+    */
+  private def scaledEmbeddings(s: SparkSession, dir: String,
+      x: Int): DataFrame = {
+    val e = col("embedding")
+    val r = pmod(col("_c") * lit(7), lit(64)).cast("int")
+    tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      .withColumn("_c", explode(sequence(lit(0), lit(x - 1))))
+      .select((col("vec_id") + col("_c") * lit(10000000L)).as("vec_id"),
+        when(col("_c") === 0, e)
+          .otherwise(concat(slice(e, r + 1, lit(64) - r), slice(e, lit(1), r)))
+          .as("embedding"))
+  }
+
+  /** X-fold link graph: X disjoint copies of the orders⋈lineitem edge
+    * set (id ranges shifted per copy).
+    */
+  private def scaledEdges(s: SparkSession, dir: String, x: Int): DataFrame =
+    tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .withColumn("_c", explode(sequence(lit(0), lit(x - 1))))
+      .select((col("o_custkey") + col("_c") * lit(10000000L)).as("src"),
+        (col("l_suppkey") + lit(1000000L) + col("_c") * lit(10000000L))
+          .as("dst"))
+
+  /** One scale-probe op at multiplier `x` — the four shuffle-heaviest
+    * pipeline shapes (banded n-gram dedup, IVF-cell semantic dedup,
+    * iterative link rank, BM25 sealed/growing store serving).
+    */
+  private def scaleProbe(op: String, x: Int): (SparkSession, String) =>
+      DataFrame = { (s, dir) =>
+    import s.implicits._
+    op match {
+      case "ngram" =>
+        Dedup.ngramNearDups(scaledDocs(s, dir, x), "text", "doc_id",
+            threshold = 0.8, shingleSize = 3)
+          .agg(count(lit(1)).as("pairs"))
+      case "semdedup" =>
+        val embs = scaledEmbeddings(s, dir, x)
+        val m = graft.dedup.SemDedup.trainedModel(embs, "embedding", 64)
+        graft.dedup.SemDedup
+          .semanticDedup(embs, "embedding", "vec_id", m, 0.8)
+          .agg(count(lit(1)).as("n"))
+      case "linkrank" =>
+        graft.pipeline.LinkRank
+          .linkRank(scaledEdges(s, dir, x), "src", "dst", iters = 3)
+          .agg(count(lit(1)).as("n"), sum("mass").as("mass"))
+      case "bm25serve" =>
+        val cat = new Catalog(java.nio.file.Files
+          .createTempDirectory(s"graft-scale-bm25-$x").toString)
+        val c = cat.createCollection(CollectionDef("docs", Seq(
+          FieldDef("doc_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("text", StringType))))
+        c.insert(s, scaledDocs(s, dir, x))
+        c.createIndex(s, IndexDef("text", "BM25"))
+        CollectionSearch.searchText(s, c, "text", "vector stream", 10)
+          .collect()
+        c.insert(s, (0 until 50).map(i =>
+          (900000000L + i, s"delta page $i vector stream content"))
+          .toDF("doc_id", "text"))
+        c.delete(s, "doc_id < 20")
+        val queries = Seq("vector stream", "table scan", "hash join",
+          "query plan", "batch window")
+        val total = queries.map(q =>
+          CollectionSearch.searchText(s, c, "text", q, 100).count()).sum
+        Seq(Tuple1(total)).toDF("total_hits")
+    }
+  }
+
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
     def knnSweep(k: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
       Knn.search(tbl(s, dir, "embeddings"),
@@ -4527,6 +4626,14 @@ object SparkEntry {
         "embedding", "vec_id", "L2", k)
     }
     Map(
+      "bench_scaleprobe_ngram_base" -> scaleProbe("ngram", 1),
+      "bench_scaleprobe_ngram_scaled" -> scaleProbe("ngram", scaleX),
+      "bench_scaleprobe_semdedup_base" -> scaleProbe("semdedup", 1),
+      "bench_scaleprobe_semdedup_scaled" -> scaleProbe("semdedup", scaleX),
+      "bench_scaleprobe_linkrank_base" -> scaleProbe("linkrank", 1),
+      "bench_scaleprobe_linkrank_scaled" -> scaleProbe("linkrank", scaleX),
+      "bench_scaleprobe_bm25serve_base" -> scaleProbe("bm25serve", 1),
+      "bench_scaleprobe_bm25serve_scaled" -> scaleProbe("bm25serve", scaleX),
       "bench_topk10" -> knnSweep(10),
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
