@@ -163,6 +163,21 @@ final case class CollectionDef(
 private[store] final case class CatalogMeta(
     d: CollectionDef, seq: Long, loadState: String)
 
+object Catalog {
+  /** JVM-global per-collection-DIRECTORY locks for the meta.json
+    * read-modify-writes. `this.synchronized` is per-Catalog-INSTANCE:
+    * two Catalog objects over the same root (the two-driver shape the
+    * retire lease exists for, in-JVM) would interleave
+    * readMeta→writeMeta and double-allocate write seqs — two writers
+    * then stage the same delta name and one crashes mid-rename.
+    * Keyed by directory, like Collection.compactLock.
+    */
+  private val metaLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def metaLock(dir: String): Object =
+    metaLocks.computeIfAbsent(dir, _ => new Object)
+}
+
 /** File-backed collection catalog. One directory per collection under
   * `root`, holding `meta.json` plus sequenced parquet delta directories
   * (see [[Collection]]). Aliases are catalog-level pointers
@@ -495,22 +510,29 @@ final class Catalog(val root: String) {
   }
 
   /** Allocate the next write sequence number for a collection. Single
-    * driver process — file-backed counter is sufficient; on a real
-    * deployment this becomes a metastore transaction.
+    * driver PROCESS — the file-backed counter under the JVM-global
+    * [[Catalog.metaLock]] is sufficient (two in-JVM Catalog instances
+    * over one root serialize here); on a real multi-process deployment
+    * this becomes a metastore transaction. A cross-process double
+    * allocation fails CLEANLY at commit: staging dir names are
+    * writer-unique and the final rename is non-replacing
+    * (Collection.commitDelta), so the losing writer's DML errors
+    * instead of corrupting the chain.
     */
-  private[store] def nextSeq(name: String): Long = this.synchronized {
-    val m = readMeta(name)
-    val next = m.seq + 1
-    writeMeta(name, m.copy(seq = next))
-    next
-  }
+  private[store] def nextSeq(name: String): Long =
+    Catalog.metaLock(dir(name).toString).synchronized {
+      val m = readMeta(name)
+      val next = m.seq + 1
+      writeMeta(name, m.copy(seq = next))
+      next
+    }
 
   private[store] def setLoadState(name: String, state: String): Unit =
-    this.synchronized {
+    Catalog.metaLock(dir(name).toString).synchronized {
       writeMeta(name, readMeta(name).copy(loadState = state))
     }
   private[store] def updateDef(name: String, d: CollectionDef): Unit =
-    this.synchronized {
+    Catalog.metaLock(dir(name).toString).synchronized {
       writeMeta(name, readMeta(name).copy(d = d))
     }
 
@@ -536,7 +558,7 @@ final class Catalog(val root: String) {
   }
 
   private[store] def mutateDef(name: String)(f: CollectionDef => CollectionDef): Unit =
-    this.synchronized {
+    Catalog.metaLock(dir(name).toString).synchronized {
       val m = readMeta(name)
       writeMeta(name, m.copy(d = f(m.d)))
     }

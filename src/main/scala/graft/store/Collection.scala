@@ -623,10 +623,61 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     // so two retire/sweep cycles can never lose each other's index
     // update.
     Collection.compactLock(dataDir.toString).synchronized {
-      val now = System.currentTimeMillis()
-      writeRetiredIndex(readRetiredIndex() ++ deltas.map(_.name -> now))
-      sweepRetired()
+      withRetireLease {
+        val now = System.currentTimeMillis()
+        writeRetiredIndex(readRetiredIndex() ++ deltas.map(_.name -> now))
+        sweepRetired()
+      }
     }
+
+  /** Cross-PROCESS lease around the retirement ledger's
+    * read-modify-write — the multi-process writer story the
+    * single-writer assumption below documents (the reference's Argo
+    * matrix runs concurrent bricks against one server). Opt-in via
+    * collection property `compaction.crossProcessLock` (default off:
+    * the embedded one-driver-owns-the-root model needs no filesystem
+    * round-trips per retire).
+    *
+    * Protocol: create-exclusive `_retire_lock` file
+    * ([[StorePath.createExclusive]] — atomic on local/HDFS); a holder
+    * that died leaves a stale lock, taken over once its age exceeds
+    * `compaction.lockStaleMs` (default 60 s — far above any ledger
+    * write, far below the retire grace period, so a takeover cannot
+    * race a LIVE holder's in-flight write). Two takeover racers both
+    * delete-then-create; exactly one create wins, the loser re-loops.
+    * Acquisition is bounded by staleMs + 10 s — past that something is
+    * genuinely wedged and failing loudly beats silently losing ledger
+    * entries.
+    */
+  private def withRetireLease[T](body: => T): T = {
+    val enabled = definition.properties
+      .get("compaction.crossProcessLock").exists(_.toBoolean)
+    if (!enabled) return body
+    val lock = dataDir.resolve("_retire_lock")
+    val staleMs = definition.properties.get("compaction.lockStaleMs")
+      .map(_.toLong).getOrElse(60000L)
+    val deadline = System.currentTimeMillis() + staleMs + 10000L
+    var acquired = false
+    while (!acquired) {
+      acquired = lock.createExclusive(
+        s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
+          .getBytes)
+      if (!acquired) {
+        val stale =
+          try lock.exists &&
+            System.currentTimeMillis() - lock.modifiedAt > staleMs
+          catch { case _: Exception => false } // lock vanished mid-check
+        if (stale) lock.deleteRecursively()
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"retire lease on ${lock} not acquirable within " +
+              s"${staleMs + 10000L} ms — another process is wedged " +
+              "holding it with a live mtime")
+        else Thread.sleep(50)
+      }
+    }
+    try body finally lock.deleteRecursively()
+  }
 
   /** The retirement ledger: ONE file naming the logically-removed
     * delta dirs (with retire timestamps), read once per [[deltaPaths]]
@@ -635,16 +686,17 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * (committedSeq) — so the ledger keeps the listing overhead
     * constant on object stores.
     *
-    * SINGLE-WRITER-PROCESS ASSUMPTION: the ledger's read-modify-write
-    * is serialized by the JVM-local [[Collection.compactLock]] only.
+    * SINGLE-WRITER-PROCESS DEFAULT: the ledger's read-modify-write is
+    * serialized by the JVM-local [[Collection.compactLock]] only.
     * Two PROCESSES compacting the same collection directory could
     * interleave writeRetiredIndex calls and lose each other's entries
     * — value-safe (seqs and tombstones are preserved, a resurrected
     * delta just re-folds under LWW) but the superseded dirs would
     * linger un-reclaimed. This mirrors the embedded-engine deployment
     * model (one driver owns a catalog root, like Milvus's single
-    * datacoord owning compaction for a collection); multi-process
-    * writers would need a filesystem lease around retireDeltas.
+    * datacoord owning compaction for a collection). Multi-process
+    * writers opt into the filesystem lease around retireDeltas via the
+    * `compaction.crossProcessLock` property ([[withRetireLease]]).
     */
   private def retiredIndexFile: StorePath = dataDir.resolve("_retired_index")
 
@@ -942,7 +994,14 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     * the reference's read-your-writes behavior.
     */
   private def commitDelta(rows: DataFrame, seq: Long): String = {
-    val staging = dataDir.resolve(f"_staging_delta_$seq%012d")
+    // Writer-unique staging name: two processes that double-allocated
+    // a seq (nextSeq's RMW is only JVM-atomic) must not stomp each
+    // other's STAGING files — with unique staging dirs the race
+    // surfaces at the non-replacing rename below instead, where
+    // exactly one writer wins and the loser fails cleanly.
+    val staging = dataDir.resolve(
+      f"_staging_delta_$seq%012d" +
+        s"_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}")
     // partitionBy(_part): partition_names reads become directory-pruned
     // scans (PartitionFilters at the FileSourceScan, asserted in
     // StoreSpec) — at 100 TB a partition-scoped query must not touch

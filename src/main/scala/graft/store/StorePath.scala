@@ -63,6 +63,21 @@ private[graft] final class StorePath private (val hp: HPath) {
     try out.write(bytes) finally out.close()
   }
 
+  /** Create-exclusive write: succeeds only if the file did not exist
+    * (atomic on local and HDFS — the namenode/POSIX O_EXCL create;
+    * object stores without conditional PUT cannot give this guarantee,
+    * the same caveat as [[moveOver]]). The lock-file primitive for
+    * cross-process leases.
+    */
+  def createExclusive(bytes: Array[Byte]): Boolean =
+    try {
+      val out = fs.create(hp, false)
+      try out.write(bytes) finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException => false
+    }
+
   /** Atomic rename; fails if `to` already exists. */
   def moveTo(to: StorePath): Unit =
     StorePath.ctxFor(hp).rename(hp, to.hp)

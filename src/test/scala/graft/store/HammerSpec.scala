@@ -135,6 +135,95 @@ class HammerSpec extends SparkSpec {
       == 2000 + 3 * 6 * 10)
   }
 
+  test("two Catalogs on one root stay chain-consistent with the cross-process retire lease") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-h2cat").toString
+    val catA = new Catalog(root)
+    catA.createCollection(CollectionDef("xp", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("pad", org.apache.spark.sql.types.StringType)),
+      properties = Map(
+        "compaction.maxDeltas" -> "3",
+        "compaction.retireGraceMs" -> "0",
+        "compaction.crossProcessLock" -> "true",
+        "compaction.lockStaleMs" -> "500"))): Unit
+    // A second Catalog over the SAME root — a separate handle with its
+    // own caches, the two-driver deployment the lease exists for (the
+    // JVM-local compactLock still serializes in-process; the lease
+    // code path runs on every retire because the property is on).
+    val catB = new Catalog(root)
+    catA.collection("xp").insert(s,
+      (0L until 1000L).map(i => (i, "x")).toDF("id", "pad")): Unit
+    catA.collection("xp").compact(s)
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    val writers = Seq(catA, catB).zipWithIndex.map { case (cat, t) =>
+      new Thread(() => {
+        try (0 until 6).foreach { b =>
+          val c = cat.collection("xp")
+          c.insert(s, (0L until 10L)
+            .map(i => (100000L * (t + 1) + b * 100L + i, "w"))
+            .toDF("id", "pad")): Unit
+          if (b % 2 == 1) c.compactMinor(s)
+        } catch { case e: Exception =>
+          errors.compareAndSet(null, s"writer$t: ${e.getMessage}"): Unit }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    // Both handles converge on the same exact chain.
+    Seq(catA, catB).foreach { cat =>
+      val c = cat.collection("xp")
+      assert(c.read(s).count() == 1000 + 2 * 6 * 10)
+      assert(c.read(s).select("id").distinct().count() == 1000 + 2 * 6 * 10)
+    }
+    // No lease left behind, and the zero-grace sweeps actually
+    // reclaimed: every remaining delta dir is live (none marked
+    // retired-but-lingering in the ledger past the final sweep).
+    val dataDir = catA.collectionDir("xp").resolve("data")
+    assert(!dataDir.resolve("_retire_lock").exists, "lease file leaked")
+  }
+
+  test("retire lease: a stale lock is taken over, a live one blocks until released") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-hlease").toString)
+    val c = cat.createCollection(CollectionDef("ls", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true)),
+      properties = Map(
+        "compaction.retireGraceMs" -> "0",
+        "compaction.crossProcessLock" -> "true",
+        "compaction.lockStaleMs" -> "300")))
+    c.insert(s, (0L until 50L).map(Tuple1(_)).toDF("id")): Unit
+    c.insert(s, (50L until 100L).map(Tuple1(_)).toDF("id")): Unit
+    val lock = cat.collectionDir("ls").resolve("data")
+      .resolve("_retire_lock")
+    // Simulate a DEAD holder from another process: lock present, mtime
+    // aging past lockStaleMs. The compact must take it over instead of
+    // wedging, and release cleanly.
+    assert(lock.createExclusive("9999999 0".getBytes))
+    Thread.sleep(400)
+    c.compact(s)
+    assert(!lock.exists, "takeover did not release the lease")
+    assert(c.read(s).count() == 100)
+    // Simulate a LIVE holder: fresh lock (age < lockStaleMs), released
+    // 150 ms in by its owner. The next retire must wait for the
+    // release — a takeover would need the 300 ms stale age — and then
+    // proceed.
+    c.insert(s, (100L until 150L).map(Tuple1(_)).toDF("id")): Unit
+    assert(lock.createExclusive("9999999 1".getBytes))
+    val releaser = new Thread(() => {
+      Thread.sleep(150); lock.deleteRecursively()
+    })
+    val t0 = System.currentTimeMillis()
+    releaser.start()
+    c.compact(s)
+    releaser.join()
+    assert(System.currentTimeMillis() - t0 >= 120,
+      "compact did not wait for the live lease")
+    assert(!lock.exists && c.read(s).count() == 150)
+  }
+
   test("BM25 delta serving under concurrent DML: no torn search, final parity with a fresh index") {
     val s = spark
     import s.implicits._
