@@ -1579,6 +1579,38 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("rank")
     },
+    // ---- V51: FILTERED declared-HNSW search through the graph walk
+    // (round-11) — the filter compiles into an allowed-pk mask the
+    // beam consults (disallowed nodes route the walk, never surface:
+    // the Milvus scalar-bitmask semantic), composed with the
+    // sealed/growing delta serving and the no-rebuild assertion. Full
+    // beam -> exact, so the oracle is the true filtered post-DML
+    // top-10. ---------------------------------------------------------
+    "v51_hnsw_filtered_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-hnsw51").toString)
+      val c = cat.createCollection(CollectionDef("fvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      c.delete(s, "vec_id == 7")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s, Seq((990002L, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
+      val hits = CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
+        10, filterExpr = "vec_id % 2 == 0",
+        searchParams = Map("ef" -> "1000000"))
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      hits.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").asc, col("vec_id").asc)).cast("int"))
+        .select(col("vec_id"), col("rank"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("rank")
+    },
     // ---- V50 recall: the graph SERVING route at the beam operating
     // point (ef=64, segments=4) vs the IVF route at v1's operating
     // point (nlist=8, nprobe=4, same query batch, same L2 exact
@@ -5812,6 +5844,20 @@ object SparkEntry {
       // trail the IVF route it replaced for declared HNSW.
       "v50_hnsw_recall" ->
         "SELECT true AS recall_ok, true AS recall_ge_ivf",
+      // GENUINE exact oracle for the MASKED delta-served graph walk:
+      // the v50 post-DML corpus (inserted copy at the even id 990002)
+      // restricted to even pks, ranked by true L2.
+      "v51_hnsw_filtered_serve" ->
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  WHERE vec_id NOT IN (7, 11)
+           |  UNION ALL SELECT CAST(11 AS BIGINT), ${qvec.format(483)}
+           |  UNION ALL SELECT CAST(990002 AS BIGINT), ${qvec.format(7)})
+           |SELECT vec_id, rank, true AS served_stale FROM (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT) AS rank
+           |  FROM corpus WHERE vec_id % 2 = 0) WHERE rank <= 10
+           |ORDER BY rank""".stripMargin,
       "v36_pq_recall" ->
         "SELECT true AS recall_ok",
       // GENUINE exact oracle: with nprobe = nlist and a candidate

@@ -153,10 +153,16 @@ object Hnsw {
     private def dq(q: Array[Double], a: Int): Double = dist(q, vecs(a))
 
     /** Best-first beam at one layer; returns up to ef (dist, idx)
-      * sorted best-first with id tie-break.
+      * sorted best-first with id tie-break. `allowed` is the filtered-
+      * search traversal mask (hnswlib's filter semantics, Milvus's
+      * scalar bitmask): DISALLOWED nodes are traversed — they keep the
+      * graph connected and guide the walk — but never enter the RESULT
+      * set, so the beam keeps widening until ef ALLOWED nodes are
+      * found or the frontier is exhausted.
       */
     private def searchLayer(q: Array[Double], eps: Seq[Int], ef: Int,
-        lc: Int): mutable.ArrayBuffer[(Double, Int)] = {
+        lc: Int,
+        allowed: Long => Boolean = _ => true): mutable.ArrayBuffer[(Double, Int)] = {
       implicit val ord: Ordering[(Double, Int)] =
         Ordering.by(t => (t._1, ids(t._2)))
       val visited = new java.util.HashSet[Int]()
@@ -164,7 +170,11 @@ object Hnsw {
       val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
       val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
       eps.foreach { e =>
-        if (visited.add(e)) { val de = dq(q, e); cand.enqueue((de, e)); res.enqueue((de, e)) }
+        if (visited.add(e)) {
+          val de = dq(q, e)
+          cand.enqueue((de, e))
+          if (allowed(ids(e))) res.enqueue((de, e))
+        }
       }
       while (cand.nonEmpty) {
         val (dc, c) = cand.dequeue()
@@ -176,8 +186,10 @@ object Hnsw {
               val dn = dq(q, nb)
               if (res.size < ef || ord.compare((dn, nb), res.head) < 0) {
                 cand.enqueue((dn, nb))
-                res.enqueue((dn, nb))
-                if (res.size > ef) res.dequeue(): Unit
+                if (allowed(ids(nb))) {
+                  res.enqueue((dn, nb))
+                  if (res.size > ef) res.dequeue(): Unit
+                }
               }
             }
           }
@@ -231,11 +243,16 @@ object Hnsw {
       }
     }
 
-    /** Top-k for one query; brute force when ef covers the segment. */
-    def searchK(q: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+    /** Top-k for one query; brute force when ef covers the segment.
+      * `allowed` masks the RESULT set only (filtered search) — the
+      * greedy descent and the beam traverse the full graph.
+      */
+    def searchK(q: Array[Double], k: Int, ef: Int,
+        allowed: Long => Boolean = _ => true): Seq[(Long, Double)] = {
       if (n == 0) return Seq.empty
       if (ef >= n) { // exact fallback — disconnection-proof
-        return (0 until n).map(i => (dq(q, i), i))
+        return (0 until n).filter(i => allowed(ids(i)))
+          .map(i => (dq(q, i), i))
           .sortBy(t => (t._1, ids(t._2))).take(k)
           .map { case (dd, i) => (ids(i), dd) }
       }
@@ -245,7 +262,7 @@ object Hnsw {
         ep = Seq(searchLayer(q, ep, 1, lc).head._2)
         lc -= 1
       }
-      searchLayer(q, ep, math.max(ef, k), 0).take(k)
+      searchLayer(q, ep, math.max(ef, k), 0, allowed).take(k)
         .map { case (dd, i) => (ids(i), dd) }.toSeq
     }
 
@@ -352,12 +369,22 @@ object Hnsw {
     * rank).
     */
   def searchParts(graphRows: DataFrame, queries: Seq[(String, Seq[Float])],
-      idCol: String, k: Int, ef: Int, metric: String): DataFrame = {
+      idCol: String, k: Int, ef: Int, metric: String,
+      allowedIds: Option[Array[Long]] = None): DataFrame = {
     require(k > 0 && ef > 0, "k and ef must be positive")
     val spark = graphRows.sparkSession
     import spark.implicits._
     val params = Params(metric = metric)
     val qs = queries.map { case (qid, v) => (qid, v.map(_.toDouble).toArray) }
+    // Filtered-search mask: a SORTED pk array in the task closure
+    // (8 bytes/id — the caller caps its size), probed by binary
+    // search during the walk. Disallowed nodes still route the beam;
+    // they never surface (searchLayer doc).
+    val mask: Long => Boolean = allowedIds match {
+      case None => _ => true
+      case Some(sorted) =>
+        id => java.util.Arrays.binarySearch(sorted, id) >= 0
+    }
     val candidates = graphRows.select(
         col("_part").cast("string").as("part"),
         col("seg").cast("int").as("seg"),
@@ -373,7 +400,7 @@ object Hnsw {
           nodes.map(_.vec.map(_.toDouble).toArray),
           nodes.map(_.level), nodes.map(_.nbrs), params)
         qs.iterator.flatMap { case (qid, qv) =>
-          g.searchK(qv, k, ef).map { case (id, d) =>
+          g.searchK(qv, k, ef, mask).map { case (id, d) =>
             (qid, id, outputScore(metric, d))
           }
         }

@@ -33,26 +33,48 @@ object CollectionSearch {
 
   /** Declared HNSW routes to the GENUINE per-segment graph family
     * ([[graft.ann.Hnsw]] persisted via [[IndexStore.ensureHnsw]]) when
-    * the graph can serve the request: no filter (the graph node table
-    * carries no scalar columns to mask on — Milvus evaluates filters
-    * into a bitmask from the scalar segment data, which for us IS the
-    * cell-pruned IVF route the filtered case falls back to), an
-    * integral pk (graph ids are longs), and a graph metric. The
-    * fallback keeps the pre-round-11 behavior; note a collection
-    * alternating filtered/unfiltered HNSW searches re-materializes the
-    * pointer per family (both builds stay on disk — commitPointer's GC
-    * keeps the latest two version dirs).
+    * the graph can structurally serve the request: an integral pk
+    * (graph ids are longs) and a graph metric. Filtered searches
+    * additionally need [[hnswFilterMask]] to fit its cap — Milvus
+    * evaluates filters into a scalar-segment bitmask the graph walk
+    * consults, which here is a sorted allowed-pk array; an
+    * over-cap mask falls back to the cell-pruned IVF route, whose
+    * persisted layout carries the scalar columns inline. Note a
+    * collection alternating graph-served and IVF-fallback searches
+    * re-materializes the pointer per family (both builds stay on
+    * disk — commitPointer's GC keeps the latest two version dirs).
     */
   private def hnswGraphRoutable(coll: Collection, vecField: String,
-      filterExpr: String, metric: String): Boolean = {
+      metric: String): Boolean = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val d = coll.definition
     d.indexes.exists(ix => ix.field == vecField &&
         ix.indexType.toUpperCase == "HNSW") &&
-      filterExpr.trim.isEmpty &&
       Set[org.apache.spark.sql.types.DataType](LongType, IntegerType)
         .contains(d.primaryField.dataType) &&
       Set("L2", "IP", "COSINE").contains(metric.toUpperCase)
+  }
+
+  /** The filter bitmask for a declared-HNSW graph search: evaluate the
+    * compiled filter over the CURRENT merged view (one filtered scan —
+    * the same job the IVF fallback's pred costs) and collect the
+    * allowed pks, capped at `graft.hnsw.filterMaskCap` (default 1M ≈
+    * 8 MB in the task closure). Outer None = over cap, route to the
+    * IVF fallback; Some(Some(ids)) = masked graph walk;
+    * Some(None) = unfiltered.
+    */
+  private def hnswFilterMask(spark: SparkSession, coll: Collection,
+      filterExpr: String,
+      partitionNames: Seq[String]): Option[Option[Array[Long]]] = {
+    if (filterExpr.trim.isEmpty) return Some(None)
+    val cap = spark.conf.get("graft.hnsw.filterMaskCap", "1000000").toInt
+    val data = coll.read(spark, partitionNames)
+    val pk = coll.definition.primaryField.name
+    val ids = data.filter(MilvusExpr.compile(filterExpr, data))
+      .select(col(pk).cast("long")).limit(cap + 1)
+      .collect().map(_.getLong(0))
+    if (ids.length > cap) None
+    else Some(Some(ids.sorted))
   }
 
   /** The graph serving path: sealed per-(partition, segment) graphs
@@ -64,7 +86,9 @@ object CollectionSearch {
   private def hnswHits(spark: SparkSession, coll: Collection,
       vecField: String, queries: Seq[(String, Seq[Float])], k: Int,
       ef: Int, metric: String, outputFields: Seq[String],
-      partitionNames: Seq[String]): DataFrame = {
+      partitionNames: Seq[String],
+      mask: Option[Array[Long]] = None,
+      filterExpr: String = ""): DataFrame = {
     import spark.implicits._
     val d = coll.definition
     val pk = d.primaryField.name
@@ -82,15 +106,21 @@ object CollectionSearch {
       else df.filter(col("_part").isin(partitionNames: _*))
     val sealedHits =
       Hnsw.searchParts(scopedPart(serve.sealedGraph), queries, pk, k, ef,
-          metric)
+          metric, mask)
         .select(col("qid"), col(pk).cast(d.primaryField.dataType),
           col("score"))
     val all = serve.growing match {
       case None => sealedHits
       case Some(g) =>
+        // The growing delta carries its scalar columns, so the filter
+        // compiles directly — no mask needed on the brute-force side.
+        val g2 = scopedPart(g)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, g2))
         val qdf = queries.toDF("qid", "qvec")
         sealedHits.unionByName(
-          Knn.search(scopedPart(g), qdf, vecField, pk, metric, k)
+          Knn.search(g2, qdf, vecField, pk, metric, k, pred)
             .select(col("qid"), col(pk), col("score")))
     }
     val simLike = Set("IP", "COSINE").contains(metric.toUpperCase)
@@ -131,14 +161,24 @@ object CollectionSearch {
     val pqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_PQ")
     // Declared HNSW serves from the GENUINE per-segment graph family
-    // (see [[hnswGraphRoutable]]) when unfiltered; filtered HNSW and
-    // DISKANN declarations serve from the IVF physical path —
+    // (see [[hnswGraphRoutable]]): unfiltered directly, filtered via
+    // the allowed-pk bitmask when it fits the cap; over-cap filters
+    // and DISKANN declarations serve from the IVF physical path —
     // cell-pruned search is the Spark shape whose persisted layout
     // carries the partition level, the sealed/growing delta discipline
-    // AND the scalar columns a filter bitmask needs, with
-    // `ef`/`search_list_size` accepted as the probe budget
-    // (workload.py:141-147 maps per-type search params).
-    val hnswRoutable = hnswGraphRoutable(coll, vecField, filterExpr, metric)
+    // AND the scalar columns inline, with `ef`/`search_list_size`
+    // accepted as the probe budget (workload.py:141-147 maps per-type
+    // search params).
+    val lshDeclared = index.exists(ix =>
+      Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
+    val probeBudget = searchParams.get("nprobe")
+      .orElse(searchParams.get("ef"))
+      .orElse(searchParams.get("search_list_size"))
+    val hnswMask: Option[Option[Array[Long]]] =
+      if (!hnswGraphRoutable(coll, vecField, metric) || lshDeclared ||
+          probeBudget.isEmpty) None
+      else hnswFilterMask(spark, coll, filterExpr, partitionNames)
+    val hnswRoutable = hnswMask.isDefined
     val ivfDeclared = !rabitqDeclared && !sq8Declared && !pqDeclared &&
       !hnswRoutable &&
       index.exists(ix =>
@@ -149,11 +189,6 @@ object CollectionSearch {
     // multi-table bucket layout: the probe predicate prunes (t, sig)
     // partition directories, `radius` is the multiprobe budget
     // (radius >= num_planes probes everything = exact).
-    val lshDeclared = index.exists(ix =>
-      Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
-    val probeBudget = searchParams.get("nprobe")
-      .orElse(searchParams.get("ef"))
-      .orElse(searchParams.get("search_list_size"))
     // Persisted IVF-family builds carry `_part` as the OUTER partition
     // level, so a partition-scoped search stays on the index route and
     // prunes whole partition subtrees before the probe prunes cells.
@@ -178,7 +213,7 @@ object CollectionSearch {
         // Graph path: ef is the beam budget (>= a segment's size
         // switches that segment to its exact fallback).
         hnswHits(spark, coll, vecField, Seq(("q", queryVec)), k, ef,
-          metric, outputFields, partitionNames)
+          metric, outputFields, partitionNames, hnswMask.get, filterExpr)
           .drop("qid")
       case Some(nprobe) if sq8Declared =>
         // 8-bit quantized path: ADC estimates over the probed cells'
@@ -291,18 +326,22 @@ object CollectionSearch {
       index.exists(_.indexType.toUpperCase == "IVF_SQ8")
     val pqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_PQ")
-    val hnswRoutable = hnswGraphRoutable(coll, vecField, filterExpr, metric)
+    val lshDeclared = index.exists(ix =>
+      Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
+    val probeBudget = searchParams.get("nprobe")
+      .orElse(searchParams.get("ef"))
+      .orElse(searchParams.get("search_list_size"))
+    val hnswMask: Option[Option[Array[Long]]] =
+      if (!hnswGraphRoutable(coll, vecField, metric) || lshDeclared ||
+          probeBudget.isEmpty) None
+      else hnswFilterMask(spark, coll, filterExpr, partitionNames)
+    val hnswRoutable = hnswMask.isDefined
     val ivfDeclared = !rabitqDeclared && !sq8Declared && !pqDeclared &&
       !hnswRoutable &&
       index.exists(ix =>
         ix.indexType.toUpperCase.startsWith("IVF") ||
           Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
             .contains(ix.indexType.toUpperCase))
-    val lshDeclared = index.exists(ix =>
-      Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
-    val probeBudget = searchParams.get("nprobe")
-      .orElse(searchParams.get("ef"))
-      .orElse(searchParams.get("search_list_size"))
     val doubleQs = queryVecs.map { case (qid, qv) =>
       (qid, qv.map(_.toDouble).toArray)
     }
@@ -330,7 +369,7 @@ object CollectionSearch {
     } else probeBudget.map(_.toInt) match {
       case Some(ef) if hnswRoutable =>
         hnswHits(spark, coll, vecField, queryVecs, k, ef, metric,
-          outputFields, partitionNames)
+          outputFields, partitionNames, hnswMask.get, filterExpr)
       case Some(nprobe) if sq8Declared =>
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)

@@ -153,6 +153,17 @@ object IndexStore {
   private def indexDir(coll: Collection, field: String): StorePath =
     coll.catalog.collectionDir(coll.name).resolve("index").resolve(field)
 
+  /** Cache identity for a collection's builds: the collection
+    * DIRECTORY, not the name — two same-name collections in different
+    * catalog roots (common in test fixtures, possible in multi-root
+    * deployments) must never hit each other's cached models; a
+    * name-keyed cache returned one root's build (and skipped the other
+    * root's pointer write entirely) when names and write-seqs
+    * coincided.
+    */
+  private def cacheId(coll: Collection): String =
+    coll.catalog.collectionDir(coll.name).toString
+
   /** Version dirs encode the build params, not just the seq: a
     * same-seq rebuild with different params (e.g. another nlist) gets
     * its own immutable directory instead of overwriting the parquet a
@@ -318,9 +329,9 @@ object IndexStore {
       field: String, metric: String, nlist: Int,
       allowStale: Boolean = true): IvfBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, metric, nlist, seq)
+    val key = (cacheId(coll), field, metric, nlist, seq)
     ivfCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._5 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
     // an explicit materialize must not return a cached STALE-SERVED build
     if (!allowStale)
       ivfCache.keySet.removeIf(k => k == key && ivfCache.get(k) != null &&
@@ -346,9 +357,9 @@ object IndexStore {
       field: String, metric: String, nlist: Int,
       allowStale: Boolean = true): RabitqBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, metric, nlist, seq)
+    val key = (cacheId(coll), field, metric, nlist, seq)
     rabitqCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._5 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
     if (!allowStale)
       rabitqCache.keySet.removeIf(k => k == key && rabitqCache.get(k) != null &&
         rabitqCache.get(k).builtSeq != seq)
@@ -373,9 +384,9 @@ object IndexStore {
       field: String, metric: String, nlist: Int,
       allowStale: Boolean = true): Sq8Build = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, metric, nlist, seq)
+    val key = (cacheId(coll), field, metric, nlist, seq)
     sq8Cache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._5 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
     if (!allowStale)
       sq8Cache.keySet.removeIf(k => k == key && sq8Cache.get(k) != null &&
         sq8Cache.get(k).builtSeq != seq)
@@ -399,9 +410,9 @@ object IndexStore {
       metric: String, nlist: Int, m: Int, ksub: Int,
       allowStale: Boolean = true): PqBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, metric, s"$nlist:$m:$ksub", seq)
+    val key = (cacheId(coll), field, metric, s"$nlist:$m:$ksub", seq)
     pqCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._5 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
     if (!allowStale)
       pqCache.keySet.removeIf(k => k == key && pqCache.get(k) != null &&
         pqCache.get(k).builtSeq != seq)
@@ -425,9 +436,9 @@ object IndexStore {
   def ensureBinIvf(spark: SparkSession, coll: Collection,
       field: String, nlist: Int, allowStale: Boolean = true): BinIvfBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, nlist, seq)
+    val key = (cacheId(coll), field, nlist, seq)
     binIvfCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._4 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
     if (!allowStale)
       binIvfCache.keySet.removeIf(k => k == key && binIvfCache.get(k) != null &&
         binIvfCache.get(k).builtSeq != seq)
@@ -450,9 +461,9 @@ object IndexStore {
   def ensureSparse(spark: SparkSession, coll: Collection,
       field: String, numBuckets: Int): SparseBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, numBuckets, seq)
+    val key = (cacheId(coll), field, numBuckets, seq)
     sparseCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._4 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
     sparseCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       loadSparse(dir, numBuckets, seq).getOrElse {
@@ -534,9 +545,9 @@ object IndexStore {
   def ensureBm25(spark: SparkSession, coll: Collection,
       field: String, params: Bm25.Params): Bm25Build = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, params.analyzer, seq)
+    val key = (cacheId(coll), field, params.analyzer, seq)
     bm25Cache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._4 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
     bm25Cache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       loadBm25(dir, params, seq).getOrElse(
@@ -571,9 +582,9 @@ object IndexStore {
       field: String, path: String, castType: String,
       kind: String = "sort", bitmapCardinality: Int = 1024): JsonPathBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, path, s"$castType/$kind", seq)
+    val key = (cacheId(coll), field, path, s"$castType/$kind", seq)
     jsonPathCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._3 == path && k._5 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._3 == path && k._5 != seq)
     jsonPathCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       val pathTag = jsonPathTag(path, kind)
@@ -680,9 +691,9 @@ object IndexStore {
   def ensureRtree(spark: SparkSession, coll: Collection,
       field: String, cellSize: Double = 8.0): RtreeBuild = {
     val seq = coll.committedSeq
-    val key = (coll.name, field, cellSize.toString, seq)
+    val key = (cacheId(coll), field, cellSize.toString, seq)
     rtreeCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._4 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
     rtreeCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       val tag = s"grid${cellSize.toString.replace('.', 'p')}"
@@ -730,9 +741,9 @@ object IndexStore {
       seed: Long = 42L, allowStale: Boolean = true): LshBuild = {
     val seq = coll.committedSeq
     val paramTag = s"$metric/$tables/$numPlanes/$seed"
-    val key = (coll.name, field, paramTag, seq)
+    val key = (cacheId(coll), field, paramTag, seq)
     lshCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._4 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
     if (!allowStale)
       lshCache.keySet.removeIf(k => k == key && lshCache.get(k) != null &&
         lshCache.get(k).builtSeq != seq)
@@ -807,9 +818,9 @@ object IndexStore {
     val segs = if (segments > 0) segments
       else spark.sessionState.conf.numShufflePartitions
     val kind = hnswKind(m, efConstruction, segs, seed)
-    val key = (coll.name, field, metric, kind, seq)
+    val key = (cacheId(coll), field, metric, kind, seq)
     hnswCache.keySet.removeIf(k =>
-      k._1 == coll.name && k._2 == field && k._5 != seq)
+      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
     if (!allowStale)
       hnswCache.keySet.removeIf(k => k == key && hnswCache.get(k) != null &&
         hnswCache.get(k).builtSeq != seq)
@@ -958,23 +969,23 @@ object IndexStore {
 
   /** Remove the persisted index and cached models for a field. */
   def drop(coll: Collection, field: String): Unit = {
-    ivfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    rabitqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    sq8Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    pqCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    binIvfCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    sparseCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    bm25Cache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    ivfCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    rabitqCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    sq8Cache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    pqCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    binIvfCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    sparseCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    bm25Cache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
     // The stats/growing caches' (name, field, ..., seq) keys would be
     // REUSED verbatim by a recreated same-name collection whose seq
     // counter restarts — evict here or a new incarnation silently
     // serves the old corpus's stats.
-    bm25StatsCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    bm25GrowingCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    jsonPathCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    rtreeCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    lshCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
-    hnswCache.keySet.removeIf(k => k._1 == coll.name && k._2 == field)
+    bm25StatsCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    bm25GrowingCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    jsonPathCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    rtreeCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    lshCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    hnswCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
     indexDir(coll, field).deleteRecursively()
   }
 
@@ -1243,11 +1254,11 @@ object IndexStore {
           // Growing mini-postings (a delta-sized tokenize, pinned) and
           // the stats adjustment (a doclen-table scan) each run once
           // per (build, DML generation), not per query.
-          val genKey = (coll.name, field, params.analyzer, b.builtSeq, seq)
+          val genKey = (cacheId(coll), field, params.analyzer, b.builtSeq, seq)
           bm25StatsCache.keySet.removeIf(kk =>
-            kk._1 == coll.name && kk._2 == field && kk._5 != seq)
+            kk._1 == cacheId(coll) && kk._2 == field && kk._5 != seq)
           bm25GrowingCache.keySet.removeIf(kk =>
-            kk._1 == coll.name && kk._2 == field && kk._5 != seq)
+            kk._1 == cacheId(coll) && kk._2 == field && kk._5 != seq)
           val gposts = bm25GrowingCache.computeIfAbsent(genKey, _ =>
             Bm25.growingPostings(b.persisted, growing, field))
           val st = bm25StatsCache.computeIfAbsent(genKey, _ =>

@@ -597,19 +597,45 @@ class IndexLifecycleSpec extends SparkSpec {
       "post-DML search rebuilt the graph instead of delta-serving")
   }
 
-  test("filtered / DISKANN searches keep the cell-pruned IVF path") {
+  test("filtered HNSW serves from the graph walk under the allowed-pk mask") {
+    val s = spark
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+      Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+    // full beam -> per-segment exact fallback under the mask -> the
+    // result is the true FILTERED top-k (filter keeps even vec_ids)
+    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+        filterExpr = "vec_id % 2 == 0",
+        searchParams = Map("ef" -> "1000000"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.searchOne(c.read(s).filter(col("vec_id") % 2 === 0),
+        queryVec(7), "embedding", "vec_id", "L2", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits == exact, s"masked graph walk $hits != exact $exact")
+    assert(hits.forall(_ % 2 == 0))
+    // the GRAPH build served (not an IVF fallback build)
+    assert(IndexStore.describe(c, "embedding").get("build_kind")
+      .startsWith("hnsw1"))
+  }
+
+  test("over-cap filtered / DISKANN searches keep the cell-pruned IVF path") {
     val s = spark
     val (_, c) = vecCollection()
     c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
       Map("nlist" -> "8")))
-    // a FILTERED declared-HNSW search needs scalar columns -> IVF route
-    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
-      filterExpr = "vec_id >= 0", searchParams = Map("ef" -> "32"))
-    val plan = hits.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("_cid"),
-      s"filtered HNSW did not route to the pruned index path:\n$plan")
-    val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
-      "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
-    assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == exact)
+    // Force the allowed-pk mask over its cap: the filtered search must
+    // fall back to the IVF route, whose persisted layout carries the
+    // scalar columns inline.
+    s.conf.set("graft.hnsw.filterMaskCap", "1")
+    try {
+      val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+        filterExpr = "vec_id >= 0", searchParams = Map("ef" -> "32"))
+      val plan = hits.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("_cid"),
+        s"over-cap filtered HNSW did not route to the pruned index path:\n$plan")
+      val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
+        "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == exact)
+    } finally s.conf.unset("graft.hnsw.filterMaskCap")
   }
 }
