@@ -76,7 +76,20 @@ object Bench {
     // the driver runs the full set).
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
-    val all = (SparkEntry.queries ++ SparkEntry.benchQueries)
+    // Detector self-check (SPARK_GRAFT_BENCH_DIAG=1): a synthetic
+    // pure-stall entry — wall runs, (cpu - gc) stays ~0 — that MUST
+    // land in io_suspect. Validates the GC-adjusted ratio labels a
+    // stalled entry correctly without waiting for a contended driver
+    // run to happen naturally. Never part of a normal suite.
+    val diag: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] =
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_DIAG")) Map.empty
+      else Map("bench_diag_stall" -> { (s, _) =>
+        import s.implicits._
+        Thread.sleep(1500)
+        Seq(Tuple1(1L)).toDF("one")
+      })
+    val all = (SparkEntry.queries ++ SparkEntry.benchQueries ++ diag)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Per rep: (wall, process-cpu, gc, bytes-read) — all seconds except
