@@ -1600,9 +1600,14 @@ object SparkEntry {
       c.delete(s, "vec_id == 7")
       c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
       c.insert(s, Seq((990002L, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
-      val hits = CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
-        10, filterExpr = "vec_id % 2 == 0",
-        searchParams = Map("ef" -> "1000000"))
+      // Force the masked WALK (not the small-set brute switch) so the
+      // entry gates the traversal-mask semantics at every SF.
+      s.conf.set("graft.hnsw.maskBruteForceMax", "0")
+      val hits =
+        try CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
+          10, filterExpr = "vec_id % 2 == 0",
+          searchParams = Map("ef" -> "1000000"))
+        finally s.conf.unset("graft.hnsw.maskBruteForceMax")
       val servedStale =
         IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
       hits.withColumn("rank", row_number().over(
@@ -3039,6 +3044,36 @@ object SparkEntry {
     // stream in append mode (no state store, no watermark). Fixture
     // docs carry 5..11 value-dependent tokens; the oracle regenerates
     // text and windows (size 8, stride 6) arithmetically. ------------
+    // ---- ST10: streaming ingestion dedup (round-11) — exact dedup at
+    // ingest time via Structured Streaming's STATEFUL dropDuplicates
+    // on the content fingerprint: the state store carries every seen
+    // fingerprint across micro-batches, so a batch-2 re-crawl of
+    // batch-1 documents emits nothing (the cross-batch property the
+    // batch operators can't show). Batch 2's ids 30-44 are verbatim
+    // copies of 0-14 (pmod text derivation) → all dropped; output is
+    // exactly batch 1. Intra-batch texts are all distinct, so
+    // keep-first ambiguity can't arise and the result is
+    // deterministic. -------------------------------------------------
+    "st10_stream_dedup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val docs = mem.toDF().select(col("value").as("doc_id"),
+        concat(lit("document text number "),
+          pmod(col("value"), lit(30)).cast("string")).as("text"))
+      val deduped = docs
+        .withColumn("fp", sha2(col("text"), 256))
+        .dropDuplicates("fp")
+      val q = deduped.writeStream.format("memory").queryName("st10_dedup")
+        .outputMode("append").start()
+      mem.addData(0L until 30L: _*)
+      q.processAllAvailable()
+      mem.addData(30L until 45L: _*)
+      q.processAllAvailable()
+      q.stop()
+      s.sql("SELECT doc_id FROM st10_dedup").orderBy("doc_id")
+    },
     "st8_stream_chunks" -> { (s, dir) =>
       import s.implicits._
       implicit val sq = s.sqlContext
@@ -7587,6 +7622,11 @@ object SparkEntry {
       // hit counts recomputed from the fixture (d6's gram machinery).
       // Streaming chunking oracle: fixture text and the size-8 /
       // stride-6 windows regenerated arithmetically.
+      // Cross-batch state: batch 2 (ids 30-44) duplicates batch 1's
+      // texts verbatim, so the streaming state drops it entirely.
+      "st10_stream_dedup" ->
+        """SELECT CAST(unnest(range(0, 30)) AS BIGINT) AS doc_id
+          |ORDER BY doc_id""".stripMargin,
       "st8_stream_chunks" ->
         """WITH ids AS (SELECT CAST(unnest(range(0, 40)) AS BIGINT) AS doc_id),
           |docs AS (SELECT doc_id, array_to_string(list_transform(

@@ -331,7 +331,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, metric, nlist, seq)
     ivfCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
+      k._1 == key._1 && k._2 == field && k._5 != seq)
     // an explicit materialize must not return a cached STALE-SERVED build
     if (!allowStale)
       ivfCache.keySet.removeIf(k => k == key && ivfCache.get(k) != null &&
@@ -359,7 +359,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, metric, nlist, seq)
     rabitqCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
+      k._1 == key._1 && k._2 == field && k._5 != seq)
     if (!allowStale)
       rabitqCache.keySet.removeIf(k => k == key && rabitqCache.get(k) != null &&
         rabitqCache.get(k).builtSeq != seq)
@@ -386,7 +386,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, metric, nlist, seq)
     sq8Cache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
+      k._1 == key._1 && k._2 == field && k._5 != seq)
     if (!allowStale)
       sq8Cache.keySet.removeIf(k => k == key && sq8Cache.get(k) != null &&
         sq8Cache.get(k).builtSeq != seq)
@@ -412,7 +412,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, metric, s"$nlist:$m:$ksub", seq)
     pqCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
+      k._1 == key._1 && k._2 == field && k._5 != seq)
     if (!allowStale)
       pqCache.keySet.removeIf(k => k == key && pqCache.get(k) != null &&
         pqCache.get(k).builtSeq != seq)
@@ -438,7 +438,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, nlist, seq)
     binIvfCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
+      k._1 == key._1 && k._2 == field && k._4 != seq)
     if (!allowStale)
       binIvfCache.keySet.removeIf(k => k == key && binIvfCache.get(k) != null &&
         binIvfCache.get(k).builtSeq != seq)
@@ -463,7 +463,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, numBuckets, seq)
     sparseCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
+      k._1 == key._1 && k._2 == field && k._4 != seq)
     sparseCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       loadSparse(dir, numBuckets, seq).getOrElse {
@@ -547,7 +547,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, params.analyzer, seq)
     bm25Cache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
+      k._1 == key._1 && k._2 == field && k._4 != seq)
     bm25Cache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       loadBm25(dir, params, seq).getOrElse(
@@ -584,7 +584,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, path, s"$castType/$kind", seq)
     jsonPathCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._3 == path && k._5 != seq)
+      k._1 == key._1 && k._2 == field && k._3 == path && k._5 != seq)
     jsonPathCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       val pathTag = jsonPathTag(path, kind)
@@ -693,7 +693,7 @@ object IndexStore {
     val seq = coll.committedSeq
     val key = (cacheId(coll), field, cellSize.toString, seq)
     rtreeCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
+      k._1 == key._1 && k._2 == field && k._4 != seq)
     rtreeCache.computeIfAbsent(key, _ => {
       val dir = indexDir(coll, field)
       val tag = s"grid${cellSize.toString.replace('.', 'p')}"
@@ -743,7 +743,7 @@ object IndexStore {
     val paramTag = s"$metric/$tables/$numPlanes/$seed"
     val key = (cacheId(coll), field, paramTag, seq)
     lshCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._4 != seq)
+      k._1 == key._1 && k._2 == field && k._4 != seq)
     if (!allowStale)
       lshCache.keySet.removeIf(k => k == key && lshCache.get(k) != null &&
         lshCache.get(k).builtSeq != seq)
@@ -820,7 +820,7 @@ object IndexStore {
     val kind = hnswKind(m, efConstruction, segs, seed)
     val key = (cacheId(coll), field, metric, kind, seq)
     hnswCache.keySet.removeIf(k =>
-      k._1 == cacheId(coll) && k._2 == field && k._5 != seq)
+      k._1 == key._1 && k._2 == field && k._5 != seq)
     if (!allowStale)
       hnswCache.keySet.removeIf(k => k == key && hnswCache.get(k) != null &&
         hnswCache.get(k).builtSeq != seq)
@@ -969,23 +969,24 @@ object IndexStore {
 
   /** Remove the persisted index and cached models for a field. */
   def drop(coll: Collection, field: String): Unit = {
-    ivfCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    rabitqCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    sq8Cache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    pqCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    binIvfCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    sparseCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    bm25Cache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    val cid = cacheId(coll)
+    ivfCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    rabitqCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    sq8Cache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    pqCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    binIvfCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    sparseCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    bm25Cache.keySet.removeIf(k => k._1 == cid && k._2 == field)
     // The stats/growing caches' (name, field, ..., seq) keys would be
     // REUSED verbatim by a recreated same-name collection whose seq
     // counter restarts — evict here or a new incarnation silently
     // serves the old corpus's stats.
-    bm25StatsCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    bm25GrowingCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    jsonPathCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    rtreeCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    lshCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
-    hnswCache.keySet.removeIf(k => k._1 == cacheId(coll) && k._2 == field)
+    bm25StatsCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    bm25GrowingCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    jsonPathCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    rtreeCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    lshCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    hnswCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
     indexDir(coll, field).deleteRecursively()
   }
 
@@ -1256,9 +1257,9 @@ object IndexStore {
           // per (build, DML generation), not per query.
           val genKey = (cacheId(coll), field, params.analyzer, b.builtSeq, seq)
           bm25StatsCache.keySet.removeIf(kk =>
-            kk._1 == cacheId(coll) && kk._2 == field && kk._5 != seq)
+            kk._1 == genKey._1 && kk._2 == field && kk._5 != seq)
           bm25GrowingCache.keySet.removeIf(kk =>
-            kk._1 == cacheId(coll) && kk._2 == field && kk._5 != seq)
+            kk._1 == genKey._1 && kk._2 == field && kk._5 != seq)
           val gposts = bm25GrowingCache.computeIfAbsent(genKey, _ =>
             Bm25.growingPostings(b.persisted, growing, field))
           val st = bm25StatsCache.computeIfAbsent(genKey, _ =>

@@ -293,6 +293,70 @@ class HammerSpec extends SparkSpec {
     }
   }
 
+  test("HNSW graph serving under concurrent DML: no torn search, final parity with exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cat = new Catalog(Files.createTempDirectory("graft-hhnsw").toString)
+    val c = cat.createCollection(CollectionDef("hg", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("emb", ArrayType(FloatType), dim = Some(8)))))
+    def vec(i: Long): Seq[Float] = Seq((i % 7).toFloat, (i % 11).toFloat,
+      (i % 13).toFloat, (i % 5).toFloat, 1f, (i % 3).toFloat,
+      (i % 17).toFloat, (i % 19).toFloat)
+    c.insert(s, (0L until 600L).map(i => (i, vec(i))).toDF("id", "emb")): Unit
+    c.createIndex(s, IndexDef("emb", "HNSW", Some("L2"),
+      Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+    val q7 = vec(7)
+    graft.operators.CollectionSearch.search(s, c, "emb", q7, 5,
+      searchParams = Map("ef" -> "64")).collect()
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    // Writers mutate DISJOINT id ranges (inserts + deletes), so the
+    // final corpus is interleaving-independent; searches mid-flight
+    // serve sealed graphs + whatever growing deltas have landed.
+    val writers = (0 until 2).map { t =>
+      new Thread(() => {
+        try (0 until 4).foreach { b =>
+          val h = cat.collection("hg")
+          h.insert(s, (0L until 5L).map(i =>
+            (100000L * (t + 1) + b * 10L + i, vec(i + b)))
+            .toDF("id", "emb")): Unit
+          h.delete(s, s"id in [${t * 8 + b * 2}, ${t * 8 + b * 2 + 1}]"): Unit
+        } catch { case e: Exception =>
+          errors.compareAndSet(null, s"writer$t: ${e.getMessage}"): Unit }
+      })
+    }
+    val reader = new Thread(() => {
+      try (1 to 12).foreach { _ =>
+        val hits = graft.operators.CollectionSearch
+          .search(s, cat.collection("hg"), "emb", q7, 10,
+            searchParams = Map("ef" -> "1000000"))
+          .collect()
+        assert(hits.length == 10, s"k underflow: ${hits.length}")
+        hits.foreach { r =>
+          val (id, score) = (r.getLong(0), r.getDouble(1))
+          assert(java.lang.Double.isFinite(score) && score >= 0,
+            s"bad score $score for $id")
+          assert(id < 600L || (id >= 100000L && id < 300000L),
+            s"id $id outside any written universe")
+        }
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"reader: ${e.getMessage}"): Unit }
+    })
+    (writers :+ reader).foreach(_.start())
+    (writers :+ reader).foreach(_.join())
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    // Quiesced, full beam: the served graph route must equal the exact
+    // brute force over the final corpus bit-for-bit.
+    val h = cat.collection("hg")
+    val served = graft.operators.CollectionSearch
+      .search(s, h, "emb", q7, 10, searchParams = Map("ef" -> "1000000"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val exact = graft.operators.Knn.searchOne(h.read(s), q7, "emb", "id",
+      "L2", 10).select("id").collect().map(_.getLong(0)).toSeq
+    assert(served == exact, s"served=$served exact=$exact")
+  }
+
   test("CDC replication under concurrent DML: promote converges to the source") {
     // Writer hammers the source while a replication loop drains feed
     // windows onto the replica; whatever the interleaving, the final

@@ -603,11 +603,16 @@ class IndexLifecycleSpec extends SparkSpec {
     c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
       Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
     // full beam -> per-segment exact fallback under the mask -> the
-    // result is the true FILTERED top-k (filter keeps even vec_ids)
-    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
-        filterExpr = "vec_id % 2 == 0",
-        searchParams = Map("ef" -> "1000000"))
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // result is the true FILTERED top-k (filter keeps even vec_ids).
+    // maskBruteForceMax=0 forces the WALK (the small fixture would
+    // otherwise take the low-selectivity brute switch).
+    s.conf.set("graft.hnsw.maskBruteForceMax", "0")
+    val hits =
+      try CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+          filterExpr = "vec_id % 2 == 0",
+          searchParams = Map("ef" -> "1000000"))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      finally s.conf.unset("graft.hnsw.maskBruteForceMax")
     val exact = Knn.searchOne(c.read(s).filter(col("vec_id") % 2 === 0),
         queryVec(7), "embedding", "vec_id", "L2", 10)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
@@ -616,6 +621,17 @@ class IndexLifecycleSpec extends SparkSpec {
     // the GRAPH build served (not an IVF fallback build)
     assert(IndexStore.describe(c, "embedding").get("build_kind")
       .startsWith("hnsw1"))
+    // Low-selectivity brute switch (default cap): a tiny allowed set
+    // takes the exact pk-pruned scan — same answer, beam not needed;
+    // the beam operating point (small ef) must also be exact here
+    // because the scan IS exact.
+    val tiny = CollectionSearch.search(s, c, "embedding", queryVec(7), 5,
+        filterExpr = "vec_id < 20", searchParams = Map("ef" -> "8"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val tinyExact = Knn.searchOne(c.read(s).filter(col("vec_id") < 20),
+        queryVec(7), "embedding", "vec_id", "L2", 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(tiny == tinyExact, s"brute switch $tiny != exact $tinyExact")
   }
 
   test("over-cap filtered / DISKANN searches keep the cell-pruned IVF path") {
