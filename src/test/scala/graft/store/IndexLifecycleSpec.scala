@@ -634,6 +634,29 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(tiny == tinyExact, s"brute switch $tiny != exact $tinyExact")
   }
 
+  test("partitioned HNSW: scoped searches prune the graph's _part directories") {
+    val s = spark
+    val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
+    val c = cat.createCollection(CollectionDef("pg", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16))),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+      Map("M" -> "8", "efConstruction" -> "64", "segments" -> "2")))
+    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+      partitionNames = Seq("p0"), searchParams = Map("ef" -> "1000000"))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"scoped graph search did not prune _part directories:\n$plan")
+    val exact = Knn.searchOne(c.read(s, partitionNames = Seq("p0")),
+        queryVec(7), "embedding", "vec_id", "L2", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == exact,
+      "scoped graph search != scoped exact scan")
+  }
+
   test("over-cap filtered / DISKANN searches keep the cell-pruned IVF path") {
     val s = spark
     val (_, c) = vecCollection()
