@@ -1651,6 +1651,79 @@ object SparkEntry {
       Seq((hnswRecall >= 0.9, hnswRecall >= ivfRecall))
         .toDF("recall_ok", "recall_ge_ivf")
     },
+    // ---- V52: declared-DISKANN collection serves from the persisted
+    // per-segment VAMANA graph route (round-11) — create_index(DISKANN)
+    // builds the single-layer α-robust-pruned graphs (medoid entry) in
+    // the same node-table layout as HNSW; the walk, delta serving and
+    // no-rebuild pointer discipline are shared. build_kind pins the
+    // route (a vamana1-* build, not an IVF declaration); full beam ->
+    // per-segment exact fallback, so the oracle is the true post-DML
+    // L2 top-10 over the mutated corpus. ------------------------------
+    "v52_diskann_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-vam52").toString)
+      val c = cat.createCollection(CollectionDef("dvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "DISKANN", Some("L2"),
+        Map("R" -> "16", "L" -> "64", "alpha" -> "1.2",
+          "segments" -> "4")))
+      val desc = IndexStore.describe(c, "embedding").get
+      val sealedSeq = desc("built_seq")
+      c.delete(s, "vec_id == 7")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s, Seq((990003L, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
+      val hits = CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
+        10, searchParams = Map("search_list_size" -> "1000000"))
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      hits.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").asc, col("vec_id").asc)).cast("int"))
+        .select(col("vec_id"), col("rank"))
+        .withColumn("served_stale", lit(servedStale))
+        .withColumn("vamana_build", lit(desc("build_kind").startsWith("vamana1")))
+        .orderBy("rank")
+    },
+    // ---- V52 recall: the Vamana greedy walk at the DiskANN operating
+    // point (L=64 beam from the medoid, R=16, α=1.2, 4 segments) holds
+    // the invariant bound and does not trail the hierarchical HNSW walk
+    // at the same beam on the same queries. ---------------------------
+    "v52_diskann_recall" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-vam52r").toString)
+      val c = cat.createCollection(CollectionDef("rvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      val emb = tbl(s, dir, "embeddings")
+      c.insert(s, emb.select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "DISKANN", Some("L2"),
+        Map("R" -> "16", "L" -> "64", "alpha" -> "1.2",
+          "segments" -> "4")))
+      val qids = Seq(0L, 7L, 42L)
+      val served = CollectionSearch.searchBatch(s, c, "embedding",
+          qids.map(i => (i.toString, vecOf(s, dir, i))), 10,
+          searchParams = Map("search_list_size" -> "64",
+            "metric_type" -> "L2"))
+        .select(col("qid"), col("vec_id"))
+      val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
+          "embedding", "vec_id", "L2", 10)
+        .select(col("qid").cast("string").as("qid"), col("vec_id")).distinct()
+      val denom = exact.count().toDouble
+      val vamRecall =
+        exact.join(served, Seq("qid", "vec_id"), "left_semi").count() / denom
+      val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+        metric = "L2")
+      val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
+        segments = 4)
+      val hnswRecall = graft.ann.Hnsw.recallAtK(emb, g,
+        qids.map(i => (i, vecOf(s, dir, i))), "embedding", "vec_id",
+        k = 10, ef = 64, p)
+      Seq((vamRecall >= 0.9, vamRecall >= hnswRecall - 0.1))
+        .toDF("recall_ok", "recall_near_hnsw")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -5893,6 +5966,27 @@ object SparkEntry {
            |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT) AS rank
            |  FROM corpus WHERE vec_id % 2 = 0) WHERE rank <= 10
            |ORDER BY rank""".stripMargin,
+      // GENUINE exact oracle for the delta-served VAMANA (DISKANN)
+      // route: the v50 post-DML corpus shape (inserted copy at
+      // 990003), ranked by true L2. vamana_build pins that the
+      // declaration materialized a Vamana graph (not an IVF build);
+      // served_stale is the no-rebuild assertion.
+      "v52_diskann_serve" ->
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  WHERE vec_id NOT IN (7, 11)
+           |  UNION ALL SELECT CAST(11 AS BIGINT), ${qvec.format(483)}
+           |  UNION ALL SELECT CAST(990003 AS BIGINT), ${qvec.format(7)})
+           |SELECT vec_id, rank, true AS served_stale, true AS vamana_build
+           |FROM (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT) AS rank
+           |  FROM corpus) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      // INVARIANT BOUNDS (v48_hnsw_recall status): the medoid-entry
+      // greedy walk holds >= 0.9 at the DiskANN operating point and
+      // stays within 0.1 of the hierarchical walk at the same beam.
+      "v52_diskann_recall" ->
+        "SELECT true AS recall_ok, true AS recall_near_hnsw",
       "v36_pq_recall" ->
         "SELECT true AS recall_ok",
       // GENUINE exact oracle: with nprobe = nlist and a candidate

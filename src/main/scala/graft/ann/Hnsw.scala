@@ -86,7 +86,7 @@ object Hnsw {
   /** Internal rank DISTANCE (smaller = better) for the build and walk;
     * [[outputScore]] converts back to the public score convention.
     */
-  private def distFn(metric: String): (Array[Double], Array[Double]) => Double =
+  private[ann] def distFn(metric: String): (Array[Double], Array[Double]) => Double =
     metric.toUpperCase match {
       case "L2" => (a, b) => {
         var s = 0.0; var i = 0

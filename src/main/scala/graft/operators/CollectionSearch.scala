@@ -49,7 +49,7 @@ object CollectionSearch {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val d = coll.definition
     d.indexes.exists(ix => ix.field == vecField &&
-        ix.indexType.toUpperCase == "HNSW") &&
+        Set("HNSW", "DISKANN").contains(ix.indexType.toUpperCase)) &&
       Set[org.apache.spark.sql.types.DataType](LongType, IntegerType)
         .contains(d.primaryField.dataType) &&
       Set("L2", "IP", "COSINE").contains(metric.toUpperCase)
@@ -98,30 +98,60 @@ object CollectionSearch {
     val efc = ix.params.get("efConstruction").map(_.toInt).getOrElse(64)
     val segs = ix.params.get("segments").map(_.toInt).getOrElse(0)
     val seed = ix.params.get("seed").map(_.toLong).getOrElse(42L)
-    val build = IndexStore.ensureHnsw(spark, coll, vecField, metric, m,
-      efc, segs, seed)
-    val serve = IndexStore.serveHnsw(spark, coll, vecField, build)
     def scopedPart(df: DataFrame): DataFrame =
       if (partitionNames.isEmpty) df
       else df.filter(col("_part").isin(partitionNames: _*))
-    val sealedHits =
-      Hnsw.searchParts(scopedPart(serve.sealedGraph), queries, pk, k, ef,
-          metric, mask)
-        .select(col("qid"), col(pk).cast(d.primaryField.dataType),
-          col("score"))
-    val all = serve.growing match {
-      case None => sealedHits
-      case Some(g) =>
-        // The growing delta carries its scalar columns, so the filter
-        // compiles directly — no mask needed on the brute-force side.
-        val g2 = scopedPart(g)
-        val pred =
-          if (filterExpr.trim.isEmpty) None
-          else Some(MilvusExpr.compile(filterExpr, g2))
+    // Low-selectivity switch (the Milvus brute-force heuristic): a
+    // tiny allowed set makes the beam traverse most of every segment
+    // graph before it can fill ef allowed results — an exact pk-pruned
+    // scan of just the masked rows is both cheaper and exact. The isin
+    // predicate pushes to the parquet scan.
+    val bfMax = spark.conf.get("graft.hnsw.maskBruteForceMax", "1024").toInt
+    val all = mask match {
+      case Some(ids) if ids.length <= bfMax =>
+        val data = coll.read(spark, partitionNames)
+          .filter(col(pk).isin(ids.map(java.lang.Long.valueOf): _*))
         val qdf = queries.toDF("qid", "qvec")
-        sealedHits.unionByName(
-          Knn.search(g2, qdf, vecField, pk, metric, k, pred)
-            .select(col("qid"), col(pk), col("score")))
+        Knn.search(data, qdf, vecField, pk, metric, k)
+          .select(col("qid"), col(pk), col("score"))
+      case _ =>
+        // HNSW and DISKANN share the persisted node-table layout and
+        // the walk — only the BUILD differs (hierarchical vs single
+        // layer α-pruned with the medoid as the level-1 entry).
+        val serve =
+          if (ix.indexType.toUpperCase == "DISKANN") {
+            val r = ix.params.get("R").orElse(ix.params.get("r"))
+              .map(_.toInt).getOrElse(16)
+            val l = ix.params.get("L").orElse(ix.params.get("l"))
+              .map(_.toInt).getOrElse(64)
+            val alpha = ix.params.get("alpha").map(_.toDouble).getOrElse(1.2)
+            IndexStore.serveDiskann(spark, coll, vecField,
+              IndexStore.ensureDiskann(spark, coll, vecField, metric, r, l,
+                alpha, segs))
+          } else
+            IndexStore.serveHnsw(spark, coll, vecField,
+              IndexStore.ensureHnsw(spark, coll, vecField, metric, m,
+                efc, segs, seed))
+        val sealedHits =
+          Hnsw.searchParts(scopedPart(serve.sealedGraph), queries, pk, k, ef,
+              metric, mask)
+            .select(col("qid"), col(pk).cast(d.primaryField.dataType),
+              col("score"))
+        serve.growing match {
+          case None => sealedHits
+          case Some(g) =>
+            // The growing delta carries its scalar columns, so the
+            // filter compiles directly — no mask needed on the
+            // brute-force side.
+            val g2 = scopedPart(g)
+            val pred =
+              if (filterExpr.trim.isEmpty) None
+              else Some(MilvusExpr.compile(filterExpr, g2))
+            val qdf = queries.toDF("qid", "qvec")
+            sealedHits.unionByName(
+              Knn.search(g2, qdf, vecField, pk, metric, k, pred)
+                .select(col("qid"), col(pk), col("score")))
+        }
     }
     val simLike = Set("IP", "COSINE").contains(metric.toUpperCase)
     val primary = if (simLike) col("score").desc else col("score").asc

@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.ann.{BinIvf, Hnsw, Ivf, Lsh, Pq, RaBitQ, SparseInverted, Sq8}
+import graft.ann.{BinIvf, Hnsw, Ivf, Lsh, Pq, RaBitQ, SparseInverted, Sq8, Vamana}
 import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -837,20 +837,21 @@ object IndexStore {
     })
   }
 
-  /** Sealed ⊎ growing view of an HNSW build (see [[HnswServe]]). The
-    * changed-pk mask is a broadcast anti-join on the graph's `id`
-    * column (bounded by [[staleServable]]'s byte cap); the rare
-    * late-committed-import window (deltaViewSince → None) degrades to
-    * an exact brute-force over the full current snapshot rather than
-    * serving an unsound merge.
+  /** Sealed ⊎ growing view of a persisted GRAPH build (HNSW or Vamana
+    * — see [[HnswServe]]; both families persist the same node-table
+    * layout). The changed-pk mask is a broadcast anti-join on the
+    * graph's `id` column (bounded by [[staleServable]]'s byte cap);
+    * the rare late-committed-import window (deltaViewSince → None)
+    * degrades to an exact brute-force over the full current snapshot
+    * rather than serving an unsound merge.
     */
-  def serveHnsw(spark: SparkSession, coll: Collection, field: String,
-      b: HnswBuild): HnswServe = {
-    val base = spark.read.parquet(b.dataPath)
-    if (b.builtSeq >= coll.committedSeq)
+  def serveGraph(spark: SparkSession, coll: Collection, field: String,
+      dataPath: String, builtSeq: Long): HnswServe = {
+    val base = spark.read.parquet(dataPath)
+    if (builtSeq >= coll.committedSeq)
       return HnswServe(base, None, deltaServed = false)
     val pk = coll.definition.primaryField.name
-    coll.deltaViewSince(spark, b.builtSeq) match {
+    coll.deltaViewSince(spark, builtSeq) match {
       case Some((newRows, changedPks)) =>
         val mask = changedPks.select(col(pk).cast("long").as("id"))
         HnswServe(base.join(broadcast(mask), Seq("id"), "left_anti"),
@@ -861,6 +862,10 @@ object IndexStore {
           deltaServed = true)
     }
   }
+
+  def serveHnsw(spark: SparkSession, coll: Collection, field: String,
+      b: HnswBuild): HnswServe =
+    serveGraph(spark, coll, field, b.dataPath, b.builtSeq)
 
   private def buildHnsw(spark: SparkSession, dir: StorePath,
       coll: Collection, field: String, metric: String, m: Int,
@@ -889,6 +894,83 @@ object IndexStore {
       p.metric == metric && p.nlist == m).map { _ =>
       HnswBuild(versionDir(dir, seq, kind, metric, m)
         .resolve("data").toString, m, efc, segs, seed, metric, seq)
+    }
+  }
+
+  // ---- DISKANN (Vamana graph family) ----------------------------------
+
+  /** Persisted Vamana build facts — served through [[serveGraph]] /
+    * [[graft.ann.Hnsw.searchParts]] (same node-table layout, medoid
+    * entry encoded as the sole level-1 node).
+    */
+  final case class VamanaBuild(dataPath: String, r: Int, l: Int,
+      alpha: Double, segments: Int, metric: String, builtSeq: Long)
+
+  private val vamanaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, String, Long), VamanaBuild]()
+
+  private def vamanaKind(r: Int, l: Int, alpha: Double, segs: Int): String =
+    s"vamana1-$r-$l-${math.round(alpha * 100)}-$segs"
+
+  /** Ensure a servable persisted Vamana (DISKANN) graph index — the
+    * [[ensureHnsw]] lifecycle with the α-robust-pruned single-layer
+    * build in-task.
+    */
+  def ensureDiskann(spark: SparkSession, coll: Collection, field: String,
+      metric: String, r: Int, l: Int, alpha: Double, segments: Int = 0,
+      allowStale: Boolean = true): VamanaBuild = {
+    val seq = coll.committedSeq
+    val segs = if (segments > 0) segments
+      else spark.sessionState.conf.numShufflePartitions
+    val kind = vamanaKind(r, l, alpha, segs)
+    val key = (cacheId(coll), field, metric, kind, seq)
+    vamanaCache.keySet.removeIf(k =>
+      k._1 == key._1 && k._2 == field && k._5 != seq)
+    if (!allowStale)
+      vamanaCache.keySet.removeIf(k => k == key &&
+        vamanaCache.get(k) != null && vamanaCache.get(k).builtSeq != seq)
+    vamanaCache.computeIfAbsent(key, _ => {
+      val dir = indexDir(coll, field)
+      loadVamana(dir, metric, r, l, alpha, segs, seq)
+        .orElse(if (!allowStale) None
+          else staleLoad(spark, coll, dir, seq,
+            p => p.kind == kind && p.metric == metric && p.nlist == r,
+            s => versionDir(dir, s, kind, metric, r),
+            s => loadVamana(dir, metric, r, l, alpha, segs, s)))
+        .getOrElse(buildVamana(spark, dir, coll, field, metric, r, l,
+          alpha, segs, seq))
+    })
+  }
+
+  def serveDiskann(spark: SparkSession, coll: Collection, field: String,
+      b: VamanaBuild): HnswServe =
+    serveGraph(spark, coll, field, b.dataPath, b.builtSeq)
+
+  private def buildVamana(spark: SparkSession, dir: StorePath,
+      coll: Collection, field: String, metric: String, r: Int, l: Int,
+      alpha: Double, segs: Int, seq: Long): VamanaBuild = {
+    // Null vectors are not indexed (see buildIvf).
+    val snapshot = coll.readWithPartition(spark).filter(col(field).isNotNull)
+    val pk = coll.definition.primaryField.name
+    val kind = vamanaKind(r, l, alpha, segs)
+    val vdir = versionDir(dir, seq, kind, metric, r)
+    val dataPath = vdir.resolve("data").toString
+    val parts = vectorLayout(coll, "seg")
+    Vamana.buildParts(snapshot, field, pk, "_part",
+        Vamana.Params(r, l, alpha, metric), segs)
+      .toDF().withColumnRenamed("part", "_part")
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+    commitPointer(dir, seq, kind, metric, r)
+    VamanaBuild(dataPath, r, l, alpha, segs, metric, seq)
+  }
+
+  private def loadVamana(dir: StorePath, metric: String, r: Int, l: Int,
+      alpha: Double, segs: Int, seq: Long): Option[VamanaBuild] = {
+    val kind = vamanaKind(r, l, alpha, segs)
+    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == kind &&
+      p.metric == metric && p.nlist == r).map { _ =>
+      VamanaBuild(versionDir(dir, seq, kind, metric, r)
+        .resolve("data").toString, r, l, alpha, segs, metric, seq)
     }
   }
 
@@ -936,6 +1018,15 @@ object IndexStore {
         ix.params.get("efConstruction").map(_.toInt).getOrElse(64),
         ix.params.get("segments").map(_.toInt).getOrElse(0),
         ix.params.get("seed").map(_.toLong).getOrElse(42L),
+        allowStale = false): Unit
+    } else if (t == "DISKANN") {
+      ensureDiskann(spark, coll, ix.field, ix.metricType.getOrElse("COSINE"),
+        ix.params.get("R").orElse(ix.params.get("r")).map(_.toInt)
+          .getOrElse(16),
+        ix.params.get("L").orElse(ix.params.get("l")).map(_.toInt)
+          .getOrElse(64),
+        ix.params.get("alpha").map(_.toDouble).getOrElse(1.2),
+        ix.params.get("segments").map(_.toInt).getOrElse(0),
         allowStale = false): Unit
     } else if (t.startsWith("IVF") || t == "AUTOINDEX") {
       val nlist = ix.params.get("nlist").map(_.toInt).getOrElse(16)
@@ -987,6 +1078,7 @@ object IndexStore {
     rtreeCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
     lshCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
     hnswCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    vamanaCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
     indexDir(coll, field).deleteRecursively()
   }
 

@@ -634,6 +634,52 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(tiny == tinyExact, s"brute switch $tiny != exact $tinyExact")
   }
 
+  test("declared DISKANN serves from the per-segment Vamana graph route") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-vam").toString)
+    val c = cat.createCollection(CollectionDef("dvecs", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    c.createIndex(s, IndexDef("embedding", "DISKANN", Some("L2"),
+      Map("R" -> "16", "L" -> "64", "segments" -> "4")))
+    // create_index materialized the VAMANA build (not an IVF one)
+    val desc = IndexStore.describe(c, "embedding").get
+    assert(desc("build_kind").startsWith("vamana1"),
+      s"expected a Vamana build, got $desc")
+    // beam >= every segment size -> exact fallback -> true top-k
+    val hits = CollectionSearch.search(s, c, "embedding", queryVec(7), 10,
+        searchParams = Map("search_list_size" -> "1000000"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.searchOne(c.read(s), queryVec(7), "embedding", "vec_id",
+      "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits == exact)
+    // Operating beam: the Vamana walk (medoid entry, single layer)
+    // holds a recall bound on the fixture — and delta-serves post-DML
+    // with no rebuild, like every graph family.
+    val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+    val q = queryVec(7)
+    c.delete(s, "vec_id == 7")
+    c.insert(s, Seq((990001L, q.map(v => v + 0.01f)))
+      .toDF("vec_id", "embedding"))
+    val hits2 = CollectionSearch.search(s, c, "embedding", q, 10,
+        searchParams = Map("search_list_size" -> "1000000"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits2.head == 990001L && !hits2.contains(7L),
+      s"growing row missing / tombstone served in $hits2")
+    assert(IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq,
+      "post-DML DISKANN search rebuilt instead of delta-serving")
+    val servedBeam = CollectionSearch.search(s, c, "embedding", q, 10,
+        searchParams = Map("search_list_size" -> "64"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact2 = Knn.searchOne(c.read(s), q, "embedding", "vec_id",
+      "L2", 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val recall = servedBeam.toSet.intersect(exact2.toSet).size / 10.0
+    assert(recall >= 0.8, s"Vamana beam recall $recall < 0.8")
+  }
+
   test("partitioned HNSW: scoped searches prune the graph's _part directories") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
