@@ -1724,6 +1724,44 @@ object SparkEntry {
       Seq((vamRecall >= 0.9, vamRecall >= hnswRecall - 0.1))
         .toDF("recall_ok", "recall_near_hnsw")
     },
+    // ---- V53: INDEXED range search (round-11) — `radius` +
+    // `range_filter` bounds served through the cell-pruned EXACT
+    // route: the sealed IVF build's persisted per-cell max radii
+    // prune cells that provably hold no in-band point (triangle
+    // inequality), post-DML delta rows scan exactly on the side,
+    // masked pks anti-joined out, NO rebuild. Bounds are Milvus L2
+    // semantics: range_filter <= d < radius. The deleted victim is
+    // the smallest in-band pk (derivable in SQL), the upsert/insert
+    // vectors are verbatim row copies, so the oracle recomputes the
+    // exact mutated band at any SF. ------------------------------------
+    "v53_range_indexed_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rng53").toString)
+      val c = cat.createCollection(CollectionDef("rngvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "8")))
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      val victim = Knn.rangeSearch(tbl(s, dir, "embeddings"),
+          queryDf(s, dir, Seq(7)), "embedding", "vec_id", "L2",
+          threshold = 1.35)
+        .filter(col("score") >= 1.25 && col("score") < 1.35 &&
+          col("vec_id") =!= 11L)
+        .agg(min("vec_id")).head().getLong(0)
+      c.delete(s, s"vec_id == $victim")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s, Seq((990004L, vecOf(s, dir, 42))).toDF("vec_id", "embedding"))
+      val hits = CollectionSearch.rangeSearch(s, c, "embedding",
+        vecOf(s, dir, 7), radius = 1.35, rangeFilter = Some(1.25))
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      hits.select(col("vec_id"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("vec_id")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -5987,6 +6025,28 @@ object SparkEntry {
       // stays within 0.1 of the hierarchical walk at the same beam.
       "v52_diskann_recall" ->
         "SELECT true AS recall_ok, true AS recall_near_hnsw",
+      // GENUINE exact oracle for the cell-pruned indexed range search:
+      // the mutated corpus (min in-band pk != 11 deleted, 11 rewritten
+      // to row 483's vector, 990004 a copy of row 42's) filtered to
+      // the Milvus L2 band range_filter <= d < radius. Both engines
+      // score identical float32 payloads in float64, so band
+      // membership is bit-stable; served_stale pins the no-rebuild
+      // delta serving.
+      "v53_range_indexed_serve" ->
+        s"""WITH victim AS (
+           |  SELECT min(vec_id) AS v FROM embeddings
+           |  WHERE list_distance(embedding::DOUBLE[], ${qvec.format(7)}) >= 1.25
+           |    AND list_distance(embedding::DOUBLE[], ${qvec.format(7)}) < 1.35
+           |    AND vec_id != 11),
+           |corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  WHERE vec_id != 11 AND vec_id != (SELECT v FROM victim)
+           |  UNION ALL SELECT CAST(11 AS BIGINT), ${qvec.format(483)}
+           |  UNION ALL SELECT CAST(990004 AS BIGINT), ${qvec.format(42)})
+           |SELECT vec_id, true AS served_stale FROM corpus
+           |WHERE list_distance(e, ${qvec.format(7)}) >= 1.25
+           |  AND list_distance(e, ${qvec.format(7)}) < 1.35
+           |ORDER BY vec_id""".stripMargin,
       "v36_pq_recall" ->
         "SELECT true AS recall_ok",
       // GENUINE exact oracle: with nprobe = nlist and a candidate

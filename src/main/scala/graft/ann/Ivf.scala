@@ -225,6 +225,78 @@ object Ivf {
     Knn.limitPerQid(scored, qidCol, Seq(primary, col(idCol).asc), k)
   }
 
+  /** Per-cell max TRUE-L2 distance from a member to its own centroid —
+    * the pruning bound exact range search needs. One hash-agg pass over
+    * the assigned table, nlist doubles to the driver (bounded by the
+    * centroid count, never the data). Cells with no members read 0.
+    */
+  def cellRadii(assigned: DataFrame, vecCol: String,
+      model: Model): Array[Double] = {
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = cents.toDF("_rcid", "_centroid")
+    val (d2, _) = Functions.metricFor("L2",
+      assigned.schema(vecCol).dataType, col(vecCol), col("_centroid"))
+    val rows = assigned
+      .join(broadcast(cdf), col("_cid").cast("int") === col("_rcid"))
+      .groupBy(col("_cid").cast("int").as("_c")).agg(max(d2).as("rmax"))
+      .collect()
+    val out = new Array[Double](model.k)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** EXACT cell-pruned range search (Milvus `radius`/`range_filter`
+    * bounds, L2 only): a cell whose centroid satisfies
+    * `d(q, c_i) - rmax_i > radius` can hold no qualifying point
+    * (triangle inequality: d(q, x) >= d(q, c_i) - d(c_i, x) >=
+    * d(q, c_i) - rmax_i), so only the surviving cells are scanned —
+    * directory-pruned when `_cid` is a physical partition — and the
+    * exact score filter runs inside them. Unlike probe-budget ANN this
+    * is EXACT: pruning discards only provably-out-of-range cells.
+    * Bounds are the reference's: `range_filter <= d < radius`.
+    */
+  def rangeSearch(assigned: DataFrame, model: Model,
+      radii: Array[Double], queries: Seq[(String, Seq[Float])],
+      vecCol: String, idCol: String, radius: Double,
+      rangeFilter: Option[Double] = None,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    require(model.metric.toUpperCase == "L2",
+      s"cell-pruned range search is L2-only, got ${model.metric}")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probes = queries.map { case (qid, qv) =>
+      val q = qv.map(_.toDouble).toArray
+      val allowed = model.centroids.indices.filter { i =>
+        math.sqrt(sq2(q, model.centroids(i))) - radii(i) <= radius
+      }
+      (qid, qv.map(_.toDouble), allowed.toArray)
+    }
+    val allCells = probes.flatMap(_._3).distinct
+    val probeDf = probes.toDF("_qid_str", "qvec", "_allowed")
+    val pruned = filter.foldLeft(
+      assigned.filter(col("_cid").isin(allCells: _*)))(_ filter _)
+    val (score, _) = Functions.metricFor("L2",
+      assigned.schema(vecCol).dataType, col(vecCol), col("qvec"))
+    val cols = (idCol +: outputCols).distinct.map(col)
+    val lower = rangeFilter.map(f => col("score") >= lit(f)).getOrElse(lit(true))
+    pruned
+      .crossJoin(broadcast(probeDf))
+      .filter(array_contains(col("_allowed"), col("_cid")))
+      .select((col("_qid_str").as("qid") +: cols) :+ score.as("score"): _*)
+      .filter(col("score") < lit(radius) && lower)
+  }
+
+  private def sq2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   /** Recall@k of the ANN path against exact brute force, averaged over
     * a query set (the standard index-quality oracle).
     */

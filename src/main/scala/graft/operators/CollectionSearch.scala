@@ -856,4 +856,119 @@ object CollectionSearch {
     search(spark, coll, vecField, vec, k, searchParams = searchParams,
       outputFields = outputFields)
   }
+
+  /** Index-aware RANGE search (reference surface: `radius` +
+    * `range_filter` in search params, validators.py's range assertions;
+    * Milvus bound semantics — L2: range_filter <= d < radius;
+    * similarity metrics: radius < s <= range_filter).
+    *
+    * Routing: with a dense ANN index declared on the field and an L2
+    * metric, the sealed build serves through [[Ivf.rangeSearch]]'s
+    * EXACT cell pruning — cells whose centroid distance minus the
+    * persisted per-cell max radius exceeds `radius` provably hold no
+    * result, so the scan touches only surviving `_cid` directories;
+    * post-DML delta rows are scanned exactly on the side (the sealed
+    * radii don't bound them), masked rows anti-joined out — the same
+    * sealed ⊎ growing discipline as every family, NO rebuild. Other
+    * metrics / no index: one exact bounded scan. Unlike the top-k
+    * routes the result is ALWAYS exact — pruning is lossless.
+    */
+  def rangeSearch(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryVec: Seq[Float],
+      radius: Double,
+      rangeFilter: Option[Double] = None,
+      limit: Int = Int.MaxValue,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame =
+    rangeSearchBatch(spark, coll, vecField, Seq(("q", queryVec)), radius,
+      rangeFilter, limit, filterExpr, searchParams, outputFields,
+      partitionNames).drop("qid")
+
+  /** Batched [[rangeSearch]]: nq queries in one job (per-query allowed
+    * cells computed driver-side from the persisted radii, shipped with
+    * the broadcast query table — the [[Ivf.search]] batch shape).
+    */
+  def rangeSearchBatch(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queries: Seq[(String, Seq[Float])],
+      radius: Double,
+      rangeFilter: Option[Double] = None,
+      limit: Int = Int.MaxValue,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val index = d.indexes.find(_.field == vecField)
+    val metric = searchParams.get("metric_type")
+      .orElse(index.flatMap(_.metricType))
+      .getOrElse("COSINE")
+    // FLAT declares brute force by definition; everything else dense
+    // routes through the cell-pruned exact path when the metric is a
+    // true metric (the triangle-inequality bound needs one).
+    val denseDeclared = index.exists(ix =>
+      ix.indexType.toUpperCase.startsWith("IVF") ||
+        Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
+          .contains(ix.indexType.toUpperCase))
+    def scopedPart(df: DataFrame): DataFrame =
+      if (partitionNames.isEmpty || !df.columns.contains("_part")) df
+      else df.filter(col("_part").isin(partitionNames: _*))
+    def bruteRange(data: DataFrame): DataFrame = {
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, data))
+      val filtered = pred.map(data.filter).getOrElse(data)
+      val qdf = queries.map { case (q, v) => (q, v.map(_.toDouble)) }
+        .toDF("qid", "qvec")
+      val (score, simLike) = graft.Functions.metricFor(metric,
+        data.schema(vecField).dataType, col(vecField), col("qvec"))
+      val cols = (pk +: outputFields).distinct.map(col)
+      val keep =
+        if (simLike)
+          col("score") > lit(radius) &&
+            rangeFilter.map(f => col("score") <= lit(f)).getOrElse(lit(true))
+        else
+          col("score") < lit(radius) &&
+            rangeFilter.map(f => col("score") >= lit(f)).getOrElse(lit(true))
+      filtered.crossJoin(broadcast(qdf))
+        .select((col("qid") +: cols) :+ score.as("score"): _*)
+        .filter(keep)
+    }
+    val hits =
+      if (denseDeclared && metric.toUpperCase == "L2") {
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val b = IndexStore.ensureIvf(spark, coll, vecField, "L2", nlist)
+        // A pre-radii build prunes nothing (every cell allowed) but
+        // still serves exactly.
+        val radii = b.radii.getOrElse(Array.fill(b.model.k)(Double.MaxValue))
+        val split = IndexStore.serveDenseSplit(spark, coll, vecField,
+          b.dataPath, b.builtSeq)
+        val sealedScoped = scopedPart(split.sealedRows)
+        val predS =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, sealedScoped))
+        val sealedHits = Ivf.rangeSearch(sealedScoped, b.model, radii,
+          queries, vecField, pk, radius, rangeFilter, predS, outputFields)
+        split.growing match {
+          case None => sealedHits
+          case Some(g) => sealedHits.unionByName(bruteRange(scopedPart(g)))
+        }
+      } else bruteRange(coll.read(spark, partitionNames))
+    if (limit == Int.MaxValue) hits
+    else {
+      val simLike = Set("IP", "COSINE").contains(metric.toUpperCase)
+      val primary = if (simLike) col("score").desc else col("score").asc
+      Knn.limitPerQid(hits, "qid", Seq(primary, col(pk).asc), limit)
+    }
+  }
 }

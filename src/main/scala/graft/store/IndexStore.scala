@@ -44,7 +44,8 @@ import org.json4s.jackson.JsonMethods
 object IndexStore {
 
   final case class IvfBuild(model: Ivf.Model, dataPath: String,
-      nlist: Int, builtSeq: Long)
+      nlist: Int, builtSeq: Long,
+      radii: Option[Array[Double]] = None)
 
   final case class Bm25Build(persisted: Bm25.PersistedBm25, builtSeq: Long)
 
@@ -316,6 +317,34 @@ object IndexStore {
       b: LshBuild): DataFrame =
     servedDense(spark, coll, b.dataPath, b.builtSeq)(df =>
       Lsh.explodeTables(df.filter(col(field).isNotNull), field, b.model))
+
+  /** Sealed ⊎ growing SPLIT view of a dense build, for exact serving
+    * paths whose sealed-side pruning bounds were computed at BUILD
+    * time and do not hold for delta rows (range search's per-cell
+    * radii): the sealed parquet masked of changed pks, plus the raw
+    * delta rows to scan exactly on the side. The late-committed-import
+    * window degrades to a full exact scan (empty sealed side), like
+    * every delta-serving family.
+    */
+  final case class DenseSplit(sealedRows: DataFrame,
+      growing: Option[DataFrame], deltaServed: Boolean)
+
+  def serveDenseSplit(spark: SparkSession, coll: Collection,
+      field: String, dataPath: String, builtSeq: Long): DenseSplit = {
+    val base = spark.read.parquet(dataPath)
+    if (builtSeq >= coll.committedSeq)
+      return DenseSplit(base, None, deltaServed = false)
+    val pk = coll.definition.primaryField.name
+    coll.deltaViewSince(spark, builtSeq) match {
+      case Some((newRows, changedPks)) =>
+        DenseSplit(base.join(broadcast(changedPks), Seq(pk), "left_anti"),
+          Some(newRows.filter(col(field).isNotNull)), deltaServed = true)
+      case None =>
+        DenseSplit(base.limit(0),
+          Some(coll.readWithPartition(spark).filter(col(field).isNotNull)),
+          deltaServed = false)
+    }
+  }
 
   /** Ensure a servable persisted IVF index for `field`: reuse when the
     * on-disk build matches the collection's current write-seq, keep a
@@ -1128,8 +1157,17 @@ object IndexStore {
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
     vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
+    // Per-cell max member-to-centroid L2 (the exact range-search
+    // pruning bound): one agg pass over the just-written columnar
+    // data — reads only (vec, _cid) — nlist doubles to the driver.
+    val radii = Ivf.cellRadii(
+      spark.read.parquet(dataPath).select(col(field), col("_cid")),
+      field, model)
+    val radiiJson: JObject = "radii" -> radii.toSeq
+    vdir.resolve("cell_radii.json").writeBytes(
+      JsonMethods.compact(JsonMethods.render(radiiJson)).getBytes)
     commitPointer(dir, seq, "ivf2", metric, nlist)
-    IvfBuild(model, dataPath, nlist, seq)
+    IvfBuild(model, dataPath, nlist, seq, Some(radii))
   }
 
   private def loadIvf(dir: StorePath, metric: String, nlist: Int,
@@ -1142,8 +1180,15 @@ object IndexStore {
         new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
         .map(_.toArray).toArray
+      // cell_radii.json is absent on pre-round-11 builds: range search
+      // then scans every cell (still exact), ANN probes are unaffected.
+      val rfile = vdir.resolve("cell_radii.json")
+      val radii =
+        if (!rfile.exists) None
+        else Some((JsonMethods.parse(new String(rfile.readBytes))
+          \ "radii").extract[Seq[Double]].toArray)
       IvfBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
-        nlist, seq)
+        nlist, seq, radii)
     }
 
   // ---- RaBitQ -------------------------------------------------------------

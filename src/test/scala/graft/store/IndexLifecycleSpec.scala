@@ -680,6 +680,103 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(recall >= 0.8, s"Vamana beam recall $recall < 0.8")
   }
 
+  test("indexed range search: cell-pruned exact, Milvus bounds, delta-served post-DML") {
+    val s = spark
+    import s.implicits._
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val q = queryVec(7)
+    def exactIds(rf: Option[Double], radius: Double): Set[Long] = {
+      val rows = c.read(s).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      rows.filter { case (_, v) =>
+        val d = math.sqrt(v.zip(q).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x }.sum)
+        d < radius && rf.forall(d >= _)
+      }.map(_._1).toSet
+    }
+    // Pick data-derived bounds: [5th, 40th) nearest distances.
+    val dists = c.read(s).select("vec_id", "embedding").collect()
+      .map(r => math.sqrt(r.getSeq[Float](1).zip(q).map { case (a, b) =>
+        val x = a.toDouble - b.toDouble; x * x }.sum)).sorted
+    val rf = dists(5) + 1e-9
+    val radius = dists(40) + 1e-9
+    val hits = CollectionSearch.rangeSearch(s, c, "embedding", q, radius,
+      rangeFilter = Some(rf))
+    val got = hits.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == exactIds(Some(rf), radius),
+      s"pruned range search mismatch: ${got.size} vs expected")
+    // The sealed scan prunes _cid directories, and the radii bound
+    // actually discards cells at this radius.
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cid"),
+      s"range search did not prune cells:\n$plan")
+    // The triangle-inequality bound bites on CLUSTERED data (uniform
+    // 16-dim cells overlap, so nothing prunes above — correct, just
+    // not selective): shift half the corpus far away and the far
+    // cells' bound must exceed any in-cluster radius.
+    val cat2 = new Catalog(Files.createTempDirectory("graft-rng2").toString)
+    val c2 = cat2.createCollection(CollectionDef("clustered", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    val emb = Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    c2.insert(s, emb.unionByName(emb
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        transform(col("embedding"), v => v + lit(50.0f)))))
+    c2.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val b2 = IndexStore.ensureIvf(s, c2, "embedding", "L2", 8)
+    val radii2 = b2.radii.get
+    val qd = q.map(_.toDouble).toArray
+    val allowed2 = b2.model.centroids.indices.count { i =>
+      math.sqrt(b2.model.centroids(i).zip(qd).map { case (a, x) =>
+        val d = a - x; d * d }.sum) - radii2(i) <= radius
+    }
+    assert(allowed2 < 8, s"far cluster's cells not pruned at $radius")
+    val farGot = CollectionSearch.rangeSearch(s, c2, "embedding", q, radius,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(farGot == exactIds(Some(rf), radius),
+      "clustered pruned range search != exact")
+    // Batch matches per-query.
+    val q0 = queryVec(0)
+    val batch = CollectionSearch.rangeSearchBatch(s, c, "embedding",
+        Seq(("a", q), ("b", q0)), radius, Some(rf))
+      .groupBy("qid").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val solo0 = CollectionSearch.rangeSearch(s, c, "embedding", q0, radius,
+      rangeFilter = Some(rf)).count()
+    assert(batch.getOrElse("a", 0L) == got.size.toLong &&
+      batch.getOrElse("b", 0L) == solo0)
+    // DML: delete one in-range hit, insert a row mid-band; range search
+    // delta-serves exactly with NO rebuild.
+    val victim = got.head
+    val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+    c.delete(s, s"vec_id == $victim")
+    // constant per-dim offset: d = sqrt(dim*off^2) = sqrt(dim)*off;
+    // pick off so the inserted row lands mid-band
+    val off = ((rf + radius) / 2 / math.sqrt(q.length.toDouble)).toFloat
+    c.insert(s, Seq((990010L, q.map(v => v + off)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0L))
+      .select("vec_id", "label", "embedding"))
+    val got2 = CollectionSearch.rangeSearch(s, c, "embedding", q, radius,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == exactIds(Some(rf), radius),
+      "post-DML range search != exact over mutated corpus")
+    assert(got2.contains(990010L) && !got2.contains(victim))
+    assert(IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq,
+      "range search rebuilt instead of delta-serving")
+    // Filtered + unindexed-metric fallback both stay exact.
+    val filtered = CollectionSearch.rangeSearch(s, c, "embedding", q, radius,
+        rangeFilter = Some(rf), filterExpr = "vec_id % 2 == 0")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(filtered == exactIds(Some(rf), radius).filter(_ % 2 == 0))
+  }
+
   test("partitioned HNSW: scoped searches prune the graph's _part directories") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
