@@ -1762,6 +1762,48 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("vec_id")
     },
+    // ---- V54: indexed COSINE range search (round-11) — similarity
+    // bounds (radius < s <= range_filter) served through ANGULAR cell
+    // pruning: cosine violates the triangle inequality but the angle
+    // doesn't, so the persisted per-cell max member angle proves a
+    // cell out-of-band when cos(max(0, θ(q,c_i) − amax_i)) <= radius.
+    // The fixture direction-clusters half the corpus near the diagonal
+    // (+50 per dim — float32 arithmetic the oracle replicates with an
+    // explicit FLOAT round-trip), so the far cells provably prune;
+    // post-DML delta rows scan exactly on the side, NO rebuild. --------
+    "v54_range_cosine_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rng54").toString)
+      val c = cat.createCollection(CollectionDef("cosvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      c.insert(s, emb.unionByName(emb
+        .withColumn("vec_id", col("vec_id") + 100000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), v => v + lit(50.0f)))))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("COSINE"),
+        Map("nlist" -> "8")))
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      val qdf = queryDf(s, dir, Seq(7))
+      val victim = Knn.rangeSearch(emb, qdf, "embedding", "vec_id",
+          "COSINE", threshold = 0.15)
+        .filter(col("score") > 0.15 && col("score") <= 0.35 &&
+          col("vec_id") =!= 11L)
+        .agg(min("vec_id")).head().getLong(0)
+      c.delete(s, s"vec_id == $victim")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s, Seq((990005L, vecOf(s, dir, 42))).toDF("vec_id", "embedding"))
+      val hits = CollectionSearch.rangeSearch(s, c, "embedding",
+        vecOf(s, dir, 7), radius = 0.15, rangeFilter = Some(0.35),
+        searchParams = Map("metric_type" -> "COSINE"))
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      hits.select(col("vec_id"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("vec_id")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -4615,6 +4657,33 @@ object SparkEntry {
   private val deltaServeBenchCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.Collection]()
 
+  private val rangeBenchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.Collection]()
+
+  /** Shared CLUSTERED range-search bench fixture: the embeddings table
+    * plus a far-shifted copy (+50 per dim, disjoint pks) under one
+    * IVF_FLAT build, built ONCE per sf dir. In-band queries live in the
+    * near cluster, so the persisted per-cell radii prove every far cell
+    * empty — the contrast the pruned/unpruned bench pair measures.
+    */
+  private def rangeBenchCollection(s: SparkSession,
+      dir: String): graft.store.Collection =
+    rangeBenchCache.computeIfAbsent(dir, _ => {
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rngbench").toString)
+      val c = cat.createCollection(CollectionDef("rngbench", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      c.insert(s, emb.unionByName(emb
+        .withColumn("vec_id", col("vec_id") + 100000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), v => v + lit(50.0f)))))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "64")))
+      c
+    })
+
   /** Shared growing-segment bench fixture: an IVF-indexed collection
     * at the bench SF with a ~1% post-build delta (clone inserts +
     * tombstones), built ONCE per sf dir — so the bench entry's
@@ -4867,6 +4936,31 @@ object SparkEntry {
           vecsOf(s, dir, (0L until 10L).toSeq)
             .map { case (i, v) => (i.toString, v) },
           100, searchParams = Map("nprobe" -> "8"))
+      },
+      // Indexed range search over the shared clustered fixture (2x the
+      // embeddings table): nq=10 in-band queries through the cell-
+      // pruned exact route — the persisted radii prove every far-
+      // cluster cell out of range, so the scan touches ~half the
+      // directories. Timed against the unpruned twin below.
+      "bench_range_pruned" -> { (s, dir) =>
+        val c = rangeBenchCollection(s, dir)
+        CollectionSearch.rangeSearchBatch(s, c, "embedding",
+          (0L until 10L).map(i => (i.toString, vecOf(s, dir, i))),
+          radius = 1.35, rangeFilter = Some(1.25))
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+      },
+      // CONTRAST entry (deliberately unpruned): the same bounds as one
+      // exact bounded scan over the full clustered corpus — what every
+      // range search costs without the per-cell radii.
+      "bench_range_unpruned" -> { (s, dir) =>
+        import s.implicits._
+        val c = rangeBenchCollection(s, dir)
+        val qdf = (0L until 10L).map(i => (i.toString, vecOf(s, dir, i)))
+          .toDF("qid", "qvec")
+        Knn.rangeSearch(c.read(s), qdf, "embedding", "vec_id", "L2",
+            threshold = 1.35)
+          .filter(col("score") >= 1.25 && col("score") < 1.35)
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
       },
       // every vector vs every vector, exact: nq = full table. Kept as
       // the small-N oracle for the blocked shape below — the broadcast
@@ -6025,6 +6119,34 @@ object SparkEntry {
       // stays within 0.1 of the hierarchical walk at the same beam.
       "v52_diskann_recall" ->
         "SELECT true AS recall_ok, true AS recall_near_hnsw",
+      // GENUINE exact oracle for the angular-pruned COSINE range
+      // search: the direction-clustered corpus (base + a +50-per-dim
+      // copy at pks +100000000, the float32 add replicated with an
+      // explicit FLOAT round-trip — float add IS round-f32 of the
+      // exact sum), mutated (min in-band base pk != 11 deleted, 11
+      // rewritten to row 483's vector, 990005 a copy of row 42's),
+      // filtered to the Milvus similarity band radius < s <= rf.
+      "v54_range_cosine_serve" ->
+        s"""WITH shifted AS (
+           |  SELECT vec_id + 100000000 AS vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CAST(CAST(x + 50.0 AS FLOAT) AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |victim AS (
+           |  SELECT min(vec_id) AS v FROM embeddings
+           |  WHERE list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(7)}) > 0.15
+           |    AND list_cosine_similarity(embedding::DOUBLE[], ${qvec.format(7)}) <= 0.35
+           |    AND vec_id != 11),
+           |corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  WHERE vec_id != 11 AND vec_id != (SELECT v FROM victim)
+           |  UNION ALL SELECT vec_id, e FROM shifted
+           |  UNION ALL SELECT CAST(11 AS BIGINT), ${qvec.format(483)}
+           |  UNION ALL SELECT CAST(990005 AS BIGINT), ${qvec.format(42)})
+           |SELECT vec_id, true AS served_stale FROM corpus
+           |WHERE list_cosine_similarity(e, ${qvec.format(7)}) > 0.15
+           |  AND list_cosine_similarity(e, ${qvec.format(7)}) <= 0.35
+           |ORDER BY vec_id""".stripMargin,
       // GENUINE exact oracle for the cell-pruned indexed range search:
       // the mutated corpus (min in-band pk != 11 deleted, 11 rewritten
       // to row 483's vector, 990004 a copy of row 42's) filtered to

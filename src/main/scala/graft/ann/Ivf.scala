@@ -225,13 +225,15 @@ object Ivf {
     Knn.limitPerQid(scored, qidCol, Seq(primary, col(idCol).asc), k)
   }
 
-  /** Per-cell max TRUE-L2 distance from a member to its own centroid —
-    * the pruning bound exact range search needs. One hash-agg pass over
-    * the assigned table, nlist doubles to the driver (bounded by the
-    * centroid count, never the data). Cells with no members read 0.
+  /** Per-cell pruning bounds for exact range search: max TRUE-L2
+    * distance AND max angle (radians) from a member to its own
+    * centroid — the L2 and COSINE triangle-inequality bounds
+    * respectively. One hash-agg pass over the assigned table, nlist
+    * double-pairs to the driver (bounded by the centroid count, never
+    * the data). Cells with no members read 0.
     */
-  def cellRadii(assigned: DataFrame, vecCol: String,
-      model: Model): Array[Double] = {
+  def cellBounds(assigned: DataFrame, vecCol: String,
+      model: Model): (Array[Double], Array[Double]) = {
     val cents = model.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
     val spark = assigned.sparkSession
@@ -239,14 +241,26 @@ object Ivf {
     val cdf = cents.toDF("_rcid", "_centroid")
     val (d2, _) = Functions.metricFor("L2",
       assigned.schema(vecCol).dataType, col(vecCol), col("_centroid"))
+    val (cos, _) = Functions.metricFor("COSINE",
+      assigned.schema(vecCol).dataType, col(vecCol), col("_centroid"))
+    val ang = acos(greatest(lit(-1.0), least(lit(1.0), cos)))
     val rows = assigned
       .join(broadcast(cdf), col("_cid").cast("int") === col("_rcid"))
-      .groupBy(col("_cid").cast("int").as("_c")).agg(max(d2).as("rmax"))
+      .groupBy(col("_cid").cast("int").as("_c"))
+      .agg(max(d2).as("rmax"), max(ang).as("amax"))
       .collect()
-    val out = new Array[Double](model.k)
-    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
-    out
+    val radii = new Array[Double](model.k)
+    val angles = new Array[Double](model.k)
+    rows.foreach { r =>
+      radii(r.getInt(0)) = r.getDouble(1)
+      angles(r.getInt(0)) = r.getDouble(2)
+    }
+    (radii, angles)
   }
+
+  /** [[cellBounds]]'s L2 half, for callers that only need the radii. */
+  def cellRadii(assigned: DataFrame, vecCol: String,
+      model: Model): Array[Double] = cellBounds(assigned, vecCol, model)._1
 
   /** EXACT cell-pruned range search (Milvus `radius`/`range_filter`
     * bounds, L2 only): a cell whose centroid satisfies
@@ -288,6 +302,60 @@ object Ivf {
       .filter(array_contains(col("_allowed"), col("_cid")))
       .select((col("_qid_str").as("qid") +: cols) :+ score.as("score"): _*)
       .filter(col("score") < lit(radius) && lower)
+  }
+
+  /** EXACT cell-pruned COSINE range search (Milvus similarity-metric
+    * bounds: `radius < s <= range_filter`). Cosine similarity itself
+    * violates the triangle inequality, but the ANGLE does (spherical
+    * triangle inequality: θ(q, x) >= θ(q, c_i) − θ(c_i, x)), so with
+    * the per-cell max member angle amax_i a cell is provably
+    * out-of-band when cos(max(0, θ(q, c_i) − amax_i)) <= radius —
+    * every member's similarity is at most that. A small angular slack
+    * absorbs acos ulp drift between the build's SQL acos and the
+    * driver's, keeping the prune strictly conservative. The exact
+    * score filter runs inside surviving cells, so the result is EXACT.
+    */
+  def rangeSearchCosine(assigned: DataFrame, model: Model,
+      angles: Array[Double], queries: Seq[(String, Seq[Float])],
+      vecCol: String, idCol: String, radius: Double,
+      rangeFilter: Option[Double] = None,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val slack = 1e-6
+    val probes = queries.map { case (qid, qv) =>
+      val q = qv.map(_.toDouble).toArray
+      val allowed = model.centroids.indices.filter { i =>
+        val qc = math.acos(math.max(-1.0, math.min(1.0,
+          cosineSim(q, model.centroids(i)))))
+        math.cos(math.max(0.0, qc - angles(i) - slack)) > radius
+      }
+      (qid, qv.map(_.toDouble), allowed.toArray)
+    }
+    val allCells = probes.flatMap(_._3).distinct
+    val probeDf = probes.toDF("_qid_str", "qvec", "_allowed")
+    val pruned = filter.foldLeft(
+      assigned.filter(col("_cid").isin(allCells: _*)))(_ filter _)
+    val (score, _) = Functions.metricFor("COSINE",
+      assigned.schema(vecCol).dataType, col(vecCol), col("qvec"))
+    val cols = (idCol +: outputCols).distinct.map(col)
+    val upper = rangeFilter.map(f => col("score") <= lit(f)).getOrElse(lit(true))
+    pruned
+      .crossJoin(broadcast(probeDf))
+      .filter(array_contains(col("_allowed"), col("_cid")))
+      .select((col("_qid_str").as("qid") +: cols) :+ score.as("score"): _*)
+      .filter(col("score") > lit(radius) && upper)
+  }
+
+  private def cosineSim(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
   }
 
   private def sq2(a: Array[Double], b: Array[Double]): Double = {

@@ -863,15 +863,17 @@ object CollectionSearch {
     * similarity metrics: radius < s <= range_filter).
     *
     * Routing: with a dense ANN index declared on the field and an L2
-    * metric, the sealed build serves through [[Ivf.rangeSearch]]'s
-    * EXACT cell pruning — cells whose centroid distance minus the
-    * persisted per-cell max radius exceeds `radius` provably hold no
-    * result, so the scan touches only surviving `_cid` directories;
-    * post-DML delta rows are scanned exactly on the side (the sealed
-    * radii don't bound them), masked rows anti-joined out — the same
-    * sealed ⊎ growing discipline as every family, NO rebuild. Other
-    * metrics / no index: one exact bounded scan. Unlike the top-k
-    * routes the result is ALWAYS exact — pruning is lossless.
+    * or COSINE metric, the sealed build serves through
+    * [[Ivf.rangeSearch]] / [[Ivf.rangeSearchCosine]]'s EXACT cell
+    * pruning — the persisted per-cell bounds (max member L2 radius /
+    * max member angle) prove whole cells out-of-band via the (L2 /
+    * spherical) triangle inequality, so the scan touches only
+    * surviving `_cid` directories; post-DML delta rows are scanned
+    * exactly on the side (the sealed bounds don't cover them), masked
+    * rows anti-joined out — the same sealed ⊎ growing discipline as
+    * every family, NO rebuild. IP (no triangle inequality) / no
+    * index: one exact bounded scan. Unlike the top-k routes the
+    * result is ALWAYS exact — pruning is lossless.
     */
   def rangeSearch(
       spark: SparkSession,
@@ -943,22 +945,31 @@ object CollectionSearch {
         .select((col("qid") +: cols) :+ score.as("score"): _*)
         .filter(keep)
     }
+    val m = metric.toUpperCase
     val hits =
-      if (denseDeclared && metric.toUpperCase == "L2") {
+      if (denseDeclared && (m == "L2" || m == "COSINE")) {
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)
-        val b = IndexStore.ensureIvf(spark, coll, vecField, "L2", nlist)
-        // A pre-radii build prunes nothing (every cell allowed) but
-        // still serves exactly.
-        val radii = b.radii.getOrElse(Array.fill(b.model.k)(Double.MaxValue))
+        val b = IndexStore.ensureIvf(spark, coll, vecField, m, nlist)
         val split = IndexStore.serveDenseSplit(spark, coll, vecField,
           b.dataPath, b.builtSeq)
         val sealedScoped = scopedPart(split.sealedRows)
         val predS =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, sealedScoped))
-        val sealedHits = Ivf.rangeSearch(sealedScoped, b.model, radii,
-          queries, vecField, pk, radius, rangeFilter, predS, outputFields)
+        // A pre-bounds build prunes nothing (every cell allowed) but
+        // still serves exactly.
+        val sealedHits =
+          if (m == "L2")
+            Ivf.rangeSearch(sealedScoped, b.model,
+              b.radii.getOrElse(Array.fill(b.model.k)(Double.MaxValue)),
+              queries, vecField, pk, radius, rangeFilter, predS,
+              outputFields)
+          else
+            Ivf.rangeSearchCosine(sealedScoped, b.model,
+              b.angles.getOrElse(Array.fill(b.model.k)(math.Pi)),
+              queries, vecField, pk, radius, rangeFilter, predS,
+              outputFields)
         split.growing match {
           case None => sealedHits
           case Some(g) => sealedHits.unionByName(bruteRange(scopedPart(g)))

@@ -45,7 +45,8 @@ object IndexStore {
 
   final case class IvfBuild(model: Ivf.Model, dataPath: String,
       nlist: Int, builtSeq: Long,
-      radii: Option[Array[Double]] = None)
+      radii: Option[Array[Double]] = None,
+      angles: Option[Array[Double]] = None)
 
   final case class Bm25Build(persisted: Bm25.PersistedBm25, builtSeq: Long)
 
@@ -1157,17 +1158,19 @@ object IndexStore {
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
     vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
-    // Per-cell max member-to-centroid L2 (the exact range-search
-    // pruning bound): one agg pass over the just-written columnar
-    // data — reads only (vec, _cid) — nlist doubles to the driver.
-    val radii = Ivf.cellRadii(
+    // Per-cell max member-to-centroid L2 AND max member angle (the
+    // exact range-search pruning bounds for L2 and COSINE): one agg
+    // pass over the just-written columnar data — reads only
+    // (vec, _cid) — nlist double-pairs to the driver.
+    val (radii, angles) = Ivf.cellBounds(
       spark.read.parquet(dataPath).select(col(field), col("_cid")),
       field, model)
-    val radiiJson: JObject = "radii" -> radii.toSeq
+    val radiiJson: JObject =
+      ("radii" -> radii.toSeq) ~ ("angles" -> angles.toSeq)
     vdir.resolve("cell_radii.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(radiiJson)).getBytes)
     commitPointer(dir, seq, "ivf2", metric, nlist)
-    IvfBuild(model, dataPath, nlist, seq, Some(radii))
+    IvfBuild(model, dataPath, nlist, seq, Some(radii), Some(angles))
   }
 
   private def loadIvf(dir: StorePath, metric: String, nlist: Int,
@@ -1180,15 +1183,19 @@ object IndexStore {
         new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
         .map(_.toArray).toArray
-      // cell_radii.json is absent on pre-round-11 builds: range search
-      // then scans every cell (still exact), ANN probes are unaffected.
+      // cell_radii.json is absent on pre-round-11 builds (and the
+      // angles half on the earliest round-11 ones): range search then
+      // scans every cell (still exact), ANN probes are unaffected.
       val rfile = vdir.resolve("cell_radii.json")
-      val radii =
-        if (!rfile.exists) None
-        else Some((JsonMethods.parse(new String(rfile.readBytes))
-          \ "radii").extract[Seq[Double]].toArray)
+      val (radii, angles) =
+        if (!rfile.exists) (None, None)
+        else {
+          val rj = JsonMethods.parse(new String(rfile.readBytes))
+          (Some((rj \ "radii").extract[Seq[Double]].toArray),
+            (rj \ "angles").extractOpt[Seq[Double]].map(_.toArray))
+        }
       IvfBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
-        nlist, seq, radii)
+        nlist, seq, radii, angles)
     }
 
   // ---- RaBitQ -------------------------------------------------------------

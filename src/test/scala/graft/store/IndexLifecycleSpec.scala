@@ -777,6 +777,78 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(filtered == exactIds(Some(rf), radius).filter(_ % 2 == 0))
   }
 
+  test("indexed COSINE range search: angular cell pruning, similarity bounds, delta-served") {
+    val s = spark
+    import s.implicits._
+    // Direction-clustered corpus: the +50-shifted copy points near the
+    // all-ones diagonal with tiny angular spread, so the far cells'
+    // angular bound proves them out of any similarity band over ~0.05.
+    val cat = new Catalog(Files.createTempDirectory("graft-rngc").toString)
+    val c = cat.createCollection(CollectionDef("cosvecs", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    val emb = Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    c.insert(s, emb.unionByName(emb
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        transform(col("embedding"), v => v + lit(50.0f)))))
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("COSINE"),
+      Map("nlist" -> "8")))
+    val q = queryVec(7)
+    def cos(v: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) {
+        dot += v(i).toDouble * q(i).toDouble
+        na += v(i).toDouble * v(i).toDouble
+        nb += q(i).toDouble * q(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Milvus similarity bounds: radius < s <= range_filter.
+    val (radius, rf) = (0.15, 0.35)
+    def exactIds(): Set[Long] =
+      c.read(s).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), cos(r.getSeq[Float](1))))
+        .filter { case (_, sim) => sim > radius && sim <= rf }
+        .map(_._1).toSet
+    val hits = CollectionSearch.rangeSearch(s, c, "embedding", q, radius,
+      rangeFilter = Some(rf))
+    val got = hits.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == exactIds(),
+      s"cosine pruned range search mismatch (${got.size} hits)")
+    assert(got.forall(_ < 100000L), "a far-cluster row leaked into the band")
+    // The angular bound actually discards the far cells.
+    val b = IndexStore.ensureIvf(s, c, "embedding", "COSINE", 8)
+    val angles = b.angles.get
+    val qd = q.map(_.toDouble).toArray
+    val allowed = b.model.centroids.indices.count { i =>
+      val cc = b.model.centroids(i)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < math.min(qd.length, cc.length)) {
+        dot += qd(j) * cc(j); na += qd(j) * qd(j); nb += cc(j) * cc(j); j += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      val qc = math.acos(math.max(-1.0, math.min(1.0, sim)))
+      math.cos(math.max(0.0, qc - angles(i) - 1e-6)) > radius
+    }
+    assert(allowed < 8, "far-cluster cells not pruned by the angular bound")
+    // DML: delete one in-band hit, insert a copy of row 42 (band
+    // membership recomputed exactly either way); the route must
+    // delta-serve with NO rebuild.
+    val victim = got.head
+    val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+    c.delete(s, s"vec_id == $victim")
+    c.insert(s, Seq((990011L, queryVec(42))).toDF("vec_id", "embedding"))
+    val got2 = CollectionSearch.rangeSearch(s, c, "embedding", q, radius,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == exactIds(), "post-DML cosine range search != exact")
+    assert(!got2.contains(victim))
+    assert(IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq,
+      "cosine range search rebuilt instead of delta-serving")
+  }
+
   test("partitioned HNSW: scoped searches prune the graph's _part directories") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
