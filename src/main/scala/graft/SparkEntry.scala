@@ -1804,6 +1804,47 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("vec_id")
     },
+    // ---- V55: indexed HAMMING range search (round-11) — distance
+    // bounds over a BIN_IVF_FLAT collection served through cell-pruned
+    // EXACT Hamming pruning (Hamming IS a metric): the build persists
+    // per-cell max member Hamming radii, a cell with
+    // d(q,c_i) − rmax_i >= radius provably holds no in-band point.
+    // The bit patterns are the v27 bijective vec_id hash, so DuckDB
+    // re-derives them and bit_count(xor) recomputes the exact mutated
+    // band; post-DML delta rows scan exactly on the side, NO rebuild. --
+    "v55_range_hamming_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rng55").toString)
+      val c = cat.createCollection(CollectionDef("binr", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("bvec", org.apache.spark.sql.types.BinaryType,
+          dim = Some(32)))))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), binVecCol.as("bvec")))
+      c.createIndex(s, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
+        Map("nlist" -> "8")))
+      val sealedSeq = IndexStore.describe(c, "bvec").get("built_seq")
+      val q = binBytesOf(7L)
+      def ham(a: Array[Byte]): Long =
+        a.zip(q).map { case (x, y) =>
+          java.lang.Integer.bitCount((x ^ y) & 0xff).toLong }.sum
+      val victim = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), binVecCol.as("bvec")).collect()
+        .map(r => (r.getLong(0), ham(r.getAs[Array[Byte]](1))))
+        .filter { case (id, d) => d >= 10 && d < 14 && id != 11L }
+        .map(_._1).min
+      c.delete(s, s"vec_id == $victim")
+      c.upsert(s, Seq((11L, binBytesOf(483L))).toDF("vec_id", "bvec"))
+      c.insert(s, Seq((990006L, binBytesOf(42L))).toDF("vec_id", "bvec"))
+      val hits = CollectionSearch.rangeSearchBinary(s, c, "bvec",
+        Seq(("q", q)), radius = 14.0, rangeFilter = Some(10.0))
+      val servedStale =
+        IndexStore.describe(c, "bvec").get("built_seq") == sealedSeq
+      hits.select(col("vec_id"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("vec_id")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6119,6 +6160,30 @@ object SparkEntry {
       // stays within 0.1 of the hierarchical walk at the same beam.
       "v52_diskann_recall" ->
         "SELECT true AS recall_ok, true AS recall_near_hnsw",
+      // GENUINE exact oracle for the cell-pruned HAMMING range search:
+      // bit patterns re-derived from the bijective vec_id hash (v27),
+      // the corpus mutated (min in-band pk != 11 deleted, 11 rewritten
+      // to row 483's pattern, 990006 a copy of row 42's), filtered to
+      // the Hamming band rf <= d < radius by bit_count(xor).
+      "v55_range_hamming_serve" ->
+        """WITH victim AS (
+          |  SELECT min(vec_id) AS v FROM embeddings
+          |  WHERE bit_count(xor((vec_id * 2654435761) % 4294967296,
+          |                      (7 * 2654435761) % 4294967296))
+          |          BETWEEN 10 AND 13
+          |    AND vec_id != 11),
+          |corpus AS (
+          |  SELECT vec_id,
+          |    (vec_id * 2654435761) % 4294967296 AS b FROM embeddings
+          |  WHERE vec_id != 11 AND vec_id != (SELECT v FROM victim)
+          |  UNION ALL SELECT CAST(11 AS BIGINT),
+          |    (483 * 2654435761) % 4294967296
+          |  UNION ALL SELECT CAST(990006 AS BIGINT),
+          |    (42 * 2654435761) % 4294967296)
+          |SELECT vec_id, true AS served_stale FROM corpus
+          |WHERE bit_count(xor(b, (7 * 2654435761) % 4294967296))
+          |        BETWEEN 10 AND 13
+          |ORDER BY vec_id""".stripMargin,
       // GENUINE exact oracle for the angular-pruned COSINE range
       // search: the direction-clustered corpus (base + a +50-per-dim
       // copy at pks +100000000, the float32 add replicated with an

@@ -173,6 +173,63 @@ object BinIvf {
     Knn.limitPerQid(scored, "qid", Seq(col("score").asc, col(idCol).asc), k)
   }
 
+  /** Per-cell max Hamming distance from a member to its own centroid —
+    * the exact range-search pruning bound (Hamming IS a metric, so the
+    * triangle inequality holds with no caveats). One hash-agg pass
+    * over the assigned table; nlist longs to the driver.
+    */
+  def cellRadii(assigned: DataFrame, vecCol: String,
+      model: Model): Array[Long] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("_rcid", "_centroid")
+    val rows = assigned
+      .join(broadcast(cdf), col(CID).cast("int") === col("_rcid"))
+      .groupBy(col(CID).cast("int").as("_c"))
+      .agg(max(Functions.hammingDistance(col(vecCol), col("_centroid")))
+        .as("rmax"))
+      .collect()
+    val out = new Array[Long](model.k)
+    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** EXACT cell-pruned Hamming range search (distance bounds, the L2
+    * direction: `range_filter <= d < radius`). A cell with
+    * d(q, c_i) − rmax_i >= radius provably holds no in-band point
+    * (d(q, x) >= d(q, c_i) − d(c_i, x)), so only surviving cells scan
+    * — directory-pruned when `_cid` is a physical partition — and the
+    * exact Hamming filter runs inside them. Pruning is lossless.
+    */
+  def rangeSearch(assigned: DataFrame, model: Model, radii: Array[Long],
+      queries: Seq[(String, Array[Byte])], vecCol: String, idCol: String,
+      radius: Double, rangeFilter: Option[Double] = None,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probes = queries.map { case (qid, qb) =>
+      val allowed = model.centroids.indices.filter { i =>
+        hamming(qb, model.centroids(i)) - radii(i) < radius
+      }
+      (qid, qb, allowed.toArray)
+    }
+    val allCells = probes.flatMap(_._3).distinct
+    val probeDf = probes.toDF("qid", "_qbytes", "_allowed")
+    val pruned = filter.foldLeft(
+      assigned.filter(col(CID).isin(allCells: _*)))(_ filter _)
+    val cols = (idCol +: outputCols).distinct.map(col)
+    val lower = rangeFilter.map(f => col("score") >= lit(f)).getOrElse(lit(true))
+    pruned
+      .crossJoin(broadcast(probeDf))
+      .filter(array_contains(col("_allowed"), col(CID)))
+      .select((col("qid") +: cols) :+
+        Functions.hammingDistance(col(vecCol), col("_qbytes"))
+          .as("score"): _*)
+      .filter(col("score") < lit(radius) && lower)
+  }
+
   /** Recall@k vs exact brute force over a query set — batched (ONE
     * exact job + ONE probed job, semi-joined), the [[Ivf.recallAtK]]
     * contract.

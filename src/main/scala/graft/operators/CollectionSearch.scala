@@ -982,4 +982,70 @@ object CollectionSearch {
       Knn.limitPerQid(hits, "qid", Seq(primary, col(pk).asc), limit)
     }
   }
+
+  /** BINARY range search (Hamming bounds, the L2 direction:
+    * `range_filter <= d < radius`): with a declared BIN_IVF_FLAT the
+    * sealed build serves through [[BinIvf.rangeSearch]]'s EXACT cell
+    * pruning on the persisted per-cell Hamming radii (Hamming IS a
+    * metric); post-DML delta rows scan exactly on the side via the
+    * sealed ⊎ growing split, NO rebuild. Unindexed: one exact bounded
+    * scan. Always exact — pruning is lossless.
+    */
+  def rangeSearchBinary(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queries: Seq[(String, Array[Byte])],
+      radius: Double,
+      rangeFilter: Option[Double] = None,
+      limit: Int = Int.MaxValue,
+      filterExpr: String = "",
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val index = d.indexes.find(_.field == vecField)
+    val binIvfDeclared =
+      index.exists(_.indexType.toUpperCase == "BIN_IVF_FLAT")
+    def scopedPart(df: DataFrame): DataFrame =
+      if (partitionNames.isEmpty || !df.columns.contains("_part")) df
+      else df.filter(col("_part").isin(partitionNames: _*))
+    def bruteRange(data: DataFrame): DataFrame = {
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, data))
+      val qdf = queries.toDF("qid", "_qbytes")
+      val cols = (pk +: outputFields).distinct.map(col)
+      pred.foldLeft(data)(_ filter _)
+        .crossJoin(broadcast(qdf))
+        .select((col("qid") +: cols) :+
+          graft.Functions.hammingDistance(col(vecField), col("_qbytes"))
+            .as("score"): _*)
+        .filter(col("score") < lit(radius) &&
+          rangeFilter.map(f => col("score") >= lit(f)).getOrElse(lit(true)))
+    }
+    val hits =
+      if (binIvfDeclared) {
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val b = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
+        val radii = b.radii.getOrElse(Array.fill(b.model.k)(Long.MaxValue))
+        val split = IndexStore.serveDenseSplit(spark, coll, vecField,
+          b.dataPath, b.builtSeq)
+        val sealedScoped = scopedPart(split.sealedRows)
+        val predS =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, sealedScoped))
+        val sealedHits = BinIvf.rangeSearch(sealedScoped, b.model, radii,
+          queries, vecField, pk, radius, rangeFilter, predS, outputFields)
+        split.growing match {
+          case None => sealedHits
+          case Some(g) => sealedHits.unionByName(bruteRange(scopedPart(g)))
+        }
+      } else bruteRange(coll.read(spark, partitionNames))
+    if (limit == Int.MaxValue) hits
+    else Knn.limitPerQid(hits, "qid", Seq(col("score").asc, col(pk).asc),
+      limit)
+  }
 }

@@ -88,7 +88,8 @@ object IndexStore {
     (String, String, String, String, Long), PqBuild]()
 
   final case class BinIvfBuild(model: BinIvf.Model, dataPath: String,
-      nlist: Int, builtSeq: Long)
+      nlist: Int, builtSeq: Long,
+      radii: Option[Array[Long]] = None)
 
   private val binIvfCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int, Long), BinIvfBuild]()
@@ -1329,13 +1330,20 @@ object IndexStore {
     BinIvf.assign(snapshot, field, model)
       .repartition(parts.map(col): _*)
       .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+    // Per-cell max member-to-centroid Hamming distance (the exact
+    // range-search pruning bound): one agg pass over the just-written
+    // data — nlist longs to the driver.
+    val radii = BinIvf.cellRadii(
+      spark.read.parquet(dataPath).select(col(field), col(BinIvf.CID)),
+      field, model)
     val meta: JObject = ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(c =>
-        c.map(b => f"${b & 0xff}%02x").mkString))
+        c.map(b => f"${b & 0xff}%02x").mkString)) ~
+      ("radii" -> radii.toSeq)
     vdir.resolve("binivf.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(meta)).getBytes)
     commitPointer(dir, seq, "binivf2", "HAMMING", nlist)
-    BinIvfBuild(model, dataPath, nlist, seq)
+    BinIvfBuild(model, dataPath, nlist, seq, Some(radii))
   }
 
   private def loadBinIvf(dir: StorePath, nlist: Int,
@@ -1349,8 +1357,11 @@ object IndexStore {
       val cents = (j \ "centroids").extract[Seq[String]].map { hexStr =>
         hexStr.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
       }.toArray
+      // Absent on pre-round-11 builds: range search then scans every
+      // cell (still exact); top-k probes are unaffected.
+      val radii = (j \ "radii").extractOpt[Seq[Long]].map(_.toArray)
       BinIvfBuild(BinIvf.Model(cents), vdir.resolve("data").toString,
-        nlist, seq)
+        nlist, seq, radii)
     }
 
   // ---- BM25 ---------------------------------------------------------------

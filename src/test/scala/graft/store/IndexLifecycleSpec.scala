@@ -849,6 +849,86 @@ class IndexLifecycleSpec extends SparkSpec {
       "cosine range search rebuilt instead of delta-serving")
   }
 
+  test("indexed HAMMING range search: cell-pruned exact over BIN_IVF, delta-served") {
+    val s = spark
+    import s.implicits._
+    def bits(id: Long): Array[Byte] = {
+      val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      Array(((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte)
+    }
+    def ham(a: Array[Byte], b: Array[Byte]): Long =
+      a.zip(b).map { case (x, y) =>
+        java.lang.Integer.bitCount((x ^ y) & 0xff).toLong }.sum
+    val binVec = unhex(lpad(hex(pmod(col("vec_id") * lit(2654435761L),
+      lit(4294967296L))), 8, "0"))
+    val cat = new Catalog(Files.createTempDirectory("graft-rngh").toString)
+    val c = cat.createCollection(CollectionDef("binr", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("bvec", org.apache.spark.sql.types.BinaryType,
+        dim = Some(32)))))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select(col("vec_id"), binVec.as("bvec")))
+    c.createIndex(s, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
+      Map("nlist" -> "8")))
+    val q = bits(7)
+    val (rf, radius) = (10.0, 14.0)
+    def exactIds(): Set[Long] =
+      c.read(s).select("vec_id", "bvec").collect()
+        .map(r => (r.getLong(0), ham(r.getAs[Array[Byte]](1), q)))
+        .filter { case (_, d) => d >= rf && d < radius }.map(_._1).toSet
+    val got = CollectionSearch.rangeSearchBinary(s, c, "bvec",
+        Seq(("q", q)), radius, rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == exactIds(),
+      s"hamming pruned range search mismatch (${got.size} hits)")
+    // Pruning bites on CLUSTERED patterns (scrambled 32-bit hashes
+    // overlap — correct, not selective): two groups differing in the
+    // top 3 bytes; an in-group band under 16 must prune the far cells.
+    val cat2 = new Catalog(Files.createTempDirectory("graft-rngh2").toString)
+    val c2 = cat2.createCollection(CollectionDef("binc", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("bvec", org.apache.spark.sql.types.BinaryType,
+        dim = Some(32)))))
+    val low = unhex(lpad(hex(pmod(col("vec_id") * lit(2654435761L),
+      lit(256L))), 2, "0"))
+    val emb = Tables.load(s, sfDir, "embeddings").select("vec_id")
+    c2.insert(s, emb.select(col("vec_id"),
+        concat(unhex(lit("000000")), low).as("bvec"))
+      .unionByName(emb.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(unhex(lit("ffffff")), low).as("bvec"))))
+    c2.createIndex(s, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
+      Map("nlist" -> "8")))
+    val b2 = IndexStore.ensureBinIvf(s, c2, "bvec", 8)
+    val radii2 = b2.radii.get
+    val q2 = Array[Byte](0, 0, 0, bits(7)(3))
+    def ham2(a: Array[Byte]) = ham(a, q2)
+    val allowed = b2.model.centroids.indices.count { i =>
+      ham2(b2.model.centroids(i)) - radii2(i) < 6.0
+    }
+    assert(allowed < 8, "far bit-cluster cells not pruned")
+    val gotC = CollectionSearch.rangeSearchBinary(s, c2, "bvec",
+        Seq(("q", q2)), 6.0, rangeFilter = Some(1.0))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactC = c2.read(s).select("vec_id", "bvec").collect()
+      .map(r => (r.getLong(0), ham(r.getAs[Array[Byte]](1), q2)))
+      .filter { case (_, d) => d >= 1.0 && d < 6.0 }.map(_._1).toSet
+    assert(gotC == exactC, "clustered hamming range search != exact")
+    // DML: delete an in-band hit, insert a mid-band pattern; exact
+    // delta serving with NO rebuild.
+    val victim = got.head
+    val sealedSeq = IndexStore.describe(c, "bvec").get("built_seq")
+    c.delete(s, s"vec_id == $victim")
+    c.insert(s, Seq((990012L, bits(42))).toDF("vec_id", "bvec"))
+    val got2 = CollectionSearch.rangeSearchBinary(s, c, "bvec",
+        Seq(("q", q)), radius, rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == exactIds(), "post-DML hamming range search != exact")
+    assert(!got2.contains(victim))
+    assert(IndexStore.describe(c, "bvec").get("built_seq") == sealedSeq,
+      "hamming range search rebuilt instead of delta-serving")
+  }
+
   test("partitioned HNSW: scoped searches prune the graph's _part directories") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
