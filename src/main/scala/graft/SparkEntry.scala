@@ -1845,6 +1845,48 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("vec_id")
     },
+    // ---- V56: search iterator (round-11) — the pymilvus
+    // `search_iterator` shape: EXACT deep kNN pagination, keyset-
+    // cursored on (score, pk). Three pages of 10 over the mutated
+    // corpus must concatenate to the true global top-30 in L2 order
+    // (any page overlap, gap, or cursor-boundary tie mishandling
+    // breaks the rank match); the persisted cell bounds prune NEAR
+    // cells on deep pages (the range-search bounds used in the other
+    // direction); delta-served post-DML with NO rebuild. --------------
+    "v56_search_iterator" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-si56").toString)
+      val c = cat.createCollection(CollectionDef("sivecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "8")))
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      c.delete(s, "vec_id == 7")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s, Seq((990007L, vecOf(s, dir, 42))).toDF("vec_id", "embedding"))
+      val q = vecOf(s, dir, 7)
+      var cursor: Option[(Double, Any)] = None
+      val rows = (1 to 3).flatMap { p =>
+        val page = CollectionSearch.searchIterator(s, c, "embedding", q,
+            10, after = cursor)
+          .select("vec_id", "score")
+          .orderBy(col("score").asc, col("vec_id").asc).collect()
+        cursor = Some((page.last.getDouble(1), page.last.getLong(0)))
+        page.zipWithIndex.map { case (r, i) =>
+          (r.getLong(0), (p - 1) * 10 + i + 1, p)
+        }
+      }
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      rows.toDF("vec_id", "rank", "page")
+        .select(col("vec_id"), col("rank").cast("int").as("rank"),
+          col("page").cast("int").as("page"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("rank")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6160,6 +6202,22 @@ object SparkEntry {
       // stays within 0.1 of the hierarchical walk at the same beam.
       "v52_diskann_recall" ->
         "SELECT true AS recall_ok, true AS recall_near_hnsw",
+      // GENUINE exact oracle for the search iterator: the post-DML
+      // corpus ranked by true L2, the first 30 ranks tagged with their
+      // page — pages must concatenate with no overlap, gap, or
+      // cursor-tie error, exactly the keyset contract.
+      "v56_search_iterator" ->
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  WHERE vec_id NOT IN (7, 11)
+           |  UNION ALL SELECT CAST(11 AS BIGINT), ${qvec.format(483)}
+           |  UNION ALL SELECT CAST(990007 AS BIGINT), ${qvec.format(42)})
+           |SELECT vec_id, rank, CAST(ceil(rank / 10.0) AS INT) AS page,
+           |  true AS served_stale FROM (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT)
+           |    AS rank
+           |  FROM corpus) WHERE rank <= 30 ORDER BY rank""".stripMargin,
       // GENUINE exact oracle for the cell-pruned HAMMING range search:
       // bit patterns re-derived from the bijective vec_id hash (v27),
       // the corpus mutated (min in-band pk != 11 deleted, 11 rewritten

@@ -983,6 +983,122 @@ object CollectionSearch {
     }
   }
 
+  /** SEARCH ITERATOR page (the pymilvus `search_iterator` shape, the
+    * collection-level sibling of [[graft.operators.ElementSearch
+    * .searchIteratorElements]]): EXACT deep kNN pagination in score
+    * order, keyset-cursored on `(score, pk)` so pages never re-rank
+    * or skip under concurrent-page reads — batch N+1 passes batch N's
+    * last row as `after`.
+    *
+    * Unlike the probe-budget top-k routes this is EXACT at every
+    * depth: each page is the true global next `batchSize` rows. The
+    * per-cell bounds the range-search family persists prune here in
+    * the OTHER direction — a cell whose FARTHEST member provably
+    * scores before the cursor (L2: d(q,c_i) + rmax_i < cursor;
+    * COSINE: cos(min(π, θ(q,c_i) + amax_i)) > cursor) holds no page
+    * row, so the deeper the iterator goes the more near cells the
+    * scan skips — directory-pruned when `_cid` is physical. Growing
+    * delta rows scan exactly on the side, NO rebuild. Page 1 (no
+    * cursor) is one exact full scan — the price of exactness.
+    */
+  def searchIterator(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryVec: Seq[Float],
+      batchSize: Int,
+      after: Option[(Double, Any)] = None,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val index = d.indexes.find(_.field == vecField)
+    val metric = searchParams.get("metric_type")
+      .orElse(index.flatMap(_.metricType))
+      .getOrElse("COSINE")
+    val m = metric.toUpperCase
+    val simLike = Set("IP", "COSINE").contains(m)
+    val denseDeclared = index.exists(ix =>
+      ix.indexType.toUpperCase.startsWith("IVF") ||
+        Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")
+          .contains(ix.indexType.toUpperCase))
+    def scopedPart(df: DataFrame): DataFrame =
+      if (partitionNames.isEmpty || !df.columns.contains("_part")) df
+      else df.filter(col("_part").isin(partitionNames: _*))
+    def keyset(scored: DataFrame): DataFrame = after match {
+      case None => scored
+      case Some((s0, p0)) =>
+        val beyond =
+          if (simLike) col("score") < lit(s0) else col("score") > lit(s0)
+        scored.filter(beyond ||
+          (col("score") === lit(s0) && col(pk) > lit(p0)))
+    }
+    def score(data: DataFrame): DataFrame = {
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, data))
+      val qdf = Seq(("q", queryVec.map(_.toDouble))).toDF("qid", "qvec")
+      val (sc, _) = graft.Functions.metricFor(m,
+        data.schema(vecField).dataType, col(vecField), col("qvec"))
+      val cols = (pk +: outputFields).distinct.map(col)
+      pred.foldLeft(data.filter(col(vecField).isNotNull))(_ filter _)
+        .crossJoin(broadcast(qdf))
+        .select((col("qid") +: cols) :+ sc.as("score"): _*)
+    }
+    val scored =
+      if (denseDeclared && (m == "L2" || m == "COSINE")) {
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val b = IndexStore.ensureIvf(spark, coll, vecField, m, nlist)
+        val split = IndexStore.serveDenseSplit(spark, coll, vecField,
+          b.dataPath, b.builtSeq)
+        // Cursor lower-bound prune (slack keeps it strictly
+        // conservative against driver-vs-codegen ulp drift).
+        val q = queryVec.map(_.toDouble).toArray
+        val keep: Int => Boolean = (after, m) match {
+          case (None, _) => _ => true
+          case (Some((s0, _)), "L2") =>
+            val radii = b.radii.getOrElse(Array.fill(b.model.k)(0.0))
+            i => {
+              var s = 0.0; var j = 0
+              val c = b.model.centroids(i)
+              val n = math.min(q.length, c.length)
+              while (j < n) { val x = q(j) - c(j); s += x * x; j += 1 }
+              math.sqrt(s) + radii(i) >= s0 - 1e-9
+            }
+          case (Some((s0, _)), _) =>
+            val angles = b.angles.getOrElse(Array.fill(b.model.k)(math.Pi))
+            i => {
+              val c = b.model.centroids(i)
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+              val n = math.min(q.length, c.length)
+              while (j < n) {
+                dot += q(j) * c(j); na += q(j) * q(j); nb += c(j) * c(j)
+                j += 1
+              }
+              val den = math.sqrt(na) * math.sqrt(nb)
+              val sim = if (den == 0.0) 0.0 else dot / den
+              val qc = math.acos(math.max(-1.0, math.min(1.0, sim)))
+              math.cos(math.min(math.Pi, qc + angles(i) + 1e-6)) <= s0 + 1e-9
+            }
+        }
+        val cells = b.model.centroids.indices.filter(keep)
+        val sealedScored =
+          score(scopedPart(split.sealedRows)
+            .filter(col("_cid").isin(cells: _*)))
+        split.growing match {
+          case None => sealedScored
+          case Some(g) => sealedScored.unionByName(score(scopedPart(g)))
+        }
+      } else score(coll.read(spark, partitionNames))
+    val primary = if (simLike) col("score").desc else col("score").asc
+    Knn.limitPerQid(keyset(scored), "qid", Seq(primary, col(pk).asc),
+      batchSize).drop("qid")
+  }
+
   /** BINARY range search (Hamming bounds, the L2 direction:
     * `range_filter <= d < radius`): with a declared BIN_IVF_FLAT the
     * sealed build serves through [[BinIvf.rangeSearch]]'s EXACT cell

@@ -929,6 +929,105 @@ class IndexLifecycleSpec extends SparkSpec {
       "hamming range search rebuilt instead of delta-serving")
   }
 
+  test("search iterator: exact keyset pages, deep pages prune near cells, delta-served") {
+    val s = spark
+    import s.implicits._
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val q = queryVec(7)
+    def exactOrder(): Seq[Long] = {
+      val rows = c.read(s).select("vec_id", "embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          val d = math.sqrt(v.zip(q).map { case (a, b) =>
+            val x = a.toDouble - b.toDouble; x * x }.sum)
+          (d, r.getLong(0))
+        }
+      rows.sortBy(identity).map(_._2).toSeq
+    }
+    // Three pages of 10 concatenate to the exact global top-30.
+    var cursor: Option[(Double, Any)] = None
+    val pages = (0 until 3).map { _ =>
+      val page = CollectionSearch.searchIterator(s, c, "embedding", q, 10,
+          after = cursor)
+        .orderBy(col("score").asc, col("vec_id").asc)
+        .select("vec_id", "score").collect()
+      cursor = Some((page.last.getDouble(1), page.last.getLong(0)))
+      page.map(_.getLong(0)).toSeq
+    }
+    assert(pages.flatten == exactOrder().take(30),
+      "iterator pages != exact global order")
+    // Deep-page pruning: a cursor past a whole cluster's worth of
+    // distance skips near cells (clustered fixture — far cells hold
+    // the tail, near cells provably finish before the cursor).
+    val cat2 = new Catalog(Files.createTempDirectory("graft-si2").toString)
+    val c2 = cat2.createCollection(CollectionDef("clustered", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    val emb = Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    c2.insert(s, emb.unionByName(emb
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        transform(col("embedding"), v => v + lit(50.0f)))))
+    c2.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val n = emb.count()
+    // Cursor at the far-cluster boundary: every near cell's farthest
+    // member scores before it, so the deep page's plan scans fewer
+    // cells AND still pages the exact tail.
+    val deepCursor = Some((300.0, -1L): (Double, Any))
+    val deepPage = CollectionSearch.searchIterator(s, c2, "embedding", q,
+      10, after = deepCursor)
+    val plan = deepPage.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cid"),
+      s"deep page did not prune cells:\n$plan")
+    val rows2 = c2.read(s).select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val d = math.sqrt(v.zip(q).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x }.sum)
+        (d, r.getLong(0))
+      }.filter(_._1 > 300.0).sortBy(identity).take(10).map(_._2).toSeq
+    assert(deepPage.orderBy(col("score").asc).collect()
+      .map(_.getLong(0)).toSeq == rows2, "deep page != exact tail page")
+    // DML visibility: delete the current #1, the first page re-read
+    // serves the mutated corpus with NO rebuild.
+    val head = exactOrder().head
+    val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+    c.delete(s, s"vec_id == $head")
+    val page1 = CollectionSearch.searchIterator(s, c, "embedding", q, 10)
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .collect().map(_.getLong(0)).toSeq
+    assert(page1 == exactOrder().take(10) && !page1.contains(head))
+    assert(IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq,
+      "search iterator rebuilt instead of delta-serving")
+    // COSINE pages keyset downward in similarity.
+    val cHits = CollectionSearch.searchIterator(s, c, "embedding", q, 5,
+        searchParams = Map("metric_type" -> "COSINE"))
+      .orderBy(col("score").desc, col("vec_id").asc).collect()
+    val cCursor = Some((cHits.last.getDouble(1), cHits.last.getLong(0)))
+    val cPage2 = CollectionSearch.searchIterator(s, c, "embedding", q, 5,
+        after = cCursor.map(t => (t._1, t._2: Any)),
+        searchParams = Map("metric_type" -> "COSINE"))
+      .orderBy(col("score").desc, col("vec_id").asc).collect()
+    def cosTo(v: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) {
+        dot += v(i).toDouble * q(i).toDouble
+        na += v(i).toDouble * v(i).toDouble
+        nb += q(i).toDouble * q(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cExact = c.read(s).select("vec_id", "embedding").collect()
+      .map(r => (cosTo(r.getSeq[Float](1)), r.getLong(0)))
+      .sortBy { case (sim, id) => (-sim, id) }.take(10).map(_._2).toSeq
+    assert((cHits ++ cPage2).map(_.getLong(0)).toSeq == cExact,
+      "cosine iterator pages != exact similarity order")
+  }
+
   test("partitioned HNSW: scoped searches prune the graph's _part directories") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
