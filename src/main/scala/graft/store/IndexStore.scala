@@ -14,7 +14,8 @@ import org.json4s.jackson.JsonMethods
   * collection, 2.6/common.py:882-898, scalar_index_cycle.py:124-174).
   *
   * Layout under `<collectionDir>/index/<field>/`:
-  *   `current.json`  — atomic pointer {version, builtSeq, kind, ...}
+  *   `current_<family>.json` — atomic per-family pointer {builtSeq,
+  *     kind, metric, nlist}; legacy shared `current.json` still reads
   *   `v_<seq>/`      — one immutable build per collection write-seq:
   *     IVF:   `centroids.json` + `data/` (snapshot parquet,
   *            `partitionBy(_cid)` → probe filters prune directories)
@@ -240,9 +241,10 @@ object IndexStore {
     * describes the same index family/params the caller wants.
     */
   private def staleLoad[B](spark: SparkSession, coll: Collection,
-      dir: StorePath, seq: Long, kindMatches: Pointer => Boolean,
+      dir: StorePath, seq: Long, kind: String,
+      kindMatches: Pointer => Boolean,
       vdir: Long => StorePath, load: Long => Option[B]): Option[B] =
-    readPointer(dir)
+    readPointer(dir, kind)
       .filter(p => p.builtSeq < seq && kindMatches(p))
       .filter(p => staleServable(spark, coll, p.builtSeq, vdir(p.builtSeq)))
       .flatMap(p => load(p.builtSeq))
@@ -371,7 +373,7 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadIvf(dir, metric, nlist, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, "ivf2",
             p => p.kind == "ivf2" && p.metric == metric && p.nlist == nlist,
             s => versionDir(dir, s, "ivf2", metric, nlist),
             s => loadIvf(dir, metric, nlist, s)))
@@ -398,7 +400,7 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadRabitq(dir, metric, nlist, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, "rabitq2",
             p => p.kind == "rabitq2" && p.metric == metric && p.nlist == nlist,
             s => versionDir(dir, s, "rabitq2", metric, nlist),
             s => loadRabitq(dir, metric, nlist, s)))
@@ -425,7 +427,7 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadSq8(dir, metric, nlist, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, "sq8v2",
             p => p.kind == "sq8v2" && p.metric == metric && p.nlist == nlist,
             s => versionDir(dir, s, "sq8v2", metric, nlist),
             s => loadSq8(dir, metric, nlist, s)))
@@ -451,7 +453,7 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadPq(dir, metric, nlist, m, ksub, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, pqKind(m, ksub),
             p => p.kind == pqKind(m, ksub) && p.metric == metric &&
               p.nlist == nlist,
             s => versionDir(dir, s, pqKind(m, ksub), metric, nlist),
@@ -477,7 +479,7 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadBinIvf(dir, nlist, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, "binivf2",
             p => p.kind == "binivf2" && p.nlist == nlist,
             s => versionDir(dir, s, "binivf2", "HAMMING", nlist),
             s => loadBinIvf(dir, nlist, s)))
@@ -541,7 +543,7 @@ object IndexStore {
       numBuckets: Int): SparseServe = {
     val seq = coll.committedSeq
     val dir = indexDir(coll, field)
-    val stale = staleLoad[SparseBuild](spark, coll, dir, seq,
+    val stale = staleLoad[SparseBuild](spark, coll, dir, seq, "sparse2",
       p => p.kind == "sparse2" && p.nlist == numBuckets,
       s => versionDir(dir, s, "sparse2", "IP", numBuckets),
       s => loadSparse(dir, numBuckets, s))
@@ -566,7 +568,7 @@ object IndexStore {
 
   private def loadSparse(dir: StorePath, numBuckets: Int,
       seq: Long): Option[SparseBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sparse2" &&
+    readPointer(dir, "sparse2").filter(p => p.builtSeq == seq && p.kind == "sparse2" &&
       p.nlist == numBuckets).map { _ =>
       val vdir = versionDir(dir, seq, "sparse2", "IP", numBuckets)
       SparseBuild(vdir.resolve("postings").toString, numBuckets, seq,
@@ -674,7 +676,7 @@ object IndexStore {
     val dir = indexDir(coll, field)
     val tag = jsonPathTag(path, kind)
     val pk = coll.definition.primaryField.name
-    val stale = staleLoad[JsonPathBuild](spark, coll, dir, seq,
+    val stale = staleLoad[JsonPathBuild](spark, coll, dir, seq, tag,
       p => p.kind == tag && p.metric == castType,
       s => versionDir(dir, s, tag, castType, 0),
       s => Some(JsonPathBuild(
@@ -701,7 +703,7 @@ object IndexStore {
 
   private def loadJsonPath(dir: StorePath, path: String, castType: String,
       kind: String, seq: Long): Option[JsonPathBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq &&
+    readPointer(dir, jsonPathTag(path, kind)).filter(p => p.builtSeq == seq &&
       p.kind == jsonPathTag(path, kind) && p.metric == castType).map { _ =>
       JsonPathBuild(
         versionDir(dir, seq, jsonPathTag(path, kind), castType, 0)
@@ -754,7 +756,7 @@ object IndexStore {
 
   private def loadRtree(dir: StorePath, cellSize: Double, tag: String,
       seq: Long): Option[RtreeBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == tag)
+    readPointer(dir, tag).filter(p => p.builtSeq == seq && p.kind == tag)
       .map(_ => RtreeBuild(
         versionDir(dir, seq, tag, "wkt", 0).resolve("data").toString,
         cellSize, seq))
@@ -785,7 +787,7 @@ object IndexStore {
       val packed = tables * 1000 + numPlanes
       loadLsh(dir, metric, tag, packed, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, tag,
             p => p.kind == tag && p.metric == metric && p.nlist == packed,
             s => versionDir(dir, s, tag, metric, packed),
             s => loadLsh(dir, metric, tag, packed, s)))
@@ -817,7 +819,7 @@ object IndexStore {
 
   private def loadLsh(dir: StorePath, metric: String, tag: String,
       packed: Int, seq: Long): Option[LshBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == tag &&
+    readPointer(dir, tag).filter(p => p.builtSeq == seq && p.kind == tag &&
       p.metric == metric && p.nlist == packed).map { _ =>
       implicit val fmt: Formats = DefaultFormats
       val vdir = versionDir(dir, seq, tag, metric, packed)
@@ -859,7 +861,7 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadHnsw(dir, metric, m, efConstruction, segs, seed, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, kind,
             p => p.kind == kind && p.metric == metric && p.nlist == m,
             s => versionDir(dir, s, kind, metric, m),
             s => loadHnsw(dir, metric, m, efConstruction, segs, seed, s)))
@@ -921,7 +923,7 @@ object IndexStore {
   private def loadHnsw(dir: StorePath, metric: String, m: Int, efc: Int,
       segs: Int, seed: Long, seq: Long): Option[HnswBuild] = {
     val kind = hnswKind(m, efc, segs, seed)
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == kind &&
+    readPointer(dir, kind).filter(p => p.builtSeq == seq && p.kind == kind &&
       p.metric == metric && p.nlist == m).map { _ =>
       HnswBuild(versionDir(dir, seq, kind, metric, m)
         .resolve("data").toString, m, efc, segs, seed, metric, seq)
@@ -964,7 +966,7 @@ object IndexStore {
       val dir = indexDir(coll, field)
       loadVamana(dir, metric, r, l, alpha, segs, seq)
         .orElse(if (!allowStale) None
-          else staleLoad(spark, coll, dir, seq,
+          else staleLoad(spark, coll, dir, seq, kind,
             p => p.kind == kind && p.metric == metric && p.nlist == r,
             s => versionDir(dir, s, kind, metric, r),
             s => loadVamana(dir, metric, r, l, alpha, segs, s)))
@@ -998,7 +1000,7 @@ object IndexStore {
   private def loadVamana(dir: StorePath, metric: String, r: Int, l: Int,
       alpha: Double, segs: Int, seq: Long): Option[VamanaBuild] = {
     val kind = vamanaKind(r, l, alpha, segs)
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == kind &&
+    readPointer(dir, kind).filter(p => p.builtSeq == seq && p.kind == kind &&
       p.metric == metric && p.nlist == r).map { _ =>
       VamanaBuild(versionDir(dir, seq, kind, metric, r)
         .resolve("data").toString, r, l, alpha, segs, metric, seq)
@@ -1119,18 +1121,41 @@ object IndexStore {
     * pointer's build facts, or None when the field has no persisted
     * build (a declared-only index serves lazily on first search).
     */
-  def describe(coll: Collection, field: String): Option[Map[String, String]] =
-    readPointer(indexDir(coll, field)).map(p => Map(
+  def describe(coll: Collection, field: String): Option[Map[String, String]] = {
+    val pointers = allPointers(indexDir(coll, field))
+    // With per-family pointers a field can hold several live builds
+    // (a declared-HNSW collection whose range searches also built the
+    // IVF physical path): describe reports the DECLARED index's
+    // family when one matches, else the first pointer (deterministic).
+    val declared = coll.definition.indexes.find(_.field == field)
+      .map(_.indexType.toUpperCase)
+    val familyOf: String => Option[String] = {
+      case "HNSW"                => Some("hnsw1")
+      case "DISKANN"             => Some("vamana1")
+      case "IVF_RABITQ"          => Some("rabitq2")
+      case "IVF_SQ8"             => Some("sq8v2")
+      case "IVF_PQ"              => Some("pqv1")
+      case "BIN_IVF_FLAT"        => Some("binivf2")
+      case "LSH" | "RHP_LSH"     => Some("lsh2")
+      case t if t.startsWith("SPARSE") => Some("sparse2")
+      case _                     => Some("ivf2")
+    }
+    val preferred = declared.flatMap(familyOf).flatMap(f =>
+      pointers.find(p => kindFamily(p.kind) == f))
+    preferred.orElse(pointers.headOption).map(p => Map(
       "built_seq" -> p.builtSeq.toString,
       "build_kind" -> p.kind,
       "build_metric" -> p.metric,
       "build_nlist" -> p.nlist.toString))
+  }
 
   /** Names of fields with a live persisted build (for describe/stats). */
   def persistedFields(coll: Collection): Seq[String] = {
     val root = coll.catalog.collectionDir(coll.name).resolve("index")
     root.list
-      .filter(p => p.resolve("current.json").exists)
+      .filter(p => p.resolve("current.json").exists ||
+        p.list.exists(f => f.name.startsWith("current_") &&
+          f.name.endsWith(".json")))
       .map(_.name).sorted
   }
 
@@ -1176,7 +1201,7 @@ object IndexStore {
 
   private def loadIvf(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[IvfBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "ivf2" &&
+    readPointer(dir, "ivf2").filter(p => p.builtSeq == seq && p.kind == "ivf2" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
       val vdir = versionDir(dir, seq, "ivf2", metric, nlist)
@@ -1223,7 +1248,7 @@ object IndexStore {
 
   private def loadRabitq(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[RabitqBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "rabitq2" &&
+    readPointer(dir, "rabitq2").filter(p => p.builtSeq == seq && p.kind == "rabitq2" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
       val vdir = versionDir(dir, seq, "rabitq2", metric, nlist)
@@ -1260,7 +1285,7 @@ object IndexStore {
 
   private def loadSq8(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[Sq8Build] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "sq8v2" &&
+    readPointer(dir, "sq8v2").filter(p => p.builtSeq == seq && p.kind == "sq8v2" &&
       p.metric == metric && p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
       val vdir = versionDir(dir, seq, "sq8v2", metric, nlist)
@@ -1302,7 +1327,7 @@ object IndexStore {
 
   private def loadPq(dir: StorePath, metric: String, nlist: Int, m: Int,
       ksub: Int, seq: Long): Option[PqBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq &&
+    readPointer(dir, pqKind(m, ksub)).filter(p => p.builtSeq == seq &&
       p.kind == pqKind(m, ksub) && p.metric == metric &&
       p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
@@ -1348,7 +1373,7 @@ object IndexStore {
 
   private def loadBinIvf(dir: StorePath, nlist: Int,
       seq: Long): Option[BinIvfBuild] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "binivf2" &&
+    readPointer(dir, "binivf2").filter(p => p.builtSeq == seq && p.kind == "binivf2" &&
       p.nlist == nlist).map { _ =>
       implicit val fmt: Formats = DefaultFormats
       val vdir = versionDir(dir, seq, "binivf2", "HAMMING", nlist)
@@ -1379,7 +1404,7 @@ object IndexStore {
 
   private def loadBm25(dir: StorePath, params: Bm25.Params,
       seq: Long): Option[Bm25Build] =
-    readPointer(dir).filter(p => p.builtSeq == seq && p.kind == "bm25" &&
+    readPointer(dir, "bm25").filter(p => p.builtSeq == seq && p.kind == "bm25" &&
       p.metric == params.analyzer).map { _ =>
       Bm25Build(Bm25.readIndexMeta(
         versionDir(dir, seq, "bm25", params.analyzer, 0).toString, params), seq)
@@ -1397,7 +1422,7 @@ object IndexStore {
       k: Int): DataFrame = {
     val seq = coll.committedSeq
     val dir = indexDir(coll, field)
-    val stale = staleLoad[Bm25Build](spark, coll, dir, seq,
+    val stale = staleLoad[Bm25Build](spark, coll, dir, seq, "bm25",
       p => p.kind == "bm25" && p.metric == params.analyzer,
       s => versionDir(dir, s, "bm25", params.analyzer, 0),
       s => Some(Bm25Build(Bm25.readIndexMeta(
@@ -1432,6 +1457,23 @@ object IndexStore {
   private final case class Pointer(builtSeq: Long, kind: String,
       metric: String, nlist: Int)
 
+  /** Pointer FAMILY of a build kind — the leading token before the
+    * first parameter separator (`hnsw1-8-64-4-42` → `hnsw1`,
+    * `pqv1_8_64` → `pqv1`, `ivf2` → `ivf2`; per-path JSON tags and
+    * per-cell-size geo tags are single tokens, so each is its own
+    * family). Each family commits its own `current_<family>.json`, so
+    * two families built over ONE field (a declared-HNSW collection
+    * whose over-cap-filtered or range searches serve from the IVF
+    * physical path; two JSON-path indexes on one column) coexist
+    * instead of clobbering a shared pointer — which forced a full
+    * rebuild of the losing family on every route alternation.
+    */
+  private def kindFamily(kind: String): String =
+    kind.takeWhile(c => c != '-' && c != '_')
+
+  private def pointerFile(dir: StorePath, kind: String): StorePath =
+    dir.resolve(s"current_${kindFamily(kind)}.json")
+
   private def commitPointer(dir: StorePath, seq: Long, kind: String,
       metric: String, nlist: Int): Unit = {
     val body = JsonMethods.compact(JsonMethods.render(
@@ -1439,19 +1481,36 @@ object IndexStore {
         ("nlist" -> nlist)))
     val tmp = dir.resolve(s"current.json.tmp.${Thread.currentThread().getId}")
     tmp.writeBytes(body.getBytes)
-    tmp.moveOver(dir.resolve("current.json"))
-    // GC: keep this build AND the most recent other one. An in-flight
-    // lazy scan from a search that started before the pointer swap can
-    // still be reading the previous build's parquet (queries racing
-    // DML, the pressure-runner shape); deleting it mid-collect fails
-    // that scan with FileNotFoundException. Anything older than the
-    // previous build has survived two pointer swaps and is removed.
+    tmp.moveOver(pointerFile(dir, kind))
+    // A superseded legacy single-pointer file must not shadow this
+    // family's new pointer for OTHER families' fallback reads.
+    val legacy = dir.resolve("current.json")
+    if (legacy.exists) legacy.deleteRecursively()
+    // GC: keep this build AND the most recent other one OF THE SAME
+    // FAMILY (an in-flight lazy scan from a search that started before
+    // the pointer swap can still be reading the previous build's
+    // parquet — deleting it mid-collect fails that scan). Other
+    // families' version dirs are live under their own pointers and are
+    // never touched.
     val current = versionDir(dir, seq, kind, metric, nlist).name
+    val fam = kindFamily(kind)
     val others = dir.list
-      .filter(p => p.name.startsWith("v_") && p.name != current)
+      .filter(p => p.name.startsWith("v_") && p.name != current &&
+        dirFamily(p.name) == fam)
       .sortBy(p => versionSeq(p.name))(Ordering[Long].reverse)
     others.drop(1).foreach(_.deleteRecursively())
   }
+
+  /** Family of a `v_<seq>_<kind>_<metric>_<nlist>` build-dir name:
+    * the kind's leading token is the first token after the seq, and
+    * [[kindFamily]]'s separator rule applies to the remainder
+    * unchanged (the metric/nlist suffix sits past the first
+    * separator). Legacy `v_<seq>` names (no kind) report an empty
+    * family and are GC'd by every commit, as before.
+    */
+  private def dirFamily(name: String): String =
+    kindFamily(
+      name.stripPrefix("v_").dropWhile(_.isDigit).stripPrefix("_"))
 
   /** Leading seq of a `v_<seq>[_...]` build-dir name (legacy `v_<seq>`
     * names parse too).
@@ -1462,8 +1521,30 @@ object IndexStore {
       case n  => n.toLong
     }
 
-  private def readPointer(dir: StorePath): Option[Pointer] = {
-    val f = dir.resolve("current.json")
+  /** Read the pointer for `kind`'s family: the family file when
+    * present, else the legacy shared `current.json` a pre-round-11
+    * build committed (whose kind may describe another family — callers
+    * filter on kind, so a mismatched legacy pointer reads as "no
+    * build" exactly as before).
+    */
+  private def readPointer(dir: StorePath, kind: String): Option[Pointer] = {
+    val f = pointerFile(dir, kind)
+    if (f.exists) parsePointer(f)
+    else {
+      val legacy = dir.resolve("current.json")
+      if (legacy.exists) parsePointer(legacy) else None
+    }
+  }
+
+  /** Every live pointer under the field dir (all families + legacy). */
+  private def allPointers(dir: StorePath): Seq[Pointer] =
+    dir.list
+      .filter(p => p.name == "current.json" ||
+        (p.name.startsWith("current_") && p.name.endsWith(".json")))
+      .sortBy(_.name)
+      .flatMap(parsePointer)
+
+  private def parsePointer(f: StorePath): Option[Pointer] =
     if (!f.exists) None
     else {
       implicit val fmt: Formats = DefaultFormats
@@ -1472,6 +1553,5 @@ object IndexStore {
         (j \ "kind").extract[String], (j \ "metric").extract[String],
         (j \ "nlist").extract[Int]))
     }
-  }
 
 }

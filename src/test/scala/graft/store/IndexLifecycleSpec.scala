@@ -1028,6 +1028,51 @@ class IndexLifecycleSpec extends SparkSpec {
       "cosine iterator pages != exact similarity order")
   }
 
+  test("per-family pointers: graph and IVF builds coexist on one field, no rebuild ping-pong") {
+    val s = spark
+    import s.implicits._
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+      Map("M" -> "8", "efConstruction" -> "64", "segments" -> "2")))
+    val q = queryVec(7)
+    // Graph route builds first (kind hnsw1-*).
+    val g1 = CollectionSearch.search(s, c, "embedding", q, 10,
+      searchParams = Map("ef" -> "1000000"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val graphSeq = IndexStore.ensureHnsw(s, c, "embedding", "L2", 8, 64,
+      segments = 2).builtSeq
+    // Range search on the same field serves from the IVF physical
+    // path (builds kind ivf2) — it must NOT clobber the graph pointer.
+    val rs1 = CollectionSearch.rangeSearch(s, c, "embedding", q, 1.35,
+      rangeFilter = Some(1.25)).count()
+    val ivfSeq = IndexStore.ensureIvf(s, c, "embedding", "L2", 16).builtSeq
+    // Alternate the routes: nothing rebuilds (same build objects, same
+    // pointer seqs, and the graph's top-10 is unchanged).
+    val g2 = CollectionSearch.search(s, c, "embedding", q, 10,
+      searchParams = Map("ef" -> "1000000"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val rs2 = CollectionSearch.rangeSearch(s, c, "embedding", q, 1.35,
+      rangeFilter = Some(1.25)).count()
+    assert(g2 == g1 && rs2 == rs1)
+    assert(IndexStore.ensureHnsw(s, c, "embedding", "L2", 8, 64,
+      segments = 2).builtSeq == graphSeq,
+      "graph build was clobbered by the IVF pointer")
+    assert(IndexStore.ensureIvf(s, c, "embedding", "L2", 16)
+      .builtSeq == ivfSeq,
+      "IVF build was clobbered by the graph pointer")
+    // describe() reports the DECLARED family even with both live.
+    val desc = IndexStore.describe(c, "embedding").get
+    assert(desc("build_kind").startsWith("hnsw1"),
+      s"describe picked ${desc("build_kind")} over the declared HNSW")
+    // Both version dirs survive each other's GC.
+    val idir = c.catalog.collectionDir(c.name).resolve("index")
+      .resolve("embedding")
+    val vdirs = idir.list.map(_.name).filter(_.startsWith("v_"))
+    assert(vdirs.exists(_.contains("hnsw1")) &&
+      vdirs.exists(_.contains("ivf2")),
+      s"a family's version dir was GC'd by the other: $vdirs")
+  }
+
   test("partitioned HNSW: scoped searches prune the graph's _part directories") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
