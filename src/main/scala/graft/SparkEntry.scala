@@ -1887,6 +1887,47 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("rank")
     },
+    // ---- V57: indexed IP range search (round-11) — inner product has
+    // NO triangle inequality, but s = |x||q|cos θ decomposes: the
+    // angle obeys the spherical triangle inequality and per-cell norm
+    // extrema bound |x|, so every cell gets provable [min_s, max_s]
+    // bounds and BOTH band edges prune losslessly. The fixture's
+    // +50-shifted copy has ~400x the norm, so its cells' min_s sits
+    // far above the base band — only the lower-bound prune can discard
+    // them. Post-DML delta rows scan exactly on the side, NO rebuild. --
+    "v57_range_ip_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rng57").toString)
+      val c = cat.createCollection(CollectionDef("ipvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      c.insert(s, emb.unionByName(emb
+        .withColumn("vec_id", col("vec_id") + 100000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), v => v + lit(50.0f)))))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("IP"),
+        Map("nlist" -> "8")))
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      val qdf = queryDf(s, dir, Seq(7))
+      val victim = Knn.rangeSearch(emb, qdf, "embedding", "vec_id",
+          "IP", threshold = 0.1)
+        .filter(col("score") > 0.1 && col("score") <= 0.2 &&
+          col("vec_id") =!= 11L)
+        .agg(min("vec_id")).head().getLong(0)
+      c.delete(s, s"vec_id == $victim")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s, Seq((990008L, vecOf(s, dir, 42))).toDF("vec_id", "embedding"))
+      val hits = CollectionSearch.rangeSearch(s, c, "embedding",
+        vecOf(s, dir, 7), radius = 0.1, rangeFilter = Some(0.2),
+        searchParams = Map("metric_type" -> "IP"))
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      hits.select(col("vec_id"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("vec_id")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6242,6 +6283,33 @@ object SparkEntry {
           |WHERE bit_count(xor(b, (7 * 2654435761) % 4294967296))
           |        BETWEEN 10 AND 13
           |ORDER BY vec_id""".stripMargin,
+      // GENUINE exact oracle for the norm-x-angle-pruned IP range
+      // search: the v54 fixture shape (float32 +50 shift replicated
+      // with the FLOAT round-trip), mutated (min in-band base pk != 11
+      // deleted, 11 rewritten to row 483's vector, 990008 a copy of
+      // row 42's), filtered to the similarity band radius < s <= rf
+      // by list_inner_product.
+      "v57_range_ip_serve" ->
+        s"""WITH shifted AS (
+           |  SELECT vec_id + 100000000 AS vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CAST(CAST(x + 50.0 AS FLOAT) AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |victim AS (
+           |  SELECT min(vec_id) AS v FROM embeddings
+           |  WHERE list_inner_product(embedding::DOUBLE[], ${qvec.format(7)}) > 0.1
+           |    AND list_inner_product(embedding::DOUBLE[], ${qvec.format(7)}) <= 0.2
+           |    AND vec_id != 11),
+           |corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  WHERE vec_id != 11 AND vec_id != (SELECT v FROM victim)
+           |  UNION ALL SELECT vec_id, e FROM shifted
+           |  UNION ALL SELECT CAST(11 AS BIGINT), ${qvec.format(483)}
+           |  UNION ALL SELECT CAST(990008 AS BIGINT), ${qvec.format(42)})
+           |SELECT vec_id, true AS served_stale FROM corpus
+           |WHERE list_inner_product(e, ${qvec.format(7)}) > 0.1
+           |  AND list_inner_product(e, ${qvec.format(7)}) <= 0.2
+           |ORDER BY vec_id""".stripMargin,
       // GENUINE exact oracle for the angular-pruned COSINE range
       // search: the direction-clustered corpus (base + a +50-per-dim
       // copy at pks +100000000, the float32 add replicated with an

@@ -225,15 +225,22 @@ object Ivf {
     Knn.limitPerQid(scored, qidCol, Seq(primary, col(idCol).asc), k)
   }
 
-  /** Per-cell pruning bounds for exact range search: max TRUE-L2
-    * distance AND max angle (radians) from a member to its own
-    * centroid — the L2 and COSINE triangle-inequality bounds
-    * respectively. One hash-agg pass over the assigned table, nlist
-    * double-pairs to the driver (bounded by the centroid count, never
-    * the data). Cells with no members read 0.
+  /** Per-cell pruning bounds for exact range search, one hash-agg pass
+    * over the assigned table (nlist quadruples to the driver — bounded
+    * by the centroid count, never the data):
+    *   - `radii`: max TRUE-L2 member-to-centroid distance (the L2
+    *     triangle-inequality bound),
+    *   - `angles`: max member-to-centroid angle in radians (the
+    *     spherical triangle-inequality bound COSINE and IP use),
+    *   - `maxNorm`/`minNorm`: member L2-norm extrema (IP = norm x
+    *     angle decomposition: s = |x||q|cos θ).
+    * Cells with no members read 0 (and minNorm 0) — conservative.
     */
+  final case class CellBounds(radii: Array[Double], angles: Array[Double],
+      maxNorm: Array[Double], minNorm: Array[Double])
+
   def cellBounds(assigned: DataFrame, vecCol: String,
-      model: Model): (Array[Double], Array[Double]) = {
+      model: Model): CellBounds = {
     val cents = model.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
     val spark = assigned.sparkSession
@@ -244,23 +251,27 @@ object Ivf {
     val (cos, _) = Functions.metricFor("COSINE",
       assigned.schema(vecCol).dataType, col(vecCol), col("_centroid"))
     val ang = acos(greatest(lit(-1.0), least(lit(1.0), cos)))
+    val nrm = Functions.vecNorm(col(vecCol))
     val rows = assigned
       .join(broadcast(cdf), col("_cid").cast("int") === col("_rcid"))
       .groupBy(col("_cid").cast("int").as("_c"))
-      .agg(max(d2).as("rmax"), max(ang).as("amax"))
+      .agg(max(d2).as("rmax"), max(ang).as("amax"),
+        max(nrm).as("nmax"), min(nrm).as("nmin"))
       .collect()
-    val radii = new Array[Double](model.k)
-    val angles = new Array[Double](model.k)
+    val b = CellBounds(new Array(model.k), new Array(model.k),
+      new Array(model.k), new Array(model.k))
     rows.foreach { r =>
-      radii(r.getInt(0)) = r.getDouble(1)
-      angles(r.getInt(0)) = r.getDouble(2)
+      b.radii(r.getInt(0)) = r.getDouble(1)
+      b.angles(r.getInt(0)) = r.getDouble(2)
+      b.maxNorm(r.getInt(0)) = r.getDouble(3)
+      b.minNorm(r.getInt(0)) = r.getDouble(4)
     }
-    (radii, angles)
+    b
   }
 
-  /** [[cellBounds]]'s L2 half, for callers that only need the radii. */
+  /** [[cellBounds]]'s L2 slice, for callers that only need the radii. */
   def cellRadii(assigned: DataFrame, vecCol: String,
-      model: Model): Array[Double] = cellBounds(assigned, vecCol, model)._1
+      model: Model): Array[Double] = cellBounds(assigned, vecCol, model).radii
 
   /** EXACT cell-pruned range search (Milvus `radius`/`range_filter`
     * bounds, L2 only): a cell whose centroid satisfies
@@ -285,7 +296,11 @@ object Ivf {
     val probes = queries.map { case (qid, qv) =>
       val q = qv.map(_.toDouble).toArray
       val allowed = model.centroids.indices.filter { i =>
-        math.sqrt(sq2(q, model.centroids(i))) - radii(i) <= radius
+        val qc = math.sqrt(sq2(q, model.centroids(i)))
+        // Both band edges prune: a cell below the lower bound entirely
+        // (max possible distance < range_filter) holds no result either.
+        qc - radii(i) <= radius &&
+          rangeFilter.forall(rf => qc + radii(i) >= rf - 1e-9)
       }
       (qid, qv.map(_.toDouble), allowed.toArray)
     }
@@ -329,7 +344,12 @@ object Ivf {
       val allowed = model.centroids.indices.filter { i =>
         val qc = math.acos(math.max(-1.0, math.min(1.0,
           cosineSim(q, model.centroids(i)))))
-        math.cos(math.max(0.0, qc - angles(i) - slack)) > radius
+        // Both band edges prune: max possible similarity must clear
+        // `radius`, min possible must not clear `range_filter`.
+        math.cos(math.max(0.0, qc - angles(i) - slack)) > radius &&
+          rangeFilter.forall(rf =>
+            math.cos(math.min(math.Pi, qc + angles(i) + slack))
+              <= rf + 1e-9)
       }
       (qid, qv.map(_.toDouble), allowed.toArray)
     }
@@ -338,6 +358,59 @@ object Ivf {
     val pruned = filter.foldLeft(
       assigned.filter(col("_cid").isin(allCells: _*)))(_ filter _)
     val (score, _) = Functions.metricFor("COSINE",
+      assigned.schema(vecCol).dataType, col(vecCol), col("qvec"))
+    val cols = (idCol +: outputCols).distinct.map(col)
+    val upper = rangeFilter.map(f => col("score") <= lit(f)).getOrElse(lit(true))
+    pruned
+      .crossJoin(broadcast(probeDf))
+      .filter(array_contains(col("_allowed"), col("_cid")))
+      .select((col("_qid_str").as("qid") +: cols) :+ score.as("score"): _*)
+      .filter(col("score") > lit(radius) && upper)
+  }
+
+  /** EXACT cell-pruned IP range search (similarity bounds:
+    * `radius < s <= range_filter`). Inner product has no triangle
+    * inequality, but it DECOMPOSES: s(q, x) = |q|·|x|·cos θ(q, x),
+    * the angle obeys the spherical triangle inequality, and per-cell
+    * norm extrema bound |x| — so each cell gets provable s bounds:
+    *   max_s = |q| · (cosMax >= 0 ? maxNorm·cosMax : minNorm·cosMax)
+    *   min_s = |q| · (cosMin >= 0 ? minNorm·cosMin : maxNorm·cosMin)
+    * with cosMax/cosMin = cos of the angle interval
+    * [max(0, θqc − amax), min(π, θqc + amax)]. A cell prunes when
+    * max_s <= radius OR min_s > range_filter — both lossless, so the
+    * result is EXACT.
+    */
+  def rangeSearchIp(assigned: DataFrame, model: Model,
+      bounds: CellBounds, queries: Seq[(String, Seq[Float])],
+      vecCol: String, idCol: String, radius: Double,
+      rangeFilter: Option[Double] = None,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val slack = 1e-6
+    val probes = queries.map { case (qid, qv) =>
+      val q = qv.map(_.toDouble).toArray
+      val qn = math.sqrt(q.map(v => v * v).sum)
+      val allowed = model.centroids.indices.filter { i =>
+        val qc = math.acos(math.max(-1.0, math.min(1.0,
+          cosineSim(q, model.centroids(i)))))
+        val cosMax = math.cos(math.max(0.0, qc - bounds.angles(i) - slack))
+        val cosMin = math.cos(math.min(math.Pi, qc + bounds.angles(i) + slack))
+        val maxS = qn * (if (cosMax >= 0) bounds.maxNorm(i) * cosMax
+                         else bounds.minNorm(i) * cosMax)
+        val minS = qn * (if (cosMin >= 0) bounds.minNorm(i) * cosMin
+                         else bounds.maxNorm(i) * cosMin)
+        maxS > radius - 1e-9 &&
+          rangeFilter.forall(rf => minS <= rf + 1e-9)
+      }
+      (qid, qv.map(_.toDouble), allowed.toArray)
+    }
+    val allCells = probes.flatMap(_._3).distinct
+    val probeDf = probes.toDF("_qid_str", "qvec", "_allowed")
+    val pruned = filter.foldLeft(
+      assigned.filter(col("_cid").isin(allCells: _*)))(_ filter _)
+    val (score, _) = Functions.metricFor("IP",
       assigned.schema(vecCol).dataType, col(vecCol), col("qvec"))
     val cols = (idCol +: outputCols).distinct.map(col)
     val upper = rangeFilter.map(f => col("score") <= lit(f)).getOrElse(lit(true))

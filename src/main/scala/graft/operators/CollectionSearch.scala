@@ -871,9 +871,13 @@ object CollectionSearch {
     * surviving `_cid` directories; post-DML delta rows are scanned
     * exactly on the side (the sealed bounds don't cover them), masked
     * rows anti-joined out — the same sealed ⊎ growing discipline as
-    * every family, NO rebuild. IP (no triangle inequality) / no
-    * index: one exact bounded scan. Unlike the top-k routes the
-    * result is ALWAYS exact — pruning is lossless.
+    * every family, NO rebuild. IP routes through
+    * [[Ivf.rangeSearchIp]]'s norm x angle decomposition (no triangle
+    * inequality on the product, but the angle obeys the spherical one
+    * and per-cell norm extrema bound the magnitude). Both band edges
+    * prune on every route. Unindexed: one exact bounded scan. Unlike
+    * the top-k routes the result is ALWAYS exact — pruning is
+    * lossless.
     */
   def rangeSearch(
       spark: SparkSession,
@@ -947,7 +951,7 @@ object CollectionSearch {
     }
     val m = metric.toUpperCase
     val hits =
-      if (denseDeclared && (m == "L2" || m == "COSINE")) {
+      if (denseDeclared && Set("L2", "COSINE", "IP").contains(m)) {
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)
         val b = IndexStore.ensureIvf(spark, coll, vecField, m, nlist)
@@ -959,17 +963,25 @@ object CollectionSearch {
           else Some(MilvusExpr.compile(filterExpr, sealedScoped))
         // A pre-bounds build prunes nothing (every cell allowed) but
         // still serves exactly.
-        val sealedHits =
-          if (m == "L2")
+        def noRadii = Array.fill(b.model.k)(Double.MaxValue)
+        def noBounds = Ivf.CellBounds(noRadii,
+          Array.fill(b.model.k)(math.Pi), noRadii,
+          Array.fill(b.model.k)(0.0))
+        val sealedHits = m match {
+          case "L2" =>
             Ivf.rangeSearch(sealedScoped, b.model,
-              b.radii.getOrElse(Array.fill(b.model.k)(Double.MaxValue)),
-              queries, vecField, pk, radius, rangeFilter, predS,
-              outputFields)
-          else
+              b.radii.getOrElse(noRadii), queries, vecField, pk, radius,
+              rangeFilter, predS, outputFields)
+          case "COSINE" =>
             Ivf.rangeSearchCosine(sealedScoped, b.model,
               b.angles.getOrElse(Array.fill(b.model.k)(math.Pi)),
               queries, vecField, pk, radius, rangeFilter, predS,
               outputFields)
+          case _ =>
+            Ivf.rangeSearchIp(sealedScoped, b.model,
+              b.bounds.getOrElse(noBounds), queries, vecField, pk,
+              radius, rangeFilter, predS, outputFields)
+        }
         split.growing match {
           case None => sealedHits
           case Some(g) => sealedHits.unionByName(bruteRange(scopedPart(g)))
@@ -1049,7 +1061,7 @@ object CollectionSearch {
         .select((col("qid") +: cols) :+ sc.as("score"): _*)
     }
     val scored =
-      if (denseDeclared && (m == "L2" || m == "COSINE")) {
+      if (denseDeclared && Set("L2", "COSINE", "IP").contains(m)) {
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)
         val b = IndexStore.ensureIvf(spark, coll, vecField, m, nlist)
@@ -1058,6 +1070,18 @@ object CollectionSearch {
         // Cursor lower-bound prune (slack keeps it strictly
         // conservative against driver-vs-codegen ulp drift).
         val q = queryVec.map(_.toDouble).toArray
+        def qcAngle(i: Int): Double = {
+          val c = b.model.centroids(i)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          val n = math.min(q.length, c.length)
+          while (j < n) {
+            dot += q(j) * c(j); na += q(j) * q(j); nb += c(j) * c(j)
+            j += 1
+          }
+          val den = math.sqrt(na) * math.sqrt(nb)
+          val sim = if (den == 0.0) 0.0 else dot / den
+          math.acos(math.max(-1.0, math.min(1.0, sim)))
+        }
         val keep: Int => Boolean = (after, m) match {
           case (None, _) => _ => true
           case (Some((s0, _)), "L2") =>
@@ -1069,21 +1093,25 @@ object CollectionSearch {
               while (j < n) { val x = q(j) - c(j); s += x * x; j += 1 }
               math.sqrt(s) + radii(i) >= s0 - 1e-9
             }
+          case (Some((s0, _)), "IP") =>
+            // Descending pages: a cell whose MINIMUM possible product
+            // exceeds the cursor was fully returned already.
+            val cb = b.bounds.getOrElse(Ivf.CellBounds(
+              Array.fill(b.model.k)(0.0), Array.fill(b.model.k)(math.Pi),
+              Array.fill(b.model.k)(Double.MaxValue),
+              Array.fill(b.model.k)(0.0)))
+            val qn = math.sqrt(q.map(v => v * v).sum)
+            i => {
+              val cosMin = math.cos(
+                math.min(math.Pi, qcAngle(i) + cb.angles(i) + 1e-6))
+              val minS = qn * (if (cosMin >= 0) cb.minNorm(i) * cosMin
+                               else cb.maxNorm(i) * cosMin)
+              minS <= s0 + 1e-9
+            }
           case (Some((s0, _)), _) =>
             val angles = b.angles.getOrElse(Array.fill(b.model.k)(math.Pi))
-            i => {
-              val c = b.model.centroids(i)
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
-              val n = math.min(q.length, c.length)
-              while (j < n) {
-                dot += q(j) * c(j); na += q(j) * q(j); nb += c(j) * c(j)
-                j += 1
-              }
-              val den = math.sqrt(na) * math.sqrt(nb)
-              val sim = if (den == 0.0) 0.0 else dot / den
-              val qc = math.acos(math.max(-1.0, math.min(1.0, sim)))
-              math.cos(math.min(math.Pi, qc + angles(i) + 1e-6)) <= s0 + 1e-9
-            }
+            i => math.cos(math.min(math.Pi,
+              qcAngle(i) + angles(i) + 1e-6)) <= s0 + 1e-9
         }
         val cells = b.model.centroids.indices.filter(keep)
         val sealedScored =

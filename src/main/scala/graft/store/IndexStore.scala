@@ -46,8 +46,10 @@ object IndexStore {
 
   final case class IvfBuild(model: Ivf.Model, dataPath: String,
       nlist: Int, builtSeq: Long,
-      radii: Option[Array[Double]] = None,
-      angles: Option[Array[Double]] = None)
+      bounds: Option[Ivf.CellBounds] = None) {
+    def radii: Option[Array[Double]] = bounds.map(_.radii)
+    def angles: Option[Array[Double]] = bounds.map(_.angles)
+  }
 
   final case class Bm25Build(persisted: Bm25.PersistedBm25, builtSeq: Long)
 
@@ -1184,19 +1186,21 @@ object IndexStore {
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
     vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
-    // Per-cell max member-to-centroid L2 AND max member angle (the
-    // exact range-search pruning bounds for L2 and COSINE): one agg
-    // pass over the just-written columnar data — reads only
-    // (vec, _cid) — nlist double-pairs to the driver.
-    val (radii, angles) = Ivf.cellBounds(
+    // Per-cell pruning bounds (max L2 radius, max member angle, norm
+    // extrema — the exact range-search bounds for L2/COSINE/IP): one
+    // agg pass over the just-written columnar data — reads only
+    // (vec, _cid) — nlist quadruples to the driver.
+    val bounds = Ivf.cellBounds(
       spark.read.parquet(dataPath).select(col(field), col("_cid")),
       field, model)
     val radiiJson: JObject =
-      ("radii" -> radii.toSeq) ~ ("angles" -> angles.toSeq)
+      ("radii" -> bounds.radii.toSeq) ~ ("angles" -> bounds.angles.toSeq) ~
+        ("max_norm" -> bounds.maxNorm.toSeq) ~
+        ("min_norm" -> bounds.minNorm.toSeq)
     vdir.resolve("cell_radii.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(radiiJson)).getBytes)
     commitPointer(dir, seq, "ivf2", metric, nlist)
-    IvfBuild(model, dataPath, nlist, seq, Some(radii), Some(angles))
+    IvfBuild(model, dataPath, nlist, seq, Some(bounds))
   }
 
   private def loadIvf(dir: StorePath, metric: String, nlist: Int,
@@ -1209,19 +1213,29 @@ object IndexStore {
         new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
         .map(_.toArray).toArray
-      // cell_radii.json is absent on pre-round-11 builds (and the
-      // angles half on the earliest round-11 ones): range search then
-      // scans every cell (still exact), ANN probes are unaffected.
+      // cell_radii.json is absent on pre-round-11 builds (and some
+      // slices on the earliest round-11 ones): missing slices read
+      // their CONSERVATIVE defaults (angle pi, norms [0, +inf)) — range
+      // search then prunes nothing extra but stays exact; ANN probes
+      // are unaffected.
       val rfile = vdir.resolve("cell_radii.json")
-      val (radii, angles) =
-        if (!rfile.exists) (None, None)
+      val bounds =
+        if (!rfile.exists) None
         else {
           val rj = JsonMethods.parse(new String(rfile.readBytes))
-          (Some((rj \ "radii").extract[Seq[Double]].toArray),
-            (rj \ "angles").extractOpt[Seq[Double]].map(_.toArray))
+          val radii = (rj \ "radii").extract[Seq[Double]].toArray
+          val k = radii.length
+          Some(Ivf.CellBounds(
+            radii,
+            (rj \ "angles").extractOpt[Seq[Double]].map(_.toArray)
+              .getOrElse(Array.fill(k)(math.Pi)),
+            (rj \ "max_norm").extractOpt[Seq[Double]].map(_.toArray)
+              .getOrElse(Array.fill(k)(Double.MaxValue)),
+            (rj \ "min_norm").extractOpt[Seq[Double]].map(_.toArray)
+              .getOrElse(Array.fill(k)(0.0))))
         }
       IvfBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
-        nlist, seq, radii, angles)
+        nlist, seq, bounds)
     }
 
   // ---- RaBitQ -------------------------------------------------------------

@@ -1028,6 +1028,98 @@ class IndexLifecycleSpec extends SparkSpec {
       "cosine iterator pages != exact similarity order")
   }
 
+  test("indexed IP range search: norm x angle cell pruning, exact, delta-served, iterator pages") {
+    val s = spark
+    import s.implicits._
+    // The +50-shifted copy has ~400x the norm and a near-diagonal
+    // direction: its cells' MINIMUM possible product sits far above a
+    // base-corpus band, so the norm x angle lower bound prunes them
+    // (the upper bound alone cannot — IP has no triangle inequality).
+    val cat = new Catalog(Files.createTempDirectory("graft-rngip").toString)
+    val c = cat.createCollection(CollectionDef("ipvecs", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    val emb = Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    c.insert(s, emb.unionByName(emb
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        transform(col("embedding"), v => v + lit(50.0f)))))
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("IP"),
+      Map("nlist" -> "8")))
+    val q = queryVec(7)
+    def ip(v: Seq[Float]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i).toDouble * q(i).toDouble; i += 1 }
+      dot
+    }
+    // Milvus similarity bounds: radius < s <= range_filter.
+    val (radius, rf) = (0.1, 0.2)
+    def exactIds(): Set[Long] =
+      c.read(s).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), ip(r.getSeq[Float](1))))
+        .filter { case (_, sim) => sim > radius && sim <= rf }
+        .map(_._1).toSet
+    val got = CollectionSearch.rangeSearch(s, c, "embedding", q, radius,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == exactIds(),
+      s"IP pruned range search mismatch (${got.size} hits)")
+    assert(got.forall(_ < 100000L), "a far row leaked into the IP band")
+    // The norm x angle bound discards the far cells.
+    val b = IndexStore.ensureIvf(s, c, "embedding", "IP", 8)
+    val cb = b.bounds.get
+    val qd = q.map(_.toDouble).toArray
+    val qn = math.sqrt(qd.map(v => v * v).sum)
+    val allowed = b.model.centroids.indices.count { i =>
+      val cc = b.model.centroids(i)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < math.min(qd.length, cc.length)) {
+        dot += qd(j) * cc(j); na += qd(j) * qd(j); nb += cc(j) * cc(j); j += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      val qc = math.acos(math.max(-1.0, math.min(1.0, sim)))
+      val cosMax = math.cos(math.max(0.0, qc - cb.angles(i) - 1e-6))
+      val cosMin = math.cos(math.min(math.Pi, qc + cb.angles(i) + 1e-6))
+      val maxS = qn * (if (cosMax >= 0) cb.maxNorm(i) * cosMax
+                       else cb.minNorm(i) * cosMax)
+      val minS = qn * (if (cosMin >= 0) cb.minNorm(i) * cosMin
+                       else cb.maxNorm(i) * cosMin)
+      maxS > radius - 1e-9 && minS <= rf + 1e-9
+    }
+    assert(allowed < 8, "far high-norm cells not pruned by the IP bounds")
+    // DML: delete one in-band hit, insert a copy of row 42; exact
+    // delta serving, NO rebuild.
+    val victim = got.head
+    val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+    c.delete(s, s"vec_id == $victim")
+    c.insert(s, Seq((990013L, queryVec(42))).toDF("vec_id", "embedding"))
+    val got2 = CollectionSearch.rangeSearch(s, c, "embedding", q, radius,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == exactIds() && !got2.contains(victim))
+    assert(IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq,
+      "IP range search rebuilt instead of delta-serving")
+    // IP iterator pages concatenate to the exact descending order, and
+    // the cursor's min-product bound prunes the near cells once the
+    // cursor passes below the far cluster... the other way around: a
+    // cursor BELOW the far cluster's minimum prunes the far cells.
+    var cursor: Option[(Double, Any)] = None
+    val pages = (0 until 2).map { _ =>
+      val page = CollectionSearch.searchIterator(s, c, "embedding", q, 10,
+          after = cursor, searchParams = Map("metric_type" -> "IP"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .select("vec_id", "score").collect()
+      cursor = Some((page.last.getDouble(1), page.last.getLong(0)))
+      page.map(_.getLong(0)).toSeq
+    }
+    val exactOrder = c.read(s).select("vec_id", "embedding").collect()
+      .map(r => (ip(r.getSeq[Float](1)), r.getLong(0)))
+      .sortBy { case (sim, id) => (-sim, id) }.take(20).map(_._2).toSeq
+    assert(pages.flatten == exactOrder,
+      "IP iterator pages != exact descending product order")
+  }
+
   test("per-family pointers: graph and IVF builds coexist on one field, no rebuild ping-pong") {
     val s = spark
     import s.implicits._
