@@ -211,7 +211,11 @@ object BinIvf {
     import spark.implicits._
     val probes = queries.map { case (qid, qb) =>
       val allowed = model.centroids.indices.filter { i =>
-        hamming(qb, model.centroids(i)) - radii(i) < radius
+        val qc = hamming(qb, model.centroids(i))
+        // Both band edges prune: a cell below the lower bound entirely
+        // (max possible distance < range_filter) holds no result either.
+        qc - radii(i) < radius &&
+          rangeFilter.forall(rf => qc + radii(i) >= rf)
       }
       (qid, qb, allowed.toArray)
     }
