@@ -1928,6 +1928,58 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("vec_id")
     },
+    // ---- V58: sparse IP range search (round-11) — `radius` +
+    // `range_filter` over a SPARSE_INVERTED_INDEX collection: the
+    // query joins ONLY its dimensions' posting buckets (a zero-overlap
+    // doc scores exactly 0 <= radius, so the dim-keyed join IS the
+    // lossless prune), served through the sparse family's sealed ⊎
+    // growing delta discipline, NO rebuild. The corpus is derived from
+    // vec_id by fixed arithmetic (three disjoint dim ranges, weight
+    // (i%5)+1), so DuckDB recomputes every product exactly. ------------
+    "v58_range_sparse_serve" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-rng58").toString)
+      val c = cat.createCollection(CollectionDef("spvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("svec", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.DoubleType)))))
+      val w = (col("vec_id") % 5 + 1).cast("double")
+      val svec = map_from_arrays(
+        array((col("vec_id") % 7).cast("int"),
+          (col("vec_id") % 11 + 7).cast("int"),
+          (col("vec_id") % 13 + 18).cast("int")),
+        array(w, w, w))
+      val rows = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), svec.as("svec"))
+      c.insert(s, rows)
+      c.createIndex(s, IndexDef("svec", "SPARSE_INVERTED_INDEX",
+        Some("IP"), Map("buckets" -> "16")))
+      val sealedSeq = IndexStore.describe(c, "svec").get("built_seq")
+      // Score by the same fixed arithmetic to pick the victim.
+      val score =
+        (when(col("vec_id") % 7 === 3, 2.0).otherwise(0.0) +
+          when(col("vec_id") % 11 + 7 === 9, 1.0).otherwise(0.0) +
+          when(col("vec_id") % 13 + 18 === 20, 3.0).otherwise(0.0)) *
+          (col("vec_id") % 5 + 1).cast("double")
+      val victim = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), score.as("s"))
+        .filter(col("s") > 2.0 && col("s") <= 10.0 &&
+          col("vec_id") =!= 11L)
+        .agg(min("vec_id")).head().getLong(0)
+      c.delete(s, s"vec_id == $victim")
+      c.upsert(s, Seq((11L, Map(3 -> 2.0))).toDF("vec_id", "svec"))
+      c.insert(s, Seq((990009L, Map(9 -> 5.0))).toDF("vec_id", "svec"))
+      val hits = CollectionSearch.rangeSearchSparse(s, c, "svec",
+        Map(3 -> 2.0, 9 -> 1.0, 20 -> 3.0), radius = 2.0,
+        rangeFilter = Some(10.0))
+      val servedStale =
+        IndexStore.describe(c, "svec").get("built_seq") == sealedSeq
+      hits.select(col("vec_id"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("vec_id")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6283,6 +6335,30 @@ object SparkEntry {
           |WHERE bit_count(xor(b, (7 * 2654435761) % 4294967296))
           |        BETWEEN 10 AND 13
           |ORDER BY vec_id""".stripMargin,
+      // GENUINE exact oracle for the postings-route sparse range
+      // search: every product recomputed from the fixed vec_id
+      // arithmetic (disjoint dim ranges make the map keys distinct;
+      // q = {3: 2.0, 9: 1.0, 20: 3.0}), corpus mutated (min in-band
+      // pk != 11 deleted, 11 rewritten to {3: 2.0} -> s = 4, 990009 a
+      // fresh {9: 5.0} -> s = 5), band 2 < s <= 10.
+      "v58_range_sparse_serve" ->
+        """WITH base AS (
+          |  SELECT vec_id,
+          |    (CASE WHEN vec_id % 7 = 3 THEN 2.0 ELSE 0.0 END +
+          |     CASE WHEN vec_id % 11 + 7 = 9 THEN 1.0 ELSE 0.0 END +
+          |     CASE WHEN vec_id % 13 + 18 = 20 THEN 3.0 ELSE 0.0 END)
+          |      * (vec_id % 5 + 1) AS s
+          |  FROM embeddings),
+          |victim AS (
+          |  SELECT min(vec_id) AS v FROM base
+          |  WHERE s > 2.0 AND s <= 10.0 AND vec_id != 11),
+          |corpus AS (
+          |  SELECT vec_id, s FROM base
+          |  WHERE vec_id != 11 AND vec_id != (SELECT v FROM victim)
+          |  UNION ALL SELECT CAST(11 AS BIGINT), CAST(4.0 AS DOUBLE)
+          |  UNION ALL SELECT CAST(990009 AS BIGINT), CAST(5.0 AS DOUBLE))
+          |SELECT vec_id, true AS served_stale FROM corpus
+          |WHERE s > 2.0 AND s <= 10.0 ORDER BY vec_id""".stripMargin,
       // GENUINE exact oracle for the norm-x-angle-pruned IP range
       // search: the v54 fixture shape (float32 +50 shift replicated
       // with the FLOAT round-trip), mutated (min in-band base pk != 11

@@ -362,6 +362,36 @@ object SparseInverted {
     }
   }
 
+  /** EXACT sparse IP range search (similarity bounds:
+    * `radius < s <= range_filter`, radius >= 0): the postings join on
+    * the query's dimensions computes every NONZERO product, and a
+    * zero-overlap doc scores exactly 0 <= radius — so the join IS the
+    * prune, touching only the query dims' bucket directories. Callers
+    * must route radius < 0 to a full scan (zero-overlap docs qualify
+    * there and have no postings row).
+    */
+  def rangeSearch(postingsDf: DataFrame, query: Map[Int, Double],
+      idCol: String, radius: Double, rangeFilter: Option[Double],
+      numBuckets: Int, filter: Option[Column] = None): DataFrame = {
+    require(radius >= 0,
+      "postings-route sparse range search needs radius >= 0")
+    val spark = postingsDf.sparkSession
+    import spark.implicits._
+    require(query.nonEmpty, "sparse query must have at least one dimension")
+    val dims = query.keys.toSeq.sorted
+    val buckets = queryBuckets(postingsDf, dims, numBuckets)
+    val qdf = query.toSeq.sortBy(_._1).toDF("_qdim", "_qval")
+    val pruned0 = postingsDf
+      .filter(col(BUCKET).isin(buckets: _*) && col(DIM).isin(dims: _*))
+    val pruned = filter.foldLeft(pruned0)(_ filter _)
+    val upper = rangeFilter.map(f => col("score") <= lit(f)).getOrElse(lit(true))
+    pruned
+      .join(broadcast(qdf), col(DIM) === col("_qdim"))
+      .groupBy(col(idCol))
+      .agg(sum(col(VAL) * col("_qval")).as("score"))
+      .filter(col("score") > lit(radius) && upper)
+  }
+
   def search(postingsDf: DataFrame, query: Map[Int, Double], idCol: String,
       k: Int, numBuckets: Int,
       filter: Option[Column] = None): DataFrame = {

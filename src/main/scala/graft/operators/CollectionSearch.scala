@@ -504,6 +504,65 @@ object CollectionSearch {
     }
   }
 
+  /** Sparse IP RANGE search (similarity bounds:
+    * `radius < s <= range_filter`). With a declared sparse index and
+    * radius >= 0 the query joins only its dimensions' persisted
+    * posting buckets — a zero-overlap doc scores exactly 0 <= radius,
+    * so the dim-keyed join IS the (lossless) prune; the served
+    * postings frame already carries the sealed ⊎ growing delta
+    * discipline, NO rebuild. radius < 0 (zero-overlap docs qualify but
+    * have no postings row) or no index: one exact bounded scan.
+    */
+  def rangeSearchSparse(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      query: Map[Int, Double],
+      radius: Double,
+      rangeFilter: Option[Double] = None,
+      limit: Int = Int.MaxValue,
+      filterExpr: String = "",
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val sparseIx = d.indexes.find(ix => ix.field == vecField &&
+      Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+        .contains(ix.indexType.toUpperCase))
+    def scoped(indexDf: DataFrame): DataFrame =
+      if (partitionNames.isEmpty) indexDf
+      else indexDf.filter(col("_part").isin(partitionNames: _*))
+    val hits =
+      if (sparseIx.isDefined && radius >= 0) {
+        val buckets = sparseIx.flatMap(_.params.get("buckets"))
+          .map(_.toInt).getOrElse(64)
+        val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
+        val postings = scoped(serve.postings)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, postings))
+        SparseInverted.rangeSearch(postings, query, pk, radius,
+          rangeFilter, serve.build.numBuckets, pred)
+      } else {
+        val data = coll.read(spark, partitionNames)
+          .filter(col(vecField).isNotNull)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, data))
+        val qdf = Seq(Tuple1(query)).toDF("qvec")
+        val (score, _) = graft.Functions.metricFor("IP",
+          data.schema(vecField).dataType, col(vecField), col("qvec"))
+        val upper =
+          rangeFilter.map(f => col("score") <= lit(f)).getOrElse(lit(true))
+        pred.foldLeft(data)(_ filter _)
+          .crossJoin(broadcast(qdf))
+          .select(col(pk), score.as("score"))
+          .filter(col("score") > lit(radius) && upper)
+      }
+    if (limit == Int.MaxValue) hits
+    else hits.orderBy(col("score").desc, col(pk).asc).limit(limit)
+  }
+
   /** Batched sparse search — the client's nq>1 shape (reference
     * clients batch `search(data=[...])`, common/workload.py:213-229)
     * as ONE Spark job instead of nq sequential ones. Routing mirrors

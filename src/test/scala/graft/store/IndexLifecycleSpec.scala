@@ -1120,6 +1120,65 @@ class IndexLifecycleSpec extends SparkSpec {
       "IP iterator pages != exact descending product order")
   }
 
+  test("sparse IP range search: postings-route exact, zero-overlap excluded, delta-served") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-rngsp").toString)
+    val c = cat.createCollection(CollectionDef("spvecs", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("svec", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType)))))
+    // Deterministic vec_id-derived sparse rows: three disjoint dim
+    // ranges, weight (i%5)+1 — recomputable anywhere.
+    def svecOf(i: Long): Map[Int, Double] = {
+      val w = (i % 5 + 1).toDouble
+      Map((i % 7).toInt -> w, (i % 11 + 7).toInt -> w,
+        (i % 13 + 18).toInt -> w)
+    }
+    val ids = Tables.load(s, sfDir, "embeddings").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    c.insert(s, ids.map(i => (i, svecOf(i))).toDF("vec_id", "svec"))
+    c.createIndex(s, IndexDef("svec", "SPARSE_INVERTED_INDEX", Some("IP"),
+      Map("buckets" -> "16")))
+    val q = Map(3 -> 2.0, 9 -> 1.0, 20 -> 3.0)
+    val (radius, rf) = (2.0, 10.0)
+    def ip(m: Map[Int, Double]): Double =
+      q.map { case (dim, w) => w * m.getOrElse(dim, 0.0) }.sum
+    def exactIds(): Set[Long] =
+      c.read(s).select("vec_id", "svec").collect()
+        .map(r => (r.getLong(0), ip(r.getMap[Int, Double](1).toMap)))
+        .filter { case (_, v) => v > radius && v <= rf }.map(_._1).toSet
+    val got = CollectionSearch.rangeSearchSparse(s, c, "svec", q, radius,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == exactIds(),
+      s"sparse range search mismatch (${got.size} hits)")
+    // radius < 0 admits zero-overlap docs — the route must fall back
+    // to the full scan and still be exact.
+    val gotNeg = CollectionSearch.rangeSearchSparse(s, c, "svec", q, -1.0,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactNeg = c.read(s).select("vec_id", "svec").collect()
+      .map(r => (r.getLong(0), ip(r.getMap[Int, Double](1).toMap)))
+      .filter { case (_, v) => v > -1.0 && v <= rf }.map(_._1).toSet
+    assert(gotNeg == exactNeg && gotNeg.size > got.size,
+      "negative-radius fallback lost the zero-overlap docs")
+    // DML: delete an in-band hit, upsert + insert fixed in-band rows;
+    // the postings frame delta-serves exactly with NO rebuild.
+    val victim = got.head
+    val sealedSeq = IndexStore.describe(c, "svec").get("built_seq")
+    c.delete(s, s"vec_id == $victim")
+    c.insert(s, Seq((990014L, Map(9 -> 5.0))).toDF("vec_id", "svec"))
+    val got2 = CollectionSearch.rangeSearchSparse(s, c, "svec", q, radius,
+        rangeFilter = Some(rf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == exactIds() && !got2.contains(victim) &&
+      got2.contains(990014L))
+    assert(IndexStore.describe(c, "svec").get("built_seq") == sealedSeq,
+      "sparse range search rebuilt instead of delta-serving")
+  }
+
   test("per-family pointers: graph and IVF builds coexist on one field, no rebuild ping-pong") {
     val s = spark
     import s.implicits._
