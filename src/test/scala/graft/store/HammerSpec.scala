@@ -357,6 +357,73 @@ class HammerSpec extends SparkSpec {
     assert(served == exact, s"served=$served exact=$exact")
   }
 
+  test("range search under concurrent DML: in-band mid-flight, final parity with exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cat = new Catalog(Files.createTempDirectory("graft-hrange").toString)
+    val c = cat.createCollection(CollectionDef("rg", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("emb", ArrayType(FloatType), dim = Some(8)))))
+    def vec(i: Long): Seq[Float] = Seq((i % 7).toFloat, (i % 11).toFloat,
+      (i % 13).toFloat, (i % 5).toFloat, 1f, (i % 3).toFloat,
+      (i % 17).toFloat, (i % 19).toFloat)
+    c.insert(s, (0L until 600L).map(i => (i, vec(i))).toDF("id", "emb")): Unit
+    c.createIndex(s, IndexDef("emb", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val q7 = vec(7)
+    val (rf, radius) = (2.0, 8.0)
+    graft.operators.CollectionSearch.rangeSearch(s, c, "emb", q7, radius,
+      rangeFilter = Some(rf)).collect()
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    val writers = (0 until 2).map { t =>
+      new Thread(() => {
+        try (0 until 4).foreach { b =>
+          val h = cat.collection("rg")
+          h.insert(s, (0L until 5L).map(i =>
+            (100000L * (t + 1) + b * 10L + i, vec(i + b)))
+            .toDF("id", "emb")): Unit
+          h.delete(s, s"id in [${t * 8 + b * 2}, ${t * 8 + b * 2 + 1}]"): Unit
+        } catch { case e: Exception =>
+          errors.compareAndSet(null, s"writer$t: ${e.getMessage}"): Unit }
+      })
+    }
+    val reader = new Thread(() => {
+      try (1 to 12).foreach { _ =>
+        val hits = graft.operators.CollectionSearch
+          .rangeSearch(s, cat.collection("rg"), "emb", q7, radius,
+            rangeFilter = Some(rf))
+          .collect()
+        hits.foreach { r =>
+          val (id, score) = (r.getLong(0), r.getDouble(1))
+          assert(score >= rf && score < radius,
+            s"out-of-band score $score for $id")
+          assert(id < 600L || (id >= 100000L && id < 300000L),
+            s"id $id outside any written universe")
+        }
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"reader: ${e.getMessage}"): Unit }
+    })
+    (writers :+ reader).foreach(_.start())
+    (writers :+ reader).foreach(_.join())
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    // Quiesced: the pruned route must equal the exact band over the
+    // final corpus, row for row.
+    val h = cat.collection("rg")
+    val served = graft.operators.CollectionSearch
+      .rangeSearch(s, h, "emb", q7, radius, rangeFilter = Some(rf))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = h.read(s).select("id", "emb").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val d = math.sqrt(v.zip(q7).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x }.sum)
+        (r.getLong(0), d)
+      }.filter { case (_, d) => d >= rf && d < radius }.map(_._1).toSet
+    assert(served == exact,
+      s"served band ${served.size} != exact band ${exact.size}")
+  }
+
   test("CDC replication under concurrent DML: promote converges to the source") {
     // Writer hammers the source while a replication loop drains feed
     // windows onto the replica; whatever the interleaving, the final

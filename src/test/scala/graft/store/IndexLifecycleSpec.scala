@@ -1224,6 +1224,35 @@ class IndexLifecycleSpec extends SparkSpec {
       s"a family's version dir was GC'd by the other: $vdirs")
   }
 
+  test("partition-scoped range search prunes _part directories and stays exact") {
+    val s = spark
+    val cat = new Catalog(Files.createTempDirectory("graft-rngpart").toString)
+    val c = cat.createCollection(CollectionDef("prange", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16))),
+      partitions = Seq("p0", "p1", "p2")))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val q = queryVec(7)
+    val hits = CollectionSearch.rangeSearch(s, c, "embedding", q, 1.35,
+      rangeFilter = Some(1.25), partitionNames = Seq("p0"))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      s"scoped range search did not prune _part directories:\n$plan")
+    val exact = c.read(s, partitionNames = Seq("p0"))
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val d = math.sqrt(v.zip(q).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x }.sum)
+        (r.getLong(0), d)
+      }.filter { case (_, d) => d >= 1.25 && d < 1.35 }.map(_._1).toSet
+    assert(hits.select("vec_id").collect().map(_.getLong(0)).toSet == exact,
+      "scoped range search != scoped exact band")
+  }
+
   test("partitioned HNSW: scoped searches prune the graph's _part directories") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-hnswp").toString)
