@@ -1980,6 +1980,25 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("vec_id")
     },
+    // ---- V59: radius/range_filter inside a NORMAL search() (the
+    // pymilvus client shape: search(params={"radius":…,
+    // "range_filter":…}, limit=k) returns the k best in-band hits) —
+    // the call routes through the cell-pruned exact range machinery
+    // capped by the salted top-k prune. -------------------------------
+    "v59_search_with_radius" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v59").toString)
+      val c = cat.createCollection(CollectionDef("rvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "8")))
+      CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7), 10,
+          searchParams = Map("radius" -> "1.35", "range_filter" -> "1.25"))
+        .select(col("vec_id"), col("rank").cast("int").as("rank"))
+        .orderBy("rank")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6335,6 +6354,16 @@ object SparkEntry {
           |WHERE bit_count(xor(b, (7 * 2654435761) % 4294967296))
           |        BETWEEN 10 AND 13
           |ORDER BY vec_id""".stripMargin,
+      // GENUINE exact oracle for radius-inside-search(): the 10
+      // nearest band members in true L2 order.
+      "v59_search_with_radius" ->
+        s"""SELECT vec_id, CAST(row_number() OVER (
+           |  ORDER BY list_distance(embedding::DOUBLE[], ${qvec.format(7)}), vec_id)
+           |  AS INT) AS rank
+           |FROM embeddings
+           |WHERE list_distance(embedding::DOUBLE[], ${qvec.format(7)}) >= 1.25
+           |  AND list_distance(embedding::DOUBLE[], ${qvec.format(7)}) < 1.35
+           |ORDER BY rank LIMIT 10""".stripMargin,
       // GENUINE exact oracle for the postings-route sparse range
       // search: every product recomputed from the fixed vec_id
       // arithmetic (disjoint dim ranges make the map keys distinct;

@@ -204,6 +204,21 @@ object CollectionSearch {
     val probeBudget = searchParams.get("nprobe")
       .orElse(searchParams.get("ef"))
       .orElse(searchParams.get("search_list_size"))
+    // pymilvus range semantics ride INSIDE a normal search(): params
+    // carrying `radius` turn the call into a range search capped at
+    // `limit` (best in-band hits first). The LSH family keeps its
+    // multiprobe-budget reading of `radius` UNLESS `range_filter` also
+    // rides along — unambiguously the range form.
+    if (searchParams.contains("radius") &&
+        (!lshDeclared || searchParams.contains("range_filter"))) {
+      val hits = rangeSearchBatch(spark, coll, vecField,
+        Seq(("q", queryVec)), searchParams("radius").toDouble,
+        searchParams.get("range_filter").map(_.toDouble), limit = k,
+        filterExpr, searchParams, outputFields, partitionNames)
+        .drop("qid")
+      return (if (orderByFields.isEmpty) hits
+              else hits.orderBy(orderByFields.map(col): _*))
+    }
     val hnswMask: Option[Option[Array[Long]]] =
       if (!hnswGraphRoutable(coll, vecField, metric) || lshDeclared ||
           probeBudget.isEmpty) None

@@ -1224,6 +1224,34 @@ class IndexLifecycleSpec extends SparkSpec {
       s"a family's version dir was GC'd by the other: $vdirs")
   }
 
+  test("search() with radius/range_filter params is a capped range search") {
+    val s = spark
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val q = queryVec(7)
+    val viaSearch = CollectionSearch.search(s, c, "embedding", q, 10,
+        searchParams = Map("radius" -> "1.35", "range_filter" -> "1.25"))
+      .select("vec_id", "score").collect()
+    // The k best in-band hits: every score inside the Milvus L2 band,
+    // and exactly the 10 nearest band members.
+    assert(viaSearch.length == 10)
+    viaSearch.foreach { r =>
+      val d = r.getDouble(1)
+      assert(d >= 1.25 && d < 1.35, s"out-of-band score $d")
+    }
+    val expected = c.read(s).select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val d = math.sqrt(v.zip(q).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x }.sum)
+        (d, r.getLong(0))
+      }.filter { case (d, _) => d >= 1.25 && d < 1.35 }
+      .sortBy(identity).take(10).map(_._2).toSet
+    assert(viaSearch.map(_.getLong(0)).toSet == expected,
+      "radius-in-search != the 10 nearest band members")
+  }
+
   test("partition-scoped range search prunes _part directories and stays exact") {
     val s = spark
     val cat = new Catalog(Files.createTempDirectory("graft-rngpart").toString)
