@@ -373,6 +373,17 @@ object CollectionSearch {
       index.exists(_.indexType.toUpperCase == "IVF_PQ")
     val lshDeclared = index.exists(ix =>
       Set("LSH", "RHP_LSH").contains(ix.indexType.toUpperCase))
+    // Range params inside a batched search route exactly like the
+    // single-query form (see [[search]]) — one range job, capped per
+    // query.
+    if (searchParams.contains("radius") &&
+        (!lshDeclared || searchParams.contains("range_filter")))
+      return rangeSearchBatch(spark, coll, vecField, queryVecs,
+        searchParams("radius").toDouble,
+        searchParams.get("range_filter").map(_.toDouble), limit = k,
+        filterExpr, searchParams, outputFields, partitionNames)
+        .select((col("qid") +: (pk +: outputFields).distinct.map(col)) :+
+          col("score"): _*)
     val probeBudget = searchParams.get("nprobe")
       .orElse(searchParams.get("ef"))
       .orElse(searchParams.get("search_list_size"))

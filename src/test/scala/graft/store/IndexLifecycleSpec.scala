@@ -1250,6 +1250,14 @@ class IndexLifecycleSpec extends SparkSpec {
       .sortBy(identity).take(10).map(_._2).toSet
     assert(viaSearch.map(_.getLong(0)).toSet == expected,
       "radius-in-search != the 10 nearest band members")
+    // Batch form: same routing, the searchBatch output contract.
+    val batch = CollectionSearch.searchBatch(s, c, "embedding",
+      Seq(("a", q), ("b", queryVec(0))), 10,
+      searchParams = Map("radius" -> "1.35", "range_filter" -> "1.25"))
+    assert(batch.columns.toSeq == Seq("qid", "vec_id", "score"))
+    val aIds = batch.filter(col("qid") === "a")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(aIds == expected, "batched radius-in-search != single call")
   }
 
   test("partition-scoped range search prunes _part directories and stays exact") {
