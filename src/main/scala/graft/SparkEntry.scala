@@ -5144,6 +5144,22 @@ object SparkEntry {
           radius = 1.35, rangeFilter = Some(1.25))
           .groupBy("qid").agg(count(lit(1)).as("hits"))
       },
+      // Exact search-iterator paging over the shared clustered
+      // fixture: page 1 (no cursor — one exact full scan, the price of
+      // exactness) vs a DEEP page whose cursor sits past the whole
+      // near cluster — the per-cell bounds prove every near cell
+      // finished before the cursor, so the deep page scans only the
+      // far half. Adjudicate like the range pair: on bytes_read.
+      "bench_iterator_page1" -> { (s, dir) =>
+        val c = rangeBenchCollection(s, dir)
+        CollectionSearch.searchIterator(s, c, "embedding",
+          vecOf(s, dir, 7), 100)
+      },
+      "bench_iterator_deep" -> { (s, dir) =>
+        val c = rangeBenchCollection(s, dir)
+        CollectionSearch.searchIterator(s, c, "embedding",
+          vecOf(s, dir, 7), 100, after = Some((300.0, -1L)))
+      },
       // CONTRAST entry (deliberately unpruned): the same bounds as one
       // exact bounded scan over the full clustered corpus — what every
       // range search costs without the per-cell radii.
