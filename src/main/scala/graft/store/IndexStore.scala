@@ -1508,9 +1508,14 @@ object IndexStore {
     // never touched.
     val current = versionDir(dir, seq, kind, metric, nlist).name
     val fam = kindFamily(kind)
-    val others = dir.list
-      .filter(p => p.name.startsWith("v_") && p.name != current &&
-        dirFamily(p.name) == fam)
+    val candidates = dir.list
+      .filter(p => p.name.startsWith("v_") && p.name != current)
+    // Kindless legacy `v_<seq>` dirs are unreachable (every load path
+    // requires a current-layout kind) — reclaim them on any commit.
+    candidates.filter(p => dirFamily(p.name).isEmpty)
+      .foreach(_.deleteRecursively())
+    val others = candidates
+      .filter(p => dirFamily(p.name) == fam)
       .sortBy(p => versionSeq(p.name))(Ordering[Long].reverse)
     others.drop(1).foreach(_.deleteRecursively())
   }
