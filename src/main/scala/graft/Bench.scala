@@ -177,6 +177,23 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
       line.getBytes)
+    // Compact trailing line for the driver's stdout TAIL capture: the
+    // full line above has outgrown the wrapper's 2000-char tail since
+    // round 1 (every BENCH_r*.json reads `"parsed": null` with the
+    // line's head cut off), so a wrapper scanning the tail for a
+    // parseable `{"metric":...}` line has never found one. This line
+    // stays well under the tail window: the `queries` map carries only
+    // the slowest entries (the ones worth adjudicating from a tail),
+    // io_suspect is capped, and `full` points at the committed
+    // lossless artifact.
+    val slowest = results.filter(_._2._1 >= 0)
+      .sortBy(-_._2._1).take(10)
+      .map { case (k, (w, _, _, _)) => "\"" + k + "\":" + num(w, 3) }
+      .mkString("{", ",", "}")
+    val ioCompact = ioSuspects.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"queries_elided":${results.size - math.min(10, results.size)},"entries":${results.size},"sf":"$sfDir","failed":${failures.size},"load1m":${num(loadEnd, 2)},"load1m_start":${num(loadStart, 2)},"cpu_wall_median":${num(medianRatio, 2)},"io_suspect":$ioCompact,"full":"bench_last.json"$warning}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

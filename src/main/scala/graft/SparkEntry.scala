@@ -1999,6 +1999,46 @@ object SparkEntry {
         .select(col("vec_id"), col("rank").cast("int").as("rank"))
         .orderBy("rank")
     },
+    // ---- V60: page-1 probe budget for the search iterator
+    // (round-12) — page 1 over a CLUSTERED corpus (embeddings + a
+    // far-shifted copy) through the two-phase exact probe route: tau
+    // comes from the nprobe nearest cells, then only cells whose best
+    // possible member reaches tau are scanned (the far copy's cells
+    // are provably out), yet the page must equal the true global
+    // top-20 — the oracle ranks the whole mutated corpus, and the far
+    // rows can never reach rank <= 20 (min distance ~400 vs the base
+    // cluster's ~1). The growing side (one inserted copy of row 42)
+    // participates exactly, NO rebuild. ------------------------------
+    "v60_iterator_page1_probe" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v60").toString)
+      val c = cat.createCollection(CollectionDef("sip1", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      c.insert(s, emb.unionByName(emb
+        .withColumn("vec_id", col("vec_id") + 100000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), v => v + lit(50.0f)))))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "16")))
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      c.insert(s, Seq((990009L, vecOf(s, dir, 42)))
+        .toDF("vec_id", "embedding"))
+      val page = CollectionSearch.searchIterator(s, c, "embedding",
+          vecOf(s, dir, 7), 20)
+        .select("vec_id", "score")
+        .orderBy(col("score").asc, col("vec_id").asc).collect()
+      val servedStale =
+        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      page.zipWithIndex.toSeq
+        .map { case (r, i) => (r.getLong(0), i + 1) }
+        .toDF("vec_id", "rank")
+        .select(col("vec_id"), col("rank").cast("int").as("rank"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("rank")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -4905,6 +4945,37 @@ object SparkEntry {
       c
     })
 
+  private val hybridBenchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.Collection]()
+
+  /** Shared routed-hybrid bench fixture (the reference's
+    * go_bench/config.yaml:25-45 collection shape): two 64-dim vector
+    * fields under declared IVF_SQ8 + IVF_FLAT builds, built ONCE per
+    * sf dir. The Go bench measures STEADY-STATE hybrid search against
+    * an already-built collection (10 workers x 600 s against
+    * `horizon_test_collection`), not index-build time — the serve-only
+    * twin reads this fixture; the build twin keeps paying the full
+    * per-entry collection+2-index cost.
+    */
+  private def hybridBenchCollection(s: SparkSession,
+      dir: String): graft.store.Collection =
+    hybridBenchCache.computeIfAbsent(dir, _ => {
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-bhkbench").toString)
+      val c = cat.createCollection(CollectionDef("bhk", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(64)),
+        FieldDef("emb2", ArrayType(FloatType), dim = Some(64)))))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          reverse(col("embedding")).as("emb2")))
+      c.createIndex(s, IndexDef("embedding", "IVF_SQ8", Some("L2"),
+        Map("nlist" -> "16")))
+      c.createIndex(s, IndexDef("emb2", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "16")))
+      c
+    })
+
   private val sparseBenchCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -5039,6 +5110,48 @@ object SparkEntry {
         graft.pipeline.LinkRank
           .linkRank(scaledEdges(s, dir, x), "src", "dst", iters = 3)
           .agg(count(lit(1)).as("n"), sum("mass").as("mass"))
+      case "hnsw" =>
+        // Graph-family probe (round-12): per-segment Vamana/HNSW builds
+        // are the one family whose build runs IN-MEMORY per task
+        // (groupByKey on the segment key), so the 100x-scale risk is
+        // segment size vs executor memory — the scale CONTRACT is a
+        // bounded segment size, with segment COUNT growing with data.
+        // The probe holds per-segment size constant (segments = 8x for
+        // x-fold rows, ~250 nodes each at sf0.1) and measures the
+        // many-more-segments wall: build cost is per-segment O(n log n)
+        // and segments schedule as independent tasks, so growth is
+        // bounded by task waves (80 segments / 32 slots ~ 2.5 waves at
+        // x=10), never by memory. Search fans the beam walk out per
+        // segment and unions candidates exactly — recall is unaffected
+        // by the shard count.
+        val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+          metric = "L2")
+        val g = graft.ann.Hnsw.build(scaledEmbeddings(s, dir, x),
+          "embedding", "vec_id", p, segments = 8 * x)
+        graft.ann.Hnsw.search(g,
+          (0 until 10).map(i => (s"q$i", vecOf(s, dir, i.toLong))),
+          "vec_id", k = 10, ef = 64, p)
+          .agg(count(lit(1)).as("n"))
+      case "range" =>
+        // Indexed range-search probe (round-12): the v53-family cell
+        // prune was adjudicated on bytes_read at a 4k-row fixture; this
+        // pair measures the whole build+serve lifecycle growth with
+        // nlist scaled to the data (16x cells for x-fold rows — the
+        // bounded-cell-size contract, same as segments above), so the
+        // driver-side bound math grows linearly with nlist while
+        // per-cell scan work stays constant.
+        val cat = new Catalog(java.nio.file.Files
+          .createTempDirectory(s"graft-scale-range-$x").toString)
+        val c = cat.createCollection(CollectionDef("rng", Seq(
+          FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+        c.insert(s, scaledEmbeddings(s, dir, x))
+        c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+          Map("nlist" -> (16 * x).toString)))
+        CollectionSearch.rangeSearchBatch(s, c, "embedding",
+          (0L until 10L).map(i => (i.toString, vecOf(s, dir, i))),
+          radius = 1.35, rangeFilter = Some(1.25))
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
       case "bm25serve" =>
         val cat = new Catalog(java.nio.file.Files
           .createTempDirectory(s"graft-scale-bm25-$x").toString)
@@ -5076,6 +5189,10 @@ object SparkEntry {
       "bench_scaleprobe_linkrank_scaled" -> scaleProbe("linkrank", scaleX),
       "bench_scaleprobe_bm25serve_base" -> scaleProbe("bm25serve", 1),
       "bench_scaleprobe_bm25serve_scaled" -> scaleProbe("bm25serve", scaleX),
+      "bench_scaleprobe_hnsw_base" -> scaleProbe("hnsw", 1),
+      "bench_scaleprobe_hnsw_scaled" -> scaleProbe("hnsw", scaleX),
+      "bench_scaleprobe_range_base" -> scaleProbe("range", 1),
+      "bench_scaleprobe_range_scaled" -> scaleProbe("range", scaleX),
       "bench_topk10" -> knnSweep(10),
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
@@ -5145,15 +5262,25 @@ object SparkEntry {
           .groupBy("qid").agg(count(lit(1)).as("hits"))
       },
       // Exact search-iterator paging over the shared clustered
-      // fixture: page 1 (no cursor — one exact full scan, the price of
-      // exactness) vs a DEEP page whose cursor sits past the whole
-      // near cluster — the per-cell bounds prove every near cell
-      // finished before the cursor, so the deep page scans only the
-      // far half. Adjudicate like the range pair: on bytes_read.
+      // fixture: page 1 (no cursor) runs the round-12 two-phase probe
+      // budget — probe the nearest cells for a conservative
+      // batchSize-th score tau, then scan only cells whose best
+      // possible member reaches tau (here: the near cluster; every
+      // far-copy cell is provably out) — vs the _full contrast twin
+      // (the pre-round-12 page-1 shape, one exact full scan) and a
+      // DEEP page whose cursor sits past the whole near cluster. All
+      // three are exact; adjudicate like the range pair: on
+      // bytes_read.
       "bench_iterator_page1" -> { (s, dir) =>
         val c = rangeBenchCollection(s, dir)
         CollectionSearch.searchIterator(s, c, "embedding",
           vecOf(s, dir, 7), 100)
+      },
+      "bench_iterator_page1_full" -> { (s, dir) =>
+        import s.implicits._
+        val c = rangeBenchCollection(s, dir)
+        val qdf = Seq(("q", vecOf(s, dir, 7))).toDF("qid", "qvec")
+        Knn.search(c.read(s), qdf, "embedding", "vec_id", "L2", 100)
       },
       "bench_iterator_deep" -> { (s, dir) =>
         val c = rangeBenchCollection(s, dir)
@@ -5670,11 +5797,29 @@ object SparkEntry {
       },
       // The reference's hybrid DESIGN POINT (go_bench/config.yaml:25-45:
       // two ANN requests at topk 15000 fused with WeightedRanker
-      // [0.9, 0.1]) through the COLLECTION route: both legs route
-      // through declared indexes served from persisted builds (IVF_SQ8
-      // + IVF_FLAT), and each leg's per-qid top-15000 exercises the
-      // salted two-level merge (Knn.limitPerQid) on the routed path.
-      // Build-and-query shape, like bench_ivf_build_search.
+      // [0.9, 0.1]) through the COLLECTION route, split round-12 into
+      // accounting twins (verdict item #1 — the Go bench measures
+      // steady-state search against a BUILT collection, not build
+      // time):
+      //   bench_hybrid_indexed_k15000        build+query (fresh store,
+      //     collection ingest + IVF_SQ8 + IVF_FLAT builds + the search)
+      //   bench_hybrid_indexed_serve_k15000  serve-only (shared
+      //     fixture; the design-point steady state)
+      // Both legs route through declared indexes served from persisted
+      // builds, and each leg's per-qid top-15000 exercises the salted
+      // two-level merge (Knn.limitPerQid) on the routed path.
+      "bench_hybrid_indexed_serve_k15000" -> { (s, dir) =>
+        val c = hybridBenchCollection(s, dir)
+        val qs = vecsOf(s, dir, (0L until 4L).toSeq)
+          .map { case (id, v) => s"q$id" -> v }
+        HybridSearch.hybridSearchCollection(s, c,
+          Seq(
+            CollectionAnnRequest(qs, "embedding", limit = 15000,
+              params = Map("nprobe" -> "8")),
+            CollectionAnnRequest(qs.map { case (q, v) => q -> v.reverse },
+              "emb2", limit = 15000, params = Map("nprobe" -> "8"))),
+          WeightedRanker(Seq(0.9, 0.1)), limit = 10)
+      },
       "bench_hybrid_indexed_k15000" -> { (s, dir) =>
         val cat = new Catalog(
           java.nio.file.Files.createTempDirectory("graft-bhk").toString)
@@ -6346,6 +6491,21 @@ object SparkEntry {
            |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT)
            |    AS rank
            |  FROM corpus) WHERE rank <= 30 ORDER BY rank""".stripMargin,
+      // GENUINE exact oracle for the page-1 probe budget (v60): the
+      // full mutated corpus ranked by true L2 to q7. The far-shifted
+      // copy (+50 per dim, min distance ~400) is omitted from the
+      // oracle corpus because no far row can reach rank <= 20 of a
+      // base cluster whose distances are ~1 — the Spark side must
+      // PROVE that via the cell bounds, not assume it.
+      "v60_iterator_page1_probe" ->
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  UNION ALL SELECT CAST(990009 AS BIGINT), ${qvec.format(42)})
+           |SELECT vec_id, rank, true AS served_stale FROM (
+           |  SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT)
+           |    AS rank
+           |  FROM corpus) WHERE rank <= 20 ORDER BY rank""".stripMargin,
       // GENUINE exact oracle for the cell-pruned HAMMING range search:
       // bit patterns re-derived from the bijective vec_id hash (v27),
       // the corpus mutated (min in-band pk != 11 deleted, 11 rewritten

@@ -1096,7 +1096,11 @@ object CollectionSearch {
     * row, so the deeper the iterator goes the more near cells the
     * scan skips — directory-pruned when `_cid` is physical. Growing
     * delta rows scan exactly on the side, NO rebuild. Page 1 (no
-    * cursor) is one exact full scan — the price of exactness.
+    * cursor) runs the exact two-phase probe budget (round-12): probe
+    * the nprobe nearest cells for a conservative batchSize-th score
+    * tau, then scan only cells whose best possible member could reach
+    * tau — exact at lower bytes than the former full scan, with a
+    * full-route fallback when the probed cells hold < batchSize rows.
     */
   def searchIterator(
       spark: SparkSession,
@@ -1167,6 +1171,13 @@ object CollectionSearch {
           val sim = if (den == 0.0) 0.0 else dot / den
           math.acos(math.max(-1.0, math.min(1.0, sim)))
         }
+        def qcDist(i: Int): Double = {
+          val c = b.model.centroids(i)
+          var s = 0.0; var j = 0
+          val n = math.min(q.length, c.length)
+          while (j < n) { val x = q(j) - c(j); s += x * x; j += 1 }
+          math.sqrt(s)
+        }
         val keep: Int => Boolean = (after, m) match {
           case (None, _) => _ => true
           case (Some((s0, _)), "L2") =>
@@ -1198,14 +1209,78 @@ object CollectionSearch {
             i => math.cos(math.min(math.Pi,
               qcAngle(i) + angles(i) + 1e-6)) <= s0 + 1e-9
         }
-        val cells = b.model.centroids.indices.filter(keep)
-        val sealedScored =
-          score(scopedPart(split.sealedRows)
-            .filter(col("_cid").isin(cells: _*)))
-        split.growing match {
-          case None => sealedScored
-          case Some(g) => sealedScored.unionByName(score(scopedPart(g)))
+        def scoredOver(cells: Seq[Int]): DataFrame = {
+          val sealedScored =
+            score(scopedPart(split.sealedRows)
+              .filter(col("_cid").isin(cells: _*)))
+          split.growing match {
+            case None => sealedScored
+            case Some(g) => sealedScored.unionByName(score(scopedPart(g)))
+          }
         }
+        val boundsPresent = m match {
+          case "L2" => b.radii.isDefined
+          case "IP" => b.bounds.isDefined
+          case _    => b.angles.isDefined
+        }
+        if (after.isEmpty && boundsPresent) {
+          // ---- Page-1 probe budget (round-12): page 1 has no cursor
+          // to prune against, but it does NOT need a full scan to stay
+          // exact. Two phases, both exact:
+          //   1. PROBE the nprobe nearest cells (+ the growing side,
+          //      always exact) and collect ONE row — the count and the
+          //      batchSize-th best score tau of that subset. Any subset
+          //      kth score is a valid conservative bound on the true
+          //      kth score.
+          //   2. VERIFY: scan only cells whose BEST possible member
+          //      (centroid distance minus max member radius; the
+          //      persisted range-search bounds used in the top-k
+          //      direction) could still reach tau. A cell failing that
+          //      provably holds no page row; ties at tau are kept by
+          //      the epsilon slack, so the pk tiebreak stays exact.
+          // Shortfall (probed cells held < batchSize matching rows —
+          // tiny collections, selective filters) falls back to the
+          // exact full route. Deep pages hand the cursor to the
+          // existing far-side prune unchanged.
+          val nprobe = searchParams.get("nprobe").map(_.toInt)
+            .getOrElse(math.max(1, b.model.k / 4))
+          val order: Int => Double = if (m == "L2") qcDist else qcAngle
+          val probeCells = b.model.centroids.indices
+            .sortBy(i => (order(i), i)).take(math.max(1, nprobe))
+          val probePrimary =
+            if (simLike) col("score").desc else col("score").asc
+          val kthRow = scoredOver(probeCells)
+            .orderBy(probePrimary, col(pk).asc).limit(batchSize)
+            .agg(count(lit(1)).as("n"),
+              (if (simLike) min(col("score"))
+               else max(col("score"))).as("kth"))
+            .head()
+          if (kthRow.getLong(0) < batchSize)
+            scoredOver(b.model.centroids.indices)
+          else {
+            val tau = kthRow.getDouble(1)
+            val couldBeat: Int => Boolean = m match {
+              case "L2" =>
+                val radii = b.radii.get
+                i => qcDist(i) - radii(i) <= tau + 1e-9
+              case "IP" =>
+                val cb = b.bounds.get
+                val qn = math.sqrt(q.map(v => v * v).sum)
+                i => {
+                  val cosMax = math.cos(
+                    math.max(0.0, qcAngle(i) - cb.angles(i) - 1e-6))
+                  val maxS = qn * (if (cosMax >= 0) cb.maxNorm(i) * cosMax
+                                   else cb.minNorm(i) * cosMax)
+                  maxS >= tau - 1e-9
+                }
+              case _ =>
+                val angles = b.angles.get
+                i => math.cos(math.max(0.0,
+                  qcAngle(i) - angles(i) - 1e-6)) >= tau - 1e-9
+            }
+            scoredOver(b.model.centroids.indices.filter(couldBeat))
+          }
+        } else scoredOver(b.model.centroids.indices.filter(keep))
       } else score(coll.read(spark, partitionNames))
     val primary = if (simLike) col("score").desc else col("score").asc
     Knn.limitPerQid(keyset(scored), "qid", Seq(primary, col(pk).asc),

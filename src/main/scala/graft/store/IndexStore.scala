@@ -1178,21 +1178,31 @@ object IndexStore {
     // small files). See [[vectorLayout]] for the conditional `_part`
     // outer level.
     val parts = vectorLayout(coll, "_cid")
-    Ivf.assign(snapshot, field, model)
-      .repartition(parts.map(col): _*)
-      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+    // The assignment is computed ONCE and shared by the write and the
+    // bounds agg below (round-12: previously the bounds re-read the
+    // just-written parquet — one extra full vector-column read + file
+    // listing per build). MEMORY_AND_DISK: at bench SF this is pure
+    // memory reuse; at segment scale it spills to local disk, which is
+    // still one write+read of task-local serialized rows vs a second
+    // pass over the remote columnar data.
+    val assigned = Ivf.assign(snapshot, field, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds =
+      try {
+        assigned.repartition(parts.map(col): _*)
+          .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+        // Per-cell pruning bounds (max L2 radius, max member angle,
+        // norm extrema — the exact range-search bounds for
+        // L2/COSINE/IP): one agg pass over the cached assignment —
+        // nlist quadruples to the driver.
+        Ivf.cellBounds(assigned.select(col(field), col("_cid")),
+          field, model)
+      } finally assigned.unpersist(blocking = false)
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
     vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
-    // Per-cell pruning bounds (max L2 radius, max member angle, norm
-    // extrema — the exact range-search bounds for L2/COSINE/IP): one
-    // agg pass over the just-written columnar data — reads only
-    // (vec, _cid) — nlist quadruples to the driver.
-    val bounds = Ivf.cellBounds(
-      spark.read.parquet(dataPath).select(col(field), col("_cid")),
-      field, model)
     val radiiJson: JObject =
       ("radii" -> bounds.radii.toSeq) ~ ("angles" -> bounds.angles.toSeq) ~
         ("max_norm" -> bounds.maxNorm.toSeq) ~
@@ -1366,15 +1376,19 @@ object IndexStore {
     val vdir = versionDir(dir, seq, "binivf2", "HAMMING", nlist)
     val dataPath = vdir.resolve("data").toString
     val parts = vectorLayout(coll, BinIvf.CID)
-    BinIvf.assign(snapshot, field, model)
-      .repartition(parts.map(col): _*)
-      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+    // One shared assignment for write + radii agg (see buildIvf).
+    val assigned = BinIvf.assign(snapshot, field, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Per-cell max member-to-centroid Hamming distance (the exact
-    // range-search pruning bound): one agg pass over the just-written
-    // data — nlist longs to the driver.
-    val radii = BinIvf.cellRadii(
-      spark.read.parquet(dataPath).select(col(field), col(BinIvf.CID)),
-      field, model)
+    // range-search pruning bound): one agg pass over the cached
+    // assignment — nlist longs to the driver.
+    val radii =
+      try {
+        assigned.repartition(parts.map(col): _*)
+          .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
+        BinIvf.cellRadii(
+          assigned.select(col(field), col(BinIvf.CID)), field, model)
+      } finally assigned.unpersist(blocking = false)
     val meta: JObject = ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(c =>
         c.map(b => f"${b & 0xff}%02x").mkString)) ~
