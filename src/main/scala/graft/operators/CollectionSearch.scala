@@ -1046,25 +1046,22 @@ object CollectionSearch {
         val predS =
           if (filterExpr.trim.isEmpty) None
           else Some(MilvusExpr.compile(filterExpr, sealedScoped))
-        // A pre-bounds build prunes nothing (every cell allowed) but
-        // still serves exactly.
-        def noRadii = Array.fill(b.model.k)(Double.MaxValue)
-        def noBounds = Ivf.CellBounds(noRadii,
-          Array.fill(b.model.k)(math.Pi), noRadii,
-          Array.fill(b.model.k)(0.0))
+        // Bounds are lazy since round 12: the first bounded query over
+        // a build computes and persists them (one column-pruned pass);
+        // afterwards they load with the build.
+        val cb = IndexStore.ivfBounds(spark, b, vecField)
         val sealedHits = m match {
           case "L2" =>
             Ivf.rangeSearch(sealedScoped, b.model,
-              b.radii.getOrElse(noRadii), queries, vecField, pk, radius,
+              cb.radii, queries, vecField, pk, radius,
               rangeFilter, predS, outputFields)
           case "COSINE" =>
             Ivf.rangeSearchCosine(sealedScoped, b.model,
-              b.angles.getOrElse(Array.fill(b.model.k)(math.Pi)),
-              queries, vecField, pk, radius, rangeFilter, predS,
-              outputFields)
+              cb.angles, queries, vecField, pk, radius, rangeFilter,
+              predS, outputFields)
           case _ =>
             Ivf.rangeSearchIp(sealedScoped, b.model,
-              b.bounds.getOrElse(noBounds), queries, vecField, pk,
+              cb, queries, vecField, pk,
               radius, rangeFilter, predS, outputFields)
         }
         split.growing match {
@@ -1178,109 +1175,107 @@ object CollectionSearch {
           while (j < n) { val x = q(j) - c(j); s += x * x; j += 1 }
           math.sqrt(s)
         }
-        val keep: Int => Boolean = (after, m) match {
-          case (None, _) => _ => true
-          case (Some((s0, _)), "L2") =>
-            val radii = b.radii.getOrElse(Array.fill(b.model.k)(0.0))
-            i => {
-              var s = 0.0; var j = 0
-              val c = b.model.centroids(i)
-              val n = math.min(q.length, c.length)
-              while (j < n) { val x = q(j) - c(j); s += x * x; j += 1 }
-              math.sqrt(s) + radii(i) >= s0 - 1e-9
-            }
-          case (Some((s0, _)), "IP") =>
-            // Descending pages: a cell whose MINIMUM possible product
-            // exceeds the cursor was fully returned already.
-            val cb = b.bounds.getOrElse(Ivf.CellBounds(
-              Array.fill(b.model.k)(0.0), Array.fill(b.model.k)(math.Pi),
-              Array.fill(b.model.k)(Double.MaxValue),
-              Array.fill(b.model.k)(0.0)))
-            val qn = math.sqrt(q.map(v => v * v).sum)
-            i => {
-              val cosMin = math.cos(
-                math.min(math.Pi, qcAngle(i) + cb.angles(i) + 1e-6))
-              val minS = qn * (if (cosMin >= 0) cb.minNorm(i) * cosMin
-                               else cb.maxNorm(i) * cosMin)
-              minS <= s0 + 1e-9
-            }
-          case (Some((s0, _)), _) =>
-            val angles = b.angles.getOrElse(Array.fill(b.model.k)(math.Pi))
-            i => math.cos(math.min(math.Pi,
-              qcAngle(i) + angles(i) + 1e-6)) <= s0 + 1e-9
-        }
-        def scoredOver(cells: Seq[Int]): DataFrame = {
-          val sealedScored =
-            score(scopedPart(split.sealedRows)
-              .filter(col("_cid").isin(cells: _*)))
-          split.growing match {
-            case None => sealedScored
-            case Some(g) => sealedScored.unionByName(score(scopedPart(g)))
-          }
-        }
-        val boundsPresent = m match {
-          case "L2" => b.radii.isDefined
-          case "IP" => b.bounds.isDefined
-          case _    => b.angles.isDefined
-        }
-        if (after.isEmpty && boundsPresent) {
-          // ---- Page-1 probe budget (round-12): page 1 has no cursor
-          // to prune against, but it does NOT need a full scan to stay
-          // exact. Two phases, both exact:
-          //   1. PROBE the nprobe nearest cells (+ the growing side,
-          //      always exact) and collect ONE row — the count and the
-          //      batchSize-th best score tau of that subset. Any subset
-          //      kth score is a valid conservative bound on the true
-          //      kth score.
-          //   2. VERIFY: scan only cells whose BEST possible member
-          //      (centroid distance minus max member radius; the
-          //      persisted range-search bounds used in the top-k
-          //      direction) could still reach tau. A cell failing that
-          //      provably holds no page row; ties at tau are kept by
-          //      the epsilon slack, so the pk tiebreak stays exact.
-          // Shortfall (probed cells held < batchSize matching rows —
-          // tiny collections, selective filters) falls back to the
-          // exact full route. Deep pages hand the cursor to the
-          // existing far-side prune unchanged.
-          val nprobe = searchParams.get("nprobe").map(_.toInt)
-            .getOrElse(math.max(1, b.model.k / 4))
-          val order: Int => Double = if (m == "L2") qcDist else qcAngle
-          val probeCells = b.model.centroids.indices
-            .sortBy(i => (order(i), i)).take(math.max(1, nprobe))
-          val probePrimary =
-            if (simLike) col("score").desc else col("score").asc
-          val kthRow = scoredOver(probeCells)
-            .orderBy(probePrimary, col(pk).asc).limit(batchSize)
-            .agg(count(lit(1)).as("n"),
-              (if (simLike) min(col("score"))
-               else max(col("score"))).as("kth"))
-            .head()
-          if (kthRow.getLong(0) < batchSize)
-            scoredOver(b.model.centroids.indices)
-          else {
-            val tau = kthRow.getDouble(1)
-            val couldBeat: Int => Boolean = m match {
+        // Bounds are lazy since round 12: the first bounded query over
+        // a build computes and persists them (one column-pruned pass).
+        val cb = IndexStore.ivfBounds(spark, b, vecField)
+        def sealedScored(cells: Seq[Int]): DataFrame =
+          score(scopedPart(split.sealedRows)
+            .filter(col("_cid").isin(cells: _*)))
+        val growingScored: Option[DataFrame] =
+          split.growing.map(g => score(scopedPart(g)))
+        def withGrowing(sealed0: DataFrame): DataFrame =
+          growingScored.fold(sealed0)(sealed0.unionByName(_))
+        val qn = math.sqrt(q.map(v => v * v).sum)
+        after match {
+          case Some((s0, _)) =>
+            val keep: Int => Boolean = m match {
               case "L2" =>
-                val radii = b.radii.get
-                i => qcDist(i) - radii(i) <= tau + 1e-9
+                i => qcDist(i) + cb.radii(i) >= s0 - 1e-9
               case "IP" =>
-                val cb = b.bounds.get
-                val qn = math.sqrt(q.map(v => v * v).sum)
+                // Descending pages: a cell whose MINIMUM possible
+                // product exceeds the cursor was fully returned
+                // already.
                 i => {
-                  val cosMax = math.cos(
-                    math.max(0.0, qcAngle(i) - cb.angles(i) - 1e-6))
-                  val maxS = qn * (if (cosMax >= 0) cb.maxNorm(i) * cosMax
-                                   else cb.minNorm(i) * cosMax)
-                  maxS >= tau - 1e-9
+                  val cosMin = math.cos(
+                    math.min(math.Pi, qcAngle(i) + cb.angles(i) + 1e-6))
+                  val minS = qn * (if (cosMin >= 0) cb.minNorm(i) * cosMin
+                                   else cb.maxNorm(i) * cosMin)
+                  minS <= s0 + 1e-9
                 }
               case _ =>
-                val angles = b.angles.get
-                i => math.cos(math.max(0.0,
-                  qcAngle(i) - angles(i) - 1e-6)) >= tau - 1e-9
+                i => math.cos(math.min(math.Pi,
+                  qcAngle(i) + cb.angles(i) + 1e-6)) <= s0 + 1e-9
             }
-            scoredOver(b.model.centroids.indices.filter(couldBeat))
-          }
-        } else scoredOver(b.model.centroids.indices.filter(keep))
+            withGrowing(sealedScored(
+              b.model.centroids.indices.filter(keep)))
+          case None =>
+            // ---- Page-1 probe budget (round-12): page 1 has no
+            // cursor to prune against, but it does NOT need a full
+            // scan to stay exact. Two phases, both exact:
+            //   1. PROBE the nprobe nearest SEALED cells, keep their
+            //      true top batchSize (one TakeOrdered job, pinned by
+            //      an eager localCheckpoint so phase 2 never re-reads
+            //      the probed cells), and read off the count and the
+            //      batchSize-th best score tau. Any subset kth score
+            //      conservatively bounds the true kth; a probed cell's
+            //      rows beyond its subset top-batchSize provably miss
+            //      the global top-batchSize.
+            //   2. VERIFY: scan only the REMAINING cells whose BEST
+            //      possible member (centroid distance minus max member
+            //      radius — the persisted range-search bounds used in
+            //      the top-k direction) could still reach tau; union
+            //      the pinned probe top and the always-exact growing
+            //      side. Ties at tau are kept by the epsilon slack, so
+            //      the pk tiebreak stays exact.
+            // Shortfall (probed cells held < batchSize matching rows —
+            // tiny collections, selective filters) widens phase 2 to
+            // every remaining cell: the pinned probe top is then the
+            // COMPLETE row set of the probed cells, so the union stays
+            // exact. Bytes never exceed the old full scan (kept ⊆ all,
+            // probed cells read once either way); on clustered data
+            // the far cells drop out.
+            val nprobe = searchParams.get("nprobe").map(_.toInt)
+              .getOrElse(math.max(1, b.model.k / 4))
+            val order: Int => Double = if (m == "L2") qcDist else qcAngle
+            val probeCells = b.model.centroids.indices
+              .sortBy(i => (order(i), i)).take(math.max(1, nprobe))
+            val probePrimary =
+              if (simLike) col("score").desc else col("score").asc
+            val probeTop = sealedScored(probeCells)
+              .orderBy(probePrimary, col(pk).asc).limit(batchSize)
+              .localCheckpoint()
+            val kthRow = probeTop
+              .agg(count(lit(1)).as("n"),
+                (if (simLike) min(col("score"))
+                 else max(col("score"))).as("kth"))
+              .head()
+            val probeSet = probeCells.toSet
+            val rest: Seq[Int] =
+              if (kthRow.getLong(0) < batchSize)
+                b.model.centroids.indices.filterNot(probeSet)
+              else {
+                val tau = kthRow.getDouble(1)
+                val couldBeat: Int => Boolean = m match {
+                  case "L2" =>
+                    i => qcDist(i) - cb.radii(i) <= tau + 1e-9
+                  case "IP" =>
+                    i => {
+                      val cosMax = math.cos(
+                        math.max(0.0, qcAngle(i) - cb.angles(i) - 1e-6))
+                      val maxS =
+                        qn * (if (cosMax >= 0) cb.maxNorm(i) * cosMax
+                              else cb.minNorm(i) * cosMax)
+                      maxS >= tau - 1e-9
+                    }
+                  case _ =>
+                    i => math.cos(math.max(0.0,
+                      qcAngle(i) - cb.angles(i) - 1e-6)) >= tau - 1e-9
+                }
+                b.model.centroids.indices
+                  .filter(i => !probeSet(i) && couldBeat(i))
+              }
+            withGrowing(probeTop.unionByName(sealedScored(rest)))
+        }
       } else score(coll.read(spark, partitionNames))
     val primary = if (simLike) col("score").desc else col("score").asc
     Knn.limitPerQid(keyset(scored), "qid", Seq(primary, col(pk).asc),
@@ -1334,7 +1329,8 @@ object CollectionSearch {
         val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
           .getOrElse(16)
         val b = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
-        val radii = b.radii.getOrElse(Array.fill(b.model.k)(Long.MaxValue))
+        // Lazy since round 12: first bounded query computes + persists.
+        val radii = IndexStore.binIvfRadii(spark, b, vecField)
         val split = IndexStore.serveDenseSplit(spark, coll, vecField,
           b.dataPath, b.builtSeq)
         val sealedScoped = scopedPart(split.sealedRows)

@@ -1114,6 +1114,13 @@ object IndexStore {
     lshCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
     hnswCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
     vamanaCache.keySet.removeIf(k => k._1 == cid && k._2 == field)
+    // The lazy bounds caches key on the versioned dataPath — a
+    // recreated same-name collection restarts its seq counter and
+    // would REUSE the exact path, silently serving the old corpus's
+    // bounds. Evict by path prefix.
+    val idxPrefix = indexDir(coll, field).toString
+    ivfBoundsCache.keySet.removeIf(_.startsWith(idxPrefix))
+    binRadiiCache.keySet.removeIf(_.startsWith(idxPrefix))
     indexDir(coll, field).deleteRecursively()
   }
 
@@ -1178,40 +1185,82 @@ object IndexStore {
     // small files). See [[vectorLayout]] for the conditional `_part`
     // outer level.
     val parts = vectorLayout(coll, "_cid")
-    // The assignment is computed ONCE and shared by the write and the
-    // bounds agg below (round-12: previously the bounds re-read the
-    // just-written parquet — one extra full vector-column read + file
-    // listing per build). MEMORY_AND_DISK: at bench SF this is pure
-    // memory reuse; at segment scale it spills to local disk, which is
-    // still one write+read of task-local serialized rows vs a second
-    // pass over the remote columnar data.
-    val assigned = Ivf.assign(snapshot, field, model)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds =
-      try {
-        assigned.repartition(parts.map(col): _*)
-          .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
-        // Per-cell pruning bounds (max L2 radius, max member angle,
-        // norm extrema — the exact range-search bounds for
-        // L2/COSINE/IP): one agg pass over the cached assignment —
-        // nlist quadruples to the driver.
-        Ivf.cellBounds(assigned.select(col(field), col("_cid")),
-          field, model)
-      } finally assigned.unpersist(blocking = false)
+    Ivf.assign(snapshot, field, model)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
     val centroids: JObject =
       ("metric" -> metric) ~ ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(_.toSeq))
     vdir.resolve("centroids.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(centroids)).getBytes)
-    val radiiJson: JObject =
-      ("radii" -> bounds.radii.toSeq) ~ ("angles" -> bounds.angles.toSeq) ~
-        ("max_norm" -> bounds.maxNorm.toSeq) ~
-        ("min_norm" -> bounds.minNorm.toSeq)
-    vdir.resolve("cell_radii.json").writeBytes(
-      JsonMethods.compact(JsonMethods.render(radiiJson)).getBytes)
     commitPointer(dir, seq, "ivf2", metric, nlist)
-    IvfBuild(model, dataPath, nlist, seq, Some(bounds))
+    // Per-cell pruning bounds are LAZY since round 12 — see
+    // [[ivfBounds]]: builds that only ever serve probe-budget ANN
+    // never pay the bounds pass; the first range/iterator query
+    // computes and persists them.
+    IvfBuild(model, dataPath, nlist, seq, None)
   }
+
+  /** Parse a version dir's persisted `cell_radii.json` (absent on
+    * builds that haven't served a bounded query yet and on
+    * pre-round-11 layouts; missing SLICES read their conservative
+    * defaults — angle pi, norms [0, +inf) — so pruning stays lossless).
+    */
+  private def readIvfBoundsJson(vdir: StorePath): Option[Ivf.CellBounds] = {
+    implicit val fmt: Formats = DefaultFormats
+    val rfile = vdir.resolve("cell_radii.json")
+    if (!rfile.exists) None
+    else {
+      val rj = JsonMethods.parse(new String(rfile.readBytes))
+      val radii = (rj \ "radii").extract[Seq[Double]].toArray
+      val k = radii.length
+      Some(Ivf.CellBounds(
+        radii,
+        (rj \ "angles").extractOpt[Seq[Double]].map(_.toArray)
+          .getOrElse(Array.fill(k)(math.Pi)),
+        (rj \ "max_norm").extractOpt[Seq[Double]].map(_.toArray)
+          .getOrElse(Array.fill(k)(Double.MaxValue)),
+        (rj \ "min_norm").extractOpt[Seq[Double]].map(_.toArray)
+          .getOrElse(Array.fill(k)(0.0))))
+    }
+  }
+
+  private val ivfBoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Ivf.CellBounds]()
+
+  /** Per-cell pruning bounds (max L2 radius, max member angle, norm
+    * extrema — the exact range-search bounds for L2/COSINE/IP),
+    * LAZY (round-12): the build no longer pays the bounds agg; the
+    * FIRST bounded query (range search, search iterator) computes them
+    * with one column-pruned pass over the persisted layout — reads
+    * only (vec, _cid) — persists `cell_radii.json` next to the data
+    * for every later load (loadIvf picks it up eagerly), and memoizes
+    * per dataPath (the path is versioned, so DML invalidation is free,
+    * same pattern as [[sparseDimStats]]). ANN-only collections never
+    * pay the pass. The cache-the-assignment alternative was measured
+    * and rejected this round: caching full rows for the write+bounds
+    * pair cost +53% bytes_read and +63% cpu at sf0.1 vs this pruned
+    * read, because the cache stores (and re-reads) every column while
+    * the read-back touches two.
+    */
+  def ivfBounds(spark: SparkSession, build: IvfBuild,
+      field: String): Ivf.CellBounds =
+    build.bounds.getOrElse(
+      ivfBoundsCache.computeIfAbsent(build.dataPath, _ => {
+        val vdir = StorePath(build.dataPath).parent
+        readIvfBoundsJson(vdir).getOrElse {
+          val b = Ivf.cellBounds(
+            spark.read.parquet(build.dataPath)
+              .select(col(field), col("_cid")), field, build.model)
+          val radiiJson: JObject =
+            ("radii" -> b.radii.toSeq) ~ ("angles" -> b.angles.toSeq) ~
+              ("max_norm" -> b.maxNorm.toSeq) ~
+              ("min_norm" -> b.minNorm.toSeq)
+          vdir.resolve("cell_radii.json").writeBytes(
+            JsonMethods.compact(JsonMethods.render(radiiJson)).getBytes)
+          b
+        }
+      }))
 
   private def loadIvf(dir: StorePath, metric: String, nlist: Int,
       seq: Long): Option[IvfBuild] =
@@ -1223,29 +1272,12 @@ object IndexStore {
         new String(vdir.resolve("centroids.json").readBytes))
       val cents = (j \ "centroids").extract[Seq[Seq[Double]]]
         .map(_.toArray).toArray
-      // cell_radii.json is absent on pre-round-11 builds (and some
-      // slices on the earliest round-11 ones): missing slices read
-      // their CONSERVATIVE defaults (angle pi, norms [0, +inf)) — range
-      // search then prunes nothing extra but stays exact; ANN probes
-      // are unaffected.
-      val rfile = vdir.resolve("cell_radii.json")
-      val bounds =
-        if (!rfile.exists) None
-        else {
-          val rj = JsonMethods.parse(new String(rfile.readBytes))
-          val radii = (rj \ "radii").extract[Seq[Double]].toArray
-          val k = radii.length
-          Some(Ivf.CellBounds(
-            radii,
-            (rj \ "angles").extractOpt[Seq[Double]].map(_.toArray)
-              .getOrElse(Array.fill(k)(math.Pi)),
-            (rj \ "max_norm").extractOpt[Seq[Double]].map(_.toArray)
-              .getOrElse(Array.fill(k)(Double.MaxValue)),
-            (rj \ "min_norm").extractOpt[Seq[Double]].map(_.toArray)
-              .getOrElse(Array.fill(k)(0.0))))
-        }
+      // cell_radii.json exists only once a bounded query has computed
+      // it (lazy since round 12; eagerly written by round-11 builds):
+      // absent -> bounds stay None and [[ivfBounds]] computes them on
+      // first demand; ANN probes never need them.
       IvfBuild(Ivf.Model(cents, metric), vdir.resolve("data").toString,
-        nlist, seq, bounds)
+        nlist, seq, readIvfBoundsJson(vdir))
     }
 
   // ---- RaBitQ -------------------------------------------------------------
@@ -1376,28 +1408,51 @@ object IndexStore {
     val vdir = versionDir(dir, seq, "binivf2", "HAMMING", nlist)
     val dataPath = vdir.resolve("data").toString
     val parts = vectorLayout(coll, BinIvf.CID)
-    // One shared assignment for write + radii agg (see buildIvf).
-    val assigned = BinIvf.assign(snapshot, field, model)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Per-cell max member-to-centroid Hamming distance (the exact
-    // range-search pruning bound): one agg pass over the cached
-    // assignment — nlist longs to the driver.
-    val radii =
-      try {
-        assigned.repartition(parts.map(col): _*)
-          .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
-        BinIvf.cellRadii(
-          assigned.select(col(field), col(BinIvf.CID)), field, model)
-      } finally assigned.unpersist(blocking = false)
+    BinIvf.assign(snapshot, field, model)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dataPath)
     val meta: JObject = ("nlist" -> nlist) ~
       ("centroids" -> model.centroids.toSeq.map(c =>
-        c.map(b => f"${b & 0xff}%02x").mkString)) ~
-      ("radii" -> radii.toSeq)
+        c.map(b => f"${b & 0xff}%02x").mkString))
     vdir.resolve("binivf.json").writeBytes(
       JsonMethods.compact(JsonMethods.render(meta)).getBytes)
     commitPointer(dir, seq, "binivf2", "HAMMING", nlist)
-    BinIvfBuild(model, dataPath, nlist, seq, Some(radii))
+    // Per-cell Hamming radii are LAZY since round 12 — see
+    // [[binIvfRadii]]: ANN-only collections never pay the pass.
+    BinIvfBuild(model, dataPath, nlist, seq, None)
   }
+
+  private val binRadiiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Per-cell max member-to-centroid Hamming distance (the exact
+    * range-search pruning bound), LAZY (round-12, same discipline as
+    * [[ivfBounds]]): the first bounded query computes it with one
+    * column-pruned pass over the persisted layout, persists
+    * `cell_radii.json` next to the data, and memoizes per versioned
+    * dataPath. Legacy round-11 builds that embedded `radii` inside
+    * binivf.json keep loading eagerly through [[loadBinIvf]].
+    */
+  def binIvfRadii(spark: SparkSession, build: BinIvfBuild,
+      field: String): Array[Long] =
+    build.radii.getOrElse(
+      binRadiiCache.computeIfAbsent(build.dataPath, _ => {
+        implicit val fmt: Formats = DefaultFormats
+        val vdir = StorePath(build.dataPath).parent
+        val rfile = vdir.resolve("cell_radii.json")
+        if (rfile.exists)
+          (JsonMethods.parse(new String(rfile.readBytes)) \ "radii")
+            .extract[Seq[Long]].toArray
+        else {
+          val radii = BinIvf.cellRadii(
+            spark.read.parquet(build.dataPath)
+              .select(col(field), col(BinIvf.CID)), field, build.model)
+          val rj: JObject = "radii" -> radii.toSeq
+          rfile.writeBytes(
+            JsonMethods.compact(JsonMethods.render(rj)).getBytes)
+          radii
+        }
+      }))
 
   private def loadBinIvf(dir: StorePath, nlist: Int,
       seq: Long): Option[BinIvfBuild] =
@@ -1410,9 +1465,20 @@ object IndexStore {
       val cents = (j \ "centroids").extract[Seq[String]].map { hexStr =>
         hexStr.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
       }.toArray
-      // Absent on pre-round-11 builds: range search then scans every
-      // cell (still exact); top-k probes are unaffected.
+      // radii: embedded in binivf.json on legacy round-11 builds,
+      // lazily persisted as cell_radii.json since round 12 (see
+      // binIvfRadii); absent on builds that never served a bounded
+      // query — computed on first demand.
+      // (json4s extracts a MISSING field as Some(Nil) for Seq types —
+      // filter empties or a legacy-less build short-circuits the lazy
+      // compute with a zero-length array.)
+      val rfile = vdir.resolve("cell_radii.json")
       val radii = (j \ "radii").extractOpt[Seq[Long]].map(_.toArray)
+        .filter(_.nonEmpty)
+        .orElse(
+          if (!rfile.exists) None
+          else Some((JsonMethods.parse(new String(rfile.readBytes))
+            \ "radii").extract[Seq[Long]].toArray).filter(_.nonEmpty))
       BinIvfBuild(BinIvf.Model(cents), vdir.resolve("data").toString,
         nlist, seq, radii)
     }

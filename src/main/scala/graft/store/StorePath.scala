@@ -21,6 +21,7 @@ private[graft] final class StorePath private (val hp: HPath) {
   private def fs: FileSystem = StorePath.fsFor(hp)
 
   def resolve(child: String): StorePath = new StorePath(new HPath(hp, child))
+  def parent: StorePath = new StorePath(hp.getParent)
   def name: String = hp.getName
   override def toString: String = hp.toString
 

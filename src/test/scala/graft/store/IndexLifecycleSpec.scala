@@ -729,7 +729,7 @@ class IndexLifecycleSpec extends SparkSpec {
     c2.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
       Map("nlist" -> "8")))
     val b2 = IndexStore.ensureIvf(s, c2, "embedding", "L2", 8)
-    val radii2 = b2.radii.get
+    val radii2 = IndexStore.ivfBounds(s, b2, "embedding").radii
     val qd = q.map(_.toDouble).toArray
     val allowed2 = b2.model.centroids.indices.count { i =>
       math.sqrt(b2.model.centroids(i).zip(qd).map { case (a, x) =>
@@ -820,7 +820,7 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(got.forall(_ < 100000L), "a far-cluster row leaked into the band")
     // The angular bound actually discards the far cells.
     val b = IndexStore.ensureIvf(s, c, "embedding", "COSINE", 8)
-    val angles = b.angles.get
+    val angles = IndexStore.ivfBounds(s, b, "embedding").angles
     val qd = q.map(_.toDouble).toArray
     val allowed = b.model.centroids.indices.count { i =>
       val cc = b.model.centroids(i)
@@ -900,7 +900,7 @@ class IndexLifecycleSpec extends SparkSpec {
     c2.createIndex(s, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
       Map("nlist" -> "8")))
     val b2 = IndexStore.ensureBinIvf(s, c2, "bvec", 8)
-    val radii2 = b2.radii.get
+    val radii2 = IndexStore.binIvfRadii(s, b2, "bvec")
     val q2 = Array[Byte](0, 0, 0, bits(7)(3))
     def ham2(a: Array[Byte]) = ham(a, q2)
     val allowed = b2.model.centroids.indices.count { i =>
@@ -1068,7 +1068,7 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(got.forall(_ < 100000L), "a far row leaked into the IP band")
     // The norm x angle bound discards the far cells.
     val b = IndexStore.ensureIvf(s, c, "embedding", "IP", 8)
-    val cb = b.bounds.get
+    val cb = IndexStore.ivfBounds(s, b, "embedding")
     val qd = q.map(_.toDouble).toArray
     val qn = math.sqrt(qd.map(v => v * v).sum)
     val allowed = b.model.centroids.indices.count { i =>
