@@ -1212,28 +1212,34 @@ object CollectionSearch {
             // ---- Page-1 probe budget (round-12): page 1 has no
             // cursor to prune against, but it does NOT need a full
             // scan to stay exact. Two phases, both exact:
-            //   1. PROBE the nprobe nearest SEALED cells, keep their
-            //      true top batchSize (one TakeOrdered job, pinned by
-            //      an eager localCheckpoint so phase 2 never re-reads
-            //      the probed cells), and read off the count and the
-            //      batchSize-th best score tau. Any subset kth score
-            //      conservatively bounds the true kth; a probed cell's
-            //      rows beyond its subset top-batchSize provably miss
-            //      the global top-batchSize.
+            //   1. PROBE the nprobe nearest SEALED cells and COLLECT
+            //      their true top batchSize (TakeOrderedAndProject —
+            //      one pass over the probed cells, batchSize rows to
+            //      the driver; a page is client-bound by contract, so
+            //      the collect is the size of the page the caller
+            //      receives anyway — NOT orderBy.limit.checkpoint,
+            //      whose RDD path plans a full range sort that SAMPLES
+            //      the probed cells and then shuffles them: measured
+            //      to cost more bytes than the full scan it replaced).
+            //      The last collected row's score is tau, the
+            //      batchSize-th best of the subset — a conservative
+            //      bound on the true kth; a probed cell's rows beyond
+            //      its subset top-batchSize provably miss the global
+            //      top-batchSize.
             //   2. VERIFY: scan only the REMAINING cells whose BEST
             //      possible member (centroid distance minus max member
             //      radius — the persisted range-search bounds used in
             //      the top-k direction) could still reach tau; union
-            //      the pinned probe top and the always-exact growing
-            //      side. Ties at tau are kept by the epsilon slack, so
-            //      the pk tiebreak stays exact.
+            //      the re-parallelized probe top and the always-exact
+            //      growing side. Ties at tau are kept by the epsilon
+            //      slack, so the pk tiebreak stays exact.
             // Shortfall (probed cells held < batchSize matching rows —
             // tiny collections, selective filters) widens phase 2 to
-            // every remaining cell: the pinned probe top is then the
-            // COMPLETE row set of the probed cells, so the union stays
-            // exact. Bytes never exceed the old full scan (kept ⊆ all,
-            // probed cells read once either way); on clustered data
-            // the far cells drop out.
+            // every remaining cell: the collected probe top is then
+            // the COMPLETE row set of the probed cells, so the union
+            // stays exact. Probed cells are read once either way and
+            // kept ⊆ all, so bytes never exceed the old full scan; on
+            // clustered data the far cells drop out.
             val nprobe = searchParams.get("nprobe").map(_.toInt)
               .getOrElse(math.max(1, b.model.k / 4))
             val order: Int => Double = if (m == "L2") qcDist else qcAngle
@@ -1241,20 +1247,20 @@ object CollectionSearch {
               .sortBy(i => (order(i), i)).take(math.max(1, nprobe))
             val probePrimary =
               if (simLike) col("score").desc else col("score").asc
-            val probeTop = sealedScored(probeCells)
+            val probeScored = sealedScored(probeCells)
+            val topRows = probeScored
               .orderBy(probePrimary, col(pk).asc).limit(batchSize)
-              .localCheckpoint()
-            val kthRow = probeTop
-              .agg(count(lit(1)).as("n"),
-                (if (simLike) min(col("score"))
-                 else max(col("score"))).as("kth"))
-              .head()
+              .collect()
+            import scala.jdk.CollectionConverters._
+            val probeTop = spark.createDataFrame(
+              topRows.toSeq.asJava, probeScored.schema)
             val probeSet = probeCells.toSet
             val rest: Seq[Int] =
-              if (kthRow.getLong(0) < batchSize)
+              if (topRows.length < batchSize)
                 b.model.centroids.indices.filterNot(probeSet)
               else {
-                val tau = kthRow.getDouble(1)
+                val tau = topRows.last
+                  .getDouble(topRows.last.fieldIndex("score"))
                 val couldBeat: Int => Boolean = m match {
                   case "L2" =>
                     i => qcDist(i) - cb.radii(i) <= tau + 1e-9

@@ -49,6 +49,35 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(hits.orderBy(col("score").asc).head().getLong(0) == 0L)
   }
 
+  test("lazy bounds: builds skip the pass; first bounded query persists") {
+    val s = spark
+    val (_, c) = vecCollection()
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val b = IndexStore.ensureIvf(s, c, "embedding", "L2", 8)
+    val rfile = StorePath(b.dataPath).parent.resolve("cell_radii.json")
+    // The build itself never pays the bounds agg (round-12): nothing
+    // in memory, nothing on disk.
+    assert(b.bounds.isEmpty, "build computed bounds eagerly")
+    assert(!rfile.exists, "build persisted cell_radii.json eagerly")
+    // First bounded query computes + persists + stays exact.
+    val q = queryVec(7)
+    val exact = c.read(s).select("vec_id", "embedding").collect()
+      .map { r =>
+        val d = math.sqrt(r.getSeq[Float](1).zip(q).map { case (a, x) =>
+          val v = a.toDouble - x.toDouble; v * v }.sum)
+        (r.getLong(0), d)
+      }.filter { case (_, d) => d < 1.5 }.map(_._1).toSet
+    val got = CollectionSearch.rangeSearch(s, c, "embedding", q, 1.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == exact, "lazily-bounded range search != exact")
+    assert(rfile.exists, "bounded query did not persist cell_radii.json")
+    // The memoized and the freshly-parsed bounds agree (the persisted
+    // file is what a fresh process loads with the build).
+    val cb = IndexStore.ivfBounds(s, b, "embedding")
+    assert(cb.radii.length == 8 && cb.radii.exists(_ > 0))
+  }
+
   test("nprobe=nlist over the persisted index equals the exact scan") {
     val s = spark
     val (_, c) = vecCollection()
