@@ -5129,7 +5129,8 @@ object SparkEntry {
         val g = graft.ann.Hnsw.build(scaledEmbeddings(s, dir, x),
           "embedding", "vec_id", p, segments = 8 * x)
         graft.ann.Hnsw.search(g,
-          (0 until 10).map(i => (s"q$i", vecOf(s, dir, i.toLong))),
+          vecsOf(s, dir, (0L until 10L).toSeq)
+            .map { case (id, v) => (s"q$id", v) },
           "vec_id", k = 10, ef = 64, p)
           .agg(count(lit(1)).as("n"))
       case "range" =>
@@ -5149,7 +5150,8 @@ object SparkEntry {
         c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
           Map("nlist" -> (16 * x).toString)))
         CollectionSearch.rangeSearchBatch(s, c, "embedding",
-          (0L until 10L).map(i => (i.toString, vecOf(s, dir, i))),
+          vecsOf(s, dir, (0L until 10L).toSeq)
+            .map { case (id, v) => (id.toString, v) },
           radius = 1.35, rangeFilter = Some(1.25))
           .groupBy("qid").agg(count(lit(1)).as("hits"))
       case "bm25serve" =>
@@ -5205,8 +5207,8 @@ object SparkEntry {
           metric = "L2")
         val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
           segments = 8)
-        val queries = (0 until 10).map(i =>
-          (s"q$i", vecOf(s, dir, i)))
+        val queries = vecsOf(s, dir, (0L until 10L).toSeq)
+          .map { case (id, v) => (s"q$id", v) }
         graft.ann.Hnsw.search(g, queries, "vec_id", k = 10, ef = 64, p)
       },
       // Two-stage retrieve-then-rerank at bench SF: brute-force top-200

@@ -838,20 +838,60 @@ object IndexStore {
   private def hnswKind(m: Int, efc: Int, segs: Int, seed: Long): String =
     s"hnsw1-${m}-${efc}-${segs}-$seed"
 
+  /** Bounded per-segment row cap for graph builds
+    * (`graft.graph.maxSegmentRows`): each segment's graph is built
+    * IN-TASK memory (arrays O(size × (dim + m × levels))), so the cap
+    * — never the data size — is what bounds executor memory at scale:
+    * more data means MORE segments, never bigger ones. Search fans
+    * the beam walk out per segment and unions candidates exactly, so
+    * recall is shard-count-invariant. 250k 64-dim nodes ≈ 140 MB of
+    * task arrays — comfortable in a 4 GB executor with headroom for
+    * the scan.
+    */
+  private def graphSegments(spark: SparkSession, coll: Collection,
+      pinned: Option[Int]): Int =
+    pinned.getOrElse {
+      val cap = spark.conf.getOption("graft.graph.maxSegmentRows")
+        .map(_.toLong).getOrElse(250000L)
+      val rows = coll.read(spark).count()
+      math.max(spark.sessionState.conf.numShufflePartitions,
+        math.ceil(rows.toDouble / cap).toInt)
+    }
+
+  /** The segment count a live family pointer's build was pinned with,
+    * when its other parameters match — reuse and stale-serve must
+    * resolve the SAME kind string, so auto-sizing may not drift away
+    * from an existing build.
+    */
+  private def pointerSegs(dir: StorePath, family: String,
+      matches: Array[String] => Boolean, segAt: Int): Option[Int] =
+    readPointer(dir, family).flatMap { p =>
+      val parts = p.kind.split("-")
+      if (kindFamily(p.kind) == family && parts.length > segAt &&
+          scala.util.Try(matches(parts)).getOrElse(false))
+        scala.util.Try(parts(segAt).toInt).toOption
+      else None
+    }
+
   /** Ensure a servable persisted HNSW graph index — the [[ensureIvf]]
     * lifecycle with a graph-node payload: reuse at the current seq,
     * stale-serve under the growing-segment gate (searches must then
     * read through [[serveHnsw]], which masks changed pks out of the
     * sealed graphs and brute-forces the delta), full rebuild
-    * otherwise. `segments = 0` resolves to the session's shuffle
-    * parallelism at BUILD time and is then pinned in the pointer kind.
+    * otherwise. `segments = 0` resolves to a live pointer's pinned
+    * count when one matches, else to the bounded per-segment cap
+    * ([[graphSegments]] — one count job, paid only when a fresh build
+    * is being sized).
     */
   def ensureHnsw(spark: SparkSession, coll: Collection, field: String,
       metric: String, m: Int, efConstruction: Int, segments: Int = 0,
       seed: Long = 42L, allowStale: Boolean = true): HnswBuild = {
     val seq = coll.committedSeq
     val segs = if (segments > 0) segments
-      else spark.sessionState.conf.numShufflePartitions
+      else graphSegments(spark, coll,
+        pointerSegs(indexDir(coll, field), "hnsw1",
+          ps => ps(1).toInt == m && ps(2).toInt == efConstruction &&
+            ps(4).toLong == seed, segAt = 3))
     val kind = hnswKind(m, efConstruction, segs, seed)
     val key = (cacheId(coll), field, metric, kind, seq)
     hnswCache.keySet.removeIf(k =>
@@ -955,8 +995,13 @@ object IndexStore {
       metric: String, r: Int, l: Int, alpha: Double, segments: Int = 0,
       allowStale: Boolean = true): VamanaBuild = {
     val seq = coll.committedSeq
+    // vamana1-r-l-alpha100-segs: segs at index 4 (see ensureHnsw for
+    // the pinned-pointer / bounded-cap resolution).
     val segs = if (segments > 0) segments
-      else spark.sessionState.conf.numShufflePartitions
+      else graphSegments(spark, coll,
+        pointerSegs(indexDir(coll, field), "vamana1",
+          ps => ps(1).toInt == r && ps(2).toInt == l &&
+            ps(3).toLong == math.round(alpha * 100), segAt = 4))
     val kind = vamanaKind(r, l, alpha, segs)
     val key = (cacheId(coll), field, metric, kind, seq)
     vamanaCache.keySet.removeIf(k =>

@@ -78,6 +78,29 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(cb.radii.length == 8 && cb.radii.exists(_ > 0))
   }
 
+  test("graph segment auto-sizing: fresh builds bound per-segment rows") {
+    val s = spark
+    val (_, c) = vecCollection() // 500 rows at sf0.001
+    s.conf.set("graft.graph.maxSegmentRows", "25")
+    try {
+      // Fresh build with segments=0: sized to the cap — 500/25 = 20
+      // segments, floored at the session parallelism.
+      val b = IndexStore.ensureHnsw(s, c, "embedding", "L2", 4, 8)
+      val floor = s.sessionState.conf.numShufflePartitions
+      assert(b.segments == math.max(floor, 20),
+        s"expected max($floor, 20) segments, got ${b.segments}")
+      // The pointer PINS the built count: a later ensure under a
+      // different cap resolves the same kind — no rebuild, no drift.
+      s.conf.set("graft.graph.maxSegmentRows", "1000000")
+      val b2 = IndexStore.ensureHnsw(s, c, "embedding", "L2", 4, 8)
+      assert(b2.segments == b.segments && b2.builtSeq == b.builtSeq,
+        "auto-sizing drifted away from the pinned build")
+      // Search through the capped build stays exact at full beam.
+      val g = IndexStore.serveHnsw(s, c, "embedding", b2)
+      assert(!g.deltaServed && g.sealedGraph.count() == 500)
+    } finally s.conf.unset("graft.graph.maxSegmentRows")
+  }
+
   test("nprobe=nlist over the persisted index equals the exact scan") {
     val s = spark
     val (_, c) = vecCollection()
