@@ -3622,6 +3622,29 @@ object SparkEntry {
       Multimodal.audioStats(Multimodal.syntheticAudioAssets(s, 20))
         .orderBy("asset_id")
     },
+    // ---- M4: REAL video decode (round-12 — RIFF/AVI parse, spec-from-
+    // scratch, with uncompressed BI_RGB DIB frames, the lossless
+    // rawvideo-in-AVI layout): frame f of asset i has closed-form
+    // pixels r = i+f, g = 2i, b = 3i+(x%2), so per-asset decoded-pixel
+    // channel means over EVERY pixel of EVERY frame are re-derivable
+    // arithmetically — they match ONLY if the container walk, the
+    // frame chunking, the bottom-up row order, the BGR channel order
+    // and the 4-byte row padding are all exactly right. (The MJPEG
+    // arm — real JDK JPEG codec per frame — is spec-gated in MiscSpec;
+    // lossy, so no arithmetic oracle.) --------------------------------
+    "m4_video_decode" -> { (s, dir) =>
+      Multimodal.videoStats(Multimodal.syntheticVideoAssets(s, 20))
+        .orderBy("asset_id")
+    },
+    // ---- M5: frame sampling over the REAL decode — every 2nd decoded
+    // frame re-encoded as PNG; the per-asset sampled count is
+    // ceil(nf/2) by construction. ------------------------------------
+    "m5_frame_sample" -> { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticVideoAssets(s, 20),
+          everyN = 2)
+        .groupBy("asset_id").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("asset_id")
+    },
     // ---- §2.10: deterministic datagen + checksum --------------------------
     "g1_stable_datagen" -> { (s, dir) =>
       import s.implicits._
@@ -7809,6 +7832,31 @@ object SparkEntry {
           |  CAST(max(v) AS INTEGER) AS max_amp,
           |  CAST(min(v) AS INTEGER) AS min_amp
           |FROM s GROUP BY i, ns ORDER BY asset_id""".stripMargin,
+      // Decoded-frame channel means re-derived from the closed-form
+      // DIB pixel function: mean_r = i + (nf-1)/2 (the f average),
+      // mean_g = 2i, mean_b = 3i + 1/2 (x%2 over an EVEN width) — all
+      // exactly representable doubles, so the match is bit-for-bit and
+      // proves the AVI walk + bottom-up BGR DIB layout end-to-end.
+      "m4_video_decode" ->
+        """WITH v AS (
+          |  SELECT i, 16 + (i % 4) * 4 AS w, 12 + (i * 3) % 12 AS h,
+          |    3 + i % 5 AS nf
+          |  FROM generate_series(0, 19) t(i))
+          |SELECT CAST(i AS BIGINT) AS asset_id,
+          |  CAST(nf AS INTEGER) AS n_frames,
+          |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          |  CAST(i AS DOUBLE) + (nf - 1) / 2.0 AS mean_r,
+          |  CAST(2 * i AS DOUBLE) AS mean_g,
+          |  CAST(3 * i AS DOUBLE) + 0.5 AS mean_b
+          |FROM v ORDER BY asset_id""".stripMargin,
+      // Every-2nd-frame sampling over the real decode: ceil(nf/2)
+      // sampled rows per asset by construction.
+      "m5_frame_sample" ->
+        """WITH v AS (
+          |  SELECT i, 3 + i % 5 AS nf FROM generate_series(0, 19) t(i))
+          |SELECT CAST(i AS BIGINT) AS asset_id,
+          |  CAST((nf + 1) // 2 AS BIGINT) AS n_sampled
+          |FROM v ORDER BY asset_id""".stripMargin,
       // DETERMINISM PIN (irreducible): seeded generator output hashed
       // with the a7 recipe — pins that datagen reproduces bit-for-bit
       // across partitionings/JVMs (mirrors common/data.py:78-118).

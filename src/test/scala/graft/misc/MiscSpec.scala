@@ -102,6 +102,56 @@ class MiscSpec extends SparkSpec {
     assert(samples(0) == -1000 && samples(1) == -971) // closed form at i=0
   }
 
+  test("decodeVideo parses DIB AVIs exactly and MJPEG through the JPEG codec") {
+    // DIB (lossless): decoded pixels must equal the closed form.
+    val dib = Multimodal.decodeVideo(
+      Multimodal.encodeAviDib(i = 5, w = 20, h = 15, nf = 4)).get
+    assert(dib.width == 20 && dib.height == 15 && dib.frames.size == 4)
+    assert(dib.usPerFrame == 100000)
+    val f2 = dib.frames(2)
+    val p = f2.getRGB(3, 7) // closed form at i=5, f=2, x=3 (odd)
+    assert(((p >> 16) & 0xff) == 5 + 2, "r channel")
+    assert(((p >> 8) & 0xff) == 10, "g channel")
+    assert((p & 0xff) == 15 + 1, "b channel (odd x)")
+    // MJPEG (lossy, REAL JDK JPEG codec): structure exact, pixels near.
+    val mj = Multimodal.decodeVideo(
+      Multimodal.encodeAviMjpeg(i = 5, w = 20, h = 16, nf = 3)).get
+    assert(mj.width == 20 && mj.height == 16 && mj.frames.size == 3)
+    val q = mj.frames(0).getRGB(4, 4)
+    assert(math.abs(((q >> 16) & 0xff) - 5) < 24 &&
+      math.abs(((q >> 8) & 0xff) - 10) < 24, "JPEG pixels off the source")
+    // Quarantine: junk and truncated containers return None, not throw.
+    assert(Multimodal.decodeVideo(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeVideo(
+      Multimodal.encodeAviDib(3, 16, 12, 2).take(40)).isEmpty)
+  }
+
+  test("extractFeatures uses the real AVI decode and flags the path") {
+    val real = Multimodal.extractFeatures(
+      Multimodal.syntheticVideoAssets(spark, 6)).collect()
+    assert(real.forall(_.getAs[Boolean]("decoded")))
+    // junk "video" blobs (the random-bytes fixture) take the stub
+    val stub = Multimodal.extractFeatures(
+      Multimodal.syntheticAssets(spark, 6))
+      .filter(col("modality") === "video").collect()
+    assert(stub.forall(!_.getAs[Boolean]("decoded")))
+  }
+
+  test("sampled frames are real decodable PNGs of the decoded frames") {
+    val assets = Multimodal.syntheticVideoAssets(spark, 4)
+    val frames = Multimodal.sampleFrames(assets, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val img = Multimodal.decodeImage(
+        r.getAs[Array[Byte]]("frame_bytes")).get
+      val i = r.getLong(0).toInt
+      val f = r.getInt(1)
+      assert(f % 2 == 0)
+      val p = img.getRGB(0, 0)
+      assert(((p >> 16) & 0xff) == (i % 32) + f, "sampled frame pixels")
+    }
+  }
+
   test("frame sampling explodes only video assets at the requested stride") {
     val assets = Multimodal.syntheticAssets(spark, 12)
     val frames = Multimodal.sampleFrames(assets, everyN = 2, frameSize = 32)
