@@ -4377,6 +4377,18 @@ object SparkEntry {
       graft.multimodal.AudioFingerprint.nearDupPairs(fps, maxHamming = 8)
         .orderBy("id_a", "id_b")
     },
+    // Video near-dup (round-12, on the REAL AVI decode): per-frame
+    // dHash sequences -> per-frame banded Hamming candidates -> the
+    // ALL-aligned-frames conjunction. The fixture's variant v2 flips
+    // extra bits on frame 2 only, so (v0,v2)/(v1,v2) pass frames 0-1
+    // but FAIL frame 2 and must NOT surface — the oracle re-derives
+    // every frame hash and the conjunction arithmetically.
+    "d24_video_neardup" -> { (s, dir) =>
+      val assets = graft.multimodal.VideoHash.syntheticNearDupVideos(s, 24)
+      val fh = graft.multimodal.VideoHash.frameHashes(assets)
+      graft.multimodal.VideoHash.nearDupPairs(fh, maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    },
     // Closed-form NB classifier (the pipeline's quality/domain/langid
     // classifier stage, fastText stand-in): train on the full labeled
     // corpus, classify a slice. logp rounded at 6 (log-space double
@@ -8739,6 +8751,34 @@ object SparkEntry {
       // Same oracle, served through the PERSISTED lshIndex probe path
       // (the verdicts must be identical by construction).
       "d20_neardup_indexed" -> incrementalNearDupOracle,
+      // Video near-dup oracle: every frame hash re-derived bit-for-bit
+      // (the framePattern arithmetic incl. v2's frame-2-only extra
+      // flips), then the all-frames conjunction — a pair qualifies
+      // ONLY when all 3 aligned frames sit within Hamming 8, so the
+      // (v0,v2)/(v1,v2) pairs that pass frames 0-1 but fail frame 2
+      // must NOT surface.
+      "d24_video_neardup" ->
+        """WITH vbits AS (
+          |  SELECT t.i AS i, f.f AS f, u.b AS b,
+          |    (CASE WHEN ((t.i//4)*13 + u.b*7 + f.f*3) % 17 < 8
+          |          THEN 1 ELSE 0 END
+          |     + CASE WHEN (t.i%4=1 AND u.b%31=5) OR (t.i%4=2 AND u.b%10=7)
+          |            OR (t.i%4=3 AND u.b%3=1)
+          |            OR (t.i%4=2 AND f.f=2 AND u.b%9=4)
+          |            THEN 1 ELSE 0 END) % 2 AS bit
+          |  FROM range(24) t(i), range(3) f(f), range(63) u(b)
+          |), vhashes AS (
+          |  SELECT i, f,
+          |    CAST(sum(bit * (1::BIGINT << CAST(b AS INT))) AS BIGINT) AS h
+          |  FROM vbits GROUP BY i, f
+          |), vframes AS (
+          |  SELECT a.i AS id_a, b.i AS id_b,
+          |    bit_count(xor(a.h, b.h)) AS ham
+          |  FROM vhashes a JOIN vhashes b ON a.i < b.i AND a.f = b.f)
+          |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS matched_frames
+          |FROM vframes GROUP BY id_a, id_b
+          |HAVING count(*) = 3 AND max(ham) <= 8
+          |ORDER BY id_a, id_b""".stripMargin,
       // Audio-fingerprint oracle: identical closed-form arithmetic
       // (shared pattern) over 48 fixtures — checks the WAV decode ->
       // frame-energy fingerprint path end-to-end.

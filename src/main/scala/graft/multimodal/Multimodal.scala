@@ -312,6 +312,16 @@ object Multimodal {
     img
   }
 
+  /** Lossless DIB-frame AVI around caller-built frame images (all
+    * frames must share dimensions) — the fixture hook [[VideoHash]]'s
+    * designed-dHash videos use.
+    */
+  private[multimodal] def encodeAviFromImages(
+      frames: Seq[java.awt.image.BufferedImage],
+      usPerFrame: Int = 100000): Array[Byte] =
+    buildAvi(frames.head.getWidth, frames.head.getHeight, usPerFrame,
+      frames.map(dibFrame), compression = 0L, chunkId = "00db")
+
   /** REAL uncompressed AVI (BI_RGB 'DIB ' frames — the lossless
     * rawvideo-in-AVI layout ffmpeg writes with `-c:v rawvideo`): frame
     * `f` of asset `i` has the closed-form pixels r = (i%32)+f,
