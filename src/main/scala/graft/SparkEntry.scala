@@ -5591,6 +5591,20 @@ object SparkEntry {
         graft.multimodal.AudioFingerprint.nearDupPairs(fps, maxHamming = 8)
           .agg(count(lit(1)).as("pairs"), sum("hamming").as("ham_sum"))
       },
+      // Video near-dup at bench shape: 1500 real 3-frame DIB AVIs
+      // decoded + per-frame dHashed executor-side, per-frame banded
+      // Hamming join at radius 8, all-frames conjunction — the
+      // video-dedup stage of a multimodal pipeline (4500 decoded
+      // frames; same banded machinery as the image/audio twins, with
+      // frame_no in the join key keeping per-frame buckets narrow).
+      "bench_video_neardup" -> { (s, dir) =>
+        val assets = graft.multimodal.VideoHash.syntheticNearDupVideos(
+          s, 1500)
+        val fh = graft.multimodal.VideoHash.frameHashes(assets)
+        graft.multimodal.VideoHash.nearDupPairs(fh, maxHamming = 8)
+          .agg(count(lit(1)).as("pairs"),
+            sum("matched_frames").as("frames_sum"))
+      },
       // The leveled-compaction design point: a compacted base under a
       // stream of small client batches. Every high-water trigger after
       // the first folds MINOR (tail-only, the base is never
