@@ -2039,6 +2039,49 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("rank")
     },
+    // ---- V61: BINARY search iterator (round-12) — the searchIterator
+    // contract over a BIN_IVF_FLAT collection: three exact keyset
+    // pages of 10 in HAMMING order over the mutated corpus (page 1
+    // through the probe budget, deep pages through the far-side radii
+    // prune) must concatenate to the true global top-30; the bijective
+    // vec_id hash lets DuckDB re-derive every bit pattern and rank.
+    // Delta-served post-DML, NO rebuild. ------------------------------
+    "v61_iterator_binary" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v61").toString)
+      val c = cat.createCollection(CollectionDef("bitr", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("bvec", org.apache.spark.sql.types.BinaryType,
+          dim = Some(32)))))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), binVecCol.as("bvec")))
+      c.createIndex(s, IndexDef("bvec", "BIN_IVF_FLAT", Some("HAMMING"),
+        Map("nlist" -> "8")))
+      val sealedSeq = IndexStore.describe(c, "bvec").get("built_seq")
+      c.delete(s, "vec_id == 13")
+      c.upsert(s, Seq((11L, binBytesOf(483L))).toDF("vec_id", "bvec"))
+      c.insert(s, Seq((990011L, binBytesOf(42L))).toDF("vec_id", "bvec"))
+      val q = binBytesOf(7L)
+      var cursor: Option[(Double, Any)] = None
+      val rows = (1 to 3).flatMap { p =>
+        val page = CollectionSearch.searchIteratorBinary(s, c, "bvec", q,
+            10, after = cursor)
+          .select("vec_id", "score")
+          .orderBy(col("score").asc, col("vec_id").asc).collect()
+        cursor = Some((page.last.getDouble(1), page.last.getLong(0)))
+        page.zipWithIndex.map { case (r, i) =>
+          (r.getLong(0), (p - 1) * 10 + i + 1, p)
+        }
+      }
+      val servedStale =
+        IndexStore.describe(c, "bvec").get("built_seq") == sealedSeq
+      rows.toDF("vec_id", "rank", "page")
+        .select(col("vec_id"), col("rank").cast("int").as("rank"),
+          col("page").cast("int").as("page"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("rank")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6557,6 +6600,28 @@ object SparkEntry {
            |    ORDER BY list_distance(e, ${qvec.format(7)}), vec_id) AS INT)
            |    AS rank
            |  FROM corpus) WHERE rank <= 20 ORDER BY rank""".stripMargin,
+      // GENUINE exact oracle for the BINARY search iterator: every bit
+      // pattern re-derived from the bijective vec_id hash (v27/v55),
+      // the corpus mutated (13 deleted, 11 rewritten to row 483's
+      // pattern, 990011 a copy of row 42's), the first 30 HAMMING
+      // ranks to q7 tagged with their page — overlap, gap, or
+      // cursor-tie error on either the probe page or the pruned deep
+      // pages breaks the rank match.
+      "v61_iterator_binary" ->
+        """WITH corpus AS (
+          |  SELECT vec_id,
+          |    (vec_id * 2654435761) % 4294967296 AS b FROM embeddings
+          |  WHERE vec_id NOT IN (11, 13)
+          |  UNION ALL SELECT CAST(11 AS BIGINT),
+          |    (483 * 2654435761) % 4294967296
+          |  UNION ALL SELECT CAST(990011 AS BIGINT),
+          |    (42 * 2654435761) % 4294967296)
+          |SELECT vec_id, rank, CAST(ceil(rank / 10.0) AS INT) AS page,
+          |  true AS served_stale FROM (
+          |  SELECT vec_id, CAST(row_number() OVER (
+          |    ORDER BY bit_count(xor(b, (7 * 2654435761) % 4294967296)),
+          |      vec_id) AS INT) AS rank
+          |  FROM corpus) WHERE rank <= 30 ORDER BY rank""".stripMargin,
       // GENUINE exact oracle for the cell-pruned HAMMING range search:
       // bit patterns re-derived from the bijective vec_id hash (v27),
       // the corpus mutated (min in-band pk != 11 deleted, 11 rewritten

@@ -1354,4 +1354,117 @@ object CollectionSearch {
     else Knn.limitPerQid(hits, "qid", Seq(col("score").asc, col(pk).asc),
       limit)
   }
+
+  /** BINARY search iterator (HAMMING, ascending) — the
+    * [[searchIterator]] contract over BIN_IVF_FLAT collections: EXACT
+    * keyset pagination on (score, pk); the persisted per-cell Hamming
+    * radii prune deep pages on the far side (Hamming IS a metric, so
+    * d(q,c_i) + rmax_i < cursor proves the cell fully returned) and
+    * page 1 runs the same two-phase probe budget (collected
+    * TakeOrdered top over the nprobe nearest cells → tau → only
+    * remaining cells whose best possible member reaches tau); sealed ⊎
+    * growing delta serving, NO rebuild. Scores surface as DOUBLE so
+    * the cursor contract matches the dense iterator's. Unindexed
+    * collections page with exact full scans.
+    */
+  def searchIteratorBinary(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      queryBytes: Array[Byte],
+      batchSize: Int,
+      after: Option[(Double, Any)] = None,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val index = d.indexes.find(_.field == vecField)
+    val binIvfDeclared =
+      index.exists(_.indexType.toUpperCase == "BIN_IVF_FLAT")
+    def scopedPart(df: DataFrame): DataFrame =
+      if (partitionNames.isEmpty || !df.columns.contains("_part")) df
+      else df.filter(col("_part").isin(partitionNames: _*))
+    def keyset(scored: DataFrame): DataFrame = after match {
+      case None => scored
+      case Some((s0, p0)) =>
+        scored.filter(col("score") > lit(s0) ||
+          (col("score") === lit(s0) && col(pk) > lit(p0)))
+    }
+    def score(data: DataFrame): DataFrame = {
+      val pred =
+        if (filterExpr.trim.isEmpty) None
+        else Some(MilvusExpr.compile(filterExpr, data))
+      val qdf = Seq(("q", queryBytes)).toDF("qid", "_qbytes")
+      val cols = (pk +: outputFields).distinct.map(col)
+      pred.foldLeft(data.filter(col(vecField).isNotNull))(_ filter _)
+        .crossJoin(broadcast(qdf))
+        .select((col("qid") +: cols) :+
+          graft.Functions.hammingDistance(col(vecField), col("_qbytes"))
+            .cast("double").as("score"): _*)
+    }
+    val scored =
+      if (binIvfDeclared) {
+        val nlist = index.flatMap(_.params.get("nlist")).map(_.toInt)
+          .getOrElse(16)
+        val b = IndexStore.ensureBinIvf(spark, coll, vecField, nlist)
+        val radii = IndexStore.binIvfRadii(spark, b, vecField)
+        val split = IndexStore.serveDenseSplit(spark, coll, vecField,
+          b.dataPath, b.builtSeq)
+        def qc(i: Int): Long = {
+          val c = b.model.centroids(i)
+          var s = 0L; var j = 0
+          val n = math.min(queryBytes.length, c.length)
+          while (j < n) {
+            s += java.lang.Integer.bitCount((queryBytes(j) ^ c(j)) & 0xff)
+            j += 1
+          }
+          s
+        }
+        def sealedScored(cells: Seq[Int]): DataFrame =
+          score(scopedPart(split.sealedRows)
+            .filter(col(BinIvf.CID).isin(cells: _*)))
+        val growingScored: Option[DataFrame] =
+          split.growing.map(g => score(scopedPart(g)))
+        def withGrowing(sealed0: DataFrame): DataFrame =
+          growingScored.fold(sealed0)(sealed0.unionByName(_))
+        after match {
+          case Some((s0, _)) =>
+            // Far-side cursor prune: a cell whose farthest member
+            // provably scores before the cursor holds no page row.
+            withGrowing(sealedScored(b.model.centroids.indices
+              .filter(i => qc(i) + radii(i) >= s0 - 1e-9)))
+          case None =>
+            // Page-1 probe budget (see searchIterator — identical
+            // two-phase structure under the Hamming triangle
+            // inequality).
+            val nprobe = searchParams.get("nprobe").map(_.toInt)
+              .getOrElse(math.max(1, b.model.k / 4))
+            val probeCells = b.model.centroids.indices
+              .sortBy(i => (qc(i), i)).take(math.max(1, nprobe))
+            val probeScored = sealedScored(probeCells)
+            val topRows = probeScored
+              .orderBy(col("score").asc, col(pk).asc).limit(batchSize)
+              .collect()
+            import scala.jdk.CollectionConverters._
+            val probeTop = spark.createDataFrame(
+              topRows.toSeq.asJava, probeScored.schema)
+            val probeSet = probeCells.toSet
+            val rest: Seq[Int] =
+              if (topRows.length < batchSize)
+                b.model.centroids.indices.filterNot(probeSet)
+              else {
+                val tau = topRows.last
+                  .getDouble(topRows.last.fieldIndex("score"))
+                b.model.centroids.indices.filter(i =>
+                  !probeSet(i) && qc(i) - radii(i) <= tau + 1e-9)
+              }
+            withGrowing(probeTop.unionByName(sealedScored(rest)))
+        }
+      } else score(coll.read(spark, partitionNames))
+    Knn.limitPerQid(keyset(scored), "qid",
+      Seq(col("score").asc, col(pk).asc), batchSize).drop("qid")
+  }
 }
