@@ -2082,6 +2082,68 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("rank")
     },
+    // ---- V62: SPARSE search iterator (IP, descending) — completes
+    // the iterator family (dense v56, binary v61): three exact pages
+    // of 10 over a mutated sparse corpus, keyset-cursored on
+    // (score desc, pk asc). Every page joins only the query dims'
+    // posting buckets; docs sharing no dim score 0 and are never
+    // iterated (the oracle's WHERE s > 0). The v58 fixture arithmetic
+    // keeps every score an integer-valued double, so the heavy score
+    // ties stress the pk tiebreak while the hash compare stays exact;
+    // served_stale pins sealed ⊎ growing delta serving, NO rebuild. --
+    "v62_iterator_sparse" -> { (s, dir) =>
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v62").toString)
+      val c = cat.createCollection(CollectionDef("spitr", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("svec", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.DoubleType)))))
+      val w = (col("vec_id") % 5 + 1).cast("double")
+      val svec = map_from_arrays(
+        array((col("vec_id") % 7).cast("int"),
+          (col("vec_id") % 11 + 7).cast("int"),
+          (col("vec_id") % 13 + 18).cast("int")),
+        array(w, w, w))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), svec.as("svec")))
+      c.createIndex(s, IndexDef("svec", "SPARSE_INVERTED_INDEX",
+        Some("IP"), Map("buckets" -> "16")))
+      val sealedSeq = IndexStore.describe(c, "svec").get("built_seq")
+      val score =
+        (when(col("vec_id") % 7 === 3, 2.0).otherwise(0.0) +
+          when(col("vec_id") % 11 + 7 === 9, 1.0).otherwise(0.0) +
+          when(col("vec_id") % 13 + 18 === 20, 3.0).otherwise(0.0)) *
+          (col("vec_id") % 5 + 1).cast("double")
+      val victim = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), score.as("sc"))
+        .filter(col("sc") > 0.0 && col("vec_id") =!= 11L)
+        .agg(min("vec_id")).head().getLong(0)
+      c.delete(s, s"vec_id == $victim")
+      c.upsert(s, Seq((11L, Map(3 -> 2.0))).toDF("vec_id", "svec"))
+      c.insert(s, Seq((990012L, Map(9 -> 5.0))).toDF("vec_id", "svec"))
+      val q = Map(3 -> 2.0, 9 -> 1.0, 20 -> 3.0)
+      var cursor: Option[(Double, Any)] = None
+      val rows = (1 to 3).flatMap { p =>
+        val page = CollectionSearch.searchIteratorSparse(s, c, "svec", q,
+            10, after = cursor)
+          .select("vec_id", "score")
+          .orderBy(col("score").desc, col("vec_id").asc).collect()
+        cursor = Some((page.last.getDouble(1), page.last.getLong(0)))
+        page.zipWithIndex.map { case (r, i) =>
+          (r.getLong(0), r.getDouble(1), (p - 1) * 10 + i + 1, p)
+        }
+      }
+      val servedStale =
+        IndexStore.describe(c, "svec").get("built_seq") == sealedSeq
+      rows.toDF("vec_id", "score", "rank", "page")
+        .select(col("vec_id"), col("score"),
+          col("rank").cast("int").as("rank"),
+          col("page").cast("int").as("page"))
+        .withColumn("served_stale", lit(servedStale))
+        .orderBy("rank")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6622,6 +6684,36 @@ object SparkEntry {
           |    ORDER BY bit_count(xor(b, (7 * 2654435761) % 4294967296)),
           |      vec_id) AS INT) AS rank
           |  FROM corpus) WHERE rank <= 30 ORDER BY rank""".stripMargin,
+      // GENUINE exact oracle for the sparse search iterator: every
+      // score recomputed from the fixed vec_id arithmetic (disjoint
+      // dim ranges; q = {3: 2.0, 9: 1.0, 20: 3.0}), corpus mutated
+      // (min positive-score pk != 11 deleted, 11 rewritten to
+      // {3: 2.0} -> s = 4, 990012 a fresh {9: 5.0} -> s = 5),
+      // zero-overlap docs never iterated (WHERE s > 0), three pages
+      // ranked (s DESC, vec_id).
+      "v62_iterator_sparse" ->
+        """WITH base AS (
+          |  SELECT vec_id,
+          |    CAST((CASE WHEN vec_id % 7 = 3 THEN 2.0 ELSE 0.0 END +
+          |          CASE WHEN vec_id % 11 + 7 = 9 THEN 1.0 ELSE 0.0 END +
+          |          CASE WHEN vec_id % 13 + 18 = 20 THEN 3.0 ELSE 0.0 END)
+          |      * (vec_id % 5 + 1) AS DOUBLE) AS s
+          |  FROM embeddings),
+          |victim AS (
+          |  SELECT min(vec_id) AS v FROM base
+          |  WHERE s > 0 AND vec_id != 11),
+          |corpus AS (
+          |  SELECT vec_id, s FROM base
+          |  WHERE vec_id != 11 AND vec_id != (SELECT v FROM victim)
+          |  UNION ALL SELECT CAST(11 AS BIGINT), CAST(4.0 AS DOUBLE)
+          |  UNION ALL SELECT CAST(990012 AS BIGINT), CAST(5.0 AS DOUBLE))
+          |SELECT vec_id, score, rank,
+          |  CAST(ceil(rank / 10.0) AS INT) AS page,
+          |  true AS served_stale FROM (
+          |  SELECT vec_id, s AS score, CAST(row_number() OVER (
+          |    ORDER BY s DESC, vec_id) AS INT) AS rank
+          |  FROM corpus WHERE s > 0) WHERE rank <= 30
+          |ORDER BY rank""".stripMargin,
       // GENUINE exact oracle for the cell-pruned HAMMING range search:
       // bit patterns re-derived from the bijective vec_id hash (v27),
       // the corpus mutated (min in-band pk != 11 deleted, 11 rewritten

@@ -394,7 +394,20 @@ object SparseInverted {
 
   def search(postingsDf: DataFrame, query: Map[Int, Double], idCol: String,
       k: Int, numBuckets: Int,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None): DataFrame =
+    scores(postingsDf, query, idCol, numBuckets, filter)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Exact per-doc IP scores over the query dims' postings, NO top-k
+    * cut — the shared scoring frame [[search]] takes its top k of and
+    * the search iterator keysets through. Only docs sharing at least
+    * one dimension with the query appear (the dim-keyed join IS the
+    * candidate prune); the iterator contract inherits that semantic
+    * from the top-k route.
+    */
+  def scores(postingsDf: DataFrame, query: Map[Int, Double], idCol: String,
+      numBuckets: Int, filter: Option[Column] = None): DataFrame = {
     val spark = postingsDf.sparkSession
     import spark.implicits._
     require(query.nonEmpty, "sparse query must have at least one dimension")
@@ -408,7 +421,36 @@ object SparseInverted {
       .join(broadcast(qdf), col(DIM) === col("_qdim"))
       .groupBy(col(idCol))
       .agg(sum(col(VAL) * col("_qval")).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+  }
+
+  /** [[scores]] with a DETERMINISTIC summation order (ascending dim).
+    * The search iterator replays this frame on every page and its
+    * keyset cursor compares collected doubles for EQUALITY — a partial
+    * aggregation whose merge order shifts between jobs could move a
+    * near-tie score by an ulp and skip or duplicate a row at the page
+    * boundary. Per-doc cost is a fold over at most |query| elements
+    * (map keys are unique per doc, so the (dim, product) sort is a
+    * total order); the one-shot top-k route keeps the plain
+    * partial-aggregated sum.
+    */
+  def scoresDeterministic(postingsDf: DataFrame, query: Map[Int, Double],
+      idCol: String, numBuckets: Int,
+      filter: Option[Column] = None): DataFrame = {
+    val spark = postingsDf.sparkSession
+    import spark.implicits._
+    require(query.nonEmpty, "sparse query must have at least one dimension")
+    val dims = query.keys.toSeq.sorted
+    val buckets = queryBuckets(postingsDf, dims, numBuckets)
+    val qdf = query.toSeq.sortBy(_._1).toDF("_qdim", "_qval")
+    val pruned0 = postingsDf
+      .filter(col(BUCKET).isin(buckets: _*) && col(DIM).isin(dims: _*))
+    val pruned = filter.foldLeft(pruned0)(_ filter _)
+    pruned
+      .join(broadcast(qdf), col(DIM) === col("_qdim"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(DIM).as("d"),
+          (col(VAL) * col("_qval")).as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("score"))
   }
 }

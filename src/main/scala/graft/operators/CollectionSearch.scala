@@ -1467,4 +1467,71 @@ object CollectionSearch {
     Knn.limitPerQid(keyset(scored), "qid",
       Seq(col("score").asc, col(pk).asc), batchSize).drop("qid")
   }
+
+  /** SPARSE search iterator (IP, descending) — the [[searchIterator]]
+    * contract over SPARSE_INVERTED_INDEX / SPARSE_WAND collections,
+    * completing the iterator family (dense L2/COSINE/IP, binary
+    * HAMMING, sparse IP): EXACT keyset pagination on (score desc, pk
+    * asc). The candidate prune here is structural rather than
+    * geometric: every page joins ONLY the query dimensions' persisted
+    * posting buckets (directory-pruned `_db` layout), so a deep page
+    * costs the query-term postings — never the corpus — and docs
+    * sharing no dimension with the query score 0 and are never
+    * iterated (the top-k route's semantic; reference behavior per
+    * `workload.py`'s sparse search bricks). Scores replay through
+    * [[SparseInverted.scoresDeterministic]] so the keyset's equality
+    * compare cannot drift an ulp between pages. Sealed ⊎ growing delta
+    * postings serve via [[IndexStore.serveSparse]], NO rebuild.
+    * Unindexed collections page with exact scored scans restricted to
+    * overlapping docs so both routes iterate the same set.
+    */
+  def searchIteratorSparse(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      query: Map[Int, Double],
+      batchSize: Int,
+      after: Option[(Double, Any)] = None,
+      filterExpr: String = "",
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    val d = coll.definition
+    val pk = d.primaryField.name
+    val sparseIx = d.indexes.find(ix => ix.field == vecField &&
+      Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+        .contains(ix.indexType.toUpperCase))
+    def scoped(df: DataFrame): DataFrame =
+      if (partitionNames.isEmpty || !df.columns.contains("_part")) df
+      else df.filter(col("_part").isin(partitionNames: _*))
+    val scored =
+      if (sparseIx.isDefined) {
+        val buckets = sparseIx.flatMap(_.params.get("buckets"))
+          .map(_.toInt).getOrElse(64)
+        val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
+        val postings = scoped(serve.postings)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, postings))
+        SparseInverted.scoresDeterministic(postings, query, pk,
+          serve.build.numBuckets, pred)
+      } else {
+        val data = coll.read(spark, partitionNames)
+        val pred =
+          if (filterExpr.trim.isEmpty) None
+          else Some(MilvusExpr.compile(filterExpr, data))
+        val qv = map(query.toSeq.sortBy(_._1).flatMap {
+          case (i, v) => Seq(lit(i), lit(v)) }: _*)
+        val dimsArr = array(query.keys.toSeq.sorted.map(lit): _*)
+        pred.foldLeft(data.filter(col(vecField).isNotNull))(_ filter _)
+          .filter(arrays_overlap(map_keys(col(vecField)), dimsArr))
+          .select(col(pk), graft.Functions.sparseIp(col(vecField), qv)
+            .as("score"))
+      }
+    val kept = after match {
+      case None => scored
+      case Some((s0, p0)) =>
+        scored.filter(col("score") < lit(s0) ||
+          (col("score") === lit(s0) && col(pk) > lit(p0)))
+    }
+    kept.orderBy(col("score").desc, col(pk).asc).limit(batchSize)
+  }
 }

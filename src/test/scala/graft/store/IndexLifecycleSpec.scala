@@ -1231,6 +1231,91 @@ class IndexLifecycleSpec extends SparkSpec {
       "sparse range search rebuilt instead of delta-serving")
   }
 
+  test("sparse search iterator: exact keyset pages, zero-overlap never iterated, delta-served") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-spitr").toString)
+    val c = cat.createCollection(CollectionDef("spitr", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("svec", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType)))))
+    def svecOf(i: Long): Map[Int, Double] = {
+      val w = (i % 5 + 1).toDouble
+      Map((i % 7).toInt -> w, (i % 11 + 7).toInt -> w,
+        (i % 13 + 18).toInt -> w)
+    }
+    val ids = Tables.load(s, sfDir, "embeddings").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    c.insert(s, ids.map(i => (i, svecOf(i))).toDF("vec_id", "svec"))
+    c.createIndex(s, IndexDef("svec", "SPARSE_INVERTED_INDEX", Some("IP"),
+      Map("buckets" -> "16")))
+    val sealedSeq = IndexStore.describe(c, "svec").get("built_seq")
+    val q = Map(3 -> 2.0, 9 -> 1.0, 20 -> 3.0)
+    def ip(m: Map[Int, Double]): Double =
+      q.map { case (dim, w) => w * m.getOrElse(dim, 0.0) }.sum
+    // DML between the build and the pages: the postings delta-serve.
+    val victimExact = c.read(s).select("vec_id", "svec").collect()
+      .map(r => (r.getLong(0), ip(r.getMap[Int, Double](1).toMap)))
+      .filter(_._2 > 0).minBy(_._1)._1
+    c.delete(s, s"vec_id == $victimExact")
+    c.insert(s, Seq((990015L, Map(9 -> 5.0))).toDF("vec_id", "svec"))
+    def exactOrder(n: Int): Seq[Long] = c.read(s)
+      .select("vec_id", "svec").collect()
+      .map(r => (r.getLong(0), ip(r.getMap[Int, Double](1).toMap)))
+      .filter(_._2 > 0)
+      .sortBy { case (id, sc) => (-sc, id) }.take(n).map(_._1).toSeq
+    var cursor: Option[(Double, Any)] = None
+    val pages = (0 until 3).map { _ =>
+      val page = CollectionSearch.searchIteratorSparse(s, c, "svec", q,
+          10, after = cursor)
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .select("vec_id", "score").collect()
+      cursor = Some((page.last.getDouble(1), page.last.getLong(0)))
+      page.map(_.getLong(0)).toSeq
+    }
+    assert(pages.flatten == exactOrder(30),
+      "sparse iterator pages != exact descending IP order")
+    assert(!pages.flatten.contains(victimExact))
+    assert(IndexStore.describe(c, "svec").get("built_seq") == sealedSeq,
+      "sparse iterator rebuilt instead of delta-serving")
+    // The iterator exhausts at the positive-overlap frontier: paging
+    // past every overlapping doc returns an empty page, never the
+    // zero-score tail.
+    val positives = exactOrder(Int.MaxValue)
+    val lastScore = {
+      val all = c.read(s).select("vec_id", "svec").collect()
+        .map(r => (r.getLong(0), ip(r.getMap[Int, Double](1).toMap)))
+        .filter(_._2 > 0)
+      val (lid, lsc) = all.sortBy { case (id, sc) => (-sc, id) }.last
+      Some((lsc, lid: Any))
+    }
+    assert(CollectionSearch.searchIteratorSparse(s, c, "svec", q, 10,
+      after = lastScore).isEmpty, "iterator paged into the zero-score tail")
+    assert(positives.size < ids.size,
+      "fixture degenerate: every doc overlaps the query")
+    // Unindexed route iterates the identical set in identical order.
+    val c2 = cat.createCollection(CollectionDef("spitr2", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("svec", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType)))))
+    c2.insert(s, ids.filter(_ != victimExact).map(i => (i, svecOf(i)))
+      .toDF("vec_id", "svec"))
+    c2.insert(s, Seq((990015L, Map(9 -> 5.0))).toDF("vec_id", "svec"))
+    var cursor2: Option[(Double, Any)] = None
+    val pages2 = (0 until 3).map { _ =>
+      val page = CollectionSearch.searchIteratorSparse(s, c2, "svec", q,
+          10, after = cursor2)
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .select("vec_id", "score").collect()
+      cursor2 = Some((page.last.getDouble(1), page.last.getLong(0)))
+      page.map(_.getLong(0)).toSeq
+    }
+    assert(pages2.flatten == pages.flatten,
+      "unindexed sparse iterator != postings-route pages")
+  }
+
   test("per-family pointers: graph and IVF builds coexist on one field, no rebuild ping-pong") {
     val s = spark
     import s.implicits._
