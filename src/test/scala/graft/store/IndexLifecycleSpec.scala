@@ -1316,6 +1316,68 @@ class IndexLifecycleSpec extends SparkSpec {
       "unindexed sparse iterator != postings-route pages")
   }
 
+  test("search iterator: filtered pages exact; cursor resumes across catalog handles") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-itres").toString
+    val catA = new Catalog(root)
+    val c = catA.createCollection(CollectionDef("itres", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+    c.insert(s, Tables.load(s, sfDir, "embeddings")
+      .select("vec_id", "embedding"))
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "8")))
+    val q = queryVec(7)
+    def l2(v: Seq[Float]): Double = math.sqrt(
+      v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    // Filtered pages: the predicate composes with the keyset cursor
+    // and the page-1 probe budget (a selective filter can starve the
+    // probed cells — the shortfall fallback must keep the page exact).
+    val exactFiltered = c.read(s).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), l2(r.getSeq[Float](1))))
+      .filter(_._1 % 3 == 0)
+      .sortBy { case (id, sc) => (sc, id) }.take(20).map(_._1).toSeq
+    var fCursor: Option[(Double, Any)] = None
+    val fPages = (0 until 2).map { _ =>
+      val page = CollectionSearch.searchIterator(s, c, "embedding", q, 10,
+          after = fCursor, filterExpr = "vec_id % 3 == 0",
+          searchParams = Map("metric_type" -> "L2"))
+        .orderBy(col("score").asc, col("vec_id").asc)
+        .select("vec_id", "score").collect()
+      fCursor = Some((page.last.getDouble(1), page.last.getLong(0)))
+      page.map(_.getLong(0)).toSeq
+    }
+    assert(fPages.flatten == exactFiltered,
+      "filtered iterator pages != filtered exact order")
+    assert(fPages.flatten.forall(_ % 3 == 0))
+    // Cross-handle resume: the cursor is the ONLY iteration state (the
+    // pymilvus iterator-v2 external-cursor property) — a page served
+    // to a fresh Catalog handle on the same root must continue the
+    // sequence exactly, with no rebuild (the new handle loads the
+    // committed pointer, not a fresh build).
+    val page1 = CollectionSearch.searchIterator(s, c, "embedding", q, 10,
+        searchParams = Map("metric_type" -> "L2"))
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .select("vec_id", "score").collect()
+    val cursor1 = (page1.last.getDouble(1), page1.last.getLong(0))
+    val catB = new Catalog(root)
+    val cB = catB.collection("itres")
+    val seqB = IndexStore.describe(cB, "embedding").get("built_seq")
+    val page2 = CollectionSearch.searchIterator(s, cB, "embedding", q, 10,
+        after = Some(cursor1),
+        searchParams = Map("metric_type" -> "L2"))
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .select("vec_id", "score").collect()
+    val exact20 = c.read(s).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), l2(r.getSeq[Float](1))))
+      .sortBy { case (id, sc) => (sc, id) }.take(20).map(_._1).toSeq
+    assert(page1.map(_.getLong(0)).toSeq ++ page2.map(_.getLong(0)).toSeq
+      == exact20, "cross-handle resumed pages != exact top-20")
+    assert(IndexStore.describe(cB, "embedding").get("built_seq") == seqB,
+      "fresh handle rebuilt the index instead of loading the pointer")
+  }
+
   test("per-family pointers: graph and IVF builds coexist on one field, no rebuild ping-pong") {
     val s = spark
     import s.implicits._
