@@ -2144,6 +2144,35 @@ object SparkEntry {
         .withColumn("served_stale", lit(servedStale))
         .orderBy("rank")
     },
+    // ---- V63: INT8_VECTOR search (the 2.6 P1 int8 entity-vector
+    // surface, reference 2.6/common.py:306-314 / feature-inventory
+    // StructArray int8 subfields): exact L2 top-10 over an
+    // ArrayType(ByteType) vector column — the dense metric Expressions
+    // are ImplicitCastInputTypes, so array<tinyint> coerces into the
+    // same codegen'd kernel the float route uses; every value is an
+    // exactly-representable small integer, and the fixture arithmetic
+    // is 256-periodic in vec_id so exact distance TIES exercise the pk
+    // tiebreak. ------------------------------------------------------
+    "v63_int8_search" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v63").toString)
+      val c = cat.createCollection(CollectionDef("i8vecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("i8vec", ArrayType(org.apache.spark.sql.types.ByteType),
+          dim = Some(16)))))
+      val i8 = transform(sequence(lit(0), lit(15)),
+        j => ((col("vec_id") * (j + 3)) % 256 - 128).cast("byte"))
+      c.insert(s, tbl(s, dir, "embeddings")
+        .select(col("vec_id"), i8.as("i8vec")))
+      val qv: Seq[Float] =
+        (0 until 16).map(j => ((7L * (j + 3)) % 256 - 128).toFloat)
+      val hits = CollectionSearch.search(s, c, "i8vec", qv, 10,
+        searchParams = Map("metric_type" -> "L2"))
+      hits.select(col("vec_id"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").asc, col("vec_id").asc)).as("rank"))
+        .orderBy("rank")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -6714,6 +6743,20 @@ object SparkEntry {
           |    ORDER BY s DESC, vec_id) AS INT) AS rank
           |  FROM corpus WHERE s > 0) WHERE rank <= 30
           |ORDER BY rank""".stripMargin,
+      // GENUINE exact oracle for INT8_VECTOR search: the int8 vectors
+      // re-derived from the 256-periodic vec_id arithmetic, true L2
+      // order with pk tiebreak (periodicity guarantees exact ties).
+      "v63_int8_search" ->
+        """WITH scored AS (
+          |  SELECT vec_id, list_distance(
+          |    list_transform(range(0, 16),
+          |      j -> CAST((vec_id * (j + 3)) % 256 - 128 AS DOUBLE)),
+          |    list_transform(range(0, 16),
+          |      j -> CAST((7 * (j + 3)) % 256 - 128 AS DOUBLE))) AS dist
+          |  FROM embeddings)
+          |SELECT vec_id, CAST(row_number() OVER (ORDER BY dist, vec_id)
+          |  AS INT) AS rank
+          |FROM scored ORDER BY rank LIMIT 10""".stripMargin,
       // GENUINE exact oracle for the cell-pruned HAMMING range search:
       // bit patterns re-derived from the bijective vec_id hash (v27),
       // the corpus mutated (min in-band pk != 11 deleted, 11 rewritten
