@@ -50,13 +50,23 @@ object Bench {
     // an IO-stalled entry shows wall growth with FLAT bytes_read, a
     // genuinely bigger scan shows both growing.
     val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Input ROWS delivered by scans (post row-group/page pruning) —
+    // the pruning-proof metric: bytesRead on local-FS dictionary-
+    // encoded parquet under-reports (the vectorized reader's buffered
+    // stream accounting), so a pruned scan can look byte-cheap without
+    // being row-cheap and vice versa; records_read moves exactly with
+    // what the scan actually decoded.
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) bytesRead.addAndGet(
-            m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead)
+          if (m != null) {
+            bytesRead.addAndGet(
+              m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead)
+            recordsRead.addAndGet(m.inputMetrics.recordsRead)
+          }
         }
       })
     // Sampled at start AND end: a run that STARTS loaded (a lingering
@@ -98,13 +108,15 @@ object Bench {
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime(); val c0 = processCpuNs
         val g0 = gcMs; val b0 = bytesRead.get()
+        val r0 = recordsRead.get()
         try {
           fn(spark, sfDir).count()
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = if (c0 >= 0) (processCpuNs - c0) / 1e9 else -1.0
           val gc = (gcMs - g0) / 1e3
           val br = bytesRead.get() - b0
-          Some((wall, cpu, gc, br))
+          val rr = recordsRead.get() - r0
+          Some((wall, cpu, gc, br, rr))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -113,11 +125,11 @@ object Bench {
       }
       if (times.size < reps) failures ::= name
       name -> (if (times.nonEmpty) times.minBy(_._1)
-               else (-1.0, -1.0, -1.0, -1L))
+               else (-1.0, -1.0, -1.0, -1L, -1L))
     }
-    val qs = results.map { case (k, (w, _, _, _)) => "\"" + k + "\":" + w }
+    val qs = results.map { case (k, (w, _, _, _, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (w, _, _, _)) if w >= 0 => w }.sum
+    val total = results.collect { case (_, (w, _, _, _, _)) if w >= 0 => w }.sum
     // IO-stall self-diagnosis: entries whose GC-ADJUSTED cpu/wall ratio
     // sits far below the suite median were waiting (cold page cache, disk
     // contention), not computing. GC cpu cost is approximated as gc
@@ -129,16 +141,16 @@ object Bench {
     // the median.
     val gcThreads = math.max(1, cpus.toInt / 4).toDouble
     val entryStats = results.collect {
-      case (k, (w, c, g, b)) if w >= 0 && c >= 0 =>
+      case (k, (w, c, g, b, rr)) if w >= 0 && c >= 0 =>
         val adjCpu = math.max(c - g * gcThreads, 0.0)
-        (k, w, c, g, b, adjCpu / math.max(w, 1e-9))
+        (k, w, c, g, b, rr, adjCpu / math.max(w, 1e-9))
     }
     val ratios = entryStats.collect {
-      case (_, w, _, _, _, r) if w > 0.3 => r }.sorted
+      case (_, w, _, _, _, _, r) if w > 0.3 => r }.sorted
     val medianRatio =
       if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
     val ioSuspects = entryStats.collect {
-      case (k, w, _, _, _, r)
+      case (k, w, _, _, _, _, r)
         if w > 0.3 && medianRatio > 0 && r < 0.4 * medianRatio => k
     }
     // Locale-pinned numeric formatting: the f-interpolator uses the
@@ -147,9 +159,10 @@ object Bench {
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f",
         Double.box(v))
-    val statsJson = entryStats.map { case (k, w, c, g, b, _) =>
+    val statsJson = entryStats.map { case (k, w, c, g, b, rr, _) =>
       "\"" + k + "\":{\"wall\":" + num(w, 3) + ",\"cpu\":" + num(c, 3) +
-        ",\"gc\":" + num(g, 3) + ",\"bytes_read\":" + b + "}"
+        ",\"gc\":" + num(g, 3) + ",\"bytes_read\":" + b +
+        ",\"records_read\":" + rr + "}"
     }.mkString("{", ",", "}")
     val ioJson = ioSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The 1-min load averages make load-distorted runs self-evident in
@@ -188,7 +201,7 @@ object Bench {
     // lossless artifact.
     val slowest = results.filter(_._2._1 >= 0)
       .sortBy(-_._2._1).take(10)
-      .map { case (k, (w, _, _, _)) => "\"" + k + "\":" + num(w, 3) }
+      .map { case (k, (w, _, _, _, _)) => "\"" + k + "\":" + num(w, 3) }
       .mkString("{", ",", "}")
     val ioCompact = ioSuspects.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")

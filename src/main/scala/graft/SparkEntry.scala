@@ -2173,6 +2173,55 @@ object SparkEntry {
             .orderBy(col("score").asc, col("vec_id").asc)).as("rank"))
         .orderBy("rank")
     },
+    // ---- S51: clustering compaction (the 2.5+ clustering-key
+    // surface): the major fold re-lays the base RANGE-clustered on the
+    // declared scalar key, so a key-band query prunes whole files via
+    // parquet min/max — the columnar twin of clustering-compaction
+    // segment pruning. The entry runs the full lifecycle (insert ->
+    // delete -> upsert -> compact -> band query) and computes the
+    // `clustered` flag from the PHYSICAL base: per-file key ranges
+    // must be non-overlapping (boundary equality allowed), so a
+    // hash-ordered or pk-sorted rewrite fails the flag, not just the
+    // timing. ---------------------------------------------------------
+    "s51_clustering_compaction" -> { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-s51")
+      val cat = new Catalog(root.toString)
+      val c = cat.createCollection(CollectionDef("ordc", Seq(
+        FieldDef("o_orderkey", LongType, nullable = false, isPrimary = true),
+        FieldDef("o_custkey", LongType),
+        FieldDef("o_totalprice", DoubleType)),
+        properties = Map("clustering.key" -> "o_custkey",
+          "clustering.partitions" -> "16")))
+      c.insert(s, tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice")))
+      c.delete(s, "o_orderkey % 50 == 3")
+      c.upsert(s, Seq((1L, 150L, 0.0)).toDF(
+        "o_orderkey", "o_custkey", "o_totalprice"))
+      c.compact(s)
+      val base = new java.io.File(root.toFile, "ordc/data").listFiles()
+        .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
+      val parquets = {
+        val walk = java.nio.file.Files.walk(base.toPath).iterator()
+        scala.jdk.CollectionConverters.IteratorHasAsScala(walk).asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      }
+      val ranges = parquets.map { p =>
+        val r = s.read.parquet(p)
+          .agg(min("o_custkey"), max("o_custkey")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      val clustered = parquets.size > 1 &&
+        ranges.sliding(2).forall {
+          case Seq((_, hi), (lo2, _)) => lo2 >= hi
+          case _ => true
+        }
+      c.read(s).filter(col("o_custkey").between(100L, 200L))
+        .select("o_orderkey", "o_custkey")
+        .withColumn("clustered", lit(clustered))
+        .orderBy("o_orderkey")
+    },
     // ---- V43: decay rerank (feature-inventory §6 rerank surface,
     // engine-local decay rankers): top-20 cosine candidates, reordered
     // by each decay curve over the numeric vec_id field (the recency
@@ -5061,6 +5110,45 @@ object SparkEntry {
   private val deltaServeBenchCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.Collection]()
 
+  private val clusteredBenchCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.store.Collection, graft.store.Collection)]()
+
+  /** Shared clustering-compaction bench fixture: the lineitem table
+    * (synthetic single pk) compacted TWICE into twin collections —
+    * one range-clustered on `l_partkey` (clustering.key), one with the
+    * default pk-sorted rewrite. The same key-band query runs against
+    * both; parquet min/max pruning on the clustered twin is the
+    * bytes_read contrast the bench pair measures.
+    */
+  private def clusteredBenchCollections(s: SparkSession,
+      dir: String): (graft.store.Collection, graft.store.Collection) =
+    clusteredBenchCache.computeIfAbsent(dir, _ => {
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-clbench").toString)
+      val rows = tbl(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("li_id"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_returnflag"))
+      def mk(name: String, props: Map[String, String]) = {
+        val c = cat.createCollection(CollectionDef(name, Seq(
+          FieldDef("li_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("l_partkey", LongType),
+          FieldDef("l_quantity", DoubleType),
+          FieldDef("l_extendedprice", DoubleType),
+          FieldDef("l_returnflag", StringType)),
+          properties = props))
+        c.insert(s, rows)
+        c.compact(s)
+        c
+      }
+      (mk("cl_clustered", Map("clustering.key" -> "l_partkey",
+        "clustering.partitions" -> "32")),
+        mk("cl_plain", Map.empty))
+    })
+
   private val rangeBenchCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.Collection]()
 
@@ -5446,6 +5534,25 @@ object SparkEntry {
         val c = rangeBenchCollection(s, dir)
         CollectionSearch.searchIterator(s, c, "embedding",
           vecOf(s, dir, 7), 100)
+      },
+      // Clustering-compaction contrast pair: the same key-band
+      // aggregation over the range-clustered twin (parquet min/max
+      // prunes the out-of-band files — ~1/40 of the key domain) vs the
+      // default pk-sorted rewrite (every file's key range spans the
+      // domain; nothing prunes). Both exact; adjudicate on bytes_read.
+      "bench_clustered_scan" -> { (s, dir) =>
+        val (clustered, _) = clusteredBenchCollections(s, dir)
+        clustered.read(s)
+          .filter(col("l_partkey").between(1000L, 1500L))
+          .agg(count(lit(1)).as("rows"),
+            sum("l_extendedprice").as("revenue"))
+      },
+      "bench_clustered_scan_full" -> { (s, dir) =>
+        val (_, plain) = clusteredBenchCollections(s, dir)
+        plain.read(s)
+          .filter(col("l_partkey").between(1000L, 1500L))
+          .agg(count(lit(1)).as("rows"),
+            sum("l_extendedprice").as("revenue"))
       },
       "bench_iterator_page1_full" -> { (s, dir) =>
         import s.implicits._
@@ -6757,6 +6864,19 @@ object SparkEntry {
           |SELECT vec_id, CAST(row_number() OVER (ORDER BY dist, vec_id)
           |  AS INT) AS rank
           |FROM scored ORDER BY rank LIMIT 10""".stripMargin,
+      // GENUINE semantic oracle for clustering compaction: the
+      // key-band query over the mutated corpus (deletes dropped, the
+      // upsert's new key value winning); the physical-layout claim is
+      // carried by the Spark-side `clustered` flag, which is computed
+      // from per-file parquet ranges and must come back true.
+      "s51_clustering_compaction" ->
+        """WITH corpus AS (
+          |  SELECT o_orderkey, o_custkey FROM orders
+          |  WHERE o_orderkey % 50 != 3 AND o_orderkey != 1
+          |  UNION ALL SELECT CAST(1 AS BIGINT), CAST(150 AS BIGINT))
+          |SELECT o_orderkey, o_custkey, true AS clustered FROM corpus
+          |WHERE o_custkey BETWEEN 100 AND 200
+          |ORDER BY o_orderkey""".stripMargin,
       // GENUINE exact oracle for the cell-pruned HAMMING range search:
       // bit patterns re-derived from the bijective vec_id hash (v27),
       // the corpus mutated (min in-band pk != 11 deleted, 11 rewritten

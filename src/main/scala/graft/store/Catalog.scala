@@ -130,6 +130,29 @@ final case class CollectionDef(
       require(fd.dataType == LongType,
         s"ttl.field $f must be INT64 (epoch millis), got ${fd.dataType}")
     }
+    // Clustering key (the 2.5+ clustering-compaction surface): major
+    // compaction re-lays the base range-clustered on this scalar
+    // field, so key-filtered scans prune whole files by parquet
+    // min/max stats. Must be an orderable atomic field — range
+    // boundaries are sampled from its sort order.
+    properties.get("clustering.key").foreach { f =>
+      val fd = fields.find(_.name == f).getOrElse(throw
+        new IllegalArgumentException(
+          s"clustering.key references undeclared field $f"))
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType,
+        DoubleType, FloatType, StringType, TimestampType, DateType,
+        BooleanType).contains(fd.dataType),
+        s"clustering.key $f must be an orderable scalar, got ${fd.dataType}")
+    }
+    properties.get("clustering.partitions").foreach { n =>
+      val v = try n.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"clustering.partitions '$n' is not an integer")
+      }
+      require(v > 0, s"clustering.partitions must be positive, got $n")
+      require(properties.contains("clustering.key"),
+        "clustering.partitions requires clustering.key")
+    }
     // Functions arriving via createCollection (e.g. SchemaMatrix YAML)
     // must fail at create time, not on the first read inside
     // functionOutputColumns (where a missing/garbage 'dim' would

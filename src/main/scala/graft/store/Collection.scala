@@ -1706,16 +1706,40 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       val snapshot = assemble(spark, Seq.empty, None, None, keepInternals = true)
       val seq = catalog.nextSeq(name)
       val staging = dataDir.resolve(s"_staging_$seq")
-      snapshot
+      val stamped = snapshot
         .withColumn(SEQ, lit(seq))
         .withColumn(DEL, lit(false))
-        // Co-locate partitions for the full rewrite: one file per
-        // partition directory instead of tasks x partitions. Small DML
-        // deltas skip this (an extra shuffle per insert would tax the
-        // pressure path); compaction is where layout gets repaired.
-        .repartition(col(PART))
-        .sortWithinPartitions(d.primaryField.name)
-        .write.mode("overwrite").partitionBy(PART).parquet(staging.toString)
+      // Layout: the major fold is where physical order gets repaired.
+      // Default: co-locate partitions (one file per partition
+      // directory instead of tasks x partitions) and sort by pk. With
+      // a declared `clustering.key` (the 2.5+ clustering-compaction
+      // surface): RANGE-partition on (_part, key) and sort (key, pk)
+      // within tasks, so each output file covers a narrow key range
+      // and a key-filtered scan prunes whole files via parquet min/max
+      // — the columnar twin of the reference's clustering-compaction
+      // segment pruning. The unique-base fast path (assemble) skips
+      // the LWW window on the compacted base, so the key predicate
+      // reaches the scan. Small DML deltas skip both shuffles (an
+      // extra shuffle per insert would tax the pressure path); rows
+      // written since the last fold are unclustered until the next.
+      val laid = d.properties.get("clustering.key") match {
+        case Some(key) =>
+          // File-count control: `clustering.partitions` pins the range
+          // bucket count; unset, the shuffle default + AQE size the
+          // buckets by bytes (coalescing adjacent ranges preserves
+          // non-overlap — exactly the sizing you want at scale).
+          val ranged = d.properties.get("clustering.partitions") match {
+            case Some(n) =>
+              stamped.repartitionByRange(n.toInt, col(PART), col(key))
+            case None => stamped.repartitionByRange(col(PART), col(key))
+          }
+          ranged.sortWithinPartitions(col(PART), col(key),
+            col(d.primaryField.name))
+        case None =>
+          stamped.repartition(col(PART))
+            .sortWithinPartitions(d.primaryField.name)
+      }
+      laid.write.mode("overwrite").partitionBy(PART).parquet(staging.toString)
       // Stamp BEFORE the atomic move: the marker and the base become
       // visible together, so a reader can never see a marked
       // half-written directory. (Spark ignores `_`-prefixed files.)

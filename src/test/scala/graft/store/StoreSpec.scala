@@ -1355,4 +1355,70 @@ class StoreSpec extends SparkSpec {
     // committed deltas are never candidates
     assert(dataDir.listFiles().exists(_.getName.startsWith("delta_")))
   }
+
+  test("clustering compaction: key-clustered base files, pushed key filter, results invariant") {
+    val s = spark
+    import s.implicits._
+    // clustering.key must reference a declared, orderable scalar
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(
+        FieldDef("a", LongType, nullable = false, isPrimary = true)),
+        properties = Map("clustering.key" -> "nope")).validate()
+    }
+    intercept[IllegalArgumentException] {
+      CollectionDef("bad", Seq(
+        FieldDef("a", LongType, nullable = false, isPrimary = true),
+        FieldDef("v", ArrayType(FloatType), dim = Some(4))),
+        properties = Map("clustering.key" -> "v")).validate()
+    }
+    val cat = freshCatalog()
+    val c = cat.createCollection(CollectionDef("clust", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("k", LongType),
+      FieldDef("payload", StringType)),
+      properties = Map("clustering.key" -> "k",
+        "clustering.partitions" -> "8")))
+    // Insertion order interleaves keys (multiplicative hash), so the
+    // pre-compaction layout has every file spanning ~the whole key
+    // domain; only the clustered rewrite can narrow per-file ranges.
+    val rows = s.range(20000).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(1000L)).as("k"),
+      concat(lit("p"), col("id")).as("payload"))
+    c.insert(s, rows)
+    c.delete(s, "id % 100 == 7")
+    c.upsert(s, Seq((5L, 4242L, "five")).toDF("id", "k", "payload"))
+    def q(): Set[Long] = c.read(s).filter(col("k") === 42)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val before = q()
+    c.compact(s)
+    assert(q() == before, "clustered compaction changed query results")
+    assert(c.read(s).filter(col("k") === 4242).select("payload")
+      .collect().map(_.getString(0)).toSeq == Seq("five"))
+    // Physical clustering: per-file key ranges are non-overlapping
+    // except at range-partitioner boundaries (equal keys co-locate).
+    val dataDir = new java.io.File(cat.root, "clust/data")
+    val base = dataDir.listFiles().filter(_.getName.startsWith("delta_"))
+      .maxBy(_.getName)
+    val files = java.nio.file.Files.walk(base.toPath).iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_staging"))
+      .toSeq
+    assert(parquets.size > 1, s"need >1 base file, got ${parquets.size}")
+    val ranges = parquets.map { p =>
+      val r = s.read.parquet(p).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(lo2 >= hi,
+        s"overlapping clustered file ranges: [..,$hi] then [$lo2,..]")
+    case _ => ()
+    }
+    // The compacted base is unique (no LWW window), so the key
+    // predicate reaches the parquet scan as a pushed filter.
+    val plan = c.read(s).filter(col("k") === 42)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,42)"),
+      s"key filter not pushed to the clustered scan:\n$plan")
+  }
 }
