@@ -571,7 +571,13 @@ final class Catalog(val root: String) {
     val n = resolve(name)
     mutateDef(n) { d =>
       val (clears, sets) = props.partition(_._2.isEmpty)
-      d.copy(properties = d.properties -- clears.keys ++ sets)
+      val nd = d.copy(properties = d.properties -- clears.keys ++ sets)
+      // Property keys with schema obligations (ttl.field,
+      // clustering.key/partitions, quotas) must fail HERE, not on the
+      // first read/compact that consumes them — the same fail-at-DDL
+      // contract createCollection enforces.
+      nd.validate()
+      nd
     }
     // Properties change read semantics (e.g. ttl.field) — a loaded
     // handle's pinned snapshot baked the OLD semantics, so drop it;

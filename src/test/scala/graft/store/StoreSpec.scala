@@ -1420,5 +1420,35 @@ class StoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,42)"),
       s"key filter not pushed to the clustered scan:\n$plan")
+    // alter_collection_properties re-validates: a bad clustering key
+    // fails at the DDL call, not on the first compact consuming it —
+    // and a legitimate alter makes an UNclustered collection cluster
+    // on its next major fold.
+    intercept[IllegalArgumentException] {
+      cat.alterCollectionProperties("clust",
+        Map("clustering.key" -> "nope"))
+    }
+    val c2 = cat.createCollection(CollectionDef("clust2", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("k", LongType))))
+    c2.insert(s, s.range(4000).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(100L)).as("k")))
+    cat.alterCollectionProperties("clust2",
+      Map("clustering.key" -> "k", "clustering.partitions" -> "4"))
+    c2.compact(s)
+    val base2 = new java.io.File(cat.root, "clust2/data").listFiles()
+      .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
+    val walk2 = java.nio.file.Files.walk(base2.toPath).iterator()
+    val files2 = scala.jdk.CollectionConverters.IteratorHasAsScala(walk2)
+      .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val ranges2 = files2.map { p =>
+      val r = s.read.parquet(p).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges2.size > 1)
+    ranges2.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(lo2 >= hi, "post-alter compaction did not cluster")
+    case _ => ()
+    }
   }
 }
