@@ -1534,4 +1534,47 @@ object CollectionSearch {
     }
     kept.orderBy(col("score").desc, col(pk).asc).limit(batchSize)
   }
+
+  /** The single client-facing `search_iterator` entry point (pymilvus
+    * exposes ONE method regardless of vector family): dispatches on
+    * the vector field's STORAGE type — map<int,double> to the sparse
+    * posting route (query must be a `Map[Int, Double]`), binary to the
+    * Hamming route (`Array[Byte]`), dense arrays to the L2/COSINE/IP
+    * route (`Seq[Float]`) — exactly the type-directed routing
+    * [[graft.Functions.metricFor]] does for one-shot searches. A
+    * query value whose type does not match the field's family fails
+    * loudly here instead of as a deep Catalyst cast error.
+    */
+  def searchIteratorAny(
+      spark: SparkSession,
+      coll: Collection,
+      vecField: String,
+      query: Any,
+      batchSize: Int,
+      after: Option[(Double, Any)] = None,
+      filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
+      partitionNames: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, MapType}
+    val dt = coll.definition.fields.find(_.name == vecField)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such vector field $vecField")).dataType
+    (dt, query) match {
+      case (_: MapType, q: Map[_, _]) =>
+        searchIteratorSparse(spark, coll, vecField,
+          q.asInstanceOf[Map[Int, Double]], batchSize, after, filterExpr,
+          partitionNames)
+      case (BinaryType, q: Array[Byte]) =>
+        searchIteratorBinary(spark, coll, vecField, q, batchSize, after,
+          filterExpr, searchParams, outputFields, partitionNames)
+      case (_: org.apache.spark.sql.types.ArrayType, q: Seq[_]) =>
+        searchIterator(spark, coll, vecField,
+          q.asInstanceOf[Seq[Float]], batchSize, after, filterExpr,
+          searchParams, outputFields, partitionNames)
+      case _ => throw new IllegalArgumentException(
+        s"query ${query.getClass.getSimpleName} does not match " +
+          s"$vecField's storage type $dt")
+    }
+  }
 }

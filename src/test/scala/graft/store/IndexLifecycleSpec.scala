@@ -1316,6 +1316,43 @@ class IndexLifecycleSpec extends SparkSpec {
       "unindexed sparse iterator != postings-route pages")
   }
 
+  test("searchIteratorAny dispatches on storage type; mismatches fail loudly") {
+    val s = spark
+    import s.implicits._
+    val cat = new Catalog(Files.createTempDirectory("graft-itany").toString)
+    val c = cat.createCollection(CollectionDef("itany", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("dense", ArrayType(FloatType), dim = Some(4)),
+      FieldDef("svec", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType)),
+      FieldDef("bvec", org.apache.spark.sql.types.BinaryType,
+        dim = Some(16)))))
+    c.insert(s, (0L until 50L).map { i =>
+      (i, Seq(i.toFloat, 1f, 0f, 0f), Map((i % 5).toInt -> 1.0),
+        Array((i % 256).toByte, 0.toByte))
+    }.toDF("vec_id", "dense", "svec", "bvec"))
+    val dense = CollectionSearch.searchIteratorAny(s, c, "dense",
+      Seq(0f, 1f, 0f, 0f): Seq[Float], 5,
+      searchParams = Map("metric_type" -> "L2"))
+    assert(dense.count() == 5 &&
+      dense.columns.toSeq.startsWith(Seq("vec_id", "score")))
+    val sparse = CollectionSearch.searchIteratorAny(s, c, "svec",
+      Map(2 -> 1.0), 5)
+    assert(sparse.count() == 5 &&
+      sparse.select("vec_id").collect().forall(_.getLong(0) % 5 == 2))
+    val bin = CollectionSearch.searchIteratorAny(s, c, "bvec",
+      Array(3.toByte, 0.toByte), 5)
+    assert(bin.count() == 5)
+    intercept[IllegalArgumentException] {
+      CollectionSearch.searchIteratorAny(s, c, "svec",
+        Seq(1f, 2f): Seq[Float], 5)
+    }
+    intercept[IllegalArgumentException] {
+      CollectionSearch.searchIteratorAny(s, c, "nope", Map(1 -> 1.0), 5)
+    }
+  }
+
   test("search iterator: filtered pages exact; cursor resumes across catalog handles") {
     val s = spark
     import s.implicits._
