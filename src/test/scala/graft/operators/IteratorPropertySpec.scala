@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.nio.file.Files
+
+/** Property tests for the search-iterator keyset contract across all
+  * three vector families: over randomly generated corpora built from
+  * SMALL discrete value sets (so score ties are everywhere and the
+  * (score, pk) cursor tiebreak carries the whole ordering), pages of a
+  * random batch size must concatenate to EXACTLY the true global
+  * order — no gaps, no overlaps, no re-ranks — and resuming from an
+  * arbitrary mid-stream cursor must reproduce exactly the suffix.
+  * All fixture arithmetic is integer-exact in doubles, so driver-side
+  * expected orders equal the engine's codegen'd scores bit-for-bit.
+  * (Drives scalacheck Gen directly — the scalatestplus bridge isn't
+  * available offline, same pattern as ExprPropertySpec.)
+  */
+class IteratorPropertySpec extends SparkSpec {
+
+  private lazy val cat =
+    new Catalog(Files.createTempDirectory("graft-itprop").toString)
+  private var n = 0
+  private def freshName(): String = { n += 1; s"itp$n" }
+
+  private case class DenseRow(pk: Long, vec: Seq[Float])
+
+  private val denseCorpus: Gen[(List[DenseRow], Seq[Float], String, Int)] =
+    for {
+      size <- Gen.choose(30, 90)
+      // values from {-2..2}: L2 and IP collide constantly
+      vecs <- Gen.listOfN(size, Gen.listOfN(4,
+        Gen.choose(-2, 2).map(_.toFloat)))
+      q <- Gen.listOfN(4, Gen.choose(-2, 2).map(_.toFloat))
+      metric <- Gen.oneOf("L2", "IP")
+      batch <- Gen.choose(3, 17)
+    } yield (vecs.zipWithIndex.map { case (v, i) =>
+      DenseRow(i * 7L % size + size * (i / size), v) // distinct pks, shuffled
+    }.zipWithIndex.map { case (r, i) => DenseRow(i.toLong * 3 % size * 1000 + i, r.vec) },
+      q, metric, batch)
+
+  private def l2(a: Seq[Float], b: Seq[Float]): Double =
+    math.sqrt(a.zip(b).map { case (x, y) =>
+      (x.toDouble - y) * (x.toDouble - y) }.sum)
+  private def ip(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+
+  /** Page through an iterator to exhaustion; returns pk sequence. */
+  private def drain(simLike: Boolean, batch: Int,
+      page: Option[(Double, Any)] => Array[org.apache.spark.sql.Row],
+      resumeAt: Option[(Double, Any)] = None): Seq[Long] = {
+    var cursor: Option[(Double, Any)] = resumeAt
+    val out = Seq.newBuilder[Long]
+    var rows = page(cursor)
+    var guard = 0
+    while (rows.nonEmpty && guard < 200) {
+      out ++= rows.map(_.getLong(0))
+      cursor = Some((rows.last.getDouble(1), rows.last.getLong(0)))
+      // every non-final page is FULL (the keyset never starves a page)
+      rows = page(cursor)
+      guard += 1
+    }
+    out.result()
+  }
+
+  test("dense iterator: random tied corpora page to the exact order; mid-stream resume exact") {
+    val s = spark
+    import s.implicits._
+    (0 until 6).foreach { i =>
+      val (rows, q, metric, batch) = denseCorpus
+        .pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val distinct = rows.groupBy(_.pk).map(_._2.head).toSeq
+      val c = cat.createCollection(CollectionDef(freshName(), Seq(
+        FieldDef("pk", LongType, nullable = false, isPrimary = true),
+        FieldDef("v", ArrayType(FloatType), dim = Some(4)))))
+      c.insert(s, distinct.map(r => (r.pk, r.vec)).toDF("pk", "v"))
+      val simLike = metric == "IP"
+      val score: Seq[Float] => Double =
+        if (simLike) ip(_, q) else l2(_, q)
+      val expected = distinct.map(r => (r.pk, score(r.vec)))
+        .sortBy { case (pk, sc) => (if (simLike) -sc else sc, pk) }
+      def page(after: Option[(Double, Any)]) =
+        CollectionSearch.searchIterator(s, c, "v", q, batch, after = after,
+            searchParams = Map("metric_type" -> metric))
+          .orderBy(if (simLike) col("score").desc else col("score").asc,
+            col("pk").asc)
+          .select("pk", "score").collect()
+      val got = drain(simLike, batch, page)
+      assert(got == expected.map(_._1),
+        s"trial $i ($metric, batch $batch): pages != exact order")
+      // resume from a random mid-stream cursor: exact suffix
+      if (expected.size > 2) {
+        val cut = (i * 131 % (expected.size - 1)) + 1
+        val (cutPk, cutSc) = expected(cut - 1)
+        val suffix = drain(simLike, batch, page,
+          resumeAt = Some((cutSc, cutPk)))
+        assert(suffix == expected.drop(cut).map(_._1),
+          s"trial $i: mid-stream resume at $cut diverged")
+      }
+    }
+  }
+
+  test("binary + sparse iterators: random tied corpora page exactly; indexed == unindexed") {
+    val s = spark
+    import s.implicits._
+    (0 until 4).foreach { i =>
+      val (size, batch) = ((40 + i * 17) % 80 + 30, 5 + i * 3)
+      // binary: single byte from {0..7} — 8 distinct patterns, massive ties
+      val bins = (0 until size).map(j =>
+        (j.toLong, Array(((j * 2654435761L + i) % 8).toByte)))
+      val cb = cat.createCollection(CollectionDef(freshName(), Seq(
+        FieldDef("pk", LongType, nullable = false, isPrimary = true),
+        FieldDef("b", BinaryType, dim = Some(8)))))
+      cb.insert(s, bins.toDF("pk", "b"))
+      val qb = Array(3.toByte)
+      def ham(a: Byte): Int = Integer.bitCount((a ^ 3) & 0xff)
+      val expB = bins.map { case (pk, arr) => (pk, ham(arr(0))) }
+        .sortBy { case (pk, d) => (d, pk) }.map(_._1)
+      def pageB(after: Option[(Double, Any)]) =
+        CollectionSearch.searchIteratorAny(s, cb, "b", qb, batch,
+            after = after)
+          .orderBy(col("score").asc, col("pk").asc)
+          .select("pk", "score").collect()
+      assert(drain(simLike = false, batch, pageB) == expB,
+        s"binary trial $i: pages != exact Hamming order")
+      // sparse: dims {0..4}, weights {1..3}; only overlap docs iterate
+      val sps = (0 until size).map { j =>
+        val d1 = (j % 5, (j % 3 + 1).toDouble)
+        val d2 = ((j * 3 + 1) % 5, (j % 2 + 1).toDouble)
+        (j.toLong, Map(d1, d2))
+      }
+      val cs = cat.createCollection(CollectionDef(freshName(), Seq(
+        FieldDef("pk", LongType, nullable = false, isPrimary = true),
+        FieldDef("sv", MapType(IntegerType, DoubleType)))))
+      cs.insert(s, sps.toDF("pk", "sv"))
+      val qs = Map(1 -> 2.0, 3 -> 1.0)
+      val expS = sps.map { case (pk, m) =>
+        (pk, qs.map { case (d, w) => w * m.getOrElse(d, 0.0) }.sum) }
+        .filter(_._2 > 0)
+        .sortBy { case (pk, sc) => (-sc, pk) }.map(_._1)
+      def pageS(after: Option[(Double, Any)]) =
+        CollectionSearch.searchIteratorAny(s, cs, "sv", qs, batch,
+            after = after)
+          .orderBy(col("score").desc, col("pk").asc)
+          .select("pk", "score").collect()
+      assert(drain(simLike = true, batch, pageS) == expS,
+        s"sparse trial $i: pages != exact descending IP order")
+      // indexed route must produce the identical page stream
+      if (i == 0) {
+        cs.createIndex(s, IndexDef("sv", "SPARSE_INVERTED_INDEX",
+          Some("IP"), Map("buckets" -> "8")))
+        assert(drain(simLike = true, batch, pageS) == expS,
+          "indexed sparse iterator diverged from unindexed pages")
+        cb.createIndex(s, IndexDef("b", "BIN_IVF_FLAT", Some("HAMMING"),
+          Map("nlist" -> "4")))
+        assert(drain(simLike = false, batch, pageB) == expB,
+          "indexed binary iterator diverged from unindexed pages")
+      }
+    }
+  }
+}
