@@ -114,6 +114,19 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = if (c0 >= 0) (processCpuNs - c0) / 1e9 else -1.0
           val gc = (gcMs - g0) / 1e3
+          // The listener bus is async: sample the byte/row counters
+          // only once they stabilize (two identical reads 30ms apart,
+          // 500ms cap), or a late onTaskEnd leaks this rep's rows into
+          // the NEXT entry's delta — records_read is an adjudication
+          // metric, so committed counts must be attributable. Wall and
+          // cpu are sampled above, before the drain.
+          var prev = (bytesRead.get(), recordsRead.get())
+          var waited = 0
+          while (waited < 500) {
+            Thread.sleep(30); waited += 30
+            val cur = (bytesRead.get(), recordsRead.get())
+            if (cur == prev) waited = 500 else prev = cur
+          }
           val br = bytesRead.get() - b0
           val rr = recordsRead.get() - r0
           Some((wall, cpu, gc, br, rr))

@@ -2202,17 +2202,14 @@ object SparkEntry {
       c.compact(s)
       val base = new java.io.File(root.toFile, "ordc/data").listFiles()
         .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
-      val parquets = {
-        val walk = java.nio.file.Files.walk(base.toPath).iterator()
-        scala.jdk.CollectionConverters.IteratorHasAsScala(walk).asScala
-          .map(_.toString).filter(_.endsWith(".parquet")).toSeq
-      }
-      val ranges = parquets.map { p =>
-        val r = s.read.parquet(p)
-          .agg(min("o_custkey"), max("o_custkey")).head()
-        (r.getLong(0), r.getLong(1))
-      }.sortBy(_._1)
-      val clustered = parquets.size > 1 &&
+      // Per-file key ranges in ONE job, grouped on input_file_name —
+      // not one agg job per file.
+      val ranges = s.read.parquet(base.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val clustered = ranges.size > 1 &&
         ranges.sliding(2).forall {
           case Seq((_, hi), (lo2, _)) => lo2 >= hi
           case _ => true

@@ -407,21 +407,10 @@ object SparseInverted {
     * from the top-k route.
     */
   def scores(postingsDf: DataFrame, query: Map[Int, Double], idCol: String,
-      numBuckets: Int, filter: Option[Column] = None): DataFrame = {
-    val spark = postingsDf.sparkSession
-    import spark.implicits._
-    require(query.nonEmpty, "sparse query must have at least one dimension")
-    val dims = query.keys.toSeq.sorted
-    val buckets = queryBuckets(postingsDf, dims, numBuckets)
-    val qdf = query.toSeq.sortBy(_._1).toDF("_qdim", "_qval")
-    val pruned0 = postingsDf
-      .filter(col(BUCKET).isin(buckets: _*) && col(DIM).isin(dims: _*))
-    val pruned = filter.foldLeft(pruned0)(_ filter _)
-    pruned
-      .join(broadcast(qdf), col(DIM) === col("_qdim"))
+      numBuckets: Int, filter: Option[Column] = None): DataFrame =
+    joinedPostings(postingsDf, query, numBuckets, filter)
       .groupBy(col(idCol))
       .agg(sum(col(VAL) * col("_qval")).as("score"))
-  }
 
   /** [[scores]] with a DETERMINISTIC summation order (ascending dim).
     * The search iterator replays this frame on every page and its
@@ -435,7 +424,24 @@ object SparseInverted {
     */
   def scoresDeterministic(postingsDf: DataFrame, query: Map[Int, Double],
       idCol: String, numBuckets: Int,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None): DataFrame =
+    joinedPostings(postingsDf, query, numBuckets, filter)
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(DIM).as("d"),
+          (col(VAL) * col("_qval")).as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("score"))
+
+  /** The shared prune-and-join preamble of [[scores]] and
+    * [[scoresDeterministic]]: bucket filter (directory pruning on a
+    * persisted index) → dim filter (row groups) → broadcast join with
+    * the query's (dim, weight) pairs. Kept in ONE place so the top-k
+    * route and the iterator route can never desynchronize on the
+    * candidate set.
+    */
+  private def joinedPostings(postingsDf: DataFrame,
+      query: Map[Int, Double], numBuckets: Int,
+      filter: Option[Column]): DataFrame = {
     val spark = postingsDf.sparkSession
     import spark.implicits._
     require(query.nonEmpty, "sparse query must have at least one dimension")
@@ -445,12 +451,6 @@ object SparseInverted {
     val pruned0 = postingsDf
       .filter(col(BUCKET).isin(buckets: _*) && col(DIM).isin(dims: _*))
     val pruned = filter.foldLeft(pruned0)(_ filter _)
-    pruned
-      .join(broadcast(qdf), col(DIM) === col("_qdim"))
-      .groupBy(col(idCol))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col(DIM).as("d"),
-          (col(VAL) * col("_qval")).as("p")))),
-        lit(0.0), (acc, x) => acc + x.getField("p")).as("score"))
+    pruned.join(broadcast(qdf), col(DIM) === col("_qdim"))
   }
 }

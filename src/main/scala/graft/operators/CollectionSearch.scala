@@ -1484,6 +1484,15 @@ object CollectionSearch {
     * postings serve via [[IndexStore.serveSparse]], NO rebuild.
     * Unindexed collections page with exact scored scans restricted to
     * overlapping docs so both routes iterate the same set.
+    *
+    * `filterExpr` accepts the SAME expressions on both routes: the
+    * indexed route first tries compiling it against the postings frame
+    * (pk/_part predicates — zero extra jobs); an expression over doc
+    * columns the postings don't carry falls back to one filtered doc
+    * scan whose pks semi-join the postings BELOW the aggregate.
+    * `outputFields` join back on pk AFTER the page cut (batchSize
+    * rows). `searchParams` has no sparse tunables — an explicit
+    * metric_type must be IP, anything else rejects at the call.
     */
   def searchIteratorSparse(
       spark: SparkSession,
@@ -1493,9 +1502,13 @@ object CollectionSearch {
       batchSize: Int,
       after: Option[(Double, Any)] = None,
       filterExpr: String = "",
+      searchParams: Map[String, String] = Map.empty,
+      outputFields: Seq[String] = Seq.empty,
       partitionNames: Seq[String] = Seq.empty): DataFrame = {
     val d = coll.definition
     val pk = d.primaryField.name
+    searchParams.get("metric_type").foreach(m => require(
+      m.toUpperCase == "IP", s"sparse vectors support IP, not $m"))
     val sparseIx = d.indexes.find(ix => ix.field == vecField &&
       Set("SPARSE_INVERTED_INDEX", "SPARSE_WAND")
         .contains(ix.indexType.toUpperCase))
@@ -1508,11 +1521,20 @@ object CollectionSearch {
           .map(_.toInt).getOrElse(64)
         val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
         val postings = scoped(serve.postings)
-        val pred =
-          if (filterExpr.trim.isEmpty) None
-          else Some(MilvusExpr.compile(filterExpr, postings))
-        SparseInverted.scoresDeterministic(postings, query, pk,
-          serve.build.numBuckets, pred)
+        val postFiltered = filterExpr.trim match {
+          case "" => postings
+          case f =>
+            try postings.filter(MilvusExpr.compile(f, postings))
+            catch {
+              case _: Exception =>
+                val docs = coll.read(spark, partitionNames)
+                val pks = docs.filter(MilvusExpr.compile(f, docs))
+                  .select(pk)
+                postings.join(pks, Seq(pk), "left_semi")
+            }
+        }
+        SparseInverted.scoresDeterministic(postFiltered, query, pk,
+          serve.build.numBuckets, None)
       } else {
         val data = coll.read(spark, partitionNames)
         val pred =
@@ -1532,7 +1554,17 @@ object CollectionSearch {
         scored.filter(col("score") < lit(s0) ||
           (col("score") === lit(s0) && col(pk) > lit(p0)))
     }
-    kept.orderBy(col("score").desc, col(pk).asc).limit(batchSize)
+    val page = kept.orderBy(col("score").desc, col(pk).asc)
+      .limit(batchSize)
+    if (outputFields.isEmpty) page
+    else {
+      val extra = outputFields.filterNot(_ == pk).distinct
+      val docs = coll.read(spark, partitionNames)
+        .select((pk +: extra).map(col): _*)
+      page.join(docs, Seq(pk))
+        .select((col(pk) +: extra.map(col)) :+ col("score"): _*)
+        .orderBy(col("score").desc, col(pk).asc)
+    }
   }
 
   /** The single client-facing `search_iterator` entry point (pymilvus
@@ -1560,21 +1592,29 @@ object CollectionSearch {
     val dt = coll.definition.fields.find(_.name == vecField)
       .getOrElse(throw new IllegalArgumentException(
         s"no such vector field $vecField")).dataType
+    // Erasure leaves Map[_,_]/Seq[_] element types unchecked at the
+    // pattern match — verify the first element so a Map[String, _] or
+    // Seq[Double] fails HERE with the field named, not as a
+    // ClassCastException inside the scoring frame.
     (dt, query) match {
-      case (_: MapType, q: Map[_, _]) =>
+      case (_: MapType, q: Map[_, _])
+          if q.headOption.forall { case (k, v) =>
+            k.isInstanceOf[Int] && v.isInstanceOf[Double] } =>
         searchIteratorSparse(spark, coll, vecField,
           q.asInstanceOf[Map[Int, Double]], batchSize, after, filterExpr,
-          partitionNames)
+          searchParams, outputFields, partitionNames)
       case (BinaryType, q: Array[Byte]) =>
         searchIteratorBinary(spark, coll, vecField, q, batchSize, after,
           filterExpr, searchParams, outputFields, partitionNames)
-      case (_: org.apache.spark.sql.types.ArrayType, q: Seq[_]) =>
+      case (_: org.apache.spark.sql.types.ArrayType, q: Seq[_])
+          if q.headOption.forall(_.isInstanceOf[Float]) =>
         searchIterator(spark, coll, vecField,
           q.asInstanceOf[Seq[Float]], batchSize, after, filterExpr,
           searchParams, outputFields, partitionNames)
       case _ => throw new IllegalArgumentException(
         s"query ${query.getClass.getSimpleName} does not match " +
-          s"$vecField's storage type $dt")
+          s"$vecField's storage type $dt (sparse: Map[Int, Double], " +
+          "binary: Array[Byte], dense: Seq[Float])")
     }
   }
 }

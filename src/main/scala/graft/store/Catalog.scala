@@ -144,14 +144,16 @@ final case class CollectionDef(
         BooleanType).contains(fd.dataType),
         s"clustering.key $f must be an orderable scalar, got ${fd.dataType}")
     }
+    // clustering.partitions without a clustering.key is INERT (compact
+    // ignores it), not an error: clearing the key alone is the natural
+    // way to turn clustering off, and must not trip over a leftover
+    // bucket count.
     properties.get("clustering.partitions").foreach { n =>
       val v = try n.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"clustering.partitions '$n' is not an integer")
       }
       require(v > 0, s"clustering.partitions must be positive, got $n")
-      require(properties.contains("clustering.key"),
-        "clustering.partitions requires clustering.key")
     }
     // Functions arriving via createCollection (e.g. SchemaMatrix YAML)
     // must fail at create time, not on the first read inside
@@ -571,13 +573,7 @@ final class Catalog(val root: String) {
     val n = resolve(name)
     mutateDef(n) { d =>
       val (clears, sets) = props.partition(_._2.isEmpty)
-      val nd = d.copy(properties = d.properties -- clears.keys ++ sets)
-      // Property keys with schema obligations (ttl.field,
-      // clustering.key/partitions, quotas) must fail HERE, not on the
-      // first read/compact that consumes them — the same fail-at-DDL
-      // contract createCollection enforces.
-      nd.validate()
-      nd
+      d.copy(properties = d.properties -- clears.keys ++ sets)
     }
     // Properties change read semantics (e.g. ttl.field) — a loaded
     // handle's pinned snapshot baked the OLD semantics, so drop it;
@@ -589,7 +585,15 @@ final class Catalog(val root: String) {
   private[store] def mutateDef(name: String)(f: CollectionDef => CollectionDef): Unit =
     Catalog.metaLock(dir(name).toString).synchronized {
       val m = readMeta(name)
-      writeMeta(name, m.copy(d = f(m.d)))
+      val nd = f(m.d)
+      // EVERY definition mutation re-validates — not just the property
+      // merge: a dropField of the declared clustering.key / ttl.field
+      // / an indexed field must fail at the DDL call, not inside the
+      // first compact/read/search that consumes the dangling
+      // reference (the same fail-at-DDL contract createCollection
+      // enforces).
+      nd.validate()
+      writeMeta(name, m.copy(d = nd))
     }
 
   private[store] def collectionDir(name: String): StorePath = dir(name)

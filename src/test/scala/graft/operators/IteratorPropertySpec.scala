@@ -40,9 +40,11 @@ class IteratorPropertySpec extends SparkSpec {
       metric <- Gen.oneOf("L2", "IP")
       batch <- Gen.choose(3, 17)
     } yield (vecs.zipWithIndex.map { case (v, i) =>
-      DenseRow(i * 7L % size + size * (i / size), v) // distinct pks, shuffled
-    }.zipWithIndex.map { case (r, i) => DenseRow(i.toLong * 3 % size * 1000 + i, r.vec) },
-      q, metric, batch)
+      // pk = (3i mod size)*1000 + i: injective for size < 1000 (i is
+      // the residue mod 1000), non-monotone so insertion order never
+      // matches the pk tiebreak order.
+      DenseRow((i.toLong * 3 % size) * 1000 + i, v)
+    }, q, metric, batch)
 
   private def l2(a: Seq[Float], b: Seq[Float]): Double =
     math.sqrt(a.zip(b).map { case (x, y) =>
@@ -51,7 +53,7 @@ class IteratorPropertySpec extends SparkSpec {
     a.zip(b).map { case (x, y) => x.toDouble * y }.sum
 
   /** Page through an iterator to exhaustion; returns pk sequence. */
-  private def drain(simLike: Boolean, batch: Int,
+  private def drain(
       page: Option[(Double, Any)] => Array[org.apache.spark.sql.Row],
       resumeAt: Option[(Double, Any)] = None): Seq[Long] = {
     var cursor: Option[(Double, Any)] = resumeAt
@@ -61,7 +63,6 @@ class IteratorPropertySpec extends SparkSpec {
     while (rows.nonEmpty && guard < 200) {
       out ++= rows.map(_.getLong(0))
       cursor = Some((rows.last.getDouble(1), rows.last.getLong(0)))
-      // every non-final page is FULL (the keyset never starves a page)
       rows = page(cursor)
       guard += 1
     }
@@ -90,15 +91,14 @@ class IteratorPropertySpec extends SparkSpec {
           .orderBy(if (simLike) col("score").desc else col("score").asc,
             col("pk").asc)
           .select("pk", "score").collect()
-      val got = drain(simLike, batch, page)
+      val got = drain(page)
       assert(got == expected.map(_._1),
         s"trial $i ($metric, batch $batch): pages != exact order")
       // resume from a random mid-stream cursor: exact suffix
       if (expected.size > 2) {
         val cut = (i * 131 % (expected.size - 1)) + 1
         val (cutPk, cutSc) = expected(cut - 1)
-        val suffix = drain(simLike, batch, page,
-          resumeAt = Some((cutSc, cutPk)))
+        val suffix = drain(page, resumeAt = Some((cutSc, cutPk)))
         assert(suffix == expected.drop(cut).map(_._1),
           s"trial $i: mid-stream resume at $cut diverged")
       }
@@ -126,7 +126,7 @@ class IteratorPropertySpec extends SparkSpec {
             after = after)
           .orderBy(col("score").asc, col("pk").asc)
           .select("pk", "score").collect()
-      assert(drain(simLike = false, batch, pageB) == expB,
+      assert(drain(pageB) == expB,
         s"binary trial $i: pages != exact Hamming order")
       // sparse: dims {0..4}, weights {1..3}; only overlap docs iterate
       val sps = (0 until size).map { j =>
@@ -148,17 +148,17 @@ class IteratorPropertySpec extends SparkSpec {
             after = after)
           .orderBy(col("score").desc, col("pk").asc)
           .select("pk", "score").collect()
-      assert(drain(simLike = true, batch, pageS) == expS,
+      assert(drain(pageS) == expS,
         s"sparse trial $i: pages != exact descending IP order")
       // indexed route must produce the identical page stream
       if (i == 0) {
         cs.createIndex(s, IndexDef("sv", "SPARSE_INVERTED_INDEX",
           Some("IP"), Map("buckets" -> "8")))
-        assert(drain(simLike = true, batch, pageS) == expS,
+        assert(drain(pageS) == expS,
           "indexed sparse iterator diverged from unindexed pages")
         cb.createIndex(s, IndexDef("b", "BIN_IVF_FLAT", Some("HAMMING"),
           Map("nlist" -> "4")))
-        assert(drain(simLike = false, batch, pageB) == expB,
+        assert(drain(pageB) == expB,
           "indexed binary iterator diverged from unindexed pages")
       }
     }

@@ -1239,7 +1239,8 @@ class IndexLifecycleSpec extends SparkSpec {
       FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
       FieldDef("svec", org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.DoubleType)))))
+        org.apache.spark.sql.types.DoubleType)),
+      FieldDef("tag", org.apache.spark.sql.types.StringType))))
     def svecOf(i: Long): Map[Int, Double] = {
       val w = (i % 5 + 1).toDouble
       Map((i % 7).toInt -> w, (i % 11 + 7).toInt -> w,
@@ -1247,7 +1248,8 @@ class IndexLifecycleSpec extends SparkSpec {
     }
     val ids = Tables.load(s, sfDir, "embeddings").select("vec_id")
       .collect().map(_.getLong(0)).toSeq
-    c.insert(s, ids.map(i => (i, svecOf(i))).toDF("vec_id", "svec"))
+    c.insert(s, ids.map(i => (i, svecOf(i),
+      if (i % 2 == 0) "even" else "odd")).toDF("vec_id", "svec", "tag"))
     c.createIndex(s, IndexDef("svec", "SPARSE_INVERTED_INDEX", Some("IP"),
       Map("buckets" -> "16")))
     val sealedSeq = IndexStore.describe(c, "svec").get("built_seq")
@@ -1314,6 +1316,26 @@ class IndexLifecycleSpec extends SparkSpec {
     }
     assert(pages2.flatten == pages.flatten,
       "unindexed sparse iterator != postings-route pages")
+    // Doc-column filter on the POSTINGS route (postings carry no
+    // `tag`): the compile fallback semi-joins the filtered doc pks
+    // below the aggregate; outputFields join back after the page cut.
+    val expEven = c.read(s).select("vec_id", "svec", "tag").collect()
+      .map(r => (r.getLong(0), ip(r.getMap[Int, Double](1).toMap),
+        r.getString(2)))
+      .filter(t => t._2 > 0 && t._3 == "even")
+      .sortBy { case (id, sc, _) => (-sc, id) }.take(10).map(_._1).toSeq
+    val fPage = CollectionSearch.searchIteratorSparse(s, c, "svec", q, 10,
+        filterExpr = "tag == \"even\"", outputFields = Seq("tag"))
+      .orderBy(col("score").desc, col("vec_id").asc).collect()
+    assert(fPage.map(_.getLong(0)).toSeq == expEven,
+      "doc-column-filtered sparse page != filtered exact order")
+    assert(fPage.forall(_.getString(1) == "even"))
+    assert(fPage.head.schema.fieldNames.toSeq ==
+      Seq("vec_id", "tag", "score"))
+    intercept[IllegalArgumentException] {
+      CollectionSearch.searchIteratorSparse(s, c, "svec", q, 5,
+        searchParams = Map("metric_type" -> "L2"))
+    }
   }
 
   test("searchIteratorAny dispatches on storage type; mismatches fail loudly") {

@@ -1396,19 +1396,18 @@ class StoreSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("five"))
     // Physical clustering: per-file key ranges are non-overlapping
     // except at range-partitioner boundaries (equal keys co-locate).
-    val dataDir = new java.io.File(cat.root, "clust/data")
-    val base = dataDir.listFiles().filter(_.getName.startsWith("delta_"))
-      .maxBy(_.getName)
-    val files = java.nio.file.Files.walk(base.toPath).iterator()
-    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
-      .asScala.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("_staging"))
-      .toSeq
-    assert(parquets.size > 1, s"need >1 base file, got ${parquets.size}")
-    val ranges = parquets.map { p =>
-      val r = s.read.parquet(p).agg(min("k"), max("k")).head()
-      (r.getLong(0), r.getLong(1))
-    }.sortBy(_._1)
+    // Per-file key ranges in ONE job (grouped on input_file_name).
+    def fileRanges(dataDir: java.io.File): Seq[(Long, Long)] = {
+      val base = dataDir.listFiles()
+        .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
+      s.read.parquet(base.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("k").as("lo"), max("k").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    }
+    val ranges = fileRanges(new java.io.File(cat.root, "clust/data"))
+    assert(ranges.size > 1, s"need >1 base file, got ${ranges.size}")
     ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
       assert(lo2 >= hi,
         s"overlapping clustered file ranges: [..,$hi] then [$lo2,..]")
@@ -1436,19 +1435,19 @@ class StoreSpec extends SparkSpec {
     cat.alterCollectionProperties("clust2",
       Map("clustering.key" -> "k", "clustering.partitions" -> "4"))
     c2.compact(s)
-    val base2 = new java.io.File(cat.root, "clust2/data").listFiles()
-      .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
-    val walk2 = java.nio.file.Files.walk(base2.toPath).iterator()
-    val files2 = scala.jdk.CollectionConverters.IteratorHasAsScala(walk2)
-      .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
-    val ranges2 = files2.map { p =>
-      val r = s.read.parquet(p).agg(min("k"), max("k")).head()
-      (r.getLong(0), r.getLong(1))
-    }.sortBy(_._1)
+    val ranges2 = fileRanges(new java.io.File(cat.root, "clust2/data"))
     assert(ranges2.size > 1)
     ranges2.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
       assert(lo2 >= hi, "post-alter compaction did not cluster")
     case _ => ()
     }
+    // Clearing the key alone turns clustering off — a leftover
+    // clustering.partitions is inert, not an error.
+    cat.alterCollectionProperties("clust2", Map("clustering.key" -> ""))
+    c2.insert(s, Seq((999999L, 1L)).toDF("id", "k")): Unit
+    c2.compact(s)
+    assert(c2.read(s).count() == 4001)
+    // dropField of a consumed property field fails at the DDL call.
+    intercept[IllegalArgumentException] { c.dropField("k") }
   }
 }
