@@ -5408,6 +5408,41 @@ object SparkEntry {
             .map { case (id, v) => (id.toString, v) },
           radius = 1.35, rangeFilter = Some(1.25))
           .groupBy("qid").agg(count(lit(1)).as("hits"))
+      case "cluster" =>
+        // Clustering-compaction probe (round-12): the clustered major
+        // fold is O(table) BY DESIGN — a re-layout rewrite through one
+        // range shuffle — so the honest ratio expectation is ~linear
+        // fold wall for x-fold rows (the leveled policy bounds how
+        // often the fold runs; write amplification follows ingested
+        // bytes). The key domain scales with the copies
+        // (content-distinct, tier discipline) and clustering.partitions
+        // scales 32x (bounded-file-size contract), so the closing band
+        // scan touches a CONSTANT number of in-band rows while the
+        // table grows x-fold — though the entry's records_read is
+        // fold-dominated; the scan-side pruning claim is adjudicated
+        // by the bench_clustered_scan / _full contrast pair.
+        val cat = new Catalog(java.nio.file.Files
+          .createTempDirectory(s"graft-scale-cluster-$x").toString)
+        val c = cat.createCollection(CollectionDef("cl", Seq(
+          FieldDef("li_id", LongType, nullable = false, isPrimary = true),
+          FieldDef("l_partkey", LongType),
+          FieldDef("l_extendedprice", DoubleType)),
+          properties = Map("clustering.key" -> "l_partkey",
+            "clustering.partitions" -> (32 * x).toString)))
+        val base = tbl(s, dir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber"))
+              .cast("long").as("li_id"),
+            col("l_partkey").cast("long").as("l_partkey"),
+            col("l_extendedprice").cast("double").as("l_extendedprice"))
+        val rows = (0 until x).map(i => base.select(
+          (col("li_id") + lit(i.toLong * 100000000L)).as("li_id"),
+          (col("l_partkey") + lit(i.toLong * 20000L)).as("l_partkey"),
+          col("l_extendedprice"))).reduce(_ unionByName _)
+        c.insert(s, rows)
+        c.compact(s)
+        c.read(s).filter(col("l_partkey").between(1000L, 1500L))
+          .agg(count(lit(1)).as("rows"),
+            sum("l_extendedprice").as("revenue"))
       case "bm25serve" =>
         val cat = new Catalog(java.nio.file.Files
           .createTempDirectory(s"graft-scale-bm25-$x").toString)
@@ -5449,6 +5484,8 @@ object SparkEntry {
       "bench_scaleprobe_hnsw_scaled" -> scaleProbe("hnsw", scaleX),
       "bench_scaleprobe_range_base" -> scaleProbe("range", 1),
       "bench_scaleprobe_range_scaled" -> scaleProbe("range", scaleX),
+      "bench_scaleprobe_cluster_base" -> scaleProbe("cluster", 1),
+      "bench_scaleprobe_cluster_scaled" -> scaleProbe("cluster", scaleX),
       "bench_topk10" -> knnSweep(10),
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
