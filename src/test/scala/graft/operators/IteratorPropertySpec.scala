@@ -52,19 +52,31 @@ class IteratorPropertySpec extends SparkSpec {
   private def ip(a: Seq[Float], b: Seq[Float]): Double =
     a.zip(b).map { case (x, y) => x.toDouble * y }.sum
 
-  /** Page through an iterator to exhaustion; returns pk sequence. */
+  /** Page through an iterator to exhaustion; returns pk sequence.
+    * Also asserts the page-size guarantee: every page but the last is
+    * FULL — a keyset that starves a page mid-stream (filters applied
+    * after the cut, off-by-one cursor bounds) would show here.
+    */
   private def drain(
       page: Option[(Double, Any)] => Array[org.apache.spark.sql.Row],
       resumeAt: Option[(Double, Any)] = None): Seq[Long] = {
     var cursor: Option[(Double, Any)] = resumeAt
+    val sizes = Seq.newBuilder[Int]
     val out = Seq.newBuilder[Long]
     var rows = page(cursor)
     var guard = 0
     while (rows.nonEmpty && guard < 200) {
+      sizes += rows.length
       out ++= rows.map(_.getLong(0))
       cursor = Some((rows.last.getDouble(1), rows.last.getLong(0)))
       rows = page(cursor)
       guard += 1
+    }
+    val ss = sizes.result()
+    if (ss.size > 1) {
+      val full = ss.head
+      assert(ss.init.forall(_ == full),
+        s"a non-final page starved: sizes $ss")
     }
     out.result()
   }
