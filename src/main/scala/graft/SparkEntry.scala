@@ -2173,6 +2173,47 @@ object SparkEntry {
             .orderBy(col("score").asc, col("vec_id").asc)).as("rank"))
         .orderBy("rank")
     },
+    // ---- V64: BANDED search iterator (the pymilvus search_iterator
+    // radius / range_filter params): pages walk the L2 band
+    // range_filter <= d < radius in exact score order to EXHAUSTION —
+    // the final short page and the empty page after it pin the band
+    // boundary; the band applies inside the scoring frame, so the
+    // page-1 probe budget's tau is the band's own batchSize-th score
+    // and deep pages keep the far-side cell prune. ------------------
+    "v64_iterator_range" -> { (s, dir) =>
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-v64").toString)
+      val c = cat.createCollection(CollectionDef("rit", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+        Map("nlist" -> "8")))
+      val q = vecOf(s, dir, 7)
+      var cursor: Option[(Double, Any)] = None
+      var rows = Vector.empty[(Long, Int, Int)]
+      var page = 0
+      var done = false
+      while (!done && page < 50) {
+        val p = CollectionSearch.searchIterator(s, c, "embedding", q, 10,
+            after = cursor, searchParams = Map("metric_type" -> "L2",
+              "radius" -> "1.35", "range_filter" -> "1.25"))
+          .orderBy(col("score").asc, col("vec_id").asc)
+          .select("vec_id", "score").collect()
+        if (p.isEmpty) done = true
+        else {
+          page += 1
+          rows = rows ++ p.zipWithIndex.map { case (r, i) =>
+            (r.getLong(0), rows.size + i + 1, page) }
+          cursor = Some((p.last.getDouble(1), p.last.getLong(0)))
+        }
+      }
+      import s.implicits._
+      rows.toDF("vec_id", "rank", "page")
+        .select(col("vec_id"), col("rank").cast("int").as("rank"),
+          col("page").cast("int").as("page"))
+        .orderBy("rank")
+    },
     // ---- S51: clustering compaction (the 2.5+ clustering-key
     // surface): the major fold re-lays the base RANGE-clustered on the
     // declared scalar key, so a key-band query prunes whole files via
@@ -6935,6 +6976,19 @@ object SparkEntry {
           |WHERE bit_count(xor(b, (7 * 2654435761) % 4294967296))
           |        BETWEEN 10 AND 13
           |ORDER BY vec_id""".stripMargin,
+      // GENUINE exact oracle for the BANDED search iterator: every
+      // band member ranked in true L2 order (pk tiebreak), paged by
+      // tens — the iterator must reproduce the full band and nothing
+      // past it.
+      "v64_iterator_range" ->
+        s"""SELECT vec_id, CAST(row_number() OVER (
+           |    ORDER BY d, vec_id) AS INT) AS rank,
+           |  CAST(ceil(row_number() OVER (ORDER BY d, vec_id) / 10.0)
+           |    AS INT) AS page
+           |FROM (SELECT vec_id,
+           |    list_distance(embedding::DOUBLE[], ${qvec.format(7)}) AS d
+           |  FROM embeddings)
+           |WHERE d >= 1.25 AND d < 1.35 ORDER BY rank""".stripMargin,
       // GENUINE exact oracle for radius-inside-search(): the 10
       // nearest band members in true L2 order.
       "v59_search_with_radius" ->

@@ -1134,6 +1134,23 @@ object CollectionSearch {
         scored.filter(beyond ||
           (col("score") === lit(s0) && col(pk) > lit(p0)))
     }
+    // Banded iteration (the pymilvus search_iterator radius /
+    // range_filter params): pages walk only scores inside the band —
+    // L2: range_filter <= d < radius; IP/COSINE: radius < s <=
+    // range_filter (the range-search family's own conventions). The
+    // band applies INSIDE score(), so the page-1 probe budget stays
+    // exact: the collected probe top is the band's top, tau is the
+    // band's batchSize-th score, and phase 2's could-beat bound is
+    // conservative for any subset of the scored frame.
+    val radius = searchParams.get("radius").map(_.toDouble)
+    val rangeFilter = searchParams.get("range_filter").map(_.toDouble)
+    def band(df: DataFrame): DataFrame = {
+      val outer = radius.map(r =>
+        if (simLike) col("score") > lit(r) else col("score") < lit(r))
+      val inner = rangeFilter.map(f =>
+        if (simLike) col("score") <= lit(f) else col("score") >= lit(f))
+      (outer.toSeq ++ inner.toSeq).foldLeft(df)(_ filter _)
+    }
     def score(data: DataFrame): DataFrame = {
       val pred =
         if (filterExpr.trim.isEmpty) None
@@ -1142,9 +1159,9 @@ object CollectionSearch {
       val (sc, _) = graft.Functions.metricFor(m,
         data.schema(vecField).dataType, col(vecField), col("qvec"))
       val cols = (pk +: outputFields).distinct.map(col)
-      pred.foldLeft(data.filter(col(vecField).isNotNull))(_ filter _)
+      band(pred.foldLeft(data.filter(col(vecField).isNotNull))(_ filter _)
         .crossJoin(broadcast(qdf))
-        .select((col("qid") +: cols) :+ sc.as("score"): _*)
+        .select((col("qid") +: cols) :+ sc.as("score"): _*))
     }
     val scored =
       if (denseDeclared && Set("L2", "COSINE", "IP").contains(m)) {
@@ -1393,17 +1410,27 @@ object CollectionSearch {
         scored.filter(col("score") > lit(s0) ||
           (col("score") === lit(s0) && col(pk) > lit(p0)))
     }
+    // Banded iteration (radius / range_filter params; Hamming is
+    // distance-like: range_filter <= d < radius). Applied inside
+    // score(), so the probe-budget tau is the band's own — see the
+    // dense route's note.
+    val radius = searchParams.get("radius").map(_.toDouble)
+    val rangeFilter = searchParams.get("range_filter").map(_.toDouble)
+    def band(df: DataFrame): DataFrame =
+      (radius.map(r => col("score") < lit(r)).toSeq ++
+        rangeFilter.map(f => col("score") >= lit(f)).toSeq)
+        .foldLeft(df)(_ filter _)
     def score(data: DataFrame): DataFrame = {
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, data))
       val qdf = Seq(("q", queryBytes)).toDF("qid", "_qbytes")
       val cols = (pk +: outputFields).distinct.map(col)
-      pred.foldLeft(data.filter(col(vecField).isNotNull))(_ filter _)
+      band(pred.foldLeft(data.filter(col(vecField).isNotNull))(_ filter _)
         .crossJoin(broadcast(qdf))
         .select((col("qid") +: cols) :+
           graft.Functions.hammingDistance(col(vecField), col("_qbytes"))
-            .cast("double").as("score"): _*)
+            .cast("double").as("score"): _*))
     }
     val scored =
       if (binIvfDeclared) {
@@ -1491,8 +1518,9 @@ object CollectionSearch {
     * columns the postings don't carry falls back to one filtered doc
     * scan whose pks semi-join the postings BELOW the aggregate.
     * `outputFields` join back on pk AFTER the page cut (batchSize
-    * rows). `searchParams` has no sparse tunables — an explicit
-    * metric_type must be IP, anything else rejects at the call.
+    * rows). `searchParams`: an explicit metric_type must be IP
+    * (anything else rejects at the call); radius / range_filter bound
+    * the iteration to the similarity band radius < s <= range_filter.
     */
   def searchIteratorSparse(
       spark: SparkSession,
@@ -1548,10 +1576,17 @@ object CollectionSearch {
           .select(col(pk), graft.Functions.sparseIp(col(vecField), qv)
             .as("score"))
       }
+    // Banded iteration (radius / range_filter; sparse IP is
+    // similarity-like: radius < s <= range_filter).
+    val banded = (searchParams.get("radius").map(r =>
+        col("score") > lit(r.toDouble)).toSeq ++
+      searchParams.get("range_filter").map(f =>
+        col("score") <= lit(f.toDouble)).toSeq)
+      .foldLeft(scored)(_ filter _)
     val kept = after match {
-      case None => scored
+      case None => banded
       case Some((s0, p0)) =>
-        scored.filter(col("score") < lit(s0) ||
+        banded.filter(col("score") < lit(s0) ||
           (col("score") === lit(s0) && col(pk) > lit(p0)))
     }
     val page = kept.orderBy(col("score").desc, col(pk).asc)
