@@ -114,6 +114,32 @@ class IteratorPropertySpec extends SparkSpec {
         assert(suffix == expected.drop(cut).map(_._1),
           s"trial $i: mid-stream resume at $cut diverged")
       }
+      // banded iteration: pick the band from the score distribution's
+      // interior quantiles (band edges land ON tied scores, stressing
+      // the strict/inclusive boundary conventions), expect exactly the
+      // model's band members in order.
+      val scoresSorted = expected.map(_._2)
+      if (scoresSorted.distinct.size > 3) {
+        val lo = scoresSorted(expected.size / 4)
+        val hi = scoresSorted(3 * expected.size / 4)
+        // L2 (ascending): range_filter <= d < radius with rf=lo, r=hi;
+        // IP (descending): radius < s <= range_filter with r=hi (the
+        // deeper score — the sorted seq descends for IP so lo >= hi),
+        // rf=lo (the page-1 score side). Same assignment either way.
+        val params = Map("metric_type" -> metric,
+          "radius" -> hi.toString, "range_filter" -> lo.toString)
+        val expBand = expected.filter { case (_, sc) =>
+          if (simLike) sc > hi && sc <= lo else sc >= lo && sc < hi
+        }.map(_._1)
+        def bandPage(after: Option[(Double, Any)]) =
+          CollectionSearch.searchIterator(s, c, "v", q, batch,
+              after = after, searchParams = params)
+            .orderBy(if (simLike) col("score").desc else col("score").asc,
+              col("pk").asc)
+            .select("pk", "score").collect()
+        assert(drain(bandPage) == expBand,
+          s"trial $i ($metric): banded pages != exact band members")
+      }
     }
   }
 
