@@ -2194,8 +2194,11 @@ object SparkEntry {
       var rows = Vector.empty[(Long, Int, Int)]
       var page = 0
       var done = false
+      // Pages of 100 keep the page-job count SF-robust (the band holds
+      // ~117 members at sf0.01, ~1.2k at sf0.1 — pages of 10 cost 50+
+      // driver-bound jobs at the bench SF for no extra coverage).
       while (!done && page < 50) {
-        val p = CollectionSearch.searchIterator(s, c, "embedding", q, 10,
+        val p = CollectionSearch.searchIterator(s, c, "embedding", q, 100,
             after = cursor, searchParams = Map("metric_type" -> "L2",
               "radius" -> "1.35", "range_filter" -> "1.25"))
           .orderBy(col("score").asc, col("vec_id").asc)
@@ -6983,7 +6986,7 @@ object SparkEntry {
       "v64_iterator_range" ->
         s"""SELECT vec_id, CAST(row_number() OVER (
            |    ORDER BY d, vec_id) AS INT) AS rank,
-           |  CAST(ceil(row_number() OVER (ORDER BY d, vec_id) / 10.0)
+           |  CAST(ceil(row_number() OVER (ORDER BY d, vec_id) / 100.0)
            |    AS INT) AS page
            |FROM (SELECT vec_id,
            |    list_distance(embedding::DOUBLE[], ${qvec.format(7)}) AS d
