@@ -188,6 +188,32 @@ class IteratorPropertySpec extends SparkSpec {
           .select("pk", "score").collect()
       assert(drain(pageS) == expS,
         s"sparse trial $i: pages != exact descending IP order")
+      // banded pages on the distance/similarity families: edges on
+      // tied scores (small discrete sets), drained pages == the exact
+      // band members.
+      val hamBand = bins.map { case (pk, arr) => (pk, ham(arr(0))) }
+        .filter { case (_, d) => d >= 1 && d < 3 }
+        .sortBy { case (pk, d) => (d, pk) }.map(_._1)
+      def pageBBand(after: Option[(Double, Any)]) =
+        CollectionSearch.searchIteratorBinary(s, cb, "b", qb, batch,
+            after = after, searchParams = Map(
+              "radius" -> "3", "range_filter" -> "1"))
+          .orderBy(col("score").asc, col("pk").asc)
+          .select("pk", "score").collect()
+      assert(drain(pageBBand) == hamBand,
+        s"binary trial $i: banded pages != exact band")
+      val spBand = sps.map { case (pk, m) =>
+        (pk, qs.map { case (d, w) => w * m.getOrElse(d, 0.0) }.sum) }
+        .filter { case (_, sc) => sc > 2.0 && sc <= 5.0 }
+        .sortBy { case (pk, sc) => (-sc, pk) }.map(_._1)
+      def pageSBand(after: Option[(Double, Any)]) =
+        CollectionSearch.searchIteratorSparse(s, cs, "sv", qs, batch,
+            after = after, searchParams = Map(
+              "radius" -> "2.0", "range_filter" -> "5.0"))
+          .orderBy(col("score").desc, col("pk").asc)
+          .select("pk", "score").collect()
+      assert(drain(pageSBand) == spBand,
+        s"sparse trial $i: banded pages != exact band")
       // indexed route must produce the identical page stream
       if (i == 0) {
         cs.createIndex(s, IndexDef("sv", "SPARSE_INVERTED_INDEX",
@@ -198,6 +224,12 @@ class IteratorPropertySpec extends SparkSpec {
           Map("nlist" -> "4")))
         assert(drain(pageB) == expB,
           "indexed binary iterator diverged from unindexed pages")
+        // the banded pages too: the band must survive the cell-pruned
+        // and postings routes unchanged
+        assert(drain(pageBBand) == hamBand,
+          "indexed binary band diverged from unindexed pages")
+        assert(drain(pageSBand) == spBand,
+          "indexed sparse band diverged from unindexed pages")
       }
     }
   }
