@@ -214,6 +214,34 @@ class IteratorPropertySpec extends SparkSpec {
           .select("pk", "score").collect()
       assert(drain(pageSBand) == spBand,
         s"sparse trial $i: banded pages != exact band")
+      // partition-scoped pages: a partitioned twin iterates only its
+      // partition's docs — through the unindexed scan AND the
+      // _part-carrying postings route (directory-pruned). Unscoped
+      // inserts route pk % len(partitions) across the declared
+      // partitions (the engine's documented reference semantic), so
+      // "podd" holds exactly the odd pks.
+      if (i == 1) {
+        val cp = cat.createCollection(CollectionDef(freshName(), Seq(
+          FieldDef("pk", LongType, nullable = false, isPrimary = true),
+          FieldDef("sv", MapType(IntegerType, DoubleType))),
+          partitions = Seq("peven", "podd")))
+        cp.insert(s, sps.toDF("pk", "sv"))
+        val expOdd = sps.filter(_._1 % 2 == 1).map { case (pk, m) =>
+          (pk, qs.map { case (d, w) => w * m.getOrElse(d, 0.0) }.sum) }
+          .filter(_._2 > 0)
+          .sortBy { case (pk, sc) => (-sc, pk) }.map(_._1)
+        def pageScoped(after: Option[(Double, Any)]) =
+          CollectionSearch.searchIteratorSparse(s, cp, "sv", qs, batch,
+              after = after, partitionNames = Seq("podd"))
+            .orderBy(col("score").desc, col("pk").asc)
+            .select("pk", "score").collect()
+        assert(drain(pageScoped) == expOdd,
+          "partition-scoped sparse pages != the partition's exact order")
+        cp.createIndex(s, IndexDef("sv", "SPARSE_INVERTED_INDEX",
+          Some("IP"), Map("buckets" -> "8")))
+        assert(drain(pageScoped) == expOdd,
+          "indexed partition-scoped sparse pages diverged")
+      }
       // indexed route must produce the identical page stream
       if (i == 0) {
         cs.createIndex(s, IndexDef("sv", "SPARSE_INVERTED_INDEX",
