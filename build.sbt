@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-readable JSON lines that an
+// outer wrapper parses from the stdout TAIL. sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] " and
+// appends a "[success] Total time: ..." epilogue AFTER the program's
+// last line — so a wrapper scanning for a trailing bare JSON line
+// never finds one (every BENCH_r1-r12 artifact read `parsed: null`).
+// Pass child stdout through verbatim and drop the success epilogue,
+// making the program's own last line the process's last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task —
+// silence the false-positive unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,7 +105,27 @@ object Bench {
       // Per rep: (wall, process-cpu, gc, bytes-read) — all seconds except
       // bytes. Report the min-wall rep's tuple so the stats correspond to
       // the wall we publish.
+      // The listener bus is async: sample the byte/row counters only
+      // once they stabilize (two identical reads 30ms apart, 500ms
+      // cap), or a late onTaskEnd leaks one rep's rows into another
+      // entry's delta — records_read is an adjudication metric, so
+      // committed counts must be attributable.
+      def drainListener(): Unit = {
+        var prev = (bytesRead.get(), recordsRead.get())
+        var waited = 0
+        while (waited < 500) {
+          Thread.sleep(30); waited += 30
+          val cur = (bytesRead.get(), recordsRead.get())
+          if (cur == prev) waited = 500 else prev = cur
+        }
+      }
       val times = (1 to reps).flatMap { _ =>
+        // Drain BEFORE sampling the baselines, not only on the success
+        // path: a FAILED rep skips any post-run drain, and its late
+        // async onTaskEnd events would otherwise leak into this rep's
+        // b0/r0 — the exact cross-attribution the drain exists to
+        // prevent.
+        drainListener()
         val t0 = System.nanoTime(); val c0 = processCpuNs
         val g0 = gcMs; val b0 = bytesRead.get()
         val r0 = recordsRead.get()
@@ -114,19 +134,9 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = if (c0 >= 0) (processCpuNs - c0) / 1e9 else -1.0
           val gc = (gcMs - g0) / 1e3
-          // The listener bus is async: sample the byte/row counters
-          // only once they stabilize (two identical reads 30ms apart,
-          // 500ms cap), or a late onTaskEnd leaks this rep's rows into
-          // the NEXT entry's delta — records_read is an adjudication
-          // metric, so committed counts must be attributable. Wall and
-          // cpu are sampled above, before the drain.
-          var prev = (bytesRead.get(), recordsRead.get())
-          var waited = 0
-          while (waited < 500) {
-            Thread.sleep(30); waited += 30
-            val cur = (bytesRead.get(), recordsRead.get())
-            if (cur == prev) waited = 500 else prev = cur
-          }
+          // Wall and cpu are sampled above, before this rep's own
+          // closing drain.
+          drainListener()
           val br = bytesRead.get() - b0
           val rr = recordsRead.get() - r0
           Some((wall, cpu, gc, br, rr))
@@ -140,8 +150,6 @@ object Bench {
       name -> (if (times.nonEmpty) times.minBy(_._1)
                else (-1.0, -1.0, -1.0, -1L, -1L))
     }
-    val qs = results.map { case (k, (w, _, _, _, _)) => "\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, (w, _, _, _, _)) if w >= 0 => w }.sum
     // IO-stall self-diagnosis: entries whose GC-ADJUSTED cpu/wall ratio
     // sits far below the suite median were waiting (cold page cache, disk
@@ -172,10 +180,22 @@ object Bench {
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f",
         Double.box(v))
+    // ONE stats map per entry (round-13: the pre-fold artifact carried
+    // the same 350+ keys twice — bare walls under `queries` plus full
+    // stats under `entry_stats`; wall now lives only here, and
+    // tools/check_oracle.py's bench lint gates the schema). Entries
+    // that measure more than a wall (the QPS steady-state bench)
+    // publish extra numeric stats via SparkEntry.benchExtras, merged
+    // into their entry_stats object.
     val statsJson = entryStats.map { case (k, w, c, g, b, rr, _) =>
+      val extras = Option(SparkEntry.benchExtras.get(k))
+        .map(_.toSeq.sortBy(_._1)
+          .map { case (ek, ev) => ",\"" + ek + "\":" + num(ev, 3) }
+          .mkString)
+        .getOrElse("")
       "\"" + k + "\":{\"wall\":" + num(w, 3) + ",\"cpu\":" + num(c, 3) +
         ",\"gc\":" + num(g, 3) + ",\"bytes_read\":" + b +
-        ",\"records_read\":" + rr + "}"
+        ",\"records_read\":" + rr + extras + "}"
     }.mkString("{", ",", "}")
     val ioJson = ioSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The 1-min load averages make load-distorted runs self-evident in
@@ -195,7 +215,7 @@ object Bench {
         s""","warning":"load1m ${num(loadStart, 2)}->${num(loadEnd, 2)} during run: timings are load-contaminated, re-measure on a quiet machine""""
       else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart,"cpu_wall_median":${num(medianRatio, 2)},"io_suspect":$ioJson,"entry_stats":$statsJson$warning}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","entries":${results.size},"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart,"cpu_wall_median":${num(medianRatio, 2)},"io_suspect":$ioJson,"entry_stats":$statsJson$warning}"""
     println(line)
     // Lossless copy for the driver: stdout tail-capture has truncated
     // the per-query head before (round 6); the file always has it all.

@@ -1077,6 +1077,33 @@ object CollectionSearch {
     }
   }
 
+  /** Parse + cross-validate the iterator band params. pymilvus
+    * rejects malformed radius/range_filter at call time; before
+    * round 13 an inverted band (e.g. L2 with range_filter >= radius)
+    * silently yielded empty pages and a non-numeric value surfaced as
+    * a bare NumberFormatException. Valid band relationship per metric
+    * direction — L2/HAMMING (distance): range_filter < radius;
+    * IP/COSINE (similarity): radius < range_filter.
+    */
+  private def bandParams(searchParams: Map[String, String],
+      simLike: Boolean): (Option[Double], Option[Double]) = {
+    def num(key: String): Option[Double] = searchParams.get(key).map { v =>
+      try v.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"search param $key must be numeric, got '$v'")
+      }
+    }
+    val radius = num("radius")
+    val rangeFilter = num("range_filter")
+    for (r <- radius; f <- rangeFilter)
+      require(if (simLike) r < f else f < r,
+        if (simLike)
+          s"invalid similarity band: radius ($r) must be < range_filter ($f)"
+        else
+          s"invalid distance band: range_filter ($f) must be < radius ($r)")
+    (radius, rangeFilter)
+  }
+
   /** SEARCH ITERATOR page (the pymilvus `search_iterator` shape, the
     * collection-level sibling of [[graft.operators.ElementSearch
     * .searchIteratorElements]]): EXACT deep kNN pagination in score
@@ -1142,8 +1169,7 @@ object CollectionSearch {
     // exact: the collected probe top is the band's top, tau is the
     // band's batchSize-th score, and phase 2's could-beat bound is
     // conservative for any subset of the scored frame.
-    val radius = searchParams.get("radius").map(_.toDouble)
-    val rangeFilter = searchParams.get("range_filter").map(_.toDouble)
+    val (radius, rangeFilter) = bandParams(searchParams, simLike)
     def band(df: DataFrame): DataFrame = {
       val outer = radius.map(r =>
         if (simLike) col("score") > lit(r) else col("score") < lit(r))
@@ -1414,8 +1440,7 @@ object CollectionSearch {
     // distance-like: range_filter <= d < radius). Applied inside
     // score(), so the probe-budget tau is the band's own — see the
     // dense route's note.
-    val radius = searchParams.get("radius").map(_.toDouble)
-    val rangeFilter = searchParams.get("range_filter").map(_.toDouble)
+    val (radius, rangeFilter) = bandParams(searchParams, simLike = false)
     def band(df: DataFrame): DataFrame =
       (radius.map(r => col("score") < lit(r)).toSeq ++
         rangeFilter.map(f => col("score") >= lit(f)).toSeq)
@@ -1578,10 +1603,9 @@ object CollectionSearch {
       }
     // Banded iteration (radius / range_filter; sparse IP is
     // similarity-like: radius < s <= range_filter).
-    val banded = (searchParams.get("radius").map(r =>
-        col("score") > lit(r.toDouble)).toSeq ++
-      searchParams.get("range_filter").map(f =>
-        col("score") <= lit(f.toDouble)).toSeq)
+    val (spRadius, spRangeFilter) = bandParams(searchParams, simLike = true)
+    val banded = (spRadius.map(r => col("score") > lit(r)).toSeq ++
+      spRangeFilter.map(f => col("score") <= lit(f)).toSeq)
       .foldLeft(scored)(_ filter _)
     val kept = after match {
       case None => banded
@@ -1624,32 +1648,44 @@ object CollectionSearch {
       outputFields: Seq[String] = Seq.empty,
       partitionNames: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, MapType}
-    val dt = coll.definition.fields.find(_.name == vecField)
+    val fd = coll.definition.fields.find(_.name == vecField)
       .getOrElse(throw new IllegalArgumentException(
-        s"no such vector field $vecField")).dataType
+        s"no such vector field $vecField"))
+    val dt = fd.dataType
     // Erasure leaves Map[_,_]/Seq[_] element types unchecked at the
     // pattern match — verify the first element so a Map[String, _] or
     // Seq[Double] fails HERE with the field named, not as a
-    // ClassCastException inside the scoring frame.
+    // ClassCastException inside the scoring frame. Empty queries are
+    // rejected outright (headOption.forall is vacuously true on an
+    // empty query, which would otherwise slip through and score every
+    // L2 distance as 0 via zip truncation), and a dense query must
+    // match the field's declared dim — pymilvus rejects dim
+    // mismatches at call time, and a short query would silently score
+    // a truncated prefix.
     (dt, query) match {
       case (_: MapType, q: Map[_, _])
-          if q.headOption.forall { case (k, v) =>
+          if q.nonEmpty && q.forall { case (k, v) =>
             k.isInstanceOf[Int] && v.isInstanceOf[Double] } =>
         searchIteratorSparse(spark, coll, vecField,
           q.asInstanceOf[Map[Int, Double]], batchSize, after, filterExpr,
           searchParams, outputFields, partitionNames)
       case (BinaryType, q: Array[Byte]) =>
+        require(q.nonEmpty, s"empty binary query for $vecField")
         searchIteratorBinary(spark, coll, vecField, q, batchSize, after,
           filterExpr, searchParams, outputFields, partitionNames)
       case (_: org.apache.spark.sql.types.ArrayType, q: Seq[_])
-          if q.headOption.forall(_.isInstanceOf[Float]) =>
+          if q.nonEmpty && q.forall(_.isInstanceOf[Float]) =>
+        fd.dim.foreach(d => require(q.length == d,
+          s"query dim ${q.length} does not match $vecField's declared " +
+            s"dim $d"))
         searchIterator(spark, coll, vecField,
           q.asInstanceOf[Seq[Float]], batchSize, after, filterExpr,
           searchParams, outputFields, partitionNames)
       case _ => throw new IllegalArgumentException(
         s"query ${query.getClass.getSimpleName} does not match " +
-          s"$vecField's storage type $dt (sparse: Map[Int, Double], " +
-          "binary: Array[Byte], dense: Seq[Float])")
+          s"$vecField's storage type $dt (sparse: non-empty " +
+          "Map[Int, Double], binary: non-empty Array[Byte], dense: " +
+          "Seq[Float] of the declared dim)")
     }
   }
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.store.Collection
+import org.apache.spark.sql.{Row, SparkSession}
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Resumable search-iterator handle with `iterator_cp_file`
+  * checkpointing — the crash-resume contract the reference applies to
+  * BOTH iterator kinds (milvus_client/query_iterator.py:104-163; the
+  * search iterator shares the cp-file plumbing): the exact
+  * `(score, pk)` keyset cursor is persisted after each fully
+  * materialized page, atomically (temp file + move), so a NEW handle
+  * pointed at the same file resumes after the last completed page —
+  * across JVM restarts or a crash mid-scan. Pages come from
+  * [[CollectionSearch.searchIteratorAny]], so every vector family
+  * (dense / binary / sparse, banded or not) resumes identically.
+  *
+  * The checkpoint carries a signature of (collection identity, field,
+  * query, batchSize, filter, params), so a file written for one scan
+  * cannot silently resume a different one — same guard as
+  * [[QueryIterator]].
+  */
+final class SearchIterator(
+    spark: SparkSession,
+    coll: Collection,
+    vecField: String,
+    query: Any,
+    batchSize: Int,
+    filterExpr: String = "",
+    searchParams: Map[String, String] = Map.empty,
+    outputFields: Seq[String] = Seq.empty,
+    partitionNames: Seq[String] = Seq.empty,
+    checkpointFile: Option[String] = None) {
+
+  private val pkName = coll.definition.primaryField.name
+
+  // Iteration order: similarity metrics page score-DESCENDING,
+  // distance metrics ASCENDING — must match the keyset direction the
+  // underlying iterator routes use, or the persisted cursor would
+  // re-serve or skip rows on resume.
+  private val simLike: Boolean = {
+    val declared = coll.definition.indexes.find(_.field == vecField)
+      .flatMap(_.metricType)
+    val m = searchParams.get("metric_type").orElse(declared)
+      .getOrElse(query match {
+        case _: Map[_, _] => "IP" // sparse default
+        case _: Array[Byte] => "HAMMING"
+        case _ => "COSINE"
+      }).toUpperCase
+    Set("IP", "COSINE", "BM25").contains(m)
+  }
+
+  private val sig: String = {
+    val qRepr = query match {
+      case m: Map[_, _] =>
+        m.toSeq.map { case (k, v) => s"$k:$v" }.sorted.mkString(",")
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case s: Seq[_] => s.mkString(",")
+      case other => String.valueOf(other)
+    }
+    val raw = Seq(coll.catalog.root.toString, coll.name, vecField, qRepr,
+      batchSize.toString, filterExpr,
+      searchParams.toSeq.sorted.mkString(";"),
+      partitionNames.mkString(",")).mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  private var cursor: Option[(Double, Any)] = loadCheckpoint()
+  private var exhausted = false
+
+  def hasNext: Boolean = !exhausted
+
+  /** Next page of up to `batchSize` rows in exact score order (empty
+    * when the scan is complete). Advances and checkpoints only after
+    * the page is fully materialized — a crash mid-page re-serves the
+    * whole page on resume, never half of it.
+    */
+  def next(): Seq[Row] = {
+    if (exhausted) return Seq.empty
+    val page = CollectionSearch.searchIteratorAny(spark, coll, vecField,
+        query, batchSize, after = cursor, filterExpr, searchParams,
+        outputFields, partitionNames)
+      .collect().toSeq
+    if (page.isEmpty) { exhausted = true; Seq.empty }
+    else {
+      val ordered = page.sortBy { r =>
+        val s = r.getDouble(r.fieldIndex("score"))
+        (if (simLike) -s else s, pkOrd(r))
+      }
+      val last = ordered.last
+      cursor = Some((last.getDouble(last.fieldIndex("score")),
+        last.get(last.fieldIndex(pkName))))
+      saveCheckpoint()
+      ordered
+    }
+  }
+
+  private def pkOrd(r: Row): String = r.get(r.fieldIndex(pkName)) match {
+    // Sort key for the pk tiebreak within one page: numeric pks pad to
+    // fixed width so lexicographic order equals numeric order.
+    case l: Long => f"$l%020d"
+    case i: Int => f"$i%020d"
+    case s: String => s
+    case other => String.valueOf(other)
+  }
+
+  /** Drop the checkpoint (after a fully consumed scan). */
+  def clearCheckpoint(): Unit =
+    checkpointFile.foreach(f => Files.deleteIfExists(Paths.get(f)))
+
+  private def saveCheckpoint(): Unit = checkpointFile.foreach { f =>
+    val (s, p) = cursor.get
+    // Double.toString is shortest-round-trip exact in Java, so the
+    // resumed cursor score cannot drift an ulp from the in-memory one.
+    val body =
+      s"""{"sig": "$sig", "score": $s, "pk": ${pkJson(p)}}"""
+    val tmp = Paths.get(f + ".tmp")
+    Files.write(tmp, body.getBytes)
+    Files.move(tmp, Paths.get(f), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def pkJson(v: Any): String = v match {
+    case s: String =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other => other.toString
+  }
+
+  private def loadCheckpoint(): Option[(Double, Any)] =
+    checkpointFile.flatMap { f =>
+      val p = Paths.get(f)
+      if (!Files.exists(p)) None
+      else {
+        val body = new String(Files.readAllBytes(p))
+        val fileSig =
+          "\"sig\": \"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+        if (!fileSig.contains(sig))
+          throw new IllegalStateException(
+            s"checkpoint $f was written for a different search " +
+              s"(sig ${fileSig.orNull} != $sig)")
+        val score = "\"score\": ([^,]+),".r.findFirstMatchIn(body)
+          .map(_.group(1).trim.toDouble)
+        val pk = "\"pk\": (.+)}".r.findFirstMatchIn(body)
+          .map(_.group(1).trim).map { s =>
+            if (s.startsWith("\""))
+              s.substring(1, s.length - 1)
+                .replace("\\\"", "\"").replace("\\\\", "\\"): Any
+            else s.toLong: Any
+          }
+        for (sc <- score; pv <- pk) yield (sc, pv)
+      }
+    }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.store.{Catalog, CollectionDef, FieldDef, IndexDef}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** The search-iterator checkpoint-file contract (v65) plus the
+  * round-13 call-time guards: crash-resume from the persisted
+  * (score, pk) cursor must reproduce the uninterrupted page sequence
+  * exactly; a checkpoint written for a different search must be
+  * rejected; malformed queries and bands must fail loudly at the call
+  * site, never as silent empty pages or deep Catalyst errors.
+  */
+class SearchIteratorHandleSpec extends SparkSpec {
+
+  private lazy val cat =
+    new Catalog(Files.createTempDirectory("graft-sihs").toString)
+
+  private def denseCollection(name: String) = {
+    val s = spark
+    import s.implicits._
+    val c = cat.createCollection(CollectionDef(name, Seq(
+      FieldDef("pk", LongType, nullable = false, isPrimary = true),
+      FieldDef("v", ArrayType(FloatType), dim = Some(4)))))
+    // Integer coordinates with dense ties: score order is exact in
+    // doubles and the pk tiebreak carries most of the ordering.
+    c.insert(s, (0L until 60L).map(i =>
+      (i * 37 % 60 * 100 + i,
+        Seq((i % 3).toFloat, (i % 5).toFloat, (i % 2).toFloat, 1.0f)))
+      .toDF("pk", "v"))
+    c
+  }
+
+  private def pks(rows: Seq[org.apache.spark.sql.Row]): Seq[Long] =
+    rows.map(r => r.getLong(r.fieldIndex("pk")))
+
+  test("checkpoint file resume reproduces the uninterrupted pages exactly") {
+    val s = spark
+    val c = denseCollection("cp1")
+    val q = Seq(1.0f, 2.0f, 0.0f, 1.0f)
+    val params = Map("metric_type" -> "L2")
+    val ref = new SearchIterator(s, c, "v", q, 7, searchParams = params)
+    val refPages = Iterator.continually(pks(ref.next()))
+      .takeWhile(_.nonEmpty).toList
+    val cp = Files.createTempDirectory("graft-sihs-cp")
+      .resolve("cp.json").toString
+    // Crash after every prefix length: each run consumes k pages
+    // through a fresh handle chain and the concatenation must equal
+    // the uninterrupted sequence.
+    (1 until refPages.size).foreach { k =>
+      Files.deleteIfExists(java.nio.file.Paths.get(cp))
+      val h1 = new SearchIterator(s, c, "v", q, 7,
+        searchParams = params, checkpointFile = Some(cp))
+      val prefix = (0 until k).map(_ => pks(h1.next()))
+      // h1 discarded here — the simulated crash.
+      val h2 = new SearchIterator(s, c, "v", q, 7,
+        searchParams = params, checkpointFile = Some(cp))
+      val suffix = Iterator.continually(pks(h2.next()))
+        .takeWhile(_.nonEmpty).toList
+      assert((prefix ++ suffix) == refPages,
+        s"crash after page $k: resumed pages diverged")
+    }
+  }
+
+  test("sparse checkpoint resume through the family dispatch") {
+    val s = spark
+    import s.implicits._
+    val c = cat.createCollection(CollectionDef("cpsp", Seq(
+      FieldDef("pk", LongType, nullable = false, isPrimary = true),
+      FieldDef("sv", MapType(IntegerType, DoubleType)))))
+    c.insert(s, (0L until 40L).map(i =>
+      (i, Map((i % 4).toInt -> (i % 3 + 1).toDouble))).toDF("pk", "sv"))
+    val q = Map(0 -> 2.0, 1 -> 1.0, 2 -> 3.0)
+    val cp = Files.createTempDirectory("graft-sihs-sp")
+      .resolve("cp.json").toString
+    val ref = new SearchIterator(s, c, "sv", q, 6)
+    val refPages = Iterator.continually(pks(ref.next()))
+      .takeWhile(_.nonEmpty).toList
+    val h1 = new SearchIterator(s, c, "sv", q, 6, checkpointFile = Some(cp))
+    val first = pks(h1.next())
+    val h2 = new SearchIterator(s, c, "sv", q, 6, checkpointFile = Some(cp))
+    val rest = Iterator.continually(pks(h2.next()))
+      .takeWhile(_.nonEmpty).toList
+    assert((first +: rest) == refPages)
+  }
+
+  test("a checkpoint written for a different search is rejected") {
+    val s = spark
+    val c = denseCollection("cp2")
+    val cp = Files.createTempDirectory("graft-sihs-sig")
+      .resolve("cp.json").toString
+    val h1 = new SearchIterator(s, c, "v", Seq(1.0f, 2.0f, 0.0f, 1.0f), 7,
+      searchParams = Map("metric_type" -> "L2"), checkpointFile = Some(cp))
+    h1.next()
+    val e = intercept[IllegalStateException] {
+      new SearchIterator(s, c, "v", Seq(0.0f, 0.0f, 1.0f, 1.0f), 7,
+        searchParams = Map("metric_type" -> "L2"),
+        checkpointFile = Some(cp))
+    }
+    assert(e.getMessage.contains("different search"))
+  }
+
+  test("call-time guards: empty / wrong-dim queries and inverted bands fail loudly") {
+    val s = spark
+    val c = denseCollection("cp3")
+    // empty dense query (would otherwise score every L2 distance 0
+    // via zip truncation)
+    intercept[IllegalArgumentException] {
+      CollectionSearch.searchIteratorAny(s, c, "v", Seq.empty[Float], 5)
+    }
+    // dense dim mismatch vs the declared dim
+    val dimErr = intercept[IllegalArgumentException] {
+      CollectionSearch.searchIteratorAny(s, c, "v", Seq(1.0f, 2.0f), 5)
+    }
+    assert(dimErr.getMessage.contains("dim"))
+    // empty sparse query
+    intercept[IllegalArgumentException] {
+      CollectionSearch.searchIteratorAny(s, c, "v", Map.empty[Int, Double], 5)
+    }
+    // inverted L2 band: range_filter must be < radius
+    val bandErr = intercept[IllegalArgumentException] {
+      CollectionSearch.searchIterator(s, c, "v",
+        Seq(1.0f, 2.0f, 0.0f, 1.0f), 5,
+        searchParams = Map("metric_type" -> "L2",
+          "radius" -> "1.0", "range_filter" -> "2.0")).collect()
+    }
+    assert(bandErr.getMessage.contains("band"))
+    // non-numeric band value: descriptive, not a bare
+    // NumberFormatException
+    val numErr = intercept[IllegalArgumentException] {
+      CollectionSearch.searchIterator(s, c, "v",
+        Seq(1.0f, 2.0f, 0.0f, 1.0f), 5,
+        searchParams = Map("metric_type" -> "L2",
+          "radius" -> "wide")).collect()
+    }
+    assert(numErr.getMessage.contains("radius"))
+  }
+}

@@ -99,4 +99,53 @@ class CompactionPropertySpec extends SparkSpec {
       check("after the final major fold")
     }
   }
+
+  test("altering clustering.key re-lays the next major fold on the new key") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-reclust")
+    val cat = new Catalog(root.toString)
+    val c = cat.createCollection(CollectionDef("rl", Seq(
+      FieldDef("id", LongType, nullable = false, isPrimary = true),
+      FieldDef("knum", LongType),
+      FieldDef("kstr", StringType)),
+      properties = Map("clustering.key" -> "knum",
+        "clustering.partitions" -> "8")))
+    // knum and kstr orders DISAGREE non-monotonically (kstr is a
+    // modular-permutation scramble of knum — a reversal would keep
+    // knum-contiguous files kstr-contiguous too), so a base laid on
+    // one key provably violates non-overlap on the other — the
+    // re-fold must physically re-lay, not keep the old layout.
+    c.insert(s, (0L until 4000L).map(i =>
+      (i, i % 97, f"s${(i % 97) * 31 % 97}%03d")).toDF("id", "knum", "kstr"))
+    def ranges(key: String): Seq[(String, String)] = {
+      val base = new java.io.File(root.toFile, "rl/data").listFiles()
+        .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
+      s.read.parquet(base.toString)
+        .groupBy(org.apache.spark.sql.functions.input_file_name())
+        .agg(org.apache.spark.sql.functions.min(col(key)).cast("string")
+            .as("lo"),
+          org.apache.spark.sql.functions.max(col(key)).cast("string")
+            .as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2))).sorted.toSeq
+    }
+    def nonOverlapping(rs: Seq[(String, String)]): Boolean =
+      rs.size > 1 && rs.sliding(2).forall {
+        case Seq((_, hi), (lo2, _)) => lo2 >= hi
+        case _ => true
+      }
+    c.compact(s)
+    assert(nonOverlapping(ranges("knum")),
+      "first fold must range-cluster on knum")
+    assert(!nonOverlapping(ranges("kstr")),
+      "fixture broken: a knum layout should NOT be clustered on kstr")
+    cat.alterCollectionProperties("rl", Map("clustering.key" -> "kstr"))
+    // The altered key only takes effect at the NEXT major fold; force
+    // one (a no-delta compact is a no-op, so write a tiny delta).
+    c.insert(s, Seq((999999L, 0L, "s000")).toDF("id", "knum", "kstr")): Unit
+    c.compact(s)
+    assert(nonOverlapping(ranges("kstr")),
+      "re-fold after alter must range-cluster on the NEW key")
+    assert(c.read(s).count() == 4001L)
+  }
 }

@@ -78,4 +78,35 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({len(got)} rows)")
         n_pass += 1
 print(f"\n{n_pass} pass / {n_fail} fail")
+
+# Bench-artifact schema lint (round-13 fold): the artifact carries ONE
+# stats map — entry_stats, with wall/cpu/gc/bytes_read/records_read per
+# entry — and the `entries` count must equal its coverage so a partial
+# or drifted artifact fails loudly instead of reading as "covered".
+bench_path = sys.argv[3] if len(sys.argv) > 3 else \
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "bench_last.json")
+if os.path.exists(bench_path):
+    b = json.load(open(bench_path))
+    stats = b.get("entry_stats", {})
+    required = {"wall", "cpu", "gc", "bytes_read", "records_read"}
+    problems = []
+    if "queries" in b:
+        problems.append("legacy top-level 'queries' map present "
+                        "(pre-fold schema)")
+    if b.get("entries") != len(stats):
+        problems.append(f"entries={b.get('entries')} != "
+                        f"len(entry_stats)={len(stats)}")
+    for k, v in stats.items():
+        missing = required - set(v)
+        if missing:
+            problems.append(f"{k}: missing stats {sorted(missing)}")
+            break
+    if problems:
+        print(f"BENCH LINT FAIL ({bench_path}): " + "; ".join(problems))
+        n_fail += 1
+    else:
+        print(f"BENCH LINT PASS ({bench_path}: {len(stats)} entries, "
+              "one stats map)")
+
 sys.exit(1 if n_fail else 0)
