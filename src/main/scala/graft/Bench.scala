@@ -119,7 +119,13 @@ object Bench {
           if (cur == prev) waited = 500 else prev = cur
         }
       }
-      val times = (1 to reps).flatMap { _ =>
+      // Fixed-duration steady-state windows (the QPS entries) run ONE
+      // rep: their wall IS the configured window, so min-of-N
+      // re-measures nothing, doubles the suite cost, and leaves the
+      // published extras (QPS/percentiles, overwritten per rep) from a
+      // DIFFERENT rep than the published min wall.
+      val entryReps = if (name.startsWith("bench_qps_")) 1 else reps
+      val times = (1 to entryReps).flatMap { _ =>
         // Drain BEFORE sampling the baselines, not only on the success
         // path: a FAILED rep skips any post-run drain, and its late
         // async onTaskEnd events would otherwise leak into this rep's
@@ -146,7 +152,7 @@ object Bench {
             None
         }
       }
-      if (times.size < reps) failures ::= name
+      if (times.size < entryReps) failures ::= name
       name -> (if (times.nonEmpty) times.minBy(_._1)
                else (-1.0, -1.0, -1.0, -1L, -1L))
     }
