@@ -87,6 +87,55 @@ class SearchIteratorHandleSpec extends SparkSpec {
     assert((first +: rest) == refPages)
   }
 
+  test("banded checkpoint resume pages exactly the band") {
+    val s = spark
+    val c = denseCollection("cpband")
+    val q = Seq(1.0f, 2.0f, 0.0f, 1.0f)
+    // An interior L2 band over the tied fixture: boundary scores land
+    // on ties, so the resume must hold the strict/inclusive edge
+    // conventions AND the pk tiebreak through the persisted cursor.
+    val params = Map("metric_type" -> "L2",
+      "radius" -> "2.5", "range_filter" -> "1.0")
+    val ref = new SearchIterator(s, c, "v", q, 5, searchParams = params)
+    val refPages = Iterator.continually(pks(ref.next()))
+      .takeWhile(_.nonEmpty).toList
+    assert(refPages.nonEmpty, "fixture broken: empty band")
+    val cp = Files.createTempDirectory("graft-sihs-band")
+      .resolve("cp.json").toString
+    val h1 = new SearchIterator(s, c, "v", q, 5,
+      searchParams = params, checkpointFile = Some(cp))
+    val first = pks(h1.next())
+    val h2 = new SearchIterator(s, c, "v", q, 5,
+      searchParams = params, checkpointFile = Some(cp))
+    val rest = Iterator.continually(pks(h2.next()))
+      .takeWhile(_.nonEmpty).toList
+    assert((first +: rest) == refPages,
+      "banded file-resume diverged from the uninterrupted band pages")
+  }
+
+  test("binary checkpoint resume through the family dispatch") {
+    val s = spark
+    import s.implicits._
+    val c = cat.createCollection(CollectionDef("cpbin", Seq(
+      FieldDef("pk", LongType, nullable = false, isPrimary = true),
+      FieldDef("bv", BinaryType))))
+    c.insert(s, (0L until 50L).map(i =>
+      (i, Array(((i * 37) % 256).toByte, ((i * 11) % 256).toByte)))
+      .toDF("pk", "bv"))
+    val q: Array[Byte] = Array(0x2a.toByte, 0x15.toByte)
+    val cp = Files.createTempDirectory("graft-sihs-bin")
+      .resolve("cp.json").toString
+    val ref = new SearchIterator(s, c, "bv", q, 8)
+    val refPages = Iterator.continually(pks(ref.next()))
+      .takeWhile(_.nonEmpty).toList
+    val h1 = new SearchIterator(s, c, "bv", q, 8, checkpointFile = Some(cp))
+    val first = pks(h1.next())
+    val h2 = new SearchIterator(s, c, "bv", q, 8, checkpointFile = Some(cp))
+    val rest = Iterator.continually(pks(h2.next()))
+      .takeWhile(_.nonEmpty).toList
+    assert((first +: rest) == refPages)
+  }
+
   test("a checkpoint written for a different search is rejected") {
     val s = spark
     val c = denseCollection("cp2")
