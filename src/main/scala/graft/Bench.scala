@@ -222,13 +222,17 @@ object Bench {
       else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","entries":${results.size},"sf":"$sfDir","failed":${failures.size},"load1m":$loadEnd,"load1m_start":$loadStart,"cpu_wall_median":${num(medianRatio, 2)},"io_suspect":$ioJson,"entry_stats":$statsJson$warning}"""
-    println(line)
     // Lossless copy for the driver: stdout tail-capture has truncated
     // the per-query head before (round 6); the file always has it all.
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
       line.getBytes)
+    // Stop Spark BEFORE the JSON lines go out: a wrapper capturing
+    // stdout+stderr merged must see the compact line LAST, and
+    // spark.stop() can emit late WARN lines.
+    spark.stop()
+    println(line)
     // Compact trailing line for the driver's stdout TAIL capture: the
     // full line above has outgrown the wrapper's 2000-char tail since
     // round 1 (every BENCH_r*.json reads `"parsed": null` with the
@@ -246,7 +250,6 @@ object Bench {
       .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"queries_elided":${results.size - math.min(10, results.size)},"entries":${results.size},"sf":"$sfDir","failed":${failures.size},"load1m":${num(loadEnd, 2)},"load1m_start":${num(loadStart, 2)},"cpu_wall_median":${num(medianRatio, 2)},"io_suspect":$ioCompact,"full":"bench_last.json"$warning}""")
-    spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
 }

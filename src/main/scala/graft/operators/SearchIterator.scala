@@ -86,9 +86,12 @@ final class SearchIterator(
       .collect().toSeq
     if (page.isEmpty) { exhausted = true; Seq.empty }
     else {
-      val ordered = page.sortBy { r =>
-        val s = r.getDouble(r.fieldIndex("score"))
-        (if (simLike) -s else s, pkOrd(r))
+      val ordered = page.sortWith { (r1, r2) =>
+        val s1 = r1.getDouble(r1.fieldIndex("score"))
+        val s2 = r2.getDouble(r2.fieldIndex("score"))
+        if (s1 != s2) { if (simLike) s1 > s2 else s1 < s2 }
+        else pkLt(r1.get(r1.fieldIndex(pkName)),
+          r2.get(r2.fieldIndex(pkName)))
       }
       val last = ordered.last
       cursor = Some((last.getDouble(last.fieldIndex("score")),
@@ -98,13 +101,15 @@ final class SearchIterator(
     }
   }
 
-  private def pkOrd(r: Row): String = r.get(r.fieldIndex(pkName)) match {
-    // Sort key for the pk tiebreak within one page: numeric pks pad to
-    // fixed width so lexicographic order equals numeric order.
-    case l: Long => f"$l%020d"
-    case i: Int => f"$i%020d"
-    case s: String => s
-    case other => String.valueOf(other)
+  // Typed pk tiebreak (NOT zero-padded strings — a fixed-width render
+  // of a NEGATIVE long sorts backwards lexicographically, -10 after
+  // -5): must match the engine routes' `col(pk).asc` order exactly or
+  // the persisted cursor drifts within a tied score block.
+  private def pkLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: String, y: String) => x < y
+    case _ => String.valueOf(a) < String.valueOf(b)
   }
 
   /** Drop the checkpoint (after a fully consumed scan). */
