@@ -5815,11 +5815,13 @@ object SparkEntry {
     * (workload/Workload.SimpleStats — the deque(maxlen=1000)
     * convention of search_permanently.py:39-91).
     */
-  private def qpsSteady(name: String, hybrid: Boolean): (
+  private def qpsSteady(name: String, hybrid: Boolean,
+      workersOverride: Option[Int] = None): (
       SparkSession, String) => DataFrame = { (s, dir) =>
     import s.implicits._
     val c = hybridBenchCollection(s, dir)
-    val workers = sys.env.getOrElse("SPARK_GRAFT_QPS_WORKERS", "10").toInt
+    val workers = workersOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_QPS_WORKERS", "10").toInt)
     val secs = sys.env.getOrElse("SPARK_GRAFT_QPS_SECS", "12").toInt
     val topk = 15000
     val filter = "vec_id % 10 != 3"
@@ -5928,6 +5930,13 @@ object SparkEntry {
         hybrid = false),
       "bench_qps_hybrid_steady" -> qpsSteady("bench_qps_hybrid_steady",
         hybrid = true),
+      // Concurrency-scaling control: the same window at ONE worker.
+      // Aggregate QPS rising near-linearly from this row to the
+      // 10-worker row is the steady-state property that matters at
+      // fleet scale — concurrent clients share the scheduler's slots
+      // instead of queuing serially.
+      "bench_qps_search_w1" -> qpsSteady("bench_qps_search_w1",
+        hybrid = false, workersOverride = Some(1)),
       "bench_topk10" -> knnSweep(10),
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
