@@ -119,12 +119,15 @@ object Bench {
           if (cur == prev) waited = 500 else prev = cur
         }
       }
-      // Fixed-duration steady-state windows (the QPS entries) run ONE
-      // rep: their wall IS the configured window, so min-of-N
-      // re-measures nothing, doubles the suite cost, and leaves the
-      // published extras (QPS/percentiles, overwritten per rep) from a
-      // DIFFERENT rep than the published min wall.
-      val entryReps = if (name.startsWith("bench_qps_")) 1 else reps
+      // Fixed-duration steady-state windows run ONE rep: their wall
+      // IS the configured window, so min-of-N re-measures nothing,
+      // doubles the suite cost, and leaves the published extras
+      // (QPS/percentiles, overwritten per rep) from a DIFFERENT rep
+      // than the published min wall. The set is declared next to the
+      // entries (SparkEntry.fixedWindowBench), not inferred from a
+      // name prefix.
+      val entryReps = if (SparkEntry.fixedWindowBench.contains(name)) 1
+        else reps
       val times = (1 to entryReps).flatMap { _ =>
         // Drain BEFORE sampling the baselines, not only on the success
         // path: a FAILED rep skips any post-run drain, and its late

@@ -136,6 +136,31 @@ object SparkEntry {
     (merges, docs)
   }
 
+  /** Physical clustering check shared by s51/s52: per-file (lo, hi)
+    * ranges of `key` over the newest base delta — ONE job grouped on
+    * input_file_name — must be non-overlapping when ordered by (lo,
+    * hi); boundary EQUALITY is legal (a key value may span files).
+    * All comparisons happen in Spark in the column's NATIVE type (a
+    * lag window over the ≤ bucket-count file rows), so a LongType key
+    * can never fall into lexicographic string order ("100" < "20").
+    */
+  private def clusteredFlag(s: SparkSession, root: java.nio.file.Path,
+      collName: String, key: String): Boolean = {
+    val base = new java.io.File(root.toFile, s"$collName/data").listFiles()
+      .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
+    val ranges = s.read.parquet(base.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lo"), col("hi"))
+    val row = ranges
+      .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .agg(count(lit(1)).as("files"),
+        sum(when(col("lo") < col("prev_hi"), 1L).otherwise(0L)).as("bad"))
+      .head()
+    row.getLong(0) > 1L && row.getLong(1) == 0L
+  }
+
   private def vecOf(s: SparkSession, dir: String, id: Long): Seq[Float] = {
     val r = tbl(s, dir, "embeddings").filter(col("vec_id") === id)
       .select("embedding").head()
@@ -2290,20 +2315,7 @@ object SparkEntry {
       c.upsert(s, Seq((1L, 150L, 0.0)).toDF(
         "o_orderkey", "o_custkey", "o_totalprice"))
       c.compact(s)
-      val base = new java.io.File(root.toFile, "ordc/data").listFiles()
-        .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
-      // Per-file key ranges in ONE job, grouped on input_file_name —
-      // not one agg job per file.
-      val ranges = s.read.parquet(base.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
-        .collect().map(r => (r.getLong(1), r.getLong(2)))
-        .sortBy(_._1).toSeq
-      val clustered = ranges.size > 1 &&
-        ranges.sliding(2).forall {
-          case Seq((_, hi), (lo2, _)) => lo2 >= hi
-          case _ => true
-        }
+      val clustered = clusteredFlag(s, root, "ordc", "o_custkey")
       c.read(s).filter(col("o_custkey").between(100L, 200L))
         .select("o_orderkey", "o_custkey")
         .withColumn("clustered", lit(clustered))
@@ -2335,23 +2347,7 @@ object SparkEntry {
       c.upsert(s, Seq((1L, "2-HIGH", 0.0)).toDF(
         "o_orderkey", "o_orderpriority", "o_totalprice"))
       c.compact(s)
-      val base = new java.io.File(root.toFile, "ordv/data").listFiles()
-        .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
-      // Sorted by the (lo, hi) PAIR: files sharing a boundary value
-      // tie on lo, and hi must break the tie or a legal
-      // single-value file ordered after a wider one would read as an
-      // overlap.
-      val ranges = s.read.parquet(base.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(min("o_orderpriority").as("lo"),
-          max("o_orderpriority").as("hi"))
-        .collect().map(r => (r.getString(1), r.getString(2)))
-        .sorted.toSeq
-      val clustered = ranges.size > 1 &&
-        ranges.sliding(2).forall {
-          case Seq((_, hi), (lo2, _)) => lo2 >= hi
-          case _ => true
-        }
+      val clustered = clusteredFlag(s, root, "ordv", "o_orderpriority")
       c.read(s).filter(col("o_orderpriority") === "2-HIGH" &&
           col("o_orderkey") <= 3000L)
         .select("o_orderkey", "o_orderpriority")
@@ -5748,6 +5744,11 @@ object SparkEntry {
         // values can never collide (the mask difference hits every
         // band). Candidate pairs therefore scale like MORE DATA
         // (x-fold), not like x² stacked duplicates.
+        // The per-band mask value IS the copy index, so it must fit
+        // the narrowest (7-bit) band or masks spill into neighboring
+        // bands and cross-copy collisions silently reappear.
+        require(x < 128,
+          s"imagedup probe supports at most 127 copies, got $x")
         val assets = graft.multimodal.ImageHash
           .syntheticHashImagesScaled(s, 1000, blockW = 2, blockH = 2)
         val hashes = graft.multimodal.ImageHash.dHash(assets)
@@ -5829,9 +5830,12 @@ object SparkEntry {
     // window: hits must equal min(topk, matching rows) — the warn
     // condition hits < topk * result_ratio with ratio 1.0, bounded by
     // the collection (the Go bench's collection exceeds topk; the
-    // sandbox fixture may not at small SFs).
-    val matching = c.query(s, filter).count()
-    val expectFiltered = math.min(topk.toLong, matching)
+    // sandbox fixture may not at small SFs). Only the filtered leg
+    // uses it; the hybrid leg asserts the fused limit, so it must not
+    // pay the count job.
+    val expectFiltered =
+      if (hybrid) 0L
+      else math.min(topk.toLong, c.query(s, filter).count())
     val qs = vecsOf(s, dir, (0L until 16L).toSeq)
       .map { case (id, v) => (s"q$id", v) }
     val stats = new Workload.SimpleStats()
@@ -5881,8 +5885,15 @@ object SparkEntry {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(secs * 10L + 60L,
+    val terminated = pool.awaitTermination(secs * 10L + 60L,
       java.util.concurrent.TimeUnit.SECONDS)
+    // A worker whose in-flight search outlives the deadline must NOT
+    // keep running into the next entry's timed window — its late
+    // task-end metrics would cross-attribute there (the exact leak
+    // the Bench drain guards against). Force-interrupt and surface
+    // the timeout in the published shape flag instead of silently
+    // publishing a clean-looking window.
+    if (!terminated) { pool.shutdownNow(): Unit }
     val snap = stats.snapshot()
     benchExtras.put(name, Map(
       "qps" -> snap("qps"),
@@ -5893,13 +5904,25 @@ object SparkEntry {
       "p99_latency" -> snap("p99_latency"),
       "workers" -> workers.toDouble,
       "duration_s" -> secs.toDouble,
-      "shape_violations" -> shapeViolations.get().toDouble))
+      "shape_violations" -> shapeViolations.get().toDouble,
+      "timed_out" -> (if (terminated) 0.0 else 1.0)))
     Seq((snap("total").toLong,
         BigDecimal(snap("qps")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .toDouble,
-        shapeViolations.get() == 0L && snap("failed") == 0.0))
+        shapeViolations.get() == 0L && snap("failed") == 0.0 && terminated))
       .toDF("searches", "qps", "shape_ok")
   }
+
+  /** Bench entries whose wall IS a configured steady-state window:
+    * [[Bench]] runs these once — min-of-N re-measures a constant and
+    * would publish percentile extras from a different rep than the
+    * min wall. Declared here, next to the entries, so a future
+    * fixed-window entry cannot silently miss the convention via a
+    * name-prefix test.
+    */
+  val fixedWindowBench: Set[String] = Set(
+    "bench_qps_search_steady", "bench_qps_hybrid_steady",
+    "bench_qps_search_w1")
 
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
     def knnSweep(k: Int): (SparkSession, String) => DataFrame = { (s, dir) =>

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, Row}
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** Resumable batched scan — the reference's `query_iterator` with
   * `iterator_cp_file` checkpointing
@@ -57,10 +57,7 @@ final class QueryIterator(
     // silently resume a scan of a different one that happens to share
     // the (filter, pk, batch) shape.
     val tableId = df.queryExecution.analyzed.semanticHash()
-    val raw = s"$tableId|$f|$pkCol|$batchSize"
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(raw.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
+    CheckpointFile.signature(s"$tableId|$f|$pkCol|$batchSize")
   }
 
   private var lastPk: Option[Any] = loadCheckpoint()
@@ -178,34 +175,14 @@ final class QueryIterator(
     checkpointFile.foreach(f => Files.deleteIfExists(Paths.get(f)))
 
   private def saveCheckpoint(): Unit = checkpointFile.foreach { f =>
-    val body = s"""{"sig": "$filterSig", "lastPk": ${pkJson(lastPk.get)}}"""
-    val tmp = Paths.get(f + ".tmp")
-    Files.write(tmp, body.getBytes)
-    Files.move(tmp, Paths.get(f), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def pkJson(v: Any): String = v match {
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case other => other.toString
+    CheckpointFile.save(f, filterSig,
+      Seq("lastPk" -> CheckpointFile.pkJson(lastPk.get)))
   }
 
   private def loadCheckpoint(): Option[Any] = checkpointFile.flatMap { f =>
-    val p = Paths.get(f)
-    if (!Files.exists(p)) None
-    else {
-      val body = new String(Files.readAllBytes(p))
-      val sig = "\"sig\": \"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
-      if (!sig.contains(filterSig))
-        throw new IllegalStateException(
-          s"checkpoint $f was written for a different query (sig ${sig.orNull} != $filterSig)")
-      val m = "\"lastPk\": (.+)}".r.findFirstMatchIn(body).map(_.group(1).trim)
-      m.map { s =>
-        if (s.startsWith("\""))
-          s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
-        else if (s.contains('.')) s.toDouble
-        else s.toLong
-      }
+    CheckpointFile.load(f, filterSig, "query").flatMap { body =>
+      "\"lastPk\": (.+)}".r.findFirstMatchIn(body)
+        .map(m => CheckpointFile.parsePk(m.group(1).trim))
     }
   }
 }

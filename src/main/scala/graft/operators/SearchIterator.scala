@@ -3,7 +3,7 @@ package graft.operators
 import graft.store.Collection
 import org.apache.spark.sql.{Row, SparkSession}
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** Resumable search-iterator handle with `iterator_cp_file`
   * checkpointing — the crash-resume contract the reference applies to
@@ -59,13 +59,11 @@ final class SearchIterator(
       case s: Seq[_] => s.mkString(",")
       case other => String.valueOf(other)
     }
-    val raw = Seq(coll.catalog.root.toString, coll.name, vecField, qRepr,
-      batchSize.toString, filterExpr,
-      searchParams.toSeq.sorted.mkString(";"),
-      partitionNames.mkString(",")).mkString("|")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(raw.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
+    CheckpointFile.signature(
+      Seq(coll.catalog.root.toString, coll.name, vecField, qRepr,
+        batchSize.toString, filterExpr,
+        searchParams.toSeq.sorted.mkString(";"),
+        partitionNames.mkString(",")).mkString("|"))
   }
 
   private var cursor: Option[(Double, Any)] = loadCheckpoint()
@@ -120,41 +118,17 @@ final class SearchIterator(
     val (s, p) = cursor.get
     // Double.toString is shortest-round-trip exact in Java, so the
     // resumed cursor score cannot drift an ulp from the in-memory one.
-    val body =
-      s"""{"sig": "$sig", "score": $s, "pk": ${pkJson(p)}}"""
-    val tmp = Paths.get(f + ".tmp")
-    Files.write(tmp, body.getBytes)
-    Files.move(tmp, Paths.get(f), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def pkJson(v: Any): String = v match {
-    case s: String =>
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case other => other.toString
+    CheckpointFile.save(f, sig,
+      Seq("score" -> s.toString, "pk" -> CheckpointFile.pkJson(p)))
   }
 
   private def loadCheckpoint(): Option[(Double, Any)] =
     checkpointFile.flatMap { f =>
-      val p = Paths.get(f)
-      if (!Files.exists(p)) None
-      else {
-        val body = new String(Files.readAllBytes(p))
-        val fileSig =
-          "\"sig\": \"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
-        if (!fileSig.contains(sig))
-          throw new IllegalStateException(
-            s"checkpoint $f was written for a different search " +
-              s"(sig ${fileSig.orNull} != $sig)")
+      CheckpointFile.load(f, sig, "search").flatMap { body =>
         val score = "\"score\": ([^,]+),".r.findFirstMatchIn(body)
           .map(_.group(1).trim.toDouble)
         val pk = "\"pk\": (.+)}".r.findFirstMatchIn(body)
-          .map(_.group(1).trim).map { s =>
-            if (s.startsWith("\""))
-              s.substring(1, s.length - 1)
-                .replace("\\\"", "\"").replace("\\\\", "\\"): Any
-            else s.toLong: Any
-          }
+          .map(m => CheckpointFile.parsePk(m.group(1).trim))
         for (sc <- score; pv <- pk) yield (sc, pv)
       }
     }

@@ -121,12 +121,17 @@ class CompactionPropertySpec extends SparkSpec {
     def ranges(key: String): Seq[(String, String)] = {
       val base = new java.io.File(root.toFile, "rl/data").listFiles()
         .filter(_.getName.startsWith("delta_")).maxBy(_.getName)
+      // lpad so the numeric key's string render sorts numerically
+      // ("5" -> "0005" before "0010"); the fixed-width kstr values are
+      // unchanged by the pad.
       s.read.parquet(base.toString)
         .groupBy(org.apache.spark.sql.functions.input_file_name())
-        .agg(org.apache.spark.sql.functions.min(col(key)).cast("string")
-            .as("lo"),
-          org.apache.spark.sql.functions.max(col(key)).cast("string")
-            .as("hi"))
+        .agg(org.apache.spark.sql.functions.lpad(
+            org.apache.spark.sql.functions.min(col(key)).cast("string"),
+            4, "0").as("lo"),
+          org.apache.spark.sql.functions.lpad(
+            org.apache.spark.sql.functions.max(col(key)).cast("string"),
+            4, "0").as("hi"))
         .collect().map(r => (r.getString(1), r.getString(2))).sorted.toSeq
     }
     def nonOverlapping(rs: Seq[(String, String)]): Boolean =
