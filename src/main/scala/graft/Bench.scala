@@ -99,7 +99,15 @@ object Bench {
         Thread.sleep(1500)
         Seq(Tuple1(1L)).toDF("one")
       })
-    val all = (SparkEntry.queries ++ SparkEntry.benchQueries ++ diag)
+    val unfiltered = SparkEntry.queries ++ SparkEntry.benchQueries ++ diag
+    // A typo'd (or renamed-away) name in the fixed-window set would
+    // silently re-enable min-of-N for a steady-state window — the
+    // declared-set design trades the old prefix test's auto-coverage
+    // for this loud registration check.
+    require(SparkEntry.fixedWindowBench.subsetOf(unfiltered.keySet),
+      "fixedWindowBench names not registered as bench entries: " +
+        (SparkEntry.fixedWindowBench -- unfiltered.keySet).mkString(", "))
+    val all = unfiltered
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Per rep: (wall, process-cpu, gc, bytes-read) — all seconds except

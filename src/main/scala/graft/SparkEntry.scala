@@ -5744,11 +5744,12 @@ object SparkEntry {
         // values can never collide (the mask difference hits every
         // band). Candidate pairs therefore scale like MORE DATA
         // (x-fold), not like x² stacked duplicates.
-        // The per-band mask value IS the copy index, so it must fit
-        // the narrowest (7-bit) band or masks spill into neighboring
-        // bands and cross-copy collisions silently reappear.
-        require(x < 128,
-          s"imagedup probe supports at most 127 copies, got $x")
+        // The per-band mask value IS the copy index (max index x-1),
+        // so it must fit the narrowest (7-bit) band or masks spill
+        // into neighboring bands and cross-copy collisions silently
+        // reappear.
+        require(x - 1 <= 127,
+          s"imagedup probe supports at most 128 copies (indices 0-127), got $x")
         val assets = graft.multimodal.ImageHash
           .syntheticHashImagesScaled(s, 1000, blockW = 2, blockH = 2)
         val hashes = graft.multimodal.ImageHash.dHash(assets)
@@ -5842,9 +5843,17 @@ object SparkEntry {
     val shapeViolations = new java.util.concurrent.atomic.AtomicLong(0)
     val stop = System.nanoTime() + secs * 1000L * 1000L * 1000L
     val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+    // Job group per window (thread-local, so each worker sets it):
+    // thread interrupts alone do NOT cancel an in-flight Spark job —
+    // cancellation needs cancelJobGroup with interruptOnCancel, or an
+    // overrunning search keeps its executor tasks alive into the next
+    // bench entry's timed window.
+    val jobGroup = s"qps-$name"
     (0 until workers).foreach { w =>
       pool.submit(new Runnable {
         def run(): Unit = {
+          s.sparkContext.setJobGroup(jobGroup,
+            s"$name steady-state window", interruptOnCancel = true)
           var i = w
           while (System.nanoTime() < stop) {
             val t0 = System.nanoTime()
@@ -5890,11 +5899,21 @@ object SparkEntry {
     // A worker whose in-flight search outlives the deadline must NOT
     // keep running into the next entry's timed window — its late
     // task-end metrics would cross-attribute there (the exact leak
-    // the Bench drain guards against). Force-interrupt and surface
-    // the timeout in the published shape flag instead of silently
-    // publishing a clean-looking window.
-    if (!terminated) { pool.shutdownNow(): Unit }
+    // the Bench drain guards against). cancelJobGroup kills the
+    // in-flight Spark jobs themselves (interrupting the driver thread
+    // alone would not), then a short re-await lets the interrupted
+    // workers unwind BEFORE the stats are snapshotted, so the
+    // published row cannot race a straggler's last record().
+    if (!terminated) {
+      s.sparkContext.cancelJobGroup(jobGroup)
+      pool.shutdownNow(): Unit
+      // terminated stays false — the window DID time out and the
+      // shape flag must say so; this await only drains the workers.
+      pool.awaitTermination(30L,
+        java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
     val snap = stats.snapshot()
+    val violations = shapeViolations.get()
     benchExtras.put(name, Map(
       "qps" -> snap("qps"),
       "searches" -> snap("total"),
@@ -5904,12 +5923,12 @@ object SparkEntry {
       "p99_latency" -> snap("p99_latency"),
       "workers" -> workers.toDouble,
       "duration_s" -> secs.toDouble,
-      "shape_violations" -> shapeViolations.get().toDouble,
+      "shape_violations" -> violations.toDouble,
       "timed_out" -> (if (terminated) 0.0 else 1.0)))
     Seq((snap("total").toLong,
         BigDecimal(snap("qps")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .toDouble,
-        shapeViolations.get() == 0L && snap("failed") == 0.0 && terminated))
+        violations == 0L && snap("failed") == 0.0 && terminated))
       .toDF("searches", "qps", "shape_ok")
   }
 

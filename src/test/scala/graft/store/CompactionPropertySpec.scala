@@ -133,7 +133,9 @@ class CompactionPropertySpec extends SparkSpec {
             org.apache.spark.sql.functions.max(col(key)).cast("string"),
             4, "0").as("hi"))
         .collect().map(r => (r.getString(1), r.getString(2))).sorted.toSeq
-    }
+    }.ensuring(_.forall { case (lo, hi) => lo.length <= 4 && hi.length <= 4 },
+      "fixture key domain outgrew the 4-char pad (lpad TRUNCATES longer " +
+        "renders) — widen the pad or the check goes quietly wrong")
     def nonOverlapping(rs: Seq[(String, String)]): Boolean =
       rs.size > 1 && rs.sliding(2).forall {
         case Seq((_, hi), (lo2, _)) => lo2 >= hi
