@@ -109,6 +109,25 @@ object Bench {
         (SparkEntry.fixedWindowBench -- unfiltered.keySet).mkString(", "))
     val all = unfiltered
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    // The listener bus is async: sample the byte/row counters only
+    // once they stabilize (two identical reads 30ms apart, 500ms cap),
+    // or a late onTaskEnd leaks one rep's rows into another entry's
+    // delta — records_read is an adjudication metric, so committed
+    // counts must be attributable. `listenerDrained` carries across
+    // entries: a clean post-run drain makes the next pre-baseline
+    // drain a no-op (no double 30ms sleep per rep); a FAILED rep
+    // clears it so its late events are absorbed before the next
+    // baseline sample.
+    def drainListener(): Unit = {
+      var prev = (bytesRead.get(), recordsRead.get())
+      var waited = 0
+      while (waited < 500) {
+        Thread.sleep(30); waited += 30
+        val cur = (bytesRead.get(), recordsRead.get())
+        if (cur == prev) waited = 500 else prev = cur
+      }
+    }
+    var listenerDrained = false
     val results = all.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Per rep: (wall, process-cpu, gc, bytes-read) — all seconds except
       // bytes. Report the min-wall rep's tuple so the stats correspond to
@@ -118,15 +137,6 @@ object Bench {
       // cap), or a late onTaskEnd leaks one rep's rows into another
       // entry's delta — records_read is an adjudication metric, so
       // committed counts must be attributable.
-      def drainListener(): Unit = {
-        var prev = (bytesRead.get(), recordsRead.get())
-        var waited = 0
-        while (waited < 500) {
-          Thread.sleep(30); waited += 30
-          val cur = (bytesRead.get(), recordsRead.get())
-          if (cur == prev) waited = 500 else prev = cur
-        }
-      }
       // Fixed-duration steady-state windows run ONE rep: their wall
       // IS the configured window, so min-of-N re-measures nothing,
       // doubles the suite cost, and leaves the published extras
@@ -137,12 +147,13 @@ object Bench {
       val entryReps = if (SparkEntry.fixedWindowBench.contains(name)) 1
         else reps
       val times = (1 to entryReps).flatMap { _ =>
-        // Drain BEFORE sampling the baselines, not only on the success
-        // path: a FAILED rep skips any post-run drain, and its late
-        // async onTaskEnd events would otherwise leak into this rep's
-        // b0/r0 — the exact cross-attribution the drain exists to
-        // prevent.
-        drainListener()
+        // Drain BEFORE sampling the baselines when the previous rep
+        // did not close cleanly: a FAILED rep skips its post-run
+        // drain, and its late async onTaskEnd events would otherwise
+        // leak into this rep's b0/r0 — the exact cross-attribution
+        // the drain exists to prevent.
+        if (!listenerDrained) drainListener()
+        listenerDrained = false
         val t0 = System.nanoTime(); val c0 = processCpuNs
         val g0 = gcMs; val b0 = bytesRead.get()
         val r0 = recordsRead.get()
@@ -154,6 +165,7 @@ object Bench {
           // Wall and cpu are sampled above, before this rep's own
           // closing drain.
           drainListener()
+          listenerDrained = true
           val br = bytesRead.get() - b0
           val rr = recordsRead.get() - r0
           Some((wall, cpu, gc, br, rr))
@@ -178,18 +190,25 @@ object Bench {
     // spans ~1-32 on this 32-thread JVM so "far below" = under 40% of
     // the median.
     val gcThreads = math.max(1, cpus.toInt / 4).toDouble
-    val entryStats = results.collect {
-      case (k, (w, c, g, b, rr)) if w >= 0 && c >= 0 =>
-        val adjCpu = math.max(c - g * gcThreads, 0.0)
-        (k, w, c, g, b, rr, adjCpu / math.max(w, 1e-9))
+    // EVERY entry gets a stats object — a failed entry publishes its
+    // -1 sentinels rather than vanishing, so the artifact's `entries`
+    // count always equals entry_stats coverage (the lint invariant in
+    // tools/check_oracle.py) and a failure is visible IN the artifact,
+    // not only via the exit code. Ratio/io_suspect math filters the
+    // sentinels below.
+    val entryStats = results.map { case (k, (w, c, g, b, rr)) =>
+      val adjCpu = math.max(c - g * gcThreads, 0.0)
+      val ratio = if (w >= 0 && c >= 0) adjCpu / math.max(w, 1e-9) else -1.0
+      (k, w, c, g, b, rr, ratio)
     }
     val ratios = entryStats.collect {
-      case (_, w, _, _, _, _, r) if w > 0.3 => r }.sorted
+      case (_, w, _, _, _, _, r) if w > 0.3 && r >= 0 => r }.sorted
     val medianRatio =
       if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
     val ioSuspects = entryStats.collect {
       case (k, w, _, _, _, _, r)
-        if w > 0.3 && medianRatio > 0 && r < 0.4 * medianRatio => k
+        if w > 0.3 && r >= 0 && medianRatio > 0 &&
+          r < 0.4 * medianRatio => k
     }
     // Locale-pinned numeric formatting: the f-interpolator uses the
     // default locale, which renders "0,123" (invalid JSON) on

@@ -5740,10 +5740,14 @@ object SparkEntry {
         // scaledEmbeddings rotates dimensions: copy c XORs a mask
         // that is NONZERO IN EVERY band — XOR is a Hamming-space
         // isometry, so each copy reproduces the base corpus's
-        // internal near-dup structure exactly, while cross-copy band
-        // values can never collide (the mask difference hits every
-        // band). Candidate pairs therefore scale like MORE DATA
-        // (x-fold), not like x² stacked duplicates.
+        // internal near-dup structure exactly, and a base asset can
+        // never band-collide with ITS OWN image in another copy.
+        // Cross-copy collisions between DIFFERENT base assets remain
+        // possible (A_k ^ B_k == c1 ^ c2 for some band k) at the same
+        // ~2^-7-per-band background rate random banding always has —
+        // the same incidental-candidate rate the base corpus itself
+        // carries — so candidate growth is x-linear structure plus a
+        // small random background, never x² stacked duplicates.
         // The per-band mask value IS the copy index (max index x-1),
         // so it must fit the narrowest (7-bit) band or masks spill
         // into neighboring bands and cross-copy collisions silently
@@ -5908,7 +5912,11 @@ object SparkEntry {
       s.sparkContext.cancelJobGroup(jobGroup)
       pool.shutdownNow(): Unit
       // terminated stays false — the window DID time out and the
-      // shape flag must say so; this await only drains the workers.
+      // shape flag must say so. The drain await is best-effort: a
+      // task that ignores cancellation for 30s more could still race
+      // the snapshot below, but the row is already published as
+      // timed_out/shape_ok=false, so the race can only perturb an
+      // already-failed window's stats, never a clean one's.
       pool.awaitTermination(30L,
         java.util.concurrent.TimeUnit.SECONDS): Unit
     }

@@ -38,18 +38,24 @@ final class SearchIterator(
   // Iteration order: similarity metrics page score-DESCENDING,
   // distance metrics ASCENDING — must match the keyset direction the
   // underlying iterator routes use, or the persisted cursor would
-  // re-serve or skip rows on resume.
-  private val simLike: Boolean = {
-    val declared = coll.definition.indexes.find(_.field == vecField)
-      .flatMap(_.metricType)
-    val m = searchParams.get("metric_type").orElse(declared)
-      .getOrElse(query match {
-        case _: Map[_, _] => "IP" // sparse default
-        case _: Array[Byte] => "HAMMING"
-        case _ => "COSINE"
-      }).toUpperCase
-    Set("IP", "COSINE", "BM25").contains(m)
+  // re-serve or skip rows on resume. The direction is derived from
+  // the QUERY FAMILY first, exactly like the routes themselves: the
+  // binary route always pages Hamming-ascending (it ignores
+  // metric_type) and the sparse route always pages IP-descending —
+  // trusting a caller-supplied metric_type there would flip the
+  // handle's sort against the engine's and duplicate rows across
+  // pages. Only the dense route resolves metric_type/index metadata.
+  private val resolvedMetric: String = query match {
+    case _: Array[Byte] => "HAMMING"
+    case _: Map[_, _] => "IP"
+    case _ =>
+      val declared = coll.definition.indexes.find(_.field == vecField)
+        .flatMap(_.metricType)
+      searchParams.get("metric_type").orElse(declared)
+        .getOrElse("COSINE").toUpperCase
   }
+  private val simLike: Boolean =
+    Set("IP", "COSINE", "BM25").contains(resolvedMetric)
 
   private val sig: String = {
     val qRepr = query match {
@@ -59,9 +65,13 @@ final class SearchIterator(
       case s: Seq[_] => s.mkString(",")
       case other => String.valueOf(other)
     }
+    // resolvedMetric is part of the identity: the same field can be
+    // re-indexed under a different metric between crash and resume,
+    // flipping the iteration direction — a cursor persisted for one
+    // direction must NOT be applied to the other.
     CheckpointFile.signature(
       Seq(coll.catalog.root.toString, coll.name, vecField, qRepr,
-        batchSize.toString, filterExpr,
+        batchSize.toString, filterExpr, resolvedMetric,
         searchParams.toSeq.sorted.mkString(";"),
         partitionNames.mkString(",")).mkString("|"))
   }
