@@ -1575,21 +1575,11 @@ object SparkEntry {
     // segment to its exact fallback, so the oracle is the true
     // post-DML L2 top-10 over the mutated corpus. --------------------
     "v50_hnsw_delta_serve" -> { (s, dir) =>
-      import s.implicits._
-      val cat = new Catalog(
-        java.nio.file.Files.createTempDirectory("graft-hnsw50").toString)
-      val c = cat.createCollection(CollectionDef("hvecs", Seq(
-        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
-        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
-      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
-      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
-        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
-      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
-      // DML: drop the query row itself, rewrite 11 to a far vector,
-      // insert an exact copy of the query (must rank first)
-      c.delete(s, "vec_id == 7")
-      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
-      c.insert(s, Seq((990001L, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
+      // Collection + HNSW build + the DML come from the shared
+      // per-sf-dir fixture (graphServeFixture) — bench reps measure
+      // the delta-serving walk, not a graph build per rep; the
+      // no-rebuild invariant is still re-asserted live each rep.
+      val (c, sealedSeq) = graphServeFixture(s, dir, "hnsw_delta")
       val hits = CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
         10, searchParams = Map("ef" -> "1000000"))
       val servedStale =
@@ -1608,19 +1598,9 @@ object SparkEntry {
     // beam -> exact, so the oracle is the true filtered post-DML
     // top-10. ---------------------------------------------------------
     "v51_hnsw_filtered_serve" -> { (s, dir) =>
-      import s.implicits._
-      val cat = new Catalog(
-        java.nio.file.Files.createTempDirectory("graft-hnsw51").toString)
-      val c = cat.createCollection(CollectionDef("fvecs", Seq(
-        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
-        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
-      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
-      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
-        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
-      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
-      c.delete(s, "vec_id == 7")
-      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
-      c.insert(s, Seq((990002L, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
+      // Shared post-DML fixture (graphServeFixture): reps measure the
+      // masked walk, not a per-rep graph build.
+      val (c, sealedSeq) = graphServeFixture(s, dir, "hnsw_filtered")
       // Force the masked WALK (not the small-set brute switch) so the
       // entry gates the traversal-mask semantics at every SF.
       s.conf.set("graft.hnsw.maskBruteForceMax", "0")
@@ -1644,31 +1624,20 @@ object SparkEntry {
     // not trail the cell-probe route it replaced for declared HNSW. --
     "v50_hnsw_recall" -> { (s, dir) =>
       import s.implicits._
-      val cat = new Catalog(
-        java.nio.file.Files.createTempDirectory("graft-hnsw50r").toString)
-      val c = cat.createCollection(CollectionDef("rvecs", Seq(
-        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
-        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
-      val emb = tbl(s, dir, "embeddings")
-      c.insert(s, emb.select("vec_id", "embedding"))
-      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
-        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+      // Collection+graph build, the exact oracle rows, and the IVF
+      // comparison recall come from the shared per-sf fixture
+      // (hnswRecallFixture) — all deterministic, so reps measure the
+      // graph SERVE walk + the tiny recall join.
+      val (c, exactRows, ivfRecall) = hnswRecallFixture(s, dir)
       val qids = Seq(0L, 7L, 42L)
       val served = CollectionSearch.searchBatch(s, c, "embedding",
           qids.map(i => (i.toString, vecOf(s, dir, i))), 10,
           searchParams = Map("ef" -> "64", "metric_type" -> "L2"))
         .select(col("qid"), col("vec_id"))
-      val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
-          "embedding", "vec_id", "L2", 10)
-        .select(col("qid").cast("string").as("qid"), col("vec_id")).distinct()
-      val denom = exact.count().toDouble
+      val exact = exactRows.toDF("qid", "vec_id")
+      val denom = exactRows.size.toDouble
       val hnswRecall =
         exact.join(served, Seq("qid", "vec_id"), "left_semi").count() / denom
-      val model = Ivf.train(emb, "embedding", k = 8, metric = "L2",
-        sampleSize = 1000)
-      val ivfRecall = Ivf.recallAtK(emb, Ivf.assign(emb, "embedding", model),
-        model, vecsOf(s, dir, qids), "embedding", "vec_id", k = 10,
-        nprobe = 4)
       Seq((hnswRecall >= 0.9, hnswRecall >= ivfRecall))
         .toDF("recall_ok", "recall_ge_ivf")
     },
@@ -1681,25 +1650,14 @@ object SparkEntry {
     // per-segment exact fallback, so the oracle is the true post-DML
     // L2 top-10 over the mutated corpus. ------------------------------
     "v52_diskann_serve" -> { (s, dir) =>
-      import s.implicits._
-      val cat = new Catalog(
-        java.nio.file.Files.createTempDirectory("graft-vam52").toString)
-      val c = cat.createCollection(CollectionDef("dvecs", Seq(
-        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
-        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
-      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
-      c.createIndex(s, IndexDef("embedding", "DISKANN", Some("L2"),
-        Map("R" -> "16", "L" -> "64", "alpha" -> "1.2",
-          "segments" -> "4")))
+      // Shared post-DML fixture (graphServeFixture): reps measure the
+      // delta-serving Vamana walk; bench_diskann_build is the family's
+      // build-paying entry.
+      val (c, sealedSeq) = graphServeFixture(s, dir, "diskann")
       val desc = IndexStore.describe(c, "embedding").get
-      val sealedSeq = desc("built_seq")
-      c.delete(s, "vec_id == 7")
-      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
-      c.insert(s, Seq((990003L, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
       val hits = CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
         10, searchParams = Map("search_list_size" -> "1000000"))
-      val servedStale =
-        IndexStore.describe(c, "embedding").get("built_seq") == sealedSeq
+      val servedStale = desc("built_seq") == sealedSeq
       hits.withColumn("rank", row_number().over(
           Window.orderBy(col("score").asc, col("vec_id").asc)).cast("int"))
         .select(col("vec_id"), col("rank"))
@@ -1713,29 +1671,23 @@ object SparkEntry {
     // at the same beam on the same queries. ---------------------------
     "v52_diskann_recall" -> { (s, dir) =>
       import s.implicits._
-      // Both graph builds come from the shared per-sf fixture
-      // (diskannRecallFixture) so bench reps measure the beam walks +
-      // exact recall joins, not two graph builds per rep; results are
-      // deterministic either way.
-      val (c, g) = diskannRecallFixture(s, dir)
-      val emb = tbl(s, dir, "embeddings")
+      // The Vamana build, the exact top-10 oracle rows, AND the
+      // comparison HNSW walk's recall all come from the shared per-sf
+      // fixture (diskannRecallFixture) — deterministic, so bench reps
+      // measure the Vamana beam walks + the tiny recall semi-join (the
+      // round-13 fixture damped the build but left a per-rep exact
+      // scan + comparison walk absorbing driver contention).
+      val (c, exactRows, hnswRecall) = diskannRecallFixture(s, dir)
       val qids = Seq(0L, 7L, 42L)
       val served = CollectionSearch.searchBatch(s, c, "embedding",
           qids.map(i => (i.toString, vecOf(s, dir, i))), 10,
           searchParams = Map("search_list_size" -> "64",
             "metric_type" -> "L2"))
         .select(col("qid"), col("vec_id"))
-      val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
-          "embedding", "vec_id", "L2", 10)
-        .select(col("qid").cast("string").as("qid"), col("vec_id")).distinct()
-      val denom = exact.count().toDouble
+      val exact = exactRows.toDF("qid", "vec_id")
+      val denom = exactRows.size.toDouble
       val vamRecall =
         exact.join(served, Seq("qid", "vec_id"), "left_semi").count() / denom
-      val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
-        metric = "L2")
-      val hnswRecall = graft.ann.Hnsw.recallAtK(emb, g,
-        qids.map(i => (i, vecOf(s, dir, i))), "embedding", "vec_id",
-        k = 10, ef = 64, p)
       Seq((vamRecall >= 0.9, vamRecall >= hnswRecall - 0.1))
         .toDF("recall_ok", "recall_near_hnsw")
     },
@@ -5203,13 +5155,18 @@ object SparkEntry {
     },
   )
 
-  /** One-time-per-run StructArray bench table: the embeddings table
-    * expanded 32× into per-doc element arrays (one doc per vec_id, 32
-    * variant elements each — scale-proportional at every SF), each
+  /** One-time-per-run StructArray bench table: every 8th row of the
+    * embeddings table expanded 32× into per-doc element arrays (32
+    * variant elements per doc — scale-proportional at every SF), each
     * element carrying a 4 KiB incompressible payload subfield next
     * to the vector, persisted to parquet so the element bench entries
     * measure a real nested SCAN (the pruned-vs-unpruned delta is
-    * parquet column IO, not an in-memory projection).
+    * parquet column IO, not an in-memory projection). The 1/8 doc
+    * sample is the round-14 corpus cap: the unpruned CONTRAST twin
+    * exists only for the pruned-vs-unpruned cost ratio, which
+    * survives scaling down — at the full corpus it was the single
+    * most expensive suite entry (27 s wall / 531 s cpu in the r13
+    * driver artifact) and the biggest contention amplifier.
     */
   private val elementBenchCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -5219,6 +5176,7 @@ object SparkEntry {
       val out = java.nio.file.Files
         .createTempDirectory("graft-elembench").resolve("nested").toString
       tbl(s, dir, "embeddings")
+        .filter(col("vec_id") % 8 === 0)
         .select(col("vec_id"), col("embedding"),
           explode(sequence(lit(0), lit(31))).as("variant"))
         .select(
@@ -5264,6 +5222,17 @@ object SparkEntry {
           col("l_quantity").cast("double").as("l_quantity"),
           col("l_extendedprice").cast("double").as("l_extendedprice"),
           col("l_returnflag"))
+        // Pin the ingest layout (round-14): the clustered fold's range
+        // sampler draws reservoir samples per input partition, so the
+        // bucket BOUNDARIES — and with them the pruned twin's
+        // records_read adjudication row — drifted with whatever
+        // partitioning the lineitem scan happened to produce
+        // (29,680 vs 27,653 across same-code runs). A constant hash
+        // repartition + a total within-partition order make every
+        // sample position a pure function of the data, so the
+        // committed pruned-records number is bit-stable.
+        .repartition(8, col("li_id"))
+        .sortWithinPartitions("li_id")
       def mk(name: String, props: Map[String, String]) = {
         val c = cat.createCollection(CollectionDef(name, Seq(
           FieldDef("li_id", LongType, nullable = false, isPrimary = true),
@@ -5413,20 +5382,23 @@ object SparkEntry {
 
   private val diskannRecallCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (graft.store.Collection,
-        org.apache.spark.sql.Dataset[graft.ann.Hnsw.Node])]()
+      (graft.store.Collection, Seq[(String, Long)], Double)]()
 
-  /** Shared DISKANN-recall fixture: the Vamana-indexed collection AND
-    * the comparison HNSW segment graph, built once per sf dir (the
-    * graph persisted + materialized, the Vamana build sealed on
-    * disk) — v52_diskann_recall's reps then measure the two beam
-    * walks + the exact-oracle recall joins, not two graph builds
-    * per rep.
+  /** Shared DISKANN-recall fixture: the Vamana-indexed collection, the
+    * EXACT top-10 oracle rows (collected — tens of rows), and the
+    * comparison HNSW walk's recall number, built once per sf dir —
+    * v52_diskann_recall's reps then measure ONLY the Vamana beam walks
+    * + the tiny recall semi-join; the brute-force exact scan and the
+    * comparison graph build/walk are deterministic, so caching them
+    * changes nothing but the measured window (the round-13 item-7
+    * pattern, extended per the round-13 verdict: the remaining 2.51×
+    * driver/builder swing was contention on the per-rep exact scan +
+    * comparison walk, not the fixture build).
     */
   private def diskannRecallFixture(s: SparkSession, dir: String):
-      (graft.store.Collection,
-        org.apache.spark.sql.Dataset[graft.ann.Hnsw.Node]) =
+      (graft.store.Collection, Seq[(String, Long)], Double) =
     diskannRecallCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
       val cat = new Catalog(
         java.nio.file.Files.createTempDirectory("graft-vam52r").toString)
       val c = cat.createCollection(CollectionDef("rvecs", Seq(
@@ -5437,13 +5409,127 @@ object SparkEntry {
       c.createIndex(s, IndexDef("embedding", "DISKANN", Some("L2"),
         Map("R" -> "16", "L" -> "64", "alpha" -> "1.2",
           "segments" -> "4")))
+      val qids = Seq(0L, 7L, 42L)
+      val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
+          "embedding", "vec_id", "L2", 10)
+        .select(col("qid").cast("string").as("qid"), col("vec_id"))
+        .distinct().as[(String, Long)].collect().toSeq
       val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
         metric = "L2")
       val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
-          segments = 4)
+        segments = 4)
+      val hnswRecall = graft.ann.Hnsw.recallAtK(emb, g,
+        qids.map(i => (i, vecOf(s, dir, i.toInt))), "embedding", "vec_id",
+        k = 10, ef = 64, p)
+      (c, exact, hnswRecall)
+    })
+
+  private val hnswRecallCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (graft.store.Collection, Seq[(String, Long)], Double)]()
+
+  /** Shared HNSW-recall fixture (the diskannRecallFixture pattern for
+    * v50_hnsw_recall): the HNSW-indexed collection, the collected
+    * exact top-10 oracle rows, and the comparison IVF route's recall
+    * at v1's operating point — all deterministic, built once per sf
+    * dir, so the entry's reps measure the graph SERVE walk + the tiny
+    * recall join instead of a graph build + brute scan + IVF train
+    * per rep.
+    */
+  private def hnswRecallFixture(s: SparkSession, dir: String):
+      (graft.store.Collection, Seq[(String, Long)], Double) =
+    hnswRecallCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val cat = new Catalog(
+        java.nio.file.Files.createTempDirectory("graft-hnsw50r").toString)
+      val c = cat.createCollection(CollectionDef("rvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      val emb = tbl(s, dir, "embeddings")
+      c.insert(s, emb.select("vec_id", "embedding"))
+      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
+        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
+      val qids = Seq(0L, 7L, 42L)
+      val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
+          "embedding", "vec_id", "L2", 10)
+        .select(col("qid").cast("string").as("qid"), col("vec_id"))
+        .distinct().as[(String, Long)].collect().toSeq
+      val model = Ivf.train(emb, "embedding", k = 8, metric = "L2",
+        sampleSize = 1000)
+      val ivfRecall = Ivf.recallAtK(emb,
+        Ivf.assign(emb, "embedding", model), model,
+        qids.map(i => (i, vecOf(s, dir, i.toInt))), "embedding", "vec_id",
+        k = 10, nprobe = 4)
+      (c, exact, ivfRecall)
+    })
+
+  private val graphServeCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (graft.store.Collection, String)]()
+
+  /** Shared post-DML graph-serve fixtures for the delta/filtered serve
+    * entries (v50_hnsw_delta_serve, v51_hnsw_filtered_serve,
+    * v52_diskann_serve): collection + graph index + the entry's DML,
+    * applied ONCE per (kind, sf dir); returns the collection and the
+    * sealed build seq captured BEFORE the DML, so each rep re-asserts
+    * the no-rebuild invariant (describe == sealedSeq) against live
+    * state. One collection PER entry kind — the entries insert
+    * distinct copy-of-query pks, and a shared collection would put
+    * every copy in every entry's top-k, changing the oracles. The
+    * family's build cost stays measured: bench_hnsw_build and
+    * bench_diskann_build are the one build-paying entry per family.
+    */
+  private def graphServeFixture(s: SparkSession, dir: String,
+      kind: String): (graft.store.Collection, String) =
+    graphServeCache.computeIfAbsent(s"$kind|$dir", _ => {
+      import s.implicits._
+      val (idx, insertPk) = kind match {
+        case "hnsw_delta" => (IndexDef("embedding", "HNSW", Some("L2"),
+          Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")),
+          990001L)
+        case "hnsw_filtered" => (IndexDef("embedding", "HNSW", Some("L2"),
+          Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")),
+          990002L)
+        case "diskann" => (IndexDef("embedding", "DISKANN", Some("L2"),
+          Map("R" -> "16", "L" -> "64", "alpha" -> "1.2",
+            "segments" -> "4")),
+          990003L)
+      }
+      val cat = new Catalog(java.nio.file.Files
+        .createTempDirectory(s"graft-gserve-$kind").toString)
+      val c = cat.createCollection(CollectionDef("gvecs", Seq(
+        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
+      c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      c.createIndex(s, idx)
+      val sealedSeq = IndexStore.describe(c, "embedding").get("built_seq")
+      // DML: drop the query row itself, rewrite 11 to a far vector,
+      // insert an exact copy of the query (must rank first).
+      c.delete(s, "vec_id == 7")
+      c.upsert(s, Seq((11L, vecOf(s, dir, 483))).toDF("vec_id", "embedding"))
+      c.insert(s,
+        Seq((insertPk, vecOf(s, dir, 7))).toDF("vec_id", "embedding"))
+      (c, sealedSeq)
+    })
+
+  private val hnswGraphBenchCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.Dataset[graft.ann.Hnsw.Node]]()
+
+  /** Shared persisted HNSW segment graph for the steady-state search
+    * bench twin (bench_hnsw_search): built + materialized once per sf
+    * dir; bench_hnsw_build stays the family's build-paying entry.
+    */
+  private def hnswGraphFixture(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[graft.ann.Hnsw.Node] =
+    hnswGraphBenchCache.computeIfAbsent(dir, _ => {
+      val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+        metric = "L2")
+      val g = graft.ann.Hnsw.build(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", p, segments = 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       g.count(): Unit
-      (c, g)
+      g
     })
 
   private val bm25DeltaBenchCache =
@@ -5828,7 +5914,13 @@ object SparkEntry {
     val c = hybridBenchCollection(s, dir)
     val workers = workersOverride.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_QPS_WORKERS", "10").toInt)
-    val secs = sys.env.getOrElse("SPARK_GRAFT_QPS_SECS", "12").toInt
+    // 30 s default window (round-14, up from 12 s): same-code 12 s
+    // windows swung 2× on a contended 32-core box — scheduling jitter
+    // dominates a window that short, so the committed QPS rows could
+    // not be adjudicated round over round. The reference's own design
+    // point is 600 s (go_bench/config.yaml:1); 30 s is the sandbox
+    // compromise BASELINE.md's QPS adjudication band is stated for.
+    val secs = sys.env.getOrElse("SPARK_GRAFT_QPS_SECS", "30").toInt
     val topk = 15000
     val filter = "vec_id % 10 != 3"
     // Completeness SLO expectation, computed OUTSIDE the timed
@@ -5933,11 +6025,151 @@ object SparkEntry {
       "duration_s" -> secs.toDouble,
       "shape_violations" -> violations.toDouble,
       "timed_out" -> (if (terminated) 0.0 else 1.0)))
+    // Guard against a vacuously green window: a worker that throws
+    // BEFORE its try block (e.g. setJobGroup on a stopped context) is
+    // swallowed by the pool's Future and records nothing — total=0,
+    // failed=0, terminated=true would publish shape_ok=true for a
+    // window that never searched. Every worker must record >= 1.
     Seq((snap("total").toLong,
         BigDecimal(snap("qps")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .toDouble,
-        violations == 0L && snap("failed") == 0.0 && terminated))
+        violations == 0L && snap("failed") == 0.0 && terminated &&
+          snap("total") >= workers.toDouble))
       .toDF("searches", "qps", "shape_ok")
+  }
+
+  /** Sustained-concurrency QPS while WRITES land — the reference's
+    * pressure family mixes search with insert/upsert/delete
+    * (common/workload.py:310-454), but the steady-state QPS rows
+    * serve a frozen fixture; sealed ⊎ growing delta serving is the
+    * engine's differentiator and this is the entry that measures it
+    * under concurrent writers. One writer thread (small 20-row
+    * inserts + a 1-row upsert per batch) + (workers − 1) search
+    * workers share the window against a DEDICATED collection (the
+    * shared steady-state fixture must never be mutated — every later
+    * entry reads it). The filter selects a NARROW pk band
+    * (vec_id % 100 == 7) whose matching count is far below topk, so
+    * write visibility is part of the SLO, not masked by the topk cap:
+    * with insert pks ≡ 7 (mod 100) and no deletes, the matching set
+    * grows monotonically, and every search must land in the exact
+    * band expect0 <= hits <= min(topk, expect0 + writesCommitted) —
+    * the per-write-epoch recomputation collapsed to a monotone bound
+    * (writesCommitted is read AFTER the search's count returns, a
+    * conservative upper bound on what its snapshot could have seen;
+    * expect0 is exact because nothing is ever deleted). Upserts are
+    * count-neutral on existing pks but count toward the bound anyway:
+    * at tiny SFs the upserted pk may not pre-exist, and Milvus upsert
+    * semantics insert it.
+    */
+  private def qpsDml(name: String): (SparkSession, String) => DataFrame = {
+    (s, dir) =>
+    import s.implicits._
+    val workers = sys.env.getOrElse("SPARK_GRAFT_QPS_WORKERS", "10").toInt
+    val secs = sys.env.getOrElse("SPARK_GRAFT_QPS_SECS", "30").toInt
+    val topk = 15000
+    val filter = "vec_id % 100 == 7"
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-qpsdml").toString)
+    val c = cat.createCollection(CollectionDef("qdml", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+    c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+    c.createIndex(s, IndexDef("embedding", "IVF_SQ8", Some("L2"),
+      Map("nlist" -> "16")))
+    val expect0 = math.min(topk.toLong, c.query(s, filter).count())
+    val qs = vecsOf(s, dir, (0L until 16L).toSeq)
+      .map { case (id, v) => (s"q$id", v) }
+    val stats = new Workload.SimpleStats()
+    val shapeViolations = new java.util.concurrent.atomic.AtomicLong(0)
+    val writesCommitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val writeBatches = new java.util.concurrent.atomic.AtomicLong(0)
+    val writeFailures = new java.util.concurrent.atomic.AtomicLong(0)
+    val stop = System.nanoTime() + secs * 1000L * 1000L * 1000L
+    val searchWorkers = math.max(1, workers - 1)
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(searchWorkers + 1)
+    val jobGroup = s"qps-$name"
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        s.sparkContext.setJobGroup(jobGroup,
+          s"$name writer", interruptOnCancel = true)
+        val base = 500000000L
+        while (System.nanoTime() < stop) {
+          val k = writeBatches.getAndIncrement()
+          try {
+            // 20 fresh pks, all ≡ 7 (mod 100) — every insert lands in
+            // the searched band, so visibility is observable.
+            c.insert(s, (0 until 20)
+              .map(j => (base + (k * 20 + j) * 100 + 7,
+                qs(((k * 20 + j) % 16).toInt)._2))
+              .toDF("vec_id", "embedding"))
+            writesCommitted.addAndGet(20)
+            c.upsert(s, Seq((7L + (k % 50) * 100, qs((k % 16).toInt)._2))
+              .toDF("vec_id", "embedding"))
+            writesCommitted.addAndGet(1)
+          } catch { case _: Throwable => writeFailures.incrementAndGet() }
+        }
+      }
+    })
+    (0 until searchWorkers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          s.sparkContext.setJobGroup(jobGroup,
+            s"$name steady-state window", interruptOnCancel = true)
+          var i = w
+          while (System.nanoTime() < stop) {
+            val t0 = System.nanoTime()
+            val (qid, qv) = qs(i % qs.size)
+            val ok =
+              try {
+                val hits = CollectionSearch.searchBatch(s, c, "embedding",
+                  Seq(qid -> qv), topk, filterExpr = filter,
+                  searchParams = Map("nprobe" -> "16"),
+                  outputFields = Seq("vec_id")).count()
+                val hi = math.min(topk.toLong,
+                  expect0 + writesCommitted.get())
+                if (hits < expect0 || hits > hi)
+                  shapeViolations.incrementAndGet()
+                true
+              } catch { case _: Throwable => false }
+            stats.record((System.nanoTime() - t0) / 1e9, ok)
+            i += searchWorkers
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    val terminated = pool.awaitTermination(secs * 10L + 60L,
+      java.util.concurrent.TimeUnit.SECONDS)
+    if (!terminated) {
+      s.sparkContext.cancelJobGroup(jobGroup)
+      pool.shutdownNow(): Unit
+      pool.awaitTermination(30L,
+        java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
+    val snap = stats.snapshot()
+    val violations = shapeViolations.get()
+    benchExtras.put(name, Map(
+      "qps" -> snap("qps"),
+      "searches" -> snap("total"),
+      "avg_latency" -> snap("avg_latency"),
+      "p50_latency" -> snap("p50_latency"),
+      "p95_latency" -> snap("p95_latency"),
+      "p99_latency" -> snap("p99_latency"),
+      "workers" -> searchWorkers.toDouble,
+      "duration_s" -> secs.toDouble,
+      "rows_written" -> writesCommitted.get().toDouble,
+      "write_batches" -> writeBatches.get().toDouble,
+      "write_failures" -> writeFailures.get().toDouble,
+      "shape_violations" -> violations.toDouble,
+      "timed_out" -> (if (terminated) 0.0 else 1.0)))
+    Seq((snap("total").toLong, writesCommitted.get(),
+        BigDecimal(snap("qps")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        violations == 0L && snap("failed") == 0.0 && terminated &&
+          writeFailures.get() == 0L && writesCommitted.get() > 0L &&
+          snap("total") >= searchWorkers.toDouble))
+      .toDF("searches", "rows_written", "qps", "shape_ok")
   }
 
   /** Bench entries whose wall IS a configured steady-state window:
@@ -5949,7 +6181,7 @@ object SparkEntry {
     */
   val fixedWindowBench: Set[String] = Set(
     "bench_qps_search_steady", "bench_qps_hybrid_steady",
-    "bench_qps_search_w1")
+    "bench_qps_search_w1", "bench_qps_search_dml")
 
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
     def knnSweep(k: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
@@ -5987,13 +6219,23 @@ object SparkEntry {
       // instead of queuing serially.
       "bench_qps_search_w1" -> qpsSteady("bench_qps_search_w1",
         hybrid = false, workersOverride = Some(1)),
+      // Serving while writes land: sealed ⊎ growing delta serving
+      // measured under a concurrent writer, monotone completeness SLO.
+      "bench_qps_search_dml" -> qpsDml("bench_qps_search_dml"),
       "bench_topk10" -> knnSweep(10),
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),
       "bench_topk15000" -> knnSweep(15000),
-      // HNSW segment-graph build + batched beam search at bench SF
-      // (the bench_ivf_build_search counterpart for the graph family).
-      "bench_hnsw_build_search" -> { (s, dir) =>
+      // Graph-family build/search accounting twins (round-14: the
+      // round-13 verdict's fixture-sharing demand — the old
+      // bench_hnsw_build_search rebuilt 8 per-segment graphs inside
+      // every measured rep and absorbed each driver run's contention
+      // tail at up to 16.7× the builder reading). bench_hnsw_build is
+      // the family's ONE build-paying entry (build + batched beam
+      // search, the old entry's semantics, re-based in BASELINE.md);
+      // bench_hnsw_search serves the same batch from the shared
+      // persisted per-sf graph fixture — the steady-state number.
+      "bench_hnsw_build" -> { (s, dir) =>
         val emb = tbl(s, dir, "embeddings")
         val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
           metric = "L2")
@@ -6002,6 +6244,29 @@ object SparkEntry {
         val queries = vecsOf(s, dir, (0L until 10L).toSeq)
           .map { case (id, v) => (s"q$id", v) }
         graft.ann.Hnsw.search(g, queries, "vec_id", k = 10, ef = 64, p)
+      },
+      "bench_hnsw_search" -> { (s, dir) =>
+        val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+          metric = "L2")
+        val queries = vecsOf(s, dir, (0L until 10L).toSeq)
+          .map { case (id, v) => (s"q$id", v) }
+        graft.ann.Hnsw.search(hnswGraphFixture(s, dir), queries,
+          "vec_id", k = 10, ef = 64, p)
+      },
+      // DISKANN's one build-paying entry (Vamana α-pruned per-segment
+      // build + batched beam search) — the serve-side entries
+      // (v52_diskann_serve/_recall) read their shared fixtures.
+      "bench_diskann_build" -> { (s, dir) =>
+        val emb = tbl(s, dir, "embeddings").withColumn("_part", lit("d"))
+        val p = graft.ann.Vamana.Params(r = 16, l = 64, metric = "L2")
+        val g = graft.ann.Vamana.buildParts(emb, "embedding", "vec_id",
+          "_part", p, segments = 8)
+        graft.ann.Hnsw.searchParts(
+          g.toDF().withColumnRenamed("part", "_part"),
+          vecsOf(s, dir, (0L until 10L).toSeq)
+            .map { case (id, v) => (s"q$id", v) },
+          "vec_id", k = 10, ef = 64, metric = "L2")
+          .agg(count(lit(1)).as("n"))
       },
       // Two-stage retrieve-then-rerank at bench SF: brute-force top-200
       // candidates over the full documents table, model-reranked to 20.
@@ -6439,11 +6704,15 @@ object SparkEntry {
       // column (plan-asserted in ElementSearchSpec); _unpruned
       // explodes the bare struct and pays the payload IO — the delta
       // between the two entries IS the nested-pruning win at scale.
+      // 2 queries each (round-14, down from 10 — with the fixture's
+      // 1/8 doc cap this keeps the unpruned contrast twin under the
+      // ≤5 s bound while the per-query pruned/unpruned cost ratio,
+      // the contrast the pair exists for, is corpus-size-invariant).
       "bench_element_search_pruned" -> { (s, dir) =>
         import s.implicits._
         import graft.operators.ElementSearch
         val nested = s.read.parquet(elementBenchTable(s, dir))
-        val total = (0 until 10).map { q =>
+        val total = (0 until 2).map { q =>
           ElementSearch.searchElements(nested, "elems", "embedding",
             "doc_id", vecOf(s, dir, q), "L2", 100,
             subfields = Seq("elem_id", "tag", "embedding")).count()
@@ -6454,7 +6723,7 @@ object SparkEntry {
         import s.implicits._
         import graft.operators.ElementSearch
         val nested = s.read.parquet(elementBenchTable(s, dir))
-        val total = (0 until 10).map { q =>
+        val total = (0 until 2).map { q =>
           ElementSearch.searchElements(nested, "elems", "embedding",
             "doc_id", vecOf(s, dir, q), "L2", 100).count()
         }.sum

@@ -26,10 +26,19 @@ private[operators] object CheckpointFile {
     val body = (s""""sig": "$sig"""" +:
       fields.map { case (k, v) => s""""$k": $v""" })
       .mkString("{", ", ", "}")
-    val tmp = Paths.get(file + ".tmp")
-    Files.write(tmp, body.getBytes)
-    Files.move(tmp, Paths.get(file), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    // Unique temp name per save: a fixed '<file>.tmp' shared by two
+    // handles configured with the same path could interleave writes or
+    // race the ATOMIC_MOVE (NoSuchFileException) — the sig guard
+    // catches cross-scan resume, not this write race.
+    val target = Paths.get(file).toAbsolutePath
+    val dir = Option(target.getParent).getOrElse(Paths.get("."))
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, target.getFileName.toString, ".tmp")
+    try {
+      Files.write(tmp, body.getBytes)
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Read the checkpoint body, enforcing the signature guard. Returns

@@ -22,6 +22,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CollectionSearch {
 
+  /** THE direction rule for dense metrics: similarity metrics (IP,
+    * COSINE) page/rank score-DESCENDING, distance metrics ASCENDING.
+    * Single source of truth — [[SearchIterator]]'s persisted cursor
+    * direction and every keyset/top-k route here must agree, or a
+    * resume would re-serve or skip rows. (BM25 and sparse-IP never
+    * reach the dense routes; their families fix the direction
+    * structurally.)
+    */
+  private[operators] def simLikeMetric(metric: String): Boolean =
+    Set("IP", "COSINE").contains(metric.toUpperCase)
+
   /** IVF_PQ shape params from the declared index: Milvus names them
     * `m` and `nbits` (ksub = 2^nbits, default 8); an explicit `ksub`
     * is accepted too.
@@ -153,7 +164,7 @@ object CollectionSearch {
                 .select(col("qid"), col(pk), col("score")))
         }
     }
-    val simLike = Set("IP", "COSINE").contains(metric.toUpperCase)
+    val simLike = simLikeMetric(metric)
     val primary = if (simLike) col("score").desc else col("score").asc
     val top = Knn.limitPerQid(all, "qid", Seq(primary, col(pk).asc), k)
       .drop("rank")
@@ -1071,7 +1082,7 @@ object CollectionSearch {
       } else bruteRange(coll.read(spark, partitionNames))
     if (limit == Int.MaxValue) hits
     else {
-      val simLike = Set("IP", "COSINE").contains(metric.toUpperCase)
+      val simLike = simLikeMetric(metric)
       val primary = if (simLike) col("score").desc else col("score").asc
       Knn.limitPerQid(hits, "qid", Seq(primary, col(pk).asc), limit)
     }
@@ -1145,7 +1156,7 @@ object CollectionSearch {
       .orElse(index.flatMap(_.metricType))
       .getOrElse("COSINE")
     val m = metric.toUpperCase
-    val simLike = Set("IP", "COSINE").contains(m)
+    val simLike = simLikeMetric(m)
     val denseDeclared = index.exists(ix =>
       ix.indexType.toUpperCase.startsWith("IVF") ||
         Set("AUTOINDEX", "HNSW", "DISKANN", "SCANN")

@@ -54,8 +54,11 @@ final class SearchIterator(
       searchParams.get("metric_type").orElse(declared)
         .getOrElse("COSINE").toUpperCase
   }
+  // ONE direction predicate shared with the engine routes — a second
+  // divergent copy here could silently flip the persisted cursor's
+  // sort against the engine's keyset and duplicate/skip on resume.
   private val simLike: Boolean =
-    Set("IP", "COSINE", "BM25").contains(resolvedMetric)
+    CollectionSearch.simLikeMetric(resolvedMetric)
 
   private val sig: String = {
     val qRepr = query match {
@@ -126,6 +129,13 @@ final class SearchIterator(
 
   private def saveCheckpoint(): Unit = checkpointFile.foreach { f =>
     val (s, p) = cursor.get
+    // A non-finite cursor score (NaN/Infinity from a degenerate
+    // vector) would serialize as bare NaN/Infinity — invalid JSON —
+    // and on resume lit(NaN) makes every keyset comparison false, so
+    // the scan would silently read as complete. Fail loudly instead.
+    require(java.lang.Double.isFinite(s),
+      s"cannot checkpoint a non-finite cursor score ($s) for pk $p — " +
+        "the resumed keyset would silently match nothing")
     // Double.toString is shortest-round-trip exact in Java, so the
     // resumed cursor score cannot drift an ulp from the in-memory one.
     CheckpointFile.save(f, sig,

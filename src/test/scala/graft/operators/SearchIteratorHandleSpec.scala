@@ -187,4 +187,41 @@ class SearchIteratorHandleSpec extends SparkSpec {
     }
     assert(numErr.getMessage.contains("radius"))
   }
+
+  test("concurrent saves to one checkpoint path never tear or race") {
+    // Round-14 ADVICE fix: the old fixed '<file>.tmp' let two writers
+    // interleave Files.write with the other's ATOMIC_MOVE
+    // (NoSuchFileException) or publish a body torn across writers.
+    // With a unique temp per save, every observable state of the file
+    // is one writer's complete body.
+    val cp = Files.createTempDirectory("graft-sihs-race")
+      .resolve("cp.json").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = (0 until 4).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = (0 until 200).foreach { i =>
+          try CheckpointFile.save(cp, s"sig$w",
+            Seq("score" -> s"$i.0", "pk" -> CheckpointFile.pkJson(i.toLong)))
+          catch { case _: Throwable => errs.incrementAndGet() }
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(errs.get() == 0)
+    // The final file is a complete body from ONE writer: parseable
+    // score + pk, and a sig that is exactly one of the writers'.
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cp)))
+    val sig = "\"sig\": \"(sig\\d)\"".r.findFirstMatchIn(body).map(_.group(1))
+    assert(sig.exists(Set("sig0", "sig1", "sig2", "sig3")))
+    assert("\"score\": (\\d+)\\.0".r.findFirstMatchIn(body).nonEmpty)
+    // No orphaned temp files linger in the directory.
+    val dir = java.nio.file.Paths.get(cp).getParent
+    val leftovers = java.nio.file.Files.list(dir).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names == Seq("cp.json"), s"unexpected files: $names")
+  }
 }
