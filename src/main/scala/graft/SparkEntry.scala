@@ -6074,10 +6074,26 @@ object SparkEntry {
     val filter = "vec_id % 100 == 7"
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-qpsdml").toString)
+    // Auto-compaction ON (the production serving shape): the writer's
+    // delta chain folds every maxDeltas batches — leveled minor folds
+    // with grace-period retirement, so concurrent searches that
+    // planned against the pre-fold listing keep reading parked files
+    // (the MVCC vacuum discipline HammerSpec pins). Without it the
+    // chain — and search latency — grows without bound over the
+    // window, a shape no production serve path would run. Folds
+    // preserve logical rows (LWW), so the monotone completeness band
+    // is unaffected; the fold cost lands on the writer thread, the
+    // realistic write-amplification accounting.
     val c = cat.createCollection(CollectionDef("qdml", Seq(
       FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
-      FieldDef("embedding", ArrayType(FloatType), dim = Some(64)))))
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(64))),
+      properties = Map("compaction.maxDeltas" -> "8")))
     c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+    // Compact BEFORE indexing: with the unique base in place the
+    // in-window auto-folds are MINOR (tail-only, original seqs kept),
+    // so the sealed IVF build keeps serving sealed ⊎ growing instead
+    // of a major fold restamping the corpus past built_seq.
+    c.compact(s)
     c.createIndex(s, IndexDef("embedding", "IVF_SQ8", Some("L2"),
       Map("nlist" -> "16")))
     val expect0 = math.min(topk.toLong, c.query(s, filter).count())
