@@ -526,4 +526,72 @@ class HammerSpec extends SparkSpec {
     assert(a == b, s"replica diverged: src=${a.size} rows, rep=${b.size} rows; " +
       s"diff=${(a.toSet -- b.toSet).take(5)} / ${(b.toSet -- a.toSet).take(5)}")
   }
+
+  test("filtered ANN under concurrent writes + auto-folds holds the monotone completeness band") {
+    // The bench_qps_search_dml SLO at spec scale: a narrow-band
+    // filtered top-k (matching << topk, so write visibility is inside
+    // the assertion) served while a writer lands band-matching inserts
+    // and count-neutral upserts on an auto-compacting collection. No
+    // deletes => the matching set only grows, and every mid-flight
+    // search must count inside expect0 <= hits <= expect0 + committed
+    // (committed read AFTER the search returns — a conservative upper
+    // bound on what its snapshot could have seen).
+    val s = spark
+    import s.implicits._
+    import graft.operators.CollectionSearch
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cat = new Catalog(Files.createTempDirectory("graft-hqdml").toString)
+    val c = cat.createCollection(CollectionDef("hq", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(4))),
+      properties = Map("compaction.maxDeltas" -> "3")))
+    def vec(i: Long): Seq[Float] =
+      Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, 1.0f)
+    c.insert(s, (0L until 400L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")): Unit
+    // Base compacted before indexing, the qpsDml discipline: in-test
+    // auto-folds stay MINOR, so the sealed build serves sealed+growing.
+    c.compact(s)
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "4")))
+    val filter = "vec_id % 100 == 7"
+    val expect0 = c.query(s, filter).count()
+    val committed = new java.util.concurrent.atomic.AtomicLong(0)
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    val writer = new Thread(() => {
+      try (0 until 8).foreach { b =>
+        c.insert(s, (0 until 5)
+          .map(j => (1000000L + (b * 5 + j) * 100L + 7L, vec(b * 5 + j)))
+          .toDF("vec_id", "embedding")): Unit
+        committed.addAndGet(5): Unit
+        // count-neutral on an existing pk; still counted in the bound
+        // (an absent pk would be inserted — Milvus upsert semantics)
+        c.upsert(s, Seq((7L, vec(b))).toDF("vec_id", "embedding"))
+        committed.addAndGet(1): Unit
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"writer: ${e.getMessage}"): Unit }
+    })
+    val searchers = (0 until 2).map { t =>
+      new Thread(() => {
+        try (1 to 10).foreach { _ =>
+          val hits = CollectionSearch.searchBatch(s, c, "embedding",
+            Seq(s"q$t" -> vec(7)), 10000, filterExpr = filter,
+            searchParams = Map("nprobe" -> "4")).count()
+          val hi = expect0 + committed.get()
+          assert(hits >= expect0 && hits <= hi,
+            s"completeness band violated: $hits not in [$expect0, $hi]")
+        } catch { case e: Throwable =>
+          errors.compareAndSet(null, s"searcher$t: ${e.getMessage}"): Unit }
+      })
+    }
+    (writer +: searchers).foreach(_.start())
+    (writer +: searchers).foreach(_.join())
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    // Post-quiesce exactness: every landed insert is served.
+    val finalHits = CollectionSearch.searchBatch(s, c, "embedding",
+      Seq("qf" -> vec(7)), 10000, filterExpr = filter,
+      searchParams = Map("nprobe" -> "4")).count()
+    assert(finalHits == expect0 + 40,
+      s"final filtered top-k missed landed writes: $finalHits")
+  }
 }
