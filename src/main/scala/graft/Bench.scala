@@ -247,10 +247,15 @@ object Bench {
       // fixture access and the completeness-expectation count — a
       // small constant at a given SF, identical across same-code
       // runs, so it cancels in the round-over-round comparison.)
+      // busy <= 0 means the gcThreads estimate swallowed the measured
+      // cpu (a GC-bound degenerate window) — publish the -1 sentinel,
+      // like the io_suspect path's ratio guard, instead of dividing by
+      // the epsilon clamp and shipping a ~1e11 adjudication stat.
+      val busy = c - g * gcThreads
       val extrasMap =
         if (baseExtras.contains("searches") && c >= 0)
           baseExtras + ("searches_per_busy_cpu_s" ->
-            baseExtras("searches") / math.max(c - g * gcThreads, 1e-9))
+            (if (busy > 0) baseExtras("searches") / busy else -1.0))
         else baseExtras
       val extras = extrasMap.toSeq.sortBy(_._1)
         .map { case (ek, ev) => ",\"" + ek + "\":" + num(ev, 3) }

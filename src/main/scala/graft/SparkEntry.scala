@@ -1626,9 +1626,9 @@ object SparkEntry {
       import s.implicits._
       // Collection+graph build, the exact oracle rows, and the IVF
       // comparison recall come from the shared per-sf fixture
-      // (hnswRecallFixture) — all deterministic, so reps measure the
+      // (recallFixture) — all deterministic, so reps measure the
       // graph SERVE walk + the tiny recall join.
-      val (c, exactRows, ivfRecall) = hnswRecallFixture(s, dir)
+      val (c, exactRows, ivfRecall) = recallFixture(s, dir, "hnsw")
       val qids = Seq(0L, 7L, 42L)
       val served = CollectionSearch.searchBatch(s, c, "embedding",
           qids.map(i => (i.toString, vecOf(s, dir, i))), 10,
@@ -1654,9 +1654,12 @@ object SparkEntry {
       // delta-serving Vamana walk; bench_diskann_build is the family's
       // build-paying entry.
       val (c, sealedSeq) = graphServeFixture(s, dir, "diskann")
-      val desc = IndexStore.describe(c, "embedding").get
       val hits = CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7),
         10, searchParams = Map("search_list_size" -> "1000000"))
+      // Describe AFTER the search (like v50/v51): the invariant gated
+      // here is that the serve route itself never re-indexes — a
+      // pre-search describe would miss a rebuild the walk triggered.
+      val desc = IndexStore.describe(c, "embedding").get
       val servedStale = desc("built_seq") == sealedSeq
       hits.withColumn("rank", row_number().over(
           Window.orderBy(col("score").asc, col("vec_id").asc)).cast("int"))
@@ -1673,11 +1676,11 @@ object SparkEntry {
       import s.implicits._
       // The Vamana build, the exact top-10 oracle rows, AND the
       // comparison HNSW walk's recall all come from the shared per-sf
-      // fixture (diskannRecallFixture) — deterministic, so bench reps
+      // fixture (recallFixture) — deterministic, so bench reps
       // measure the Vamana beam walks + the tiny recall semi-join (the
       // round-13 fixture damped the build but left a per-rep exact
       // scan + comparison walk absorbing driver contention).
-      val (c, exactRows, hnswRecall) = diskannRecallFixture(s, dir)
+      val (c, exactRows, hnswRecall) = recallFixture(s, dir, "diskann")
       val qids = Seq(0L, 7L, 42L)
       val served = CollectionSearch.searchBatch(s, c, "embedding",
           qids.map(i => (i.toString, vecOf(s, dir, i))), 10,
@@ -5384,87 +5387,62 @@ object SparkEntry {
       c
     })
 
-  private val diskannRecallCache =
+  private val recallFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       (graft.store.Collection, Seq[(String, Long)], Double)]()
 
-  /** Shared DISKANN-recall fixture: the Vamana-indexed collection, the
-    * EXACT top-10 oracle rows (collected — tens of rows), and the
-    * comparison HNSW walk's recall number, built once per sf dir —
-    * v52_diskann_recall's reps then measure ONLY the Vamana beam walks
-    * + the tiny recall semi-join; the brute-force exact scan and the
-    * comparison graph build/walk are deterministic, so caching them
-    * changes nothing but the measured window (the round-13 item-7
-    * pattern, extended per the round-13 verdict: the remaining 2.51×
-    * driver/builder swing was contention on the per-rep exact scan +
-    * comparison walk, not the fixture build).
+  /** Shared per-(kind, sf-dir) recall fixture for the graph families
+    * (v50_hnsw_recall, v52_diskann_recall): the indexed collection,
+    * the collected EXACT top-10 oracle rows (tens of rows), and the
+    * comparison route's recall number — all deterministic, built
+    * once, so the entries' reps measure ONLY the serve walks + the
+    * tiny recall semi-join (the round-13 item-7 pattern, extended per
+    * the round-13 verdict: the residual 2.51× driver/builder swing
+    * was contention on the per-rep exact scan + comparison walk, not
+    * the fixture build). The kinds differ only in the IndexDef and
+    * which comparison route's recall rides along: declared HNSW
+    * compares against the IVF route at v1's operating point, declared
+    * DISKANN against the hierarchical HNSW walk at the same beam.
     */
-  private def diskannRecallFixture(s: SparkSession, dir: String):
+  private def recallFixture(s: SparkSession, dir: String, kind: String):
       (graft.store.Collection, Seq[(String, Long)], Double) =
-    diskannRecallCache.computeIfAbsent(dir, _ => {
+    recallFixtureCache.computeIfAbsent(s"$kind|$dir", _ => {
       import s.implicits._
-      val cat = new Catalog(
-        java.nio.file.Files.createTempDirectory("graft-vam52r").toString)
+      val cat = new Catalog(java.nio.file.Files
+        .createTempDirectory(s"graft-recall-$kind").toString)
       val c = cat.createCollection(CollectionDef("rvecs", Seq(
         FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
         FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
       val emb = tbl(s, dir, "embeddings")
       c.insert(s, emb.select("vec_id", "embedding"))
-      c.createIndex(s, IndexDef("embedding", "DISKANN", Some("L2"),
-        Map("R" -> "16", "L" -> "64", "alpha" -> "1.2",
-          "segments" -> "4")))
+      c.createIndex(s, kind match {
+        case "hnsw" => IndexDef("embedding", "HNSW", Some("L2"),
+          Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4"))
+        case "diskann" => IndexDef("embedding", "DISKANN", Some("L2"),
+          Map("R" -> "16", "L" -> "64", "alpha" -> "1.2",
+            "segments" -> "4"))
+      })
       val qids = Seq(0L, 7L, 42L)
       val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
           "embedding", "vec_id", "L2", 10)
         .select(col("qid").cast("string").as("qid"), col("vec_id"))
         .distinct().as[(String, Long)].collect().toSeq
-      val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
-        metric = "L2")
-      val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
-        segments = 4)
-      val hnswRecall = graft.ann.Hnsw.recallAtK(emb, g,
-        qids.map(i => (i, vecOf(s, dir, i.toInt))), "embedding", "vec_id",
-        k = 10, ef = 64, p)
-      (c, exact, hnswRecall)
-    })
-
-  private val hnswRecallCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (graft.store.Collection, Seq[(String, Long)], Double)]()
-
-  /** Shared HNSW-recall fixture (the diskannRecallFixture pattern for
-    * v50_hnsw_recall): the HNSW-indexed collection, the collected
-    * exact top-10 oracle rows, and the comparison IVF route's recall
-    * at v1's operating point — all deterministic, built once per sf
-    * dir, so the entry's reps measure the graph SERVE walk + the tiny
-    * recall join instead of a graph build + brute scan + IVF train
-    * per rep.
-    */
-  private def hnswRecallFixture(s: SparkSession, dir: String):
-      (graft.store.Collection, Seq[(String, Long)], Double) =
-    hnswRecallCache.computeIfAbsent(dir, _ => {
-      import s.implicits._
-      val cat = new Catalog(
-        java.nio.file.Files.createTempDirectory("graft-hnsw50r").toString)
-      val c = cat.createCollection(CollectionDef("rvecs", Seq(
-        FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
-        FieldDef("embedding", ArrayType(FloatType), dim = Some(16)))))
-      val emb = tbl(s, dir, "embeddings")
-      c.insert(s, emb.select("vec_id", "embedding"))
-      c.createIndex(s, IndexDef("embedding", "HNSW", Some("L2"),
-        Map("M" -> "8", "efConstruction" -> "64", "segments" -> "4")))
-      val qids = Seq(0L, 7L, 42L)
-      val exact = Knn.search(emb, queryDf(s, dir, qids.map(_.toInt)),
-          "embedding", "vec_id", "L2", 10)
-        .select(col("qid").cast("string").as("qid"), col("vec_id"))
-        .distinct().as[(String, Long)].collect().toSeq
-      val model = Ivf.train(emb, "embedding", k = 8, metric = "L2",
-        sampleSize = 1000)
-      val ivfRecall = Ivf.recallAtK(emb,
-        Ivf.assign(emb, "embedding", model), model,
-        qids.map(i => (i, vecOf(s, dir, i.toInt))), "embedding", "vec_id",
-        k = 10, nprobe = 4)
-      (c, exact, ivfRecall)
+      val queries = qids.map(i => (i, vecOf(s, dir, i.toInt)))
+      val comparisonRecall = kind match {
+        case "hnsw" =>
+          val model = Ivf.train(emb, "embedding", k = 8, metric = "L2",
+            sampleSize = 1000)
+          Ivf.recallAtK(emb, Ivf.assign(emb, "embedding", model), model,
+            queries, "embedding", "vec_id", k = 10, nprobe = 4)
+        case "diskann" =>
+          val p = graft.ann.Hnsw.Params(m = 8, efConstruction = 64,
+            metric = "L2")
+          val g = graft.ann.Hnsw.build(emb, "embedding", "vec_id", p,
+            segments = 4)
+          graft.ann.Hnsw.recallAtK(emb, g, queries, "embedding",
+            "vec_id", k = 10, ef = 64, p)
+      }
+      (c, exact, comparisonRecall)
     })
 
   private val graphServeCache =
@@ -5911,6 +5889,105 @@ object SparkEntry {
     * (workload/Workload.SimpleStats — the deque(maxlen=1000)
     * convention of search_permanently.py:39-91).
     */
+  /** 30 s default window (round-14, up from 12 s): same-code 12 s
+    * windows swung 2× on a contended 32-core box — scheduling jitter
+    * dominates a window that short, so the committed QPS rows could
+    * not be adjudicated round over round. The reference's own design
+    * point is 600 s (go_bench/config.yaml:1); 30 s is the sandbox
+    * compromise BASELINE.md's QPS adjudication band is stated for.
+    */
+  private def qpsWindowSecs: Int =
+    sys.env.getOrElse("SPARK_GRAFT_QPS_SECS", "30").toInt
+
+  /** The fixed-window concurrency harness shared by the whole QPS
+    * bench family: `searchWorkers` pool threads loop `searchOnce`
+    * until the deadline (recording latency into [[Workload
+    * .SimpleStats]]; a `false` return counts a shape violation, a
+    * throw counts a failed search), and an optional `writerLoop` runs
+    * once on its own pool thread against the same deadline. ONE copy
+    * of the cancellation discipline every window row depends on:
+    *
+    *  - a job group per window, set per thread (thread interrupts
+    *    alone do NOT cancel an in-flight Spark job — cancellation
+    *    needs cancelJobGroup with interruptOnCancel, or an
+    *    overrunning search keeps its executor tasks alive into the
+    *    next bench entry's timed window);
+    *  - on timeout, cancelJobGroup kills the in-flight jobs, then a
+    *    short re-await lets the interrupted workers unwind BEFORE
+    *    the stats are snapshotted, so the published row cannot race
+    *    a straggler's last record(). `terminated` stays false — the
+    *    window DID time out and the shape flag must say so; the
+    *    drain await is best-effort (a task ignoring cancellation for
+    *    30 s more can only perturb an already-failed window's stats,
+    *    never a clean one's).
+    *
+    * Publishes the family's common extras under `name` in
+    * [[benchExtras]] (callers merge entry-specific keys on top) and
+    * returns (stats snapshot, shape violations, terminated).
+    */
+  private def runQpsWindow(s: SparkSession, name: String, secs: Int,
+      searchWorkers: Int, searchOnce: Int => Boolean,
+      writerLoop: Option[Long => Unit] = None): (
+      Map[String, Double], Long, Boolean) = {
+    val stats = new Workload.SimpleStats()
+    val shapeViolations = new java.util.concurrent.atomic.AtomicLong(0)
+    val stop = System.nanoTime() + secs * 1000L * 1000L * 1000L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      searchWorkers + writerLoop.size)
+    val jobGroup = s"qps-$name"
+    writerLoop.foreach { body =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          s.sparkContext.setJobGroup(jobGroup,
+            s"$name writer", interruptOnCancel = true)
+          body(stop)
+        }
+      })
+    }
+    (0 until searchWorkers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          s.sparkContext.setJobGroup(jobGroup,
+            s"$name steady-state window", interruptOnCancel = true)
+          var i = w
+          while (System.nanoTime() < stop) {
+            val t0 = System.nanoTime()
+            val ok =
+              try {
+                if (!searchOnce(i)) shapeViolations.incrementAndGet(): Unit
+                true
+              } catch { case _: Throwable => false }
+            stats.record((System.nanoTime() - t0) / 1e9, ok)
+            i += searchWorkers
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    val terminated = pool.awaitTermination(secs * 10L + 60L,
+      java.util.concurrent.TimeUnit.SECONDS)
+    if (!terminated) {
+      s.sparkContext.cancelJobGroup(jobGroup)
+      pool.shutdownNow(): Unit
+      pool.awaitTermination(30L,
+        java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
+    val snap = stats.snapshot()
+    val violations = shapeViolations.get()
+    benchExtras.put(name, Map(
+      "qps" -> snap("qps"),
+      "searches" -> snap("total"),
+      "avg_latency" -> snap("avg_latency"),
+      "p50_latency" -> snap("p50_latency"),
+      "p95_latency" -> snap("p95_latency"),
+      "p99_latency" -> snap("p99_latency"),
+      "workers" -> searchWorkers.toDouble,
+      "duration_s" -> secs.toDouble,
+      "shape_violations" -> violations.toDouble,
+      "timed_out" -> (if (terminated) 0.0 else 1.0)))
+    (snap, violations, terminated)
+  }
+
   private def qpsSteady(name: String, hybrid: Boolean,
       workersOverride: Option[Int] = None): (
       SparkSession, String) => DataFrame = { (s, dir) =>
@@ -5918,13 +5995,7 @@ object SparkEntry {
     val c = hybridBenchCollection(s, dir)
     val workers = workersOverride.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_QPS_WORKERS", "10").toInt)
-    // 30 s default window (round-14, up from 12 s): same-code 12 s
-    // windows swung 2× on a contended 32-core box — scheduling jitter
-    // dominates a window that short, so the committed QPS rows could
-    // not be adjudicated round over round. The reference's own design
-    // point is 600 s (go_bench/config.yaml:1); 30 s is the sandbox
-    // compromise BASELINE.md's QPS adjudication band is stated for.
-    val secs = sys.env.getOrElse("SPARK_GRAFT_QPS_SECS", "30").toInt
+    val secs = qpsWindowSecs
     val topk = 15000
     val filter = "vec_id % 10 != 3"
     // Completeness SLO expectation, computed OUTSIDE the timed
@@ -5939,96 +6010,30 @@ object SparkEntry {
       else math.min(topk.toLong, c.query(s, filter).count())
     val qs = vecsOf(s, dir, (0L until 16L).toSeq)
       .map { case (id, v) => (s"q$id", v) }
-    val stats = new Workload.SimpleStats()
-    val shapeViolations = new java.util.concurrent.atomic.AtomicLong(0)
-    val stop = System.nanoTime() + secs * 1000L * 1000L * 1000L
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
-    // Job group per window (thread-local, so each worker sets it):
-    // thread interrupts alone do NOT cancel an in-flight Spark job —
-    // cancellation needs cancelJobGroup with interruptOnCancel, or an
-    // overrunning search keeps its executor tasks alive into the next
-    // bench entry's timed window.
-    val jobGroup = s"qps-$name"
-    (0 until workers).foreach { w =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          s.sparkContext.setJobGroup(jobGroup,
-            s"$name steady-state window", interruptOnCancel = true)
-          var i = w
-          while (System.nanoTime() < stop) {
-            val t0 = System.nanoTime()
-            val (qid, qv) = qs(i % qs.size)
-            val ok =
-              try {
-                if (hybrid) {
-                  val hits = HybridSearch.hybridSearchCollection(s, c,
-                    Seq(
-                      CollectionAnnRequest(Seq(qid -> qv), "embedding",
-                        limit = topk, params = Map("nprobe" -> "8")),
-                      CollectionAnnRequest(Seq(qid -> qv.reverse), "emb2",
-                        limit = topk, params = Map("nprobe" -> "8"))),
-                    WeightedRanker(Seq(0.9, 0.1)), limit = 10).count()
-                  if (hits != 10L) shapeViolations.incrementAndGet()
-                  true
-                } else {
-                  // nprobe = nlist: at topk 15000 >= the fixture's
-                  // row count every cell can contribute, so probing
-                  // everything is the correct serving decision AND
-                  // makes the ratio-1.0 completeness SLO exact
-                  // (hits == min(topk, matching rows)); the Go
-                  // bench's collection dwarfs its topk, ours does
-                  // not at sandbox SFs.
-                  val hits = CollectionSearch.searchBatch(s, c, "embedding",
-                    Seq(qid -> qv), topk, filterExpr = filter,
-                    searchParams = Map("nprobe" -> "16"),
-                    outputFields = Seq("vec_id")).count()
-                  if (hits != expectFiltered)
-                    shapeViolations.incrementAndGet()
-                  true
-                }
-              } catch { case _: Throwable => false }
-            stats.record((System.nanoTime() - t0) / 1e9, ok)
-            i += workers
-          }
+    val (snap, violations, terminated) = runQpsWindow(s, name, secs,
+      workers, searchOnce = { i =>
+        val (qid, qv) = qs(i % qs.size)
+        if (hybrid) {
+          HybridSearch.hybridSearchCollection(s, c,
+            Seq(
+              CollectionAnnRequest(Seq(qid -> qv), "embedding",
+                limit = topk, params = Map("nprobe" -> "8")),
+              CollectionAnnRequest(Seq(qid -> qv.reverse), "emb2",
+                limit = topk, params = Map("nprobe" -> "8"))),
+            WeightedRanker(Seq(0.9, 0.1)), limit = 10).count() == 10L
+        } else {
+          // nprobe = nlist: at topk 15000 >= the fixture's row count
+          // every cell can contribute, so probing everything is the
+          // correct serving decision AND makes the ratio-1.0
+          // completeness SLO exact (hits == min(topk, matching
+          // rows)); the Go bench's collection dwarfs its topk, ours
+          // does not at sandbox SFs.
+          CollectionSearch.searchBatch(s, c, "embedding",
+            Seq(qid -> qv), topk, filterExpr = filter,
+            searchParams = Map("nprobe" -> "16"),
+            outputFields = Seq("vec_id")).count() == expectFiltered
         }
       })
-    }
-    pool.shutdown()
-    val terminated = pool.awaitTermination(secs * 10L + 60L,
-      java.util.concurrent.TimeUnit.SECONDS)
-    // A worker whose in-flight search outlives the deadline must NOT
-    // keep running into the next entry's timed window — its late
-    // task-end metrics would cross-attribute there (the exact leak
-    // the Bench drain guards against). cancelJobGroup kills the
-    // in-flight Spark jobs themselves (interrupting the driver thread
-    // alone would not), then a short re-await lets the interrupted
-    // workers unwind BEFORE the stats are snapshotted, so the
-    // published row cannot race a straggler's last record().
-    if (!terminated) {
-      s.sparkContext.cancelJobGroup(jobGroup)
-      pool.shutdownNow(): Unit
-      // terminated stays false — the window DID time out and the
-      // shape flag must say so. The drain await is best-effort: a
-      // task that ignores cancellation for 30s more could still race
-      // the snapshot below, but the row is already published as
-      // timed_out/shape_ok=false, so the race can only perturb an
-      // already-failed window's stats, never a clean one's.
-      pool.awaitTermination(30L,
-        java.util.concurrent.TimeUnit.SECONDS): Unit
-    }
-    val snap = stats.snapshot()
-    val violations = shapeViolations.get()
-    benchExtras.put(name, Map(
-      "qps" -> snap("qps"),
-      "searches" -> snap("total"),
-      "avg_latency" -> snap("avg_latency"),
-      "p50_latency" -> snap("p50_latency"),
-      "p95_latency" -> snap("p95_latency"),
-      "p99_latency" -> snap("p99_latency"),
-      "workers" -> workers.toDouble,
-      "duration_s" -> secs.toDouble,
-      "shape_violations" -> violations.toDouble,
-      "timed_out" -> (if (terminated) 0.0 else 1.0)))
     // Guard against a vacuously green window: a worker that throws
     // BEFORE its try block (e.g. setJobGroup on a stopped context) is
     // swallowed by the pool's Future and records nothing — total=0,
@@ -6058,8 +6063,11 @@ object SparkEntry {
     * grows monotonically, and every search must land in the exact
     * band expect0 <= hits <= min(topk, expect0 + writesCommitted) —
     * the per-write-epoch recomputation collapsed to a monotone bound
-    * (writesCommitted is read AFTER the search's count returns, a
-    * conservative upper bound on what its snapshot could have seen;
+    * (writesCommitted is bumped BEFORE each write is issued, so at
+    * every instant counter >= rows visible to any snapshot — rows
+    * become searchable inside insert(), long before it returns, and a
+    * bump-after-return would let a concurrent search count the new
+    * rows against the stale counter and record a false violation;
     * expect0 is exact because nothing is ever deleted). Upserts are
     * count-neutral on existing pks but count toward the bound anyway:
     * at tiny SFs the upserted pk may not pre-exist, and Milvus upsert
@@ -6069,7 +6077,7 @@ object SparkEntry {
     (s, dir) =>
     import s.implicits._
     val workers = sys.env.getOrElse("SPARK_GRAFT_QPS_WORKERS", "10").toInt
-    val secs = sys.env.getOrElse("SPARK_GRAFT_QPS_SECS", "30").toInt
+    val secs = qpsWindowSecs
     val topk = 15000
     val filter = "vec_id % 100 == 7"
     val cat = new Catalog(
@@ -6099,90 +6107,48 @@ object SparkEntry {
     val expect0 = math.min(topk.toLong, c.query(s, filter).count())
     val qs = vecsOf(s, dir, (0L until 16L).toSeq)
       .map { case (id, v) => (s"q$id", v) }
-    val stats = new Workload.SimpleStats()
-    val shapeViolations = new java.util.concurrent.atomic.AtomicLong(0)
     val writesCommitted = new java.util.concurrent.atomic.AtomicLong(0)
     val writeBatches = new java.util.concurrent.atomic.AtomicLong(0)
     val writeFailures = new java.util.concurrent.atomic.AtomicLong(0)
-    val stop = System.nanoTime() + secs * 1000L * 1000L * 1000L
     val searchWorkers = math.max(1, workers - 1)
-    val pool =
-      java.util.concurrent.Executors.newFixedThreadPool(searchWorkers + 1)
-    val jobGroup = s"qps-$name"
-    pool.submit(new Runnable {
-      def run(): Unit = {
-        s.sparkContext.setJobGroup(jobGroup,
-          s"$name writer", interruptOnCancel = true)
+    val (snap, violations, terminated) = runQpsWindow(s, name, secs,
+      searchWorkers,
+      searchOnce = { i =>
+        val (qid, qv) = qs(i % qs.size)
+        val hits = CollectionSearch.searchBatch(s, c, "embedding",
+          Seq(qid -> qv), topk, filterExpr = filter,
+          searchParams = Map("nprobe" -> "16"),
+          outputFields = Seq("vec_id")).count()
+        val hi = math.min(topk.toLong, expect0 + writesCommitted.get())
+        hits >= expect0 && hits <= hi
+      },
+      writerLoop = Some { stop =>
         val base = 500000000L
         while (System.nanoTime() < stop) {
           val k = writeBatches.getAndIncrement()
           try {
             // 20 fresh pks, all ≡ 7 (mod 100) — every insert lands in
-            // the searched band, so visibility is observable.
+            // the searched band, so visibility is observable. The
+            // counter bumps BEFORE the write: a failed write then
+            // over-bounds (and trips writeFailures -> shape_ok=false),
+            // never under-bounds a row a search already saw.
+            writesCommitted.addAndGet(20)
             c.insert(s, (0 until 20)
               .map(j => (base + (k * 20 + j) * 100 + 7,
                 qs(((k * 20 + j) % 16).toInt)._2))
               .toDF("vec_id", "embedding"))
-            writesCommitted.addAndGet(20)
+            writesCommitted.addAndGet(1)
             c.upsert(s, Seq((7L + (k % 50) * 100, qs((k % 16).toInt)._2))
               .toDF("vec_id", "embedding"))
-            writesCommitted.addAndGet(1)
           } catch { case _: Throwable => writeFailures.incrementAndGet() }
         }
-      }
-    })
-    (0 until searchWorkers).foreach { w =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          s.sparkContext.setJobGroup(jobGroup,
-            s"$name steady-state window", interruptOnCancel = true)
-          var i = w
-          while (System.nanoTime() < stop) {
-            val t0 = System.nanoTime()
-            val (qid, qv) = qs(i % qs.size)
-            val ok =
-              try {
-                val hits = CollectionSearch.searchBatch(s, c, "embedding",
-                  Seq(qid -> qv), topk, filterExpr = filter,
-                  searchParams = Map("nprobe" -> "16"),
-                  outputFields = Seq("vec_id")).count()
-                val hi = math.min(topk.toLong,
-                  expect0 + writesCommitted.get())
-                if (hits < expect0 || hits > hi)
-                  shapeViolations.incrementAndGet()
-                true
-              } catch { case _: Throwable => false }
-            stats.record((System.nanoTime() - t0) / 1e9, ok)
-            i += searchWorkers
-          }
-        }
       })
-    }
-    pool.shutdown()
-    val terminated = pool.awaitTermination(secs * 10L + 60L,
-      java.util.concurrent.TimeUnit.SECONDS)
-    if (!terminated) {
-      s.sparkContext.cancelJobGroup(jobGroup)
-      pool.shutdownNow(): Unit
-      pool.awaitTermination(30L,
-        java.util.concurrent.TimeUnit.SECONDS): Unit
-    }
-    val snap = stats.snapshot()
-    val violations = shapeViolations.get()
-    benchExtras.put(name, Map(
-      "qps" -> snap("qps"),
-      "searches" -> snap("total"),
-      "avg_latency" -> snap("avg_latency"),
-      "p50_latency" -> snap("p50_latency"),
-      "p95_latency" -> snap("p95_latency"),
-      "p99_latency" -> snap("p99_latency"),
-      "workers" -> searchWorkers.toDouble,
-      "duration_s" -> secs.toDouble,
-      "rows_written" -> writesCommitted.get().toDouble,
-      "write_batches" -> writeBatches.get().toDouble,
-      "write_failures" -> writeFailures.get().toDouble,
-      "shape_violations" -> violations.toDouble,
-      "timed_out" -> (if (terminated) 0.0 else 1.0)))
+    benchExtras.put(name,
+      Option(benchExtras.get(name)).getOrElse(Map.empty[String, Double]) ++
+        Map(
+          "rows_written" -> writesCommitted.get().toDouble,
+          "write_batches" -> writeBatches.get().toDouble,
+          "write_failures" -> writeFailures.get().toDouble))
     Seq((snap("total").toLong, writesCommitted.get(),
         BigDecimal(snap("qps")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .toDouble,

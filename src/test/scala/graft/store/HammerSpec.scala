@@ -534,8 +534,9 @@ class HammerSpec extends SparkSpec {
     // and count-neutral upserts on an auto-compacting collection. No
     // deletes => the matching set only grows, and every mid-flight
     // search must count inside expect0 <= hits <= expect0 + committed
-    // (committed read AFTER the search returns — a conservative upper
-    // bound on what its snapshot could have seen).
+    // (committed bumped BEFORE each write is issued, so at every
+    // instant counter >= rows visible to any search snapshot — rows
+    // become searchable inside insert(), before it returns).
     val s = spark
     import s.implicits._
     import graft.operators.CollectionSearch
@@ -560,14 +561,14 @@ class HammerSpec extends SparkSpec {
     val errors = new java.util.concurrent.atomic.AtomicReference[String]()
     val writer = new Thread(() => {
       try (0 until 8).foreach { b =>
+        committed.addAndGet(5): Unit
         c.insert(s, (0 until 5)
           .map(j => (1000000L + (b * 5 + j) * 100L + 7L, vec(b * 5 + j)))
           .toDF("vec_id", "embedding")): Unit
-        committed.addAndGet(5): Unit
         // count-neutral on an existing pk; still counted in the bound
         // (an absent pk would be inserted — Milvus upsert semantics)
-        c.upsert(s, Seq((7L, vec(b))).toDF("vec_id", "embedding"))
         committed.addAndGet(1): Unit
+        c.upsert(s, Seq((7L, vec(b))).toDF("vec_id", "embedding"))
       } catch { case e: Exception =>
         errors.compareAndSet(null, s"writer: ${e.getMessage}"): Unit }
     })
