@@ -5839,6 +5839,26 @@ object SparkEntry {
             col("dhash").bitwiseXOR(mask).as("dhash"))
         graft.multimodal.ImageHash.nearDupPairs(masked, maxHamming = 8)
           .agg(count(lit(1)).as("pairs"))
+      case "substring" =>
+        // Span-dedup probe (round-14): the shuffle-heaviest text shape
+        // left unprobed — every overlapping 10-token shingle is
+        // hashed, grouped to find cross-document duplicates, and the
+        // surviving seeds island-merge into maximal spans, so the
+        // shuffled shingle volume is ~tokens-per-doc × docs (an order
+        // past the ngram probe's per-doc shingle SETS). scaledDocs'
+        // word-suffix tags make copies' shingle spaces disjoint: each
+        // copy reproduces the base corpus's internal duplicated-span
+        // structure exactly (span count scales ×x, never ×x² stacked
+        // hits), so the hash-agg + islands pipeline is measured under
+        // x-fold MORE DATA, the 100 TB shape. Every-2nd-doc cap (the
+        // element-twin calibration lesson): span dedup is work-linear
+        // in shingles, so the ratio survives a smaller corpus while
+        // the scaled twin's contention exposure — the thing the r13
+        // verdict flagged on oversized entries — halves.
+        SubstringDedup.duplicatedSpans(
+            scaledDocs(s, dir, x).filter(col("doc_id") % 2 === 0),
+            "text", "doc_id", minTokens = 10)
+          .agg(count(lit(1)).as("spans"))
       case "bm25serve" =>
         val cat = new Catalog(java.nio.file.Files
           .createTempDirectory(s"graft-scale-bm25-$x").toString)
@@ -5875,7 +5895,7 @@ object SparkEntry {
     * fields; :25-45 the hybrid variant — two requests topk 15000
     * fused with WeightedRanker [0.9, 0.1]), scaled to the sandbox:
     * SPARK_GRAFT_QPS_WORKERS (default 10) driver threads ×
-    * SPARK_GRAFT_QPS_SECS (default 12 s) of concurrent search jobs
+    * SPARK_GRAFT_QPS_SECS (default 30 s) of concurrent search jobs
     * against the PREBUILT shared fixture — steady-state means NO
     * build inside the measured window, exactly the Go bench's
     * semantics against its already-built collection. Driver threads
@@ -6194,6 +6214,8 @@ object SparkEntry {
       "bench_scaleprobe_diskann_scaled" -> scaleProbe("diskann", scaleX),
       "bench_scaleprobe_imagedup_base" -> scaleProbe("imagedup", 1),
       "bench_scaleprobe_imagedup_scaled" -> scaleProbe("imagedup", scaleX),
+      "bench_scaleprobe_substring_base" -> scaleProbe("substring", 1),
+      "bench_scaleprobe_substring_scaled" -> scaleProbe("substring", scaleX),
       "bench_qps_search_steady" -> qpsSteady("bench_qps_search_steady",
         hybrid = false),
       "bench_qps_hybrid_steady" -> qpsSteady("bench_qps_hybrid_steady",
