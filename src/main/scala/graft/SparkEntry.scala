@@ -5945,8 +5945,8 @@ object SparkEntry {
     * [[benchExtras]] (callers merge entry-specific keys on top) and
     * returns (stats snapshot, shape violations, terminated).
     */
-  private def runQpsWindow(s: SparkSession, name: String, secs: Int,
-      searchWorkers: Int, searchOnce: Int => Boolean,
+  private[graft] def runQpsWindow(s: SparkSession, name: String,
+      secs: Int, searchWorkers: Int, searchOnce: Int => Boolean,
       writerLoop: Option[Long => Unit] = None): (
       Map[String, Double], Long, Boolean) = {
     val stats = new Workload.SimpleStats()
