@@ -1964,9 +1964,13 @@ object SparkEntry {
       c.insert(s, tbl(s, dir, "embeddings").select("vec_id", "embedding"))
       c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
         Map("nlist" -> "8")))
+      // rank derived here: the radius path no longer leaks the
+      // window's internal rank column (route-independent schema).
       CollectionSearch.search(s, c, "embedding", vecOf(s, dir, 7), 10,
           searchParams = Map("radius" -> "1.35", "range_filter" -> "1.25"))
-        .select(col("vec_id"), col("rank").cast("int").as("rank"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").asc, col("vec_id").asc)).cast("int"))
+        .select(col("vec_id"), col("rank"))
         .orderBy("rank")
     },
     // ---- V60: page-1 probe budget for the search iterator

@@ -103,7 +103,13 @@ object CollectionSearch {
     import spark.implicits._
     val d = coll.definition
     val pk = d.primaryField.name
-    val ix = d.indexes.find(_.field == vecField).get
+    // Select the GRAPH-family def specifically (the routing predicate
+    // hnswGraphRoutable checks `exists`, so a definition carrying two
+    // index defs on one field — possible via a hand-built
+    // CollectionDef — must not have its first, non-graph def decide
+    // the DISKANN dispatch and params here).
+    val ix = d.indexes.find(i => i.field == vecField &&
+      Set("HNSW", "DISKANN").contains(i.indexType.toUpperCase)).get
     val m = ix.params.get("M").orElse(ix.params.get("m")).map(_.toInt)
       .getOrElse(8)
     val efc = ix.params.get("efConstruction").map(_.toInt).getOrElse(64)
@@ -120,8 +126,12 @@ object CollectionSearch {
     val bfMax = spark.conf.get("graft.hnsw.maskBruteForceMax", "1024").toInt
     val all = mask match {
       case Some(ids) if ids.length <= bfMax =>
+        // Null vectors must drop BEFORE scoring (the mask comes from a
+        // scalar filter, so null-vector rows pass it): a null L2 score
+        // sorts NULLS FIRST under asc and would pollute the top-k.
         val data = coll.read(spark, partitionNames)
           .filter(col(pk).isin(ids.map(java.lang.Long.valueOf): _*))
+          .filter(col(vecField).isNotNull)
         val qdf = queries.toDF("qid", "qvec")
         Knn.search(data, qdf, vecField, pk, metric, k)
           .select(col("qid"), col(pk), col("score"))
@@ -153,8 +163,9 @@ object CollectionSearch {
           case Some(g) =>
             // The growing delta carries its scalar columns, so the
             // filter compiles directly — no mask needed on the
-            // brute-force side.
-            val g2 = scopedPart(g)
+            // brute-force side. Null vectors drop before scoring
+            // (nullable-vector inserts land here un-indexed).
+            val g2 = scopedPart(g).filter(col(vecField).isNotNull)
             val pred =
               if (filterExpr.trim.isEmpty) None
               else Some(MilvusExpr.compile(filterExpr, g2))
@@ -192,9 +203,13 @@ object CollectionSearch {
     val d = coll.definition
     val pk = d.primaryField.name
     val index = d.indexes.find(_.field == vecField)
+    // Uppercased at resolution: the index layer's pointer matching is
+    // case-exact, so a lower-case declared metric alternating with the
+    // range/iterator routes' uppercased form would pointer-thrash full
+    // rebuilds.
     val metric = searchParams.get("metric_type")
       .orElse(index.flatMap(_.metricType))
-      .getOrElse("COSINE")
+      .getOrElse("COSINE").toUpperCase
     val rabitqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
     val sq8Declared =
@@ -373,9 +388,13 @@ object CollectionSearch {
     val d = coll.definition
     val pk = d.primaryField.name
     val index = d.indexes.find(_.field == vecField)
+    // Uppercased at resolution: the index layer's pointer matching is
+    // case-exact, so a lower-case declared metric alternating with the
+    // range/iterator routes' uppercased form would pointer-thrash full
+    // rebuilds.
     val metric = searchParams.get("metric_type")
       .orElse(index.flatMap(_.metricType))
-      .getOrElse("COSINE")
+      .getOrElse("COSINE").toUpperCase
     val rabitqDeclared =
       index.exists(_.indexType.toUpperCase == "IVF_RABITQ")
     val sq8Declared =
@@ -482,6 +501,32 @@ object CollectionSearch {
     hits.select(outSel: _*)
   }
 
+  /** Resolve a Milvus filter against the sparse postings frame:
+    * pk-only predicates compile directly against the exploded
+    * postings; a filter over doc columns (which postings don't carry)
+    * compiles against the doc scan instead and restricts the postings
+    * via a pk left_semi join — declaring a sparse index must never
+    * change which valid filters a search accepts (this was the
+    * searchIteratorSparse discipline; now shared by every sparse
+    * route).
+    */
+  private def sparseFilteredPostings(spark: SparkSession,
+      coll: Collection, postings: DataFrame, filterExpr: String,
+      partitionNames: Seq[String]): DataFrame = {
+    val pk = coll.definition.primaryField.name
+    filterExpr.trim match {
+      case "" => postings
+      case f =>
+        try postings.filter(MilvusExpr.compile(f, postings))
+        catch {
+          case _: Exception =>
+            val docs = coll.read(spark, partitionNames)
+            val pks = docs.filter(MilvusExpr.compile(f, docs)).select(pk)
+            postings.join(pks, Seq(pk), "left_semi")
+        }
+    }
+  }
+
   /** Sparse-vector search (map<int,double> field). With a declared
     * SPARSE_INVERTED_INDEX / SPARSE_WAND the query joins ONLY its
     * dimensions' persisted posting buckets (exact IP over overlapping
@@ -511,12 +556,8 @@ object CollectionSearch {
       val buckets = sparseIx.flatMap(_.params.get("buckets"))
         .map(_.toInt).getOrElse(64)
       val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
-      val postings = scoped(serve.postings)
-      // Filters over non-pk columns need the doc row, not the posting;
-      // restrict to pk predicates the exploded table still carries.
-      val pred =
-        if (filterExpr.trim.isEmpty) None
-        else Some(MilvusExpr.compile(filterExpr, postings))
+      val postings = sparseFilteredPostings(spark, coll,
+        scoped(serve.postings), filterExpr, partitionNames)
       if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND") &&
           !serve.deltaServed) {
         // Max-score/WAND pruning from the persisted per-dim impact
@@ -527,10 +568,10 @@ object CollectionSearch {
         // persisted bounds don't cover growing postings.
         val stats = IndexStore.sparseDimStats(spark, serve.build)
         SparseInverted.searchWand(postings, stats, query, pk, k,
-          serve.build.numBuckets, pred).df
+          serve.build.numBuckets, None).df
       } else {
         SparseInverted.search(postings, query, pk, k,
-          serve.build.numBuckets, pred)
+          serve.build.numBuckets, None)
       }
     } else {
       val data = coll.read(spark, partitionNames)
@@ -574,12 +615,10 @@ object CollectionSearch {
         val buckets = sparseIx.flatMap(_.params.get("buckets"))
           .map(_.toInt).getOrElse(64)
         val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
-        val postings = scoped(serve.postings)
-        val pred =
-          if (filterExpr.trim.isEmpty) None
-          else Some(MilvusExpr.compile(filterExpr, postings))
+        val postings = sparseFilteredPostings(spark, coll,
+          scoped(serve.postings), filterExpr, partitionNames)
         SparseInverted.rangeSearch(postings, query, pk, radius,
-          rangeFilter, serve.build.numBuckets, pred)
+          rangeFilter, serve.build.numBuckets, None)
       } else {
         val data = coll.read(spark, partitionNames)
           .filter(col(vecField).isNotNull)
@@ -633,22 +672,21 @@ object CollectionSearch {
       val buckets = sparseIx.flatMap(_.params.get("buckets"))
         .map(_.toInt).getOrElse(64)
       val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
-      val postings = scoped(serve.postings)
-      val pred =
-        if (filterExpr.trim.isEmpty) None
-        else Some(MilvusExpr.compile(filterExpr, postings))
+      val postings = sparseFilteredPostings(spark, coll,
+        scoped(serve.postings), filterExpr, partitionNames)
       if (sparseIx.exists(_.indexType.toUpperCase == "SPARSE_WAND") &&
           !serve.deltaServed) {
         // Global per-dim bounds remain VALID (conservative) for any
-        // partition-scoped subset — the prune may keep more candidates,
-        // the exact aggregation result is unchanged. (Delta-served
-        // frames take the exact route: bounds don't cover growing.)
+        // partition-scoped or filtered subset — the prune may keep
+        // more candidates, the exact aggregation result is unchanged.
+        // (Delta-served frames take the exact route: bounds don't
+        // cover growing.)
         val stats = IndexStore.sparseDimStats(spark, serve.build)
         SparseInverted.searchWandBatch(postings, stats, queries, pk, k,
-          serve.build.numBuckets, pred)
+          serve.build.numBuckets, None)
       } else {
         SparseInverted.searchBatch(postings, queries, pk, k,
-          serve.build.numBuckets, pred)
+          serve.build.numBuckets, None)
       }
     } else {
       // No declared index: explode the live rows into transient
@@ -704,7 +742,10 @@ object CollectionSearch {
       BinIvf.searchOne(assigned, build.model, queryBytes, vecField, pk, k,
         nprobe, pred, outputFields)
     } else {
+      // Null binary vectors drop before scoring: hammingDistance(null)
+      // is null and NULLS FIRST under asc would fill the top-k.
       val data = coll.read(spark, partitionNames)
+        .filter(col(vecField).isNotNull)
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, data))
@@ -739,7 +780,7 @@ object CollectionSearch {
     val pk = d.primaryField.name
     val metric = searchParams.get("metric_type")
       .orElse(d.indexes.find(_.field == vecField).flatMap(_.metricType))
-      .getOrElse("COSINE")
+      .getOrElse("COSINE").toUpperCase
     val data = coll.read(spark, partitionNames)
       .filter(col(vecField).isNotNull)
     val pred =
@@ -792,7 +833,9 @@ object CollectionSearch {
       BinIvf.search(assigned, build.model, queries, vecField, pk, k,
         nprobe, pred, outputFields).select(outSel: _*)
     } else {
+      // Null binary vectors drop before scoring (see searchBinary).
       val data = coll.read(spark, partitionNames)
+        .filter(col(vecField).isNotNull)
       val pred =
         if (filterExpr.trim.isEmpty) None
         else Some(MilvusExpr.compile(filterExpr, data))
@@ -886,7 +929,10 @@ object CollectionSearch {
     val top = IndexStore.searchTextServed(spark, coll, textField, params,
       query, k)
     if (outputFields.isEmpty) top
-    else top.join(coll.read(spark), pk)
+    // broadcast the k-row top side: without the hint this plans a
+    // sort-merge join that shuffles the whole corpus for a k-row
+    // lookup (the hnswHits output-fields pattern).
+    else coll.read(spark).join(broadcast(top), Seq(pk))
       .select((pk +: outputFields :+ "score").distinct.map(col): _*)
   }
 
@@ -946,9 +992,16 @@ object CollectionSearch {
       outputFields: Seq[String] = Seq.empty): DataFrame = {
     val d = coll.definition
     val pk = d.primaryField.name
-    val row = coll.read(spark).filter(col(pk) === lit(pkValue))
-      .select(vecField).head()
-    val vec = row.getSeq[Float](0)
+    // Fail with named client-facing errors (the searchByQueryText
+    // convention) instead of a bare head-on-empty NoSuchElementException
+    // or a deep NPE from a null nullable vector.
+    val rows = coll.read(spark).filter(col(pk) === lit(pkValue))
+      .select(vecField).limit(1).collect()
+    require(rows.nonEmpty,
+      s"search_by_pk: no entity with $pk = $pkValue")
+    val vec = rows.head.getSeq[Float](0)
+    require(vec != null,
+      s"search_by_pk: entity $pk = $pkValue has a null $vecField")
     search(spark, coll, vecField, vec, k, searchParams = searchParams,
       outputFields = outputFields)
   }
@@ -1084,7 +1137,10 @@ object CollectionSearch {
     else {
       val simLike = simLikeMetric(metric)
       val primary = if (simLike) col("score").desc else col("score").asc
+      // drop the window's internal rank: every other route strips it
+      // and result schema must not depend on which route served.
       Knn.limitPerQid(hits, "qid", Seq(primary, col(pk).asc), limit)
+        .drop("rank")
     }
   }
 
@@ -1339,7 +1395,7 @@ object CollectionSearch {
       } else score(coll.read(spark, partitionNames))
     val primary = if (simLike) col("score").desc else col("score").asc
     Knn.limitPerQid(keyset(scored), "qid", Seq(primary, col(pk).asc),
-      batchSize).drop("qid")
+      batchSize).drop("qid", "rank")
   }
 
   /** BINARY range search (Hamming bounds, the L2 direction:
@@ -1406,7 +1462,7 @@ object CollectionSearch {
       } else bruteRange(coll.read(spark, partitionNames))
     if (limit == Int.MaxValue) hits
     else Knn.limitPerQid(hits, "qid", Seq(col("score").asc, col(pk).asc),
-      limit)
+      limit).drop("rank")
   }
 
   /** BINARY search iterator (HAMMING, ascending) — the
@@ -1528,7 +1584,7 @@ object CollectionSearch {
         }
       } else score(coll.read(spark, partitionNames))
     Knn.limitPerQid(keyset(scored), "qid",
-      Seq(col("score").asc, col(pk).asc), batchSize).drop("qid")
+      Seq(col("score").asc, col(pk).asc), batchSize).drop("qid", "rank")
   }
 
   /** SPARSE search iterator (IP, descending) — the [[searchIterator]]
@@ -1585,18 +1641,8 @@ object CollectionSearch {
           .map(_.toInt).getOrElse(64)
         val serve = IndexStore.serveSparse(spark, coll, vecField, buckets)
         val postings = scoped(serve.postings)
-        val postFiltered = filterExpr.trim match {
-          case "" => postings
-          case f =>
-            try postings.filter(MilvusExpr.compile(f, postings))
-            catch {
-              case _: Exception =>
-                val docs = coll.read(spark, partitionNames)
-                val pks = docs.filter(MilvusExpr.compile(f, docs))
-                  .select(pk)
-                postings.join(pks, Seq(pk), "left_semi")
-            }
-        }
+        val postFiltered = sparseFilteredPostings(spark, coll, postings,
+          filterExpr, partitionNames)
         SparseInverted.scoresDeterministic(postFiltered, query, pk,
           serve.build.numBuckets, None)
       } else {
@@ -1631,7 +1677,8 @@ object CollectionSearch {
       val extra = outputFields.filterNot(_ == pk).distinct
       val docs = coll.read(spark, partitionNames)
         .select((pk +: extra).map(col): _*)
-      page.join(docs, Seq(pk))
+      // page is one client batch — broadcast it against the doc scan.
+      docs.join(broadcast(page), Seq(pk))
         .select((col(pk) +: extra.map(col)) :+ col("score"): _*)
         .orderBy(col("score").desc, col(pk).asc)
     }

@@ -274,6 +274,12 @@ final class Catalog(val root: String) {
   def dropCollection(name: String): Unit = {
     val n = resolve(name)
     Option(handles.remove(n)).foreach(_.invalidateCache())
+    // Sweep the index-build caches BEFORE the files go: a recreated
+    // same-name collection reuses the cache identity (the directory)
+    // and eventually the exact versioned paths, so surviving entries
+    // would serve deleted builds or the old corpus's stats
+    // (IndexStore.dropAllCached doc).
+    IndexStore.dropAllCached(dir(n).toString)
     dir(n).deleteRecursively()
   }
 

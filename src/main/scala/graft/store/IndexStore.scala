@@ -1166,7 +1166,46 @@ object IndexStore {
     val idxPrefix = indexDir(coll, field).toString
     ivfBoundsCache.keySet.removeIf(_.startsWith(idxPrefix))
     binRadiiCache.keySet.removeIf(_.startsWith(idxPrefix))
+    // Same hazard for the WAND impact stats (keyed on the versioned
+    // dimstats path, which a recreated same-name collection reuses
+    // once its seq counter catches up): a stale map would prune the
+    // new corpus's postings with the OLD per-dim upper bounds and
+    // silently drop hits.
+    dimStatsMapCache.keySet.removeIf(_.startsWith(idxPrefix))
     indexDir(coll, field).deleteRecursively()
+  }
+
+  /** Evict every cached build/stat under a collection DIRECTORY — the
+    * drop_collection sweep. The per-field [[drop]] covers drop_index,
+    * but a dropped COLLECTION whose name is recreated in the same
+    * catalog root reuses the cache identity (cacheId IS the
+    * directory) and, once its restarted seq counter catches up, the
+    * exact tuple keys and versioned paths — so without this sweep a
+    * recreated collection serves deleted build paths
+    * (PATH_NOT_FOUND at best) or the old corpus's stats (silently
+    * wrong WAND prunes at worst).
+    */
+  def dropAllCached(collectionDir: String): Unit = {
+    val cid = collectionDir
+    ivfCache.keySet.removeIf(_._1 == cid)
+    rabitqCache.keySet.removeIf(_._1 == cid)
+    sq8Cache.keySet.removeIf(_._1 == cid)
+    pqCache.keySet.removeIf(_._1 == cid)
+    binIvfCache.keySet.removeIf(_._1 == cid)
+    sparseCache.keySet.removeIf(_._1 == cid)
+    bm25Cache.keySet.removeIf(_._1 == cid)
+    bm25StatsCache.keySet.removeIf(_._1 == cid)
+    bm25GrowingCache.keySet.removeIf(_._1 == cid)
+    jsonPathCache.keySet.removeIf(_._1 == cid)
+    rtreeCache.keySet.removeIf(_._1 == cid)
+    lshCache.keySet.removeIf(_._1 == cid)
+    hnswCache.keySet.removeIf(_._1 == cid)
+    vamanaCache.keySet.removeIf(_._1 == cid)
+    // Path-keyed caches: every versioned path lives under the
+    // collection directory, so the directory IS the prefix.
+    ivfBoundsCache.keySet.removeIf(_.startsWith(cid))
+    binRadiiCache.keySet.removeIf(_.startsWith(cid))
+    dimStatsMapCache.keySet.removeIf(_.startsWith(cid))
   }
 
   /** Build-state introspection for describe_index (the reference reads
