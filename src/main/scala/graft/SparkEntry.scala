@@ -5863,6 +5863,24 @@ object SparkEntry {
             scaledDocs(s, dir, x).filter(col("doc_id") % 2 === 0),
             "text", "doc_id", minTokens = 10)
           .agg(count(lit(1)).as("spans"))
+      case "cc" =>
+        // Connected-components probe (round-14, 11th family): the one
+        // ITERATIVE-join shape unprobed — dup-cluster grouping
+        // pointer-jumps labels to each component's minimum over
+        // O(log diameter) join rounds. Copies of the edge set are
+        // id-disjoint (scaledEdges), so component STRUCTURE (sizes,
+        // diameters) is reproduced ×x: the ROUND COUNT stays
+        // log(diameter) — constant in x — while each round's two
+        // shuffles widen linearly with edge volume. That is the
+        // 100 TB contract for iterative graph ops: more data widens
+        // rounds, it never adds rounds. Every-2nd-order edge cap
+        // (the element-twin calibration lesson): the ratio is
+        // work-linear in edges, the contention exposure halves.
+        graft.dedup.Dedup.connectedComponents(
+            scaledEdges(s, dir, x).filter(col("src") % 2 === 0)
+              .select(col("src").as("id_a"), col("dst").as("id_b")))
+          .agg(countDistinct(col("cluster")).as("components"),
+            count(lit(1)).as("nodes"))
       case "bm25serve" =>
         val cat = new Catalog(java.nio.file.Files
           .createTempDirectory(s"graft-scale-bm25-$x").toString)
@@ -6220,6 +6238,8 @@ object SparkEntry {
       "bench_scaleprobe_imagedup_scaled" -> scaleProbe("imagedup", scaleX),
       "bench_scaleprobe_substring_base" -> scaleProbe("substring", 1),
       "bench_scaleprobe_substring_scaled" -> scaleProbe("substring", scaleX),
+      "bench_scaleprobe_cc_base" -> scaleProbe("cc", 1),
+      "bench_scaleprobe_cc_scaled" -> scaleProbe("cc", scaleX),
       "bench_qps_search_steady" -> qpsSteady("bench_qps_search_steady",
         hybrid = false),
       "bench_qps_hybrid_steady" -> qpsSteady("bench_qps_hybrid_steady",

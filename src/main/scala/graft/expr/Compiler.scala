@@ -282,7 +282,19 @@ object Compiler {
         Concrete(size(array_except(litArray(items, Some(et)), arr)) === 0,
           BooleanType)
       case "array_length" =>
-        Concrete(size(eval(c.args(0)).column).cast(LongType), LongType)
+        // ARRAY_LENGTH over a JSON path (the feature inventory's
+        // nested-array operator family): the leaf is a JSON string, so
+        // parse it as an array first. Element type only matters for
+        // counting — array<string> round-trips any element shape, and
+        // a non-array/malformed leaf parses to null → null length →
+        // no comparison match, Milvus null semantics.
+        val lenOf = eval(c.args(0)) match {
+          case j: JsonVal => size(from_json(j.column, ArrayType(StringType)))
+          case Concrete(col0, StringType) =>
+            size(from_json(col0, ArrayType(StringType)))
+          case other => size(other.column)
+        }
+        Concrete(lenOf.cast(LongType), LongType)
       case "st_contains" =>
         require2(c)
         Concrete(

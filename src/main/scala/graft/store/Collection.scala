@@ -92,9 +92,13 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
   def dropPartition(spark: SparkSession, p: String): Unit = {
     val d = definition
     require(d.partitions.contains(p), s"no partition $p")
-    // Drop = tombstone every live row in the partition (the partition-
-    // scoped read below is a directory-pruned scan).
-    val live = read(spark, partitionNames = Seq(p))
+    // Drop = delete every entity whose GLOBALLY visible row lives in p.
+    // A partition-SCOPED read resolves last-writer-wins within p alone,
+    // so it lists pks whose p-copy is superseded by a later write in
+    // another partition — tombstoning those would kill the entity the
+    // OTHER partition is still serving. The global merge here is a
+    // DDL-rate cost, not a query-path one.
+    val live = readWithPartition(spark).filter(col(PART) === p)
     delete(spark, lit(true), preFiltered = Some(live))
     catalog.updateDef(name, d.copy(partitions = d.partitions.filterNot(_ == p)))
   }
@@ -586,9 +590,13 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       dest.resolve("backup_meta.json").writeBytes(
         MetaJson.write(catalog.readMeta(name)).getBytes)
       val d = definition
+      // `_ts` is copied so a restore preserves the TTL insert clock
+      // (restoreFrom keeps a provided `_ts`): a restored TTL collection
+      // must expire rows when the source would have, not TTL-from-
+      // restore-time.
       val stored = d.fields.filterNot(f =>
         d.functionOutputFields.contains(f.name)).map(_.name) ++
-        (if (d.enableDynamicField) Seq(DYN) else Nil) :+ PART
+        (if (d.enableDynamicField) Seq(DYN) else Nil) ++ Seq(TS, PART)
       val paths = snapshotDeltaNames(id).map(dataDir.resolve)
       val out = dest.resolve("data").toString
       assemble(spark, Seq.empty, None, None, keepInternals = true,
@@ -1325,10 +1333,15 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     } ++ (if (d.enableDynamicField) Seq(col(DYN)) else Nil) :+ col(PART)
-    val internal = resolved.select(cols: _*)
+    // Keep the feed's `_ts` (the original insert clock) when it carries
+    // one: a TTL collection rebuilt from its changelog must expire rows
+    // at the SAME absolute time as the source — restamping with the
+    // replica's apply time would serve rows the primary already
+    // expired, for up to a full TTL period. Synthetic feeds without a
+    // `_ts` column (and null-ts rows) stamp now.
+    val internal = resolved.select(cols :+ feedTsColumn(resolved): _*)
       .withColumn(SEQ, lit(seq))
       .withColumn(DEL, lit(false))
-      .withColumn(TS, lit(System.currentTimeMillis()))
     val routed =
       if (internal.rdd.getNumPartitions > 1) internal.repartition(col(PART))
       else internal
@@ -1336,6 +1349,15 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     recordCursor(feed)
     spark.read.parquet(deltaPath).count()
   }
+
+  /** The `_ts` a feed-applied row lands with: the feed's own insert
+    * clock where present (TTL fidelity — see [[restoreFrom]]), else
+    * the apply wall-clock.
+    */
+  private def feedTsColumn(resolved: DataFrame): Column =
+    (if (resolved.columns.contains(TS))
+       coalesce(col(TS), lit(System.currentTimeMillis()))
+     else lit(System.currentTimeMillis())).as(TS)
 
   /** Advance `cdc.cursor` to the applied feed's max `_commit_seq` —
     * recorded HERE, by the operation that consumed the window, so the
@@ -1389,10 +1411,11 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     } ++ (if (d.enableDynamicField) Seq(col(DYN)) else Nil) :+ col(PART)
+    // `_ts` from the feed where present — same TTL-clock fidelity rule
+    // as [[restoreFrom]] (tombstones keep their delete time too).
     val internal = resolved.select(cols :+
-        (col("_op") === "delete").as(DEL): _*)
+        (col("_op") === "delete").as(DEL) :+ feedTsColumn(resolved): _*)
       .withColumn(SEQ, lit(seq))
-      .withColumn(TS, lit(System.currentTimeMillis()))
     val routed =
       if (internal.rdd.getNumPartitions > 1) internal.repartition(col(PART))
       else internal
@@ -1542,10 +1565,12 @@ final class Collection(private[graft] val catalog: Catalog, val name: String) {
     if (isExternal) {
       require(partitionNames.isEmpty && asOfMillis.isEmpty,
         s"external collection $name has no partitions or time travel")
-      return cached.getOrElse {
-        val base = externalRead(spark)
-        pkPrefilter.map(base.filter).getOrElse(base)
-      }
+      // The prefilter applies to the CACHED frame too (same whole-pk-
+      // group safety as the store branch below) — a loaded external
+      // collection's point lookup filters the in-memory snapshot
+      // instead of returning the whole table to the caller's filter.
+      val base = cached.getOrElse(externalRead(spark))
+      return pkPrefilter.map(base.filter).getOrElse(base)
     }
     cached match {
       // A pk-only predicate keeps or drops whole PK groups, so applying

@@ -103,6 +103,14 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ids("array_int64[1] in [20, 40]") == Seq(1, 2, 3))
     assert(ids("array_varchar[0] in [\"x0\", \"x3\"]") == Seq(1, 4))
     assert(ids("array_length(array_int64) == 1") == Seq(4))
+    // ARRAY_LENGTH over a JSON path (the feature inventory's
+    // nested-array operator family) — the leaf parses as an array;
+    // element shape is irrelevant to the count.
+    assert(ids("ARRAY_LENGTH(json_content[\"nums\"]) == 2") == Seq(2))
+    assert(ids("array_length(json_content[\"tags\"]) == 0") == Seq(4))
+    // a non-array / missing leaf has no length — no match, no error
+    assert(ids("array_length(json_content[\"name\"]) >= 0") == Seq.empty)
+    assert(ids("array_length(json_content[\"missing\"]) >= 0") == Seq.empty)
   }
 
   test("ARRAY_CONTAINS family") {

@@ -1450,4 +1450,64 @@ class StoreSpec extends SparkSpec {
     // dropField of a consumed property field fails at the DDL call.
     intercept[IllegalArgumentException] { c.dropField("k") }
   }
+
+  test("dropPartition deletes only entities whose visible row lives in it") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(
+      simpleDef("dp_vis", partitions = Seq("p0", "p1")))
+    // pk 1: older copy explicitly placed in p0, superseded by a later
+    // write in p1 — the entity's visible home is p1.
+    c.insert(s, Seq((1L, 1L, "old", 0L))
+      .toDF("id", "category", "content", "version"),
+      partition = Some("p0")): Unit
+    c.insert(s, Seq((1L, 1L, "new", 1L))
+      .toDF("id", "category", "content", "version"),
+      partition = Some("p1")): Unit
+    // pk 2: visible in p0.
+    c.insert(s, Seq((2L, 2L, "doomed", 0L))
+      .toDF("id", "category", "content", "version"),
+      partition = Some("p0")): Unit
+    c.dropPartition(s, "p0")
+    // pk 2's visible row lived in p0 → entity deleted. pk 1's p0 copy
+    // was already superseded — dropping p0 must NOT tombstone the
+    // entity p1 is serving (the partition-scoped LWW read listed it as
+    // "live in p0" and the old victims derivation killed it globally).
+    assert(c.read(s).select("id", "content").as[(Long, String)]
+      .collect().toSet == Set((1L, "new")))
+  }
+
+  test("backup/restore and CDC apply preserve the TTL insert clock") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    val c = cat.createCollection(simpleDef("ts_src", ttl = Some(3600)))
+    c.insert(s, Seq((1L, 1L, "a", 0L), (2L, 2L, "b", 0L))
+      .toDF("id", "category", "content", "version")): Unit
+    val srcTs = c.changeFeed(s).select("_ts")
+      .collect().map(_.getLong(0)).toSet
+    Thread.sleep(20) // guarantee a restamp-with-now would differ
+    // Cold backup → restore: the backup copies `_ts`, restoreFrom
+    // keeps it — the restored collection expires rows when the SOURCE
+    // would have, not TTL-from-restore-time.
+    val dest = java.nio.file.Files.createTempDirectory("graft-ts-bk").toString
+    assert(c.backupTo(s, dest) == 2L)
+    val r = cat.restoreBackup(s, dest, "ts_rest")
+    assert(r.changeFeed(s).select("_ts").collect().map(_.getLong(0)).toSet
+      == srcTs, "restore restamped the TTL clock")
+    // CDC rebuild: the feed carries `_ts`; the replica must keep it —
+    // a restamping replica serves rows the primary already expired,
+    // for up to a full TTL period after every apply.
+    val rep = cat.createCollection(simpleDef("ts_rep", ttl = Some(3600)))
+    rep.restoreFrom(s, c.changeFeed(s)): Unit
+    assert(rep.changeFeed(s).select("_ts").collect().map(_.getLong(0)).toSet
+      == srcTs, "CDC apply restamped the TTL clock")
+    // Expiry semantics agree at the same absolute horizon on all three.
+    val horizon = srcTs.max + 3600 * 1000L + 1
+    assert(c.read(s, Seq.empty, Some(horizon)).count() == 0)
+    assert(r.read(s, Seq.empty, Some(horizon)).count() == 0)
+    assert(rep.read(s, Seq.empty, Some(horizon)).count() == 0)
+    assert(rep.read(s).count() == 2)
+  }
 }
