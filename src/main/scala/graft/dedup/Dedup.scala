@@ -89,8 +89,11 @@ object Dedup {
     */
   def softWeights(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val fp = docs.select(col(idCol),
-      TextOps.fingerprint(col(textCol)).as("_fp"))
+    // fpCol, not the raw fingerprint: a null-text row's null _fp never
+    // equi-joins its own count row, so the document would VANISH from
+    // the weights output instead of joining the null-content group —
+    // the exact failure the sentinel exists for (see fpCol).
+    val fp = docs.select(col(idCol), fpCol(textCol).as("_fp"))
     val counts = fp.groupBy("_fp").agg(count(lit(1)).as("dup_count"))
     fp.join(counts, "_fp")
       .select(col(idCol), col("dup_count"),

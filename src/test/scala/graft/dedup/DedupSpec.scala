@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(w(id)._2 - 1.0 / 3) < 1e-12)
     }
     Seq(3L, 4L, 6L).foreach { id => assert(w(id) === (1L, 1.0)) }
+    // null-text rows form ONE weighted group and stay in the output —
+    // the raw-fingerprint shape dropped them (a null _fp never
+    // equi-joins its own count row).
+    val s = spark
+    import s.implicits._
+    val messy = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, null), (3L, "unique")).toDF("doc_id", "text")
+    val mw = Dedup.softWeights(messy, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(mw.size === 3)
+    assert(mw(1L) === (2L, 0.5) && mw(2L) === (2L, 0.5))
+    assert(mw(3L) === (1L, 1.0))
   }
 
   test("leakReport: per-bench-item doc and gram counts; clean items absent") {
