@@ -6115,7 +6115,27 @@ object SparkEntry {
     * at tiny SFs the upserted pk may not pre-exist, and Milvus upsert
     * semantics insert it.
     */
-  private def qpsDml(name: String): (SparkSession, String) => DataFrame = {
+  /** `withDeletes = true` is the delete-mixed twin
+    * (bench_qps_search_dml_delete): the reference's pressure family
+    * mixes DELETE into the workload too (common/workload.py:310-454),
+    * and tombstone serving under concurrent folds is the one DML shape
+    * the insert-only row cannot exercise. The writer drops the upsert
+    * and instead deletes 5 pks of batch k−2 per batch (that insert
+    * returned before batch k−1 started — the writer is sequential —
+    * so the victims provably exist). The SAME band still holds
+    * exactly: the upper bound because insertsCommitted still bumps
+    * before each insert; the LOWER bound `hits >= expect0` because a
+    * delete only targets writer-inserted pks and any snapshot
+    * containing the tombstone also contains the (earlier-committed)
+    * insert it masks — deltas commit by atomic rename in seq order,
+    * so listings are prefix-consistent. What deletes add that the
+    * band cannot see: a POST-QUIESCE exact reconciliation —
+    * `final matching count == expect0 + inserts − deletes` — which
+    * fails if any tombstone is lost by an in-window fold (shape_ok
+    * requires it via final_count_ok).
+    */
+  private def qpsDml(name: String,
+      withDeletes: Boolean = false): (SparkSession, String) => DataFrame = {
     (s, dir) =>
     import s.implicits._
     val workers = sys.env.getOrElse("SPARK_GRAFT_QPS_WORKERS", "10").toInt
@@ -6150,7 +6170,9 @@ object SparkEntry {
     val qs = vecsOf(s, dir, (0L until 16L).toSeq)
       .map { case (id, v) => (s"q$id", v) }
     val writesCommitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val deletesCommitted = new java.util.concurrent.atomic.AtomicLong(0)
     val writeBatches = new java.util.concurrent.atomic.AtomicLong(0)
+    val deleteBatches = new java.util.concurrent.atomic.AtomicLong(0)
     val writeFailures = new java.util.concurrent.atomic.AtomicLong(0)
     val searchWorkers = math.max(1, workers - 1)
     val (snap, violations, terminated) = runQpsWindow(s, name, secs,
@@ -6162,6 +6184,10 @@ object SparkEntry {
           searchParams = Map("nprobe" -> "16"),
           outputFields = Seq("vec_id")).count()
         val hi = math.min(topk.toLong, expect0 + writesCommitted.get())
+        // Lower bound holds in BOTH modes: deletes only target
+        // writer-inserted pks, and a snapshot containing a tombstone
+        // contains the earlier-committed insert it masks (prefix-
+        // consistent listings), so hits never dips below expect0.
         hits >= expect0 && hits <= hi
       },
       writerLoop = Some { stop =>
@@ -6179,25 +6205,56 @@ object SparkEntry {
               .map(j => (base + (k * 20 + j) * 100 + 7,
                 qs(((k * 20 + j) % 16).toInt)._2))
               .toDF("vec_id", "embedding"))
-            writesCommitted.addAndGet(1)
-            c.upsert(s, Seq((7L + (k % 50) * 100, qs((k % 16).toInt)._2))
-              .toDF("vec_id", "embedding"))
+            if (!withDeletes) {
+              writesCommitted.addAndGet(1)
+              c.upsert(s, Seq((7L + (k % 50) * 100, qs((k % 16).toInt)._2))
+                .toDF("vec_id", "embedding"))
+            } else if (k >= 2) {
+              // Tombstone the last 5 pks of batch k−2 (its insert()
+              // returned two batches ago — sequential writer — so the
+              // victims provably exist and the post-quiesce count is
+              // exactly expect0 + inserts − deletes). Counter bumps
+              // BEFORE the delete, same over-bounding discipline.
+              deletesCommitted.addAndGet(5)
+              deleteBatches.incrementAndGet(): Unit
+              val pks = (15 until 20)
+                .map(j => base + ((k - 2) * 20 + j) * 100 + 7)
+              c.delete(s, s"vec_id in [${pks.mkString(", ")}]"): Unit
+            }
           } catch { case _: Throwable => writeFailures.incrementAndGet() }
         }
       })
+    // Post-quiesce reconciliation (delete mode): every landed insert
+    // is served, every tombstone suppresses — exactly. Only
+    // meaningful once the window terminated cleanly with no failed
+    // writes; both are already in the shape_ok conjunction.
+    val finalCountOk = !withDeletes || (terminated &&
+      c.query(s, filter).count() ==
+        expect0 + writesCommitted.get() - deletesCommitted.get())
     benchExtras.put(name,
       Option(benchExtras.get(name)).getOrElse(Map.empty[String, Double]) ++
         Map(
           "rows_written" -> writesCommitted.get().toDouble,
           "write_batches" -> writeBatches.get().toDouble,
-          "write_failures" -> writeFailures.get().toDouble))
-    Seq((snap("total").toLong, writesCommitted.get(),
-        BigDecimal(snap("qps")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble,
-        violations == 0L && snap("failed") == 0.0 && terminated &&
-          writeFailures.get() == 0L && writesCommitted.get() > 0L &&
-          snap("total") >= searchWorkers.toDouble))
-      .toDF("searches", "rows_written", "qps", "shape_ok")
+          "write_failures" -> writeFailures.get().toDouble) ++
+        (if (!withDeletes) Map.empty[String, Double]
+         else Map(
+           "rows_deleted" -> deletesCommitted.get().toDouble,
+           "delete_batches" -> deleteBatches.get().toDouble,
+           "final_count_ok" -> (if (finalCountOk) 1.0 else 0.0))))
+    val shapeOk = violations == 0L && snap("failed") == 0.0 && terminated &&
+      writeFailures.get() == 0L && writesCommitted.get() > 0L &&
+      snap("total") >= searchWorkers.toDouble &&
+      (!withDeletes || (deletesCommitted.get() > 0L && finalCountOk))
+    val qpsOut = BigDecimal(snap("qps"))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (withDeletes)
+      Seq((snap("total").toLong, writesCommitted.get(),
+          deletesCommitted.get(), qpsOut, shapeOk))
+        .toDF("searches", "rows_written", "rows_deleted", "qps", "shape_ok")
+    else
+      Seq((snap("total").toLong, writesCommitted.get(), qpsOut, shapeOk))
+        .toDF("searches", "rows_written", "qps", "shape_ok")
   }
 
   /** Bench entries whose wall IS a configured steady-state window:
@@ -6209,7 +6266,8 @@ object SparkEntry {
     */
   val fixedWindowBench: Set[String] = Set(
     "bench_qps_search_steady", "bench_qps_hybrid_steady",
-    "bench_qps_search_w1", "bench_qps_search_dml")
+    "bench_qps_search_w1", "bench_qps_search_dml",
+    "bench_qps_search_dml_delete")
 
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
     def knnSweep(k: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
@@ -6254,6 +6312,8 @@ object SparkEntry {
       // Serving while writes land: sealed ⊎ growing delta serving
       // measured under a concurrent writer, monotone completeness SLO.
       "bench_qps_search_dml" -> qpsDml("bench_qps_search_dml"),
+      "bench_qps_search_dml_delete" ->
+        qpsDml("bench_qps_search_dml_delete", withDeletes = true),
       "bench_topk10" -> knnSweep(10),
       "bench_topk100" -> knnSweep(100),
       "bench_topk1000" -> knnSweep(1000),

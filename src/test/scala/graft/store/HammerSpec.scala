@@ -595,4 +595,87 @@ class HammerSpec extends SparkSpec {
     assert(finalHits == expect0 + 40,
       s"final filtered top-k missed landed writes: $finalHits")
   }
+
+  test("filtered ANN under concurrent inserts + DELETES holds the band " +
+      "and reconciles exactly") {
+    // The bench_qps_search_dml_delete SLO at spec scale. The SAME band
+    // as the insert-only test holds with deletes mixed in: the upper
+    // bound because the insert counter still bumps before each write;
+    // the LOWER bound (hits >= expect0) because deletes only target
+    // writer-inserted pks and any snapshot containing a tombstone also
+    // contains the earlier-committed insert it masks — deltas commit
+    // by atomic rename in seq order, so listings are prefix-
+    // consistent. What only deletes can drive: the post-quiesce exact
+    // reconciliation — final == expect0 + inserts − deletes — which a
+    // fold that loses tombstones would fail.
+    val s = spark
+    import s.implicits._
+    import graft.operators.CollectionSearch
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cat = new Catalog(Files.createTempDirectory("graft-hqdel").toString)
+    val c = cat.createCollection(CollectionDef("hqd", Seq(
+      FieldDef("vec_id", LongType, nullable = false, isPrimary = true),
+      FieldDef("embedding", ArrayType(FloatType), dim = Some(4))),
+      properties = Map("compaction.maxDeltas" -> "3")))
+    def vec(i: Long): Seq[Float] =
+      Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, 1.0f)
+    c.insert(s, (0L until 400L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")): Unit
+    c.compact(s)
+    c.createIndex(s, IndexDef("embedding", "IVF_FLAT", Some("L2"),
+      Map("nlist" -> "4")))
+    val filter = "vec_id % 100 == 7"
+    val expect0 = c.query(s, filter).count()
+    val inserted = new java.util.concurrent.atomic.AtomicLong(0)
+    val deleted = new java.util.concurrent.atomic.AtomicLong(0)
+    val errors = new java.util.concurrent.atomic.AtomicReference[String]()
+    val writer = new Thread(() => {
+      try (0 until 8).foreach { b =>
+        inserted.addAndGet(5): Unit
+        c.insert(s, (0 until 5)
+          .map(j => (1000000L + (b * 5 + j) * 100L + 7L, vec(b * 5 + j)))
+          .toDF("vec_id", "embedding")): Unit
+        if (b >= 2) {
+          // delete 2 pks of batch b-2 — committed two batches ago
+          deleted.addAndGet(2): Unit
+          val pks = (3 until 5).map(j => 1000000L + ((b - 2) * 5 + j) * 100L + 7L)
+          c.delete(s, s"vec_id in [${pks.mkString(", ")}]"): Unit
+        }
+      } catch { case e: Exception =>
+        errors.compareAndSet(null, s"writer: ${e.getMessage}"): Unit }
+    })
+    val searchers = (0 until 2).map { t =>
+      new Thread(() => {
+        try (1 to 10).foreach { _ =>
+          val hits = CollectionSearch.searchBatch(s, c, "embedding",
+            Seq(s"q$t" -> vec(7)), 10000, filterExpr = filter,
+            searchParams = Map("nprobe" -> "4")).count()
+          val hi = expect0 + inserted.get()
+          assert(hits >= expect0 && hits <= hi,
+            s"band violated under deletes: $hits not in [$expect0, $hi]")
+        } catch { case e: Throwable =>
+          errors.compareAndSet(null, s"searcher$t: ${e.getMessage}"): Unit }
+      })
+    }
+    (writer +: searchers).foreach(_.start())
+    (writer +: searchers).foreach(_.join())
+    assert(errors.get() == null, String.valueOf(errors.get()))
+    // Post-quiesce exact reconciliation: 40 inserts, 12 deletes.
+    val finalHits = CollectionSearch.searchBatch(s, c, "embedding",
+      Seq("qf" -> vec(7)), 10000, filterExpr = filter,
+      searchParams = Map("nprobe" -> "4")).count()
+    assert(finalHits == expect0 + 40 - 12,
+      s"final count != expect0 + inserts - deletes: $finalHits")
+    // The tombstoned pks really are the ones suppressed.
+    val served = CollectionSearch.searchBatch(s, c, "embedding",
+      Seq("qf" -> vec(7)), 10000, filterExpr = filter,
+      searchParams = Map("nprobe" -> "4"), outputFields = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (2 until 8).foreach { b =>
+      (3 until 5).foreach { j =>
+        assert(!served.contains(1000000L + ((b - 2) * 5 + j) * 100L + 7L),
+          s"deleted pk of batch ${b - 2} still served")
+      }
+    }
+  }
 }
