@@ -299,7 +299,12 @@ object Ivf {
         val qc = math.sqrt(sq2(q, model.centroids(i)))
         // Both band edges prune: a cell below the lower bound entirely
         // (max possible distance < range_filter) holds no result either.
-        qc - radii(i) <= radius &&
+        // The 1e-9 slack on BOTH edges (the cosine/IP routes'
+        // convention) keeps the prune strictly conservative against
+        // ulp drift between this driver-side sqrt and the build's SQL
+        // distance — the exact in-cell score filter discards any
+        // extra admitted rows.
+        qc - radii(i) <= radius + 1e-9 &&
           rangeFilter.forall(rf => qc + radii(i) >= rf - 1e-9)
       }
       (qid, qv.map(_.toDouble), allowed.toArray)
