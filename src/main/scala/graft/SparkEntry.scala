@@ -6475,9 +6475,12 @@ object SparkEntry {
       // of the full query side caps out long before cluster scale.
       "bench_knn_selfjoin_exact_oracle" -> { (s, dir) =>
         val emb = tbl(s, dir, "embeddings")
+        // Corpus-sized query batch (scan-backed, nq unknowable from the
+        // plan): the hint lets the operator spread the serialized
+        // single-split scoring stage (r14: 8.05 s -> 0.97 s at sf0.1).
         Knn.search(emb,
           emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-          "embedding", "vec_id", "COSINE", 5)
+          "embedding", "vec_id", "COSINE", 5, nqHint = Some(Int.MaxValue))
       },
       // The HEADLINE self-join: IVF-blocked cell equi-join
       // (Ivf.selfJoin) — O(N² · nprobe/nlist) scored pairs through a
@@ -6496,7 +6499,8 @@ object SparkEntry {
           Ivf.selfJoin(emb, model, "embedding", "vec_id", k, nprobe = 40)
             .select(col("qid"), col("vec_id"))
         val exactSample = Knn.search(emb, queryDf(s, dir, (0 until 200).toSeq),
-          "embedding", "vec_id", "COSINE", k).select(col("qid"), col("vec_id"))
+          "embedding", "vec_id", "COSINE", k, nqHint = Some(200))
+          .select(col("qid"), col("vec_id"))
         val hits = annPairs.join(exactSample, Seq("qid", "vec_id")).count()
         val pairs = annPairs.count()
         Seq((pairs, hits / (200.0 * k))).toDF("pairs", "sample_recall")
